@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship TPC-H-Q1-style query at sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (same column names).
+
+All queries are built through the engine package (``polars_ruby_spark``) so
+the driver exercises our API layer, not raw PySpark.  Floating-point
+aggregates are rounded identically on both sides (sum→2dp, avg/std→4dp)
+because double accumulation order differs across engines.
 """
 
 from __future__ import annotations
@@ -13,26 +16,607 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _prep(spark: SparkSession) -> None:
+    """Engine semantics on a caller-provided session (polars casts are
+    null-on-error → ANSI off; timestamps tz-naive-UTC)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    import polars_ruby_spark as pl
+
+    _prep(spark)
+    return pl.scan_parquet(f"{sf_dir}/{name}.parquet", spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# Queries — each returns the underlying Spark DataFrame.
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: scan→filter→group_by→agg→sort (SURVEY §7.1)."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(pl.col("l_shipdate") <= pl.lit("1998-09-02").cast(pl.Datetime))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            pl.col("l_quantity").sum().round(2).alias("sum_qty"),
+            pl.col("l_extendedprice").sum().round(2).alias("sum_base_price"),
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum().round(2).alias("sum_disc_price"),
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount")) * (1 + pl.col("l_tax"))).sum().round(2).alias("sum_charge"),
+            pl.col("l_quantity").mean().round(4).alias("avg_qty"),
+            pl.col("l_extendedprice").mean().round(4).alias("avg_price"),
+            pl.col("l_discount").mean().round(4).alias("avg_disc"),
+            pl.len().alias("count_order"),
+        )
+        .sort("l_returnflag", "l_linestatus")
+    )
+    return out.to_spark()
+
+
+def q02_project_arithmetic(spark, sf_dir):
+    """select/with_columns: arithmetic, when/then, is_between, is_in (§2.2)."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(
+        pl.col("l_orderkey"),
+        pl.col("l_linenumber"),
+        (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).round(4).alias("net"),
+        pl.col("l_returnflag").is_in(["A", "N"]).alias("flag_an"),
+        pl.col("l_quantity").is_between(10, 20).alias("qty_mid"),
+        pl.when(pl.col("l_discount") > 0.05).then(pl.lit("hi"))
+        .when(pl.col("l_discount") > 0.02).then(pl.lit("mid"))
+        .otherwise(pl.lit("lo")).alias("disc_band"),
+    )
+    return out.to_spark()
+
+
+def q03_top_k(spark, sf_dir):
+    """sort desc + limit (top-k; §2.6)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    out = (o.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+           .head(10)
+           .select("o_orderkey", "o_custkey", "o_totalprice"))
+    return out.to_spark()
+
+
+def q04_join_inner_agg(spark, sf_dir):
+    """inner equi join + grouped agg (§2.3/§2.4); dim side broadcast."""
+    import polars_ruby_spark as pl
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.join(c, left_on="o_custkey", right_on="c_custkey", how="inner", broadcast=True)
+        .group_by("c_mktsegment")
+        .agg(
+            pl.len().alias("n_orders"),
+            pl.col("o_totalprice").sum().round(2).alias("revenue"),
+        )
+    )
+    return out.to_spark()
+
+
+def q05_join_left(spark, sf_dir):
+    """left join keeping unmatched rows; count non-null (§2.3)."""
+    import polars_ruby_spark as pl
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        c.join(o, left_on="c_custkey", right_on="o_custkey", how="left")
+        .group_by("c_custkey")
+        .agg(pl.col("o_orderkey").count().alias("n_orders"))
+    )
+    return out.to_spark()
+
+
+def q06_join_semi(spark, sf_dir):
+    import polars_ruby_spark as pl  # noqa: F401
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    out = c.join(o, left_on="c_custkey", right_on="o_custkey", how="semi").select(
+        "c_custkey", "c_mktsegment")
+    return out.to_spark()
+
+
+def q07_join_anti(spark, sf_dir):
+    import polars_ruby_spark as pl  # noqa: F401
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    out = c.join(o, left_on="c_custkey", right_on="o_custkey", how="anti").select(
+        "c_custkey", "c_acctbal")
+    return out.to_spark()
+
+
+def q08_join_full(spark, sf_dir):
+    """full outer join keeps both key columns (lazy_frame.rb:1648 doctest)."""
+    import polars_ruby_spark as pl
+
+    s = _t(spark, sf_dir, "supplier").group_by("s_nationkey").agg(pl.len().alias("n_sup"))
+    c = _t(spark, sf_dir, "customer").group_by("c_nationkey").agg(pl.len().alias("n_cust"))
+    out = s.join(c, left_on="s_nationkey", right_on="c_nationkey", how="full")
+    return out.to_spark()
+
+
+def q09_join_cross(spark, sf_dir):
+    import polars_ruby_spark as pl  # noqa: F401
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    out = r.join(n, how="cross").select("r_name", "n_name")
+    return out.to_spark()
+
+
+def q10_join_asof(spark, sf_dir):
+    """as-of backward join per user (custom operator; §2.3 join_asof)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(pl.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(pl.col("event_type") == "purchase")
+        .group_by("user_id", "ts")
+        .agg(pl.col("value").max().alias("pval"))
+    )
+    out = clicks.join_asof(purchases, on="ts", by="user_id", strategy="backward").select(
+        "event_id", "user_id", "pval")
+    return out.to_spark()
+
+
+def q11_window_rank(spark, sf_dir):
+    """window rank family over partitions (§2.5)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.with_columns(
+            pl.col("o_totalprice").rank("min", descending=True).over("o_orderstatus").alias("rnk"),
+            pl.col("o_totalprice").rank("dense", descending=True).over("o_orderstatus").alias("drnk"),
+        )
+        .filter(pl.col("rnk") <= 20)
+        .select("o_orderkey", "o_orderstatus", "rnk", "drnk")
+    )
+    return out.to_spark()
+
+
+def q12_lag_diff(spark, sf_dir):
+    """shift/diff within groups over row order (§2.5)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = ev.with_columns(
+        pl.col("value").diff(1).over("user_id").round(4).alias("dv"),
+    ).select("event_id", "user_id", "dv")
+    return out.to_spark()
+
+
+def q13_cum_sum(spark, sf_dir):
+    """cumulative aggregates within groups (§2.5 cum_*)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = ev.with_columns(
+        pl.col("value").cum_sum().over("user_id").round(4).alias("cv"),
+    ).select("event_id", "user_id", "cv")
+    return out.to_spark()
+
+
+def q14_rolling_1h(spark, sf_dir):
+    """time-based rolling mean (rolling_*_by; §2.5) — range-frame window."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.with_columns(
+        pl.col("value").rolling_mean_by("ts", "1h", closed="both").over("user_id")
+        .round(4).alias("rv"),
+    ).select("event_id", "user_id", "rv")
+    return out.to_spark()
+
+
+def q15_dynamic_1h(spark, sf_dir):
+    """group_by_dynamic tumbling event-time windows (§2.10) → F.window."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.group_by_dynamic("ts", every="1h", by=["event_type"]).agg(
+        pl.len().alias("n"),
+        pl.col("value").sum().round(2).alias("sv"),
+    )
+    return out.to_spark()
+
+
+def q16_str_funcs(spark, sf_dir):
+    """string namespace (§2.8): case, length, contains, extract, split."""
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents")
+    out = d.select(
+        pl.col("doc_id"),
+        pl.col("text").str.slice(0, 20).str.to_uppercase().alias("head_upper"),
+        pl.col("text").str.len_chars().alias("n_chars2"),
+        pl.col("text").str.contains("spark", literal=True).alias("has_spark"),
+        pl.col("text").str.extract(r"^(\w+)", 1).alias("first_word"),
+        pl.col("text").str.split(" ").list.len().alias("n_tokens"),
+    )
+    return out.to_spark()
+
+
+def q17_dt_funcs(spark, sf_dir):
+    """temporal namespace (§2.8): parts, weekday shim, truncate, epoch."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    out = o.select(
+        pl.col("o_orderkey"),
+        pl.col("o_orderdate").dt.year().alias("y"),
+        pl.col("o_orderdate").dt.month().alias("m"),
+        pl.col("o_orderdate").dt.day().alias("d"),
+        pl.col("o_orderdate").dt.quarter().alias("q"),
+        pl.col("o_orderdate").dt.weekday().alias("wd"),
+        pl.col("o_orderdate").dt.ordinal_day().alias("doy"),
+        pl.col("o_orderdate").dt.truncate("1mo").alias("month_start"),
+        pl.col("o_orderdate").dt.epoch("s").alias("epoch_s"),
+    )
+    return out.to_spark()
+
+
+def q18_list_funcs(spark, sf_dir):
+    """list namespace over array<float> (§2.8) — higher-order functions."""
+    import polars_ruby_spark as pl
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = e.select(
+        pl.col("vec_id"),
+        pl.col("embedding").list.len().alias("dim"),
+        pl.col("embedding").list.get(0).cast(pl.Float64).round(4).alias("first_val"),
+        pl.col("embedding").list.max().cast(pl.Float64).round(4).alias("max_val"),
+        pl.col("embedding").list.sum().round(4).alias("vec_sum"),
+    )
+    return out.to_spark()
+
+
+def q19_pivot(spark, sf_dir):
+    """pivot wide (§2.8 encoding) → groupBy().pivot()."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.frame import DataFrame
+
+    o = _t(spark, sf_dir, "orders")
+    df = DataFrame(o._sdf)
+    out = df.pivot("o_orderstatus", index="o_orderpriority", values="o_orderkey",
+                   aggregate_function="len")
+    sdf = out.to_spark()
+    filled = sdf.fillna(0)
+    return filled
+
+
+def q20_unpivot(spark, sf_dir):
+    """unpivot/melt long (§2.8) → df.unpivot."""
+    import polars_ruby_spark as pl  # noqa: F401
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.unpivot(on=["l_quantity", "l_discount"],
+                     index=["l_orderkey", "l_linenumber"])
+    return out.to_spark()
+
+
+def q21_stats(spark, sf_dir):
+    """aggregate stats: n_unique/null_count/min/max/std/var/median (§2.4)."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(
+        pl.col("l_orderkey").n_unique().alias("n_orders"),
+        pl.col("l_quantity").null_count().alias("nulls_qty"),
+        pl.col("l_extendedprice").min().round(4).alias("min_price"),
+        pl.col("l_extendedprice").max().round(4).alias("max_price"),
+        pl.col("l_extendedprice").std().round(4).alias("std_price"),
+        pl.col("l_extendedprice").var().round(2).alias("var_price"),
+        pl.col("l_extendedprice").median().round(4).alias("med_price"),
+    )
+    return out.to_spark()
+
+
+def q22_quantile(spark, sf_dir):
+    """quantile with linear interpolation (§2.4)."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.group_by("l_returnflag").agg(
+        pl.col("l_extendedprice").quantile(0.25, "linear").round(4).alias("p25"),
+        pl.col("l_extendedprice").quantile(0.9, "linear").round(4).alias("p90"),
+    )
+    return out.to_spark()
+
+
+def q23_sql_context(spark, sf_dir):
+    """SQLContext entry point (§2.11) — temp views + spark.sql."""
+    import polars_ruby_spark as pl
+
+    ctx = pl.SQLContext(orders=_t(spark, sf_dir, "orders"))
+    out = ctx.execute(
+        "SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders GROUP BY o_orderpriority")
+    return out.to_spark()
+
+
+def q24_unique_first(spark, sf_dir):
+    """unique(keep='first') under explicit order (§2.4 distinct)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort(["o_orderdate", "o_orderkey"])
+    out = o.unique(subset=["o_custkey"], keep="first").select("o_custkey", "o_orderkey")
+    return out.to_spark()
+
+
+def q25_concat(spark, sf_dir):
+    """vertical concat (§2.7) → unionByName."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(pl.col("o_totalprice") > 300000).select("o_orderkey", "o_totalprice")
+    lo = o.filter(pl.col("o_totalprice") < 10000).select("o_orderkey", "o_totalprice")
+    out = pl.concat([hi, lo], how="vertical")
+    return out.to_spark()
+
+
+def q26_forward_fill(spark, sf_dir):
+    """fill_null(forward) over groups (§2.2) — last(ignorenulls) window."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.with_columns(
+            pl.when(pl.col("value") < 5).then(pl.lit(None)).otherwise(pl.col("value"))
+            .alias("v2"))
+        .with_columns(pl.col("v2").forward_fill().over("user_id").alias("vf"))
+        .select("event_id", "user_id", "vf")
+    )
+    return out.to_spark()
+
+
+def q27_rle(spark, sf_dir):
+    """run-length ids (§2.5 rle_id) — gaps-and-islands."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort("event_id")
+    out = ev.with_columns(
+        pl.col("event_type").rle_id().alias("run_id")
+    ).select("event_id", "run_id")
+    return out.to_spark()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_project_arithmetic": q02_project_arithmetic,
+        "q03_top_k": q03_top_k,
+        "q04_join_inner_agg": q04_join_inner_agg,
+        "q05_join_left": q05_join_left,
+        "q06_join_semi": q06_join_semi,
+        "q07_join_anti": q07_join_anti,
+        "q08_join_full": q08_join_full,
+        "q09_join_cross": q09_join_cross,
+        "q10_join_asof": q10_join_asof,
+        "q11_window_rank": q11_window_rank,
+        "q12_lag_diff": q12_lag_diff,
+        "q13_cum_sum": q13_cum_sum,
+        "q14_rolling_1h": q14_rolling_1h,
+        "q15_dynamic_1h": q15_dynamic_1h,
+        "q16_str_funcs": q16_str_funcs,
+        "q17_dt_funcs": q17_dt_funcs,
+        "q18_list_funcs": q18_list_funcs,
+        "q19_pivot": q19_pivot,
+        "q20_unpivot": q20_unpivot,
+        "q21_stats": q21_stats,
+        "q22_quantile": q22_quantile,
+        "q23_sql_context": q23_sql_context,
+        "q24_unique_first": q24_unique_first,
+        "q25_concat": q25_concat,
+        "q26_forward_fill": q26_forward_fill,
+        "q27_rle": q27_rle,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_project_arithmetic": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 4) AS net,
+                   l_returnflag IN ('A', 'N') AS flag_an,
+                   l_quantity BETWEEN 10 AND 20 AS qty_mid,
+                   CASE WHEN l_discount > 0.05 THEN 'hi'
+                        WHEN l_discount > 0.02 THEN 'mid'
+                        ELSE 'lo' END AS disc_band
+            FROM lineitem
+        """,
+        "q03_top_k": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q04_join_inner_agg": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q05_join_left": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "q06_join_semi": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "q07_join_anti": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q08_join_full": """
+            WITH s AS (SELECT s_nationkey, count(*) AS n_sup FROM supplier GROUP BY s_nationkey),
+                 c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey)
+            SELECT s.s_nationkey, s.n_sup, c.c_nationkey, c.n_cust
+            FROM s FULL OUTER JOIN c ON s.s_nationkey = c.c_nationkey
+        """,
+        "q09_join_cross": """
+            SELECT r_name, n_name FROM region CROSS JOIN nation
+        """,
+        "q10_join_asof": """
+            WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events
+                       WHERE event_type = 'purchase' GROUP BY user_id, ts),
+                 c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, p.pval
+            FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "q11_window_rank": """
+            SELECT o_orderkey, o_orderstatus, rnk, drnk FROM (
+              SELECT o_orderkey, o_orderstatus,
+                     rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rnk,
+                     dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drnk
+              FROM orders) WHERE rnk <= 20
+        """,
+        "q12_lag_diff": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id), 4) AS dv
+            FROM events
+        """,
+        "q13_cum_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cv
+            FROM events
+        """,
+        "q14_rolling_1h": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS rv
+            FROM events
+        """,
+        "q15_dynamic_1h": """
+            SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ts,
+                   count(*) AS n, round(sum(value), 2) AS sv
+            FROM events GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+        """,
+        "q16_str_funcs": """
+            SELECT doc_id,
+                   upper(substr(text, 1, 20)) AS head_upper,
+                   length(text) AS n_chars2,
+                   contains(text, 'spark') AS has_spark,
+                   regexp_extract(text, '^(\\w+)', 1) AS first_word,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "q17_dt_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(month(o_orderdate) AS INT) AS m,
+                   CAST(day(o_orderdate) AS INT) AS d,
+                   CAST(quarter(o_orderdate) AS INT) AS q,
+                   CAST(isodow(o_orderdate) AS INT) AS wd,
+                   CAST(dayofyear(o_orderdate) AS INT) AS doy,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+            FROM orders
+        """,
+        "q18_list_funcs": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS dim,
+                   round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+                   round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+                   round((SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x)), 4) AS vec_sum
+            FROM embeddings
+        """,
+        "q19_pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'F') AS "F",
+                   count(*) FILTER (o_orderstatus = 'O') AS "O",
+                   count(*) FILTER (o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q20_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount' AS variable, l_discount AS value FROM lineitem
+        """,
+        "q21_stats": """
+            SELECT count(DISTINCT l_orderkey) AS n_orders,
+                   count(*) - count(l_quantity) AS nulls_qty,
+                   round(min(l_extendedprice), 4) AS min_price,
+                   round(max(l_extendedprice), 4) AS max_price,
+                   round(stddev_samp(l_extendedprice), 4) AS std_price,
+                   round(var_samp(l_extendedprice), 2) AS var_price,
+                   round(median(l_extendedprice), 4) AS med_price
+            FROM lineitem
+        """,
+        "q22_quantile": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q23_sql_context": """
+            SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q24_unique_first": """
+            SELECT o_custkey, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "q25_concat": """
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 10000
+        """,
+        "q26_forward_fill": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN value < 5 THEN NULL ELSE value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+            FROM events
+        """,
+        "q27_rle": """
+            SELECT event_id,
+                   CAST(sum(chg) OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS run_id
+            FROM (
+              SELECT event_id,
+                     CASE WHEN event_type IS DISTINCT FROM
+                          lag(event_type) OVER (ORDER BY event_id) THEN 1 ELSE 0 END AS chg
+              FROM events)
+        """,
+    }

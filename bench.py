@@ -1,0 +1,77 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Queries execute end-to-end via a noop sink (full materialization, no
+driver-collect overhead) — the number is engine wall-clock, not toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: one per operator family that dominates 100 TB cost profiles.
+HEADLINE = [
+    "q01_pricing_summary",   # scan+filter+agg
+    "q02_project_arithmetic",  # projection throughput
+    "q04_join_inner_agg",    # broadcast join + agg
+    "q05_join_left",         # shuffle join
+    "q10_join_asof",         # custom asof (union-merge)
+    "q11_window_rank",       # window functions
+    "q13_cum_sum",           # ordered window w/ row-index derivation
+    "q14_rolling_1h",        # range-frame window
+    "q15_dynamic_1h",        # event-time windows
+    "q16_str_funcs",         # string kernels
+    "q18_list_funcs",        # higher-order functions
+    "q20_unpivot",           # reshape
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    from polars_ruby_spark.session import configure
+
+    spark = configure(
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("polars-ruby-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS) if CPUS.isdigit() else 32, 8)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footers once (excluded from timing)
+    qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,760 @@
+"""LazyFrame / DataFrame: polars frame semantics over ``pyspark.sql.DataFrame``.
+
+Design (SURVEY §7.0): PySpark DataFrames are already lazy logical plans, so
+``LazyFrame`` wraps one 1:1 and ``collect`` is just a materialization point.
+The eager ``DataFrame`` is sugar over the same plan (mirroring the reference
+where eager ops round-trip through the lazy engine —
+``/root/reference/lib/polars/data_frame.rb:1161-1163``).
+
+Row order: Spark has no implicit order; ordinal ops lazily attach the hidden
+``__row_idx__`` (operators/row_index.py).  Order-changing ops (sort, explode,
+join, …) drop it so it is re-derived from the new plan order — after a sort,
+Spark's range partitioner makes the re-derived index equal the sorted order
+without any single-task bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .exprs import Expr, col, lit, wrap_expr
+from .group_by import DynamicGroupBy, GroupBy, LazyGroupBy, RollingGroupBy
+from .operators.row_index import strip_row_index, with_row_index
+from .session import ROW_IDX
+
+
+def _parse_exprs(exprs, named) -> list[tuple[str | None, Expr]]:
+    out: list[tuple[str | None, Expr]] = []
+    for e in exprs:
+        if isinstance(e, (list, tuple)):
+            out.extend((None, wrap_expr(x) if not isinstance(x, str) else col(x)) for x in e)
+        elif isinstance(e, str):
+            out.append((None, col(e)))
+        else:
+            out.append((None, wrap_expr(e)))
+    for name, e in named.items():
+        out.append((name, col(e) if isinstance(e, str) else wrap_expr(e)))
+    return out
+
+
+class LazyFrame:
+    """Deferred query plan (parity: lib/polars/lazy_frame.rb)."""
+
+    def __init__(self, sdf: SparkDF):
+        self._sdf = sdf
+
+    # -- plumbing -----------------------------------------------------------
+    def to_spark(self) -> SparkDF:
+        return strip_row_index(self._sdf)
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._sdf.columns if c != ROW_IDX]
+
+    @property
+    def schema(self):
+        return {f.name: f.dataType for f in self._sdf.schema.fields if f.name != ROW_IDX}
+
+    collect_schema = schema
+
+    @property
+    def dtypes(self):
+        return [t for _, t in self.schema.items()]
+
+    @property
+    def width(self) -> int:
+        return len(self.columns)
+
+    def _ensure_row_index(self) -> "LazyFrame":
+        if ROW_IDX in self._sdf.columns:
+            return self
+        return LazyFrame(with_row_index(self._sdf, ROW_IDX))
+
+    def _bind_all(self, parsed, context: str):
+        """Bind parsed (name, Expr) pairs → Spark Columns.
+
+        ``select`` with only aggregates routes to ``df.agg`` (one row, plain
+        partial-agg plan); mixed/windowed aggregates broadcast via a global
+        window (documented scale caveat — rare API).
+        """
+        sdf = self._sdf
+        expanded: list[tuple[str | None, Expr]] = []
+        for name, e in parsed:
+            for ee in e._expand(sdf):
+                expanded.append((name, ee))
+        needs_order = any(e._needs_order for _, e in expanded)
+        if needs_order:
+            sdf = self._ensure_row_index()._sdf
+        all_agg = bool(expanded) and all(e._is_agg for _, e in expanded)
+        any_agg = any(e._is_agg for _, e in expanded)
+        cols = []
+        for name, e in expanded:
+            if context == "select" and all_agg:
+                c = e._fn(sdf, None)          # plain aggregate → df.agg
+            elif e._is_agg and (context == "with_columns" or any_agg):
+                c = e._fn(sdf, [])            # broadcast over global window
+            else:
+                c = e._fn(sdf, None)
+            alias = name or e._name
+            if alias:
+                c = c.alias(alias)
+            cols.append((alias, c))
+        return sdf, cols, all_agg
+
+    # -- projections ----------------------------------------------------------
+    def select(self, *exprs, **named) -> "LazyFrame":
+        parsed = _parse_exprs(exprs, named)
+        sdf, cols, all_agg = self._bind_all(parsed, "select")
+        if all_agg:
+            return LazyFrame(sdf.agg(*[c for _, c in cols]))
+        return LazyFrame(sdf.select(*[c for _, c in cols]))
+
+    select_seq = select
+
+    def with_columns(self, *exprs, **named) -> "LazyFrame":
+        parsed = _parse_exprs(exprs, named)
+        sdf, cols, _ = self._bind_all(parsed, "with_columns")
+        mapping = {}
+        for alias, c in cols:
+            if alias is None:
+                # fall back to Spark's inferred name (driver-side analysis only)
+                alias = sdf.select(c).columns[0]
+            mapping[alias] = c
+        # withColumns keeps original column order and replaces in place
+        out = sdf.withColumns(mapping)
+        return LazyFrame(strip_row_index(out) if ROW_IDX not in self._sdf.columns else out)
+
+    with_columns_seq = with_columns
+
+    def with_column(self, expr) -> "LazyFrame":
+        return self.with_columns(expr)
+
+    def drop(self, *cols_) -> "LazyFrame":
+        names = []
+        for c in cols_:
+            names.extend(c if isinstance(c, (list, tuple)) else [c])
+        return LazyFrame(self._sdf.drop(*names))
+
+    def rename(self, mapping: dict[str, str]) -> "LazyFrame":
+        return LazyFrame(self._sdf.withColumnsRenamed(mapping))
+
+    # -- filters ----------------------------------------------------------------
+    def filter(self, *predicates, **constraints) -> "LazyFrame":
+        sdf = self._sdf
+        conds = []
+        needs_order = False
+        for p in predicates:
+            e = wrap_expr(p)
+            needs_order = needs_order or e._needs_order
+        if needs_order:
+            sdf = self._ensure_row_index()._sdf
+        for p in predicates:
+            conds.append(wrap_expr(p)._fn(sdf, None))
+        for name, v in constraints.items():
+            conds.append(F.col(name) == v)
+        out = sdf
+        for c in conds:
+            out = out.filter(c)
+        # row-index values go stale (gaps) after a filter; drop so ordinal ops
+        # re-derive a contiguous index from the (order-preserving) plan
+        if ROW_IDX not in self._sdf.columns:
+            out = strip_row_index(out)
+        return LazyFrame(out)
+
+    where = filter
+
+    def drop_nulls(self, subset=None) -> "LazyFrame":
+        subset = [subset] if isinstance(subset, str) else subset
+        return LazyFrame(self._sdf.dropna(subset=subset))
+
+    def drop_nans(self, subset=None) -> "LazyFrame":
+        cols_ = subset or [f.name for f in self._sdf.schema.fields
+                           if f.dataType.typeName() in ("double", "float")]
+        cols_ = [cols_] if isinstance(cols_, str) else cols_
+        out = self._sdf
+        for c in cols_:
+            out = out.filter(~F.isnan(F.col(c)) | F.col(c).isNull())
+        return LazyFrame(out)
+
+    def fill_null(self, value=None, strategy=None, limit=None) -> "LazyFrame":
+        exprs = [col(c).fill_null(value, strategy, limit).alias(c) for c in self.columns]
+        return self.with_columns(*exprs)
+
+    def fill_nan(self, value) -> "LazyFrame":
+        exprs = [col(c).fill_nan(value).alias(c)
+                 for c in self.columns
+                 if dict(self.schema)[c].typeName() in ("double", "float")]
+        return self.with_columns(*exprs) if exprs else self
+
+    # -- ordinal ops ---------------------------------------------------------------
+    def sort(self, by, *more_by, descending: bool | list[bool] = False,
+             nulls_last: bool = False, maintain_order: bool = False) -> "LazyFrame":
+        keys = [by] + list(more_by) if not isinstance(by, list) else list(by) + list(more_by)
+        if isinstance(descending, bool):
+            descending = [descending] * len(keys)
+        sdf = strip_row_index(self._sdf)
+        order = []
+        for k, desc in zip(keys, descending):
+            c = col(k)._fn(sdf, None) if isinstance(k, str) else wrap_expr(k)._fn(sdf, None)
+            if desc:
+                order.append(c.desc_nulls_last() if nulls_last else c.desc_nulls_first())
+            else:
+                order.append(c.asc_nulls_last() if nulls_last else c.asc_nulls_first())
+        if maintain_order and ROW_IDX in self._sdf.columns:
+            order.append(F.col(ROW_IDX).asc())
+        return LazyFrame(sdf.orderBy(*order))
+
+    def reverse(self) -> "LazyFrame":
+        lf = self._ensure_row_index()
+        return LazyFrame(strip_row_index(lf._sdf.orderBy(F.col(ROW_IDX).desc())))
+
+    def limit(self, n: int = 5) -> "LazyFrame":
+        return LazyFrame(self._sdf.limit(n))
+
+    def head(self, n: int = 5) -> "LazyFrame":
+        return self.limit(n)
+
+    def _with_total(self):
+        """Attach the max row index as a broadcast scalar column (no global
+        window — a single-row aggregate cross-joined back, so the big side
+        never funnels through one task)."""
+        lf = self._ensure_row_index()
+        total = lf._sdf.select(F.max(ROW_IDX).alias("__total__"))
+        return lf._sdf.crossJoin(F.broadcast(total))
+
+    def tail(self, n: int = 5) -> "LazyFrame":
+        out = self._with_total().filter(F.col(ROW_IDX) > F.col("__total__") - n)
+        return LazyFrame(strip_row_index(out.drop("__total__")))
+
+    def slice(self, offset: int, length: int | None = None) -> "LazyFrame":
+        if offset >= 0:
+            lf = self._ensure_row_index()
+            c = F.col(ROW_IDX)
+            cond = c >= offset
+            if length is not None:
+                cond = cond & (c < offset + length)
+            return LazyFrame(strip_row_index(lf._sdf.filter(cond)))
+        out = self._with_total()
+        start = F.col("__total__") + 1 + offset
+        cond = F.col(ROW_IDX) >= start
+        if length is not None:
+            cond = cond & (F.col(ROW_IDX) < start + length)
+        return LazyFrame(strip_row_index(out.filter(cond).drop("__total__")))
+
+    def gather_every(self, n: int, offset: int = 0) -> "LazyFrame":
+        lf = self._ensure_row_index()
+        out = lf._sdf.filter((F.col(ROW_IDX) - offset) % n == 0).filter(
+            F.col(ROW_IDX) >= offset)
+        return LazyFrame(strip_row_index(out))
+
+    take_every = gather_every
+
+    def shift(self, n: int = 1, fill_value=None) -> "LazyFrame":
+        exprs = [col(c).shift(n, fill_value).alias(c) for c in self.columns]
+        return self.with_columns(*exprs)
+
+    shift_and_fill = shift
+
+    def with_row_index(self, name: str = "index", offset: int = 0) -> "LazyFrame":
+        return LazyFrame(with_row_index(strip_row_index(self._sdf), name, offset))
+
+    with_row_count = with_row_index
+
+    def fetch(self, n_rows: int = 500):
+        return DataFrame(self.limit(n_rows)._sdf)
+
+    # -- uniqueness --------------------------------------------------------------------
+    def unique(self, subset=None, keep: str = "any", maintain_order: bool = False) -> "LazyFrame":
+        subset = [subset] if isinstance(subset, str) else subset
+        if keep == "any":
+            return LazyFrame(self._sdf.dropDuplicates(subset))
+        lf = self._ensure_row_index()
+        part = [F.col(c) for c in (subset or self.columns)]
+        if keep == "first":
+            w = Window.partitionBy(*part).orderBy(F.col(ROW_IDX).asc())
+            out = lf._sdf.withColumn("__rn__", F.row_number().over(w)).filter(
+                F.col("__rn__") == 1).drop("__rn__")
+        elif keep == "last":
+            w = Window.partitionBy(*part).orderBy(F.col(ROW_IDX).desc())
+            out = lf._sdf.withColumn("__rn__", F.row_number().over(w)).filter(
+                F.col("__rn__") == 1).drop("__rn__")
+        elif keep == "none":
+            w = Window.partitionBy(*part)
+            out = lf._sdf.withColumn("__cnt__", F.count(F.lit(1)).over(w)).filter(
+                F.col("__cnt__") == 1).drop("__cnt__")
+        else:
+            raise ValueError(f"unknown keep {keep!r}")
+        return LazyFrame(strip_row_index(out))
+
+    # -- group by --------------------------------------------------------------------------
+    def group_by(self, *keys, maintain_order: bool = False, **named_keys) -> LazyGroupBy:
+        parsed = _parse_exprs(keys, named_keys)
+        return LazyGroupBy(self, parsed, maintain_order)
+
+    groupby = group_by
+    group = group_by
+
+    def group_by_dynamic(self, index_column, every, period=None, offset=None,
+                         closed="left", label="left", include_boundaries=False,
+                         by=None, group_by=None) -> DynamicGroupBy:
+        return DynamicGroupBy(self, index_column, every, period, offset, closed,
+                              label, include_boundaries, by or group_by)
+
+    groupby_dynamic = group_by_dynamic
+
+    def rolling(self, index_column, period, offset=None, closed="right",
+                by=None, group_by=None) -> RollingGroupBy:
+        return RollingGroupBy(self, index_column, period, offset, closed, by or group_by)
+
+    group_by_rolling = rolling
+    groupby_rolling = rolling
+
+    # -- joins ------------------------------------------------------------------------------
+    def join(self, other: "LazyFrame", on=None, how: str = "inner", left_on=None,
+             right_on=None, suffix: str = "_right", join_nulls: bool = False,
+             coalesce: bool | None = None, broadcast: bool | None = None) -> "LazyFrame":
+        """Equi joins (lazy_frame.rb:1700). ``full`` keeps both key columns
+        with the right one suffixed (doctest lazy_frame.rb:1648-1660).
+
+        Scale notes: Catalyst/AQE picks broadcast vs shuffle join; pass
+        ``broadcast=True`` to force a broadcast hint on the right side for
+        known-small dims.
+        """
+        from .operators.joins import join as _join
+
+        return _join(self, other, on=on, how=how, left_on=left_on,
+                     right_on=right_on, suffix=suffix, join_nulls=join_nulls,
+                     coalesce=coalesce, broadcast=broadcast)
+
+    def join_asof(self, other: "LazyFrame", on=None, left_on=None, right_on=None,
+                  by=None, by_left=None, by_right=None, strategy: str = "backward",
+                  tolerance=None, suffix: str = "_right") -> "LazyFrame":
+        from .operators.asof_join import join_asof as _asof
+
+        return _asof(self, other, on=on, left_on=left_on, right_on=right_on,
+                     by=by, by_left=by_left, by_right=by_right,
+                     strategy=strategy, tolerance=tolerance, suffix=suffix)
+
+    def merge_sorted(self, other: "LazyFrame", key: str) -> "LazyFrame":
+        out = self.to_spark().unionByName(other.to_spark())
+        return LazyFrame(out.orderBy(F.col(key).asc()))
+
+    def with_context(self, other):
+        raise NotImplementedError("with_context: use join or SQLContext views")
+
+    # -- nested ------------------------------------------------------------------------------
+    def explode(self, *columns) -> "LazyFrame":
+        names = []
+        for c in columns:
+            names.extend(c if isinstance(c, (list, tuple)) else [c])
+        out = strip_row_index(self._sdf)
+        for name in names:
+            out = out.withColumn(name, F.explode_outer(F.col(name)))
+        return LazyFrame(out)
+
+    def unnest(self, *columns) -> "LazyFrame":
+        names = []
+        for c in columns:
+            names.extend(c if isinstance(c, (list, tuple)) else [c])
+        out = self._sdf
+        for name in names:
+            fields = [f"{name}.{sub.name}" for sub in out.schema[name].dataType.fields]
+            keep = [c for c in out.columns if c != name]
+            out = out.select(*keep, *fields)
+        return LazyFrame(out)
+
+    # -- reshape (delegated) ---------------------------------------------------------------
+    def unpivot(self, on=None, index=None, variable_name="variable", value_name="value") -> "LazyFrame":
+        idx = [index] if isinstance(index, str) else (index or [])
+        on_ = [on] if isinstance(on, str) else (on or [c for c in self.columns if c not in idx])
+        sdf = strip_row_index(self._sdf)
+        out = sdf.unpivot(idx, on_, variable_name, value_name)
+        return LazyFrame(out)
+
+    melt = unpivot
+
+    # -- concat helpers used by functions.concat ---------------------------------------------
+    def vstack(self, other: "LazyFrame") -> "LazyFrame":
+        return LazyFrame(self.to_spark().unionByName(other.to_spark()))
+
+    extend = vstack
+
+    # -- execution -----------------------------------------------------------------------------
+    def collect(self, **toggles) -> "DataFrame":
+        """Optimizer toggles (type_coercion, predicate_pushdown, …) are
+        accepted-but-ignored: Catalyst always applies them (SURVEY §4.1)."""
+        return DataFrame(self._sdf)
+
+    def collect_async(self, **toggles):
+        return self.collect(**toggles)
+
+    def profile(self, **toggles):
+        return self.collect(**toggles)
+
+    def lazy(self) -> "LazyFrame":
+        return self
+
+    def cache(self) -> "LazyFrame":
+        return LazyFrame(self._sdf.cache())
+
+    def explain(self, optimized: bool = True, format: str = "formatted") -> str:
+        return self._sdf._sc is not None and self._sdf._jdf.queryExecution().explainString(
+            self._sdf._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(format)
+        )
+
+    describe_plan = explain
+    describe_optimized_plan = explain
+
+    # -- sinks (already out-of-core in Spark — SURVEY §2.1) -------------------------------------
+    def sink_parquet(self, path: str, compression: str = "zstd", mode: str = "overwrite", **kw):
+        self.to_spark().write.mode(mode).parquet(path, compression=compression)
+
+    def sink_csv(self, path: str, include_header: bool = True, separator: str = ",",
+                 mode: str = "overwrite", **kw):
+        self.to_spark().write.mode(mode).csv(path, header=include_header, sep=separator)
+
+    def sink_ndjson(self, path: str, mode: str = "overwrite", **kw):
+        self.to_spark().write.mode(mode).json(path)
+
+    def sink_ipc(self, path: str, **kw):
+        raise NotImplementedError("Arrow IPC sink: export via collect().to_arrow()")
+
+    def first(self) -> "LazyFrame":
+        return self.limit(1)
+
+    def last(self) -> "LazyFrame":
+        return self.tail(1)
+
+    def std(self, ddof: int = 1):
+        return self.select(*[col(c).std(ddof) for c in self._numeric_columns()])
+
+    def var(self, ddof: int = 1):
+        return self.select(*[col(c).var(ddof) for c in self._numeric_columns()])
+
+    def max(self):
+        return self.select(*[col(c).max() for c in self.columns])
+
+    def min(self):
+        return self.select(*[col(c).min() for c in self.columns])
+
+    def sum(self):
+        return self.select(*[col(c).sum() for c in self._numeric_columns()])
+
+    def mean(self):
+        return self.select(*[col(c).mean() for c in self._numeric_columns()])
+
+    def median(self):
+        return self.select(*[col(c).median() for c in self._numeric_columns()])
+
+    def quantile(self, q: float, interpolation: str = "nearest"):
+        return self.select(*[col(c).quantile(q, interpolation)
+                             for c in self._numeric_columns()])
+
+    def _numeric_columns(self):
+        num = ("byte", "short", "integer", "long", "float", "double", "decimal")
+        return [f.name for f in self._sdf.schema.fields
+                if f.dataType.typeName().startswith(num) and f.name != ROW_IDX]
+
+    def pipe(self, function, *args, **kwargs):
+        return function(self, *args, **kwargs)
+
+    def clone(self) -> "LazyFrame":
+        return LazyFrame(self._sdf)
+
+    def __repr__(self) -> str:
+        return f"<LazyFrame {self.columns}>"
+
+
+class DataFrame(LazyFrame):
+    """Eager frame (parity: lib/polars/data_frame.rb).
+
+    Internally still a lazy Spark plan — the reference itself implements
+    eager ops as lazy round-trips (data_frame.rb:1161-1163); materialization
+    happens at export (to_pandas/rows/shape/…).
+    """
+
+    @classmethod
+    def _from_lazy(cls, lf: LazyFrame) -> "DataFrame":
+        return cls(lf._sdf)
+
+    # eager variants return DataFrame
+    def lazy(self) -> LazyFrame:
+        return LazyFrame(self._sdf)
+
+    def group_by(self, *keys, maintain_order: bool = False, **named) -> GroupBy:
+        parsed = _parse_exprs(keys, named)
+        return GroupBy(self.lazy(), parsed, maintain_order)
+
+    groupby = group_by
+
+    # -- exports -------------------------------------------------------------------
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.height, self.width)
+
+    @property
+    def height(self) -> int:
+        return self.to_spark().count()
+
+    def __len__(self) -> int:
+        return self.height
+
+    def to_pandas(self):
+        return self.to_spark().toPandas()
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(self.to_pandas())
+
+    def rows(self) -> list[tuple]:
+        return [tuple(r) for r in self.to_spark().collect()]
+
+    def to_a(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.to_spark().collect()]
+
+    to_hashes = to_a
+    to_dicts = to_a
+
+    def to_h(self) -> dict[str, list]:
+        pdf = self.to_pandas()
+        return {c: pdf[c].tolist() for c in pdf.columns}
+
+    to_dict = to_h
+
+    def iter_rows(self) -> Iterable[tuple]:
+        for r in self.to_spark().toLocalIterator():
+            yield tuple(r)
+
+    def row(self, index: int) -> tuple:
+        return self.rows()[index] if index >= 0 else self.rows()[index]
+
+    def item(self) -> Any:
+        rows = self.to_spark().limit(2).collect()
+        if len(rows) != 1 or len(rows[0]) != 1:
+            raise ValueError("item() requires a 1x1 frame")
+        return rows[0][0]
+
+    def get_column(self, name: str):
+        from .series import Series
+
+        return Series._from_spark(self.to_spark().select(name), name)
+
+    def to_series(self, index: int = 0):
+        from .series import Series
+
+        name = self.columns[index]
+        return Series._from_spark(self.to_spark().select(name), name)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.get_column(key)
+        if isinstance(key, (list, tuple)) and all(isinstance(k, str) for k in key):
+            return DataFrame(self.to_spark().select(*key))
+        if isinstance(key, slice):
+            start = key.start or 0
+            stop = key.stop
+            length = None if stop is None else stop - start
+            return DataFrame._from_lazy(self.lazy().slice(start, length))
+        raise TypeError(f"cannot index DataFrame with {key!r}")
+
+    # -- writers (data_frame.rb:694-941) -----------------------------------------------
+    def write_parquet(self, path: str, compression: str = "zstd", mode: str = "overwrite",
+                      partition_by=None, **kw):
+        w = self.to_spark().write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*([partition_by] if isinstance(partition_by, str) else partition_by))
+        w.parquet(path, compression=compression)
+
+    def write_csv(self, path: str | None = None, include_header: bool = True,
+                  separator: str = ",", mode: str = "overwrite", **kw):
+        if path is None:
+            import io as _io
+
+            buf = _io.StringIO()
+            self.to_pandas().to_csv(buf, index=False, header=include_header, sep=separator)
+            return buf.getvalue()
+        self.to_spark().write.mode(mode).csv(path, header=include_header, sep=separator)
+
+    def write_json(self, path: str | None = None, mode: str = "overwrite", **kw):
+        if path is None:
+            return self.to_pandas().to_json(orient="records")
+        self.to_spark().write.mode(mode).json(path)
+
+    def write_ndjson(self, path: str | None = None, mode: str = "overwrite", **kw):
+        if path is None:
+            return self.to_pandas().to_json(orient="records", lines=True)
+        self.to_spark().write.mode(mode).json(path)
+
+    def write_avro(self, path: str, mode: str = "overwrite", **kw):
+        self.to_spark().write.mode(mode).format("avro").save(path)
+
+    def write_ipc(self, path, **kw):
+        import pyarrow as pa
+        import pyarrow.feather as feather
+
+        feather.write_feather(pa.Table.from_pandas(self.to_pandas()), path)
+
+    def write_delta(self, path, **kw):
+        raise NotImplementedError("delta-rs not bundled; use write_parquet")
+
+    # -- reshape (eager-only in the reference: data_frame.rb:2999-3180) ------------------
+    def pivot(self, on, index=None, values=None, aggregate_function: str = "first",
+              separator: str = "_", sort_columns: bool = False):
+        from .operators.reshape import pivot as _pivot
+
+        return _pivot(self, on, index, values, aggregate_function, separator)
+
+    def transpose(self, include_header: bool = False, header_name: str = "column"):
+        from .operators.reshape import transpose as _transpose
+
+        return _transpose(self, include_header, header_name)
+
+    def to_dummies(self, columns=None, separator: str = "_", drop_first: bool = False):
+        from .operators.reshape import to_dummies as _dummies
+
+        return _dummies(self, columns, separator, drop_first)
+
+    def partition_by(self, groups, as_dict: bool = False, include_key: bool = True):
+        groups = [groups] if isinstance(groups, str) else list(groups)
+        keys = [tuple(r) for r in self.to_spark().select(*groups).distinct().collect()]
+        frames = []
+        for key in keys:
+            cond = F.lit(True)
+            for g, v in zip(groups, key):
+                cond = cond & (F.col(g) == F.lit(v))
+            sub = self.to_spark().filter(cond)
+            if not include_key:
+                sub = sub.drop(*groups)
+            frames.append(DataFrame(sub))
+        if as_dict:
+            return {k if len(k) > 1 else k[0]: f for k, f in zip(keys, frames)}
+        return frames
+
+    def describe(self):
+        num = self._numeric_columns()
+        rows = []
+        stats = ["count", "null_count", "mean", "std", "min", "max", "median"]
+        agg_exprs = []
+        for c in num:
+            agg_exprs += [
+                col(c).count().alias(f"{c}__count"),
+                col(c).null_count().alias(f"{c}__null_count"),
+                col(c).mean().alias(f"{c}__mean"),
+                col(c).std().alias(f"{c}__std"),
+                col(c).min().alias(f"{c}__min"),
+                col(c).max().alias(f"{c}__max"),
+                col(c).median().alias(f"{c}__median"),
+            ]
+        vals = self.lazy().select(*agg_exprs).collect().rows()[0]
+        data = {}
+        for i, c in enumerate(num):
+            data[c] = list(vals[i * 7:(i + 1) * 7])
+        import pandas as pd
+
+        pdf = pd.DataFrame({"statistic": stats, **{c: data[c] for c in num}})
+        spark = self._sdf.sparkSession
+        return DataFrame(spark.createDataFrame(pdf))
+
+    def hstack(self, other: "DataFrame") -> "DataFrame":
+        from .operators.reshape import hstack as _hstack
+
+        return _hstack(self, other)
+
+    def vstack(self, other) -> "DataFrame":
+        return DataFrame(self.to_spark().unionByName(other.to_spark()))
+
+    def upsample(self, time_column: str, every: str, by=None):
+        from .operators.upsample import upsample as _upsample
+
+        return _upsample(self, time_column, every, by)
+
+    def map_rows(self, function, return_dtype=None, inference_size: int = 256):
+        """data_frame.rb:2438 — python fn over row tuples → mapInPandas
+        (Arrow-batched; SURVEY §2.9)."""
+        import pandas as pd
+
+        if return_dtype is None:
+            sample = [function(tuple(r)) for r in self.to_spark().limit(inference_size).collect()]
+            spark = self._sdf.sparkSession
+            probe = spark.createDataFrame(
+                [tuple(s) if isinstance(s, (tuple, list)) else (s,) for s in sample])
+            schema = probe.schema
+        else:
+            from .datatypes import to_spark_type
+
+            schema = to_spark_type(return_dtype)
+
+        def mapper(batches):
+            for pdf in batches:
+                out = [function(tuple(row)) for row in pdf.itertuples(index=False)]
+                out = [t if isinstance(t, (tuple, list)) else (t,) for t in out]
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+        return DataFrame(self.to_spark().mapInPandas(mapper, schema))
+
+    apply = map_rows
+
+    def sample(self, n: int | None = None, fraction: float | None = None,
+               with_replacement: bool = False, seed: int | None = None):
+        if fraction is None:
+            total = self.height
+            fraction = min(1.0, (n or 1) * 1.2 / max(total, 1))
+        out = self.to_spark().sample(with_replacement, fraction, seed)
+        if n is not None:
+            out = out.limit(n)
+        return DataFrame(out)
+
+    def n_chunks(self) -> int:
+        # chunking is physical detail Spark hides (SURVEY §1.1): partitions
+        return self.to_spark().rdd.getNumPartitions()
+
+    def rechunk(self) -> "DataFrame":
+        return self
+
+    def estimated_size(self) -> int:
+        return int(self.to_pandas().memory_usage(deep=True).sum())
+
+    def glimpse(self) -> str:
+        lines = [f"Rows: {self.height}", f"Columns: {self.width}"]
+        for name, t in self.schema.items():
+            lines.append(f"$ {name} <{t.simpleString()}>")
+        return "\n".join(lines)
+
+    def null_count(self) -> "DataFrame":
+        return DataFrame._from_lazy(self.lazy().select(
+            *[col(c).null_count().alias(c) for c in self.columns]))
+
+    def is_duplicated(self):
+        from .series import Series
+
+        lf = self._ensure_row_index()
+        w = Window.partitionBy(*[F.col(c) for c in self.columns])
+        out = lf._sdf.withColumn("__dup__", F.count(F.lit(1)).over(w) > 1)
+        return Series._from_spark(out.orderBy(ROW_IDX).select("__dup__"), "is_duplicated")
+
+    def is_unique(self):
+        from .series import Series
+
+        lf = self._ensure_row_index()
+        w = Window.partitionBy(*[F.col(c) for c in self.columns])
+        out = lf._sdf.withColumn("__uni__", F.count(F.lit(1)).over(w) == 1)
+        return Series._from_spark(out.orderBy(ROW_IDX).select("__uni__"), "is_unique")
+
+    def hash_rows(self, seed: int = 0):
+        from .series import Series
+
+        out = self.to_spark().select(
+            F.xxhash64(*[F.col(c) for c in self.columns], F.lit(seed)).alias("hash"))
+        return Series._from_spark(out, "hash")
+
+    def __repr__(self) -> str:
+        try:
+            pdf = self.to_spark().limit(10).toPandas()
+            return f"shape: {self.shape}\n" + pdf.to_string(index=False)
+        except Exception:
+            return f"<DataFrame {self.columns}>"

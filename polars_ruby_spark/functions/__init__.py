@@ -1,0 +1,339 @@
+"""Module-level functions (parity: /root/reference/lib/polars/functions/).
+
+Horizontal aggregations, folds, concat, ranges, corr/cov, concat_str/format,
+struct ctor, sql_expr — SURVEY §2.4/§2.7/§2.8.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..exprs import Expr, col, lit, when, wrap_expr
+from .chrono import chrono_to_java
+from .duration import Duration, parse_duration
+
+__all__ = [
+    "sum", "min", "max", "mean", "first", "last", "count", "len",
+    "sum_horizontal", "min_horizontal", "max_horizontal", "mean_horizontal",
+    "any_horizontal", "all_horizontal", "cum_sum_horizontal",
+    "fold", "cum_fold", "reduce", "concat_str", "format", "concat_list",
+    "struct", "corr", "cov", "arctan2", "int_range", "date_range",
+    "datetime_range", "repeat", "sql_expr", "coalesce", "chrono_to_java",
+    "parse_duration", "Duration",
+]
+
+
+def _exprs(args):
+    out = []
+    for a in args:
+        if isinstance(a, (list, tuple)):
+            out.extend(_exprs(a))
+        elif isinstance(a, str):
+            out.append(col(a))
+        else:
+            out.append(wrap_expr(a))
+    return out
+
+
+# vertical convenience (functions/aggregation/vertical.rb:44-277)
+def sum(*names):
+    es = _exprs(names)
+    return es[0].sum() if len(es) == 1 else sum_horizontal(*es)
+
+
+def min(*names):
+    es = _exprs(names)
+    return es[0].min() if len(es) == 1 else min_horizontal(*es)
+
+
+def max(*names):
+    es = _exprs(names)
+    return es[0].max() if len(es) == 1 else max_horizontal(*es)
+
+
+def mean(*names):
+    return _exprs(names)[0].mean()
+
+
+def first(name=None):
+    return (col(name) if name else col("*")).first()
+
+
+def last(name=None):
+    return (col(name) if name else col("*")).last()
+
+
+def count(name=None):
+    return col(name).count() if name else len()
+
+
+def len():
+    return Expr(lambda df, part: F.count(F.lit(1)), name="len", is_agg=True)
+
+
+# horizontal (row-wise) aggregations (functions/aggregation/horizontal.rb:34-235)
+def sum_horizontal(*exprs):
+    es = _exprs(exprs)
+    out = functools.reduce(lambda a, b: a._lift2(b, lambda x, y: x + F.coalesce(y, F.lit(0))),
+                           es[1:], es[0]._lift(lambda c: F.coalesce(c, F.lit(0))))
+    return out.alias("sum")
+
+
+def min_horizontal(*exprs):
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        return F.least(*[e._fn(df, part) for e in es])
+
+    return Expr(fn, name="min")
+
+
+def max_horizontal(*exprs):
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        return F.greatest(*[e._fn(df, part) for e in es])
+
+    return Expr(fn, name="max")
+
+
+def mean_horizontal(*exprs):
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        cols = [e._fn(df, part) for e in es]
+        total = functools.reduce(lambda a, b: a + F.coalesce(b.cast("double"), F.lit(0.0)), cols,
+                                 F.lit(0.0))
+        cnt = functools.reduce(lambda a, b: a + F.when(b.isNotNull(), 1).otherwise(0), cols,
+                               F.lit(0))
+        return total / cnt
+
+    return Expr(fn, name="mean")
+
+
+def any_horizontal(*exprs):
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        return functools.reduce(lambda a, b: a | b, [e._fn(df, part) for e in es])
+
+    return Expr(fn, name="any")
+
+
+def all_horizontal(*exprs):
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        return functools.reduce(lambda a, b: a & b, [e._fn(df, part) for e in es])
+
+    return Expr(fn, name="all")
+
+
+def cum_sum_horizontal(*exprs):
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        acc = None
+        fields = []
+        for e in es:
+            c = e._fn(df, part)
+            acc = c if acc is None else acc + c
+            fields.append(acc.alias(e._name or "x"))
+        return F.struct(*fields)
+
+    return Expr(fn, name="cum_sum")
+
+
+# folds (functions/lazy.rb:745-778): the lambda runs at plan-build time over
+# Expr objects — column count is static, so NO Python UDF is involved.
+def fold(acc, function, exprs):
+    es = _exprs(exprs)
+    out = wrap_expr(acc)
+    for e in es:
+        out = function(out, e)
+    return out
+
+
+reduce = lambda function, exprs: fold(_exprs(exprs)[0], function, _exprs(exprs)[1:])  # noqa: E731
+
+
+def cum_fold(acc, function, exprs):
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        a = wrap_expr(acc)
+        fields = []
+        for e in es:
+            a = function(a, e)
+            fields.append(a._fn(df, part).alias(e._name or "x"))
+        return F.struct(*fields)
+
+    return Expr(fn, name="cum_fold")
+
+
+# string builders (functions/as_datatype.rb:213,251)
+def concat_str(exprs, separator: str = "", ignore_nulls: bool = False):
+    es = _exprs(exprs if isinstance(exprs, (list, tuple)) else [exprs])
+
+    def fn(df, part):
+        cols = [e._fn(df, part).cast("string") for e in es]
+        if ignore_nulls:
+            return F.concat_ws(separator, *cols)
+        # concat_ws skips nulls; polars default propagates null
+        out = F.concat_ws(separator, *cols)
+        anynull = functools.reduce(lambda a, b: a | b.isNull(), cols, F.lit(False))
+        return F.when(anynull, F.lit(None)).otherwise(out)
+
+    return Expr(fn, name=es[0]._name if es else None)
+
+
+def format(fstring: str, *args):
+    """functions/as_datatype.rb:251 — '{}' placeholders."""
+    parts = fstring.split("{}")
+    es = _exprs(args)
+    if len(parts) - 1 != len(es):
+        raise ValueError("format placeholder/arg count mismatch")
+
+    def fn(df, part):
+        cols = []
+        for i, p in enumerate(parts):
+            if p:
+                cols.append(F.lit(p))
+            if i < len(es):
+                cols.append(es[i]._fn(df, part).cast("string"))
+        return F.concat(*cols)
+
+    return Expr(fn, name="format")
+
+
+def concat_list(exprs):
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        return F.concat(*[e._fn(df, part) for e in es])
+
+    return Expr(fn, name=es[0]._name if es else None)
+
+
+def struct(*exprs, **named):
+    """functions/as_datatype.rb:149."""
+    es = _exprs(exprs)
+    named_es = [(k, wrap_expr(v)) for k, v in named.items()]
+
+    def fn(df, part):
+        cols = [e._fn(df, part).alias(e._name or f"field_{i}") for i, e in enumerate(es)]
+        cols += [v._fn(df, part).alias(k) for k, v in named_es]
+        return F.struct(*cols)
+
+    return Expr(fn, name="struct")
+
+
+# correlations (functions/lazy.rb:679,730)
+def corr(a, b, method: str = "pearson", ddof: int = 1):
+    ea, eb = _exprs([a])[0], _exprs([b])[0]
+    if method == "pearson":
+        def fn(df, part):
+            c = F.corr(ea._fn(df, None), eb._fn(df, None))
+            return c if part is None else c.over(Window.partitionBy(*part))
+
+        return Expr(fn, name="corr", is_agg=True)
+    if method == "spearman":
+        ra, rb = ea.rank("average"), eb.rank("average")
+
+        def fn(df, part):
+            return F.corr(ra._fn(df, part), rb._fn(df, part))
+
+        return Expr(fn, name="corr", is_agg=True)
+    raise ValueError(method)
+
+
+def cov(a, b, ddof: int = 1):
+    ea, eb = _exprs([a])[0], _exprs([b])[0]
+    aggf = F.covar_samp if ddof == 1 else F.covar_pop
+
+    def fn(df, part):
+        return aggf(ea._fn(df, None), eb._fn(df, None))
+
+    return Expr(fn, name="cov", is_agg=True)
+
+
+def arctan2(y, x):
+    ey, ex = _exprs([y])[0], _exprs([x])[0]
+    return ey._lift2(ex, F.atan2)
+
+
+def coalesce(*exprs):
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        return F.coalesce(*[e._fn(df, part) for e in es])
+
+    return Expr(fn, name=es[0]._name if es else None)
+
+
+# ranges (functions/range/*.rb) — frame producers
+def int_range(start, end=None, step: int = 1, eager: bool = False, spark=None):
+    from ..session import get_spark
+
+    if end is None:
+        start, end = 0, start
+    s = spark or get_spark()
+    sdf = s.range(start, end, step).withColumnRenamed("id", "int_range")
+    from .. import frame
+
+    out = frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
+    return out
+
+
+def date_range(start, end, interval: str = "1d", eager: bool = False, closed: str = "both",
+               spark=None):
+    from ..session import get_spark
+    from .. import frame
+
+    dur = parse_duration(interval)
+    s = spark or get_spark()
+    if dur.is_calendar:
+        step = f"INTERVAL {dur.months} MONTH"
+    else:
+        step = f"INTERVAL {int(dur.total_seconds())} SECOND"
+    sdf = s.range(1).select(
+        F.explode(
+            F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"), F.expr(step))
+        ).alias("date"))
+    if closed in ("left", "none"):
+        sdf = sdf.filter(F.col("date") != F.lit(end).cast("date"))
+    if closed in ("right", "none"):
+        sdf = sdf.filter(F.col("date") != F.lit(start).cast("date"))
+    return frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
+
+
+def datetime_range(start, end, interval: str = "1h", eager: bool = False, spark=None):
+    from ..session import get_spark
+    from .. import frame
+
+    dur = parse_duration(interval)
+    s = spark or get_spark()
+    step = f"INTERVAL {int(dur.total_seconds() * 1e6)} MICROSECOND"
+    sdf = s.range(1).select(
+        F.explode(
+            F.sequence(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp"),
+                       F.expr(step))
+        ).alias("datetime"))
+    return frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
+
+
+def repeat(value, n: int, eager: bool = False, spark=None):
+    from ..session import get_spark
+    from .. import frame
+
+    s = spark or get_spark()
+    sdf = s.range(n).select(F.lit(value).alias("repeat"))
+    return frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
+
+
+def sql_expr(sql: str) -> Expr:
+    """functions/lazy.rb:1272 — SQL fragment → Expr, via F.expr (native)."""
+    return Expr(lambda df, part: F.expr(sql), name=None)

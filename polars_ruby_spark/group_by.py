@@ -1,0 +1,269 @@
+"""Grouping contexts: GroupBy / LazyGroupBy / DynamicGroupBy / RollingGroupBy.
+
+Parity: ``/root/reference/lib/polars/group_by.rb:203`` (``agg``),
+``lazy_group_by.rb:109``, ``dynamic_group_by.rb:35``, ``rolling_group_by.rb:26``.
+
+The agg-context compiler implements the reference's signature move — ANY
+expression is legal under ``agg`` (``lazy_frame.rb:1317-1334`` doctest):
+aggregate exprs compile directly; non-aggregate exprs implicitly ``implode``
+into a row-order-preserving list (``array_sort`` over ``(row_idx, value)``
+structs, then project the value back out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .exprs import Expr, col, wrap_expr
+from .session import ROW_IDX
+
+
+def _agg_columns(sdf, exprs, named):
+    """Compile agg-context expressions to Spark aggregate Columns."""
+    out = []
+    needs_order = False
+    all_exprs: list[tuple[str | None, Expr]] = []
+    for e in exprs:
+        for ee in wrap_expr(e)._expand(sdf):
+            all_exprs.append((None, ee))
+    for name, e in named.items():
+        all_exprs.append((name, wrap_expr(e)))
+    for name, e in all_exprs:
+        if e._is_agg:
+            c = e._fn(sdf, None)
+        else:
+            # implicit implode, preserving row order via the hidden index
+            needs_order = True
+            inner = e._fn(sdf, None)
+            pairs = F.array_sort(
+                F.collect_list(F.struct(F.col(ROW_IDX).alias("i"), inner.alias("v"))))
+            c = F.transform(pairs, lambda p: p["v"])
+        alias = name or e._name
+        if alias:
+            c = c.alias(alias)
+        out.append(c)
+        needs_order = needs_order or e._needs_order
+    return out, needs_order
+
+
+class LazyGroupBy:
+    def __init__(self, lf, keys, maintain_order: bool = False):
+        self._lf = lf
+        self._keys = keys  # list of (name|None, Expr)
+        self._maintain_order = maintain_order
+
+    def _key_cols(self, sdf):
+        cols = []
+        for name, e in self._keys:
+            c = e._fn(sdf, None)
+            cols.append(c.alias(name or e._name or "key"))
+        return cols
+
+    def agg(self, *exprs, **named):
+        from .frame import LazyFrame
+
+        lf = self._lf
+        sdf = lf._sdf
+        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        key_needs_order = any(e._needs_order for _, e in self._keys)
+        if needs_order or key_needs_order:
+            sdf = lf._ensure_row_index()._sdf
+            aggs, _ = _agg_columns(sdf, exprs, named)
+        keys = self._key_cols(sdf)
+        return LazyFrame(sdf.groupBy(*keys).agg(*aggs))
+
+    def head(self, n: int = 5):
+        return self._per_group_slice(n, from_tail=False)
+
+    def tail(self, n: int = 5):
+        return self._per_group_slice(n, from_tail=True)
+
+    def _per_group_slice(self, n: int, from_tail: bool):
+        from pyspark.sql import Window
+
+        from .frame import LazyFrame
+
+        lf = self._lf._ensure_row_index()
+        sdf = lf._sdf
+        keys = [e._fn(sdf, None) for _, e in self._keys]
+        order = F.col(ROW_IDX).desc() if from_tail else F.col(ROW_IDX).asc()
+        w = Window.partitionBy(*keys).orderBy(order)
+        out = (
+            sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n)
+            .drop("__rn__", ROW_IDX)
+        )
+        return LazyFrame(out)
+
+    # GroupBy aggregation shortcuts (group_by.rb:337-598)
+    def _all_agg(self, method):
+        sdf = self._lf._sdf
+        key_names = {name or e._name for name, e in self._keys}
+        exprs = [getattr(col(c), method)() for c in sdf.columns
+                 if c not in key_names and c != ROW_IDX]
+        return self.agg(*exprs)
+
+    def sum(self):
+        return self._all_agg("sum")
+
+    def mean(self):
+        return self._all_agg("mean")
+
+    def min(self):
+        return self._all_agg("min")
+
+    def max(self):
+        return self._all_agg("max")
+
+    def median(self):
+        return self._all_agg("median")
+
+    def first(self):
+        return self._all_agg("first")
+
+    def last(self):
+        return self._all_agg("last")
+
+    def n_unique(self):
+        return self._all_agg("n_unique")
+
+    def count(self):
+        return self.agg(_len_expr("count"))
+
+    def len(self, name: str = "len"):
+        return self.agg(_len_expr(name))
+
+    def quantile(self, q: float, interpolation: str = "nearest"):
+        sdf = self._lf._sdf
+        key_names = {name or e._name for name, e in self._keys}
+        exprs = [col(c).quantile(q, interpolation) for c in sdf.columns
+                 if c not in key_names and c != ROW_IDX]
+        return self.agg(*exprs)
+
+
+def _len_expr(name: str = "count"):
+    e = Expr(lambda df, part: F.count(F.lit(1)), name=name, is_agg=True)
+    return e
+
+
+class GroupBy(LazyGroupBy):
+    """Eager group-by — same compiler, collected result (group_by.rb:203)."""
+
+    def agg(self, *exprs, **named):
+        from .frame import DataFrame
+
+        return DataFrame._from_lazy(super().agg(*exprs, **named))
+
+    def _wrap(self, lf):
+        from .frame import DataFrame
+
+        return DataFrame._from_lazy(lf)
+
+    def head(self, n: int = 5):
+        return self._wrap(super().head(n))
+
+    def tail(self, n: int = 5):
+        return self._wrap(super().tail(n))
+
+
+class DynamicGroupBy:
+    """group_by_dynamic (lazy_frame.rb:1416): event-time tumbling/hopping
+    windows → native ``F.window`` (SURVEY §2.10).
+
+    Spark's window is [start, end) epoch-aligned — polars ``closed: "left"``
+    and ``start_by: "window"`` defaults.  A row may land in multiple windows
+    when period > every (Spark handles via window duplication).
+    """
+
+    def __init__(self, lf, index_column, every, period=None, offset=None,
+                 closed="left", label="left", include_boundaries=False, by=None):
+        self._lf = lf
+        self._index = index_column
+        self._every = every
+        self._period = period or every
+        self._offset = offset
+        self._closed = closed
+        self._label = label
+        self._include_boundaries = include_boundaries
+        self._by = by or []
+
+    def agg(self, *exprs, **named):
+        from .functions.duration import parse_duration
+        from .frame import LazyFrame
+
+        every = parse_duration(self._every)
+        period = parse_duration(self._period)
+        if every.is_calendar or period.is_calendar:
+            raise NotImplementedError("calendar-unit dynamic windows: use truncate")
+        sdf = self._lf._sdf
+        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        if needs_order:
+            sdf = self._lf._ensure_row_index()._sdf
+            aggs, _ = _agg_columns(sdf, exprs, named)
+        every_s = f"{every.total_seconds()} seconds"
+        period_s = f"{period.total_seconds()} seconds"
+        start = None
+        if self._offset is not None:
+            off = parse_duration(self._offset)
+            start = f"{off.total_seconds()} seconds"
+        win = F.window(F.col(self._index), period_s, every_s, start)
+        by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
+                   for b in self._by]
+        grouped = sdf.groupBy(win.alias("__w__"), *by_cols).agg(*aggs)
+        label_col = (F.col("__w__.start") if self._label == "left"
+                     else F.col("__w__.end")).alias(self._index)
+        extra = []
+        if self._include_boundaries:
+            extra = [F.col("__w__.start").alias("_lower_boundary"),
+                     F.col("__w__.end").alias("_upper_boundary")]
+        keep = [c for c in grouped.columns if c != "__w__"]
+        out = grouped.select(*extra, label_col, *keep)
+        return LazyFrame(out)
+
+
+class RollingGroupBy:
+    """rolling / group_by_rolling (lazy_frame.rb:1161): per-row look-back
+    window → range-frame window functions (no extra shuffle beyond the
+    partitionBy on ``by``)."""
+
+    def __init__(self, lf, index_column, period, offset=None, closed="right", by=None):
+        self._lf = lf
+        self._index = index_column
+        self._period = period
+        self._closed = closed
+        self._by = by or []
+
+    def agg(self, *exprs, **named):
+        from pyspark.sql import Window
+
+        from .functions.duration import parse_duration
+        from .frame import LazyFrame
+
+        dur = parse_duration(self._period)
+        if dur.is_calendar:
+            raise NotImplementedError("calendar-unit rolling windows")
+        span_us = int(dur.total_seconds() * 1_000_000)
+        sdf = self._lf._sdf
+        by_cols = [F.col(b) for b in self._by]
+        ts_us = F.unix_micros(F.col(self._index).cast("timestamp"))
+        lo, hi = -span_us, 0
+        if self._closed == "right":
+            lo = -span_us + 1
+        elif self._closed == "left":
+            lo, hi = -span_us, -1
+        elif self._closed == "none":
+            lo, hi = -span_us + 1, -1
+        w = Window.partitionBy(*by_cols).orderBy(ts_us).rangeBetween(lo, hi)
+
+        out = sdf
+        names = []
+        all_exprs = [wrap_expr(e) for e in exprs] + [
+            wrap_expr(e).alias(k) for k, e in named.items()]
+        cols = []
+        for e in all_exprs:
+            if not e._is_agg:
+                raise ValueError("rolling().agg takes aggregate expressions")
+            c = e._fn(sdf, None).over(w)
+            cols.append(c.alias(e._name) if e._name else c)
+        keep = [F.col(b) for b in self._by] + [F.col(self._index)]
+        return LazyFrame(out.select(*keep, *cols))

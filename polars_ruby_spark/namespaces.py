@@ -1,0 +1,601 @@
+"""Expression namespaces: ``.str`` ``.dt`` ``.list`` ``.struct`` ``.bin`` ``.cat`` ``.name``.
+
+Parity targets: ``/root/reference/lib/polars/string_expr.rb`` (1,495 LoC),
+``date_time_expr.rb`` (1,397), ``list_expr.rb`` (791), ``array_expr.rb``,
+``struct_expr.rb``, ``binary_expr.rb``, ``cat_expr.rb``, ``name_expr.rb``.
+Each method is a thin mapping onto ``pyspark.sql.functions`` (SURVEY §2.8
+tables); everything stays JVM-side / whole-stage-codegen friendly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .datatypes import to_spark_type
+from .exprs import Expr, wrap_expr
+from .functions.chrono import chrono_to_java
+from .functions.duration import parse_duration
+
+
+class _NS:
+    def __init__(self, expr: Expr):
+        self._e = expr
+
+
+class StringNameSpace(_NS):
+    # string_expr.rb line refs per SURVEY §2.8
+    def contains(self, pattern: str, literal: bool = False) -> Expr:
+        if literal:
+            return self._e._lift(lambda c: c.contains(pattern))
+        return self._e._lift(lambda c: c.rlike(pattern))
+
+    def starts_with(self, prefix) -> Expr:
+        return self._e._lift2(wrap_expr(prefix), F.startswith)
+
+    def ends_with(self, suffix) -> Expr:
+        return self._e._lift2(wrap_expr(suffix), F.endswith)
+
+    def extract(self, pattern: str, group_index: int = 1) -> Expr:
+        # polars returns null on no-match; Spark returns "" → map to null
+        return self._e._lift(
+            lambda c: F.when(c.rlike(pattern), F.regexp_extract(c, pattern, group_index))
+        )
+
+    def extract_all(self, pattern: str) -> Expr:
+        return self._e._lift(lambda c: F.regexp_extract_all(c, F.lit(pattern)))
+
+    def count_matches(self, pattern: str, literal: bool = False) -> Expr:
+        pat = re.escape(pattern) if literal else pattern
+        return self._e._lift(lambda c: F.regexp_count(c, F.lit(pat)))
+
+    def replace(self, pattern: str, value: str, literal: bool = False, n: int = 1) -> Expr:
+        """string_expr.rb:1199 — replaces the FIRST n matches (Spark's
+        regexp_replace replaces all; emulate n=1 by anchoring on the first
+        occurrence via regexp_instr + concat surgery)."""
+        pat = re.escape(pattern) if literal else pattern
+
+        def f(c):
+            pos = F.regexp_instr(c, F.lit(pat))  # 1-based, 0 = no match
+            head = F.substring(c, F.lit(1), pos - 1)
+            tail = c.substr(pos, F.length(c))
+            replaced = F.concat(head, F.regexp_replace(tail, "^(?s)(?:" + pat + ")", value))
+            return F.when(pos == 0, c).otherwise(replaced)
+
+        if n == 1:
+            return self._e._lift(f)
+        return self.replace_all(pattern, value, literal)
+
+    def replace_all(self, pattern: str, value: str, literal: bool = False) -> Expr:
+        pat = re.escape(pattern) if literal else pattern
+        return self._e._lift(lambda c: F.regexp_replace(c, pat, value))
+
+    def split(self, by: str, inclusive: bool = False) -> Expr:
+        return self._e._lift(lambda c: F.split(c, re.escape(by)))
+
+    def split_exact(self, by: str, n: int) -> Expr:
+        def f(c):
+            parts = F.split(c, re.escape(by))
+            return F.struct(*[
+                F.element_at(parts, i + 1).alias(f"field_{i}") for i in range(n + 1)
+            ])
+
+        return self._e._lift(f)
+
+    def splitn(self, by: str, n: int) -> Expr:
+        return self._e._lift(lambda c: F.split(c, re.escape(by), n))
+
+    def len_bytes(self) -> Expr:
+        return self._e._lift(F.octet_length)
+
+    def len_chars(self) -> Expr:
+        return self._e._lift(F.length)
+
+    lengths = len_bytes
+    n_chars = len_chars
+
+    def to_lowercase(self) -> Expr:
+        return self._e._lift(F.lower)
+
+    def to_uppercase(self) -> Expr:
+        return self._e._lift(F.upper)
+
+    def to_titlecase(self) -> Expr:
+        return self._e._lift(F.initcap)
+
+    def strip_chars(self, characters: str | None = None) -> Expr:
+        if characters is None:
+            return self._e._lift(F.trim)
+        cs = re.escape(characters)
+        return self._e._lift(lambda c: F.regexp_replace(c, f"^[{cs}]+|[{cs}]+$", ""))
+
+    def strip_chars_start(self, characters: str | None = None) -> Expr:
+        if characters is None:
+            return self._e._lift(F.ltrim)
+        cs = re.escape(characters)
+        return self._e._lift(lambda c: F.regexp_replace(c, f"^[{cs}]+", ""))
+
+    def strip_chars_end(self, characters: str | None = None) -> Expr:
+        if characters is None:
+            return self._e._lift(F.rtrim)
+        cs = re.escape(characters)
+        return self._e._lift(lambda c: F.regexp_replace(c, f"[{cs}]+$", ""))
+
+    def strip_prefix(self, prefix: str) -> Expr:
+        p = re.escape(prefix)
+        return self._e._lift(lambda c: F.regexp_replace(c, f"^(?:{p})", ""))
+
+    def strip_suffix(self, suffix: str) -> Expr:
+        s = re.escape(suffix)
+        return self._e._lift(lambda c: F.regexp_replace(c, f"(?:{s})$", ""))
+
+    def pad_start(self, length: int, fill_char: str = " ") -> Expr:
+        return self._e._lift(lambda c: F.lpad(c, length, fill_char))
+
+    def pad_end(self, length: int, fill_char: str = " ") -> Expr:
+        return self._e._lift(lambda c: F.rpad(c, length, fill_char))
+
+    def zfill(self, length: int) -> Expr:
+        return self._e._lift(lambda c: F.lpad(c, length, "0"))
+
+    def slice(self, offset: int, length: int | None = None) -> Expr:
+        def f(c):
+            if offset >= 0:
+                start = F.lit(offset + 1)
+            else:
+                start = F.greatest(F.length(c) + offset + 1, F.lit(1))
+            ln = F.lit(length) if length is not None else F.length(c)
+            return F.substring(c, start, ln)
+
+        return self._e._lift(f)
+
+    def head(self, n: int) -> Expr:
+        return self.slice(0, n)
+
+    def tail(self, n: int) -> Expr:
+        return self.slice(-n)
+
+    def reverse(self) -> Expr:
+        return self._e._lift(F.reverse)
+
+    def to_date(self, format: str | None = None) -> Expr:
+        fmt = chrono_to_java(format) if format else None
+        return self._e._lift(lambda c: F.to_date(c, fmt) if fmt else F.to_date(c))
+
+    def to_datetime(self, format: str | None = None, time_unit=None, time_zone=None) -> Expr:
+        fmt = chrono_to_java(format) if format else None
+        return self._e._lift(lambda c: F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c))
+
+    strptime = to_datetime
+
+    def to_decimal(self, scale: int = 0) -> Expr:
+        return self._e._lift(lambda c: c.cast(f"decimal(38,{scale})"))
+
+    def to_integer(self, base: int = 10, strict: bool = True) -> Expr:
+        if base == 10:
+            return self._e._lift(lambda c: c.cast("long"))
+        return self._e._lift(lambda c: F.conv(c, base, 10).cast("long"))
+
+    def json_decode(self, dtype=None) -> Expr:
+        t = to_spark_type(dtype) if dtype is not None else None
+        if t is None:
+            raise ValueError("json_decode requires a dtype (Spark needs a schema)")
+        return self._e._lift(lambda c: F.from_json(c, t))
+
+    def json_path_match(self, path: str) -> Expr:
+        return self._e._lift(lambda c: F.get_json_object(c, path))
+
+    def encode(self, encoding: str) -> Expr:
+        if encoding == "hex":
+            return self._e._lift(F.hex)
+        if encoding == "base64":
+            return self._e._lift(F.base64)
+        raise ValueError(encoding)
+
+    def decode(self, encoding: str) -> Expr:
+        if encoding == "hex":
+            return self._e._lift(F.unhex)
+        if encoding == "base64":
+            return self._e._lift(F.unbase64)
+        raise ValueError(encoding)
+
+    def join(self, delimiter: str = "") -> Expr:
+        # agg: concatenate group values (string_expr.rb:357 str.join)
+        return self._e._agg(lambda c: F.array_join(F.collect_list(c), delimiter))
+
+    concat = join
+
+    def contains_any(self, patterns: list[str]) -> Expr:
+        def f(c):
+            out = F.lit(False)
+            for p in patterns:
+                out = out | c.contains(p)
+            return out
+
+        return self._e._lift(f)
+
+    def replace_many(self, patterns: list[str], replace_with) -> Expr:
+        reps = replace_with if isinstance(replace_with, list) else [replace_with] * len(patterns)
+
+        def f(c):
+            out = c
+            for p, r in zip(patterns, reps):
+                out = F.regexp_replace(out, re.escape(p), r)
+            return out
+
+        return self._e._lift(f)
+
+
+_SEC = 1_000_000  # µs
+
+
+class DateTimeNameSpace(_NS):
+    # date_time_expr.rb line refs per SURVEY §2.8
+    def truncate(self, every: str) -> Expr:
+        dur = parse_duration(every)
+        if dur.months:
+            if dur.months % 12 == 0 and dur.months // 12 == 1:
+                return self._e._lift(lambda c: F.date_trunc("year", c))
+            if dur.months == 3:
+                return self._e._lift(lambda c: F.date_trunc("quarter", c))
+            if dur.months == 1:
+                return self._e._lift(lambda c: F.date_trunc("month", c))
+            raise ValueError(f"unsupported calendar truncate {every!r}")
+        us = dur.microseconds
+        simple = {86400 * _SEC: "day", 3600 * _SEC: "hour", 60 * _SEC: "minute",
+                  _SEC: "second", 7 * 86400 * _SEC: "week"}
+        if us in simple:
+            unit = simple[us]
+            return self._e._lift(lambda c: F.date_trunc(unit, c))
+        # arbitrary span: floor(epoch_us / span) * span, epoch-aligned
+        return self._e._lift(
+            lambda c: F.timestamp_micros(
+                (F.floor(F.unix_micros(c) / us) * us).cast("long"))
+        )
+
+    def round(self, every: str) -> Expr:
+        dur = parse_duration(every)
+        us = dur.microseconds
+        return self._e._lift(
+            lambda c: F.timestamp_micros(
+                (F.round(F.unix_micros(c) / us) * us).cast("long"))
+        )
+
+    def strftime(self, fmt: str) -> Expr:
+        return self._e._lift(lambda c: F.date_format(c, chrono_to_java(fmt)))
+
+    to_string = strftime
+
+    def year(self) -> Expr:
+        return self._e._lift(lambda c: F.year(c).cast("int"))
+
+    def iso_year(self) -> Expr:
+        return self._e._lift(lambda c: F.date_format(c, "YYYY").cast("int"))
+
+    def quarter(self) -> Expr:
+        return self._e._lift(lambda c: F.quarter(c).cast("int"))
+
+    def month(self) -> Expr:
+        return self._e._lift(lambda c: F.month(c).cast("int"))
+
+    def week(self) -> Expr:
+        return self._e._lift(lambda c: F.weekofyear(c).cast("int"))
+
+    def weekday(self) -> Expr:
+        # polars: Mon=1..Sun=7 (date_time_expr.rb:487); Spark dayofweek: Sun=1
+        return self._e._lift(lambda c: ((F.dayofweek(c) + 5) % 7 + 1).cast("int"))
+
+    def day(self) -> Expr:
+        return self._e._lift(lambda c: F.dayofmonth(c).cast("int"))
+
+    def ordinal_day(self) -> Expr:
+        return self._e._lift(lambda c: F.dayofyear(c).cast("int"))
+
+    def hour(self) -> Expr:
+        return self._e._lift(lambda c: F.hour(c).cast("int"))
+
+    def minute(self) -> Expr:
+        return self._e._lift(lambda c: F.minute(c).cast("int"))
+
+    def second(self, fractional: bool = False) -> Expr:
+        if fractional:
+            return self._e._lift(
+                lambda c: (F.unix_micros(c) % (60 * _SEC)).cast("double") / _SEC)
+        return self._e._lift(lambda c: F.second(c).cast("int"))
+
+    def millisecond(self) -> Expr:
+        return self._e._lift(lambda c: ((F.unix_micros(c) % _SEC) / 1000).cast("int"))
+
+    def microsecond(self) -> Expr:
+        return self._e._lift(lambda c: (F.unix_micros(c) % _SEC).cast("int"))
+
+    def nanosecond(self) -> Expr:
+        return self._e._lift(lambda c: ((F.unix_micros(c) % _SEC) * 1000).cast("long"))
+
+    def epoch(self, time_unit: str = "us") -> Expr:
+        if time_unit == "s":
+            return self._e._lift(lambda c: F.unix_timestamp(c))
+        if time_unit == "ms":
+            return self._e._lift(F.unix_millis)
+        if time_unit == "us":
+            return self._e._lift(F.unix_micros)
+        if time_unit == "ns":
+            return self._e._lift(lambda c: F.unix_micros(c) * 1000)
+        if time_unit == "d":
+            return self._e._lift(lambda c: F.datediff(c.cast("date"), F.lit("1970-01-01")))
+        raise ValueError(time_unit)
+
+    def timestamp(self, time_unit: str = "us") -> Expr:
+        return self.epoch(time_unit)
+
+    def date(self) -> Expr:
+        return self._e._lift(lambda c: c.cast("date"))
+
+    def time(self) -> Expr:
+        # nanoseconds since midnight (no Spark time type — SURVEY §1.3)
+        return self._e._lift(lambda c: (F.unix_micros(c) % (86400 * _SEC)) * 1000)
+
+    def convert_time_zone(self, time_zone: str) -> Expr:
+        return self._e._lift(lambda c: F.from_utc_timestamp(c, time_zone))
+
+    def replace_time_zone(self, time_zone: str | None) -> Expr:
+        if time_zone is None:
+            return self._e._lift(lambda c: c)
+        return self._e._lift(lambda c: F.to_utc_timestamp(c, time_zone))
+
+    def offset_by(self, by: str) -> Expr:
+        dur = parse_duration(by)
+
+        def f(c):
+            out = c
+            if dur.months:
+                out = F.add_months(out, dur.months).cast("timestamp")
+            if dur.microseconds:
+                out = F.timestamp_micros(F.unix_micros(out.cast("timestamp")) + dur.microseconds)
+            return out
+
+        return self._e._lift(f)
+
+    def month_start(self) -> Expr:
+        return self._e._lift(lambda c: F.date_trunc("month", c))
+
+    def month_end(self) -> Expr:
+        return self._e._lift(lambda c: F.to_timestamp(F.last_day(c)))
+
+    def is_leap_year(self) -> Expr:
+        def f(c):
+            y = F.year(c)
+            return ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+
+        return self._e._lift(f)
+
+    # Duration accessors (date_time_expr.rb:970-1202) — operate on a
+    # microsecond-valued Long duration (our Duration physical repr).
+    def total_days(self) -> Expr:
+        return self._e._lift(lambda c: (c / (86400 * _SEC)).cast("long"))
+
+    def total_hours(self) -> Expr:
+        return self._e._lift(lambda c: (c / (3600 * _SEC)).cast("long"))
+
+    def total_minutes(self) -> Expr:
+        return self._e._lift(lambda c: (c / (60 * _SEC)).cast("long"))
+
+    def total_seconds(self) -> Expr:
+        return self._e._lift(lambda c: (c / _SEC).cast("long"))
+
+    def total_milliseconds(self) -> Expr:
+        return self._e._lift(lambda c: (c / 1000).cast("long"))
+
+    def total_microseconds(self) -> Expr:
+        return self._e._lift(lambda c: c.cast("long"))
+
+    def total_nanoseconds(self) -> Expr:
+        return self._e._lift(lambda c: (c * 1000).cast("long"))
+
+
+class ListNameSpace(_NS):
+    # list_expr.rb line refs per SURVEY §2.8
+    def len(self) -> Expr:
+        return self._e._lift(F.size)
+
+    lengths = len
+
+    def sum(self) -> Expr:
+        return self._e._lift(
+            lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double")))
+
+    def max(self) -> Expr:
+        return self._e._lift(F.array_max)
+
+    def min(self) -> Expr:
+        return self._e._lift(F.array_min)
+
+    def mean(self) -> Expr:
+        return self._e._lift(
+            lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double"))
+            / F.size(c).cast("double"))
+
+    def sort(self, descending: bool = False) -> Expr:
+        if descending:
+            return self._e._lift(lambda c: F.reverse(F.array_sort(c)))
+        return self._e._lift(F.array_sort)
+
+    def reverse(self) -> Expr:
+        return self._e._lift(F.reverse)
+
+    def unique(self) -> Expr:
+        return self._e._lift(F.array_distinct)
+
+    def concat(self, other) -> Expr:
+        return self._e._lift2(wrap_expr(other), F.concat)
+
+    def get(self, index: int) -> Expr:
+        if index >= 0:
+            return self._e._lift(lambda c: F.element_at(c, index + 1))
+        return self._e._lift(lambda c: F.element_at(c, index))
+
+    def gather(self, indices) -> Expr:
+        idx = wrap_expr(indices)
+        return self._e._lift2(
+            idx, lambda c, ixs: F.transform(ixs, lambda i: F.element_at(c, i.cast("int") + 1)))
+
+    def first(self) -> Expr:
+        return self.get(0)
+
+    def last(self) -> Expr:
+        return self._e._lift(lambda c: F.element_at(c, -1))
+
+    def contains(self, item) -> Expr:
+        return self._e._lift2(wrap_expr(item), F.array_contains)
+
+    def join(self, separator: str) -> Expr:
+        return self._e._lift(lambda c: F.array_join(c, separator))
+
+    def arg_min(self) -> Expr:
+        return self._e._lift(lambda c: F.array_position(c, F.array_min(c)).cast("long") - 1)
+
+    def arg_max(self) -> Expr:
+        return self._e._lift(lambda c: F.array_position(c, F.array_max(c)).cast("long") - 1)
+
+    def diff(self, n: int = 1) -> Expr:
+        def f(c):
+            return F.transform(
+                c, lambda x, i: F.when(i >= n, x - F.element_at(c, i - n + 1)))
+
+        return self._e._lift(f)
+
+    def shift(self, n: int = 1) -> Expr:
+        def f(c):
+            return F.transform(
+                c, lambda x, i: F.when(i >= n, F.element_at(c, i - n + 1)))
+
+        return self._e._lift(f)
+
+    def slice(self, offset: int, length: int | None = None) -> Expr:
+        def f(c):
+            start = offset + 1 if offset >= 0 else offset
+            ln = length if length is not None else (1 << 30)
+            return F.slice(c, start, ln)
+
+        return self._e._lift(f)
+
+    def head(self, n: int = 5) -> Expr:
+        return self.slice(0, n)
+
+    def tail(self, n: int = 5) -> Expr:
+        return self._e._lift(lambda c: F.slice(c, -n, n))
+
+    def count_matches(self, element) -> Expr:
+        v = wrap_expr(element)
+        return self._e._lift2(
+            v, lambda c, x: F.size(F.filter(c, lambda y: y == x)))
+
+    def to_struct(self, n_field_strategy: str = "first_non_null", fields=None) -> Expr:
+        raise NotImplementedError("list.to_struct needs a known width; use eval")
+
+    def eval(self, expr: Expr, parallel: bool = False) -> Expr:
+        """list_expr.rb:787 — run an Expr over each element (Polars.element()).
+
+        Compiles to ``F.transform`` (higher-order function, JVM-side — no
+        Python UDF); ``element()`` leaves resolve to the lambda variable.
+        """
+        from .exprs import _ELEMENT_STACK
+
+        def f(c, df, part):
+            def lam(x):
+                _ELEMENT_STACK.append(x)
+                try:
+                    return expr._fn(df, part)
+                finally:
+                    _ELEMENT_STACK.pop()
+
+            return F.transform(c, lam)
+
+        return self._e._lift_ctx(f)
+
+    def all(self) -> Expr:
+        return self._e._lift(lambda c: F.forall(c, lambda x: x))
+
+    def any(self) -> Expr:
+        return self._e._lift(lambda c: F.exists(c, lambda x: x))
+
+    def drop_nulls(self) -> Expr:
+        return self._e._lift(lambda c: F.filter(c, lambda x: x.isNotNull()))
+
+
+class StructNameSpace(_NS):
+    def field(self, name: str) -> Expr:
+        e = self._e._lift(lambda c: c.getField(name))
+        e._name = name
+        return e
+
+    def __getitem__(self, name: str) -> Expr:
+        return self.field(name)
+
+    def rename_fields(self, names: list[str]) -> Expr:
+        def f(c, df, part):
+            # requires schema knowledge: re-pack positionally
+            return F.struct(*[c.getField(f"col{i}") for i, n in enumerate(names)])
+
+        raise NotImplementedError("rename_fields: use frame.unnest + rename")
+
+    def json_encode(self) -> Expr:
+        return self._e._lift(F.to_json)
+
+
+class BinaryNameSpace(_NS):
+    def contains(self, literal) -> Expr:
+        return self._e._lift2(wrap_expr(literal), lambda c, v: c.contains(v))
+
+    def starts_with(self, prefix) -> Expr:
+        return self._e._lift2(wrap_expr(prefix), F.startswith)
+
+    def ends_with(self, suffix) -> Expr:
+        return self._e._lift2(wrap_expr(suffix), F.endswith)
+
+    def encode(self, encoding: str) -> Expr:
+        if encoding == "hex":
+            return self._e._lift(F.hex)
+        if encoding == "base64":
+            return self._e._lift(F.base64)
+        raise ValueError(encoding)
+
+    def decode(self, encoding: str) -> Expr:
+        if encoding == "hex":
+            return self._e._lift(F.unhex)
+        if encoding == "base64":
+            return self._e._lift(F.unbase64)
+        raise ValueError(encoding)
+
+    def size(self) -> Expr:
+        return self._e._lift(F.octet_length)
+
+
+class CatNameSpace(_NS):
+    def get_categories(self) -> Expr:
+        return self._e._agg(F.collect_set)
+
+    def set_ordering(self, ordering: str) -> Expr:
+        return self._e._lift(lambda c: c)
+
+
+class NameNameSpace(_NS):
+    def keep(self) -> Expr:
+        return self._e
+
+    def map(self, function) -> Expr:
+        return self._e.alias(function(self._e._name or ""))
+
+    def prefix(self, p: str) -> Expr:
+        return self._e.alias(p + (self._e._name or ""))
+
+    def suffix(self, s: str) -> Expr:
+        return self._e.alias((self._e._name or "") + s)
+
+    def to_lowercase(self) -> Expr:
+        return self._e.alias((self._e._name or "").lower())
+
+    def to_uppercase(self) -> Expr:
+        return self._e.alias((self._e._name or "").upper())

@@ -1,0 +1,78 @@
+"""Scalable row-index materialization.
+
+The reference's frames have implicit stable row order (eager Arrow memory —
+``/root/reference/lib/polars/data_frame.rb:21``); Spark DataFrames do not.
+Every ordinal operator (``head/tail/slice/shift/reverse/cum_*``,
+``with_row_index`` ``lazy_frame.rb:2124``, ``unique(keep: "first")``
+``lazy_frame.rb:2432``) is defined here against a hidden ``__row_idx__``
+column.
+
+Design for 100 TB: we do NOT use ``row_number().over(Window.orderBy(...))``
+with no partition key — that funnels the whole table through one task.
+Instead:
+
+1. ``monotonically_increasing_id()`` encodes ``partition_id << 33 | local
+   position`` (Spark contract, see its scaladoc), giving us the local
+   position without any shuffle;
+2. per-partition row counts (a tiny aggregate — one row per partition) are
+   turned into cumulative offsets with a window over that *tiny* frame;
+3. a broadcast join maps ``partition_id → offset`` back onto the data, so
+   ``row_idx = offset + local_position``.
+
+Net cost: one extra column scan + a broadcast of O(num_partitions) rows.
+After an ``orderBy``, Spark's range partitioner emits globally sorted
+partitions, so this same construction yields the *sorted* row index — which
+is why sort() simply drops and re-derives the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..session import ROW_IDX
+
+_LOCAL_BITS_MASK = (1 << 33) - 1
+_PID = "__rix_pid__"
+_MONO = "__rix_mono__"
+_OFF = "__rix_off__"
+
+
+def with_row_index(sdf: DataFrame, name: str = ROW_IDX, offset: int = 0) -> DataFrame:
+    """Add a 0-based (plus ``offset``) Long row index in current plan order.
+
+    Parity: ``LazyFrame#with_row_index`` (``lazy_frame.rb:2124``), except the
+    dtype is Long (Spark has no UInt32 — SURVEY §1.3).
+    """
+    if name in sdf.columns:
+        sdf = sdf.drop(name)
+    base = sdf.withColumn(_MONO, F.monotonically_increasing_id()).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    counts = base.groupBy(_PID).agg(F.count(F.lit(1)).alias("__rix_cnt__"))
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum("__rix_cnt__").over(w), F.lit(0)).alias(_OFF)
+    )
+    local_pos = F.col(_MONO).bitwiseAND(F.lit(_LOCAL_BITS_MASK))
+    out = (
+        base.join(F.broadcast(offsets), _PID, "left")
+        .withColumn(name, (F.col(_OFF) + local_pos + F.lit(offset)).cast("long"))
+        .drop(_PID, _MONO, _OFF)
+    )
+    # Keep the new index first like the reference does.
+    cols = [name] + [c for c in sdf.columns]
+    return out.select(*cols)
+
+
+def ensure_row_index(sdf: DataFrame) -> DataFrame:
+    """Idempotently attach the hidden order column."""
+    if ROW_IDX in sdf.columns:
+        return sdf
+    return with_row_index(sdf, ROW_IDX)
+
+
+def strip_row_index(sdf: DataFrame) -> DataFrame:
+    if ROW_IDX in sdf.columns:
+        return sdf.drop(ROW_IDX)
+    return sdf

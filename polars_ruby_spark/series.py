@@ -1,0 +1,211 @@
+"""Series: a named single-column frame with Expr method dispatch.
+
+The reference implements every Series op by round-tripping through a
+one-column frame select (``/root/reference/lib/polars/expr_dispatch.rb:11-20``:
+``s.to_frame.select(expr.send(method, ...)).to_series``).  We use exactly the
+same trick: ``__getattr__`` forwards unknown methods to the Expr layer, so
+the entire Expr surface (and its namespaces) is available on Series with zero
+duplicated code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame as SparkDF
+
+from .exprs import Expr, col
+
+_EXPORTS = {"to_list", "to_a", "to_pandas", "dtype", "name", "len", "__len__"}
+
+
+class Series:
+    def __init__(self, name: str | Iterable = "", values: Iterable | None = None,
+                 dtype=None, spark=None):
+        if values is None and not isinstance(name, str):
+            name, values = "", name
+        self._name = name or ""
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+        if values is not None:
+            from .datatypes import to_spark_type
+            import pandas as pd
+
+            pdf = pd.DataFrame({self._name or "values": list(values)})
+            sdf = spark.createDataFrame(pdf)
+            if dtype is not None:
+                t = to_spark_type(dtype)
+                sdf = sdf.select(sdf[0].cast(t).alias(self._name or "values"))
+            self._sdf = sdf
+            self._name = self._name or "values"
+        else:
+            self._sdf = None
+
+    @classmethod
+    def _from_spark(cls, sdf: SparkDF, name: str) -> "Series":
+        s = cls.__new__(cls)
+        s._sdf = sdf.select(sdf.columns[0]) if len(sdf.columns) > 1 else sdf
+        s._name = name
+        return s
+
+    # -- core -----------------------------------------------------------------
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def dtype(self):
+        return self._sdf.schema.fields[0].dataType
+
+    def to_frame(self):
+        from .frame import DataFrame
+
+        return DataFrame(self._sdf.withColumnRenamed(self._sdf.columns[0], self._name))
+
+    def to_list(self) -> list:
+        return [r[0] for r in self._sdf.collect()]
+
+    to_a = to_list
+
+    def to_pandas(self):
+        return self._sdf.toPandas()[self._sdf.columns[0]]
+
+    def len(self) -> int:
+        return self._sdf.count()
+
+    def __len__(self) -> int:
+        return self.len()
+
+    def rename(self, name: str) -> "Series":
+        return Series._from_spark(self._sdf, name)
+
+    alias = rename
+
+    def item(self) -> Any:
+        rows = self._sdf.limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError("item() requires length-1 Series")
+        return rows[0][0]
+
+    def n_chunks(self) -> int:
+        return self._sdf.rdd.getNumPartitions()
+
+    def chunk_lengths(self) -> list[int]:
+        return [self.len()]
+
+    def rechunk(self) -> "Series":
+        return self
+
+    # -- expr dispatch (the reference's ExprDispatch trick) ---------------------
+    def _dispatch(self, make_expr) -> Any:
+        frame = self.to_frame().lazy()
+        e = make_expr(col(self._name))
+        out = frame.select(e.alias(self._name) if e._name is None else e)
+        sdf = out._sdf
+        if len(sdf.columns) == 1:
+            return Series._from_spark(sdf, self._name)
+        return out.collect()
+
+    def __getattr__(self, item: str):
+        if item.startswith("_"):
+            raise AttributeError(item)
+        expr_attr = getattr(Expr, item, None)
+        if expr_attr is None:
+            raise AttributeError(f"Series has no method {item!r}")
+
+        def call(*args, **kwargs):
+            result = self._dispatch(lambda e: getattr(e, item)(*args, **kwargs))
+            return result
+
+        return call
+
+    # namespaces
+    @property
+    def str(self):
+        return _SeriesNS(self, "str")
+
+    @property
+    def dt(self):
+        return _SeriesNS(self, "dt")
+
+    @property
+    def list(self):
+        return _SeriesNS(self, "list")
+
+    arr = list
+
+    @property
+    def struct(self):
+        return _SeriesNS(self, "struct")
+
+    @property
+    def bin(self):
+        return _SeriesNS(self, "bin")
+
+    @property
+    def cat(self):
+        return _SeriesNS(self, "cat")
+
+    # -- scalar reductions materialize ------------------------------------------
+    def _scalar(self, method, *args, **kwargs):
+        e = getattr(col(self._name), method)(*args, **kwargs)
+        row = self.to_frame().lazy().select(e)._sdf.collect()[0]
+        return row[0]
+
+    def sum(self):
+        return self._scalar("sum")
+
+    def mean(self):
+        return self._scalar("mean")
+
+    def median(self):
+        return self._scalar("median")
+
+    def min(self):
+        return self._scalar("min")
+
+    def max(self):
+        return self._scalar("max")
+
+    def std(self, ddof: int = 1):
+        return self._scalar("std", ddof)
+
+    def var(self, ddof: int = 1):
+        return self._scalar("var", ddof)
+
+    def n_unique(self):
+        return self._scalar("n_unique")
+
+    def null_count(self):
+        return self._scalar("null_count")
+
+    def quantile(self, q: float, interpolation: str = "nearest"):
+        return self._scalar("quantile", q, interpolation)
+
+    # -- arithmetic via dispatch ---------------------------------------------------
+    def _binop(self, other, opname):
+        o = other
+        if isinstance(other, Series):
+            o = other.to_list()  # small-series semantics; frame ops preferred
+            import pandas as pd
+
+        return self._dispatch(lambda e: getattr(e, opname)(o))
+
+    def __add__(self, o):
+        return self._binop(o, "__add__")
+
+    def __sub__(self, o):
+        return self._binop(o, "__sub__")
+
+    def __mul__(self, o):
+        return self._binop(o, "__mul__")
+
+    def __truediv__(self, o):
+        return self._binop(o, "__truediv__")
+
+    def __repr__(self) -> str:
+        vals = self._sdf.limit(10).collect()
+        body = "\n".join(str(r[0]) for r in vals)
+        return f"Series: {self._name} [{self.dtype.simpleString()}]\n{body}"

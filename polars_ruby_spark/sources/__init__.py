@@ -1,0 +1,30 @@
+"""IO: scans (lazy) and reads (eager) — SURVEY §2.1.
+
+Everything maps onto ``spark.read`` so statistics pruning, hive
+partitioning, globs, predicate/projection pushdown are native.
+"""
+
+from .io import (
+    read_avro,
+    read_csv,
+    read_database,
+    read_ipc,
+    read_json,
+    read_ndjson,
+    read_parquet,
+    read_parquet_schema,
+    scan_csv,
+    scan_ndjson,
+    scan_parquet,
+    from_pandas,
+    from_arrow,
+    from_hash,
+    from_records,
+)
+
+__all__ = [
+    "read_avro", "read_csv", "read_database", "read_ipc", "read_json",
+    "read_ndjson", "read_parquet", "read_parquet_schema", "scan_csv",
+    "scan_ndjson", "scan_parquet", "from_pandas", "from_arrow", "from_hash",
+    "from_records",
+]

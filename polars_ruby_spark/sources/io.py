@@ -1,0 +1,223 @@
+"""Readers/scanners (parity: /root/reference/lib/polars/io/*.rb).
+
+``scan_*`` and ``read_*`` both return lazy plans (Spark reads are lazy);
+``read_*`` returns the eager DataFrame wrapper for API parity
+(``io/parquet.rb:38`` vs ``:163``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from ..datatypes import to_spark_type
+from ..session import get_spark
+
+
+def _spark(spark: SparkSession | None = None) -> SparkSession:
+    return spark or get_spark()
+
+
+def _schema_arg(schema):
+    if schema is None:
+        return None
+    if isinstance(schema, dict):
+        from pyspark.sql import types as T
+
+        return T.StructType([T.StructField(k, to_spark_type(v)) for k, v in schema.items()])
+    return schema
+
+
+def _ns_timestamp_cols(source) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 refuses them
+    unless read as Long (spark.sql.legacy.parquet.nanosAsLong); we then cast
+    ns→µs ourselves (polars Datetime('ns') → Spark µs, SURVEY §1.3)."""
+    import glob as _glob
+    import os as _os
+
+    path = str(source)
+    probe = path
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        probe = files[0]
+    elif any(ch in path for ch in "*?["):
+        files = sorted(_glob.glob(path))
+        if not files:
+            return []
+        probe = files[0]
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.ParquetFile(probe).schema_arrow
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def scan_parquet(source, hive_partitioning: bool = True, n_rows: int | None = None,
+                 row_index_name: str | None = None, spark=None, **kw):
+    """io/parquet.rb:163 — lazy parquet scan; stats pruning / hive partitions /
+    globs are Spark-native."""
+    from pyspark.sql import functions as F
+
+    from ..frame import LazyFrame
+    from ..operators.row_index import with_row_index
+
+    s = _spark(spark)
+    ns_cols = _ns_timestamp_cols(source)
+    if ns_cols:
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = s.read.parquet(str(source))
+    for c in ns_cols:
+        # integer `div` keeps full precision (double division would lose
+        # sub-µs bits on ~1e18 nanosecond epochs)
+        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if n_rows is not None:
+        sdf = sdf.limit(n_rows)
+    if row_index_name:
+        sdf = with_row_index(sdf, row_index_name)
+    return LazyFrame(sdf)
+
+
+def read_parquet(source, n_rows: int | None = None, row_index_name: str | None = None,
+                 columns=None, spark=None, **kw):
+    """io/parquet.rb:38 — eager parquet read."""
+    from ..frame import DataFrame
+
+    lf = scan_parquet(source, n_rows=n_rows, row_index_name=row_index_name, spark=spark)
+    if columns:
+        lf = lf.select(*columns)
+    return DataFrame(lf._sdf)
+
+
+def read_parquet_schema(source, spark=None) -> dict:
+    """io/parquet.rb:127 — schema without reading data."""
+    sdf = _spark(spark).read.parquet(str(source))
+    return {f.name: f.dataType for f in sdf.schema.fields}
+
+
+def scan_csv(source, has_header: bool = True, separator: str = ",", comment_prefix=None,
+             quote_char: str = '"', skip_rows: int = 0, schema=None, dtypes=None,
+             null_values=None, try_parse_dates: bool = False, n_rows=None,
+             infer_schema_length: int | None = 100, encoding: str = "utf8",
+             truncate_ragged_lines: bool = False, row_index_name=None, spark=None, **kw):
+    """io/csv.rb:557 — lazy CSV scan; option mapping per SURVEY §2.1."""
+    from ..frame import LazyFrame
+    from ..operators.row_index import with_row_index
+
+    reader = _spark(spark).read.options(
+        header=has_header,
+        sep=separator,
+        quote=quote_char,
+        inferSchema=schema is None and dtypes is None and infer_schema_length is not None,
+        mode="PERMISSIVE" if truncate_ragged_lines else "PERMISSIVE",
+    )
+    if comment_prefix:
+        reader = reader.option("comment", comment_prefix)
+    if null_values:
+        nv = null_values if isinstance(null_values, str) else (
+            null_values[0] if isinstance(null_values, list) else None)
+        if nv is not None:
+            reader = reader.option("nullValue", nv)
+    if try_parse_dates:
+        reader = reader.option("inferSchema", True).option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    sch = _schema_arg(schema or dtypes)
+    if sch is not None:
+        reader = reader.schema(sch)
+    sdf = reader.csv(str(source))
+    if skip_rows:
+        from ..operators.row_index import with_row_index as _wri
+        from pyspark.sql import functions as F
+
+        sdf = _wri(sdf, "__skip__").filter(F.col("__skip__") >= skip_rows).drop("__skip__")
+    if n_rows is not None:
+        sdf = sdf.limit(n_rows)
+    if row_index_name:
+        sdf = with_row_index(sdf, row_index_name)
+    return LazyFrame(sdf)
+
+
+def read_csv(source, **kw):
+    """io/csv.rb:93 — eager CSV read."""
+    from ..frame import DataFrame
+
+    return DataFrame(scan_csv(source, **kw)._sdf)
+
+
+def read_json(source, spark=None, **kw):
+    """io/json.rb:9 — JSON array-of-records (multiLine)."""
+    from ..frame import DataFrame
+
+    return DataFrame(_spark(spark).read.option("multiLine", True).json(str(source)))
+
+
+def scan_ndjson(source, spark=None, **kw):
+    """io/ndjson.rb:53 — newline-delimited JSON (Spark-native format)."""
+    from ..frame import LazyFrame
+
+    return LazyFrame(_spark(spark).read.json(str(source)))
+
+
+def read_ndjson(source, **kw):
+    from ..frame import DataFrame
+
+    return DataFrame(scan_ndjson(source, **kw)._sdf)
+
+
+def read_avro(source, spark=None, **kw):
+    """io/avro.rb:14 — requires spark-avro package at runtime."""
+    from ..frame import DataFrame
+
+    return DataFrame(_spark(spark).read.format("avro").load(str(source)))
+
+
+def read_ipc(source, spark=None, **kw):
+    """io/ipc.rb:27 — Arrow IPC via pyarrow → createDataFrame (no native src)."""
+    import pyarrow.feather as feather
+
+    from ..frame import DataFrame
+
+    table = feather.read_table(str(source))
+    return DataFrame(_spark(spark).createDataFrame(table.to_pandas()))
+
+
+def read_database(query: str, url: str | None = None, spark=None, **kw):
+    """io/database.rb:12 — JDBC."""
+    from ..frame import DataFrame
+
+    reader = _spark(spark).read.format("jdbc").option("query", query)
+    if url:
+        reader = reader.option("url", url)
+    for k, v in kw.items():
+        reader = reader.option(k, v)
+    return DataFrame(reader.load())
+
+
+def from_pandas(pdf, spark=None):
+    from ..frame import DataFrame
+
+    return DataFrame(_spark(spark).createDataFrame(pdf))
+
+
+def from_arrow(table, spark=None):
+    return from_pandas(table.to_pandas(), spark)
+
+
+def from_hash(data: dict[str, list], schema=None, spark=None):
+    """convert.rb:29 — hash-of-arrays → frame."""
+    import pandas as pd
+
+    from ..frame import DataFrame
+
+    sdf = _spark(spark).createDataFrame(pd.DataFrame(data), schema=_schema_arg(schema))
+    return DataFrame(sdf)
+
+
+def from_records(rows: list, schema=None, orient: str = "row", spark=None):
+    from ..frame import DataFrame
+
+    return DataFrame(_spark(spark).createDataFrame(rows, schema=_schema_arg(schema)))

@@ -1,0 +1,158 @@
+"""Core slice: Q1-style scan→filter→group→agg→sort, exprs, projections."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import polars_ruby_spark as pl
+
+
+def test_flagship_q1(spark, lineitem):
+    out = (
+        lineitem
+        .filter(pl.col("l_shipdate") <= pl.lit("1998-09-02").cast(pl.Datetime))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            pl.col("l_quantity").sum().alias("sum_qty"),
+            pl.col("l_extendedprice").sum().alias("sum_base_price"),
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum().alias("sum_disc_price"),
+            pl.col("l_quantity").mean().alias("avg_qty"),
+            pl.col("l_discount").mean().alias("avg_disc"),
+            pl.len().alias("count_order"),
+        )
+        .sort("l_returnflag", "l_linestatus")
+        .collect()
+    )
+    rows = out.to_a()
+    assert len(rows) > 0
+    assert rows == sorted(rows, key=lambda r: (r["l_returnflag"], r["l_linestatus"]))
+    total = sum(r["count_order"] for r in rows)
+    full = lineitem.filter(
+        pl.col("l_shipdate") <= pl.lit("1998-09-02").cast(pl.Datetime)).collect().height
+    assert total == full
+    for r in rows:
+        assert abs(r["avg_qty"] * r["count_order"] - r["sum_qty"]) < 1e-6 * max(1, r["sum_qty"])
+
+
+def test_select_exprs(spark, lineitem):
+    out = (
+        lineitem.select(
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("net"),
+            pl.col("l_quantity").cast(pl.Int32).alias("qty_int"),
+            pl.when(pl.col("l_discount") > 0.05).then(pl.lit("hi")).otherwise(pl.lit("lo")).alias("disc_band"),
+        )
+        .limit(10)
+        .collect()
+    )
+    rows = out.to_a()
+    assert len(rows) == 10
+    assert set(out.columns) == {"net", "qty_int", "disc_band"}
+    assert all(r["disc_band"] in ("hi", "lo") for r in rows)
+
+
+def test_filter_and_boolean(spark, lineitem):
+    df = lineitem.filter(
+        (pl.col("l_quantity") > 25) & (pl.col("l_returnflag") == "R")
+    ).collect()
+    rows = df.to_a()
+    assert all(r["l_quantity"] > 25 and r["l_returnflag"] == "R" for r in rows)
+
+
+def test_with_columns(spark, lineitem):
+    out = lineitem.with_columns(
+        (pl.col("l_extendedprice") * pl.col("l_tax")).alias("tax_amt"),
+        pl.col("l_quantity").cast("int").alias("l_quantity"),
+    ).limit(5).collect()
+    assert "tax_amt" in out.columns
+    assert out.schema["l_quantity"].simpleString() == "int"
+
+
+def test_sort_head_slice(spark, orders):
+    out = orders.sort("o_totalprice", descending=True).head(5).collect()
+    prices = [r["o_totalprice"] for r in out.to_a()]
+    assert prices == sorted(prices, reverse=True)
+    sliced = orders.sort("o_orderkey").slice(10, 5).collect()
+    keys = [r["o_orderkey"] for r in sliced.to_a()]
+    all_keys = sorted(r["o_orderkey"] for r in orders.collect().to_a())
+    assert keys == all_keys[10:15]
+
+
+def test_unique_and_value_counts(spark, orders):
+    statuses = orders.select("o_orderstatus").unique().collect()
+    assert statuses.height == len(set(r["o_orderstatus"] for r in orders.collect().to_a()))
+
+
+def test_agg_context_implicit_implode(spark, orders):
+    out = orders.group_by("o_orderstatus").agg(
+        pl.col("o_totalprice").sum().alias("total"),
+        pl.col("o_orderpriority").alias("priorities"),
+    ).collect()
+    rows = out.to_a()
+    for r in rows:
+        assert isinstance(r["priorities"], list)
+        assert len(r["priorities"]) > 0
+
+
+def test_group_agg_shortcuts(spark, orders):
+    out = orders.group_by("o_orderstatus").len().collect()
+    assert out.height >= 1
+    assert "len" in out.columns
+
+
+def test_eager_exports(spark, orders):
+    df = orders.limit(3).collect()
+    assert df.shape == (3, 6)
+    assert len(df.rows()) == 3
+    h = df.to_h()
+    assert set(h.keys()) == set(df.columns)
+
+
+def test_when_chain(spark):
+    df = pl.from_hash({"x": [1, 5, 10]})
+    out = df.lazy().select(
+        pl.when(pl.col("x") < 3).then(pl.lit("small"))
+        .when(pl.col("x") < 7).then(pl.lit("mid"))
+        .otherwise(pl.lit("big")).alias("bucket")
+    ).collect()
+    assert [r["bucket"] for r in out.to_a()] == ["small", "mid", "big"]
+
+
+def test_fill_null_and_strategies(spark):
+    df = pl.from_hash({"x": [1.0, None, 3.0, None, 5.0]})
+    filled = df.lazy().select(pl.col("x").fill_null(0).alias("x")).collect()
+    assert [r["x"] for r in filled.to_a() if r["x"] is not None] == [1.0, 0.0, 3.0, 0.0, 5.0]
+    ff = df.lazy().select(pl.col("x").forward_fill().alias("x")).collect()
+    assert [r["x"] for r in ff.to_a()] == [1.0, 1.0, 3.0, 3.0, 5.0]
+
+
+def test_with_row_index(spark, orders):
+    out = orders.with_row_index("idx").collect()
+    idxs = sorted(r["idx"] for r in out.to_a())
+    assert idxs == list(range(out.height))
+
+
+def test_horizontal_and_fold(spark):
+    df = pl.from_hash({"a": [1, 2], "b": [10, 20], "c": [100, 200]})
+    out = df.lazy().select(
+        pl.sum_horizontal("a", "b", "c").alias("s"),
+        pl.max_horizontal("a", "b", "c").alias("m"),
+        pl.fold(pl.lit(0), lambda acc, x: acc + x, ["a", "b", "c"]).alias("f"),
+    ).collect()
+    rows = out.to_a()
+    assert [r["s"] for r in rows] == [111, 222]
+    assert [r["m"] for r in rows] == [100, 200]
+    assert [r["f"] for r in rows] == [111, 222]
+
+
+def test_sql_context(spark, orders):
+    ctx = pl.SQLContext(orders=orders)
+    out = ctx.execute(
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+    ).collect()
+    assert out.height >= 1
+
+
+def test_cast_null_on_error(spark):
+    df = pl.from_hash({"s": ["1", "x", "3"]})
+    out = df.lazy().select(pl.col("s").cast(pl.Int64).alias("i")).collect()
+    assert [r["i"] for r in out.to_a()] == [1, None, 3]
