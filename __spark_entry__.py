@@ -397,6 +397,112 @@ def q27_rle(spark, sf_dir):
     return out.to_spark()
 
 
+# ---------------------------------------------------------------------------
+# Extension pack: LLM-training-data pipeline operators (BASELINE.json north
+# star) — dedup, similarity search, text analysis, multimodal plumbing.
+# ---------------------------------------------------------------------------
+
+def q40_dedup_exact(spark, sf_dir):
+    """Exact dedup via content fingerprint (hash-aggregate, one shuffle)."""
+    from polars_ruby_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d._sdf)
+
+
+def q41_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs (shingle→minhash→band)."""
+    from polars_ruby_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d._sdf, num_hashes=9, bands=3)
+
+
+def q42_ngram_jaccard(spark, sf_dir):
+    """Token 3-gram Jaccard over adjacent-id doc pairs (array set algebra)."""
+    from polars_ruby_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    a = d.select(*[d[c].alias(f"a_{c}") for c in d.columns])
+    b = d.select(*[d[c].alias(f"b_{c}") for c in d.columns])
+    pairs = a.join(b, a["a_doc_id"] + 1 == b["b_doc_id"]).select(
+        a["a_doc_id"].alias("id_a"), b["b_doc_id"].alias("id_b"),
+        a["a_text"].alias("ta"), b["b_text"].alias("tb"))
+    return dedup.ngram_jaccard(pairs, "ta", "tb").select("id_a", "id_b", "jaccard")
+
+
+def q43_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 (query set broadcast; JVM dot products)."""
+    from polars_ruby_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")._sdf
+    q = e.filter("vec_id < 20")
+    out = similarity.cosine_topk(q, e, k=5)
+    return out.select("query_id", "rank", "neighbor_id")  # cosine excluded: fp-order noise
+
+
+def q44_lang_id(spark, sf_dir):
+    """Stopword-ratio language id (per-doc prediction)."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.language_id(d._sdf).select("doc_id", "lang_pred")
+
+
+def q45_quality(spark, sf_dir):
+    """Quality scoring: length/stopword/punctuation mix."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.quality_score(d._sdf).select("doc_id", "n_tokens", "stop_ratio", "quality")
+
+
+def q46_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.token_count(d._sdf).select("doc_id", "ws_tokens", "re_tokens")
+
+
+def q47_fingerprint(spark, sf_dir):
+    """Order-insensitive document fingerprint (sorted distinct token md5)."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.fingerprint(d._sdf).select("doc_id", "fingerprint")
+
+
+def q48_multimodal(spark, sf_dir):
+    """Binary media plumbing: pack → Arrow-batched mapInPandas feature stub."""
+    from pyspark.sql import functions as F
+
+    from polars_ruby_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")._sdf.withColumn("data", F.encode("text", "utf-8"))
+    packed = multimodal.pack_media(d, "data", mime="text/plain")
+    return multimodal.decode_features(packed)
+
+
+def q49_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-LSH candidates (engine-defined hash → rows-only check)."""
+    from polars_ruby_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d._sdf)
+
+
+def q50_lsh_ann(spark, sf_dir):
+    """Sign-LSH bucketed ANN — the 100 TB scale path (rows-only check:
+    approximate by design)."""
+    from polars_ruby_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")._sdf
+    q = e.filter("vec_id < 20")
+    return similarity.lsh_cosine_topk(q, e, k=5, n_planes=4).select(
+        "query_id", "rank", "neighbor_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -431,11 +537,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_concat": q25_concat,
         "q26_forward_fill": q26_forward_fill,
         "q27_rle": q27_rle,
+        "q40_dedup_exact": q40_dedup_exact,
+        "q41_minhash_pairs": q41_minhash_pairs,
+        "q42_ngram_jaccard": q42_ngram_jaccard,
+        "q43_ann_cosine": q43_ann_cosine,
+        "q44_lang_id": q44_lang_id,
+        "q45_quality": q45_quality,
+        "q46_token_count": q46_token_count,
+        "q47_fingerprint": q47_fingerprint,
+        "q48_multimodal": q48_multimodal,
+        "q49_simhash_pairs": q49_simhash_pairs,   # rows-only (engine hash)
+        "q50_lsh_ann": q50_lsh_ann,               # rows-only (approximate)
     }
 
 
+def _stop_in(lang: str) -> str:
+    from polars_ruby_spark.operators.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+def _shingle_sql(tcol: str) -> str:
+    """DuckDB 3-word shingles matching operators/dedup.shingles."""
+    return (f"CASE WHEN len({tcol}) >= 3 THEN "
+            f"list_transform(range(1, len({tcol}) - 1), "
+            f"i -> {tcol}[i] || ' ' || {tcol}[i+1] || ' ' || {tcol}[i+2]) "
+            f"ELSE [] END")
+
+
 def oracle_sql() -> dict[str, str]:
+    _mh = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{j}:' || x))) AS m{j}" for j in range(9))
+    ext = {
+        "q40_dedup_exact": r"""
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM (SELECT doc_id,
+                         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                  FROM documents)
+            GROUP BY fp
+        """,
+        "q41_minhash_pairs": f"""
+            WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id, {_shingle_sql('t')} AS s FROM toks),
+                 mh AS (SELECT doc_id, {_mh} FROM sh),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_id, md5(m0 || m1 || m2) AS bh FROM mh
+                   UNION ALL SELECT doc_id, 1, md5(m3 || m4 || m5) FROM mh
+                   UNION ALL SELECT doc_id, 2, md5(m6 || m7 || m8) FROM mh)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+        """,
+        "q42_ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id, list_distinct({_shingle_sql('t')}) AS s FROM toks),
+                 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+                       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+            SELECT id_a, id_b,
+                   CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0 THEN
+                     round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                           / len(list_distinct(list_concat(sa, sb))), 4)
+                   ELSE 0.0 END AS jaccard
+            FROM p
+        """,
+        "q43_ann_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+                 s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                        list_aggregate(list_transform(list_zip(qv, cv),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                        / (sqrt(list_aggregate(list_transform(qv,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                         * sqrt(list_aggregate(list_transform(cv,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
+                       FROM q, c WHERE nid <> qid)
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        "q44_lang_id": f"""
+            WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents),
+                 sc AS (SELECT doc_id,
+                          len(list_filter(tok, x -> x IN ({_stop_in('en')}))) AS se,
+                          len(list_filter(tok, x -> x IN ({_stop_in('de')}))) AS sd,
+                          len(list_filter(tok, x -> x IN ({_stop_in('fr')}))) AS sf,
+                          len(list_filter(tok, x -> x IN ({_stop_in('es')}))) AS ss
+                        FROM t)
+            SELECT doc_id,
+                   CASE WHEN se >= sd AND se >= sf AND se >= ss THEN 'en'
+                        WHEN sd >= sf AND sd >= ss THEN 'de'
+                        WHEN sf >= ss THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM sc
+        """,
+        "q45_quality": f"""
+            WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tok FROM documents),
+                 m AS (SELECT doc_id,
+                          len(tok) AS n_tokens,
+                          CAST(len(list_filter(tok, x -> x IN ({_stop_in('en')}))) AS DOUBLE)
+                            / len(tok) AS sr,
+                          CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                            / length(text) AS pr
+                        FROM t)
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   round(sr, 4) AS stop_ratio,
+                   round(0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * sr + 0.2 * (1.0 - pr), 4)
+                     AS quality
+            FROM m
+        """,
+        "q46_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+                     AS re_tokens
+            FROM documents
+        """,
+        "q47_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+                     AS fingerprint
+            FROM documents
+        """,
+        "q48_multimodal": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   [CAST(octet_length(encode(text)) % 251 AS DOUBLE),
+                    CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
+                    CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
+                    CAST((octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1))) % 997 AS DOUBLE)]
+                     AS feat
+            FROM documents
+        """,
+        # q49/q50 intentionally omitted: engine-defined hash / approximate →
+        # driver records the weaker rows-only check.
+    }
     return {
+        **ext,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

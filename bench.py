@@ -32,6 +32,10 @@ HEADLINE = [
     "q16_str_funcs",         # string kernels
     "q18_list_funcs",        # higher-order functions
     "q20_unpivot",           # reshape
+    "q40_dedup_exact",       # extension: exact dedup
+    "q41_minhash_pairs",     # extension: MinHash LSH
+    "q43_ann_cosine",        # extension: brute-force ANN
+    "q45_quality",           # extension: text quality scoring
 ]
 
 

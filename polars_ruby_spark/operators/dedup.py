@@ -1,0 +1,142 @@
+"""Deduplication operators for large-scale training-data pipelines
+(beyond-reference; BASELINE.json north star).
+
+All hot paths are JVM-side Catalyst expressions (split/transform/aggregate/
+md5) — no Python UDFs — so they scale with executor count.  MD5 is used as
+the hash family because it is bit-identical across engines (oracle-able in
+DuckDB) and deterministic across runs; swap for xxhash64 when oracle parity
+is not needed (4-5× faster).
+
+Scale design (100 TB): minhash/simhash signatures are one narrow shuffle on
+the band hash (classic LSH); exact dedup is a hash aggregate on a fingerprint
+column, which AQE handles with skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens(col):
+    return F.split(F.lower(col), " ")
+
+
+def shingles(col, k: int = 3):
+    """k-word shingles of a text column (JVM higher-order fns, no UDF)."""
+    t = _tokens(col)
+    sh = F.transform(F.sequence(F.lit(0), F.size(t) - k), lambda i: F.concat_ws(
+        " ", *[F.element_at(t, i + F.lit(j) + 1) for j in range(k)]))
+    # guard: sequence(0, negative) throws — short docs get an empty shingle set
+    return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest id.
+
+    One hash-aggregate shuffle on the md5 fingerprint (16 bytes/row).
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))) if normalize \
+        else F.col(text_col)
+    fp = F.md5(norm)
+    return (sdf.withColumn("__fp__", fp)
+            .groupBy("__fp__")
+            .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+            .drop("__fp__"))
+
+
+def minhash_signatures(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 9, bands: int = 3, shingle_k: int = 3) -> DataFrame:
+    """(id, band_id, band_hash) — one row per (doc, band).
+
+    minhash_j = min over shingles of md5(j ':' shingle); band hash = md5 of
+    its R=num_hashes/bands concatenated minhashes.  Docs with < k tokens get
+    null bands (dropped by the join, same as DuckDB equi-join-on-null).
+    """
+    rows = num_hashes // bands
+    sh = shingles(F.col(text_col), shingle_k)
+
+    def _mh(j: int):
+        # NB: a 2-arg lambda would make Spark pass (element, index) — keep a
+        # factory closure so only the element parameter reaches transform().
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
+
+    mh = [_mh(j).alias(f"__mh{j}__") for j in range(num_hashes)]
+    sig = sdf.select(F.col(id_col), *mh)
+    band_structs = []
+    for b in range(bands):
+        parts = [F.col(f"__mh{b * rows + r}__") for r in range(rows)]
+        band_structs.append(F.struct(F.lit(b).alias("band_id"),
+                                     F.md5(F.concat(*parts)).alias("band_hash")))
+    out = sig.select(F.col(id_col),
+                     F.explode(F.array(*band_structs)).alias("__band__"))
+    return out.select(id_col, F.col("__band__.band_id").alias("band_id"),
+                      F.col("__band__.band_hash").alias("band_hash"))
+
+
+def minhash_dedup_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 9, bands: int = 3, shingle_k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH band bucketing.
+
+    Shuffles once on band_hash; pair explosion is bounded by bucket sizes
+    (AQE skew-join splits hot buckets).
+    """
+    sig = minhash_signatures(sdf, text_col, id_col, num_hashes, bands, shingle_k)
+    a = sig.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = sig.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    pairs = (a.join(b, on=["band_id", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .distinct())
+    return pairs
+
+
+def ngram_jaccard(sdf_pairs: DataFrame, left_text: str, right_text: str,
+                  n: int = 3) -> DataFrame:
+    """Token n-gram Jaccard similarity for a pairs frame —
+    size(intersect)/size(union) on distinct shingle sets, all JVM-side."""
+    sa = F.array_distinct(shingles(F.col(left_text), n))
+    sb = F.array_distinct(shingles(F.col(right_text), n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return sdf_pairs.withColumn(
+        "jaccard",
+        F.when(union > 0, F.round(inter.cast("double") / union.cast("double"), 4))
+        .otherwise(F.lit(0.0)))
+
+
+def simhash(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per-token 64-bit hash bit-votes, packed to a hex
+    string.  xxhash64-based (fast path; engine-defined values, rows-only
+    check — SURVEY §2.8 hash_rows policy)."""
+    t = _tokens(F.col(text_col))
+    # per-token 64-char two's-complement bit string (single pass; shiftright
+    # can't take a lambda variable as the bit index)
+    hash_bits = F.transform(t, lambda x: F.lpad(F.bin(F.xxhash64(x)), bits, "0"))
+    zero = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hash_bits, zero,
+        lambda acc, hb: F.zip_with(
+            acc,
+            F.transform(F.split(hb, "(?!$)"),
+                        lambda c: F.when(c == "1", F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, v: a + v))
+    bitstr = F.concat_ws("", F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")))
+    return sdf.select(F.col(id_col), bitstr.alias("simhash_bits"))
+
+
+def simhash_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  band_bytes: int = 16) -> DataFrame:
+    """Near-dup candidates: docs sharing any simhash substring band
+    (Hamming-LSH: 4 bands of 16 bits → finds pairs within ~3 bit flips)."""
+    s = simhash(sdf, text_col, id_col)
+    bands = [F.struct(F.lit(i).alias("band_id"),
+                      F.substring("simhash_bits", i * band_bytes + 1, band_bytes)
+                      .alias("band")) for i in range(64 // band_bytes)]
+    exploded = s.select(id_col, F.explode(F.array(*bands)).alias("b")).select(
+        id_col, "b.band_id", "b.band")
+    a = exploded.select(F.col(id_col).alias("id_a"), "band_id", "band")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band_id", "band")
+    return (a.join(b, ["band_id", "band"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())

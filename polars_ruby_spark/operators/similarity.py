@@ -1,0 +1,93 @@
+"""Embedding similarity search (beyond-reference; BASELINE.json north star).
+
+Brute-force cosine top-k as the exact baseline (broadcast the query set,
+JVM-side ``zip_with``/``aggregate`` dot products — no Python UDF), plus an
+LSH-bucketed approximate variant as the 100 TB scale path.
+
+Scale analysis: brute force is O(|Q|·|C|·d) with the corpus scanned once and
+queries broadcast — the right plan when |Q| is small.  For corpus-×-corpus
+(all-pairs) use the LSH variant: random-hyperplane signatures bucket the
+corpus so candidate pairs shuffle once on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_self: bool = True) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, rank, neighbor_id, cosine).  Queries are broadcast
+    (small side); the corpus never shuffles — only the per-query top-k
+    aggregate does (k rows per query per partition after partial top-k).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("__qv__"), F.col("__cv__")) / (_norm(F.col("__qv__")) * _norm(F.col("__cv__")))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")))
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy RNG state so
+    the plan is reproducible across driver runs)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # ~U(-1,1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(sdf: DataFrame, vec_col: str = "embedding", dim: int = 64,
+               n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Add a sign-LSH bucket id: bit b = sign(v · plane_b).  Vectors in the
+    same bucket are cosine-close with high probability; bucket count = 2^n."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), arr) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return sdf.withColumn("lsh_bucket", bucket)
+
+
+def lsh_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64, n_planes: int = 6, seed: int = 42) -> DataFrame:
+    """Approximate top-k: compare only within matching LSH buckets —
+    the scale path (bucket-equi-join instead of cross join)."""
+    qb = lsh_bucket(queries, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"), "lsh_bucket")
+    cb = lsh_bucket(corpus, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"), "lsh_bucket")
+    pairs = cb.join(F.broadcast(qb), "lsh_bucket").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("__qv__"), F.col("__cv__")) / (_norm(F.col("__qv__")) * _norm(F.col("__cv__")))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")))
