@@ -21,13 +21,30 @@ def _tokens(col):
     return F.split(F.lower(col), " ")
 
 
+def _ensure_parallelism(sdf: DataFrame) -> DataFrame:
+    """Repartition only when the scan gives fewer partitions than cores.
+
+    The shingle/hash projections are CPU-bound; a small local file arrives as
+    ONE partition and would run single-threaded.  At 100 TB the scan already
+    yields thousands of partitions and this is a no-op (no shuffle added).
+    """
+    target = sdf.sparkSession.sparkContext.defaultParallelism
+    if sdf.rdd.getNumPartitions() < target:
+        return sdf.repartition(target)
+    return sdf
+
+
 def shingles(col, k: int = 3):
     """k-word shingles of a text column (JVM higher-order fns, no UDF)."""
-    t = _tokens(col)
-    sh = F.transform(F.sequence(F.lit(0), F.size(t) - k), lambda i: F.concat_ws(
-        " ", *[F.element_at(t, i + F.lit(j) + 1) for j in range(k)]))
-    # guard: sequence(0, negative) throws — short docs get an empty shingle set
-    return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
+    def _from(t):
+        sh = F.transform(F.sequence(F.lit(0), F.size(t) - k), lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + F.lit(j) + 1) for j in range(k)]))
+        # guard: sequence(0, negative) throws — short docs get an empty set
+        return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
+    # transform-over-singleton binds the token array to a lambda variable so
+    # split() runs ONCE per row — inlining it would re-split per element_at
+    # (interpreted HOFs do no subexpression caching; ~25× slower here)
+    return F.element_at(F.transform(F.array(_tokens(col)), _from), 1)
 
 
 def exact_dedup(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -50,19 +67,26 @@ def minhash_signatures(sdf: DataFrame, text_col: str = "text", id_col: str = "do
     """(id, band_id, band_hash) — one row per (doc, band).
 
     minhash_j = min over shingles of md5(j ':' shingle); band hash = md5 of
-    its R=num_hashes/bands concatenated minhashes.  Docs with < k tokens get
-    null bands (dropped by the join, same as DuckDB equi-join-on-null).
+    its R=num_hashes/bands concatenated minhashes.  Docs with < k tokens
+    produce no rows (no shingles → no bands; same pair set as a null band).
+
+    Shape: explode distinct shingles to rows, hash in a flat projection
+    (whole-stage codegen — md5 inside a `transform` lambda is interpreted
+    per element and ~50× slower), then one partial-agg min shuffle on the
+    doc id.  At 100 TB the explode is wide but map-side combine collapses
+    it back to num_hashes cells per doc before the shuffle.
     """
     rows = num_hashes // bands
-    sh = shingles(F.col(text_col), shingle_k)
-
-    def _mh(j: int):
-        # NB: a 2-arg lambda would make Spark pass (element, index) — keep a
-        # factory closure so only the element parameter reaches transform().
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
-
-    mh = [_mh(j).alias(f"__mh{j}__") for j in range(num_hashes)]
-    sig = sdf.select(F.col(id_col), *mh)
+    sdf = _ensure_parallelism(sdf)
+    sh = sdf.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("__sh__"))
+    hashed = sh.select(
+        F.col(id_col),
+        *[F.md5(F.concat(F.lit(f"{j}:"), F.col("__sh__"))).alias(f"__mh{j}__")
+          for j in range(num_hashes)])
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"__mh{j}__").alias(f"__mh{j}__") for j in range(num_hashes)])
     band_structs = []
     for b in range(bands):
         parts = [F.col(f"__mh{b * rows + r}__") for r in range(rows)]
@@ -74,21 +98,40 @@ def minhash_signatures(sdf: DataFrame, text_col: str = "text", id_col: str = "do
                       F.col("__band__.band_hash").alias("band_hash"))
 
 
+def _bucket_pairs(buckets: DataFrame, id_col: str, max_bucket_size: int | None) -> DataFrame:
+    """(bucket_key..., ids array) → distinct (id_a < id_b) in-bucket pairs.
+
+    Group-and-enumerate instead of a self-join: the signature pipeline above
+    the bucket key is computed ONCE (a band self-join recomputes it per side —
+    AQE's broadcast conversion defeats ReusedExchange).  Pair explosion is
+    inherently O(|bucket|²); `max_bucket_size` drops degenerate buckets
+    (huge buckets = exact dups — run `exact_dedup` first, which is linear).
+    """
+    ids = F.sort_array(F.array_distinct(F.col("__ids__")))
+    sized = buckets.withColumn("__ids__", ids).filter(F.size("__ids__") > 1)
+    if max_bucket_size is not None:
+        sized = sized.filter(F.size("__ids__") <= max_bucket_size)
+    pairs = sized.select(F.explode(F.flatten(F.transform(
+        "__ids__",
+        lambda x, i: F.transform(
+            F.slice("__ids__", i + F.lit(2), F.size("__ids__") - i - 1),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))).alias("__p__"))
+    return pairs.select(F.col("__p__.id_a").alias("id_a"),
+                        F.col("__p__.id_b").alias("id_b")).distinct()
+
+
 def minhash_dedup_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        num_hashes: int = 9, bands: int = 3, shingle_k: int = 3) -> DataFrame:
+                        num_hashes: int = 9, bands: int = 3, shingle_k: int = 3,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH band bucketing.
 
-    Shuffles once on band_hash; pair explosion is bounded by bucket sizes
-    (AQE skew-join splits hot buckets).
+    One shuffle on (band_id, band_hash); pairs enumerated inside each bucket
+    (see `_bucket_pairs` for the scale rationale).
     """
     sig = minhash_signatures(sdf, text_col, id_col, num_hashes, bands, shingle_k)
-    a = sig.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = sig.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    pairs = (a.join(b, on=["band_id", "band_hash"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b")
-             .distinct())
-    return pairs
+    buckets = sig.groupBy("band_id", "band_hash").agg(
+        F.collect_list(id_col).alias("__ids__"))
+    return _bucket_pairs(buckets, id_col, max_bucket_size)
 
 
 def ngram_jaccard(sdf_pairs: DataFrame, left_text: str, right_text: str,
@@ -110,6 +153,7 @@ def simhash(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash fingerprint: per-token 64-bit hash bit-votes, packed to a hex
     string.  xxhash64-based (fast path; engine-defined values, rows-only
     check — SURVEY §2.8 hash_rows policy)."""
+    sdf = _ensure_parallelism(sdf)
     t = _tokens(F.col(text_col))
     # per-token 64-char two's-complement bit string (single pass; shiftright
     # can't take a lambda variable as the bit index)
@@ -127,7 +171,7 @@ def simhash(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  band_bytes: int = 16) -> DataFrame:
+                  band_bytes: int = 16, max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup candidates: docs sharing any simhash substring band
     (Hamming-LSH: 4 bands of 16 bits → finds pairs within ~3 bit flips)."""
     s = simhash(sdf, text_col, id_col)
@@ -136,7 +180,6 @@ def simhash_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id"
                       .alias("band")) for i in range(64 // band_bytes)]
     exploded = s.select(id_col, F.explode(F.array(*bands)).alias("b")).select(
         id_col, "b.band_id", "b.band")
-    a = exploded.select(F.col(id_col).alias("id_a"), "band_id", "band")
-    b = exploded.select(F.col(id_col).alias("id_b"), "band_id", "band")
-    return (a.join(b, ["band_id", "band"]).filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    buckets = exploded.groupBy("band_id", "band").agg(
+        F.collect_list(id_col).alias("__ids__"))
+    return _bucket_pairs(buckets, id_col, max_bucket_size)
