@@ -397,6 +397,150 @@ def q27_rle(spark, sf_dir):
     return out.to_spark()
 
 
+def q28_cut_qcut(spark, sf_dir):
+    """cut (fixed breaks) + qcut (quantile breaks, 2-pass) — §2.5 cutqcut."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(
+        pl.col("l_orderkey"),
+        pl.col("l_linenumber"),
+        pl.col("l_quantity").cut([10, 30]).alias("qty_band"),
+        pl.col("l_extendedprice").qcut(4, labels=["q1", "q2", "q3", "q4"]).alias("price_q"),
+    )
+    return out.to_spark()
+
+
+def q29_value_counts(spark, sf_dir):
+    """Series.value_counts (§2.4) — groupBy(col).count()."""
+    ev = _t(spark, sf_dir, "events").collect()
+    out = ev.get_column("event_type").value_counts()
+    return out.to_spark()
+
+
+def q30_to_dummies(spark, sf_dir):
+    """to_dummies one-hot fan-out (§2.8 encoding)."""
+    o = _t(spark, sf_dir, "orders").collect()
+    out = (o.select("o_orderkey", "o_orderstatus").collect()
+           .to_dummies(columns=["o_orderstatus"]))
+    return out.to_spark()
+
+
+def q31_ewm_mean(spark, sf_dir):
+    """ewm_mean over event time per group (§2.5, custom exact math)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").filter(pl.col("event_id") <= 60).sort(["ts", "event_id"])
+    out = ev.with_columns(
+        pl.col("value").ewm_mean(alpha=0.5).over("event_type").round(4).alias("em"),
+    ).select("event_id", "event_type", "em")
+    return out.to_spark()
+
+
+def q32_interpolate(spark, sf_dir):
+    """interpolate(linear) filling injected nulls per group (§2.2)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.with_columns(
+            pl.when((pl.col("value") >= 3) & (pl.col("value") <= 8))
+            .then(pl.lit(None)).otherwise(pl.col("value")).alias("v2"))
+        .with_columns(pl.col("v2").interpolate().over("user_id").round(4).alias("vi"))
+        .select("event_id", "user_id", "vi")
+    )
+    return out.to_spark()
+
+
+def q33_horizontal_fold(spark, sf_dir):
+    """Row-wise sum/max horizontal + fold via higher-order fns (§2.4)."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(
+        pl.col("l_orderkey"),
+        pl.col("l_linenumber"),
+        pl.sum_horizontal(["l_quantity", "l_tax", "l_discount"]).round(4).alias("hsum"),
+        pl.max_horizontal(["l_quantity", "l_tax", "l_discount"]).round(4).alias("hmax"),
+        pl.fold(pl.lit(0.0), lambda a, x: a + x * 2,
+                [pl.col("l_quantity"), pl.col("l_discount")]).round(4).alias("folded"),
+    )
+    return out.to_spark()
+
+
+def q34_struct_ops(spark, sf_dir):
+    """struct pack → field access → unnest round-trip (§2.8 struct)."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    packed = li.select(
+        pl.struct(["l_orderkey", "l_linenumber"]).alias("s"),
+        pl.col("l_quantity"),
+    )
+    out = packed.with_columns(
+        packed_key=pl.col("s").struct.field("l_orderkey"),
+    ).unnest("s")
+    return out.to_spark()
+
+
+def q35_entropy_mode(spark, sf_dir):
+    """entropy over value-count distribution + deterministic mode (§2.4)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").collect()
+    counts = ev.get_column("event_type").value_counts()
+    out = counts.select(
+        pl.col("count").entropy(base=2).round(6).alias("type_entropy"),
+    )
+    return out.to_spark()
+
+
+def q36_upsample(spark, sf_dir):
+    """upsample to an hourly grid (grid gen + left join; §2.10)."""
+    import polars_ruby_spark as pl
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(pl.col("user_id") == 1)
+          .with_columns(pl.col("ts").dt.truncate("1h").alias("tsh"))
+          .group_by("event_type", "tsh").agg(pl.col("value").sum().round(4).alias("v"))
+          .collect())
+    out = ev.upsample("tsh", every="1h", by="event_type")
+    return out.to_spark().select("event_type", "tsh", "v")
+
+
+def q37_merge_sorted(spark, sf_dir):
+    """merge two key-sorted frames (§2.3 merge_sorted)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(pl.col("o_orderkey") % 2 == 0).sort(["o_orderdate", "o_orderkey"])
+    b = o.filter(pl.col("o_orderkey") % 2 == 1).sort(["o_orderdate", "o_orderkey"])
+    out = a.merge_sorted(b, "o_orderdate").select("o_orderkey", "o_orderdate")
+    return out.to_spark()
+
+
+def q38_group_head(spark, sf_dir):
+    """group_by(...).head(n) per-group top rows in row order (§2.4)."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem").sort(["l_orderkey", "l_linenumber"])
+    out = li.group_by("l_orderkey").head(2).select("l_orderkey", "l_linenumber")
+    return out.to_spark()
+
+
+def q39_dup_flags(spark, sf_dir):
+    """is_duplicated / is_unique flags via value-partition windows (§2.4)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    out = o.select(
+        pl.col("o_orderkey"),
+        pl.col("o_totalprice").is_duplicated().alias("dup"),
+        pl.col("o_totalprice").is_unique().alias("uniq"),
+    )
+    return out.to_spark()
+
+
 # ---------------------------------------------------------------------------
 # Extension pack: LLM-training-data pipeline operators (BASELINE.json north
 # star) — dedup, similarity search, text analysis, multimodal plumbing.
@@ -537,6 +681,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_concat": q25_concat,
         "q26_forward_fill": q26_forward_fill,
         "q27_rle": q27_rle,
+        "q28_cut_qcut": q28_cut_qcut,
+        "q29_value_counts": q29_value_counts,
+        "q30_to_dummies": q30_to_dummies,
+        "q31_ewm_mean": q31_ewm_mean,
+        "q32_interpolate": q32_interpolate,
+        "q33_horizontal_fold": q33_horizontal_fold,
+        "q34_struct_ops": q34_struct_ops,
+        "q35_entropy_mode": q35_entropy_mode,
+        "q36_upsample": q36_upsample,
+        "q37_merge_sorted": q37_merge_sorted,
+        "q38_group_head": q38_group_head,
+        "q39_dup_flags": q39_dup_flags,
         "q40_dedup_exact": q40_dedup_exact,
         "q41_minhash_pairs": q41_minhash_pairs,
         "q42_ngram_jaccard": q42_ngram_jaccard,
@@ -857,5 +1013,108 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN event_type IS DISTINCT FROM
                           lag(event_type) OVER (ORDER BY event_id) THEN 1 ELSE 0 END AS chg
               FROM events)
+        """,
+        "q28_cut_qcut": """
+            WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS b1,
+                              quantile_cont(l_extendedprice, 0.50) AS b2,
+                              quantile_cont(l_extendedprice, 0.75) AS b3 FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_quantity <= 10 THEN '(-inf, 10]'
+                        WHEN l_quantity <= 30 THEN '(10, 30]'
+                        ELSE '(30, inf]' END AS qty_band,
+                   CASE WHEN l_extendedprice <= b1 THEN 'q1'
+                        WHEN l_extendedprice <= b2 THEN 'q2'
+                        WHEN l_extendedprice <= b3 THEN 'q3'
+                        ELSE 'q4' END AS price_q
+            FROM lineitem, b
+        """,
+        "q29_value_counts": """
+            SELECT event_type, count(*) AS "count" FROM events GROUP BY event_type
+        """,
+        "q30_to_dummies": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o_orderstatus_F,
+                   CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS o_orderstatus_O,
+                   CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS o_orderstatus_P
+            FROM orders
+        """,
+        "q31_ewm_mean": """
+            WITH f AS (SELECT event_id, event_type, value, ts,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY ts, event_id) - 1 AS rn
+                       FROM events WHERE event_id <= 60)
+            SELECT event_id, event_type,
+                   round(sum(value * power(2.0, rn)) OVER w
+                         / sum(power(2.0, rn)) OVER w, 4) AS em
+            FROM f
+            WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "q32_interpolate": """
+            WITH b AS (SELECT event_id, user_id, ts,
+                              CASE WHEN value >= 3 AND value <= 8 THEN NULL ELSE value END AS v,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn
+                       FROM events),
+                 f AS (SELECT event_id, user_id, v, rn,
+                              last_value(v IGNORE NULLS) OVER wp AS pv,
+                              last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                                OVER wp AS pr,
+                              first_value(v IGNORE NULLS) OVER wf AS nv,
+                              first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                                OVER wf AS nr
+                       FROM b
+                       WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                              wf AS (PARTITION BY user_id ORDER BY rn
+                                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT event_id, user_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                                THEN pv + (nv - pv) * (rn - pr) / (nr - pr)
+                         END, 4) AS vi
+            FROM f
+        """,
+        "q33_horizontal_fold": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity + l_tax + l_discount, 4) AS hsum,
+                   round(greatest(l_quantity, l_tax, l_discount), 4) AS hmax,
+                   round((0.0 + l_quantity * 2) + l_discount * 2, 4) AS folded
+            FROM lineitem
+        """,
+        "q34_struct_ops": """
+            SELECT l_quantity, l_orderkey AS packed_key, l_orderkey, l_linenumber
+            FROM lineitem
+        """,
+        "q35_entropy_mode": """
+            SELECT round(entropy(event_type), 6) AS type_entropy FROM events
+        """,
+        "q36_upsample": """
+            WITH e AS (SELECT event_type, date_trunc('hour', ts) AS tsh,
+                              round(sum(value), 4) AS v
+                       FROM events WHERE user_id = 1 GROUP BY 1, 2),
+                 bounds AS (SELECT event_type, min(tsh) AS lo, max(tsh) AS hi
+                            FROM e GROUP BY 1),
+                 grid AS (SELECT event_type,
+                                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tsh
+                          FROM bounds)
+            SELECT g.event_type, g.tsh, e.v
+            FROM grid g LEFT JOIN e ON g.event_type = e.event_type AND g.tsh = e.tsh
+        """,
+        "q37_merge_sorted": """
+            SELECT o_orderkey, o_orderdate FROM orders
+        """,
+        "q38_group_head": """
+            SELECT l_orderkey, l_linenumber FROM (
+              SELECT l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber) AS rn
+              FROM lineitem) WHERE rn <= 2
+        """,
+        "q39_dup_flags": """
+            SELECT o_orderkey,
+                   count(*) OVER (PARTITION BY o_totalprice) > 1 AS dup,
+                   count(*) OVER (PARTITION BY o_totalprice) = 1 AS uniq
+            FROM orders
         """,
     }

@@ -30,7 +30,7 @@ from .functions import (
     all_horizontal, any_horizontal, arctan2, coalesce, concat_list, concat_str,
     corr, cov, cum_fold, cum_sum_horizontal, date_range, datetime_range, fold,
     format, int_range, max_horizontal, mean_horizontal, min_horizontal, repeat,
-    sql_expr, sum_horizontal,
+    sql_expr, struct, sum_horizontal,
 )
 from .functions import count, first, last, len, max, mean, min, sum  # noqa: A004
 from .series import Series

@@ -329,6 +329,34 @@ class Expr:
 
         return self._ordered(f)
 
+    def interpolate(self, method: str = "linear"):
+        """Fill nulls by interpolation between neighbours (expr.rb:3871).
+
+        Pure window math: previous/next non-null value + their row positions
+        from two directional windows; leading/trailing nulls stay null
+        (polars semantics).  No UDF, one pass over the ordered window.
+        """
+
+        def f(c, w):
+            # per-partition ordinal, not the global row index: under
+            # .over(keys) polars interpolates against positions WITHIN the
+            # group (rows of other groups don't widen the gap)
+            rn = F.row_number().over(w).cast("double")
+            wp = w.rowsBetween(Window.unboundedPreceding, 0)
+            wf = w.rowsBetween(0, Window.unboundedFollowing)
+            pv = F.last(c, ignorenulls=True).over(wp).cast("double")
+            pr = F.last(F.when(c.isNotNull(), rn), ignorenulls=True).over(wp)
+            nv = F.first(c, ignorenulls=True).over(wf).cast("double")
+            nr = F.first(F.when(c.isNotNull(), rn), ignorenulls=True).over(wf)
+            if method == "nearest":
+                filled = F.when((rn - pr) <= (nr - rn), pv).otherwise(nv)
+            else:
+                filled = pv + (nv - pv) * (rn - pr) / (nr - pr)
+            return F.when(c.isNotNull(), c.cast("double")).otherwise(
+                F.when(pv.isNotNull() & nv.isNotNull(), filled))
+
+        return self._ordered(f)
+
     # -- math (expr.rb — line refs in SURVEY §2.8) ------------------------------
     def abs(self):
         return self._lift(F.abs)
@@ -977,6 +1005,54 @@ class Expr:
 
         return self._ordered(f)
 
+    def _ewm_var(self, com, span, half_life, alpha, adjust, bias, min_periods):
+        """Shared ewm second moment: weighted sums s0=Σw s1=Σwx s2=Σwx² sq=Σw²
+        in ONE ``F.aggregate`` pass over the expanding collected window;
+        bias=False applies the reliability correction s0²/(s0²−sq)."""
+        a = _prepare_alpha(com, span, half_life, alpha)
+
+        def f(c, w):
+            arr = F.collect_list(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            n = F.size(arr)
+            zero = F.struct(F.lit(0.0).alias("s0"), F.lit(0.0).alias("s1"),
+                            F.lit(0.0).alias("s2"), F.lit(0.0).alias("sq"),
+                            F.lit(0).alias("i"))
+
+            def step(acc, x):
+                wgt = F.pow(F.lit(1 - a), (n - 1 - acc["i"]).cast("double"))
+                if not adjust:
+                    # recursive form unrolled: w_0=(1-a)^t, w_i=a(1-a)^(t-i)
+                    wgt = F.when(acc["i"] > 0, wgt * a).otherwise(wgt)
+                xd = x.cast("double")
+                return F.struct((acc["s0"] + wgt).alias("s0"),
+                                (acc["s1"] + wgt * xd).alias("s1"),
+                                (acc["s2"] + wgt * xd * xd).alias("s2"),
+                                (acc["sq"] + wgt * wgt).alias("sq"),
+                                (acc["i"] + 1).alias("i"))
+
+            m = F.aggregate(arr, zero, step)
+            mean = m["s1"] / m["s0"]
+            var = m["s2"] / m["s0"] - mean * mean
+            if not bias:
+                denom = m["s0"] * m["s0"] - m["sq"]
+                var = F.when(denom > 0, var * m["s0"] * m["s0"] / denom)
+            return F.when(n >= max(min_periods, 2), var)
+
+        return self._ordered(f)
+
+    def ewm_var(self, com=None, span=None, half_life=None, alpha=None,
+                adjust: bool = True, bias: bool = False, min_periods: int = 1):
+        """Exponentially weighted variance (expr.rb:6482)."""
+        return self._ewm_var(com, span, half_life, alpha, adjust, bias, min_periods)
+
+    def ewm_std(self, com=None, span=None, half_life=None, alpha=None,
+                adjust: bool = True, bias: bool = False, min_periods: int = 1):
+        """Exponentially weighted std (expr.rb:6381)."""
+        v = self._ewm_var(com, span, half_life, alpha, adjust, bias, min_periods)
+        fn = v._fn
+        return Expr(lambda df, part: F.sqrt(fn(df, part)), name=self._name,
+                    needs_order=True)
+
     # -- rle / peaks / binning ----------------------------------------------------------
     def rle_id(self):
         """Run ids (expr.rb:2674): gaps-and-islands cumsum of change points."""
@@ -1024,6 +1100,68 @@ class Expr:
                 out = F.when(cond, F.lit(labs[i])) if out is None else out.when(cond, F.lit(labs[i]))
             out = out.otherwise(F.lit(labs[len(brs)])) if out is not None else F.lit(labs[0])
             return out
+
+        return Expr(fn, name=self._name)
+
+    def qcut(self, quantiles, labels: list[str] | None = None,
+             left_closed: bool = False, allow_duplicates: bool = False):
+        """Bin by quantiles of the data (expr.rb:2611, feature cutqcut).
+
+        Two-pass: break points come from a first exact-percentile aggregate
+        pass (one tiny scalar result to the driver — swap to
+        ``percentile_approx`` at extreme scale), then lowers to :meth:`cut`.
+        """
+
+        def fn(df, part):
+            qs = ([i / quantiles for i in range(1, quantiles)]
+                  if isinstance(quantiles, int) else list(quantiles))
+            c = self._fn(df, part)
+            row = df.select(F.percentile(c, F.lit(qs)).alias("b")).first()
+            breaks = [float(b) for b in row["b"]]
+            if allow_duplicates:
+                breaks = sorted(set(breaks))
+            return self.cut(breaks, labels=labels, left_closed=left_closed)._fn(df, part)
+
+        return Expr(fn, name=self._name)
+
+    def replace(self, old, new=None, default=None):
+        """Value mapping, unmatched pass through (expr.rb:6915, feature replace)."""
+        mapping = dict(old) if isinstance(old, dict) else dict(zip(old, new))
+
+        def fn(df, part):
+            c = self._fn(df, part)
+            out = None
+            for k, v in mapping.items():
+                cond = c.eqNullSafe(F.lit(k))
+                out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+            if default is None:
+                fallback = c
+            else:
+                fallback = default._fn(df, part) if isinstance(default, Expr) else F.lit(default)
+            return out.otherwise(fallback) if out is not None else fallback
+
+        return Expr(fn, name=self._name)
+
+    def replace_strict(self, old, new=None, default=None):
+        """Value mapping, unmatched → default (null if none; expr.rb:7071).
+
+        Deviation: polars raises on unmatched-without-default; a distributed
+        engine can't cheaply detect that mid-expression, so we document
+        null-fill instead (same as default: nil).
+        """
+        mapping = dict(old) if isinstance(old, dict) else dict(zip(old, new))
+
+        def fn(df, part):
+            c = self._fn(df, part)
+            out = None
+            for k, v in mapping.items():
+                cond = c.eqNullSafe(F.lit(k))
+                out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+            if default is None:
+                fallback = F.lit(None)
+            else:
+                fallback = default._fn(df, part) if isinstance(default, Expr) else F.lit(default)
+            return out.otherwise(fallback) if out is not None else fallback
 
         return Expr(fn, name=self._name)
 

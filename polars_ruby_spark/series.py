@@ -185,6 +185,17 @@ class Series:
         return self._scalar("quantile", q, interpolation)
 
     # -- arithmetic via dispatch ---------------------------------------------------
+    def value_counts(self, sort: bool = False, name: str = "count"):
+        """series.rb value_counts → groupBy(col).count() (SURVEY §2.4)."""
+        from pyspark.sql import functions as F
+
+        from .frame import DataFrame
+
+        out = self._sdf.groupBy(self._name).agg(F.count(F.lit(1)).alias(name))
+        if sort:
+            out = out.orderBy(F.col(name).desc(), F.col(self._name))
+        return DataFrame(out)
+
     def _binop(self, other, opname):
         o = other
         if isinstance(other, Series):

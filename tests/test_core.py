@@ -156,3 +156,62 @@ def test_cast_null_on_error(spark):
     df = pl.from_hash({"s": ["1", "x", "3"]})
     out = df.lazy().select(pl.col("s").cast(pl.Int64).alias("i")).collect()
     assert [r["i"] for r in out.to_a()] == [1, None, 3]
+
+
+def test_interpolate(spark):
+    df = pl.from_hash({"x": [1.0, None, None, 4.0, None]})
+    out = df.lazy().select(pl.col("x").interpolate().alias("x")).collect()
+    assert [r["x"] for r in out.to_a()] == [1.0, 2.0, 3.0, 4.0, None]
+
+
+def test_interpolate_over_groups(spark):
+    df = pl.from_hash({"i": [0, 1, 2, 3, 4], "g": ["a", "b", "a", "b", "a"],
+                       "x": [0.0, 10.0, None, None, 4.0]})
+    out = (df.lazy().with_columns(pl.col("x").interpolate().over("g").alias("xi"))
+           .sort("i").collect())
+    vals = [r["xi"] for r in out.to_a()]
+    # group a: 0, null, 4 -> midpoint 2.0 (per-group ordinal, not global gap)
+    assert vals[2] == 2.0
+    assert vals[3] is None  # trailing null in group b stays null
+
+
+def test_qcut(spark):
+    df = pl.from_hash({"x": [1.0, 2.0, 3.0, 4.0]})
+    out = df.lazy().select(pl.col("x").qcut(2, labels=["lo", "hi"]).alias("b")).collect()
+    assert [r["b"] for r in out.to_a()] == ["lo", "lo", "hi", "hi"]
+
+
+def test_replace_mapping(spark):
+    df = pl.from_hash({"s": ["a", "b", "c"]})
+    out = df.lazy().select(
+        pl.col("s").replace({"a": "A"}).alias("keep"),
+        pl.col("s").replace_strict({"a": "A"}, default="?").alias("strict"),
+    ).collect()
+    rows = out.to_a()
+    assert [r["keep"] for r in rows] == ["A", "b", "c"]
+    assert [r["strict"] for r in rows] == ["A", "?", "?"]
+
+
+def test_ewm_var_std_match_pandas(spark):
+    import pandas as pd
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    df = pl.from_hash({"v": vals})
+    out = df.lazy().select(
+        pl.col("v").ewm_var(alpha=0.5).round(6).alias("ev"),
+        pl.col("v").ewm_std(alpha=0.5).round(6).alias("es"),
+    ).collect()
+    rows = out.to_a()
+    ref = pd.Series(vals).ewm(alpha=0.5)
+    for got, exp in zip([r["ev"] for r in rows], ref.var().round(6)):
+        assert got == (None if exp != exp else exp)
+    for got, exp in zip([r["es"] for r in rows], ref.std().round(6)):
+        assert got == (None if exp != exp else exp)
+
+
+def test_value_counts(spark):
+    df = pl.from_hash({"s": ["a", "b", "a", "a"]})
+    vc = df.collect().get_column("s").value_counts(sort=True)
+    rows = vc.to_a()
+    assert rows[0] == {"s": "a", "count": 3}
+    assert rows[1] == {"s": "b", "count": 1}
