@@ -21,17 +21,7 @@ def _tokens(col):
     return F.split(F.lower(col), " ")
 
 
-def _ensure_parallelism(sdf: DataFrame) -> DataFrame:
-    """Repartition only when the scan gives fewer partitions than cores.
-
-    The shingle/hash projections are CPU-bound; a small local file arrives as
-    ONE partition and would run single-threaded.  At 100 TB the scan already
-    yields thousands of partitions and this is a no-op (no shuffle added).
-    """
-    target = sdf.sparkSession.sparkContext.defaultParallelism
-    if sdf.rdd.getNumPartitions() < target:
-        return sdf.repartition(target)
-    return sdf
+from . import ensure_parallelism as _ensure_parallelism  # noqa: E402
 
 
 def shingles(col, k: int = 3):

@@ -34,13 +34,25 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     (small side); the corpus never shuffles — only the per-query top-k
     aggregate does (k rows per query per partition after partial top-k).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    from . import ensure_parallelism
+
+    # norms precomputed ONCE per row (a projection boundary before the join)
+    # — inlined into the pair expression they'd be re-evaluated per pair,
+    # |Q|× the work on the corpus side
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"),
+                       _norm(F.col(vec_col)).alias("__qn__"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"),
+        _norm(F.col(vec_col)).alias("__cn__"))
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("__qv__"), F.col("__cv__")) / (_norm(F.col("__qv__")) * _norm(F.col("__cv__")))
+    cos = _dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__"))
     scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    return _topk(scored, k)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -79,15 +91,16 @@ def lsh_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                     dim: int = 64, n_planes: int = 6, seed: int = 42) -> DataFrame:
     """Approximate top-k: compare only within matching LSH buckets —
     the scale path (bucket-equi-join instead of cross join)."""
+    from . import ensure_parallelism
+
     qb = lsh_bucket(queries, vec_col, dim, n_planes, seed).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"), "lsh_bucket")
-    cb = lsh_bucket(corpus, vec_col, dim, n_planes, seed).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"), "lsh_bucket")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"),
+        _norm(F.col(vec_col)).alias("__qn__"), "lsh_bucket")
+    cb = lsh_bucket(ensure_parallelism(corpus), vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"),
+        _norm(F.col(vec_col)).alias("__cn__"), "lsh_bucket")
     pairs = cb.join(F.broadcast(qb), "lsh_bucket").filter(
         F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("__qv__"), F.col("__cv__")) / (_norm(F.col("__qv__")) * _norm(F.col("__cv__")))
+    cos = _dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__"))
     scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")))
+    return _topk(scored, k)
