@@ -647,6 +647,29 @@ def q50_lsh_ann(spark, sf_dir):
         "query_id", "rank", "neighbor_id")
 
 
+def q51_streaming_window(spark, sf_dir):
+    """Structured Streaming: file-source stream → watermark → tumbling window
+    → parquet sink (availableNow), read back (§2.10 extension).  Append mode
+    emits exactly the windows whose end ≤ final watermark (max ts − 10m)."""
+    import tempfile
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.streaming import stream as st
+
+    _prep(spark)
+    tmp = tempfile.mkdtemp(prefix="plsq51_")
+    ev = _t(spark, sf_dir, "events")
+    stage = tmp + "/stage"
+    ev.to_spark().select("ts", "value").write.parquet(stage)
+    lf = st.scan_stream(stage, spark=spark)
+    win = st.windowed_agg(lf, "ts", every="1h", watermark="10m",
+                          aggs={"n": pl.len(),
+                                "sv": pl.col("value").sum().round(4)})
+    q = st.sink_stream(win, tmp + "/out", tmp + "/ckpt")
+    q.awaitTermination(300)
+    return pl.read_parquet(tmp + "/out", spark=spark).to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -704,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_multimodal": q48_multimodal,
         "q49_simhash_pairs": q49_simhash_pairs,   # rows-only (engine hash)
         "q50_lsh_ann": q50_lsh_ann,               # rows-only (approximate)
+        "q51_streaming_window": q51_streaming_window,
     }
 
 
@@ -1110,6 +1134,14 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY l_orderkey
                                         ORDER BY l_linenumber) AS rn
               FROM lineitem) WHERE rn <= 2
+        """,
+        "q51_streaming_window": """
+            WITH m AS (SELECT max(ts) AS mx FROM events),
+                 w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts,
+                              count(*) AS n, round(sum(value), 4) AS sv
+                       FROM events GROUP BY 1)
+            SELECT w.ts, w.n, w.sv FROM w, m
+            WHERE w.ts + INTERVAL 1 HOUR <= m.mx - INTERVAL 10 MINUTE
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,

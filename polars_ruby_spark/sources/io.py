@@ -51,8 +51,14 @@ def _ns_timestamp_cols(source) -> list[str]:
     try:
         import pyarrow.parquet as pq
 
-        schema = pq.ParquetFile(probe).schema_arrow
-        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        pf = pq.ParquetFile(probe)
+        # physical schema check: INT96 timestamps (Spark's own default output)
+        # also surface as timestamp[ns] in arrow but Spark reads them natively
+        # — only INT64/TIMESTAMP(NANOS) columns need the long+cast workaround
+        phys = {pf.schema.column(i).name: pf.schema.column(i).physical_type
+                for i in range(len(pf.schema))}
+        return [f.name for f in pf.schema_arrow
+                if str(f.type) == "timestamp[ns]" and phys.get(f.name) == "INT64"]
     except Exception:
         return []
 

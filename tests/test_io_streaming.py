@@ -1,0 +1,85 @@
+"""IO round-trips (SURVEY §2.1) and Structured Streaming extension (§2.10)."""
+
+import os
+
+import pytest
+
+import polars_ruby_spark as pl
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = pl.from_hash({"a": [1, 2, 3], "b": ["x", "y", None]})
+    path = str(tmp_path / "data_csv")
+    df.collect().write_csv(path)
+    back = pl.scan_csv(path, spark=spark).sort("a").collect()
+    rows = back.to_a()
+    assert [r["a"] for r in rows] == [1, 2, 3]
+    assert [r["b"] for r in rows] == ["x", "y", None]
+
+
+def test_csv_separator_and_header(spark, tmp_path):
+    p = tmp_path / "sep.csv"
+    p.write_text("a|b\n1|foo\n2|bar\n")
+    back = pl.scan_csv(str(p), separator="|", spark=spark).sort("a").collect()
+    assert [r["b"] for r in back.to_a()] == ["foo", "bar"]
+
+
+def test_ndjson_roundtrip(spark, tmp_path):
+    df = pl.from_hash({"a": [1, 2], "s": ["p", "q"]})
+    path = str(tmp_path / "data_ndjson")
+    df.collect().write_ndjson(path)
+    back = pl.scan_ndjson(path, spark=spark).sort("a").collect()
+    assert [r["s"] for r in back.to_a()] == ["p", "q"]
+
+
+def test_parquet_roundtrip_with_row_index(spark, tmp_path):
+    df = pl.from_hash({"a": [10, 20, 30]})
+    path = str(tmp_path / "data_parquet")
+    df.collect().write_parquet(path)
+    back = pl.read_parquet(path, row_index_name="idx", spark=spark).sort("a")
+    rows = back.collect().to_a()
+    assert sorted(r["idx"] for r in rows) == [0, 1, 2]
+
+
+def test_read_ipc_roundtrip(spark, tmp_path):
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.feather as feather
+
+    t = pa.table({"a": [1, 2, 3], "b": ["u", "v", "w"]})
+    p = str(tmp_path / "data.arrow")
+    feather.write_feather(t, p)
+    back = pl.read_ipc(p, spark=spark).sort("a")
+    assert [r["b"] for r in back.collect().to_a()] == ["u", "v", "w"]
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path, sf_dir):
+    """Trigger-once file-source stream == batch group_by_dynamic on static
+    data (no late rows ⇒ watermark drops nothing)."""
+    from polars_ruby_spark.streaming import stream as st
+
+    src = os.path.join(sf_dir, "events.parquet")
+    ev = pl.scan_parquet(src, spark=spark)
+    batch = (ev.group_by_dynamic("ts", every="1h").agg(pl.len().alias("n"))
+             .collect().to_a())
+    expected = {r["ts"]: r["n"] for r in batch}
+
+    sdf = ev.to_spark().select("ts", "value")
+    stage = str(tmp_path / "stage")
+    sdf.write.parquet(stage)
+
+    lf = st.scan_stream(stage, spark=spark)
+    win = st.windowed_agg(lf, "ts", every="1h", aggs={"n": pl.len()})
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = st.sink_stream(win, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {r["ts"]: r["n"] for r in
+           pl.read_parquet(out_dir, spark=spark).collect().to_a()}
+    # append mode only emits windows whose end passed the final watermark —
+    # the tail window(s) legitimately stay in state, everything emitted must
+    # match batch exactly
+    assert got
+    for ts, n in got.items():
+        assert expected[ts] == n
+    missing = set(expected) - set(got)
+    assert len(missing) <= 2 and all(ts >= max(got) for ts in missing)
