@@ -670,6 +670,43 @@ def q51_streaming_window(spark, sf_dir):
     return pl.read_parquet(tmp + "/out", spark=spark).to_spark()
 
 
+def q52_dynamic_sliding(spark, sf_dir):
+    """group_by_dynamic hopping windows (period > every, a row in 2 windows)
+    + _lower/_upper boundaries (§2.10)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.group_by_dynamic("ts", every="1h", period="2h",
+                              include_boundaries=True, by=["event_type"]).agg(
+        pl.len().alias("n"),
+        pl.col("value").sum().round(4).alias("sv"),
+    )
+    return out.to_spark()
+
+
+def q53_rolling_center(spark, sf_dir):
+    """centered row-frame rolling mean with min_periods (§2.5)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = ev.with_columns(
+        pl.col("value").rolling_mean(5, center=True).over("user_id").round(4).alias("rm"),
+    ).select("event_id", "user_id", "rm")
+    return out.to_spark()
+
+
+def q54_peaks(spark, sf_dir):
+    """peak_max/peak_min local-extrema flags (§2.5 peaks)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = ev.with_columns(
+        pl.col("value").peak_max().over("user_id").alias("pk_hi"),
+        pl.col("value").peak_min().over("user_id").alias("pk_lo"),
+    ).select("event_id", "user_id", "pk_hi", "pk_lo")
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -728,6 +765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_simhash_pairs": q49_simhash_pairs,   # rows-only (engine hash)
         "q50_lsh_ann": q50_lsh_ann,               # rows-only (approximate)
         "q51_streaming_window": q51_streaming_window,
+        "q52_dynamic_sliding": q52_dynamic_sliding,
+        "q53_rolling_center": q53_rolling_center,
+        "q54_peaks": q54_peaks,
     }
 
 
@@ -1142,6 +1182,31 @@ def oracle_sql() -> dict[str, str]:
                        FROM events GROUP BY 1)
             SELECT w.ts, w.n, w.sv FROM w, m
             WHERE w.ts + INTERVAL 1 HOUR <= m.mx - INTERVAL 10 MINUTE
+        """,
+        "q52_dynamic_sliding": """
+            SELECT ws AS _lower_boundary, ws + INTERVAL 2 HOUR AS _upper_boundary,
+                   ws AS ts, event_type, count(*) AS n, round(sum(value), 4) AS sv
+            FROM (SELECT e.event_type, e.value,
+                         time_bucket(INTERVAL 1 HOUR, e.ts) - k.k * INTERVAL 1 HOUR AS ws
+                  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k) t
+            GROUP BY ws, event_type
+        """,
+        "q53_rolling_center": """
+            SELECT event_id, user_id,
+                   CASE WHEN count(value) OVER w >= 5
+                        THEN round(avg(value) OVER w, 4) END AS rm
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        """,
+        "q54_peaks": """
+            SELECT event_id, user_id,
+                   value > coalesce(lag(value) OVER w, -1e308)
+                     AND value > coalesce(lead(value) OVER w, -1e308) AS pk_hi,
+                   value < coalesce(lag(value) OVER w, 1e308)
+                     AND value < coalesce(lead(value) OVER w, 1e308) AS pk_lo
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,
