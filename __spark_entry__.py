@@ -707,6 +707,20 @@ def q54_peaks(spark, sf_dir):
     return out.to_spark()
 
 
+def q55_session_windows(spark, sf_dir):
+    """Session windows (gap-based, F.session_window — batch+streaming API;
+    §2.10 extension).  Oracle: classic gaps-and-islands."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.streaming import stream as st
+
+    ev = _t(spark, sf_dir, "events")
+    out = st.session_window_agg(
+        ev, "ts", gap="30m",
+        aggs={"n": pl.len(), "sv": pl.col("value").sum().round(4)},
+        by=["user_id"])
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -768,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_dynamic_sliding": q52_dynamic_sliding,
         "q53_rolling_center": q53_rolling_center,
         "q54_peaks": q54_peaks,
+        "q55_session_windows": q55_session_windows,
     }
 
 
@@ -1207,6 +1222,19 @@ def oracle_sql() -> dict[str, str]:
                      AND value < coalesce(lead(value) OVER w, 1e308) AS pk_lo
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q55_session_windows": """
+            WITH s AS (SELECT user_id, ts, value,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                 g AS (SELECT user_id, ts, value,
+                              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+            SELECT min(ts) AS session_start, user_id,
+                   count(*) AS n, round(sum(value), 4) AS sv
+            FROM g GROUP BY user_id, sid
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,

@@ -33,6 +33,10 @@ from .functions import (
     sql_expr, struct, sum_horizontal,
 )
 from .functions import count, first, last, len, max, mean, min, sum  # noqa: A004
+from .config import (
+    Config, StringCache, disable_string_cache, enable_string_cache,
+    using_string_cache,
+)
 from .series import Series
 from .session import configure, get_spark
 from .sources import (

@@ -1257,6 +1257,14 @@ class Expr:
 
         return ListNameSpace(self)
 
+    @property
+    def arr(self):
+        """Fixed-size Array namespace (array_expr.rb) — Spark has no fixed
+        width arrays (SURVEY §1.3) so ops are shared with ``list``."""
+        from .namespaces import ListNameSpace
+
+        return ListNameSpace(self)
+
     arr = list
 
     @property

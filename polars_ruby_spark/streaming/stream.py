@@ -15,10 +15,13 @@ from ..functions.duration import parse_duration
 from ..session import get_spark
 
 
-def scan_stream(path: str, schema=None, format: str = "parquet", spark=None):
+def scan_stream(path: str, schema=None, format: str = "parquet", spark=None,
+                max_files_per_trigger: int | None = None):
     """Lazy streaming scan of a directory of files (file-source stream)."""
     s = spark or get_spark()
     reader = s.readStream.format(format)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -63,3 +66,60 @@ def sink_stream(lf, path: str, checkpoint: str, format: str = "parquet",
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_window_agg(lf, ts_column: str, gap: str, aggs: dict,
+                       by: list | None = None):
+    """Session windows (dynamic gap-based grouping) — native
+    ``F.session_window``, works on batch and streaming frames alike.
+
+    A new session starts when the gap since the previous event is ≥ ``gap``
+    (Spark merges events whose [ts, ts+gap) ranges overlap).  Scale: state
+    (streaming) or aggregation (batch) shuffles once on (by, session).
+    """
+    from ..group_by import _agg_columns
+
+    g = parse_duration(gap)
+    sdf = lf._sdf
+    agg_cols, _ = _agg_columns(sdf, [], dict(aggs))
+    win = F.session_window(F.col(ts_column), f"{g.total_seconds()} seconds")
+    by_cols = [F.col(b) for b in (by or [])]
+    out = sdf.groupBy(win.alias("__w__"), *by_cols).agg(*agg_cols)
+    out = out.select(
+        F.col("__w__.start").alias("session_start"),
+        *[c for c in out.columns if c != "__w__"],
+    )
+    from ..frame import LazyFrame
+
+    return LazyFrame(out)
+
+
+def stateful_running_count(lf, key: str, out_name: str = "n"):
+    """Custom stateful streaming operator: running per-key event count kept
+    in the state store across micro-batches (applyInPandasWithState —
+    SURVEY §2.10 'custom stateful operators' extension).
+
+    Emits one updated (key, count) row per key per micro-batch; pair with
+    ``outputMode("update")``.  State is one bigint per key — bounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sdf = lf._sdf
+    key_field = sdf.schema[key]
+    out_schema = StructType([key_field, StructField(out_name, LongType())])
+    state_schema = StructType([StructField("n", LongType())])
+
+    def fn(key_tuple, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key: [key_tuple[0]], out_name: [n]})
+
+    out = sdf.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    from ..frame import LazyFrame
+
+    return LazyFrame(out)

@@ -83,3 +83,58 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path, sf_dir):
         assert expected[ts] == n
     missing = set(expected) - set(got)
     assert len(missing) <= 2 and all(ts >= max(got) for ts in missing)
+
+
+def test_session_window_matches_gaps_and_islands(spark, sf_dir):
+    """Native session_window == classic gaps-and-islands SQL on batch data."""
+    from pyspark.sql import functions as F
+
+    from polars_ruby_spark.streaming import stream as st
+
+    ev = pl.scan_parquet(os.path.join(sf_dir, "events.parquet"), spark=spark)
+    out = st.session_window_agg(ev, "ts", gap="30m",
+                                aggs={"n": pl.len()}, by=["user_id"])
+    got = {(r["user_id"], r["session_start"]): r["n"]
+           for r in out.collect().to_a()}
+
+    sdf = ev.to_spark()
+    sdf.createOrReplaceTempView("ev_sess")
+    ref = spark.sql("""
+        WITH s AS (SELECT user_id, ts,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS new_s
+                   FROM ev_sess WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             g AS (SELECT user_id, ts,
+                          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n
+        FROM g GROUP BY user_id, sid
+    """).collect()
+    expected = {(r["user_id"], r["session_start"]): r["n"] for r in ref}
+    assert got == expected
+
+
+def test_stateful_running_count_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps state across micro-batches: with
+    maxFilesPerTrigger=1 the final per-key count equals the batch count."""
+    from polars_ruby_spark.streaming import stream as st
+
+    stage = str(tmp_path / "stage")
+    pl.from_hash({"k": ["a", "a", "b"]}).to_spark().coalesce(1).write.mode(
+        "overwrite").parquet(stage)
+    pl.from_hash({"k": ["a", "b", "b"]}).to_spark().coalesce(1).write.mode(
+        "append").parquet(stage)
+
+    lf = st.scan_stream(stage, spark=spark, max_files_per_trigger=1)
+    counts = st.stateful_running_count(lf, "k")
+    q = (counts._sdf.writeStream.format("memory").queryName("running_counts")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM running_counts").collect()
+    assert len(rows) >= 2  # at least one emission per batch containing a key
+    final = {}
+    for r in rows:  # last emission per key wins (update mode)
+        final[r["k"]] = max(r["n"], final.get(r["k"], 0))
+    assert final == {"a": 3, "b": 3}
