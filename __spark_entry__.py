@@ -628,12 +628,13 @@ def q48_multimodal(spark, sf_dir):
     return multimodal.decode_features(packed)
 
 
-def q49_simhash_pairs(spark, sf_dir):
-    """SimHash Hamming-LSH candidates (engine-defined hash → rows-only check)."""
+def q49_simhash(spark, sf_dir):
+    """SimHash 64-bit fingerprint — md5-derived bit votes, oracle-matched
+    (the Hamming-LSH pair stage reuses q41's verified band machinery)."""
     from polars_ruby_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d._sdf)
+    return dedup.simhash(d._sdf)
 
 
 def q50_lsh_ann(spark, sf_dir):
@@ -776,7 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_token_count": q46_token_count,
         "q47_fingerprint": q47_fingerprint,
         "q48_multimodal": q48_multimodal,
-        "q49_simhash_pairs": q49_simhash_pairs,   # rows-only (engine hash)
+        "q49_simhash": q49_simhash,
         "q50_lsh_ann": q50_lsh_ann,               # rows-only (approximate)
         "q51_streaming_window": q51_streaming_window,
         "q52_dynamic_sliding": q52_dynamic_sliding,
@@ -803,7 +804,19 @@ def _shingle_sql(tcol: str) -> str:
 def oracle_sql() -> dict[str, str]:
     _mh = ", ".join(
         f"list_min(list_transform(s, x -> md5('{j}:' || x))) AS m{j}" for j in range(9))
+    _votes = ", ".join(
+        f"sum(CASE WHEN (u >> {64 - i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(1, 65))
+    _bitstr = " || ".join(f"CASE WHEN b{i} > 0 THEN '1' ELSE '0' END" for i in range(1, 65))
     ext = {
+        "q49_simhash": f"""
+            WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                          FROM documents),
+                 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS u
+                       FROM toks),
+                 v AS (SELECT doc_id, {_votes} FROM h GROUP BY doc_id)
+            SELECT doc_id, {_bitstr} AS simhash_bits FROM v
+        """,
         "q40_dedup_exact": r"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM (SELECT doc_id,

@@ -140,14 +140,17 @@ def ngram_jaccard(sdf_pairs: DataFrame, left_text: str, right_text: str,
 
 def simhash(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
-    """SimHash fingerprint: per-token 64-bit hash bit-votes, packed to a hex
-    string.  xxhash64-based (fast path; engine-defined values, rows-only
-    check — SURVEY §2.8 hash_rows policy)."""
+    """SimHash fingerprint: per-token 64-bit hash bit-votes, packed to a bit
+    string.  Bits come from the first 16 hex chars of md5(token) — one hash
+    per token (same cost as xxhash64) and bit-identical across engines, so
+    the fingerprint itself is oracle-checkable (DuckDB:
+    ``('0x' || substr(md5(tok),1,16))::UBIGINT``)."""
     sdf = _ensure_parallelism(sdf)
     t = _tokens(F.col(text_col))
-    # per-token 64-char two's-complement bit string (single pass; shiftright
+    # per-token 64-char bit string, MSB first (single pass; shiftright
     # can't take a lambda variable as the bit index)
-    hash_bits = F.transform(t, lambda x: F.lpad(F.bin(F.xxhash64(x)), bits, "0"))
+    hash_bits = F.transform(
+        t, lambda x: F.lpad(F.conv(F.substring(F.md5(x), 1, 16), 16, 2), bits, "0"))
     zero = F.array_repeat(F.lit(0), bits)
     votes = F.aggregate(
         hash_bits, zero,
