@@ -722,6 +722,63 @@ def q55_session_windows(spark, sf_dir):
     return out.to_spark()
 
 
+def q56_map_elements(spark, sf_dir):
+    """map_elements scalar python fn → vectorized pandas UDF (§2.9)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        pl.col("event_id"),
+        pl.col("value").map_elements(lambda v: round(v * 2 + 0.5, 4),
+                                     return_dtype=pl.Float64).alias("mapped"),
+    )
+    return out.to_spark()
+
+
+def q57_concat_diag_horizontal(spark, sf_dir):
+    """diagonal concat (schema union, null-fill) + horizontal concat (§2.7)."""
+    import polars_ruby_spark as pl
+
+    n = _t(spark, sf_dir, "nation")
+    a = n.select("n_nationkey", "n_name")
+    b = n.select("n_nationkey", "n_regionkey")
+    diag = pl.concat([a, b], how="diagonal")
+
+    r = _t(spark, sf_dir, "region").sort("r_regionkey")
+    left = r.select("r_regionkey", "r_name").collect()
+    right = r.select(pl.col("r_name").str.to_uppercase().alias("upper")).collect()
+    horiz = left.hstack(right)
+    out = diag.join(horiz.lazy(), left_on="n_regionkey", right_on="r_regionkey",
+                    how="left").select("n_nationkey", "n_name", "n_regionkey", "upper")
+    return out.to_spark()
+
+
+def q58_ranges(spark, sf_dir):
+    """int_range + date_range generators (§2.8 ranges) → spark.range/sequence."""
+    import polars_ruby_spark as pl
+
+    ints = pl.int_range(0, 30, spark=spark)
+    dates = pl.date_range("2024-01-01", "2024-01-30", "1d", spark=spark)
+    di = dates.with_row_index("idx")
+    out = di.join(ints.lazy(), left_on="idx", right_on="int_range", how="inner").select(
+        "idx", "date")
+    return out.to_spark()
+
+
+def q59_json(spark, sf_dir):
+    """json_path_match + json_decode over the events.props JSON column (§2.8)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        pl.col("event_id"),
+        pl.col("props").str.json_path_match("$.k").cast(pl.Int64).alias("k_path"),
+        pl.col("props").str.json_decode(pl.Struct({"k": pl.Int64}))
+        .struct.field("k").alias("k_typed"),
+    )
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -784,6 +841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_rolling_center": q53_rolling_center,
         "q54_peaks": q54_peaks,
         "q55_session_windows": q55_session_windows,
+        "q56_map_elements": q56_map_elements,
+        "q57_concat_diag_horizontal": q57_concat_diag_horizontal,
+        "q58_ranges": q58_ranges,
+        "q59_json": q59_json,
     }
 
 
@@ -1248,6 +1309,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(ts) AS session_start, user_id,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM g GROUP BY user_id, sid
+        """,
+        "q56_map_elements": """
+            SELECT event_id, round(value * 2 + 0.5, 4) AS mapped FROM events
+        """,
+        "q57_concat_diag_horizontal": """
+            WITH diag AS (
+              SELECT n_nationkey, n_name, NULL::BIGINT AS n_regionkey FROM nation
+              UNION ALL
+              SELECT n_nationkey, NULL, n_regionkey FROM nation),
+            horiz AS (SELECT r_regionkey, upper(r_name) AS upper FROM region)
+            SELECT d.n_nationkey, d.n_name, d.n_regionkey, h.upper
+            FROM diag d LEFT JOIN horiz h ON d.n_regionkey = h.r_regionkey
+        """,
+        "q58_ranges": """
+            SELECT i AS idx, (DATE '2024-01-01' + i::INT) AS date
+            FROM range(0, 30) t(i)
+        """,
+        "q59_json": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k')::BIGINT AS k_path,
+                   json_extract(props, '$.k')::BIGINT AS k_typed
+            FROM events
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,

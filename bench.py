@@ -32,8 +32,12 @@ HEADLINE = [
     "q16_str_funcs",         # string kernels
     "q18_list_funcs",        # higher-order functions
     "q20_unpivot",           # reshape
+    "q32_interpolate",       # directional-window interpolation
+    "q52_dynamic_sliding",   # hopping event-time windows
+    "q55_session_windows",   # session windows
     "q40_dedup_exact",       # extension: exact dedup
     "q41_minhash_pairs",     # extension: MinHash LSH
+    "q49_simhash",           # extension: SimHash fingerprint
     "q43_ann_cosine",        # extension: brute-force ANN
     "q45_quality",           # extension: text quality scoring
 ]

@@ -1222,17 +1222,10 @@ class Expr:
         Compiled to a vectorized pandas UDF (Arrow batches — SURVEY §2.9), the
         10-100× faster path vs row-at-a-time UDFs.
         """
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
+        from ._udf_helpers import make_scalar_pandas_udf
 
         t = to_spark_type(return_dtype) if return_dtype is not None else to_spark_type("str")
-
-        @pandas_udf(t)
-        def _udf(s: pd.Series) -> pd.Series:
-            if skip_nulls:
-                return s.map(lambda v: None if v is None else function(v))
-            return s.map(function)
-
+        _udf = make_scalar_pandas_udf(function, t, skip_nulls)
         return self._lift(lambda c: _udf(c))
 
     map = map_elements
