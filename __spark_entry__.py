@@ -779,6 +779,78 @@ def q59_json(spark, sf_dir):
     return out.to_spark()
 
 
+def q60_dt_edge(spark, sf_dir):
+    """dt namespace edge ops: weekday Mon=1 shim, iso_year, ordinal_day,
+    month_start/end, offset_by, epoch (§2.8 temporal)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        pl.col("event_id"),
+        pl.col("ts").dt.weekday().alias("wd"),
+        pl.col("ts").dt.iso_year().alias("iy"),
+        pl.col("ts").dt.ordinal_day().alias("doy"),
+        pl.col("ts").dt.month_start().cast(pl.Date).alias("mstart"),
+        pl.col("ts").dt.month_end().cast(pl.Date).alias("mend"),
+        pl.col("ts").dt.offset_by("1mo").cast(pl.Date).alias("plus_1mo"),
+        pl.col("ts").dt.epoch("s").alias("epoch_s"),
+    )
+    return out.to_spark()
+
+
+def q61_str_edge(spark, sf_dir):
+    """str namespace edge ops: zfill/pad_end/slice-negative/reverse/
+    split_exact/strip_prefix/count_matches/hex encode (§2.8 string)."""
+    import polars_ruby_spark as pl
+
+    p = _t(spark, sf_dir, "part")
+    out = p.select(
+        pl.col("p_partkey"),
+        pl.col("p_partkey").cast(pl.String).str.zfill(8).alias("zf"),
+        pl.col("p_brand").str.pad_end(12, ".").alias("pe"),
+        pl.col("p_name").str.slice(-5).alias("tail5"),
+        pl.col("p_name").str.reverse().alias("rev"),
+        pl.col("p_name").str.split_exact(" ", 1).struct.field("field_0").alias("w0"),
+        pl.col("p_type").str.strip_prefix("STANDARD ").alias("noprefix"),
+        pl.col("p_name").str.count_matches("a").alias("n_a"),
+        pl.col("p_brand").str.encode("hex").alias("hexed"),
+    )
+    return out.to_spark()
+
+
+def q62_list_eval(spark, sf_dir):
+    """list namespace: eval(element expr), sort/unique/slice/join/contains,
+    arg_max — higher-order functions, no UDF (§2.8 list / §2.9 list.eval)."""
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents")
+    toks = pl.col("text").str.split(" ")
+    out = d.select(
+        pl.col("doc_id"),
+        toks.list.eval(pl.element().str.len_chars()).list.max().alias("max_len"),
+        toks.list.unique().list.len().alias("n_uniq"),
+        toks.list.slice(0, 3).list.join("-").alias("head3"),
+        toks.list.contains("the").alias("has_the"),
+        toks.list.sort().list.first().alias("first_sorted"),
+    )
+    return out.to_spark()
+
+
+def q63_ordinal(spark, sf_dir):
+    """ordinal row ops over explicit sort: slice, gather_every, reverse
+    (§2.2/§2.6 row-index machinery)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey")
+    sl = o.slice(10, 5).select("o_orderkey").with_columns(pl.lit("slice").alias("src"))
+    ge = (o.gather_every(1000).select("o_orderkey")
+          .with_columns(pl.lit("every1000").alias("src")))
+    rv = (o.reverse().head(5).select("o_orderkey")
+          .with_columns(pl.lit("rev_head").alias("src")))
+    out = pl.concat([sl, ge, rv], how="vertical")
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -845,6 +917,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_concat_diag_horizontal": q57_concat_diag_horizontal,
         "q58_ranges": q58_ranges,
         "q59_json": q59_json,
+        "q60_dt_edge": q60_dt_edge,
+        "q61_str_edge": q61_str_edge,
+        "q62_list_eval": q62_list_eval,
+        "q63_ordinal": q63_ordinal,
     }
 
 
@@ -1331,6 +1407,52 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(props, '$.k')::BIGINT AS k_path,
                    json_extract(props, '$.k')::BIGINT AS k_typed
             FROM events
+        """,
+        "q60_dt_edge": """
+            SELECT event_id,
+                   isodow(ts) AS wd,
+                   isoyear(ts) AS iy,
+                   dayofyear(ts) AS doy,
+                   date_trunc('month', ts)::DATE AS mstart,
+                   last_day(ts::DATE) AS mend,
+                   (ts + INTERVAL 1 MONTH)::DATE AS plus_1mo,
+                   floor(epoch(ts))::BIGINT AS epoch_s
+            FROM events
+        """,
+        "q61_str_edge": """
+            SELECT p_partkey,
+                   lpad(p_partkey::VARCHAR, 8, '0') AS zf,
+                   rpad(p_brand, 12, '.') AS pe,
+                   CASE WHEN length(p_name) >= 5 THEN right(p_name, 5)
+                        ELSE p_name END AS tail5,
+                   reverse(p_name) AS rev,
+                   string_split(p_name, ' ')[1] AS w0,
+                   CASE WHEN starts_with(p_type, 'STANDARD ')
+                        THEN substr(p_type, 10) ELSE p_type END AS noprefix,
+                   length(p_name) - length(replace(p_name, 'a', '')) AS n_a,
+                   upper(hex(p_brand)) AS hexed
+            FROM part
+        """,
+        "q62_list_eval": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            SELECT doc_id,
+                   list_max(list_transform(toks, x -> length(x))) AS max_len,
+                   len(list_distinct(toks)) AS n_uniq,
+                   array_to_string(toks[1:3], '-') AS head3,
+                   list_contains(toks, 'the') AS has_the,
+                   list_sort(toks)[1] AS first_sorted
+            FROM t
+        """,
+        "q63_ordinal": """
+            WITH o AS (SELECT o_orderkey,
+                              row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+                              count(*) OVER () AS total
+                       FROM orders)
+            SELECT o_orderkey, 'slice' AS src FROM o WHERE rn BETWEEN 10 AND 14
+            UNION ALL
+            SELECT o_orderkey, 'every1000' FROM o WHERE rn % 1000 = 0
+            UNION ALL
+            SELECT o_orderkey, 'rev_head' FROM o WHERE rn >= total - 5
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,

@@ -272,7 +272,14 @@ class DateTimeNameSpace(_NS):
         return self._e._lift(lambda c: F.year(c).cast("int"))
 
     def iso_year(self) -> Expr:
-        return self._e._lift(lambda c: F.date_format(c, "YYYY").cast("int"))
+        # ISO year = calendar year of that ISO week's Thursday ('YYYY'
+        # week-year patterns are rejected by Spark 3+'s parser)
+        def f(c):
+            d = c.cast("date")
+            isodow = (F.dayofweek(d) + 5) % 7 + 1  # Mon=1..Sun=7
+            return F.year(F.date_add(d, 4 - isodow)).cast("int")
+
+        return self._e._lift(f)
 
     def quarter(self) -> Expr:
         return self._e._lift(lambda c: F.quarter(c).cast("int"))
