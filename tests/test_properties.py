@@ -1,0 +1,121 @@
+"""Property-based semantics tests (hypothesis): engine vs DuckDB on random
+frames.  Mirrors the reference's golden-oracle approach (SURVEY §5) with
+randomized inputs instead of doctest constants."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import polars_ruby_spark as pl
+
+# floats without NaN/inf (NaN ordering differs by engine; covered separately)
+finite = st.floats(allow_nan=False, allow_infinity=False, width=32)
+opt_float = st.one_of(st.none(), finite)
+opt_int = st.one_of(st.none(), st.integers(min_value=-10**6, max_value=10**6))
+
+SET = settings(max_examples=8, deadline=None,
+               suppress_health_check=[HealthCheck.too_slow])
+
+
+def _frame(spark, cols: dict):
+    pdf = pd.DataFrame({k: pd.Series(v, dtype="object") for k, v in cols.items()})
+    return pl.from_hash({k: list(v) for k, v in cols.items()}), pdf
+
+
+def _duck(pdf, sql):
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return con.execute(sql).fetchall()
+
+
+def _close(a, b, tol=1e-6):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if math.isnan(float(a)) or math.isnan(float(b)):
+            return math.isnan(float(a)) == math.isnan(float(b))
+        return abs(float(a) - float(b)) <= tol * max(1.0, abs(float(a)), abs(float(b)))
+    return a == b
+
+
+@SET
+@given(st.lists(st.tuples(opt_float, opt_float), min_size=1, max_size=20))
+def test_arithmetic_null_propagation(spark, pairs):
+    a, b = [p[0] for p in pairs], [p[1] for p in pairs]
+    df, pdf = _frame(spark, {"i": list(range(len(a))), "a": a, "b": b})
+    got = (df.lazy().select(
+        pl.col("i"),
+        ((pl.col("a") + pl.col("b")) * 2 - pl.col("a")).alias("x"),
+    ).sort("i").collect().to_a())
+    pdf2 = pd.DataFrame({"i": range(len(a)), "a": pd.array(a, dtype="Float64"),
+                         "b": pd.array(b, dtype="Float64")})
+    exp = _duck(pdf2, "SELECT i, (a + b) * 2 - a AS x FROM t ORDER BY i")
+    for g, (i, x) in zip(got, exp):
+        assert _close(g["x"], x), (g, x)
+
+
+@SET
+@given(st.lists(opt_int, min_size=1, max_size=20))
+def test_forward_fill_matches_sql(spark, vals):
+    df, _ = _frame(spark, {"i": list(range(len(vals))), "v": vals})
+    got = (df.lazy().with_columns(pl.col("v").forward_fill().alias("f"))
+           .sort("i").collect().to_a())
+    pdf2 = pd.DataFrame({"i": range(len(vals)), "v": pd.array(vals, dtype="Int64")})
+    exp = _duck(pdf2, """
+        SELECT i, last_value(v IGNORE NULLS) OVER
+          (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+        FROM t ORDER BY i""")
+    assert [g["f"] for g in got] == [e[1] for e in exp]
+
+
+@SET
+@given(st.lists(opt_int, min_size=1, max_size=20))
+def test_cum_sum_and_shift(spark, vals):
+    df, _ = _frame(spark, {"i": list(range(len(vals))), "v": vals})
+    got = (df.lazy().with_columns(
+        pl.col("v").cum_sum().alias("cs"),
+        pl.col("v").shift(1).alias("sh"),
+    ).sort("i").collect().to_a())
+    pdf2 = pd.DataFrame({"i": range(len(vals)), "v": pd.array(vals, dtype="Int64")})
+    exp = _duck(pdf2, """
+        SELECT i,
+               sum(v) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cs,
+               lag(v) OVER (ORDER BY i) AS sh
+        FROM t ORDER BY i""")
+    for g, e in zip(got, exp):
+        assert g["cs"] == e[1] and g["sh"] == e[2], (g, e)
+
+
+@SET
+@given(st.lists(st.sampled_from(["a", "b", "c", None]), min_size=1, max_size=20))
+def test_unique_keep_first(spark, vals):
+    df, _ = _frame(spark, {"i": list(range(len(vals))), "s": vals})
+    got = (df.lazy().unique(subset=["s"], keep="first").sort("i")
+           .collect().to_a())
+    seen, exp = set(), []
+    for i, s in enumerate(vals):
+        if s not in seen:
+            seen.add(s)
+            exp.append((i, s))
+    assert [(g["i"], g["s"]) for g in got] == exp
+
+
+@SET
+@given(st.lists(st.text(alphabet="ab ", max_size=12), min_size=1, max_size=15))
+def test_string_kernels(spark, vals):
+    df, _ = _frame(spark, {"i": list(range(len(vals))), "s": vals})
+    got = (df.lazy().select(
+        pl.col("i"),
+        pl.col("s").str.len_chars().alias("n"),
+        pl.col("s").str.to_uppercase().alias("u"),
+        pl.col("s").str.contains("ab", literal=True).alias("c"),
+    ).sort("i").collect().to_a())
+    for g, s in zip(got, vals):
+        assert g["n"] == len(s)
+        assert g["u"] == s.upper()
+        assert g["c"] == ("ab" in s)
