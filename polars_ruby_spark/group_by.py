@@ -206,17 +206,32 @@ class DynamicGroupBy:
         if self._offset is not None:
             off = parse_duration(self._offset)
             start = f"{off.total_seconds()} seconds"
-        win = F.window(F.col(self._index), period_s, every_s, start)
+        ts = F.col(self._index)
+        if self._closed == "right":
+            # (start, end] ⇔ [start, end) membership of ts - ε: shift the
+            # assignment key one µs back; boundaries stay the true window
+            ts = ts - F.expr("INTERVAL 1 MICROSECOND")
+        elif self._closed != "left":
+            raise NotImplementedError(
+                f"closed={self._closed!r}: 'both'/'none' duplicate/drop "
+                "boundary rows — not representable as a single window assign")
+        win = F.window(ts, period_s, every_s, start)
         by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
                    for b in self._by]
-        grouped = sdf.groupBy(win.alias("__w__"), *by_cols).agg(*aggs)
-        label_col = (F.col("__w__.start") if self._label == "left"
-                     else F.col("__w__.end")).alias(self._index)
+        extra_aggs = []
+        if self._label == "datapoint":
+            extra_aggs.append(F.min(F.col(self._index)).alias("__dp__"))
+        grouped = sdf.groupBy(win.alias("__w__"), *by_cols).agg(*aggs, *extra_aggs)
+        if self._label == "datapoint":
+            label_col = F.col("__dp__").alias(self._index)
+        else:
+            label_col = (F.col("__w__.start") if self._label == "left"
+                         else F.col("__w__.end")).alias(self._index)
         extra = []
         if self._include_boundaries:
             extra = [F.col("__w__.start").alias("_lower_boundary"),
                      F.col("__w__.end").alias("_upper_boundary")]
-        keep = [c for c in grouped.columns if c != "__w__"]
+        keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
         out = grouped.select(*extra, label_col, *keep)
         return LazyFrame(out)
 

@@ -215,3 +215,29 @@ def test_value_counts(spark):
     rows = vc.to_a()
     assert rows[0] == {"s": "a", "count": 3}
     assert rows[1] == {"s": "b", "count": 1}
+
+
+def test_group_by_dynamic_closed_and_label(spark):
+    import datetime as dt
+
+    ts = [dt.datetime(2024, 1, 1, h, m) for h, m in
+          [(0, 0), (0, 30), (1, 0), (1, 30), (2, 0)]]
+    df = pl.from_hash({"ts": ts, "v": [1, 2, 3, 4, 5]})
+
+    left = {r["ts"]: r["n"] for r in
+            df.lazy().group_by_dynamic("ts", every="1h").agg(pl.len().alias("n"))
+            .collect().to_a()}
+    # closed=left: boundary rows open each hour -> 2,2,1
+    assert [left[k] for k in sorted(left)] == [2, 2, 1]
+
+    right = {r["ts"]: r["n"] for r in
+             df.lazy().group_by_dynamic("ts", every="1h", closed="right")
+             .agg(pl.len().alias("n")).collect().to_a()}
+    # closed=right: (start,end] -> 00:00 falls in the 23:00 window; 1,2,2
+    assert sorted(right.values(), key=lambda n: n) == [1, 2, 2]
+
+    dp = {r["ts"]: r["n"] for r in
+          df.lazy().group_by_dynamic("ts", every="1h", label="datapoint")
+          .agg(pl.len().alias("n")).collect().to_a()}
+    # labels are the first datapoint of each window, not the window start
+    assert set(dp) == {ts[0], ts[2], ts[4]}
