@@ -896,10 +896,39 @@ class Expr:
 
         return self._ordered(f)
 
-    def rolling_sum(self, window_size: int, min_periods: int | None = None, center: bool = False):
+    def _rolling_weighted(self, window_size: int, weights, center: bool, mean: bool):
+        """Weighted row-frame rolling: collect the window, dot with the
+        weight vector (JVM ``zip_with``/``aggregate``).  Weights require a
+        full window (polars: len(weights) == window_size; partial → null)."""
+        if len(weights) != window_size:
+            raise ValueError("weights length must equal window_size")
+        warr = F.array(*[F.lit(float(x)) for x in weights])
+        wsum = float(sum(weights))
+
+        def f(c, w):
+            if center:
+                before = (window_size - 1) // 2
+                wf = w.rowsBetween(-before, window_size - 1 - before)
+            else:
+                wf = w.rowsBetween(-(window_size - 1), 0)
+            arr = F.collect_list(c.cast("double")).over(wf)
+            dot = F.aggregate(F.zip_with(arr, warr, lambda x, wt: x * wt),
+                              F.lit(0.0), lambda a, v: a + v)
+            out = dot / F.lit(wsum) if mean else dot
+            return F.when(F.size(arr) >= window_size, out)
+
+        return self._ordered(f)
+
+    def rolling_sum(self, window_size: int, weights=None,
+                    min_periods: int | None = None, center: bool = False):
+        if weights is not None:
+            return self._rolling_weighted(window_size, weights, center, mean=False)
         return self._rolling(F.sum, window_size, min_periods, center)
 
-    def rolling_mean(self, window_size: int, min_periods: int | None = None, center: bool = False):
+    def rolling_mean(self, window_size: int, weights=None,
+                     min_periods: int | None = None, center: bool = False):
+        if weights is not None:
+            return self._rolling_weighted(window_size, weights, center, mean=True)
         return self._rolling(F.avg, window_size, min_periods, center)
 
     def rolling_min(self, window_size: int, min_periods: int | None = None, center: bool = False):
@@ -963,6 +992,32 @@ class Expr:
 
     def rolling_max_by(self, by, window_size: str, closed: str = "right"):
         return self._rolling_by(F.max, by, window_size, closed)
+
+    def rolling_skew(self, window_size: int, bias: bool = True,
+                     min_periods: int | None = None):
+        """expr.rb:5567 — Spark's skewness is the biased g1 = m3/m2^1.5,
+        matching polars bias=True (the rolling default)."""
+        if not bias:
+            raise NotImplementedError("rolling_skew(bias=False)")
+        return self._rolling(F.skewness, window_size,
+                             min_periods if min_periods is not None else window_size,
+                             center=False)
+
+    def rolling_std_by(self, by, window_size: str, closed: str = "right", ddof: int = 1):
+        f = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._rolling_by(f, by, window_size, closed)
+
+    def rolling_var_by(self, by, window_size: str, closed: str = "right", ddof: int = 1):
+        f = F.var_samp if ddof == 1 else F.var_pop
+        return self._rolling_by(f, by, window_size, closed)
+
+    def rolling_median_by(self, by, window_size: str, closed: str = "right"):
+        return self._rolling_by(F.median, by, window_size, closed)
+
+    def rolling_quantile_by(self, by, window_size: str, quantile: float = 0.5,
+                            closed: str = "right"):
+        return self._rolling_by(lambda c: F.percentile(c, F.lit(quantile)),
+                                by, window_size, closed)
 
     def rolling_count_by(self, by, window_size: str, closed: str = "right"):
         return self._rolling_by(F.count, by, window_size, closed)

@@ -59,7 +59,7 @@ def _fake_decode(payload: bytes) -> dict:
 
 def decode_features(sdf: DataFrame, media_col: str = "media", id_col: str = "doc_id",
                     real_decoder: Callable[[bytes], dict] | None = None,
-                    target_partition_mb: int = 64) -> DataFrame:
+                    target_partition_mb: int | None = 64) -> DataFrame:
     """Decode/feature-extract media via Arrow-batched ``mapInPandas``.
 
     ``real_decoder(bytes) -> {"n_bytes": int, "feat": list[float]}`` plugs in
@@ -86,6 +86,14 @@ def decode_features(sdf: DataFrame, media_col: str = "media", id_col: str = "doc
             yield pd.DataFrame(recs, columns=[id_col, "n_bytes", "feat"])
 
     narrow = sdf.select(id_col, media_col)
+    if target_partition_mb is not None:
+        # media rows are large: size partitions by payload bytes (one small
+        # agg pass) so each Arrow transfer stays within executor memory
+        total = narrow.select(
+            F.sum(F.col(f"{media_col}.meta.n_bytes"))).first()[0] or 0
+        n_parts = max(1, int(total // (target_partition_mb * 1024 * 1024)) + 1)
+        if n_parts > narrow.rdd.getNumPartitions():
+            narrow = narrow.repartition(n_parts)
     return narrow.mapInPandas(run, out_schema)
 
 

@@ -241,3 +241,40 @@ def test_group_by_dynamic_closed_and_label(spark):
           .agg(pl.len().alias("n")).collect().to_a()}
     # labels are the first datapoint of each window, not the window start
     assert set(dp) == {ts[0], ts[2], ts[4]}
+
+
+def test_weighted_rolling_and_skew(spark):
+    import pandas as pd
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = pl.from_hash({"v": vals})
+    out = df.lazy().select(
+        pl.col("v").rolling_mean(3, weights=[1.0, 2.0, 3.0]).round(6).alias("wm"),
+        pl.col("v").rolling_skew(4).round(6).alias("sk"),
+    ).collect().to_a()
+    s = pd.Series(vals)
+    ref_wm = s.rolling(3).apply(lambda w: (w * [1, 2, 3]).sum() / 6).round(6)
+    ref_sk = s.rolling(4).apply(
+        lambda w: (((w - w.mean()) ** 3).mean())
+        / (((w - w.mean()) ** 2).mean()) ** 1.5).round(6)
+    for i, r in enumerate(out):
+        assert r["wm"] == (None if ref_wm[i] != ref_wm[i] else ref_wm[i])
+        assert r["sk"] == (None if ref_sk[i] != ref_sk[i] else ref_sk[i])
+
+
+def test_rolling_std_by_time(spark):
+    import datetime as dtm
+
+    ts = [dtm.datetime(2024, 1, 1, 0, m) for m in [0, 10, 20, 40, 50]]
+    df = pl.from_hash({"ts": ts, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = df.lazy().select(
+        pl.col("v").rolling_std_by("ts", "30m").round(6).alias("s"),
+    ).collect().to_a()
+    # windows (right-closed, 30m lookback): {1},{1,2},{1,2,3},{3,4},{4,5}
+    import statistics
+    exp = [None,
+           round(statistics.stdev([1.0, 2.0]), 6),
+           round(statistics.stdev([1.0, 2.0, 3.0]), 6),
+           round(statistics.stdev([3.0, 4.0]), 6),
+           round(statistics.stdev([4.0, 5.0]), 6)]
+    assert [r["s"] for r in out] == exp
