@@ -851,6 +851,20 @@ def q63_ordinal(spark, sf_dir):
     return out.to_spark()
 
 
+def q64_dynamic_monthly(spark, sf_dir):
+    """group_by_dynamic with calendar unit (1mo tumbling → date_trunc;
+    variable-length months can't use fixed-duration F.window) (§2.10)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.group_by_dynamic("ts", every="1mo", by=["event_type"],
+                              include_boundaries=True).agg(
+        pl.len().alias("n"),
+        pl.col("value").mean().round(4).alias("av"),
+    )
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -921,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_str_edge": q61_str_edge,
         "q62_list_eval": q62_list_eval,
         "q63_ordinal": q63_ordinal,
+        "q64_dynamic_monthly": q64_dynamic_monthly,
     }
 
 
@@ -1453,6 +1468,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, 'every1000' FROM o WHERE rn % 1000 = 0
             UNION ALL
             SELECT o_orderkey, 'rev_head' FROM o WHERE rn >= total - 5
+        """,
+        "q64_dynamic_monthly": """
+            SELECT date_trunc('month', ts)::TIMESTAMP AS _lower_boundary,
+                   date_trunc('month', ts)::TIMESTAMP + INTERVAL 1 MONTH AS _upper_boundary,
+                   date_trunc('month', ts)::TIMESTAMP AS ts,
+                   event_type, count(*) AS n, round(avg(value), 4) AS av
+            FROM events GROUP BY 1, 2, 3, 4
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,

@@ -194,7 +194,7 @@ class DynamicGroupBy:
         every = parse_duration(self._every)
         period = parse_duration(self._period)
         if every.is_calendar or period.is_calendar:
-            raise NotImplementedError("calendar-unit dynamic windows: use truncate")
+            return self._agg_calendar(every, period, exprs, named)
         sdf = self._lf._sdf
         aggs, needs_order = _agg_columns(sdf, exprs, named)
         if needs_order:
@@ -231,6 +231,49 @@ class DynamicGroupBy:
         if self._include_boundaries:
             extra = [F.col("__w__.start").alias("_lower_boundary"),
                      F.col("__w__.end").alias("_upper_boundary")]
+        keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
+        out = grouped.select(*extra, label_col, *keep)
+        return LazyFrame(out)
+
+    def _agg_calendar(self, every, period, exprs, named):
+        """Calendar-unit (1mo/1q/1y) TUMBLING windows: group on date_trunc —
+        variable-length months can't go through fixed-duration F.window, but
+        truncation is exact and stays a plain hash aggregate (one shuffle).
+        """
+        from .frame import LazyFrame
+
+        if (every.months, every.microseconds) != (period.months, period.microseconds):
+            raise NotImplementedError("calendar windows support tumbling only "
+                                      "(period == every)")
+        if self._closed != "left" or self._offset is not None:
+            raise NotImplementedError("calendar windows: closed='left', no offset")
+        unit = {1: "month", 3: "quarter", 12: "year"}.get(every.months)
+        if unit is None or every.microseconds:
+            raise NotImplementedError(f"unsupported calendar every {self._every!r}")
+        sdf = self._lf._sdf
+        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        if needs_order:
+            sdf = self._lf._ensure_row_index()._sdf
+            aggs, _ = _agg_columns(sdf, exprs, named)
+        win = F.date_trunc(unit, F.col(self._index))
+        by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
+                   for b in self._by]
+        extra_aggs = [F.min(F.col(self._index)).alias("__dp__")] \
+            if self._label == "datapoint" else []
+        grouped = sdf.groupBy(win.alias("__w__"), *by_cols).agg(*aggs, *extra_aggs)
+        if self._label == "datapoint":
+            label_col = F.col("__dp__").alias(self._index)
+        elif self._label == "right":
+            step = {"month": 1, "quarter": 3, "year": 12}[unit]
+            label_col = F.add_months(F.col("__w__"), step).cast("timestamp").alias(self._index)
+        else:
+            label_col = F.col("__w__").alias(self._index)
+        extra = []
+        if self._include_boundaries:
+            step = {"month": 1, "quarter": 3, "year": 12}[unit]
+            extra = [F.col("__w__").alias("_lower_boundary"),
+                     F.add_months(F.col("__w__"), step).cast("timestamp")
+                     .alias("_upper_boundary")]
         keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
         out = grouped.select(*extra, label_col, *keep)
         return LazyFrame(out)

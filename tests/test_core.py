@@ -278,3 +278,13 @@ def test_rolling_std_by_time(spark):
            round(statistics.stdev([3.0, 4.0]), 6),
            round(statistics.stdev([4.0, 5.0]), 6)]
     assert [r["s"] for r in out] == exp
+
+
+def test_group_by_dynamic_calendar_monthly(spark):
+    ts = [dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20),
+          dt.datetime(2024, 2, 29), dt.datetime(2024, 3, 1)]
+    df = pl.from_hash({"ts": ts, "v": [1, 2, 3, 4]})
+    out = {r["ts"].month: r["n"] for r in
+           df.lazy().group_by_dynamic("ts", every="1mo").agg(pl.len().alias("n"))
+           .collect().to_a()}
+    assert out == {1: 2, 2: 1, 3: 1}
