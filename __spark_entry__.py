@@ -865,6 +865,33 @@ def q64_dynamic_monthly(spark, sf_dir):
     return out.to_spark()
 
 
+def q65_frame_sample(spark, sf_dir):
+    """Multimodal video frame-sampling plumbing: planned frame grid via
+    sequence+explode (decode step stubbed; §multimodal extension)."""
+    from pyspark.sql import functions as F
+
+    from polars_ruby_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")._sdf.withColumn("data", F.encode("text", "utf-8"))
+    packed = multimodal.pack_media(d, "data", mime="video/fake")
+    out = multimodal.frame_sample(packed, every_n=3)
+    return out.select("doc_id", "frame_no")
+
+
+def q66_search_sorted_groupsort(spark, sf_dir):
+    """search_sorted + per-group sort/reverse remap under over (§2.5/§2.6)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey")
+    out = o.select(
+        pl.col("o_orderkey"),
+        pl.col("o_totalprice").search_sorted(100000.0, side="left").alias("n_below"),
+        pl.col("o_totalprice").sort(descending=True).over("o_orderstatus")
+        .round(2).alias("price_sorted_in_status"),
+    )
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -936,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_list_eval": q62_list_eval,
         "q63_ordinal": q63_ordinal,
         "q64_dynamic_monthly": q64_dynamic_monthly,
+        "q65_frame_sample": q65_frame_sample,
+        "q66_search_sorted_groupsort": q66_search_sorted_groupsort,
     }
 
 
@@ -1475,6 +1504,24 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('month', ts)::TIMESTAMP AS ts,
                    event_type, count(*) AS n, round(avg(value), 4) AS av
             FROM events GROUP BY 1, 2, 3, 4
+        """,
+        "q65_frame_sample": """
+            SELECT doc_id, unnest(range(0, greatest(length(text) // 1000 - 1, 0) + 1, 3))
+                   AS frame_no
+            FROM documents
+        """,
+        "q66_search_sorted_groupsort": """
+            WITH s AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                              row_number() OVER (PARTITION BY o_orderstatus
+                                                 ORDER BY o_orderkey) AS rk
+                       FROM orders),
+                 arrs AS (SELECT o_orderstatus,
+                                 list(o_totalprice ORDER BY o_totalprice DESC) AS arr
+                          FROM orders GROUP BY 1)
+            SELECT s.o_orderkey,
+                   (SELECT count(*) FROM orders WHERE o_totalprice < 100000) AS n_below,
+                   round(arr[rk], 2) AS price_sorted_in_status
+            FROM s JOIN arrs USING (o_orderstatus)
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,

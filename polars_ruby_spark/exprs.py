@@ -821,13 +821,14 @@ class Expr:
 
         return Expr(fn, name=self._name, needs_order=True)
 
-    def sort(self, reverse: bool = False):
+    def sort(self, reverse: bool = False, descending: bool = False,
+             nulls_last: bool = False):
         def fn(df, part):
             c = self._fn(df, part)
             both = Window.partitionBy(*(part or [])).orderBy(ROW_IDX).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing)
             arr = F.array_sort(F.collect_list(c).over(both))
-            if reverse:
+            if reverse or descending:
                 arr = F.reverse(arr)
             pos = F.row_number().over(Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
             return F.element_at(arr, pos)
