@@ -91,10 +91,28 @@ def join_asof(left, right, on=None, left_on=None, right_on=None, by=None,
         "*", *group_cols) if group_cols else l_tagged.unionByName(r_tagged)
     gnames = [f"__gby_{lb}__" for lb in bl]
 
+    # Global asof (no `by`): a single ordered window would funnel ALL rows to
+    # one partition — a 100 TB failure mode.  Instead range-bucket on time
+    # (one tiny min/max action), run the union-merge locally per bucket, and
+    # fix up each bucket's prefix with a carry-in table of ≤ n_buckets rows.
+    bucketed = not gnames
+    if bucketed:
+        n_buckets = 64
+        tnum = F.col("__asof_t__").cast("double")
+        stats = unioned.select(F.min(tnum).alias("lo"), F.max(tnum).alias("hi")).first()
+        lo, hi = stats["lo"], stats["hi"]
+        width = ((hi - lo) / n_buckets) if (hi is not None and hi > lo) else 1.0
+        bucket = F.least(F.floor((tnum - F.lit(lo)) / F.lit(width)),
+                         F.lit(n_buckets - 1)).cast("int")
+        unioned = unioned.withColumn("__bucket__", bucket)
+        gnames = ["__bucket__"]
+
     def pick(ordering_desc: bool):
         if ordering_desc:
+            # tag ASC within equal times: rights enter the frame before the
+            # left row, so forward matches INCLUDE equal timestamps
             w = Window.partitionBy(*gnames).orderBy(
-                F.col("__asof_t__").desc(), F.col(_TAG).desc()
+                F.col("__asof_t__").desc(), F.col(_TAG).asc()
             ).rowsBetween(Window.unboundedPreceding, 0)
         else:
             w = Window.partitionBy(*gnames).orderBy(
@@ -105,27 +123,66 @@ def join_asof(left, right, on=None, left_on=None, right_on=None, by=None,
                        ignorenulls=True).over(w)
         return matched, mtime
 
-    if strategy == "backward":
-        payload, mtime = pick(False)
-        u2 = unioned.select("*", payload.alias("__m__"), mtime.alias("__mt__"))
-    elif strategy == "forward":
-        payload, mtime = pick(True)
-        u2 = unioned.select("*", payload.alias("__m__"), mtime.alias("__mt__"))
-    elif strategy == "nearest":
-        pb, tb = pick(False)
-        pf, tf = pick(True)
-        back_closer = (
-            tf.isNull()
-            | (tb.isNotNull()
-               & (_dist(F.col("__asof_t__"), tb) <= _dist(F.col("__asof_t__"), tf)))
-        )
-        u2 = unioned.select(
-            "*",
-            F.when(back_closer, pb).otherwise(pf).alias("__m__"),
-            F.when(back_closer, tb).otherwise(tf).alias("__mt__"),
-        )
-    else:
+    need_back = strategy in ("backward", "nearest")
+    need_fwd = strategy in ("forward", "nearest")
+    if not (need_back or need_fwd):
         raise ValueError(f"unknown asof strategy {strategy!r}")
+    cols = ["*"]
+    if need_back:
+        pb, tb = pick(False)
+        cols += [pb.alias("__pb__"), tb.alias("__tb__")]
+    if need_fwd:
+        pf, tf = pick(True)
+        cols += [pf.alias("__pf__"), tf.alias("__tf__")]
+    u2 = unioned.select(*cols)
+
+    if bucketed:
+        rights = unioned.filter(F.col(_TAG) == 0)
+        buckets = unioned.select("__bucket__").distinct()
+        if need_back:
+            per_b = rights.groupBy("__bucket__").agg(
+                F.max_by(_PAYLOAD, F.col("__asof_t__")).alias("p"),
+                F.max("__asof_t__").alias("t"))
+            wprev = Window.orderBy("__bucket__").rowsBetween(
+                Window.unboundedPreceding, -1)
+            carry = buckets.join(per_b, "__bucket__", "left").select(
+                "__bucket__",
+                F.last("p", ignorenulls=True).over(wprev).alias("__cb_p__"),
+                F.last("t", ignorenulls=True).over(wprev).alias("__cb_t__"))
+            u2 = (u2.join(F.broadcast(carry), "__bucket__", "left")
+                  .withColumn("__pb__", F.coalesce("__pb__", "__cb_p__"))
+                  .withColumn("__tb__", F.coalesce("__tb__", "__cb_t__"))
+                  .drop("__cb_p__", "__cb_t__"))
+        if need_fwd:
+            per_b = rights.groupBy("__bucket__").agg(
+                F.min_by(_PAYLOAD, F.col("__asof_t__")).alias("p"),
+                F.min("__asof_t__").alias("t"))
+            wnext = Window.orderBy("__bucket__").rowsBetween(
+                1, Window.unboundedFollowing)
+            carry = buckets.join(per_b, "__bucket__", "left").select(
+                "__bucket__",
+                F.first("p", ignorenulls=True).over(wnext).alias("__cf_p__"),
+                F.first("t", ignorenulls=True).over(wnext).alias("__cf_t__"))
+            u2 = (u2.join(F.broadcast(carry), "__bucket__", "left")
+                  .withColumn("__pf__", F.coalesce("__pf__", "__cf_p__"))
+                  .withColumn("__tf__", F.coalesce("__tf__", "__cf_t__"))
+                  .drop("__cf_p__", "__cf_t__"))
+
+    if strategy == "backward":
+        u2 = u2.withColumn("__m__", F.col("__pb__")).withColumn("__mt__", F.col("__tb__"))
+    elif strategy == "forward":
+        u2 = u2.withColumn("__m__", F.col("__pf__")).withColumn("__mt__", F.col("__tf__"))
+    else:  # nearest
+        back_closer = (
+            F.col("__tf__").isNull()
+            | (F.col("__tb__").isNotNull()
+               & (_dist(F.col("__asof_t__"), F.col("__tb__"))
+                  <= _dist(F.col("__asof_t__"), F.col("__tf__"))))
+        )
+        u2 = (u2.withColumn("__m__", F.when(back_closer, F.col("__pb__"))
+                            .otherwise(F.col("__pf__")))
+              .withColumn("__mt__", F.when(back_closer, F.col("__tb__"))
+                          .otherwise(F.col("__tf__"))))
 
     out = u2.filter(F.col(_TAG) == 1)
 

@@ -288,3 +288,16 @@ def test_group_by_dynamic_calendar_monthly(spark):
            df.lazy().group_by_dynamic("ts", every="1mo").agg(pl.len().alias("n"))
            .collect().to_a()}
     assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_join_asof_strategies_and_global_bucketing(spark):
+    left = pl.from_hash({"t": [1.0, 3.0, 5.0, 7.0], "lid": [1, 2, 3, 4]})
+    right = pl.from_hash({"t": [2.0, 5.0, 6.0], "val": ["a", "b", "c"]})
+    # global (no `by`) path goes through the range-bucketed two-pass plan
+    for strat, want in [("backward", [None, "a", "b", "c"]),
+                        ("forward", ["a", "b", "b", None]),  # equal-t matches
+                        ("nearest", ["a", "a", "b", "c"])]:
+        got = [r["val"] for r in
+               (left.lazy().join_asof(right.lazy(), on="t", strategy=strat)
+                .sort("lid").collect().to_a())]
+        assert got == want, (strat, got)
