@@ -92,4 +92,11 @@ def align_frames(*frames, on):
     return out
 
 
+def collect_all(lazy_frames):
+    """functions/lazy.rb:1016 — execute a batch of plans; Spark's
+    ReuseExchange/ReuseSubquery dedupe shared subplans at the physical level
+    (the reference's comm_subplan_elim, SURVEY §4.1)."""
+    return [DataFrame(lf._sdf) for lf in lazy_frames]
+
+
 __version__ = "0.1.0"

@@ -344,7 +344,20 @@ class LazyFrame:
         return LazyFrame(out.orderBy(F.col(key).asc()))
 
     def with_context(self, other):
-        raise NotImplementedError("with_context: use join or SQLContext views")
+        """lazy_frame.rb:1821 — make `other`'s columns visible to exprs.
+        1-row contexts broadcast (cross join); equal-height contexts zip by
+        row position.  Needs one count action to pick the plan."""
+        others = other if isinstance(other, (list, tuple)) else [other]
+        out = self
+        for o in others:
+            osdf = o.to_spark()
+            if osdf.count() == 1:
+                out = LazyFrame(out.to_spark().crossJoin(F.broadcast(osdf)))
+            else:
+                from .operators.reshape import hstack
+
+                out = LazyFrame(hstack(out, o).to_spark())
+        return out
 
     # -- nested ------------------------------------------------------------------------------
     def explode(self, *columns) -> "LazyFrame":

@@ -1,0 +1,71 @@
+"""Frame-level convenience ops (SURVEY §2.8 encoding / §2.7 / exports)."""
+
+import polars_ruby_spark as pl
+
+
+def test_transpose(spark):
+    df = pl.from_hash({"a": [1, 2], "b": [3, 4]}).collect()
+    t = df.transpose(include_header=True)
+    rows = {r["column"]: r for r in t.to_a()}
+    assert set(rows) == {"a", "b"}
+    assert [rows["a"][c] for c in t.columns if c != "column"] == [1, 2]
+
+
+def test_describe(spark, orders):
+    d = orders.collect().describe()
+    rows = {r[d.columns[0]]: r for r in d.to_a()}
+    assert "mean" in rows and "max" in rows and "null_count" in rows
+
+
+def test_partition_by(spark, orders):
+    parts = orders.collect().partition_by("o_orderstatus", as_dict=True)
+    assert len(parts) >= 2
+    for k, f in parts.items():
+        vals = {r["o_orderstatus"] for r in f.to_a()}
+        assert vals == {k if not isinstance(k, tuple) else k[0]}
+
+
+def test_sample_deterministic_bounds(spark, orders):
+    full = orders.collect().height
+    s = orders.collect().sample(fraction=0.2, seed=42)
+    assert 0 < s.height < full
+    s2 = orders.collect().sample(fraction=0.2, seed=42)
+    assert s.height == s2.height  # same seed, same plan
+
+
+def test_hash_rows(spark):
+    df = pl.from_hash({"a": [1, 2, 1], "b": ["x", "y", "x"]}).collect()
+    h = df.hash_rows()
+    vals = h.to_list()
+    assert vals[0] == vals[2] and vals[0] != vals[1]
+
+
+def test_align_frames(spark):
+    a = pl.from_hash({"k": [1, 2], "v": [10, 20]})
+    b = pl.from_hash({"k": [2, 3], "w": [200, 300]})
+    fa, fb = pl.align_frames(a, b, on="k")
+    ka = [r["k"] for r in fa.collect().to_a()]
+    kb = [r["k"] for r in fb.collect().to_a()]
+    assert ka == kb == [1, 2, 3]
+
+
+def test_with_context(spark):
+    a = pl.from_hash({"x": [1, 2, 3]})
+    b = pl.from_hash({"y": [10.0]})
+    out = a.lazy().with_context(b.lazy()).select(
+        (pl.col("x") + pl.col("y")).alias("s")).collect()
+    assert [r["s"] for r in out.to_a()] == [11.0, 12.0, 13.0]
+
+
+def test_collect_all(spark, orders):
+    l1 = orders.select("o_orderkey")
+    l2 = orders.group_by("o_orderstatus").agg(pl.len().alias("n"))
+    r1, r2 = pl.collect_all([l1, l2])
+    assert r1.height > 0 and r2.height >= 1
+
+
+def test_glimpse_and_estimated_size(spark, orders):
+    df = orders.limit(10).collect()
+    text = df.glimpse()
+    assert "o_orderkey" in str(text)
+    assert df.estimated_size() > 0
