@@ -771,3 +771,32 @@ class DataFrame(LazyFrame):
             return f"shape: {self.shape}\n" + pdf.to_string(index=False)
         except Exception:
             return f"<DataFrame {self.columns}>"
+
+
+# Eager parity: polars eager DataFrame methods return DataFrame, not
+# LazyFrame (the reference's eager ops are lazy round-trips that re-wrap —
+# data_frame.rb:1161-1163).  Wrap every frame-returning LazyFrame method.
+def _eagerize(name):
+    base = getattr(LazyFrame, name)
+
+    def f(self, *args, **kwargs):
+        out = base(self, *args, **kwargs)
+        if isinstance(out, LazyFrame) and not isinstance(out, DataFrame):
+            return DataFrame(out._sdf)
+        return out
+
+    f.__name__ = name
+    f.__doc__ = base.__doc__
+    return f
+
+
+for _m in [
+    "select", "with_columns", "with_column", "filter", "drop", "rename",
+    "drop_nulls", "drop_nans", "fill_null", "fill_nan", "sort", "reverse",
+    "limit", "head", "tail", "slice", "gather_every", "shift",
+    "with_row_index", "unique", "join", "join_asof", "merge_sorted",
+    "with_context", "explode", "unnest", "unpivot", "vstack",
+]:
+    if not hasattr(DataFrame, "__dict__") or _m not in DataFrame.__dict__:
+        setattr(DataFrame, _m, _eagerize(_m))
+del _m
