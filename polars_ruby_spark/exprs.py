@@ -329,6 +329,28 @@ class Expr:
 
         return self._ordered(f)
 
+    def shuffle(self, seed: int | None = None):
+        """expr.rb:6301 — deterministic-with-seed permutation via the ordered
+        remap (collect → F.shuffle(seed) → positional re-pick)."""
+
+        def fn(df, part):
+            c = self._fn(df, part)
+            both = Window.partitionBy(*(part or [])).orderBy(ROW_IDX).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+            # pair each value with a seed-deterministic pseudo-random key,
+            # sort the collected pairs by key, and pick by the row's own
+            # ordinal — a permutation that leaves frame row order intact
+            # (F.shuffle re-rolls per row; ordering the positional window by
+            # the random key would leak the sort into the output order)
+            rnd = (F.xxhash64(F.col(ROW_IDX), F.lit(seed)) if seed is not None
+                   else F.xxhash64((F.rand() * 1e18).cast("long")))
+            pairs = F.array_sort(
+                F.collect_list(F.struct(rnd.alias("h"), c.alias("v"))).over(both))
+            pos = F.row_number().over(Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
+            return F.element_at(pairs, pos)["v"]
+
+        return Expr(fn, name=self._name, needs_order=True)
+
     def interpolate(self, method: str = "linear"):
         """Fill nulls by interpolation between neighbours (expr.rb:3871).
 

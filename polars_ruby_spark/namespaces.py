@@ -47,6 +47,17 @@ class StringNameSpace(_NS):
     def extract_all(self, pattern: str) -> Expr:
         return self._e._lift(lambda c: F.regexp_extract_all(c, F.lit(pattern)))
 
+    def extract_groups(self, pattern: str) -> Expr:
+        """string_expr.rb:1032 — all capture groups as a struct (fields named
+        by position, polars-style, or by name for named groups)."""
+        import re as _re
+
+        compiled = _re.compile(pattern)
+        names = {v: k for k, v in compiled.groupindex.items()}
+        fields = [(names.get(i, str(i)), i) for i in range(1, compiled.groups + 1)]
+        return self._e._lift(lambda c: F.struct(*[
+            F.regexp_extract(c, pattern, i).alias(nm) for nm, i in fields]))
+
     def count_matches(self, pattern: str, literal: bool = False) -> Expr:
         pat = re.escape(pattern) if literal else pattern
         return self._e._lift(lambda c: F.regexp_count(c, F.lit(pat)))

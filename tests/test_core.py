@@ -301,3 +301,20 @@ def test_join_asof_strategies_and_global_bucketing(spark):
                (left.lazy().join_asof(right.lazy(), on="t", strategy=strat)
                 .sort("lid").collect().to_a())]
         assert got == want, (strat, got)
+
+
+def test_extract_groups_and_shuffle(spark):
+    df = pl.from_hash({"i": [0, 1], "s": ["a1-b2", "c3-d4"]})
+    out = df.lazy().select(
+        pl.col("s").str.extract_groups(r"([a-z])(\d)").alias("g")).collect().to_a()
+    assert out[0]["g"] == {"1": "a", "2": "1"}
+
+    dfn = pl.from_hash({"i": list(range(20)), "v": list(range(20))})
+    res = (dfn.lazy().with_columns(pl.col("v").shuffle(seed=7).alias("x"))
+           .sort("i").collect().to_a())
+    xs = [r["x"] for r in res]
+    assert sorted(xs) == list(range(20))      # a permutation
+    assert xs != list(range(20))              # actually shuffled
+    res2 = (dfn.lazy().with_columns(pl.col("v").shuffle(seed=7).alias("x"))
+            .sort("i").collect().to_a())
+    assert xs == [r["x"] for r in res2]       # seed-deterministic
