@@ -27,7 +27,7 @@ from .datatypes import (
 from .exprs import Expr, all_, col, cols, element, lit, when
 from .frame import DataFrame, LazyFrame
 from .functions import (
-    all_horizontal, any_horizontal, arctan2, coalesce, concat_list, concat_str,
+    all_horizontal, any_horizontal, arctan2, arg_sort_by, coalesce, concat_list, concat_str,
     corr, cov, cum_fold, cum_sum_horizontal, date_range, datetime_range, fold,
     format, int_range, max_horizontal, mean_horizontal, min_horizontal, repeat,
     sql_expr, struct, sum_horizontal,

@@ -337,3 +337,29 @@ def repeat(value, n: int, eager: bool = False, spark=None):
 def sql_expr(sql: str) -> Expr:
     """functions/lazy.rb:1272 — SQL fragment → Expr, via F.expr (native)."""
     return Expr(lambda df, part: F.expr(sql), name=None)
+
+
+def arg_sort_by(exprs, descending: bool = False):
+    """functions/lazy.rb:978 — row positions that would sort by the given
+    keys (ordered collect + positional pick, same remap as Expr.sort_by)."""
+    from pyspark.sql import Window
+
+    from ..session import ROW_IDX
+
+    es = _exprs(exprs)
+
+    def fn(df, part):
+        keys = F.struct(*[e._fn(df, part) for e in es])
+        both = Window.partitionBy(*(part or [])).orderBy(ROW_IDX).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        ordinal = F.row_number().over(
+            Window.partitionBy(*(part or [])).orderBy(ROW_IDX)) - 1
+        pairs = F.array_sort(
+            F.collect_list(F.struct(keys.alias("k"), ordinal.alias("i"))).over(both))
+        if descending:
+            pairs = F.reverse(pairs)
+        pos = F.row_number().over(
+            Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
+        return F.element_at(pairs, pos)["i"].cast("long")
+
+    return Expr(fn, name="arg_sort_by", needs_order=True)
