@@ -892,6 +892,14 @@ def q66_search_sorted_groupsort(spark, sf_dir):
     return out.to_spark()
 
 
+def q67_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive Rabin-Karp document fingerprint (text extension)."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.rolling_fingerprint(d._sdf).select("doc_id", "roll_fp")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -965,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_dynamic_monthly": q64_dynamic_monthly,
         "q65_frame_sample": q65_frame_sample,
         "q66_search_sorted_groupsort": q66_search_sorted_groupsort,
+        "q67_rolling_fingerprint": q67_rolling_fingerprint,
     }
 
 
@@ -1522,6 +1531,15 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM orders WHERE o_totalprice < 100000) AS n_below,
                    round(arr[rk], 2) AS price_sorted_in_status
             FROM s JOIN arrs USING (o_orderstatus)
+        """,
+        "q67_rolling_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::UBIGINT,
+                       list_transform(string_split(lower(text), ' '),
+                         x -> ('0x' || substr(md5(x), 1, 8))::UBIGINT)),
+                     (a, x) -> (a * 31 + x) % 1000000000000000)::BIGINT AS roll_fp
+            FROM documents
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,

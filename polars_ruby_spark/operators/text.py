@@ -70,3 +70,20 @@ def fingerprint(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     token set (catches shuffled near-copies that exact hash misses)."""
     t = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
     return sdf.withColumn("fingerprint", F.md5(F.array_join(t, " ")))
+
+
+def rolling_fingerprint(sdf: DataFrame, text_col: str = "text",
+                        base: int = 31, mod: int = 10**15) -> DataFrame:
+    """Order-SENSITIVE Rabin-Karp polynomial fingerprint over the token
+    stream: h = Σ h(tok_i)·base^(n-i) mod 10^15, with per-token hashes from
+    md5's first 8 hex chars — bit-identical across engines (DuckDB mirrors
+    with list_reduce).  Complements :func:`fingerprint`: detects reordered
+    content as DIFFERENT, same content as SAME."""
+    t = _tokens(F.col(text_col))
+
+    def tok_hash(x):
+        return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+
+    fp = F.aggregate(t, F.lit(0).cast("long"),
+                     lambda acc, x: (acc * base + tok_hash(x)) % mod)
+    return sdf.withColumn("roll_fp", fp)
