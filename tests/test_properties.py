@@ -119,3 +119,48 @@ def test_string_kernels(spark, vals):
         assert g["n"] == len(s)
         assert g["u"] == s.upper()
         assert g["c"] == ("ab" in s)
+
+
+@SET
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=4), opt_int),
+                min_size=1, max_size=25))
+def test_group_by_agg_matches_sql(spark, rows):
+    g, v = [r[0] for r in rows], [r[1] for r in rows]
+    df, _ = _frame(spark, {"g": g, "v": v})
+    got = {r["g"]: (r["s"], r["n"], r["nn"]) for r in
+           df.lazy().group_by("g").agg(
+               pl.col("v").sum().alias("s"),
+               pl.len().alias("n"),
+               pl.col("v").count().alias("nn"),
+           ).collect().to_a()}
+    pdf2 = pd.DataFrame({"g": g, "v": pd.array(v, dtype="Int64")})
+    exp = {r[0]: (r[1], r[2], r[3]) for r in _duck(pdf2, """
+        SELECT g, sum(v) AS s, count(*) AS n, count(v) AS nn
+        FROM t GROUP BY g""")}
+    assert got == exp
+
+
+@SET
+@given(st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=15),
+       st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=15))
+def test_join_counts_match_sql(spark, lk, rk):
+    a, _ = _frame(spark, {"k": lk, "x": list(range(len(lk)))})
+    b, _ = _frame(spark, {"k": rk, "y": list(range(len(rk)))})
+    for how, sql_how in [("inner", "INNER"), ("left", "LEFT"), ("semi", None),
+                         ("anti", None)]:
+        got = a.lazy().join(b.lazy(), on="k", how=how).collect().height
+        pa = pd.DataFrame({"k": lk})
+        pb = pd.DataFrame({"k": rk})
+        con = duckdb.connect()
+        con.register("a", pa)
+        con.register("b", pb)
+        if how == "semi":
+            exp = con.execute(
+                "SELECT count(*) FROM a WHERE k IN (SELECT k FROM b)").fetchone()[0]
+        elif how == "anti":
+            exp = con.execute(
+                "SELECT count(*) FROM a WHERE k NOT IN (SELECT k FROM b)").fetchone()[0]
+        else:
+            exp = con.execute(
+                f"SELECT count(*) FROM a {sql_how} JOIN b USING (k)").fetchone()[0]
+        assert got == exp, (how, got, exp)
