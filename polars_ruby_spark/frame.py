@@ -627,6 +627,12 @@ class DataFrame(LazyFrame):
 
         return _transpose(self, include_header, header_name)
 
+    def unstack(self, step: int, how: str = "vertical", columns=None,
+                fill_values=None):
+        from .operators.reshape import unstack as _unstack
+
+        return _unstack(self, step, how, columns, fill_values)
+
     def to_dummies(self, columns=None, separator: str = "_", drop_first: bool = False):
         from .operators.reshape import to_dummies as _dummies
 

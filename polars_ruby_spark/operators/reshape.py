@@ -98,3 +98,42 @@ def hstack(left, right):
         if c != "__hz__" and c in l.columns:
             r = r.withColumnRenamed(c, c + "_right")
     return DataFrame(l.join(r, "__hz__", "full").orderBy("__hz__").drop("__hz__"))
+
+
+def unstack(df, step: int, how: str = "vertical", columns=None, fill_values=None):
+    """data_frame.rb:3180 — reshape a tall frame into `step`-wide columns.
+
+    vertical: column c of length n becomes ceil(n/step) columns c_0..c_k,
+    each `step` tall (values read down the column).  horizontal: values read
+    across.  Small-frame op (driver-side width expansion), like transpose.
+    """
+    from pyspark.sql import functions as F
+
+    from ..frame import DataFrame
+    from ..operators.row_index import with_row_index
+
+    sdf = df.to_spark()
+    cols = [columns] if isinstance(columns, str) else (columns or sdf.columns)
+    n = sdf.count()
+    import math as _math
+
+    n_out = _math.ceil(n / step)
+    idx = with_row_index(sdf, "__i__")
+    if how == "vertical":
+        slot = F.floor(F.col("__i__") / step)   # which output column
+        row = F.col("__i__") % step             # which output row
+    else:
+        slot = F.col("__i__") % n_out
+        row = F.floor(F.col("__i__") / n_out)
+    idx = idx.withColumn("__slot__", slot).withColumn("__row__", row)
+    out = None
+    for c in cols:
+        piv = (idx.groupBy("__row__").pivot("__slot__", list(range(n_out)))
+               .agg(F.first(c)))
+        piv = piv.select("__row__", *[F.col(str(s)).alias(f"{c}_{s}")
+                                      for s in range(n_out)])
+        out = piv if out is None else out.join(piv, "__row__")
+    out = out.orderBy("__row__").drop("__row__")
+    if fill_values is not None:
+        out = out.fillna(fill_values)
+    return DataFrame(out)

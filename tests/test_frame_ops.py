@@ -69,3 +69,30 @@ def test_glimpse_and_estimated_size(spark, orders):
     text = df.glimpse()
     assert "o_orderkey" in str(text)
     assert df.estimated_size() > 0
+
+
+def test_unstack(spark):
+    df = pl.from_hash({"x": [1, 2, 3, 4, 5, 6]}).collect()
+    out = df.unstack(step=3)
+    rows = out.to_a()
+    assert out.columns == ["x_0", "x_1"]
+    assert [r["x_0"] for r in rows] == [1, 2, 3]
+    assert [r["x_1"] for r in rows] == [4, 5, 6]
+    outh = df.unstack(step=3, how="horizontal")
+    rh = outh.to_a()
+    assert [r["x_0"] for r in rh] == [1, 3, 5]
+    assert [r["x_1"] for r in rh] == [2, 4, 6]
+
+
+def test_plan_pushdown_guard(spark, sf_dir):
+    """Regression guard: filters and projections must reach the parquet scan
+    (no UDF-above-scan pattern; SURVEY §4.1)."""
+    lf = pl.scan_parquet(sf_dir + "/orders.parquet", spark=spark)
+    plan = (lf.filter(pl.col("o_totalprice") > 1000.0)
+            .select("o_orderkey", "o_totalprice")
+            .to_spark()._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in plan and "GreaterThan(o_totalprice,1000.0)" in plan
+    assert "ReadSchema" in plan
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 2  # only the 2 selected cols
