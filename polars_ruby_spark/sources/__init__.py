@@ -5,6 +5,8 @@ partitioning, globs, predicate/projection pushdown are native.
 """
 
 from .io import (
+    scan_table,
+    write_bucketed,
     read_avro,
     read_csv,
     read_database,

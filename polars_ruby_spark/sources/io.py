@@ -227,3 +227,28 @@ def from_records(rows: list, schema=None, orient: str = "row", spark=None):
     from ..frame import DataFrame
 
     return DataFrame(_spark(spark).createDataFrame(rows, schema=_schema_arg(schema)))
+
+
+def write_bucketed(frame, table: str, bucket_by, n_buckets: int = 32,
+                   sort_by=None, mode: str = "overwrite", format: str = "parquet"):
+    """Write as a bucketed (+ optionally sorted) table for co-located joins.
+
+    Joining two tables bucketed on the same key with the same bucket count
+    lets Catalyst plan a shuffle-FREE (and with sort_by, merge-ready) join —
+    the 100 TB answer for repeated big-big joins on a stable key.  Bucketing
+    requires the session catalog (``saveAsTable``), not a bare path.
+    """
+    bucket_by = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = (frame.to_spark().write.format(format).mode(mode)
+              .bucketBy(n_buckets, *bucket_by))
+    if sort_by:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def scan_table(table: str, spark=None):
+    """Lazy scan of a catalog table (pairs with :func:`write_bucketed`)."""
+    from ..frame import LazyFrame
+
+    return LazyFrame(_spark(spark).table(table))

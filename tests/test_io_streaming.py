@@ -138,3 +138,28 @@ def test_stateful_running_count_across_batches(spark, tmp_path):
     for r in rows:  # last emission per key wins (update mode)
         final[r["k"]] = max(r["n"], final.get(r["k"], 0))
     assert final == {"a": 3, "b": 3}
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path, sf_dir):
+    """Tables bucketed on the join key with equal bucket counts join without
+    an Exchange on either side (the 100 TB co-located-join path)."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = pl.scan_parquet(os.path.join(sf_dir, "orders.parquet"), spark=spark)
+    c = pl.scan_parquet(os.path.join(sf_dir, "customer.parquet"), spark=spark)
+    pl.write_bucketed(o, "t_orders_b", bucket_by="o_custkey", n_buckets=8,
+                      sort_by="o_custkey")
+    pl.write_bucketed(c, "t_cust_b", bucket_by="c_custkey", n_buckets=8,
+                      sort_by="c_custkey")
+    j = (pl.scan_table("t_orders_b", spark=spark)
+         .join(pl.scan_table("t_cust_b", spark=spark),
+               left_on="o_custkey", right_on="c_custkey", how="inner"))
+    plan = j.to_spark()._jdf.queryExecution().executedPlan().toString()
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    # bucketed scan feeds the join directly — no shuffle exchange
+    assert "Exchange hashpartitioning" not in plan
+    n = j.collect().height
+    plain = o.join(c, left_on="o_custkey", right_on="c_custkey",
+                   how="inner").collect().height
+    assert n == plain
