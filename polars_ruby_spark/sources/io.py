@@ -239,7 +239,19 @@ def write_bucketed(frame, table: str, bucket_by, n_buckets: int = 32,
     requires the session catalog (``saveAsTable``), not a bare path.
     """
     bucket_by = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
-    writer = (frame.to_spark().write.format(format).mode(mode)
+    sdf = frame.to_spark()
+    if mode == "overwrite":
+        s = sdf.sparkSession
+        s.sql(f"DROP TABLE IF EXISTS {table}")
+        # an in-memory metastore forgets tables across sessions but the
+        # warehouse directory persists → LOCATION_ALREADY_EXISTS; clear it
+        if "." not in table:
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(s.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    writer = (sdf.write.format(format).mode(mode)
               .bucketBy(n_buckets, *bucket_by))
     if sort_by:
         sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
