@@ -17,7 +17,9 @@ finite = st.floats(allow_nan=False, allow_infinity=False, width=32)
 opt_float = st.one_of(st.none(), finite)
 opt_int = st.one_of(st.none(), st.integers(min_value=-10**6, max_value=10**6))
 
-SET = settings(max_examples=8, deadline=None,
+# derandomize: CI-stable example generation — a fresh random seed finding a
+# genuinely new edge case should happen in a dev loop, not a gate run
+SET = settings(max_examples=8, deadline=None, derandomize=True,
                suppress_health_check=[HealthCheck.too_slow])
 
 
