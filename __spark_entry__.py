@@ -900,6 +900,16 @@ def q67_rolling_fingerprint(spark, sf_dir):
     return text.rolling_fingerprint(d._sdf).select("doc_id", "roll_fp")
 
 
+def q68_topk_salted(spark, sf_dir):
+    """Skew-safe per-key top-k (salted two-phase; no single hot-key task)."""
+    from polars_ruby_spark.operators import skew
+
+    o = _t(spark, sf_dir, "orders")._sdf
+    out = skew.top_k_per_key(o, "o_orderpriority",
+                             ["o_totalprice", "o_orderkey"], k=3, salt=8)
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -974,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_frame_sample": q65_frame_sample,
         "q66_search_sorted_groupsort": q66_search_sorted_groupsort,
         "q67_rolling_fingerprint": q67_rolling_fingerprint,
+        "q68_topk_salted": q68_topk_salted,
     }
 
 
@@ -1540,6 +1551,14 @@ def oracle_sql() -> dict[str, str]:
                          x -> ('0x' || substr(md5(x), 1, 8))::UBIGINT)),
                      (a, x) -> (a * 31 + x) % 1000000000000000)::BIGINT AS roll_fp
             FROM documents
+        """,
+        "q68_topk_salted": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey DESC) AS rn
+              FROM orders) WHERE rn <= 3
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,

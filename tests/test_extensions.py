@@ -126,3 +126,18 @@ def test_multimodal_real_decoder_stub():
 
     with pytest.raises(NotImplementedError):
         multimodal.require_real_decoder(b"\x00")
+
+
+def test_salted_topk_equals_plain(spark, sf_dir):
+    import os
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.operators import skew
+
+    o = pl.scan_parquet(os.path.join(sf_dir, "orders.parquet"), spark=spark)._sdf
+    plain = skew.top_k_per_key(o, "o_orderstatus",
+                               ["o_totalprice", "o_orderkey"], k=5)
+    salted = skew.top_k_per_key(o, "o_orderstatus",
+                                ["o_totalprice", "o_orderkey"], k=5, salt=8)
+    key = lambda r: (r["o_orderstatus"], r["o_orderkey"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
