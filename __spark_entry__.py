@@ -910,6 +910,20 @@ def q68_topk_salted(spark, sf_dir):
     return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
 
 
+def q69_dynamic_closed_both(spark, sf_dir):
+    """group_by_dynamic closed='both' (boundary rows in two windows) via
+    enumerated window assignment (§2.10; lazy_frame.rb:1416)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.with_columns(pl.col("ts").dt.truncate("1m").alias("ts"))
+           .group_by_dynamic("ts", every="15m", closed="both",
+                             by=["event_type"])
+           .agg(pl.len().alias("n"),
+                pl.col("value").sum().round(2).alias("sv")))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -985,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_search_sorted_groupsort": q66_search_sorted_groupsort,
         "q67_rolling_fingerprint": q67_rolling_fingerprint,
         "q68_topk_salted": q68_topk_salted,
+        "q69_dynamic_closed_both": q69_dynamic_closed_both,
     }
 
 
@@ -1559,6 +1574,20 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC,
                                                  o_orderkey DESC) AS rn
               FROM orders) WHERE rn <= 3
+        """,
+        "q69_dynamic_closed_both": """
+            WITH m AS (SELECT event_type, value,
+                              date_trunc('minute', ts) AS mt FROM events),
+            a AS (
+              SELECT event_type, value,
+                     time_bucket(INTERVAL 15 MINUTE, mt) AS ws FROM m
+              UNION ALL
+              SELECT event_type, value, mt - INTERVAL 15 MINUTE AS ws FROM m
+              WHERE mt = time_bucket(INTERVAL 15 MINUTE, mt)
+            )
+            SELECT ws AS ts, event_type, count(*) AS n,
+                   round(sum(value), 2) AS sv
+            FROM a GROUP BY ws, event_type
         """,
         "q39_dup_flags": """
             SELECT o_orderkey,

@@ -206,15 +206,17 @@ class DynamicGroupBy:
         if self._offset is not None:
             off = parse_duration(self._offset)
             start = f"{off.total_seconds()} seconds"
+        if self._closed in ("both", "none"):
+            # boundary rows belong to two windows ('both') or zero ('none') —
+            # not a single-window assignment, so enumerate candidate windows
+            return self._agg_enumerated(every, period, exprs, named)
         ts = F.col(self._index)
         if self._closed == "right":
             # (start, end] ⇔ [start, end) membership of ts - ε: shift the
             # assignment key one µs back; boundaries stay the true window
             ts = ts - F.expr("INTERVAL 1 MICROSECOND")
         elif self._closed != "left":
-            raise NotImplementedError(
-                f"closed={self._closed!r}: 'both'/'none' duplicate/drop "
-                "boundary rows — not representable as a single window assign")
+            raise ValueError(f"invalid closed: {self._closed!r}")
         win = F.window(ts, period_s, every_s, start)
         by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
                    for b in self._by]
@@ -232,6 +234,65 @@ class DynamicGroupBy:
             extra = [F.col("__w__.start").alias("_lower_boundary"),
                      F.col("__w__.end").alias("_upper_boundary")]
         keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
+        out = grouped.select(*extra, label_col, *keep)
+        return LazyFrame(out)
+
+    def _agg_enumerated(self, every, period, exprs, named):
+        """closed='both'/'none': enumerate each row's candidate window starts
+        (explode a ≤ period/every + 1 element sequence) and filter by the
+        closed-interval test.  Stays whole-stage codegen; one hash-agg
+        shuffle on (window_start, by) — same shuffle shape as ``F.window``,
+        so it scales identically (lazy_frame.rb:1416 closed semantics).
+        """
+        from .functions.duration import parse_duration
+        from .frame import LazyFrame
+
+        every_us = int(every.total_seconds() * 1_000_000)
+        period_us = int(period.total_seconds() * 1_000_000)
+        off_us = (int(parse_duration(self._offset).total_seconds() * 1_000_000)
+                  if self._offset is not None else 0)
+        sdf = self._lf._sdf
+        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        if needs_order:
+            sdf = self._lf._ensure_row_index()._sdf
+            aggs, _ = _agg_columns(sdf, exprs, named)
+
+        t = F.unix_micros(F.col(self._index).cast("timestamp"))
+
+        def floordiv(a, b):
+            # exact integer floor division (pmod is non-negative)
+            return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+        k_hi = floordiv(t - F.lit(off_us), every_us)
+        k_lo = floordiv(t - F.lit(off_us) - F.lit(period_us), every_us)
+        exploded = sdf.withColumn("__s__", F.explode(F.transform(
+            F.sequence(k_lo, k_hi),
+            lambda k: k * F.lit(every_us) + F.lit(off_us))))
+        s = F.col("__s__")
+        if self._closed == "both":
+            member = (s <= t) & (t <= s + F.lit(period_us))
+        else:  # none
+            member = (s < t) & (t < s + F.lit(period_us))
+        filtered = exploded.filter(member)
+
+        by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
+                   for b in self._by]
+        extra_aggs = [F.min(F.col(self._index)).alias("__dp__")] \
+            if self._label == "datapoint" else []
+        grouped = filtered.groupBy(F.col("__s__"), *by_cols).agg(*aggs, *extra_aggs)
+        if self._label == "datapoint":
+            label_col = F.col("__dp__").alias(self._index)
+        elif self._label == "right":
+            label_col = F.timestamp_micros(
+                F.col("__s__") + F.lit(period_us)).alias(self._index)
+        else:
+            label_col = F.timestamp_micros(F.col("__s__")).alias(self._index)
+        extra = []
+        if self._include_boundaries:
+            extra = [F.timestamp_micros(F.col("__s__")).alias("_lower_boundary"),
+                     F.timestamp_micros(F.col("__s__") + F.lit(period_us))
+                     .alias("_upper_boundary")]
+        keep = [c for c in grouped.columns if c not in ("__s__", "__dp__")]
         out = grouped.select(*extra, label_col, *keep)
         return LazyFrame(out)
 

@@ -242,6 +242,33 @@ def test_group_by_dynamic_closed_and_label(spark):
     # labels are the first datapoint of each window, not the window start
     assert set(dp) == {ts[0], ts[2], ts[4]}
 
+    # closed=both: [start, start+every] — boundary rows land in BOTH
+    # adjacent windows; every row here is on a boundary
+    both = {r["ts"]: (r["n"], r["sv"]) for r in
+            df.lazy().group_by_dynamic("ts", every="1h", closed="both")
+            .agg(pl.len().alias("n"), pl.col("v").sum().alias("sv"))
+            .collect().to_a()}
+    assert both == {
+        dt.datetime(2023, 12, 31, 23): (1, 1),
+        dt.datetime(2024, 1, 1, 0): (3, 6),   # 1,2,3
+        dt.datetime(2024, 1, 1, 1): (3, 12),  # 3,4,5
+        dt.datetime(2024, 1, 1, 2): (1, 5),
+    }
+
+    # closed=none: (start, start+every) — boundary rows belong to NO window
+    none = {r["ts"]: r["n"] for r in
+            df.lazy().group_by_dynamic("ts", every="1h", closed="none")
+            .agg(pl.len().alias("n")).collect().to_a()}
+    assert none == {dt.datetime(2024, 1, 1, 0): 1,
+                    dt.datetime(2024, 1, 1, 1): 1}
+
+    # label=right composes with the enumerated path
+    both_r = {r["ts"]: r["n"] for r in
+              df.lazy().group_by_dynamic("ts", every="1h", closed="both",
+                                         label="right")
+              .agg(pl.len().alias("n")).collect().to_a()}
+    assert both_r[dt.datetime(2024, 1, 1, 0)] == 1  # the 23:00–00:00 window
+
 
 def test_weighted_rolling_and_skew(spark):
     import pandas as pd
