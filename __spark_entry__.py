@@ -924,6 +924,15 @@ def q69_dynamic_closed_both(spark, sf_dir):
     return out.to_spark()
 
 
+def q70_cosine_neardup(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs via triangle block partitioning
+    + per-task BLAS matmul (beyond-reference dedup family)."""
+    from polars_ruby_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")._sdf
+    return similarity.cosine_neardup_pairs(e, threshold=0.4, n_blocks=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1000,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_rolling_fingerprint": q67_rolling_fingerprint,
         "q68_topk_salted": q68_topk_salted,
         "q69_dynamic_closed_both": q69_dynamic_closed_both,
+        "q70_cosine_neardup": q70_cosine_neardup,
     }
 
 
@@ -1574,6 +1584,15 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC,
                                                  o_orderkey DESC) AS rn
               FROM orders) WHERE rn <= 3
+        """,
+        "q70_cosine_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "q69_dynamic_closed_both": """
             WITH m AS (SELECT event_type, value,

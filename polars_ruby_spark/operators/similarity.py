@@ -59,6 +59,66 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
             .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")))
 
 
+def cosine_neardup_pairs(sdf: DataFrame, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_blocks: int = 8) -> DataFrame:
+    """EXACT all-pairs cosine near-duplicates (cosine ≥ threshold).
+
+    Triangle block partitioning: each row hashes to one of ``n_blocks``
+    blocks and replicates to every block-pair containing its block (O(n·B)
+    replication, B(B+1)/2 independent tasks) — the classic exact all-pairs
+    layout, so no task ever sees more than ~2n/B rows and no single task is
+    O(n²).  Each task compares its two blocks with one float64 BLAS matmul
+    (Arrow → numpy, vectorized — not per-pair Python).  Raise ``n_blocks``
+    ∝ √cluster-cores at scale; for 100 TB corpora prefer the approximate
+    ``lsh_cosine_topk`` and use this on LSH-candidate subsets.
+    """
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    bps = F.array(*[F.struct(F.least(blk, F.lit(o)).alias("bi"),
+                             F.greatest(blk, F.lit(o)).alias("bj"))
+                    for o in range(n_blocks)])
+    tagged = (sdf.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                         blk.alias("blk"), F.explode(bps).alias("bp"))
+              .select("id", "vec", "blk", "bp.bi", "bp.bj"))
+    tau = float(threshold)
+
+    def compare(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        bi, bj = int(pdf["bi"].iat[0]), int(pdf["bj"].iat[0])
+
+        def unit(frame):
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in frame["vec"]])
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return m / n
+
+        if bi == bj:
+            ids = pdf["id"].to_numpy()
+            cos = unit(pdf) @ unit(pdf).T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = cos[iu, ju] >= tau
+            a, b, c = ids[iu[keep]], ids[ju[keep]], cos[iu, ju][keep]
+        else:
+            left, right = pdf[pdf["blk"] == bi], pdf[pdf["blk"] == bj]
+            if left.empty or right.empty:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            cos = unit(left) @ unit(right).T
+            li, ri = np.nonzero(cos >= tau)
+            a = left["id"].to_numpy()[li]
+            b = right["id"].to_numpy()[ri]
+            c = cos[li, ri]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo.astype("int64"), "id_b": hi.astype("int64"),
+                             "cosine": np.round(c, 6)})
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        compare, "id_a long, id_b long, cosine double")
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy RNG state so
     the plan is reproducible across driver runs)."""

@@ -128,6 +128,22 @@ def test_multimodal_real_decoder_stub():
         multimodal.require_real_decoder(b"\x00")
 
 
+def test_cosine_neardup_block_invariance(spark, sf_dir):
+    """Exact blocked all-pairs must be invariant to the block count."""
+    import os
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.operators import similarity
+
+    e = pl.scan_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        spark=spark)._sdf
+    key = lambda r: (r["id_a"], r["id_b"], round(r["cosine"], 6))
+    one = similarity.cosine_neardup_pairs(e, 0.35, n_blocks=1).collect()
+    many = similarity.cosine_neardup_pairs(e, 0.35, n_blocks=7).collect()
+    assert len(one) > 0
+    assert sorted(map(key, one)) == sorted(map(key, many))
+
+
 def test_salted_topk_equals_plain(spark, sf_dir):
     import os
 
