@@ -44,7 +44,32 @@ def _parse_exprs(exprs, named) -> list[tuple[str | None, Expr]]:
 class LazyFrame:
     """Deferred query plan (parity: lib/polars/lazy_frame.rb)."""
 
-    def __init__(self, sdf: SparkDF):
+    def __init__(self, sdf: SparkDF = None, schema=None):
+        if sdf is None or (isinstance(sdf, dict) and not sdf):
+            from pyspark.sql.types import StructType
+            from .session import get_spark
+
+            sdf = get_spark().createDataFrame([], StructType([]))
+        if isinstance(sdf, dict):
+            # Polars::DataFrame.new({...}) hash-of-columns (convert.rb:29)
+            from .sources.io import from_hash
+
+            sdf = from_hash(sdf, schema=schema)._sdf
+        elif isinstance(sdf, (list, tuple)):
+            # array-of-row-hashes / array-of-arrays (data_frame.rb:41)
+            from .sources.io import from_records
+
+            sdf = from_records(list(sdf), schema=schema)._sdf
+        elif not isinstance(sdf, SparkDF):
+            try:
+                import pandas as pd
+
+                if isinstance(sdf, pd.DataFrame):
+                    from .sources.io import from_pandas
+
+                    sdf = from_pandas(sdf)._sdf
+            except ImportError:
+                pass
         self._sdf = sdf
 
     # -- plumbing -----------------------------------------------------------

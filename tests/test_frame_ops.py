@@ -96,3 +96,15 @@ def test_plan_pushdown_guard(spark, sf_dir):
     import re
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) == 2  # only the 2 selected cols
+
+
+def test_dataframe_constructor_variants(spark):
+    """DataFrame.new parity (data_frame.rb:41): hash, rows, pandas, empty."""
+    import pandas as pd
+
+    assert pl.DataFrame({"a": [1, 2, 3]}).filter(pl.col("a") > 1).height == 2
+    assert pl.DataFrame([{"a": 1}, {"a": 2}]).height == 2
+    assert pl.DataFrame().shape == (0, 0)
+    assert pl.DataFrame(pd.DataFrame({"x": [1.5]})).to_a() == [{"x": 1.5}]
+    lf = pl.LazyFrame({"a": [1, 2]})
+    assert lf.select(pl.col("a").sum().alias("s")).collect().to_a() == [{"s": 3}]
