@@ -933,6 +933,31 @@ def q70_cosine_neardup(spark, sf_dir):
     return similarity.cosine_neardup_pairs(e, threshold=0.4, n_blocks=8)
 
 
+def q71_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) run to
+    completion over a file-source stream; watermark wide enough that no
+    duplicate escapes at this SF, so the result is DISTINCT keys (§2.10
+    streaming extension)."""
+    import tempfile
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.streaming import stream as st
+
+    _prep(spark)
+    tmp = tempfile.mkdtemp(prefix="plsq71_")
+    ev = _t(spark, sf_dir, "events")
+    stage = tmp + "/stage"
+    ev.to_spark().select("ts", "user_id", "event_type").write.parquet(stage)
+    lf = st.scan_stream(stage, spark=spark)
+    deduped = st.dedup_stream(lf, ["user_id", "event_type"], "ts",
+                              watermark="365d")
+    q = (deduped._sdf.selectExpr("user_id", "event_type")
+         .writeStream.format("memory").queryName("plsq71_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql("SELECT user_id, event_type FROM plsq71_out")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1010,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_topk_salted": q68_topk_salted,
         "q69_dynamic_closed_both": q69_dynamic_closed_both,
         "q70_cosine_neardup": q70_cosine_neardup,
+        "q71_stream_dedup": q71_stream_dedup,
     }
 
 
@@ -1584,6 +1610,9 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC,
                                                  o_orderkey DESC) AS rn
               FROM orders) WHERE rn <= 3
+        """,
+        "q71_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "q70_cosine_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

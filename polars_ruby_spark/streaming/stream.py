@@ -94,6 +94,62 @@ def session_window_agg(lf, ts_column: str, gap: str, aggs: dict,
     return LazyFrame(out)
 
 
+def dedup_stream(lf, keys, ts_column: str, watermark: str = "10m",
+                 within_watermark: bool = True):
+    """Streaming exact deduplication — the streaming face of the batch
+    ``operators.dedup`` family (training pipelines ingest continuously).
+
+    ``within_watermark=True`` → ``dropDuplicatesWithinWatermark``: state for
+    a key is dropped once the watermark passes it, so state stays bounded at
+    100 TB/day ingest (duplicates further apart than the watermark pass —
+    the documented contract).  ``False`` → exact-forever ``dropDuplicates``
+    (state grows with distinct keys; use only for bounded key domains).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    wm = parse_duration(watermark)
+    sdf = lf._sdf.withWatermark(ts_column, f"{wm.total_seconds()} seconds")
+    out = (sdf.dropDuplicatesWithinWatermark(keys) if within_watermark
+           else sdf.dropDuplicates(keys))
+    from ..frame import LazyFrame
+
+    return LazyFrame(out)
+
+
+def stream_stream_join(left, right, on, ts_left: str, ts_right: str,
+                       watermark: str = "10m", within: str = "5m",
+                       how: str = "inner"):
+    """Watermarked stream-stream equi-join with a time-bound: right rows
+    must land within ``[ts_left - within, ts_left + within]``.
+
+    Both sides carry watermarks and the join has an event-time range
+    condition — the two requirements that let Spark evict join state, which
+    is what makes a stream-stream join runnable indefinitely at scale.
+    """
+    wm = parse_duration(watermark)
+    w = parse_duration(within)
+    on = [on] if isinstance(on, str) else list(on)
+    ls = left._sdf.withWatermark(ts_left, f"{wm.total_seconds()} seconds")
+    rs = right._sdf.withWatermark(ts_right, f"{wm.total_seconds()} seconds")
+    # disambiguate: rename right's join keys (and a same-named event-time
+    # column) then join on equality exprs
+    if ts_right == ts_left:
+        rs = rs.withColumnRenamed(ts_right, ts_right + "_r")
+        ts_right = ts_right + "_r"
+    for c in on:
+        rs = rs.withColumnRenamed(c, f"__r_{c}__")
+    span = int(w.total_seconds())
+    cond = None
+    for c in on:
+        eq = ls[c] == rs[f"__r_{c}__"]
+        cond = eq if cond is None else (cond & eq)
+    cond = cond & (rs[ts_right] >= ls[ts_left] - F.expr(f"INTERVAL {span} SECONDS"))
+    cond = cond & (rs[ts_right] <= ls[ts_left] + F.expr(f"INTERVAL {span} SECONDS"))
+    out = ls.join(rs, cond, how).drop(*[f"__r_{c}__" for c in on])
+    from ..frame import LazyFrame
+
+    return LazyFrame(out)
+
+
 def stateful_running_count(lf, key: str, out_name: str = "n"):
     """Custom stateful streaming operator: running per-key event count kept
     in the state store across micro-batches (applyInPandasWithState —

@@ -163,3 +163,61 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path, sf_dir):
     plain = o.join(c, left_on="o_custkey", right_on="c_custkey",
                    how="inner").collect().height
     assert n == plain
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    """Streaming dedup: duplicate keys across micro-batches emit once
+    (dropDuplicatesWithinWatermark state path)."""
+    import datetime as dt
+
+    from polars_ruby_spark.streaming import stream as st
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    stage = str(tmp_path / "stage")
+    pl.from_hash({"k": ["a", "b", "a"],
+                  "ts": [t0, t0, t0 + dt.timedelta(seconds=30)]}
+                 ).to_spark().coalesce(1).write.mode("overwrite").parquet(stage)
+    pl.from_hash({"k": ["b", "c"],
+                  "ts": [t0 + dt.timedelta(seconds=40),
+                         t0 + dt.timedelta(seconds=50)]}
+                 ).to_spark().coalesce(1).write.mode("append").parquet(stage)
+
+    lf = st.scan_stream(stage, spark=spark, max_files_per_trigger=1)
+    deduped = st.dedup_stream(lf, "k", "ts", watermark="10m")
+    q = (deduped._sdf.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT k FROM dedup_out").collect()
+    assert sorted(r["k"] for r in rows) == ["a", "b", "c"]
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch range join."""
+    import datetime as dt
+
+    from polars_ruby_spark.streaming import stream as st
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = {"k": ["a", "a", "b"],
+             "ts": [t0, t0 + dt.timedelta(minutes=10), t0],
+             "lv": [1, 2, 3]}
+    rrows = {"k": ["a", "a", "b"],
+             "ts": [t0 + dt.timedelta(minutes=2),
+                    t0 + dt.timedelta(minutes=30), t0 - dt.timedelta(minutes=4)],
+             "rv": [10, 20, 30]}
+    lstage, rstage = str(tmp_path / "l"), str(tmp_path / "r")
+    pl.from_hash(lrows).to_spark().coalesce(1).write.parquet(lstage)
+    pl.from_hash(rrows).to_spark().coalesce(1).write.parquet(rstage)
+
+    joined = st.stream_stream_join(
+        st.scan_stream(lstage, spark=spark), st.scan_stream(rstage, spark=spark),
+        on="k", ts_left="ts", ts_right="ts", watermark="1h", within="5m")
+    q = (joined._sdf.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted((r["k"], r["lv"], r["rv"])
+                 for r in spark.sql("SELECT * FROM ssj_out").collect())
+    # (a,lv1)~(rv10) within 2m; (a,lv2) sees nothing within 5m; (b,lv3)~(rv30)
+    assert got == [("a", 1, 10), ("b", 3, 30)]
