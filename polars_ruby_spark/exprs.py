@@ -254,10 +254,37 @@ class Expr:
     def cast(self, dtype, strict: bool = False) -> "Expr":
         """Parity: expr.rb:1234. strict=False = null-on-failure (try_cast);
         the session runs ANSI-off so plain cast already behaves that way."""
+        from . import datatypes as dtt
+
+        if dtype is dtt.Time or isinstance(dtype, dtt.Time):
+            return self._cast_time()
         t = to_spark_type(dtype)
         if strict:
             return self._lift(lambda c: c.cast(t))
         return self._lift(lambda c: c.try_cast(t) if hasattr(c, "try_cast") else c.cast(t))
+
+    def _cast_time(self) -> "Expr":
+        """Time dtype: ns since midnight in an Int64 physical column
+        (datatypes.py Time).  Source dtype resolved at plan time (one
+        analysis round-trip, no runtime branching)."""
+        from pyspark.sql import types as T
+
+        def fn(df, part):
+            c = self._fn(df, part)
+            try:
+                src = df.select(c.alias("__t__")).schema[0].dataType
+            except Exception:
+                src = None
+            if isinstance(src, T.TimestampType):
+                us = F.unix_micros(c)
+                midnight = F.unix_micros(F.date_trunc("day", c))
+                return (us - midnight) * F.lit(1000)
+            if isinstance(src, T.StringType):
+                ts = F.to_timestamp(F.concat(F.lit("1970-01-01 "), c))
+                return F.unix_micros(ts) * F.lit(1000)
+            return c.cast("long")
+
+        return Expr(fn, name=self._name, needs_order=self._needs_order)
 
     def to_physical(self) -> "Expr":
         return self._lift(lambda c: c)

@@ -311,6 +311,13 @@ class DateTimeNameSpace(_NS):
     def ordinal_day(self) -> Expr:
         return self._e._lift(lambda c: F.dayofyear(c).cast("int"))
 
+    def time(self) -> Expr:
+        """Extract time-of-day as the Time dtype (ns since midnight;
+        date_time_expr.rb dt.time)."""
+        return self._e._lift(
+            lambda c: (F.unix_micros(c) - F.unix_micros(F.date_trunc("day", c)))
+            * F.lit(1000))
+
     def hour(self) -> Expr:
         return self._e._lift(lambda c: F.hour(c).cast("int"))
 

@@ -44,3 +44,22 @@ def test_overflow_cast_is_null_not_error(spark):
     out = df.lazy().select(pl.col("x").cast(pl.Int8).alias("b")).collect()
     # ANSI off: overflow wraps or nulls, but never raises (polars strict=False)
     assert out.height == 1
+
+
+def test_time_dtype_casts(spark):
+    """Time = ns since midnight (Int64 physical). Casts from Datetime and
+    HH:MM:SS strings; dt.time() extracts time-of-day."""
+    import datetime as dt
+
+    df = pl.from_hash({
+        "ts": [dt.datetime(2024, 5, 1, 12, 30, 15, 250000)],
+        "s": ["01:02:03.5"],
+    })
+    row = df.select(
+        pl.col("ts").cast(pl.Time).alias("t_ts"),
+        pl.col("s").cast(pl.Time).alias("t_s"),
+        pl.col("ts").dt.time().alias("t_dt"),
+    ).collect().to_a()[0]
+    assert row["t_ts"] == ((12 * 3600 + 30 * 60 + 15) * 1_000_000 + 250000) * 1000
+    assert row["t_s"] == ((1 * 3600 + 2 * 60 + 3) * 1_000_000 + 500000) * 1000
+    assert row["t_dt"] == row["t_ts"]
