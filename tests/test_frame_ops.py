@@ -108,3 +108,42 @@ def test_dataframe_constructor_variants(spark):
     assert pl.DataFrame(pd.DataFrame({"x": [1.5]})).to_a() == [{"x": 1.5}]
     lf = pl.LazyFrame({"a": [1, 2]})
     assert lf.select(pl.col("a").sum().alias("s")).collect().to_a() == [{"s": 3}]
+
+
+def _plan(sdf) -> str:
+    return sdf._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_small_dim_join_broadcasts(spark, sf_dir):
+    """Joining the nation dim must plan a BroadcastHashJoin — a shuffled
+    SortMergeJoin on a 25-row dim would shuffle the big side for nothing."""
+    cust = pl.scan_parquet(sf_dir + "/customer.parquet", spark=spark)
+    nat = pl.scan_parquet(sf_dir + "/nation.parquet", spark=spark)
+    j = cust.join(nat, left_on="c_nationkey", right_on="n_nationkey")
+    plan = _plan(j.to_spark())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_plan_cosine_topk_no_cartesian(spark, sf_dir):
+    """ANN scoring must not plan a cartesian/nested-loop pair explosion —
+    the corpus is scanned once and scored in Arrow batches (SCALE.md)."""
+    from polars_ruby_spark.operators import similarity
+
+    e = pl.scan_parquet(sf_dir + "/embeddings.parquet", spark=spark)._sdf
+    q = e.limit(10)
+    plan = _plan(similarity.cosine_topk(q, e, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_plan_dynamic_closed_both_single_shuffle(spark, sf_dir):
+    """closed=both enumeration must stay one hash-agg shuffle — the explode
+    is partition-local (no extra Exchange beyond the aggregate's own)."""
+    ev = pl.scan_parquet(sf_dir + "/events.parquet", spark=spark)
+    out = ev.group_by_dynamic("ts", every="1h", closed="both").agg(
+        pl.len().alias("n"))
+    plan = _plan(out.to_spark())
+    assert plan.count("Exchange") == 1
+    assert "Generate explode" in plan  # the candidate-start enumeration
