@@ -161,6 +161,20 @@ class Expr:
 
         return NameNameSpace(self)
 
+    @property
+    def meta(self):
+        from .namespaces import MetaNameSpace
+
+        return MetaNameSpace(self)
+
+    def keep_name(self) -> "Expr":
+        # deprecated reference alias of name.keep (expr.rb:621)
+        return self.name.keep()
+
+    def map_alias(self, function) -> "Expr":
+        # deprecated reference alias of name.map (expr.rb:672)
+        return self.name.map(function)
+
     # -- arithmetic (parity: expr.rb / ext/polars/src/expr/general.rs:16-41) --
     def __add__(self, o):
         return self._lift2(o, lambda a, b: a + b)
@@ -288,6 +302,95 @@ class Expr:
 
     def to_physical(self) -> "Expr":
         return self._lift(lambda c: c)
+
+    # -- named operator aliases (expr.rb add/sub/.../xor ruby surface) -------
+    def add(self, o):
+        return self.__add__(o)
+
+    def sub(self, o):
+        return self.__sub__(o)
+
+    def mul(self, o):
+        return self.__mul__(o)
+
+    def truediv(self, o):
+        return self.__truediv__(o)
+
+    def floordiv(self, o):
+        return self.__floordiv__(o)
+
+    def mod(self, o):
+        return self.__mod__(o)
+
+    def eq(self, o):
+        return self.__eq__(o)
+
+    def ne(self, o):
+        return self.__ne__(o)
+
+    def gt(self, o):
+        return self.__gt__(o)
+
+    def ge(self, o):
+        return self.__ge__(o)
+
+    def lt(self, o):
+        return self.__lt__(o)
+
+    def le(self, o):
+        return self.__le__(o)
+
+    def xor(self, o):
+        return self._lift2(o, lambda a, b: a.cast("boolean") != b.cast("boolean"))
+
+    def is_not(self):
+        # deprecated reference alias of NOT (expr.rb:864)
+        return self.not_()
+
+    # -- physical-layout no-ops (chunking is a Rust-engine detail) -----------
+    def rechunk(self) -> "Expr":
+        return self._lift(lambda c: c)
+
+    def set_sorted(self, descending: bool = False) -> "Expr":
+        # sortedness flags feed the Rust engine's fast paths; Catalyst derives
+        # ordering from the plan itself
+        return self._lift(lambda c: c)
+
+    def reinterpret(self, signed: bool = True) -> "Expr":
+        return self._lift(lambda c: c.cast("bigint" if signed else "decimal(20,0)"))
+
+    def lower_bound(self) -> "Expr":
+        return self._dtype_bound(lower=True)
+
+    def upper_bound(self) -> "Expr":
+        return self._dtype_bound(lower=False)
+
+    def _dtype_bound(self, lower: bool) -> "Expr":
+        """dtype min/max constant (expr.rb lower_bound/upper_bound) —
+        resolved from the column's Spark type at plan time."""
+        from pyspark.sql import types as T
+
+        def fn(df, part):
+            c = self._fn(df, part)
+            try:
+                src = df.select(c.alias("__t__")).schema[0].dataType
+            except Exception:
+                src = None
+            bounds = {
+                T.ByteType: (-(1 << 7), (1 << 7) - 1),
+                T.ShortType: (-(1 << 15), (1 << 15) - 1),
+                T.IntegerType: (-(1 << 31), (1 << 31) - 1),
+                T.LongType: (-(1 << 63), (1 << 63) - 1),
+            }
+            for t, (lo, hi) in bounds.items():
+                if isinstance(src, t):
+                    return F.lit(lo if lower else hi).cast(src.simpleString())
+            if isinstance(src, (T.FloatType, T.DoubleType)):
+                v = float("-inf") if lower else float("inf")
+                return F.lit(v).cast(src.simpleString())
+            raise ValueError(f"lower/upper_bound: unsupported dtype {src}")
+
+        return Expr(fn, name=self._name, needs_order=self._needs_order)
 
     # -- null / nan predicates (expr.rb:574-633, 866-893) ----------------------
     def is_null(self):
@@ -870,6 +973,85 @@ class Expr:
 
         return Expr(fn, name=self._name, needs_order=True)
 
+    argsort = arg_sort  # expr.rb deprecated alias
+
+    # -- agg-context positional slices (expr.rb head/tail/slice/gather) ------
+    # In group_by().agg these yield a LIST per group (reference semantics);
+    # row order inside the group follows the frame's row order (ROW_IDX).
+    def _ordered_vals(self, keep_nulls: bool = True):
+        def make(df, part):
+            c = self._fn(df, part)
+            arr = F.sort_array(F.collect_list(
+                F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
+            vals = F.transform(arr, lambda s: s["v"])
+            if not keep_nulls:
+                vals = F.filter(vals, lambda v: v.isNotNull())
+            return vals
+
+        return make
+
+    def _agg_listop(self, f):
+        make = self._ordered_vals()
+
+        def fn(df, part):
+            c = f(make(df, part))
+            if part is not None:
+                c = c.over(_part_window(part))
+            return c
+
+        return Expr(fn, name=self._name, is_agg=True, needs_order=True)
+
+    def head(self, n: int = 10) -> "Expr":
+        return self._agg_listop(lambda vals: F.slice(vals, 1, n))
+
+    limit = head
+
+    def tail(self, n: int = 10) -> "Expr":
+        return self._agg_listop(lambda vals: F.slice(
+            vals, F.greatest(F.size(vals) - F.lit(n) + 1, F.lit(1)),
+            F.least(F.size(vals), F.lit(n))))
+
+    def slice(self, offset: int, length: int | None = None) -> "Expr":
+        def op(vals):
+            start = (F.lit(offset) + 1 if offset >= 0
+                     else F.greatest(F.size(vals) + F.lit(offset) + 1, F.lit(1)))
+            n = F.lit(length) if length is not None else F.size(vals)
+            return F.slice(vals, start, n)
+
+        return self._agg_listop(op)
+
+    def gather(self, indices) -> "Expr":
+        idx = list(indices) if isinstance(indices, (list, tuple)) else [indices]
+        return self._agg_listop(lambda vals: F.array(
+            *[F.element_at(vals, int(i) + 1 if int(i) >= 0 else int(i))
+              for i in idx]))
+
+    take = gather  # deprecated reference alias
+
+    def drop_nulls(self) -> "Expr":
+        return self._agg_listop(lambda vals: F.filter(vals, lambda v: v.isNotNull()))
+
+    def drop_nans(self) -> "Expr":
+        return self._agg_listop(lambda vals: F.filter(
+            vals, lambda v: ~F.isnan(v) | v.isNull()))
+
+    def arg_unique(self) -> "Expr":
+        """Index of the first occurrence of each distinct value (expr.rb)."""
+        make = self._ordered_vals()
+
+        def fn(df, part):
+            vals = make(df, part)
+            pos = F.transform(vals, lambda v, i: F.struct(v.alias("v"), i.alias("i")))
+            # first occurrence = no earlier element null-safe-equal to it
+            firsts = F.filter(pos, lambda s, i: F.size(F.filter(
+                F.slice(pos, 1, i), lambda t: t["v"].eqNullSafe(s["v"]))) == 0)
+            c = F.transform(firsts, lambda s: s["i"].cast("long"))
+            if part is not None:
+                c = c.over(_part_window(part))
+            return c
+
+        return Expr(fn, name=self._name, is_agg=True, needs_order=True)
+
     def sort(self, reverse: bool = False, descending: bool = False,
              nulls_last: bool = False):
         def fn(df, part):
@@ -1159,6 +1341,41 @@ class Expr:
                     needs_order=True)
 
     # -- rle / peaks / binning ----------------------------------------------------------
+    def rle(self):
+        """Compress runs into (len, value) struct rows (expr.rb:2646).
+
+        Inherently sequential over the full row order: collect once, fold to
+        runs, re-explode.  The output is at most n_runs rows but the fold is
+        single-cell — a parity op for modest columns; for distributed
+        run analysis use ``rle_id()`` + group_by (gaps-and-islands, q27).
+        """
+
+        def fn(df, part):
+            c = self._fn(df, part)
+            try:
+                vt = df.select(c.alias("__t__")).schema[0].dataType.simpleString()
+            except Exception:
+                vt = "string"
+            arr = F.sort_array(F.collect_list(
+                F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
+            vals = F.transform(arr, lambda s: s["v"])
+            init = F.array().cast(f"array<struct<len:bigint,value:{vt}>>")
+
+            def merge(acc, v):
+                last = F.element_at(acc, -1)
+                start = F.concat(acc, F.array(F.struct(
+                    F.lit(1).cast("bigint").alias("len"), v.alias("value"))))
+                extend = F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.struct((last["len"] + 1).alias("len"),
+                                     v.alias("value"))))
+                return F.when((F.size(acc) == 0) | ~last["value"].eqNullSafe(v),
+                              start).otherwise(extend)
+
+            return F.explode(F.aggregate(vals, init, merge))
+
+        return Expr(fn, name=self._name, needs_order=True)
+
     def rle_id(self):
         """Run ids (expr.rb:2674): gaps-and-islands cumsum of change points."""
 
@@ -1293,6 +1510,8 @@ class Expr:
         """Filter *inside agg context* (expr.rb:2713): conditional aggregation."""
         p = wrap_expr(predicate)
         return self._lift2(p, lambda c, cond: F.when(cond, c), name=self._name)
+
+    where = filter  # expr.rb:2748 alias
 
     def exclude(self, *names):
         excl = set()

@@ -606,6 +606,40 @@ class CatNameSpace(_NS):
         return self._e._lift(lambda c: c)
 
 
+class MetaNameSpace(_NS):
+    """Expr introspection (meta_expr.rb).  Exprs here are Column-builder
+    closures, not a walkable AST: name-level queries are exact; root-column
+    extraction is not tracked and raises."""
+
+    def output_name(self):
+        return self._e._name
+
+    def undo_aliases(self) -> Expr:
+        out = Expr(self._e._fn, name=None, is_agg=self._e._is_agg,
+                   needs_order=self._e._needs_order, multi_fn=self._e._multi_fn)
+        return out
+
+    def has_multiple_outputs(self) -> bool:
+        return self._e._multi_fn is not None
+
+    def is_regex_projection(self) -> bool:
+        n = self._e._name or ""
+        return n.startswith("^") and n.endswith("$")
+
+    def root_names(self):
+        raise NotImplementedError(
+            "meta.root_names: root columns are not tracked through the "
+            "Column-builder representation")
+
+    def eq(self, other) -> bool:
+        return self._e is other or (
+            self._e._fn is getattr(other, "_fn", None)
+            and self._e._name == getattr(other, "_name", object()))
+
+    def ne(self, other) -> bool:
+        return not self.eq(other)
+
+
 class NameNameSpace(_NS):
     def keep(self) -> Expr:
         return self._e

@@ -345,3 +345,41 @@ def test_extract_groups_and_shuffle(spark):
     res2 = (dfn.lazy().with_columns(pl.col("v").shuffle(seed=7).alias("x"))
             .sort("i").collect().to_a())
     assert xs == [r["x"] for r in res2]       # seed-deterministic
+
+
+def test_expr_surface_extras(spark):
+    """rle, agg-context slices, named operator aliases, bounds, meta."""
+    df = pl.from_hash({"s": [1, 1, 2, 1, None, 1, 3, 3]})
+    runs = [(r["s"]["len"], r["s"]["value"]) for r in
+            df.select(pl.col("s").rle().alias("s")).collect().to_a()]
+    assert runs == [(2, 1), (1, 2), (1, 1), (1, None), (1, 1), (2, 3)]
+
+    g = pl.from_hash({"g": ["a", "a", "a", "b"], "v": [1, 2, 3, 4]})
+    row = {r["g"]: r for r in g.group_by("g").agg(
+        pl.col("v").head(2).alias("h"),
+        pl.col("v").tail(1).alias("t"),
+        pl.col("v").slice(1, 2).alias("sl"),
+        pl.col("v").gather([0, -1]).alias("ga"),
+    ).to_a()}
+    assert row["a"]["h"] == [1, 2] and row["a"]["t"] == [3]
+    assert row["a"]["sl"] == [2, 3] and row["a"]["ga"] == [1, 3]
+    assert row["b"]["h"] == [4]
+
+    d = pl.from_hash({"a": [1, 2], "b": [True, False]})
+    out = d.select(
+        pl.col("a").add(1).alias("p"),
+        pl.col("a").ge(2).alias("ge"),
+        pl.col("b").xor(True).alias("x"),
+        pl.col("b").is_not().alias("n"),
+        pl.col("a").lower_bound().alias("lo"),
+        pl.col("a").upper_bound().alias("hi"),
+    ).to_a()[0]
+    assert (out["p"], out["ge"], out["x"], out["n"]) == (2, False, False, False)
+    assert out["lo"] == -(1 << 63) and out["hi"] == (1 << 63) - 1
+
+    e = pl.col("x").alias("y")
+    assert e.meta.output_name() == "y"
+    assert e.meta.undo_aliases().meta.output_name() is None
+    assert not e.meta.has_multiple_outputs()
+    assert d.select(pl.col("a").keep_name()).columns == ["a"]
+    assert d.select(pl.col("a").map_alias(lambda n: n + "_z")).columns == ["a_z"]
