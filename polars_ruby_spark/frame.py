@@ -507,6 +507,47 @@ class LazyFrame:
         return f"<LazyFrame {self.columns}>"
 
 
+def _lazy_clear(self, n: int = 0):
+    from pyspark.sql import functions as F
+
+    sdf = self._sdf
+    if n == 0:
+        return self.__class__(strip_row_index(sdf).limit(0))
+    spark = sdf.sparkSession
+    base = spark.range(n).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in sdf.schema.fields if f.name != ROW_IDX])
+    return self.__class__(base)
+
+
+def _lazy_interpolate(self):
+    """Interpolate every numeric column (lazy_frame.rb interpolate)."""
+    from pyspark.sql import types as T
+
+    from .exprs import col
+
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+    exprs = []
+    for f in self._sdf.schema.fields:
+        if f.name == ROW_IDX:
+            continue
+        exprs.append(col(f.name).interpolate().alias(f.name)
+                     if isinstance(f.dataType, numeric) else col(f.name))
+    return self.select(*exprs)
+
+
+def _lazy_set_sorted(self, *cols, descending: bool = False):
+    return self  # Catalyst derives ordering from the plan
+
+
+LazyFrame.clear = _lazy_clear
+LazyFrame.cleared = _lazy_clear
+LazyFrame.interpolate = _lazy_interpolate
+LazyFrame.set_sorted = _lazy_set_sorted
+LazyFrame.to_s = LazyFrame.__repr__ if hasattr(LazyFrame, "__repr__") else repr
+
+
 class DataFrame(LazyFrame):
     """Eager frame (parity: lib/polars/data_frame.rb).
 
@@ -587,6 +628,124 @@ class DataFrame(LazyFrame):
 
         name = self.columns[index]
         return Series._from_spark(self.to_spark().select(name), name)
+
+    # -- column container surface (data_frame.rb:309-2780) -------------------
+    def get_columns(self) -> list:
+        return [self.to_series(i) for i in range(len(self.columns))]
+
+    def each(self):
+        return iter(self.get_columns())
+
+    def each_row(self, named: bool = True):
+        # data_frame.rb:4521 — iterate rows (toLocalIterator: no full collect)
+        for r in self.to_spark().toLocalIterator():
+            yield r.asDict() if named else tuple(r)
+
+    def get_column_index(self, name: str) -> int:
+        return self.columns.index(name)
+
+    def is_empty(self) -> bool:
+        return self.to_spark().isEmpty()
+
+    empty = is_empty
+
+    def equals(self, other, null_equal: bool = True) -> bool:
+        a, b = self.to_spark(), other.to_spark()
+        if a.columns != b.columns or [f.dataType for f in a.schema.fields] != \
+                [f.dataType for f in b.schema.fields]:
+            return False
+        return a.collect() == b.collect()
+
+    frame_equal = equals
+
+    def fold(self, operation):
+        # data_frame.rb:4330 — horizontal fold of columns into one Series
+        acc = self.to_series(0)
+        for i in range(1, len(self.columns)):
+            acc = operation(acc, self.to_series(i))
+        return acc
+
+    def n_unique(self, subset=None) -> int:
+        sdf = self.to_spark()
+        cols = subset if subset is not None else sdf.columns
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        return sdf.select(*cols).distinct().count()
+
+    def product(self) -> "DataFrame":
+        from pyspark.sql import functions as F
+
+        sdf = self.to_spark()
+        aggs = [F.exp(F.sum(F.log(F.abs(F.col(c))))) *
+                F.when(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)) % 2 == 1, -1)
+                .otherwise(1) for c in sdf.columns]
+        # sign-aware log-sum product; exact zero → 0 via min(abs)
+        aggs = [F.when(F.min(F.abs(F.col(c))) == 0, F.lit(0.0))
+                .otherwise(a).alias(c) for c, a in zip(sdf.columns, aggs)]
+        return DataFrame(sdf.agg(*aggs))
+
+    def to_struct(self, name: str = ""):
+        from pyspark.sql import functions as F
+        from .series import Series
+
+        nm = name or "struct"
+        sdf = self.to_spark()
+        return Series._from_spark(
+            sdf.select(F.struct(*sdf.columns).alias(nm)), nm)
+
+    def clear(self, n: int = 0) -> "DataFrame":
+        # data_frame.rb:2760 — same schema, 0 (or n all-null) rows
+        sdf = self.to_spark()
+        if n == 0:
+            return DataFrame(sdf.limit(0))
+        from pyspark.sql import functions as F
+
+        spark = sdf.sparkSession
+        base = spark.range(n).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in sdf.schema.fields])
+        return DataFrame(base)
+
+    cleared = clear
+
+    # -- in-place column mutation (thin-wrapper reassignment) ----------------
+    def drop_in_place(self, name: str):
+        s = self.get_column(name)
+        self._sdf = self.to_spark().drop(name)
+        return s
+
+    delete = drop_in_place
+
+    def insert_column(self, index: int, series) -> "DataFrame":
+        cols = list(self.columns)
+        merged = self.hstack(series.to_frame())
+        cols.insert(index if index >= 0 else len(cols) + index + 1, series.name)
+        self._sdf = merged.to_spark().select(*cols)
+        return self
+
+    def replace_column(self, index: int, series) -> "DataFrame":
+        from pyspark.sql import functions as F
+
+        old = self.columns[index]
+        merged = self.hstack(series.rename("__repl__").to_frame())
+        self._sdf = merged.to_spark().select(
+            *[F.col("__repl__").alias(series.name) if c == old else F.col(c)
+              for c in self.columns])
+        return self
+
+    def replace(self, column: str, new_col) -> "DataFrame":
+        return self.replace_column(self.get_column_index(column),
+                                   new_col.rename(column))
+
+    def shrink_to_fit(self, in_place: bool = False):
+        return self  # memory layout is the JVM's concern
+
+    @property
+    def flags(self) -> dict:
+        return {c: {"SORTED_ASC": False, "SORTED_DESC": False}
+                for c in self.columns}
+
+    def to_s(self) -> str:
+        return self.__repr__()
 
     def __getitem__(self, key):
         if isinstance(key, str):

@@ -197,12 +197,13 @@ class Series:
         return DataFrame(out)
 
     def _binop(self, other, opname):
-        o = other
         if isinstance(other, Series):
-            o = other.to_list()  # small-series semantics; frame ops preferred
-            import pandas as pd
-
-        return self._dispatch(lambda e: getattr(e, opname)(o))
+            # elementwise zip by row position (series.rb arithmetic)
+            merged = self.to_frame().hstack(other.rename("__rhs__").to_frame())
+            e = getattr(col(self._name), opname)(col("__rhs__"))
+            out = merged.lazy().select(e.alias(self._name))
+            return Series._from_spark(out._sdf, self._name)
+        return self._dispatch(lambda e: getattr(e, opname)(other))
 
     def __add__(self, o):
         return self._binop(o, "__add__")

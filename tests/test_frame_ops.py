@@ -147,3 +147,30 @@ def test_plan_dynamic_closed_both_single_shuffle(spark, sf_dir):
     plan = _plan(out.to_spark())
     assert plan.count("Exchange") == 1
     assert "Generate explode" in plan  # the candidate-start enumeration
+
+
+def test_frame_container_surface(spark):
+    """data_frame.rb container ops: get_columns/fold/insert/replace/clear…"""
+    df = pl.DataFrame({"a": [1, 2, 3], "b": [4.0, 0.5, 2.0]})
+    assert [s.name for s in df.get_columns()] == ["a", "b"]
+    assert df.get_column_index("b") == 1
+    assert not df.is_empty() and df.clear().shape == (0, 2)
+    assert df.clear(2).to_a() == [{"a": None, "b": None}] * 2
+    assert df.equals(pl.DataFrame({"a": [1, 2, 3], "b": [4.0, 0.5, 2.0]}))
+    assert not df.equals(df.clear(3))
+    assert df.n_unique() == 3 and pl.DataFrame({"x": [1, 1, 2]}).n_unique() == 2
+    assert df.product().to_a() == [{"a": 6.0, "b": 4.0}]
+    assert df.fold(lambda a, b: a + b).to_list() == [5.0, 2.5, 5.0]
+    assert next(df.each_row()) == {"a": 1, "b": 4.0}
+
+    d2 = pl.DataFrame({"a": [1, 2, 3]})
+    d2.insert_column(1, pl.Series("z", [9, 8, 7]))
+    assert d2.columns == ["a", "z"]
+    assert d2.drop_in_place("z").to_list() == [9, 8, 7]
+    assert d2.columns == ["a"]
+    d2.replace("a", pl.Series("a", [5, 5, 5]))
+    assert d2.to_a() == [{"a": 5}] * 3
+
+    lf = pl.LazyFrame({"x": [1.0, None, 3.0]})
+    assert [r["x"] for r in lf.interpolate().collect().to_a()] == [1.0, 2.0, 3.0]
+    assert lf.set_sorted("x") is lf
