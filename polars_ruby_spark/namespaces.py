@@ -184,6 +184,19 @@ class StringNameSpace(_NS):
     def to_decimal(self, scale: int = 0) -> Expr:
         return self._e._lift(lambda c: c.cast(f"decimal(38,{scale})"))
 
+    def to_time(self, format: str | None = None, strict: bool = True,
+                cache: bool = True) -> Expr:
+        """Parse "HH:MM:SS"-style strings to the Time dtype (ns since
+        midnight; string_expr.rb:130)."""
+        fmt = chrono_to_java(format) if format else "HH:mm:ss"
+        return self._e._lift(lambda c: F.unix_micros(F.to_timestamp(
+            F.concat(F.lit("1970-01-01 "), c),
+            "yyyy-MM-dd " + fmt)) * F.lit(1000))
+
+    def parse_int(self, radix: int = 2, strict: bool = True) -> Expr:
+        # deprecated reference alias of to_integer (string_expr.rb)
+        return self.to_integer(base=radix, strict=strict)
+
     def to_integer(self, base: int = 10, strict: bool = True) -> Expr:
         if base == 10:
             return self._e._lift(lambda c: c.cast("long"))
@@ -317,6 +330,50 @@ class DateTimeNameSpace(_NS):
         return self._e._lift(
             lambda c: (F.unix_micros(c) - F.unix_micros(F.date_trunc("day", c)))
             * F.lit(1000))
+
+    def datetime(self) -> Expr:
+        # date_time_expr.rb:584 — the Datetime representation itself
+        return self._e._lift(lambda c: c.cast("timestamp"))
+
+    def combine(self, time, time_unit: str = "us") -> Expr:
+        """Replace the time component with ``time`` (a Time-dtype expr of ns
+        since midnight, or a datetime.time; date_time_expr.rb:217)."""
+        import datetime as _dt
+
+        if isinstance(time, _dt.time):
+            ns = ((time.hour * 3600 + time.minute * 60 + time.second)
+                  * 1_000_000 + time.microsecond) * 1000
+            t_expr = Expr(lambda df, part: F.lit(ns))
+        else:
+            from .exprs import wrap_expr
+
+            t_expr = wrap_expr(time)
+
+        def fn(c, t):
+            day_us = F.unix_micros(F.date_trunc("day", c.cast("timestamp")))
+            return F.timestamp_micros(day_us + (t.cast("long") / F.lit(1000))
+                                      .cast("long"))
+
+        return self._e._lift2(t_expr, fn)
+
+    def cast_time_unit(self, time_unit: str) -> Expr:
+        # values are instants; storage is always µs here (COVERAGE.md dtype
+        # policy) so a value-preserving unit cast is the identity
+        return self._e._lift(lambda c: c.cast("timestamp"))
+
+    def with_time_unit(self, time_unit: str) -> Expr:
+        """REINTERPRET the stored µs count as ``time_unit`` (changes the
+        instant — date_time_expr.rb:838)."""
+        factor = {"ns": 0.001, "us": 1.0, "ms": 1000.0}[time_unit]
+        return self._e._lift(lambda c: F.timestamp_micros(
+            (F.unix_micros(c) * F.lit(factor)).cast("long")))
+
+    def base_utc_offset(self) -> Expr:
+        # instants are stored UTC (session.configure pins UTC) → offset 0
+        return self._e._lift(lambda c: F.expr("INTERVAL 0 SECONDS"))
+
+    def dst_offset(self) -> Expr:
+        return self._e._lift(lambda c: F.expr("INTERVAL 0 SECONDS"))
 
     def hour(self) -> Expr:
         return self._e._lift(lambda c: F.hour(c).cast("int"))
@@ -548,6 +605,29 @@ class ListNameSpace(_NS):
 
     def drop_nulls(self) -> Expr:
         return self._e._lift(lambda c: F.filter(c, lambda x: x.isNotNull()))
+
+    def sample(self, n: int = 1, seed: int | None = None,
+               with_replacement: bool = False) -> Expr:
+        """Sample n list elements (list_expr.rb sample): deterministic
+        hash-order pick (seeded), so tasks agree under retries."""
+        s = 0 if seed is None else int(seed)
+
+        def fn(c):
+            keyed = F.transform(c, lambda v, i: F.struct(
+                F.xxhash64(v.cast("string"), i, F.lit(s)).alias("h"),
+                v.alias("v")))
+            return F.transform(F.slice(F.array_sort(keyed), 1, n),
+                               lambda st: st["v"])
+
+        return self._e._lift(fn)
+
+    def explode(self) -> Expr:
+        # array_expr.rb explode — one output row per element (generator)
+        return self._e._lift(lambda c: F.explode(c))
+
+    def to_list(self) -> Expr:
+        # arr → list is a free cast (fixed width is a checked constraint)
+        return self._e._lift(lambda c: c)
 
 
 class StructNameSpace(_NS):

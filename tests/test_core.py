@@ -383,3 +383,31 @@ def test_expr_surface_extras(spark):
     assert not e.meta.has_multiple_outputs()
     assert d.select(pl.col("a").keep_name()).columns == ["a"]
     assert d.select(pl.col("a").map_alias(lambda n: n + "_z")).columns == ["a_z"]
+
+
+def test_namespace_surface_extras(spark):
+    """dt.combine/datetime/with_time_unit, str.to_time/parse_int,
+    list.sample, arr.explode/to_list."""
+    df = pl.from_hash({"ts": [dt.datetime(2024, 5, 1, 12, 30, 15)],
+                       "s": ["01:02:03"], "hx": ["ff"], "l": [[1, 2, 3, 4, 5]]})
+    out = df.select(
+        pl.col("ts").dt.datetime().alias("d"),
+        pl.col("ts").dt.combine(dt.time(6, 30)).alias("cmb"),
+        pl.col("ts").dt.combine(pl.col("s").str.to_time()).alias("cmb2"),
+        pl.col("ts").dt.with_time_unit("ns").alias("wtu"),
+        pl.col("ts").dt.cast_time_unit("ns").alias("ctu"),
+        pl.col("s").str.to_time().alias("t"),
+        pl.col("hx").str.parse_int(16).alias("pi"),
+        pl.col("l").list.sample(2, seed=7).alias("smp"),
+        pl.col("l").arr.to_list().alias("tl"),
+    ).collect().to_a()[0]
+    assert out["d"] == dt.datetime(2024, 5, 1, 12, 30, 15)
+    assert out["cmb"] == dt.datetime(2024, 5, 1, 6, 30)
+    assert out["cmb2"] == dt.datetime(2024, 5, 1, 1, 2, 3)
+    assert out["wtu"].year == 1970  # µs count reinterpreted as ns
+    assert out["ctu"] == out["d"]   # storage is µs: value-preserving
+    assert out["t"] == 3723 * 10**9 and out["pi"] == 255
+    assert len(out["smp"]) == 2 and set(out["smp"]) <= {1, 2, 3, 4, 5}
+    assert out["tl"] == [1, 2, 3, 4, 5]
+    ex = df.select(pl.col("l").arr.explode().alias("e")).collect().to_a()
+    assert [r["e"] for r in ex] == [1, 2, 3, 4, 5]
