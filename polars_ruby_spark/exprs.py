@@ -673,7 +673,16 @@ class Expr:
         return self._agg(lambda c: F.count(F.lit(1)), name=self._name or "len")
 
     def n_unique(self):
-        return self._agg(F.countDistinct)
+        def fn(df, part):
+            if part is not None:
+                # Spark rejects count(DISTINCT) over a window — size of the
+                # per-partition collect_set is the same count (nulls excluded
+                # by collect_set, matching countDistinct)
+                return F.size(F.collect_set(self._fn(df, None))
+                              .over(_part_window(part)))
+            return F.countDistinct(self._fn(df, None))
+
+        return Expr(fn, name=self._name, is_agg=True)
 
     def approx_n_unique(self):
         return self._agg(F.approx_count_distinct)

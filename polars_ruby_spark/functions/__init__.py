@@ -363,3 +363,245 @@ def arg_sort_by(exprs, descending: bool = False):
         return F.element_at(pairs, pos)["i"].cast("long")
 
     return Expr(fn, name="arg_sort_by", needs_order=True)
+
+
+# -- module-level delegates & ranges (functions/aggregation, lazy.rb) --------
+
+def _nary(f, *parts):
+    es = [wrap_expr(p) for p in parts]
+
+    def fn(df, part):
+        return f(*[e._fn(df, part) for e in es])
+
+    return Expr(fn)
+
+
+def any(*names):
+    out = [e.any() for e in _exprs(names)]
+    return out[0] if names.__len__() == 1 else out
+
+
+def median(name):
+    return col(name).median()
+
+
+def n_unique(name):
+    return col(name).n_unique()
+
+
+def approx_n_unique(name):
+    return col(name).approx_n_unique()
+
+
+def quantile(name, q, interpolation: str = "nearest"):
+    return col(name).quantile(q, interpolation)
+
+
+def std(name, ddof: int = 1):
+    return col(name).std(ddof)
+
+
+def var(name, ddof: int = 1):
+    return col(name).var(ddof)
+
+
+def cum_sum(*names):
+    out = [col(n).cum_sum() for n in names]
+    return out[0] if out.__len__() == 1 else out
+
+
+def cum_count(*names):
+    out = [col(n).cum_count() for n in names]
+    return out[0] if out.__len__() == 1 else out
+
+
+def head(column, n: int = 10):
+    return col(column).head(n)
+
+
+def tail(column, n: int = 10):
+    return col(column).tail(n)
+
+
+def implode(name):
+    return col(name).implode()
+
+
+def to_list(name):
+    # deprecated reference alias of implode
+    return col(name).implode()
+
+
+def groups(name):
+    # deprecated reference alias of agg_groups
+    return col(name).agg_groups()
+
+
+def exclude(*names):
+    return col("*").exclude(*names)
+
+
+def arctan2d(y, x):
+    return arctan2(y, x)._lift(F.degrees)
+
+
+def pearson_corr(a, b, ddof: int = 1):
+    return corr(a, b, method="pearson", ddof=ddof)
+
+
+def spearman_rank_corr(a, b, ddof: int = 1):
+    return corr(a, b, method="spearman", ddof=ddof)
+
+
+def from_epoch(column, time_unit: str = "s"):
+    e = wrap_expr(col(column) if isinstance(column, str) else column)
+    if time_unit == "d":
+        return e._lift(lambda c: F.date_add(F.lit("1970-01-01").cast("date"),
+                                            c.cast("int")))
+    factor = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 0.001}[time_unit]
+    return e._lift(lambda c: F.timestamp_micros(
+        (c.cast("double") * F.lit(factor)).cast("long")))
+
+
+def arg_where(condition, eager: bool = False):
+    """Row indices where the predicate holds (functions/lazy.rb arg_where).
+    Agg-context list (same convention as head/gather)."""
+    from ..session import ROW_IDX
+
+    e = wrap_expr(condition)
+
+    def fn(df, part):
+        c = e._fn(df, part)
+        arr = F.sort_array(F.collect_list(
+            F.when(c, F.struct(F.col(ROW_IDX).alias("i")))))
+        return F.transform(arr, lambda s: s["i"].cast("long"))
+
+    return Expr(fn, is_agg=True, needs_order=True, name="arg_where")
+
+
+def duration(*, weeks=0, days=0, hours=0, minutes=0, seconds=0,
+             milliseconds=0, microseconds=0, nanoseconds=0, time_unit="us"):
+    """Duration expr from components (functions/as_datatype.rb:35) —
+    composes with Datetime arithmetic via a day-time interval."""
+    def c(x):
+        return wrap_expr(x)
+
+    secs = (c(seconds)._lift2(c(milliseconds), lambda a, b: a + b * F.lit(0.001))
+            ._lift2(c(microseconds), lambda a, b: a + b * F.lit(1e-6))
+            ._lift2(c(nanoseconds), lambda a, b: a + b * F.lit(1e-9)))
+    return _nary(
+        lambda w, d, h, m, s: F.make_interval(
+            F.lit(0), F.lit(0), w.cast("int"), d.cast("int"), h.cast("int"),
+            m.cast("int"), s.cast("decimal(18,6)")),
+        weeks, days, hours, minutes, secs)
+
+
+def date_ranges(start, end, interval: str = "1d", closed: str = "both"):
+    """Per-row list of dates from start to end columns (range/date_range.rb)."""
+    dur = parse_duration(interval)
+    step = (f"INTERVAL {dur.months} MONTH" if dur.is_calendar
+            else f"INTERVAL {int(dur.total_seconds())} SECOND")
+    s, e = wrap_expr(start if not isinstance(start, str) else col(start)), \
+        wrap_expr(end if not isinstance(end, str) else col(end))
+    out = s._lift2(e, lambda a, b: F.sequence(
+        a.cast("date"), b.cast("date"), F.expr(step)))
+    if closed in ("left", "none"):
+        out = out._lift2(e, lambda arr, b: F.filter(
+            arr, lambda x: x != b.cast("date")))
+    if closed in ("right", "none"):
+        out = out._lift2(s, lambda arr, a: F.filter(
+            arr, lambda x: x != a.cast("date")))
+    return out
+
+
+def datetime_ranges(start, end, interval: str = "1h", closed: str = "both"):
+    dur = parse_duration(interval)
+    step = f"INTERVAL {int(dur.total_seconds() * 1e6)} MICROSECOND"
+    s, e = wrap_expr(start if not isinstance(start, str) else col(start)), \
+        wrap_expr(end if not isinstance(end, str) else col(end))
+    out = s._lift2(e, lambda a, b: F.sequence(
+        a.cast("timestamp"), b.cast("timestamp"), F.expr(step)))
+    if closed in ("left", "none"):
+        out = out._lift2(e, lambda arr, b: F.filter(
+            arr, lambda x: x != b.cast("timestamp")))
+    if closed in ("right", "none"):
+        out = out._lift2(s, lambda arr, a: F.filter(
+            arr, lambda x: x != a.cast("timestamp")))
+    return out
+
+
+def _time_ns(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.time):
+        return ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000
+                + v.microsecond) * 1000
+    return int(v)
+
+
+def time_range(start=None, stop=None, interval: str = "1h",
+               closed: str = "both", eager: bool = False, spark=None):
+    """Range of Time values (ns since midnight; range/time_range.rb:35)."""
+    from ..session import get_spark
+    from .. import frame
+
+    dur = parse_duration(interval)
+    if dur.is_calendar:
+        raise ValueError("invalid interval unit for time_range")
+    lo = _time_ns(start) if start is not None else 0
+    hi = _time_ns(stop) if stop is not None else 24 * 3600 * 10**9 - 1
+    step = int(dur.total_seconds() * 1e9)
+    s = spark or get_spark()
+    sdf = s.range(1).select(F.explode(F.sequence(
+        F.lit(lo), F.lit(hi), F.lit(step))).alias("time"))
+    if closed in ("left", "none"):
+        sdf = sdf.filter(F.col("time") != hi)
+    if closed in ("right", "none"):
+        sdf = sdf.filter(F.col("time") != lo)
+    return frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
+
+
+def time_ranges(start, stop, interval: str = "1h", closed: str = "both"):
+    dur = parse_duration(interval)
+    if dur.is_calendar:
+        raise ValueError("invalid interval unit for time_ranges")
+    step = int(dur.total_seconds() * 1e9)
+    s, e = wrap_expr(start if not isinstance(start, str) else col(start)), \
+        wrap_expr(stop if not isinstance(stop, str) else col(stop))
+    out = s._lift2(e, lambda a, b: F.sequence(
+        a.cast("long"), b.cast("long"), F.lit(step)))
+    if closed in ("left", "none"):
+        out = out._lift2(e, lambda arr, b: F.filter(arr, lambda x: x != b))
+    if closed in ("right", "none"):
+        out = out._lift2(s, lambda arr, a: F.filter(arr, lambda x: x != a))
+    return out
+
+
+def ones(n: int, dtype=None, eager: bool = True, spark=None):
+    return repeat(1.0 if dtype is None else 1, n, eager=eager, spark=spark)
+
+
+def zeros(n: int, dtype=None, eager: bool = True, spark=None):
+    return repeat(0.0 if dtype is None else 0, n, eager=eager, spark=spark)
+
+
+def select(*exprs, **named):
+    """Run expressions without a frame context (lazy.rb select) — a unit
+    (1-row, 0-col) frame."""
+    from ..session import get_spark
+    from .. import frame
+
+    base = frame.DataFrame(get_spark().range(1).drop("id"))
+    return base.select(*exprs, **named)
+
+
+def set_random_seed(seed: int):
+    """Default seed for seeded ops when none is passed (random.rb)."""
+    from ..config import _STATE
+
+    _STATE["random_seed"] = int(seed)
+
+
+def get_dummies(df, columns=None, separator: str = "_"):
+    # deprecated reference alias of DataFrame#to_dummies
+    return df.to_dummies(columns=columns, separator=separator)

@@ -411,3 +411,36 @@ def test_namespace_surface_extras(spark):
     assert out["tl"] == [1, 2, 3, 4, 5]
     ex = df.select(pl.col("l").arr.explode().alias("e")).collect().to_a()
     assert [r["e"] for r in ex] == [1, 2, 3, 4, 5]
+
+
+def test_module_function_delegates(spark):
+    """Polars.* module functions (functions/aggregation, ranges, duration)."""
+    df = pl.from_hash({"g": ["a", "a", "b"], "v": [1.0, 3.0, 5.0],
+                       "d0": [dt.date(2024, 1, 1)] * 3,
+                       "d1": [dt.date(2024, 1, 4)] * 3})
+    agg = {r["g"]: r for r in df.group_by("g").agg(
+        pl.median("v").alias("md"), pl.implode("v").alias("im"),
+        pl.head("v", 1).alias("h")).to_a()}
+    assert agg["a"]["md"] == 2.0 and agg["a"]["im"] == [1.0, 3.0]
+    assert agg["b"]["h"] == [5.0]
+
+    row = df.select(pl.n_unique("g").alias("nu"),
+                    pl.cum_sum("v").alias("cs")).to_a()
+    assert [r["nu"] for r in row] == [2, 2, 2]
+    assert [r["cs"] for r in row] == [1.0, 4.0, 9.0]
+
+    assert df.select(pl.arg_where(pl.col("v") > 2).alias("aw")
+                     ).to_a()[0]["aw"] == [1, 2]
+    dr = df.select(pl.date_ranges("d0", "d1").alias("dr")).to_a()[0]["dr"]
+    assert len(dr) == 4 and dr[0] == dt.date(2024, 1, 1)
+    plus = df.select((pl.col("d0").cast(pl.Datetime)
+                      + pl.duration(days=1, hours=6)).alias("p")).to_a()[0]["p"]
+    assert plus == dt.datetime(2024, 1, 2, 6, 0)
+    assert pl.select(pl.lit(2).alias("two")).to_a() == [{"two": 2}]
+    tr = pl.time_range(dt.time(1), dt.time(3), "1h", eager=True).to_a()
+    assert [r["time"] for r in tr] == [3600 * 10**9, 7200 * 10**9, 10800 * 10**9]
+    assert pl.ones(2).to_a() == [{"repeat": 1.0}] * 2
+    fe = df.select(pl.from_epoch(pl.lit(86400), "s").alias("fe")).to_a()[0]["fe"]
+    assert fe == dt.datetime(1970, 1, 2)
+    corr = df.select(pl.pearson_corr("v", "v").round(6).alias("c")).to_a()[0]["c"]
+    assert corr == 1.0
