@@ -196,6 +196,166 @@ class Series:
             out = out.orderBy(F.col(name).desc(), F.col(self._name))
         return DataFrame(out)
 
+    # -- series-specific container ops (series.rb; not Expr-delegable) -------
+    def append(self, other: "Series") -> "Series":
+        sdf = self._sdf.unionByName(
+            other._sdf.withColumnRenamed(other._sdf.columns[0],
+                                         self._sdf.columns[0]))
+        return Series._from_spark(sdf, self._name)
+
+    def extend_constant(self, value, n: int) -> "Series":
+        from pyspark.sql import functions as F
+
+        cn = self._sdf.columns[0]
+        field = self._sdf.schema[cn].dataType
+        tail = self._sdf.sparkSession.range(n).select(
+            F.lit(value).cast(field).alias(cn))
+        return Series._from_spark(self._sdf.unionByName(tail), self._name)
+
+    def zip_with(self, mask: "Series", other: "Series") -> "Series":
+        """Row-wise: self where mask else other (series.rb zip_with)."""
+        from pyspark.sql import functions as F
+
+        merged = (self.to_frame()
+                  .hstack(mask.rename("__m__").to_frame())
+                  .hstack(other.rename("__o__").to_frame()).to_spark())
+        out = merged.select(F.when(F.col("__m__"), F.col(self._name))
+                            .otherwise(F.col("__o__")).alias(self._name))
+        return Series._from_spark(out, self._name)
+
+    def new_from_index(self, index: int, length: int) -> "Series":
+        v = self.to_frame().lazy().slice(index, 1)._sdf.collect()[0][0]
+        return Series(self._name, [v] * length)
+
+    def scatter(self, indices, values) -> "Series":
+        """Set values at positions (series.rb scatter/set_at_idx) — a
+        broadcast-join remap on the row index, not a driver loop."""
+        from pyspark.sql import functions as F
+
+        from .operators.row_index import with_row_index
+
+        idx = [indices] if isinstance(indices, int) else list(indices)
+        vals = values if isinstance(values, (list, tuple)) else [values] * len(idx)
+        spark = self._sdf.sparkSession
+        cn = self._sdf.columns[0]
+        field = self._sdf.schema[cn].dataType
+        upd = spark.createDataFrame(
+            [(int(i), v) for i, v in zip(idx, vals)], ["__i__", "__v__"]
+        ).select(F.col("__i__").cast("long").alias("__i__"),
+                 F.col("__v__").cast(field).alias("__v__"))
+        base = with_row_index(self._sdf, "__i__")
+        out = (base.join(F.broadcast(upd), "__i__", "left")
+               .orderBy("__i__")
+               .select(F.coalesce("__v__", cn).alias(cn)))
+        return Series._from_spark(out, self._name)
+
+    set_at_idx = scatter
+
+    def set(self, mask: "Series", value) -> "Series":
+        from pyspark.sql import functions as F
+
+        merged = self.to_frame().hstack(mask.rename("__m__").to_frame()).to_spark()
+        cn = self._name
+        out = merged.select(F.when(F.col("__m__"), F.lit(value).cast(
+            self._sdf.schema[self._sdf.columns[0]].dataType))
+            .otherwise(F.col(cn)).alias(cn))
+        return Series._from_spark(out, self._name)
+
+    def eq_missing(self, other) -> "Series":
+        return self._null_safe_cmp(other, negate=False)
+
+    def ne_missing(self, other) -> "Series":
+        return self._null_safe_cmp(other, negate=True)
+
+    def _null_safe_cmp(self, other, negate: bool) -> "Series":
+        from pyspark.sql import functions as F
+
+        if isinstance(other, Series):
+            merged = self.to_frame().hstack(
+                other.rename("__rhs__").to_frame()).to_spark()
+            c = F.col(self._name).eqNullSafe(F.col("__rhs__"))
+        else:
+            merged = self.to_frame().to_spark()
+            c = F.col(self._name).eqNullSafe(F.lit(other))
+        out = merged.select((~c if negate else c).alias(self._name))
+        return Series._from_spark(out, self._name)
+
+    def equals(self, other: "Series", null_equal: bool = True) -> bool:
+        return self.to_frame().equals(other.rename(self._name).to_frame())
+
+    series_equal = equals
+
+    def arg_true(self) -> "Series":
+        from .operators.row_index import with_row_index
+        from pyspark.sql import functions as F
+
+        base = with_row_index(self._sdf, "__i__")
+        out = (base.filter(F.col(self._sdf.columns[0])).orderBy("__i__")
+               .select(F.col("__i__").alias(self._name)))
+        return Series._from_spark(out, self._name)
+
+    def is_empty(self) -> bool:
+        return self._sdf.isEmpty()
+
+    empty = is_empty
+
+    def has_validity(self) -> bool:
+        return self._scalar("null_count") > 0
+
+    # dtype predicates (series.rb:4450-4520)
+    def is_numeric(self) -> bool:
+        from pyspark.sql import types as T
+
+        return isinstance(self.dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                                       T.LongType, T.FloatType, T.DoubleType,
+                                       T.DecimalType))
+
+    def is_float(self) -> bool:
+        from pyspark.sql import types as T
+
+        return isinstance(self.dtype, (T.FloatType, T.DoubleType))
+
+    def is_boolean(self) -> bool:
+        from pyspark.sql import types as T
+
+        return isinstance(self.dtype, T.BooleanType)
+
+    def is_utf8(self) -> bool:
+        from pyspark.sql import types as T
+
+        return isinstance(self.dtype, T.StringType)
+
+    def is_datelike(self) -> bool:
+        from pyspark.sql import types as T
+
+        return isinstance(self.dtype, (T.DateType, T.TimestampType))
+
+    def time_unit(self) -> str:
+        return "us"  # storage policy (COVERAGE.md dtype table)
+
+    @property
+    def flags(self) -> dict:
+        return {"SORTED_ASC": False, "SORTED_DESC": False}
+
+    def each(self):
+        for r in self._sdf.toLocalIterator():
+            yield r[0]
+
+    def clear(self, n: int = 0) -> "Series":
+        sdf = self._sdf.limit(0)
+        if n:
+            from pyspark.sql import functions as F
+
+            cn = self._sdf.columns[0]
+            sdf = self._sdf.sparkSession.range(n).select(
+                F.lit(None).cast(self._sdf.schema[cn].dataType).alias(cn))
+        return Series._from_spark(sdf, self._name)
+
+    cleared = clear
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
     def _binop(self, other, opname):
         if isinstance(other, Series):
             # elementwise zip by row position (series.rb arithmetic)

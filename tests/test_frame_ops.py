@@ -174,3 +174,24 @@ def test_frame_container_surface(spark):
     lf = pl.LazyFrame({"x": [1.0, None, 3.0]})
     assert [r["x"] for r in lf.interpolate().collect().to_a()] == [1.0, 2.0, 3.0]
     assert lf.set_sorted("x") is lf
+
+
+def test_series_container_surface(spark):
+    """series.rb-specific ops that can't delegate to the Expr layer."""
+    s = pl.Series("a", [1, 2, 3])
+    assert s.append(pl.Series("b", [4, 5])).to_list() == [1, 2, 3, 4, 5]
+    assert s.extend_constant(9, 2).to_list() == [1, 2, 3, 9, 9]
+    assert s.zip_with(pl.Series("m", [True, False, True]),
+                      pl.Series("o", [10, 20, 30])).to_list() == [1, 20, 3]
+    assert s.new_from_index(1, 3).to_list() == [2, 2, 2]
+    assert s.scatter([0, 2], [100, 300]).to_list() == [100, 2, 300]
+    assert s.set(pl.Series("m", [False, True, False]), 0).to_list() == [1, 0, 3]
+    assert pl.Series("x", [1, None, 3]).eq_missing(
+        pl.Series("y", [1, None, 4])).to_list() == [True, True, False]
+    assert pl.Series("t", [False, True, True]).arg_true().to_list() == [1, 2]
+    assert s.is_numeric() and not s.is_float() and not s.is_utf8()
+    assert not s.has_validity()
+    assert s.equals(pl.Series("z", [1, 2, 3])) and not s.equals(s.clear(3))
+    assert list(s.each()) == [1, 2, 3]
+    assert s.clear().to_list() == [] and s.clear(2).to_list() == [None, None]
+    assert s.to_numpy().tolist() == [1, 2, 3]
