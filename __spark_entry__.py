@@ -958,6 +958,29 @@ def q71_stream_dedup(spark, sf_dir):
     return spark.sql("SELECT user_id, event_type FROM plsq71_out")
 
 
+def q72_agg_slices(spark, sf_dir):
+    """Agg-context positional slices (head/tail/slice — §2.8 Expr surface):
+    per-group ordered LIST results."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey")
+    out = o.group_by("o_orderstatus").agg(
+        pl.col("o_orderkey").head(3).alias("hd"),
+        pl.col("o_orderkey").tail(2).alias("tl"),
+        pl.col("o_orderkey").slice(1, 2).alias("sl"),
+    )
+    return out.to_spark()
+
+
+def q73_rle(spark, sf_dir):
+    """Expr.rle — run-length compression into (len, value) rows (§2.5)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey")
+    return (o.select(pl.col("o_orderstatus").rle().alias("r"))
+            .unnest("r").to_spark().select("len", "value"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1036,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_dynamic_closed_both": q69_dynamic_closed_both,
         "q70_cosine_neardup": q70_cosine_neardup,
         "q71_stream_dedup": q71_stream_dedup,
+        "q72_agg_slices": q72_agg_slices,
+        "q73_rle": q73_rle,
     }
 
 
@@ -1613,6 +1638,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q71_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q72_agg_slices": """
+            SELECT o_orderstatus,
+                   (list(o_orderkey ORDER BY o_orderkey))[1:3] AS hd,
+                   list_slice(list(o_orderkey ORDER BY o_orderkey), -2, -1) AS tl,
+                   (list(o_orderkey ORDER BY o_orderkey))[2:3] AS sl
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q73_rle": """
+            SELECT count(*)::BIGINT AS len, any_value(o_orderstatus) AS value
+            FROM (
+              SELECT o_orderkey, o_orderstatus,
+                     row_number() OVER (ORDER BY o_orderkey)
+                     - row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_orderkey) AS grp
+              FROM orders)
+            GROUP BY o_orderstatus, grp
         """,
         "q70_cosine_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -74,3 +74,20 @@ def assert_series_equal(left, right, check_dtype: bool = False,
     assert len(lv) == len(rv), f"lengths differ: {len(lv)} vs {len(rv)}"
     for i, (a, b) in enumerate(zip(lv, rv)):
         assert _val_eq(a, b, rtol, atol), f"value mismatch at {i}: {a!r} != {b!r}"
+
+
+def assert_frame_not_equal(left, right, **kwargs):
+    """testing.rb assert_frame_not_equal — passes iff assert_frame_equal fails."""
+    try:
+        assert_frame_equal(left, right, **kwargs)
+    except AssertionError:
+        return
+    raise AssertionError("frames are equal (expected not equal)")
+
+
+def assert_series_not_equal(left, right, **kwargs):
+    try:
+        assert_series_equal(left, right, **kwargs)
+    except AssertionError:
+        return
+    raise AssertionError("series are equal (expected not equal)")
