@@ -981,6 +981,18 @@ def q73_rle(spark, sf_dir):
             .unnest("r").to_spark().select("len", "value"))
 
 
+def q74_cube(spark, sf_dir):
+    """Spark-native grouping-sets extension: 2^k combinations in one shuffle
+    (group_by_cube; SURVEY §2.4 'offer as extension')."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    out = o.group_by_cube("o_orderstatus", "o_orderpriority").agg(
+        pl.len().alias("n"),
+        pl.col("o_totalprice").sum().round(2).alias("s"))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1061,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_stream_dedup": q71_stream_dedup,
         "q72_agg_slices": q72_agg_slices,
         "q73_rle": q73_rle,
+        "q74_cube": q74_cube,
     }
 
 
@@ -1638,6 +1651,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q71_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q74_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS s
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "q72_agg_slices": """
             SELECT o_orderstatus,

@@ -321,6 +321,21 @@ class LazyFrame:
         return LazyGroupBy(self, parsed, maintain_order)
 
     groupby = group_by
+
+    def group_by_cube(self, *keys, **named_keys) -> LazyGroupBy:
+        """Spark-native extension (SURVEY §2.4: not in the reference): all
+        2^k grouping-set combinations in ONE shuffle via `cube` — replaces
+        2^k separate group_by passes over the data."""
+        gb = LazyGroupBy(self, _parse_exprs(keys, named_keys))
+        gb._grouping = "cube"
+        return gb
+
+    def group_by_rollup(self, *keys, **named_keys) -> LazyGroupBy:
+        """Spark-native extension: hierarchical subtotals (k+1 grouping
+        sets) in one shuffle via `rollup`."""
+        gb = LazyGroupBy(self, _parse_exprs(keys, named_keys))
+        gb._grouping = "rollup"
+        return gb
     group = group_by
 
     def group_by_dynamic(self, index_column, every, period=None, offset=None,

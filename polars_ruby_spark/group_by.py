@@ -47,6 +47,8 @@ def _agg_columns(sdf, exprs, named):
 
 
 class LazyGroupBy:
+    _grouping = "groupBy"  # cube/rollup subclasses override (Spark extension)
+
     def __init__(self, lf, keys, maintain_order: bool = False):
         self._lf = lf
         self._keys = keys  # list of (name|None, Expr)
@@ -70,7 +72,8 @@ class LazyGroupBy:
             sdf = lf._ensure_row_index()._sdf
             aggs, _ = _agg_columns(sdf, exprs, named)
         keys = self._key_cols(sdf)
-        return LazyFrame(sdf.groupBy(*keys).agg(*aggs))
+        grouped = getattr(sdf, self._grouping)(*keys)
+        return LazyFrame(grouped.agg(*aggs))
 
     def head(self, n: int = 5):
         return self._per_group_slice(n, from_tail=False)

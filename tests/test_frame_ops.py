@@ -195,3 +195,14 @@ def test_series_container_surface(spark):
     assert list(s.each()) == [1, 2, 3]
     assert s.clear().to_list() == [] and s.clear(2).to_list() == [None, None]
     assert s.to_numpy().tolist() == [1, 2, 3]
+
+
+def test_cube_rollup_extension(spark):
+    """group_by_cube/rollup: grouping sets in one pass (Spark extension)."""
+    df = pl.from_hash({"a": ["x", "x", "y"], "b": [1, 2, 1], "v": [10, 20, 30]})
+    cube = df.lazy().group_by_cube("a", "b").agg(pl.len().alias("n")).collect()
+    assert cube.height == 8  # 3 data pairs + 2 a-subs + 2 b-subs + total
+    total = [r for r in cube.to_a() if r["a"] is None and r["b"] is None]
+    assert total[0]["n"] == 3
+    roll = df.lazy().group_by_rollup("a", "b").agg(pl.len().alias("n")).collect()
+    assert roll.height == 6  # (a,b) pairs + per-a subtotals + grand total
