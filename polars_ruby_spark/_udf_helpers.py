@@ -19,3 +19,15 @@ def make_scalar_pandas_udf(function, return_type, skip_nulls=True):
         return s.map(function)
 
     return _udf
+
+
+def make_grouped_agg_udf(function, return_type):
+    """GROUPED_AGG pandas UDF (SURVEY §2.4 'UDAF available as extension'):
+    pd.Series per group -> scalar, Arrow-batched, usable under group_by.agg
+    and over() windows."""
+
+    @pandas_udf(return_type)
+    def _udf(s: pd.Series) -> float:
+        return function(s)
+
+    return _udf

@@ -300,6 +300,18 @@ class Expr:
 
         return Expr(fn, name=self._name, needs_order=self._needs_order)
 
+    def agg_map(self, function, return_dtype="double") -> "Expr":
+        """UDAF extension (SURVEY §2.4): arbitrary Python reduction per
+        group — pd.Series in, scalar out, Arrow-batched (GROUPED_AGG), so it
+        composes with group_by().agg and over() without collecting groups."""
+        from ._udf_helpers import make_grouped_agg_udf
+        from .datatypes import to_spark_type
+
+        t = to_spark_type(return_dtype) if not isinstance(return_dtype, str) \
+            else return_dtype
+        uf = make_grouped_agg_udf(function, t)
+        return self._agg(lambda c: uf(c))
+
     def to_physical(self) -> "Expr":
         return self._lift(lambda c: c)
 

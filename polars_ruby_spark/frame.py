@@ -322,6 +322,16 @@ class LazyFrame:
 
     groupby = group_by
 
+    def intersect(self, other: "LazyFrame") -> "LazyFrame":
+        """Set intersection by full row (SURVEY §2.7 extension — Spark-free)."""
+        return self.__class__(self.to_spark().intersect(other.to_spark()))
+
+    def except_(self, other: "LazyFrame") -> "LazyFrame":
+        """Set difference by full row (distinct rows of self not in other)."""
+        return self.__class__(self.to_spark().exceptAll(other.to_spark()))
+
+    difference = except_
+
     def group_by_cube(self, *keys, **named_keys) -> LazyGroupBy:
         """Spark-native extension (SURVEY §2.4: not in the reference): all
         2^k grouping-set combinations in ONE shuffle via `cube` — replaces

@@ -157,3 +157,20 @@ def test_salted_topk_equals_plain(spark, sf_dir):
                                 ["o_totalprice", "o_orderkey"], k=5, salt=8)
     key = lambda r: (r["o_orderstatus"], r["o_orderkey"])
     assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
+
+def test_udaf_and_set_ops(spark):
+    """SURVEY §2.4/§2.7 extensions: GROUPED_AGG pandas UDAF + intersect/except."""
+    import polars_ruby_spark as pl
+
+    df = pl.from_hash({"g": ["a", "a", "b", "b"], "v": [1.0, 5.0, 2.0, 9.0]})
+    rng = {r["g"]: r["rng"] for r in df.group_by("g").agg(
+        pl.col("v").agg_map(lambda s: s.max() - s.min()).alias("rng")).to_a()}
+    assert rng == {"a": 4.0, "b": 7.0}
+    over = df.select(pl.col("v").agg_map(lambda s: float(s.sum()))
+                     .over("g").alias("gs")).to_a()
+    assert [r["gs"] for r in over] == [6.0, 6.0, 11.0, 11.0]
+
+    a, b = pl.DataFrame({"x": [1, 2, 3]}), pl.DataFrame({"x": [2, 3, 4]})
+    assert sorted(r["x"] for r in a.intersect(b).to_a()) == [2, 3]
+    assert [r["x"] for r in a.except_(b).to_a()] == [1]
