@@ -993,6 +993,23 @@ def q74_cube(spark, sf_dir):
     return out.to_spark()
 
 
+def q75_time_dtype(spark, sf_dir):
+    """Time dtype (Int64 ns-since-midnight): dt.time() extraction, cast, and
+    dt.combine (§1.3/§2.8)."""
+    import datetime as _dt
+
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        pl.col("event_id"),
+        pl.col("ts").dt.time().alias("tns"),
+        pl.col("ts").cast(pl.Time).alias("tcast"),
+        pl.col("ts").dt.combine(_dt.time(12, 0)).alias("noon"),
+    )
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1074,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_agg_slices": q72_agg_slices,
         "q73_rle": q73_rle,
         "q74_cube": q74_cube,
+        "q75_time_dtype": q75_time_dtype,
     }
 
 
@@ -1651,6 +1669,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q71_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q75_time_dtype": """
+            SELECT event_id,
+                   (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 1000 AS tns,
+                   (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 1000 AS tcast,
+                   date_trunc('day', ts) + INTERVAL 12 HOUR AS noon
+            FROM events
         """,
         "q74_cube": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,

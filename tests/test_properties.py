@@ -166,3 +166,42 @@ def test_join_counts_match_sql(spark, lk, rk):
             exp = con.execute(
                 f"SELECT count(*) FROM a {sql_how} JOIN b USING (k)").fetchone()[0]
         assert got == exp, (how, got, exp)
+
+
+@SET
+@given(st.lists(st.tuples(st.integers(0, 3), opt_int), min_size=1, max_size=25),
+       st.integers(1, 4))
+def test_agg_slices_match_duckdb(spark, rows, n):
+    """head/tail/slice in agg context == DuckDB ordered-list slicing."""
+    g = [r[0] for r in rows]
+    v = [r[1] for r in rows]
+    df, _ = _frame(spark, {"i": list(range(len(g))), "g": g, "v": v})
+    got = {r["g"]: r for r in df.group_by("g").agg(
+        pl.col("v").head(n).alias("h"),
+        pl.col("v").tail(n).alias("t"),
+    ).to_a()}
+    pdf = pd.DataFrame({"i": range(len(g)), "g": g,
+                        "v": pd.array(v, dtype="Int64")})
+    exp = _duck(pdf, f"""
+        SELECT g, (list(v ORDER BY i))[1:{n}] AS h,
+               list_slice(list(v ORDER BY i), -{n}, -1) AS t
+        FROM t GROUP BY g""")
+    for gg, h, t in exp:
+        assert got[gg]["h"] == h, (gg, got[gg]["h"], h)
+        # DuckDB negative slice on a list shorter than n wraps differently;
+        # recompute expected tail directly
+        full = _duck(pdf, f"SELECT list(v ORDER BY i) FROM t WHERE g = {gg}")[0][0]
+        assert got[gg]["t"] == full[-n:], (gg, got[gg]["t"], full[-n:])
+
+
+@SET
+@given(st.lists(st.integers(0, 2), min_size=1, max_size=30))
+def test_rle_roundtrip(spark, vals):
+    """rle is a faithful compression: expanding (len, value) runs restores
+    the column, and adjacent runs never share a value."""
+    df, _ = _frame(spark, {"v": vals})
+    runs = [(r["r"]["len"], r["r"]["value"]) for r in
+            df.select(pl.col("v").rle().alias("r")).collect().to_a()]
+    expanded = [v for ln, v in runs for _ in range(ln)]
+    assert expanded == vals
+    assert all(runs[i][1] != runs[i + 1][1] for i in range(len(runs) - 1))
