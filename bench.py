@@ -40,6 +40,9 @@ HEADLINE = [
     "q49_simhash",           # extension: SimHash fingerprint
     "q43_ann_cosine",        # extension: brute-force ANN
     "q45_quality",           # extension: text quality scoring
+    "q68_topk_salted",       # extension: skew-safe per-key top-k
+    "q70_cosine_neardup",    # extension: exact all-pairs near-dup (blocked matmul)
+    "q74_cube",              # extension: grouping sets in one shuffle
 ]
 
 
