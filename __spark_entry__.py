@@ -1010,6 +1010,51 @@ def q75_time_dtype(spark, sf_dir):
     return out.to_spark()
 
 
+def q76_binary_ns(spark, sf_dir):
+    """bin namespace (§2.8): encode/decode hex+base64, size, prefix tests."""
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents")
+    head = pl.col("text").str.slice(0, 8).cast(pl.Binary)
+    out = d.select(
+        pl.col("doc_id"),
+        head.bin.encode("hex").alias("hx"),
+        head.bin.encode("base64").alias("b64"),
+        head.bin.size().alias("nb"),
+        head.bin.starts_with(pl.lit("T").cast(pl.Binary)).alias("t_start"),
+    )
+    return out.to_spark()
+
+
+def q77_horizontal(spark, sf_dir):
+    """Horizontal (row-wise) aggregates + fold (§2.4): JVM higher-order
+    functions, no Python."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(
+        pl.col("l_orderkey"), pl.col("l_linenumber"),
+        pl.sum_horizontal("l_quantity", "l_discount", "l_tax").round(4).alias("sh"),
+        pl.max_horizontal("l_quantity", "l_extendedprice").alias("mh"),
+        pl.min_horizontal("l_quantity", "l_extendedprice").alias("nh"),
+        pl.fold(pl.lit(1.0), lambda acc, x: acc * (x + 1),
+                ["l_discount", "l_tax"]).round(6).alias("fd"),
+    )
+    return out.to_spark()
+
+
+def q78_merge_sorted(spark, sf_dir):
+    """merge_sorted (§2.3): interleave two key-sorted frames."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(pl.col("o_totalprice") > 150000).sort("o_orderdate")
+    lo = o.filter(pl.col("o_totalprice") <= 150000).sort("o_orderdate")
+    out = hi.merge_sorted(lo, "o_orderdate").select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1092,6 +1137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_rle": q73_rle,
         "q74_cube": q74_cube,
         "q75_time_dtype": q75_time_dtype,
+        "q76_binary_ns": q76_binary_ns,
+        "q77_horizontal": q77_horizontal,
+        "q78_merge_sorted": q78_merge_sorted,
     }
 
 
@@ -1669,6 +1717,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q71_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q76_binary_ns": """
+            SELECT doc_id,
+                   upper(hex(encode(substr(text, 1, 8)))) AS hx,
+                   to_base64(encode(substr(text, 1, 8))) AS b64,
+                   octet_length(encode(substr(text, 1, 8))) AS nb,
+                   starts_with(substr(text, 1, 8), 'T') AS t_start
+            FROM documents
+        """,
+        "q77_horizontal": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity + l_discount + l_tax, 4) AS sh,
+                   greatest(l_quantity, l_extendedprice) AS mh,
+                   least(l_quantity, l_extendedprice) AS nh,
+                   round((l_discount + 1) * (l_tax + 1), 6) AS fd
+            FROM lineitem
+        """,
+        "q78_merge_sorted": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders ORDER BY o_orderdate
         """,
         "q75_time_dtype": """
             SELECT event_id,
