@@ -1055,6 +1055,19 @@ def q78_merge_sorted(spark, sf_dir):
     return out.to_spark()
 
 
+def q79_ivf_ann(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer → probe-pruned candidate join).
+    Run at FULL probe here so the result is exact and oracle-checkable;
+    n_probe < n_centroids is the approximate scale path (tested for
+    determinism in test_ivf_full_probe_equals_brute_force)."""
+    from polars_ruby_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")._sdf
+    q = e.filter("vec_id < 20")
+    out = similarity.ivf_cosine_topk(q, e, k=5, n_centroids=8, n_probe=8)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1140,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_binary_ns": q76_binary_ns,
         "q77_horizontal": q77_horizontal,
         "q78_merge_sorted": q78_merge_sorted,
+        "q79_ivf_ann": q79_ivf_ann,
     }
 
 
@@ -1205,6 +1219,23 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "q43_ann_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+                 s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                        list_aggregate(list_transform(list_zip(qv, cv),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                        / (sqrt(list_aggregate(list_transform(qv,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                         * sqrt(list_aggregate(list_transform(cv,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
+                       FROM q, c WHERE nid <> qid)
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        "q79_ivf_ann": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
                  c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
                  s AS (SELECT qid AS query_id, nid AS neighbor_id,

@@ -153,6 +153,106 @@ def cosine_neardup_pairs(sdf: DataFrame, threshold: float,
         compare, "id_a long, id_b long, cosine double")
 
 
+def _kmeans_centroids(sample, n_centroids: int, seed: int = 42, iters: int = 8):
+    """Tiny driver-side k-means on a BOUNDED sample (unit sphere) — the
+    coarse quantizer for IVF.  Deterministic: seeded numpy RNG."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    m = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(sdf: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Add `centroid_id` = nearest coarse centroid (cosine).  One Arrow pass,
+    no shuffle; downstream join/partition on centroid_id prunes the corpus."""
+    import numpy as np
+
+    sc = sdf.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches):
+        import pandas as pd
+
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            out = pdf.copy()
+            out["centroid_id"] = (m @ cent.T).argmax(axis=1).astype("int32")
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in sdf.schema.fields)
+    return sdf.mapInPandas(assign, fields + ", centroid_id int")
+
+
+def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_centroids: int = 16, n_probe: int = 4,
+                    sample_size: int = 10_000, seed: int = 42) -> DataFrame:
+    """IVF approximate top-k (the second scale path next to sign-LSH):
+    k-means coarse quantizer on a bounded sample → corpus assigned to
+    centroids (one Arrow pass) → each query probes its `n_probe` nearest
+    centroids → candidates equi-join on centroid_id (ONE shuffle, corpus/
+    centroids × n_probe candidate rows) → vectorized scoring → window top-k.
+    n_probe == n_centroids degenerates to exact brute force (tested).
+    """
+    import numpy as np
+
+    from . import ensure_parallelism
+
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in
+                       corpus.select(vec_col).limit(sample_size).collect()])
+    cent = _kmeans_centroids(sample, n_centroids, seed)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+
+    spark = corpus.sparkSession
+    probe_rows = [(int(q), int(c)) for qi, q in enumerate(qids)
+                  for c in probe[qi]]
+    probes_df = spark.createDataFrame(probe_rows, "query_id long, centroid_id int")
+
+    assigned = ivf_assign(ensure_parallelism(corpus), cent, vec_col)
+    cand = assigned.join(F.broadcast(probes_df), "centroid_id").filter(
+        F.col(id_col) != F.col("query_id"))
+
+    bq = spark.sparkContext.broadcast((qids, qm))
+
+    def score(batches):
+        import pandas as pd
+
+        b_qids, b_qm = bq.value
+        pos = {int(q): i for i, q in enumerate(b_qids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            qi = pdf["query_id"].map(pos).to_numpy()
+            cos = (m * b_qm[qi]).sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
+                                "neighbor_id": pdf[id_col].to_numpy(),
+                                "cosine": cos})
+
+    scored = cand.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    return _topk(scored, k)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy RNG state so
     the plan is reproducible across driver runs)."""

@@ -174,3 +174,19 @@ def test_udaf_and_set_ops(spark):
     a, b = pl.DataFrame({"x": [1, 2, 3]}), pl.DataFrame({"x": [2, 3, 4]})
     assert sorted(r["x"] for r in a.intersect(b).to_a()) == [2, 3]
     assert [r["x"] for r in a.except_(b).to_a()] == [1]
+
+
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """IVF with n_probe == n_centroids scans every cell — must equal the
+    exact brute-force top-k; partial probe stays deterministic."""
+    sdf = embeddings.to_spark()
+    q = sdf.filter("vec_id < 5")
+    exact = similarity.cosine_topk(q, sdf, k=3).collect()
+    full = similarity.ivf_cosine_topk(q, sdf, k=3, n_centroids=8,
+                                      n_probe=8).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, exact)) == sorted(map(key, full))
+
+    part1 = similarity.ivf_cosine_topk(q, sdf, k=3, n_centroids=8, n_probe=2)
+    part2 = similarity.ivf_cosine_topk(q, sdf, k=3, n_centroids=8, n_probe=2)
+    assert sorted(map(key, part1.collect())) == sorted(map(key, part2.collect()))
