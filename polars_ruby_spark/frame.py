@@ -815,6 +815,18 @@ class DataFrame(LazyFrame):
     def write_avro(self, path: str, mode: str = "overwrite", **kw):
         self.to_spark().write.mode(mode).format("avro").save(path)
 
+    def to_csv(self, path=None, **kw):
+        # deprecated reference alias (data_frame.rb to_csv)
+        return self.write_csv(path, **kw)
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
+    to_numo = to_numpy  # numo is ruby's numpy
+
+    def write_ipc_stream(self, path, **kw):
+        return self.write_ipc(path, **kw)
+
     def write_ipc(self, path, **kw):
         import pyarrow as pa
         import pyarrow.feather as feather
