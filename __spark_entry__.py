@@ -1172,8 +1172,12 @@ def _shingle_sql(tcol: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # double hashing mirrors dedup.minhash_signatures: one md5 per shingle,
+    # minhash_j = min(h1 + j*h2) with h1/h2 = 48-bit digest halves
     _mh = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{j}:' || x))) AS m{j}" for j in range(9))
+        f"list_min(list_transform(s, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT"
+        f" + {j} * ('0x' || substr(md5(x), 17, 12))::BIGINT)) AS m{j}"
+        for j in range(9))
     _votes = ", ".join(
         f"sum(CASE WHEN (u >> {64 - i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(1, 65))
@@ -1199,9 +1203,9 @@ def oracle_sql() -> dict[str, str]:
                  sh AS (SELECT doc_id, {_shingle_sql('t')} AS s FROM toks),
                  mh AS (SELECT doc_id, {_mh} FROM sh),
                  bands AS (
-                   SELECT doc_id, 0 AS band_id, md5(m0 || m1 || m2) AS bh FROM mh
-                   UNION ALL SELECT doc_id, 1, md5(m3 || m4 || m5) FROM mh
-                   UNION ALL SELECT doc_id, 2, md5(m6 || m7 || m8) FROM mh)
+                   SELECT doc_id, 0 AS band_id, m0 || '-' || m1 || '-' || m2 AS bh FROM mh
+                   UNION ALL SELECT doc_id, 1, m3 || '-' || m4 || '-' || m5 FROM mh
+                   UNION ALL SELECT doc_id, 2, m6 || '-' || m7 || '-' || m8 FROM mh)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
