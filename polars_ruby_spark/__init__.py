@@ -18,6 +18,10 @@ layer (SURVEY §3: "our Rb-wrapper-layer equivalent is the API-shape layer").
 from __future__ import annotations
 
 from . import datatypes
+from .exceptions import (
+    ComputeError, Error, InvalidAssert, InvalidOperationError, NoRowsReturned,
+    RowsException, SchemaError, TooManyRowsReturned, Todo,
+)
 from .datatypes import (
     Array, Binary, Boolean, Categorical, DataType, Date, Datetime, Decimal,
     Duration, Enum, Field, Float32, Float64, Int8, Int16, Int32, Int64, List,

@@ -634,8 +634,36 @@ class DataFrame(LazyFrame):
         for r in self.to_spark().toLocalIterator():
             yield tuple(r)
 
-    def row(self, index: int) -> tuple:
-        return self.rows()[index] if index >= 0 else self.rows()[index]
+    def row(self, index: int | None = None, by_predicate=None, named: bool = False):
+        """Single row by position or predicate (data_frame.rb:4378-4412).
+
+        ``by_predicate`` must match exactly one row: more raises
+        ``TooManyRowsReturned``, zero raises ``NoRowsReturned``.
+        """
+        from .exceptions import NoRowsReturned, TooManyRowsReturned
+        from .exprs import Expr
+
+        if index is not None and by_predicate is not None:
+            raise ValueError("Cannot set both 'index' and 'by_predicate'; mutually exclusive")
+        if isinstance(index, Expr):
+            raise TypeError("Expressions should be passed to the 'by_predicate' param")
+        if index is not None:
+            row = self.rows()[index]
+        elif by_predicate is not None:
+            if not isinstance(by_predicate, Expr):
+                raise TypeError(
+                    f"Expected by_predicate to be an expression; found {type(by_predicate).__name__}")
+            rows = [tuple(r) for r in self.filter(by_predicate).to_spark().collect()]
+            if len(rows) > 1:
+                raise TooManyRowsReturned(f"Predicate returned {len(rows)} rows")
+            if len(rows) == 0:
+                raise NoRowsReturned("Predicate returned no rows")
+            row = rows[0]
+        else:
+            raise ValueError("One of 'index' or 'by_predicate' must be set")
+        if named:
+            return dict(zip(self.columns, row))
+        return row
 
     def item(self) -> Any:
         rows = self.to_spark().limit(2).collect()

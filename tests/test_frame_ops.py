@@ -206,3 +206,27 @@ def test_cube_rollup_extension(spark):
     assert total[0]["n"] == 3
     roll = df.lazy().group_by_rollup("a", "b").agg(pl.len().alias("n")).collect()
     assert roll.height == 6  # (a,b) pairs + per-a subtotals + grand total
+
+
+def test_exceptions_and_row_by_predicate(spark):
+    """row(by_predicate:) raises the reference's exception hierarchy
+    (data_frame.rb:4378-4412, exceptions.rb:1-33)."""
+    import pytest
+
+    df = pl.from_hash({"foo": [1, 2, 3], "bar": [6, 7, 8], "ham": ["a", "b", "c"]})
+    assert df.row(2) == (3, 8, "c")
+    assert df.row(2, named=True) == {"foo": 3, "bar": 8, "ham": "c"}
+    assert df.row(by_predicate=pl.col("ham") == "b") == (2, 7, "b")
+    with pytest.raises(pl.TooManyRowsReturned):
+        df.row(by_predicate=pl.col("foo") > 1)
+    with pytest.raises(pl.NoRowsReturned):
+        df.row(by_predicate=pl.col("foo") > 99)
+    with pytest.raises(pl.RowsException):
+        df.row(by_predicate=pl.col("foo") > 99)
+    assert issubclass(pl.NoRowsReturned, pl.RowsException)
+    assert issubclass(pl.RowsException, pl.Error)
+    with pytest.raises(ValueError):
+        df.row(1, by_predicate=pl.col("foo") > 1)
+    with pytest.raises(ValueError):
+        df.row()
+    assert str(pl.Todo()) == "not implemented yet"
