@@ -1068,6 +1068,17 @@ def q79_ivf_ann(spark, sf_dir):
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def q80_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash+LSH pairs → connected components
+    (min-label propagation, diameter-bounded rounds) → one canonical
+    survivor per cluster.  The stage that actually deduplicates a corpus;
+    oracle is a DuckDB recursive CTE computing the same component minima."""
+    from polars_ruby_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(d._sdf, num_hashes=9, bands=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1154,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_horizontal": q77_horizontal,
         "q78_merge_sorted": q78_merge_sorted,
         "q79_ivf_ann": q79_ivf_ann,
+        "q80_dedup_clusters": q80_dedup_clusters,
     }
 
 
@@ -1209,6 +1221,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+        """,
+        "q80_dedup_clusters": f"""
+            WITH RECURSIVE
+                 toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id, {_shingle_sql('t')} AS s FROM toks),
+                 mh AS (SELECT doc_id, {_mh} FROM sh),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_id, m0 || '-' || m1 || '-' || m2 AS bh FROM mh
+                   UNION ALL SELECT doc_id, 1, m3 || '-' || m4 || '-' || m5 FROM mh
+                   UNION ALL SELECT doc_id, 2, m6 || '-' || m7 || '-' || m8 FROM mh),
+                 pairs AS (
+                   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+                 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                           UNION SELECT id_b, id_a FROM pairs),
+                 reach AS (
+                   SELECT u AS id, u AS label FROM edges
+                   UNION
+                   SELECT e.u AS id, r.label FROM edges e JOIN reach r ON r.id = e.v),
+                 cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+                 assign AS (
+                   SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+                   FROM documents d LEFT JOIN cc ON cc.id = d.doc_id)
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   doc_id = cluster_id AS keep
+            FROM assign
         """,
         "q42_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),

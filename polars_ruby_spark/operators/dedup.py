@@ -185,3 +185,69 @@ def simhash_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     buckets = exploded.groupBy("band_id", "band").agg(
         F.collect_list(id_col).alias("__ids__"))
     return _bucket_pairs(buckets, id_col, max_bucket_size)
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iterations: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list via min-label
+    propagation.  Returns ``(id, cluster_id)`` for every node that appears in
+    ``edges``, where ``cluster_id`` is the smallest node id in the component
+    (deterministic, so it is oracle-able with a recursive CTE).
+
+    Scale design: labels converge in diameter(G) rounds; near-duplicate
+    graphs are dense clusters with tiny diameters (2-4 rounds in practice).
+    Each round is one co-partitioned shuffle join (edges x labels, both hash
+    partitioned on the join key) plus a map-side-combined min aggregate.
+    ``localCheckpoint`` truncates the lineage each round so the plan does not
+    grow with the iteration count.  For adversarial long-chain graphs swap in
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce"), which converges in O(log d) rounds with the same join shape.
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
+    sym = sym.repartition("v").localCheckpoint(eager=True)
+    labels = (sym.groupBy(F.col("u").alias("id"))
+              .agg(F.min(F.lit(None)).alias("_"))
+              .select("id").withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iterations):
+        # every node offers its label to each neighbor; a node keeps the min
+        # of its own label and all offers
+        offers = (sym.join(labels.withColumnRenamed("id", "v"), "v")
+                  .groupBy(F.col("u").alias("id"))
+                  .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(offers, "id", "left")
+                      .select("id", F.least("label", "nbr_label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "id")
+                   .filter(F.col("new_label") != F.col("label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   num_hashes: int = 9, bands: int = 3, shingle_k: int = 3) -> DataFrame:
+    """Full near-dup dedup pipeline: MinHash+LSH candidate pairs → connected
+    components → one canonical survivor per cluster.
+
+    Returns one row per document: ``(id, cluster_id, cluster_size, keep)``
+    where ``cluster_id`` is the smallest doc id in the near-dup cluster
+    (singletons cluster with themselves) and ``keep`` marks the canonical
+    survivor.  This is the stage that actually deduplicates — candidate
+    pairs alone do not partition the corpus.
+    """
+    pairs = minhash_dedup_pairs(sdf, text_col=text_col, id_col=id_col,
+                                num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
+    cc = connected_components(pairs, "id_a", "id_b")
+    out = (sdf.select(F.col(id_col))
+           .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")))
+    from pyspark.sql.window import Window
+
+    w_cluster = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return (out.withColumn("cluster_size", w_cluster)
+            .withColumn("keep", F.col(id_col) == F.col("cluster_id")))

@@ -190,3 +190,28 @@ def test_ivf_full_probe_equals_brute_force(spark, embeddings):
     part1 = similarity.ivf_cosine_topk(q, sdf, k=3, n_centroids=8, n_probe=2)
     part2 = similarity.ivf_cosine_topk(q, sdf, k=3, n_centroids=8, n_probe=2)
     assert sorted(map(key, part1.collect())) == sorted(map(key, part2.collect()))
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 5-node chain (needs 4 rounds to drain the min
+    to the far end), a separate 2-node island, and a node absent from edges."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"])
+    cc = {r["id"]: r["cluster_id"] for r in dedup.connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_partitions_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tomorrow")), (3, base + " extra"),
+         (4, "an entirely different document about spark and parquet files here")],
+        ["doc_id", "text"])
+    out = dedup.dedup_clusters(df).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 4  # one row per doc, always
+    # docs 1-3 are near-dups -> one cluster keyed by the min id, one survivor
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+    assert rows[1]["keep"] and not rows[2]["keep"] and not rows[3]["keep"]
+    assert rows[1]["cluster_size"] == 3
+    assert rows[4]["cluster_id"] == 4 and rows[4]["keep"] and rows[4]["cluster_size"] == 1
