@@ -1079,6 +1079,33 @@ def q80_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(d._sdf, num_hashes=9, bands=3)
 
 
+def q81_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (explode → tf/df aggregates → term
+    join → per-doc window; corpus N as a broadcast one-row aggregate)."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return text.tf_idf_topk(d, k=5)
+
+
+def q82_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/quality signals (distinct-token ratio, top
+    bigram fraction, mean word length) in one scan."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return text.repetition_signals(d)
+
+
+def q83_bm25_search(spark, sf_dir):
+    """BM25 top-10 docs for a bag-of-terms query (pre-explode term filter,
+    broadcast df/corpus stats, TakeOrdered global top-k)."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return text.bm25_search(d, ["spark", "query", "join"], k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1166,6 +1193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_merge_sorted": q78_merge_sorted,
         "q79_ivf_ann": q79_ivf_ann,
         "q80_dedup_clusters": q80_dedup_clusters,
+        "q81_tfidf_topk": q81_tfidf_topk,
+        "q82_repetition_signals": q82_repetition_signals,
+        "q83_bm25_search": q83_bm25_search,
     }
 
 
@@ -1249,6 +1279,64 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
                    doc_id = cluster_id AS keep
             FROM assign
+        """,
+        "q81_tfidf_topk": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                          FROM documents),
+                 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                        WHERE term <> '' GROUP BY doc_id, term),
+                 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+                 scored AS (
+                   SELECT doc_id, term,
+                          round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS weight
+                   FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, rank, term, weight FROM (
+              SELECT doc_id, term, weight,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY weight DESC, term) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "q82_repetition_signals": """
+            WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+                 flat AS (SELECT doc_id, len(t) AS n_tok,
+                                 len(list_distinct(t)) AS n_distinct,
+                                 list_aggregate(list_transform(t, x -> len(x)), 'sum')
+                                   AS char_sum
+                          FROM toks),
+                 bg AS (SELECT doc_id,
+                               CASE WHEN len(t) >= 2 THEN
+                                 list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                               ELSE [] END AS g
+                        FROM toks),
+                 bgx AS (SELECT doc_id, unnest(g) AS gram FROM bg),
+                 per AS (SELECT doc_id, gram, count(*) AS c FROM bgx GROUP BY doc_id, gram),
+                 top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM per GROUP BY doc_id)
+            SELECT f.doc_id,
+                   round(CAST(n_distinct AS DOUBLE) / n_tok, 4) AS distinct_ratio,
+                   COALESCE(round(CAST(top_c AS DOUBLE) / tot, 4), 0.0) AS top_bigram_frac,
+                   round(CAST(char_sum AS DOUBLE) / n_tok, 4) AS mean_word_len
+            FROM flat f LEFT JOIN top USING (doc_id)
+        """,
+        "q83_bm25_search": """
+            WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+                 stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+                 base AS (SELECT doc_id, len(t) AS dl,
+                                 unnest(list_filter(t, x -> x IN ('spark', 'query', 'join')))
+                                   AS term
+                          FROM toks),
+                 tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                        FROM base GROUP BY doc_id, term),
+                 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 sc AS (SELECT doc_id,
+                               round(sum(
+                                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                                 * (tf * 2.2)
+                                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+                        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+                        GROUP BY doc_id)
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 10
         """,
         "q42_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),

@@ -87,3 +87,110 @@ def rolling_fingerprint(sdf: DataFrame, text_col: str = "text",
     fp = F.aggregate(t, F.lit(0).cast("long"),
                      lambda acc, x: (acc * base + tok_hash(x)) % mod)
     return sdf.withColumn("roll_fp", fp)
+
+
+def tf_idf_topk(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document: ``(id, rank, term, weight)``.
+
+    Scale shape: explode → two hash aggregates (doc-term tf, term df; both
+    map-side combined) → shuffle join on term → per-doc window.  The corpus
+    size enters the plan as a broadcast one-row aggregate (no driver action).
+    Stopword-grade terms have huge tf partitions on the term join — AQE skew
+    split handles them, and their idf→0 weight keeps them out of the top-k.
+    Ranking orders by the ROUNDED weight (ties broken by term) so the order
+    is reproducible across engines regardless of float ulp differences.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (sdf.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = sdf.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("weight", F.round(
+                  F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("weight"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "term", "weight"))
+
+
+def repetition_signals(sdf: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition/quality signals per document:
+    ``distinct_ratio`` (unique/total tokens), ``top_bigram_frac`` (fraction of
+    bigram occurrences taken by the most common bigram), ``mean_word_len``.
+
+    One scan: per-row token stats stay in a flat codegen projection
+    (array_distinct/size; the char-sum lambda is arithmetic-only, cheap even
+    interpreted), and the bigram mode — the one thing array functions can't
+    express — is explode → groupBy(doc, gram) → groupBy(doc), both
+    map-side combined.  ``explode_outer`` keeps <2-token docs alive with a
+    null gram; their top_bigram_frac is defined as 0.
+    """
+    from ..operators.dedup import shingles
+
+    t = _tokens(F.col(text_col))
+    base = sdf.select(
+        F.col(id_col),
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).alias("char_sum"),
+        F.explode_outer(shingles(F.col(text_col), 2)).alias("g"))
+    per_gram = (base.groupBy(id_col, "g")
+                .agg(F.count(F.lit(1)).alias("c"),
+                     F.first("n_tok").alias("n_tok"),
+                     F.first("n_distinct").alias("n_distinct"),
+                     F.first("char_sum").alias("char_sum")))
+    nn = F.when(F.col("g").isNotNull(), F.col("c"))
+    return (per_gram.groupBy(id_col)
+            .agg(F.max(nn).alias("top_c"), F.sum(nn).alias("tot"),
+                 F.first("n_tok").alias("n_tok"),
+                 F.first("n_distinct").alias("n_distinct"),
+                 F.first("char_sum").alias("char_sum"))
+            .select(
+                F.col(id_col),
+                F.round(F.col("n_distinct") / F.col("n_tok"), 4).alias("distinct_ratio"),
+                F.coalesce(F.round(F.col("top_c") / F.col("tot"), 4), F.lit(0.0))
+                 .alias("top_bigram_frac"),
+                F.round(F.col("char_sum") / F.col("n_tok"), 4).alias("mean_word_len")))
+
+
+def bm25_search(sdf: DataFrame, query_terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k: int = 10,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 keyword search: top-k documents for a bag-of-terms query,
+    ``(rank, id, score)``.
+
+    Scale shape: tokens are filtered to the query terms BEFORE the explode
+    (array_contains in a flat projection), so the exploded relation is
+    |docs| × |matched terms|, not |docs| × |tokens|.  Corpus N/avgdl enter
+    as a broadcast one-row aggregate; per-term df is a second tiny broadcast.
+    The global top-k is orderBy+limit (TakeOrdered — no single-partition
+    window); ordering is on the rounded score with id tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    t = _tokens(F.col(text_col))
+    qarr = F.array(*[F.lit(q) for q in query_terms])
+    base = sdf.select(
+        F.col(id_col), F.size(t).alias("dl"),
+        F.explode(F.filter(t, lambda x: F.array_contains(qarr, x))).alias("term"))
+    tf = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = sdf.select(F.count(F.lit(1)).alias("n_docs"),
+                       F.avg(F.size(t)).alias("avgdl"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    s = idf * (F.col("tf") * (k1 + 1)) / \
+        (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col).agg(F.round(F.sum(s), 4).alias("score"))
+              .orderBy(F.desc("score"), F.asc(id_col))
+              .limit(k))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).select("rank", id_col, "score")

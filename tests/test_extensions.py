@@ -215,3 +215,40 @@ def test_dedup_clusters_partitions_corpus(spark):
     assert rows[1]["keep"] and not rows[2]["keep"] and not rows[3]["keep"]
     assert rows[1]["cluster_size"] == 3
     assert rows[4]["cluster_id"] == 4 and rows[4]["keep"] and rows[4]["cluster_size"] == 1
+
+
+def test_tfidf_rare_term_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "common common rare"), (2, "common common other"), (3, "common thing stuff")],
+        ["doc_id", "text"])
+    out = text.tf_idf_topk(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in every doc -> idf 0; the doc-unique term wins
+    # (doc 3 ties thing/stuff at equal weight -> term-asc tiebreak picks stuff)
+    assert top == {1: "rare", 2: "other", 3: "stuff"}
+
+
+def test_repetition_signals_values(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab ab ab"),      # one distinct token, one distinct bigram
+         (2, "a bc def ghij"),    # all-distinct, mean len (1+2+3+4)/4
+         (3, "solo")],            # <2 tokens -> top_bigram_frac defined as 0
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert rows[1]["distinct_ratio"] == 0.25 and rows[1]["top_bigram_frac"] == 1.0
+    assert rows[1]["mean_word_len"] == 2.0
+    assert rows[2]["distinct_ratio"] == 1.0 and rows[2]["mean_word_len"] == 2.5
+    assert rows[2]["top_bigram_frac"] == round(1 / 3, 4)
+    assert rows[3]["top_bigram_frac"] == 0.0 and rows[3]["distinct_ratio"] == 1.0
+
+
+def test_bm25_orders_by_relevance(spark):
+    df = spark.createDataFrame(
+        [(1, "spark query join spark query join"),   # all terms, twice
+         (2, "spark and some other words here now"),  # one term
+         (3, "nothing relevant in this document at all")],
+        ["doc_id", "text"])
+    out = text.bm25_search(df, ["spark", "query", "join"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 absent (no match)
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["score"] > out[1]["score"] > 0

@@ -43,8 +43,33 @@ def single_partition_violations(plan: str) -> int:
         if "keys=[]" in child and ("merge_" in child or "partial_" in child) \
                 and "partial_collect_list(struct(i" not in child:
             continue
+        if "TakeOrderedAndProject" in child:
+            # post-limit exchange: carries at most the limit's k rows
+            continue
         bad += 1
     return bad
+
+
+def has_bad_nested_loop(plan: str) -> bool:
+    """BroadcastNestedLoopJoin is sanctioned ONLY as the scalar-stats attach
+    (crossJoin with a broadcast ONE-ROW keyless aggregate — e.g. corpus
+    N/avgdl in BM25/TF-IDF): its build side prints as
+    ``BroadcastExchange IdentityBroadcastMode`` directly over
+    ``HashAggregate(keys=[]``.  Any other BNLJ is a data-sized loop join.
+    """
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        sanctioned = False
+        for j in range(i + 1, min(i + 60, len(lines) - 1)):
+            if "BroadcastExchange IdentityBroadcastMode" in lines[j] \
+                    and "HashAggregate(keys=[]" in lines[j + 1]:
+                sanctioned = True
+                break
+        if not sanctioned:
+            return True
+    return False
 
 
 def audit(sf_dir: str) -> int:
@@ -62,7 +87,7 @@ def audit(sf_dir: str) -> int:
         n = single_partition_violations(plan)
         if n and name not in ALLOWED_SEQUENTIAL:
             problems.append(f"{n} unsanctioned single-partition exchange(s)")
-        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) \
+        if ("CartesianProduct" in plan or has_bad_nested_loop(plan)) \
                 and name not in ALLOWED_NESTED_LOOP:
             problems.append("nested-loop join")
         if problems:
