@@ -1106,6 +1106,47 @@ def q83_bm25_search(spark, sf_dir):
     return text.bm25_search(d, ["spark", "query", "join"], k=10)
 
 
+def q84_hash_sample(spark, sf_dir):
+    """Deterministic per-source training-mix sampling (md5-bucket membership:
+    reproducible across engines/runs/repartitionings, no RNG state)."""
+    from polars_ruby_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return sampling.hash_sample(
+        d, {"src0": 0.5, "src1": 0.25}, group_col="source",
+        default_rate=0.1).select("doc_id", "lang", "source")
+
+
+def q85_profile(spark, sf_dir):
+    """One-pass dataset profile: all per-column stats in a single keyless
+    aggregate, pivoted long with a stack generator (exact median)."""
+    from polars_ruby_spark.operators import profiling
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return profiling.profile(d, ["doc_id", "n_chars"], ["lang", "source"])
+
+
+def q86_pack_shards(spark, sf_dir):
+    """Sequence packing into 512-token shards (two-phase prefix sum —
+    per-partition windows + O(partitions)-row offset table, no global
+    single-task window)."""
+    from polars_ruby_spark.operators import packing, text
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    with_tok = text.token_count(d)
+    return packing.pack_greedy(with_tok, "ws_tokens", budget=512)
+
+
+def q87_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: flag training docs (id >= 10) sharing any
+    3-shingle with the eval docs (id < 10); broadcast semi-join probe."""
+    from polars_ruby_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return dedup.decontaminate_flags(
+        d.filter("doc_id >= 10"), d.filter("doc_id < 10"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1196,6 +1237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_tfidf_topk": q81_tfidf_topk,
         "q82_repetition_signals": q82_repetition_signals,
         "q83_bm25_search": q83_bm25_search,
+        "q84_hash_sample": q84_hash_sample,
+        "q85_profile": q85_profile,
+        "q86_pack_shards": q86_pack_shards,
+        "q87_decontaminate": q87_decontaminate,
     }
 
 
@@ -1337,6 +1382,66 @@ def oracle_sql() -> dict[str, str]:
                         GROUP BY doc_id)
             SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
             FROM sc ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "q84_hash_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                  < (CASE source WHEN 'src0' THEN 0.5
+                                 WHEN 'src1' THEN 0.25
+                                 ELSE 0.1 END) * 10000
+        """,
+        "q85_profile": """
+            SELECT 'doc_id' AS col_name,
+                   sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS DOUBLE) AS min_num,
+                   CAST(max(doc_id) AS DOUBLE) AS max_num,
+                   round(avg(doc_id), 4) AS mean,
+                   round(quantile_cont(doc_id, 0.5), 4) AS p50,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars',
+                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+                   round(avg(n_chars), 4), round(quantile_cont(n_chars, 0.5), 4),
+                   NULL, NULL
+            FROM documents
+            UNION ALL
+            SELECT 'lang', sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT lang), NULL, NULL, NULL, NULL,
+                   min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT source), NULL, NULL, NULL, NULL,
+                   min(source), max(source)
+            FROM documents
+        """,
+        "q86_pack_shards": """
+            WITH t AS (SELECT doc_id,
+                              len(string_split(lower(text), ' ')) AS n_tokens
+                       FROM documents),
+                 c AS (SELECT doc_id, n_tokens,
+                              sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                AS cum
+                       FROM t)
+            SELECT doc_id, n_tokens,
+                   (cum - n_tokens) // 512 AS shard_id,
+                   (cum - n_tokens) % 512 AS shard_offset
+            FROM c
+        """,
+        "q87_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id, {_shingle_sql('t')} AS s FROM toks),
+                 be AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10),
+                 tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 10),
+                 hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN be USING (g))
+            SELECT s.doc_id, h.doc_id IS NOT NULL AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) s
+            LEFT JOIN hits h ON s.doc_id = h.doc_id
         """,
         "q42_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),

@@ -43,6 +43,9 @@ HEADLINE = [
     "q68_topk_salted",       # extension: skew-safe per-key top-k
     "q70_cosine_neardup",    # extension: exact all-pairs near-dup (blocked matmul)
     "q74_cube",              # extension: grouping sets in one shuffle
+    "q80_dedup_clusters",    # extension: pairs → connected components
+    "q81_tfidf_topk",        # extension: tf-idf (explode + 2 aggs + join)
+    "q86_pack_shards",       # extension: token-budget sequence packing
 ]
 
 

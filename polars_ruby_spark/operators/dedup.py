@@ -251,3 +251,26 @@ def dedup_clusters(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id
     w_cluster = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     return (out.withColumn("cluster_size", w_cluster)
             .withColumn("keep", F.col(id_col) == F.col("cluster_id")))
+
+
+def decontaminate_flags(train: DataFrame, bench: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3) -> DataFrame:
+    """Test-set decontamination: flag training docs sharing any k-word
+    shingle with a benchmark/eval set → ``(id, contaminated)``.
+
+    Scale shape: the BENCH shingle set (eval sets are small by definition)
+    is distinct-ed and broadcast; training shingles stream through a
+    broadcast semi-join probe — no shuffle of the training corpus, one scan.
+    If the eval set outgrows broadcast size, drop the hint and let AQE pick
+    a shuffle join on the shingle key.
+    """
+    bsh = (bench.select(F.explode(shingles(F.col(text_col), k)).alias("s"))
+           .distinct())
+    hits = (train.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s"))
+            .join(F.broadcast(bsh), "s", "left_semi")
+            .select(id_col).distinct())
+    return (train.select(id_col)
+            .join(hits.withColumn("__hit__", F.lit(True)), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("__hit__", F.lit(False)).alias("contaminated")))

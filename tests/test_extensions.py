@@ -252,3 +252,61 @@ def test_bm25_orders_by_relevance(spark):
     assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 absent (no match)
     assert [r["rank"] for r in out] == [1, 2]
     assert out[0]["score"] > out[1]["score"] > 0
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    from polars_ruby_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "g0" if i % 2 == 0 else "g1") for i in range(2000)], ["doc_id", "source"])
+    out = sampling.hash_sample(df, {"g0": 0.5}, default_rate=0.0)
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  sampling.hash_sample(df.repartition(7), {"g0": 0.5},
+                                       default_rate=0.0).collect())
+    assert ids1 == ids2  # membership survives repartitioning
+    assert all(i % 2 == 0 for i in ids1)  # g1 rate 0 -> excluded
+    assert 0.35 < len(ids1) / 1000 < 0.65  # ~50% of the 1000 g0 rows
+
+
+def test_pack_greedy_contiguous_budget(spark):
+    from polars_ruby_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, 40) for i in range(1, 26)], ["doc_id", "n_tok"])  # 25 docs x 40 tokens
+    rows = {r["doc_id"]: r for r in packing.pack_greedy(df, "n_tok", budget=100).collect()}
+    # starts 0,40,80,120,... -> shards 0,0,0,1,1,2,2,(280->2),...
+    assert rows[1]["shard_id"] == 0 and rows[1]["shard_offset"] == 0
+    assert rows[3]["shard_id"] == 0 and rows[3]["shard_offset"] == 80
+    assert rows[4]["shard_id"] == 1 and rows[4]["shard_offset"] == 20
+    assert rows[25]["shard_id"] == (24 * 40) // 100
+    # shard ids are non-decreasing in id order and cover no gaps
+    shard_seq = [rows[i]["shard_id"] for i in range(1, 26)]
+    assert shard_seq == sorted(shard_seq)
+    assert set(shard_seq) == set(range(max(shard_seq) + 1))
+
+
+def test_profile_stats(spark):
+    from polars_ruby_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "b")], ["x", "s"])
+    rows = {r["col_name"]: r for r in profiling.profile(df, ["x"], ["s"]).collect()}
+    x = rows["x"]
+    assert (x["n_nulls"], x["n_distinct"], x["min_num"], x["max_num"],
+            x["mean"], x["p50"]) == (0, 4, 1.0, 4.0, 2.5, 2.5)
+    s = rows["s"]
+    assert (s["n_nulls"], s["n_distinct"], s["min_str"], s["max_str"]) == (1, 2, "a", "b")
+    assert s["min_num"] is None
+
+
+def test_decontaminate_flags(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "some text containing the secret eval answer verbatim"),
+         (2, "completely clean training document with fresh words only")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r["contaminated"]
+            for r in dedup.decontaminate_flags(train, bench).collect()}
+    assert rows == {1: True, 2: False}

@@ -40,7 +40,8 @@ def single_partition_violations(plan: str) -> int:
         child = "\n".join(lines[i + 1:i + 3])
         if "__rix_pid__" in child:
             continue
-        if "keys=[]" in child and ("merge_" in child or "partial_" in child) \
+        if ("keys=[]" in child or "key=[]" in child) \
+                and ("merge_" in child or "partial_" in child) \
                 and "partial_collect_list(struct(i" not in child:
             continue
         if "TakeOrderedAndProject" in child:
