@@ -188,44 +188,85 @@ def simhash_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
-                         max_iterations: int = 50) -> DataFrame:
-    """Connected components over an undirected edge list via min-label
-    propagation.  Returns ``(id, cluster_id)`` for every node that appears in
-    ``edges``, where ``cluster_id`` is the smallest node id in the component
-    (deterministic, so it is oracle-able with a recursive CTE).
+                         max_iterations: int = 50,
+                         driver_threshold: int = 2_000_000) -> DataFrame:
+    """Connected components over an undirected edge list.  Returns
+    ``(id, cluster_id)`` for every node that appears in ``edges``, where
+    ``cluster_id`` is the smallest node id in the component (deterministic,
+    so it is oracle-able with a recursive CTE).
 
-    Scale design: labels converge in diameter(G) rounds; near-duplicate
-    graphs are dense clusters with tiny diameters (2-4 rounds in practice).
-    Each round is one co-partitioned shuffle join (edges x labels, both hash
-    partitioned on the join key) plus a map-side-combined min aggregate.
-    ``localCheckpoint`` truncates the lineage each round so the plan does not
-    grow with the iteration count.  For adversarial long-chain graphs swap in
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce"), which converges in O(log d) rounds with the same join shape.
+    Scale-adaptive, like the IVF coarse quantizer: a dedup pair graph is
+    orders of magnitude smaller than the corpus that produced it, so below
+    ``driver_threshold`` edges (~tens of MB) the component labels are
+    computed with a driver-side union-find — O(E α(E)), one collect, zero
+    iterative jobs.  Above it, a distributed min-label propagation loop with
+    pointer jumping (each round also propagates along id↔label links, so a
+    d-diameter chain converges in ~log d rounds, not d): each round is one
+    shuffle join (edges ∪ label-links × labels) plus a map-side-combined min
+    aggregate, with ``localCheckpoint`` truncating lineage so the plan does
+    not grow with the iteration count.
     """
+    edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= driver_threshold:
+        return _cc_driver_union_find(edges, src, dst)
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
     sym = sym.repartition("v").localCheckpoint(eager=True)
-    labels = (sym.groupBy(F.col("u").alias("id"))
-              .agg(F.min(F.lit(None)).alias("_"))
-              .select("id").withColumn("label", F.col("id"))
+    labels = (sym.select(F.col("u").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
     for _ in range(max_iterations):
-        # every node offers its label to each neighbor; a node keeps the min
-        # of its own label and all offers
-        offers = (sym.join(labels.withColumnRenamed("id", "v"), "v")
+        # every node offers its label to each neighbor AND along id↔label
+        # links (pointer jumping); a node keeps the min of its own label and
+        # all offers.  ONE materialization per round: the joined frame is
+        # checkpointed, then both the convergence count and the next labels
+        # are cheap reads of it (the projection stays lazy — no lineage
+        # growth past the checkpoint).
+        links = labels.filter(F.col("label") != F.col("id"))
+        aug = (sym
+               .union(links.select(F.col("id").alias("u"), F.col("label").alias("v")))
+               .union(links.select(F.col("label").alias("u"), F.col("id").alias("v"))))
+        offers = (aug.join(labels.withColumnRenamed("id", "v"), "v")
                   .groupBy(F.col("u").alias("id"))
                   .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(offers, "id", "left")
-                      .select("id", F.least("label", "nbr_label").alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.withColumnRenamed("label", "new_label")
-                   .join(labels, "id")
-                   .filter(F.col("new_label") != F.col("label")).count())
-        labels = new_labels
+        joined = (labels.join(offers, "id", "left")
+                  .localCheckpoint(eager=True))
+        changed = joined.filter(F.col("nbr_label") < F.col("label")).count()
+        labels = joined.select("id", F.least("label", "nbr_label").alias("label"))
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _cc_driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find with path compression for sub-threshold pair graphs —
+    exact same output contract as the distributed loop (min id per
+    component).  Collects once via Arrow, returns via Arrow."""
+    import pandas as pd
+
+    pdf = edges.select(src, dst).toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf[src].tolist(), pdf[dst].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = set(pdf[src].tolist()) | set(pdf[dst].tolist())
+    out = pd.DataFrame({"id": list(nodes)})
+    out["cluster_id"] = [find(n) for n in out["id"]]
+    spark = edges.sparkSession
+    if out.empty:
+        dtype = edges.schema[src].dataType.simpleString()
+        return spark.createDataFrame([], f"id {dtype}, cluster_id {dtype}")
+    return spark.createDataFrame(out.sort_values("id"))
 
 
 def dedup_clusters(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -193,12 +193,17 @@ def test_ivf_full_probe_equals_brute_force(spark, embeddings):
 
 
 def test_connected_components_chain_and_islands(spark):
-    """Min-label propagation: a 5-node chain (needs 4 rounds to drain the min
-    to the far end), a separate 2-node island, and a node absent from edges."""
+    """Both CC paths on a 5-node chain + 2-node island: the sub-threshold
+    driver union-find and the distributed pointer-jumping loop (forced with
+    driver_threshold=0) must produce identical component minima."""
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"])
-    cc = {r["id"]: r["cluster_id"] for r in dedup.connected_components(edges).collect()}
-    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    fast = {r["id"]: r["cluster_id"] for r in dedup.connected_components(edges).collect()}
+    assert fast == expect
+    dist = {r["id"]: r["cluster_id"] for r in
+            dedup.connected_components(edges, driver_threshold=0).collect()}
+    assert dist == expect
 
 
 def test_dedup_clusters_partitions_corpus(spark):
