@@ -1147,6 +1147,17 @@ def q87_decontaminate(spark, sf_dir):
         d.filter("doc_id >= 10"), d.filter("doc_id < 10"))
 
 
+def q88_reshape(spark, sf_dir):
+    """Expr.reshape (expr.rb:6233): key column sorted then folded into
+    width-10 list rows (hash agg on row_idx div 10, no global window)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    out = o.sort("o_orderkey").select(
+        pl.col("o_orderkey").reshape([-1, 10]).alias("keys"))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1241,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_profile": q85_profile,
         "q86_pack_shards": q86_pack_shards,
         "q87_decontaminate": q87_decontaminate,
+        "q88_reshape": q88_reshape,
     }
 
 
@@ -1382,6 +1394,13 @@ def oracle_sql() -> dict[str, str]:
                         GROUP BY doc_id)
             SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
             FROM sc ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "q88_reshape": """
+            WITH o AS (SELECT o_orderkey,
+                              row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+                       FROM orders)
+            SELECT list(o_orderkey ORDER BY o_orderkey) AS keys
+            FROM o GROUP BY rn // 10
         """,
         "q84_hash_sample": """
             SELECT doc_id, lang, source FROM documents

@@ -49,6 +49,11 @@ def _ordered_window(part) -> WindowSpec:
 class Expr:
     """A deferred column expression (parity: ``lib/polars/expr.rb``)."""
 
+    #: frame-level transform hook: set on row-count-changing expressions
+    #: (reshape) — ``select`` routes the WHOLE frame through it instead of
+    #: binding a Column (a Column cannot change cardinality).
+    _frame_fn = None
+
     def __init__(
         self,
         fn: Callable[[DataFrame, Any], Column] | None = None,
@@ -147,6 +152,7 @@ class Expr:
     def alias(self, name: str) -> "Expr":
         e = self._lift(lambda c: c)
         e._name = name
+        e._frame_fn = self._frame_fn  # keep frame-level hooks (reshape) alive
         return e
 
     def suffix(self, s: str) -> "Expr":
@@ -1557,6 +1563,60 @@ class Expr:
 
     def flatten(self):
         return self._lift(F.flatten)
+
+    def reshape(self, dims):
+        """Reshape to a flat column or fixed-width list rows (expr.rb:6233).
+
+        Row-count-changing, so only valid as the SOLE expression of a
+        ``select`` (matching the reference, where the output length
+        differs).  Scale shape: 2-D groups rows by ``row_idx div width``
+        (hash aggregate; ``collect_list`` cells bounded by the width);
+        flatten is a ``posexplode`` with order restored by a (row, pos)
+        sort.  A ``-1`` row dim is inferred; inference/validation costs one
+        count action at plan time (the reference knows lengths eagerly).
+        """
+        dims = list(dims)
+        if not dims or len(dims) > 2:
+            raise ValueError("reshape supports 1-D and 2-D dims only")
+        inner = self
+
+        def frame_fn(lf, out_name):
+            from pyspark.sql.types import ArrayType
+
+            from .frame import LazyFrame
+            from .session import ROW_IDX
+
+            out_name = out_name or inner._name or "reshape"
+            df = lf._ensure_row_index()._sdf
+            named = df.select(F.col(ROW_IDX).alias("__i__"),
+                              inner._fn(df, None).alias(out_name))
+            if len(dims) == 1:
+                dt = named.schema[out_name].dataType
+                if isinstance(dt, ArrayType):
+                    flat = named.select(
+                        "__i__", F.posexplode(out_name).alias("__p__", out_name))
+                else:
+                    flat = named.withColumn("__p__", F.lit(0))
+                return LazyFrame(flat).sort(["__i__", "__p__"]).drop("__i__", "__p__")
+            r, width = dims
+            n = named.count()
+            if width == -1:
+                if r <= 0 or n % r:
+                    raise ValueError(f"cannot reshape {n} rows into {r} rows")
+                width = n // r
+            elif n % width:
+                raise ValueError(f"cannot reshape {n} rows into width {width}")
+            rows = (named.groupBy(
+                        F.floor(F.col("__i__") / F.lit(width)).cast("long").alias("__g__"))
+                    .agg(F.transform(
+                        F.sort_array(F.collect_list(F.struct(
+                            F.col("__i__").alias("i"), F.col(out_name).alias("v")))),
+                        lambda s: s["v"]).alias(out_name)))
+            return LazyFrame(rows).sort("__g__").drop("__g__")
+
+        e = Expr(None, name=inner._name)
+        e._frame_fn = frame_fn
+        return e
 
     def extend_constant(self, value, n):
         raise NotImplementedError("extend_constant is frame-level: use concat")

@@ -133,6 +133,15 @@ class LazyFrame:
     # -- projections ----------------------------------------------------------
     def select(self, *exprs, **named) -> "LazyFrame":
         parsed = _parse_exprs(exprs, named)
+        if any(e._frame_fn is not None for _, e in parsed):
+            if len(parsed) != 1:
+                from .exceptions import InvalidOperationError
+
+                raise InvalidOperationError(
+                    "row-count-changing expressions (reshape) must be the "
+                    "only expression in a select")
+            name, e = parsed[0]
+            return e._frame_fn(self, name or e._name)
         sdf, cols, all_agg = self._bind_all(parsed, "select")
         if all_agg:
             return LazyFrame(sdf.agg(*[c for _, c in cols]))

@@ -104,7 +104,9 @@ class Series:
         e = make_expr(col(self._name))
         out = frame.select(e.alias(self._name) if e._name is None else e)
         sdf = out._sdf
-        if len(sdf.columns) == 1:
+        from .session import ROW_IDX
+
+        if len([c for c in sdf.columns if c != ROW_IDX]) == 1:
             return Series._from_spark(sdf, self._name)
         return out.collect()
 

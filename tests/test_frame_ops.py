@@ -230,3 +230,22 @@ def test_exceptions_and_row_by_predicate(spark):
     with pytest.raises(ValueError):
         df.row()
     assert str(pl.Todo()) == "not implemented yet"
+
+
+def test_reshape(spark):
+    """Expr/Series reshape (expr.rb:6233): 2-D fold, -1 inference, flatten
+    roundtrip, exact-division validation, sole-expression rule."""
+    import pytest
+
+    df = pl.DataFrame({"foo": list(range(1, 10))})
+    sq = df.lazy().select(pl.col("foo").reshape([3, 3])).collect()
+    assert [list(v) for v in sq.to_h()["foo"]] == [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    flat = sq.lazy().select(pl.col("foo").reshape([9])).collect()
+    assert flat.to_h()["foo"] == list(range(1, 10))
+    inf = df.lazy().select(pl.col("foo").reshape([-1, 3]).alias("rows")).collect()
+    assert [list(v) for v in inf.to_h()["rows"]] == [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    assert pl.Series("a", [1, 2, 3, 4]).reshape([2, 2]).to_list() == [[1, 2], [3, 4]]
+    with pytest.raises(ValueError):
+        df.lazy().select(pl.col("foo").reshape([4, 2])).collect()
+    with pytest.raises(pl.InvalidOperationError):
+        df.lazy().select(pl.col("foo").reshape([3, 3]), pl.col("foo"))
