@@ -205,3 +205,65 @@ def test_rle_roundtrip(spark, vals):
     expanded = [v for ln, v in runs for _ in range(ln)]
     assert expanded == vals
     assert all(runs[i][1] != runs[i + 1][1] for i in range(len(runs) - 1))
+
+
+@SET
+@given(toks=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+       budget=st.integers(min_value=10, max_value=100))
+def test_pack_greedy_matches_sequential(spark, toks, budget):
+    """pack_greedy's two-phase distributed prefix sum must equal a sequential
+    driver simulation for any token-count sequence and budget."""
+    from polars_ruby_spark.operators import packing
+
+    df = spark.createDataFrame(list(enumerate(toks)), ["doc_id", "n_tok"])
+    got = {r["doc_id"]: (r["shard_id"], r["shard_offset"])
+           for r in packing.pack_greedy(df, "n_tok", budget=budget).collect()}
+    start = 0
+    for i, t in enumerate(toks):
+        assert got[i] == (start // budget, start % budget), f"doc {i}"
+        start += t
+
+
+@SET
+@given(r1=st.floats(min_value=0.0, max_value=1.0),
+       r2=st.floats(min_value=0.0, max_value=1.0))
+def test_hash_sample_nested(spark, r1, r2):
+    """Bucket sampling is NESTED: the sample at a lower rate is always a
+    subset of the sample at a higher rate (the property that makes staged
+    mix experiments comparable)."""
+    from polars_ruby_spark.operators import sampling
+
+    lo, hi = sorted([r1, r2])
+    df = spark.createDataFrame([(i, "g") for i in range(300)], ["doc_id", "source"])
+    s_lo = {r["doc_id"] for r in sampling.hash_sample(df, {"g": lo}).collect()}
+    s_hi = {r["doc_id"] for r in sampling.hash_sample(df, {"g": hi}).collect()}
+    assert s_lo <= s_hi
+
+
+@SET
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=25),
+              st.integers(min_value=0, max_value=25)),
+    min_size=1, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """Driver path on arbitrary random graphs (self-loops included) must
+    equal an independent pure-python union-find."""
+    from polars_ruby_spark.operators import dedup
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(df).collect()}
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    expect = {n: find(n) for n in nodes}
+    assert got == expect
