@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -1158,6 +1158,69 @@ def q88_reshape(spark, sf_dir):
     return out.to_spark()
 
 
+def q89_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test split: md5-bucket assignment — disjoint
+    by construction, reproducible across engines/runs/repartitionings."""
+    from polars_ruby_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return sampling.stratified_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "source", "split")
+
+
+def q90_chunk_tokens(spark, sf_dir):
+    """Token-window chunking (size 64, stride 48): map-local posexplode of
+    sequence starts + slice — no shuffle, no UDF."""
+    from polars_ruby_spark.operators import chunking
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return chunking.chunk_tokens(d, size=64, stride=48)
+
+
+def q91_mixing_weights(spark, sf_dir):
+    """Temperature-based (alpha=0.5) training-mix weights per source:
+    one groupBy + one-row scalar-attach broadcast for normalization."""
+    from polars_ruby_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    out = sampling.mixing_weights(d, "source", size_col="n_chars",
+                                  alpha=0.5, budget=1_000_000.0)
+    return out.select("source", F.col("size").alias("n_chars_total"),
+                      F.round("p", 6).alias("p"), F.round("w", 6).alias("w"),
+                      F.round("epochs", 4).alias("epochs"))
+
+
+def q92_quantize_int8(spark, sf_dir):
+    """Per-vector int8 max-abs quantization with reconstruction diagnostics
+    (4x ANN storage/shuffle reduction path); flat projection, no shuffle."""
+    from polars_ruby_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")._sdf
+    return similarity.quantize_int8(e)
+
+
+def q93_ngram_dup_coverage(spark, sf_dir):
+    """Exact-substring duplication coverage via 13-gram hashes (Lee et al.
+    2022 suffix-array dedup, distributed n-gram form): gram md5 prefix
+    computed before the shuffle; gram-count join reuses agg partitioning."""
+    from polars_ruby_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return dedup.ngram_dup_coverage(d, n=13)
+
+
+def q94_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic rejection sampling: keep iff md5
+    unit-hash < quality score; single flat filter above the scan."""
+    from polars_ruby_spark.operators import sampling, text
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    scored = text.quality_score(d)
+    return sampling.weighted_sample(scored, "quality").select(
+        "doc_id", F.round("quality", 4).alias("quality"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1253,6 +1316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_pack_shards": q86_pack_shards,
         "q87_decontaminate": q87_decontaminate,
         "q88_reshape": q88_reshape,
+        "q89_stratified_split": q89_stratified_split,
+        "q90_chunk_tokens": q90_chunk_tokens,
+        "q91_mixing_weights": q91_mixing_weights,
+        "q92_quantize_int8": q92_quantize_int8,
+        "q93_ngram_dup_coverage": q93_ngram_dup_coverage,
+        "q94_weighted_sample": q94_weighted_sample,
     }
 
 
@@ -1401,6 +1470,92 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders)
             SELECT list(o_orderkey ORDER BY o_orderkey) AS keys
             FROM o GROUP BY rn // 10
+        """,
+        "q89_stratified_split": """
+            SELECT doc_id, source,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 10000 < 0.8 * 10000 THEN 'train'
+                        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 10000 < (0.8 + 0.1) * 10000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "q90_chunk_tokens": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+                 s AS (SELECT doc_id, tok, len(tok) AS n,
+                              unnest(range(0, len(tok), 48)) AS start
+                       FROM t)
+            SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+                   CAST(least(64, n - start) AS INT) AS n_tokens,
+                   array_to_string(tok[start + 1 : start + 64], ' ') AS chunk_text
+            FROM s
+        """,
+        "q91_mixing_weights": """
+            WITH per AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n_chars_total
+                         FROM documents GROUP BY source),
+                 tot AS (SELECT sum(n_chars_total) AS total,
+                                sum(pow(n_chars_total, 0.5)) AS pow_marg FROM per)
+            SELECT source, n_chars_total,
+                   round(n_chars_total / total, 6) AS p,
+                   round(pow(n_chars_total, 0.5) / pow_marg, 6) AS w,
+                   round(pow(n_chars_total, 0.5) / pow_marg * 1000000.0
+                         / n_chars_total, 4) AS epochs
+            FROM per, tot
+        """,
+        "q92_quantize_int8": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                 s AS (SELECT vec_id, v,
+                              CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                                   THEN 1.0
+                                   ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+                              END AS scale
+                       FROM e)
+            SELECT vec_id, round(scale, 6) AS qscale,
+                   CAST(list_sum(list_transform(v,
+                        x -> CAST(round(x / scale) AS BIGINT)
+                             * CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_l2,
+                   round(list_sum(list_transform(v,
+                        x -> abs(x - round(x / scale) * scale))) / len(v), 6)
+                     AS recon_mae
+            FROM s
+        """,
+        "q93_ngram_dup_coverage": """
+            WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tok
+                       FROM documents),
+                 p AS (SELECT doc_id, tok,
+                              unnest(range(1, len(tok) - 13 + 2)) AS pos
+                       FROM t WHERE len(tok) >= 13),
+                 g AS (SELECT doc_id,
+                              substr(md5(array_to_string(tok[pos : pos + 12], ' ')),
+                                     1, 16) AS gh
+                       FROM p),
+                 d AS (SELECT gh, count(DISTINCT doc_id) AS docs FROM g GROUP BY gh)
+            SELECT g.doc_id,
+                   CAST(count(*) AS INT) AS n_grams,
+                   CAST(sum(CASE WHEN d.docs > 1 THEN 1 ELSE 0 END) AS INT) AS dup_grams,
+                   round(sum(CASE WHEN d.docs > 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+            FROM g JOIN d USING (gh)
+            GROUP BY g.doc_id
+        """,
+        "q94_weighted_sample": f"""
+            WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tok
+                       FROM documents),
+                 m AS (SELECT doc_id,
+                              round(0.4 * least(len(tok) / 100.0, 1.0)
+                                    + 0.4 * CAST(len(list_filter(tok,
+                                          x -> x IN ({_stop_in('en')}))) AS DOUBLE)
+                                          / len(tok)
+                                    + 0.2 * (1.0 - CAST(len(regexp_extract_all(text,
+                                          '[.,!?;:]')) AS DOUBLE) / length(text)), 4)
+                                AS quality
+                       FROM t)
+            SELECT doc_id, quality
+            FROM m
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                  < quality * 10000
         """,
         "q84_hash_sample": """
             SELECT doc_id, lang, source FROM documents

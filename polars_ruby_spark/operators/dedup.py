@@ -315,3 +315,46 @@ def decontaminate_flags(train: DataFrame, bench: DataFrame,
             .join(hits.withColumn("__hit__", F.lit(True)), id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("__hit__", F.lit(False)).alias("contaminated")))
+
+
+def ngram_dup_coverage(sdf: DataFrame, n: int = 13, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplication coverage: for each document with ≥ n
+    tokens, the fraction of its n-gram positions whose n-gram also occurs in
+    at least one OTHER document.  This is the distributed n-gram
+    approximation of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — the scan
+    flags documents whose text is substantially copied elsewhere so a
+    downstream filter can drop or trim them.
+
+    Returns (id, n_grams, dup_grams, dup_frac) for docs with ≥ n tokens.
+
+    Scale shape: positions explode map-side in the scan stage; grams are
+    reduced to a 16-hex md5 prefix in a flat codegen projection BEFORE the
+    shuffle (never shuffling full n-gram strings); the per-gram doc-count
+    aggregate and the gram→position join both hash-partition on the gram
+    hash, so the join reuses the aggregation's partitioning.  Per-doc
+    coverage is then a map-side-combined groupBy on the id.
+    """
+    toks = _tokens(F.col(text_col))
+    base = (sdf.select(F.col(id_col), toks.alias("__toks"))
+            .withColumn("__n", F.size("__toks"))
+            .filter(F.col("__n") >= n))
+    grams = (base
+             .select(id_col,
+                     F.explode(F.sequence(F.lit(1), F.col("__n") - (n - 1))).alias("__pos"),
+                     "__toks")
+             .select(id_col,
+                     F.substring(F.md5(F.array_join(
+                         F.slice(F.col("__toks"), F.col("__pos"), F.lit(n)), " ")),
+                         1, 16).alias("__gh")))
+    per_gram = grams.groupBy("__gh").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs"))
+    return (grams.join(per_gram, "__gh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_grams"),
+                 F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0))
+                  .cast("int").alias("dup_grams"))
+            .select(F.col(id_col), F.col("n_grams"), F.col("dup_grams"),
+                    F.round(F.col("dup_grams") / F.col("n_grams"), 4)
+                     .alias("dup_frac")))

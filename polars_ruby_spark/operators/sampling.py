@@ -35,3 +35,71 @@ def hash_sample(sdf: DataFrame, rates: dict[str, float], group_col: str = "sourc
     for val, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == val, F.lit(float(r))).otherwise(rate)
     return sdf.filter(hash_bucket(id_col, buckets) < rate * buckets)
+
+
+def stratified_split(sdf: DataFrame, fractions: dict[str, float],
+                     id_col: str = "doc_id", buckets: int = 10_000) -> DataFrame:
+    """Deterministic train/val/test assignment: ``fractions`` maps split name
+    → fraction (must sum to ≤ 1; remainder falls into the last split).  A row's
+    split is decided by its md5 bucket, so the assignment is reproducible
+    across runs/engines/repartitionings and disjoint by construction — the
+    property that matters for a 100 TB corpus where "which split was this
+    shard in?" must never depend on execution order.
+
+    Within any stratum (e.g. per ``source``) the md5 bucket is uniform, so the
+    fractions hold per-stratum without a per-stratum shuffle — one flat
+    projection, no aggregation at all.
+    """
+    b = hash_bucket(id_col, buckets)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += float(fractions[name])
+        cond = b < acc * buckets
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return sdf.withColumn("split", expr)
+
+
+def weighted_sample(sdf: DataFrame, weight_col, id_col: str = "doc_id",
+                    buckets: int = 10_000) -> DataFrame:
+    """Deterministic rejection sampling: keep a row iff its md5 unit-hash is
+    below ``weight_col`` (a per-row keep probability in [0, 1], e.g. a quality
+    score).  Same scale shape as ``hash_sample`` — a single flat filter above
+    the scan, no RNG, stable under re-partitioning and pipeline resume — but
+    the rate is data-dependent per row instead of per group.
+    """
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    return sdf.filter(hash_bucket(id_col, buckets) < w.cast("double") * buckets)
+
+
+def mixing_weights(sdf: DataFrame, group_col: str = "source",
+                   size_col=None, alpha: float = 0.5,
+                   budget: float = 1_000_000.0) -> DataFrame:
+    """Temperature-based training-mix weights per domain: with p_i the
+    domain's share of the corpus (by rows, or by ``size_col`` sum — e.g.
+    tokens), the mixing weight is ``w_i = p_i**alpha / sum_j p_j**alpha``
+    (alpha < 1 flattens the natural distribution toward rare domains), and
+    ``epochs_i = w_i * budget / size_i`` is how many passes over domain i the
+    sampled mix implies at a total token ``budget``.
+
+    Scale shape: one map-side-combined groupBy over the corpus, then the
+    normalization joins a ONE-ROW global aggregate back (scalar-attach
+    broadcast — never a data-sized shuffle).  Output is |domains| rows.
+    """
+    size = F.count(F.lit(1)).cast("double") if size_col is None \
+        else F.sum(F.col(size_col).cast("double"))
+    per = sdf.groupBy(group_col).agg(size.alias("size"))
+    tot = per.agg(F.sum("size").alias("total"),
+                  F.sum(F.pow(F.col("size"), F.lit(0.0) + alpha)).alias("pow_marg"))
+    # p_i**alpha / sum p_j**alpha == size_i**alpha / sum size_j**alpha
+    # (the total**alpha cancels) — so one pass over `per` suffices.
+    return (per.join(F.broadcast(tot))
+            .select(F.col(group_col),
+                    F.col("size"),
+                    (F.col("size") / F.col("total")).alias("p"),
+                    (F.pow("size", F.lit(0.0) + alpha) / F.col("pow_marg")).alias("w"),
+                    (F.pow("size", F.lit(0.0) + alpha) / F.col("pow_marg")
+                     * F.lit(float(budget)) / F.col("size")).alias("epochs")))

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import polars_ruby_spark as pl
 from polars_ruby_spark.operators import dedup, multimodal, similarity, text
+from pyspark.sql import functions as F
 
 
 def test_exact_dedup(spark):
@@ -315,3 +316,90 @@ def test_decontaminate_flags(spark):
     rows = {r["doc_id"]: r["contaminated"]
             for r in dedup.decontaminate_flags(train, bench).collect()}
     assert rows == {1: True, 2: False}
+
+
+def test_stratified_split_disjoint_and_rates(spark):
+    from polars_ruby_spark.operators import sampling
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    out = sampling.stratified_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 20_000  # total partition, no row lost/duped
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # deterministic: same assignment on re-run
+    again = {r["doc_id"]: r["split"] for r in sampling.stratified_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_chunk_tokens_windows(spark):
+    from polars_ruby_spark.operators import chunking
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b")], ["doc_id", "text"])
+    rows = sorted(chunking.chunk_tokens(df, size=4, stride=3).collect(),
+                  key=lambda r: (r["doc_id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_text"] for r in d1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"]
+    assert [r["n_tokens"] for r in d1] == [4, 4, 4, 1]
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert [(r["chunk_id"], r["chunk_text"]) for r in d2] == [(0, "a b")]
+
+
+def test_mixing_weights_temperature(spark):
+    from polars_ruby_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("big",)] * 90 + [("small",)] * 10, ["source"])
+    rows = {r["source"]: r for r in
+            sampling.mixing_weights(df, "source", alpha=0.5,
+                                    budget=100.0).collect()}
+    assert abs(rows["big"]["p"] - 0.9) < 1e-9
+    # alpha=0.5 flattens: w ratio is sqrt(9) = 3, not 9
+    assert abs(rows["big"]["w"] / rows["small"]["w"] - 3.0) < 1e-9
+    assert abs(sum(r["w"] for r in rows.values()) - 1.0) < 1e-9
+    # epochs = w * budget / size
+    assert abs(rows["small"]["epochs"] - rows["small"]["w"] * 100.0 / 10) < 1e-9
+
+
+def test_quantize_int8_reconstruction(spark, embeddings):
+    from polars_ruby_spark.operators import similarity
+
+    out = similarity.quantize_int8(embeddings._sdf.limit(50))
+    rows = out.collect()
+    assert len(rows) == 50
+    # max-abs scaling keeps reconstruction error below scale/2 per element
+    for r in rows:
+        assert r["recon_mae"] <= r["qscale"] / 2 + 1e-9
+        assert r["q_l2"] >= 0
+
+
+def test_ngram_dup_coverage_copied_doc(spark):
+    words = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, words), (2, words), (3, other)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            dedup.ngram_dup_coverage(df, n=13).collect()}
+    # docs 1 and 2 are full copies: every 13-gram occurs in the other
+    assert rows[1]["dup_frac"] == 1.0 and rows[2]["dup_frac"] == 1.0
+    assert rows[3]["dup_frac"] == 0.0
+    assert rows[1]["n_grams"] == 30 - 13 + 1
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from polars_ruby_spark.operators import sampling
+
+    df = (spark.range(0, 40_000).withColumnRenamed("id", "doc_id")
+          .withColumn("wt", F.when(F.col("doc_id") % 2 == 0, 0.9)
+                      .otherwise(0.1)))
+    out = sampling.weighted_sample(df, "wt")
+    kept = {r["k"]: r["n"] for r in
+            out.groupBy((F.col("doc_id") % 2).alias("k"))
+               .agg(F.count("*").alias("n")).collect()}
+    assert abs(kept[0] / 20_000 - 0.9) < 0.02
+    assert abs(kept[1] / 20_000 - 0.1) < 0.02
