@@ -295,9 +295,10 @@ class Expr:
                 src = df.select(c.alias("__t__")).schema[0].dataType
             except Exception:
                 src = None
-            if isinstance(src, T.TimestampType):
-                us = F.unix_micros(c)
-                midnight = F.unix_micros(F.date_trunc("day", c))
+            if isinstance(src, (T.TimestampType, T.TimestampNTZType)):
+                t = c.cast("timestamp")  # NTZ-safe: session tz pinned UTC
+                us = F.unix_micros(t)
+                midnight = F.unix_micros(F.date_trunc("day", t))
                 return (us - midnight) * F.lit(1000)
             if isinstance(src, T.StringType):
                 ts = F.to_timestamp(F.concat(F.lit("1970-01-01 "), c))

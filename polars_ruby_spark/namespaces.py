@@ -255,6 +255,13 @@ class StringNameSpace(_NS):
 _SEC = 1_000_000  # µs
 
 
+def _ts(c):
+    """Spark's unix_* functions require TIMESTAMP; naive datetimes read from
+    parquet surface as TIMESTAMP_NTZ — cast (value-preserving: session tz is
+    pinned UTC by session.configure; no-op on TIMESTAMP input)."""
+    return c.cast("timestamp")
+
+
 class DateTimeNameSpace(_NS):
     # date_time_expr.rb line refs per SURVEY §2.8
     def truncate(self, every: str) -> Expr:
@@ -276,7 +283,7 @@ class DateTimeNameSpace(_NS):
         # arbitrary span: floor(epoch_us / span) * span, epoch-aligned
         return self._e._lift(
             lambda c: F.timestamp_micros(
-                (F.floor(F.unix_micros(c) / us) * us).cast("long"))
+                (F.floor(F.unix_micros(_ts(c)) / us) * us).cast("long"))
         )
 
     def round(self, every: str) -> Expr:
@@ -284,7 +291,7 @@ class DateTimeNameSpace(_NS):
         us = dur.microseconds
         return self._e._lift(
             lambda c: F.timestamp_micros(
-                (F.round(F.unix_micros(c) / us) * us).cast("long"))
+                (F.round(F.unix_micros(_ts(c)) / us) * us).cast("long"))
         )
 
     def strftime(self, fmt: str) -> Expr:
@@ -324,13 +331,6 @@ class DateTimeNameSpace(_NS):
     def ordinal_day(self) -> Expr:
         return self._e._lift(lambda c: F.dayofyear(c).cast("int"))
 
-    def time(self) -> Expr:
-        """Extract time-of-day as the Time dtype (ns since midnight;
-        date_time_expr.rb dt.time)."""
-        return self._e._lift(
-            lambda c: (F.unix_micros(c) - F.unix_micros(F.date_trunc("day", c)))
-            * F.lit(1000))
-
     def datetime(self) -> Expr:
         # date_time_expr.rb:584 — the Datetime representation itself
         return self._e._lift(lambda c: c.cast("timestamp"))
@@ -366,7 +366,7 @@ class DateTimeNameSpace(_NS):
         instant — date_time_expr.rb:838)."""
         factor = {"ns": 0.001, "us": 1.0, "ms": 1000.0}[time_unit]
         return self._e._lift(lambda c: F.timestamp_micros(
-            (F.unix_micros(c) * F.lit(factor)).cast("long")))
+            (F.unix_micros(_ts(c)) * F.lit(factor)).cast("long")))
 
     def base_utc_offset(self) -> Expr:
         # instants are stored UTC (session.configure pins UTC) → offset 0
@@ -384,27 +384,27 @@ class DateTimeNameSpace(_NS):
     def second(self, fractional: bool = False) -> Expr:
         if fractional:
             return self._e._lift(
-                lambda c: (F.unix_micros(c) % (60 * _SEC)).cast("double") / _SEC)
+                lambda c: (F.unix_micros(_ts(c)) % (60 * _SEC)).cast("double") / _SEC)
         return self._e._lift(lambda c: F.second(c).cast("int"))
 
     def millisecond(self) -> Expr:
-        return self._e._lift(lambda c: ((F.unix_micros(c) % _SEC) / 1000).cast("int"))
+        return self._e._lift(lambda c: ((F.unix_micros(_ts(c)) % _SEC) / 1000).cast("int"))
 
     def microsecond(self) -> Expr:
-        return self._e._lift(lambda c: (F.unix_micros(c) % _SEC).cast("int"))
+        return self._e._lift(lambda c: (F.unix_micros(_ts(c)) % _SEC).cast("int"))
 
     def nanosecond(self) -> Expr:
-        return self._e._lift(lambda c: ((F.unix_micros(c) % _SEC) * 1000).cast("long"))
+        return self._e._lift(lambda c: ((F.unix_micros(_ts(c)) % _SEC) * 1000).cast("long"))
 
     def epoch(self, time_unit: str = "us") -> Expr:
         if time_unit == "s":
-            return self._e._lift(lambda c: F.unix_timestamp(c))
+            return self._e._lift(lambda c: F.unix_timestamp(_ts(c)))
         if time_unit == "ms":
-            return self._e._lift(F.unix_millis)
+            return self._e._lift(lambda c: F.unix_millis(_ts(c)))
         if time_unit == "us":
-            return self._e._lift(F.unix_micros)
+            return self._e._lift(lambda c: F.unix_micros(_ts(c)))
         if time_unit == "ns":
-            return self._e._lift(lambda c: F.unix_micros(c) * 1000)
+            return self._e._lift(lambda c: F.unix_micros(_ts(c)) * 1000)
         if time_unit == "d":
             return self._e._lift(lambda c: F.datediff(c.cast("date"), F.lit("1970-01-01")))
         raise ValueError(time_unit)
@@ -417,15 +417,15 @@ class DateTimeNameSpace(_NS):
 
     def time(self) -> Expr:
         # nanoseconds since midnight (no Spark time type — SURVEY §1.3)
-        return self._e._lift(lambda c: (F.unix_micros(c) % (86400 * _SEC)) * 1000)
+        return self._e._lift(lambda c: (F.unix_micros(_ts(c)) % (86400 * _SEC)) * 1000)
 
     def convert_time_zone(self, time_zone: str) -> Expr:
-        return self._e._lift(lambda c: F.from_utc_timestamp(c, time_zone))
+        return self._e._lift(lambda c: F.from_utc_timestamp(_ts(c), time_zone))
 
     def replace_time_zone(self, time_zone: str | None) -> Expr:
         if time_zone is None:
             return self._e._lift(lambda c: c)
-        return self._e._lift(lambda c: F.to_utc_timestamp(c, time_zone))
+        return self._e._lift(lambda c: F.to_utc_timestamp(_ts(c), time_zone))
 
     def offset_by(self, by: str) -> Expr:
         dur = parse_duration(by)

@@ -15,6 +15,16 @@ from ..functions.duration import parse_duration
 from ..session import get_spark
 
 
+def _watermarked(sdf, ts_column: str, wm):
+    """Apply a watermark; Spark requires TIMESTAMP (tz) event time, but the
+    engine stores naive datetimes as TIMESTAMP_NTZ — cast (value-preserving:
+    session tz is pinned UTC) and report so callers can cast back."""
+    ntz = dict(sdf.dtypes).get(ts_column) == "timestamp_ntz"
+    if ntz:
+        sdf = sdf.withColumn(ts_column, F.col(ts_column).cast("timestamp"))
+    return sdf.withWatermark(ts_column, f"{wm.total_seconds()} seconds"), ntz
+
+
 def scan_stream(path: str, schema=None, format: str = "parquet", spark=None,
                 max_files_per_trigger: int | None = None):
     """Lazy streaming scan of a directory of files (file-source stream)."""
@@ -44,13 +54,14 @@ def windowed_agg(lf, ts_column: str, every: str, aggs: dict,
 
     dur = parse_duration(every)
     wm = parse_duration(watermark)
-    sdf = lf._sdf.withWatermark(ts_column, f"{wm.total_seconds()} seconds")
+    sdf, ntz = _watermarked(lf._sdf, ts_column, wm)
     agg_cols, _ = _agg_columns(sdf, [], {k: v for k, v in aggs.items()})
     win = F.window(F.col(ts_column), f"{dur.total_seconds()} seconds")
     by_cols = [F.col(b) for b in (by or [])]
     out = sdf.groupBy(win.alias("__w__"), *by_cols).agg(*agg_cols)
+    start = F.col("__w__.start")
     out = out.select(
-        F.col("__w__.start").alias(ts_column),
+        (start.cast("timestamp_ntz") if ntz else start).alias(ts_column),
         *[c for c in out.columns if c != "__w__"],
     )
     from ..frame import LazyFrame
@@ -107,9 +118,11 @@ def dedup_stream(lf, keys, ts_column: str, watermark: str = "10m",
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     wm = parse_duration(watermark)
-    sdf = lf._sdf.withWatermark(ts_column, f"{wm.total_seconds()} seconds")
+    sdf, ntz = _watermarked(lf._sdf, ts_column, wm)
     out = (sdf.dropDuplicatesWithinWatermark(keys) if within_watermark
            else sdf.dropDuplicates(keys))
+    if ntz:
+        out = out.withColumn(ts_column, F.col(ts_column).cast("timestamp_ntz"))
     from ..frame import LazyFrame
 
     return LazyFrame(out)
@@ -128,8 +141,8 @@ def stream_stream_join(left, right, on, ts_left: str, ts_right: str,
     wm = parse_duration(watermark)
     w = parse_duration(within)
     on = [on] if isinstance(on, str) else list(on)
-    ls = left._sdf.withWatermark(ts_left, f"{wm.total_seconds()} seconds")
-    rs = right._sdf.withWatermark(ts_right, f"{wm.total_seconds()} seconds")
+    ls, _ = _watermarked(left._sdf, ts_left, wm)
+    rs, _ = _watermarked(right._sdf, ts_right, wm)
     # disambiguate: rename right's join keys (and a same-named event-time
     # column) then join on equality exprs
     if ts_right == ts_left:
