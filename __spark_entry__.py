@@ -1221,6 +1221,16 @@ def q94_weighted_sample(spark, sf_dir):
         "doc_id", F.round("quality", 4).alias("quality"))
 
 
+def q95_expr_value_counts(spark, sf_dir):
+    """Expr.value_counts (expr.rb:6526): row-count-changing sole-select
+    expression → struct{value, count}, one hash groupBy."""
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents")
+    vc = d.select(pl.col("lang").value_counts(sort=True, name="n"))
+    return vc.unnest("lang").to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1322,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_quantize_int8": q92_quantize_int8,
         "q93_ngram_dup_coverage": q93_ngram_dup_coverage,
         "q94_weighted_sample": q94_weighted_sample,
+        "q95_expr_value_counts": q95_expr_value_counts,
     }
 
 
@@ -1556,6 +1567,9 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
                   < quality * 10000
+        """,
+        "q95_expr_value_counts": """
+            SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
         """,
         "q84_hash_sample": """
             SELECT doc_id, lang, source FROM documents

@@ -1619,6 +1619,105 @@ class Expr:
         e._frame_fn = frame_fn
         return e
 
+    def value_counts(self, sort: bool = False, parallel: bool = False,
+                     name: str | None = None, normalize: bool = False):
+        """Struct{value, count} per distinct value (expr.rb:6526).
+
+        Row-count-changing → sole-select-expression rule (like reshape).
+        Scale: one hash groupBy on the value; ``normalize`` attaches the
+        global total as a broadcast one-row scalar (no global window).
+        """
+        if name is None:
+            name = "proportion" if normalize else "count"
+        inner, cname = self, name
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+
+            df = (lf._ensure_row_index() if inner._needs_order else lf)._sdf
+            out_name = out_name or inner._name or "value_counts"
+            vals = df.select(inner._fn(df, None).alias("__v__"))
+            cnt = vals.groupBy("__v__").agg(F.count(F.lit(1)).alias("__n__"))
+            if normalize:
+                total = vals.agg(F.count(F.lit(1)).alias("__t__"))
+                cnt = cnt.crossJoin(F.broadcast(total))
+                field = (F.col("__n__") / F.col("__t__")).alias(cname)
+            else:
+                field = F.col("__n__").cast("long").alias(cname)
+            out = cnt.select(F.struct(F.col("__v__").alias(out_name), field)
+                             .alias(out_name))
+            lfo = LazyFrame(out)
+            if sort:
+                lfo = lfo.sort(wrap_expr(col(out_name).struct.field(cname)),
+                               descending=True)
+            return lfo
+
+        e = Expr(None, name=inner._name)
+        e._frame_fn = frame_fn
+        return e
+
+    def sample(self, frac: float | None = None, with_replacement: bool = True,
+               shuffle: bool = False, seed: int | None = None,
+               n: int | None = None):
+        """Seeded row sample of this expression (expr.rb:6338).
+
+        Row-count-changing → sole-select-expression rule.  Deterministic
+        engine-defined pick (md5 of seed+row index — the reference's own
+        docs skip-list seeded ops from bit-compat); without-replacement
+        semantics regardless of ``with_replacement``.  Scale: ``frac`` is a
+        flat filter (no shuffle); ``n`` is a TakeOrdered global top-k.
+        """
+        if n is not None and frac is not None:
+            raise ValueError("cannot specify both `n` and `frac`")
+        inner = self
+
+        def frame_fn(lf, out_name):
+            from .config import _STATE
+            from .frame import LazyFrame
+
+            s = seed if seed is not None else _STATE.get("random_seed", 0)
+            df = lf._ensure_row_index()._sdf
+            out_name = out_name or inner._name or "sample"
+            named = df.select(F.col(ROW_IDX).alias("__i__"),
+                              inner._fn(df, None).alias(out_name))
+            key = F.md5(F.concat_ws("|", F.lit(str(s)), F.col("__i__")))
+            if n is not None:
+                out = named.withColumn("__k__", key).orderBy("__k__").limit(n)
+                return LazyFrame(out.select(out_name))
+            f = 1.0 if frac is None else float(frac)
+            unit = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / F.lit(float(16 ** 8))
+            out = named.where(unit < F.lit(f))
+            if not shuffle:
+                out = out.orderBy("__i__")
+            return LazyFrame(out.select(out_name))
+
+        e = Expr(None, name=inner._name)
+        e._frame_fn = frame_fn
+        return e
+
+    def append(self, other, upcast: bool = True):
+        """Concatenate ``other``'s rows below this expression's rows
+        (expr.rb:813).  Row-count-changing → sole-select-expression rule;
+        Catalyst's set-operation coercion handles the ``upcast``.
+        """
+        o = wrap_expr(other)
+        inner = self
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+
+            df = (lf._ensure_row_index()
+                  if (inner._needs_order or o._needs_order) else lf)._sdf
+            a = df.select(inner._fn(df, None).alias(
+                out_name or inner._name or o._name or "append"))
+            out_name = a.columns[0]
+            b = df.select(o._fn(df, None).alias(out_name))
+            return LazyFrame(a.unionByName(b))
+
+        e = Expr(None, name=inner._name)
+        e._frame_fn = frame_fn
+        return e
+
     def extend_constant(self, value, n):
         raise NotImplementedError("extend_constant is frame-level: use concat")
 

@@ -249,3 +249,28 @@ def test_reshape(spark):
         df.lazy().select(pl.col("foo").reshape([4, 2])).collect()
     with pytest.raises(pl.InvalidOperationError):
         df.lazy().select(pl.col("foo").reshape([3, 3]), pl.col("foo"))
+
+
+def test_expr_value_counts_sample_append(spark):
+    """Row-count-changing Expr ops (expr.rb:6526/6338/813): value_counts
+    struct output + sort/normalize, seeded deterministic sample, append."""
+    df = pl.DataFrame({"id": ["a", "b", "b", "c", "c", "c"],
+                       "x": [1, 2, 3, 4, 5, 6]})
+    vc = df.select(pl.col("id").value_counts(sort=True)).to_a()
+    assert [r["id"] for r in vc] == [{"id": "c", "count": 3},
+                                     {"id": "b", "count": 2},
+                                     {"id": "a", "count": 1}]
+    norm = df.select(pl.col("id").value_counts(normalize=True, sort=True)).to_a()
+    assert abs(norm[0]["id"]["proportion"] - 0.5) < 1e-12
+
+    s1 = df.select(pl.col("x").sample(n=3, seed=1)).to_a()
+    s2 = df.select(pl.col("x").sample(n=3, seed=1)).to_a()
+    assert len(s1) == 3 and s1 == s2  # seeded → deterministic
+    fr = df.select(pl.col("x").sample(frac=0.5, seed=7)).to_a()
+    assert 0 < len(fr) < 6
+
+    ap = df.select(pl.col("x").append(pl.col("x"))).to_a()
+    assert [r["x"] for r in ap] == [1, 2, 3, 4, 5, 6] * 2
+    up = df.select(pl.col("x").append(pl.col("id"))).to_a()  # upcast → str
+    assert [r["x"] for r in up] == ["1", "2", "3", "4", "5", "6",
+                                    "a", "b", "b", "c", "c", "c"]
