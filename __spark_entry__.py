@@ -1231,6 +1231,34 @@ def q95_expr_value_counts(spark, sf_dir):
     return vc.unnest("lang").to_spark()
 
 
+def q96_vocab_encode(spark, sf_dir):
+    """Vocabulary build (top-V tokens, TakeOrdered + bounded-V id window) +
+    broadcast-join token-id encoding of every document."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    vocab = text.vocab_build(d, vocab_size=50)
+    return text.encode_tokens(d, vocab)
+
+
+def q97_source_overlap(spark, sf_dir):
+    """Pairwise shingle-Jaccard overlap matrix between sources (md5
+    hash-before-shuffle distinct + partition-reusing self-join)."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return text.source_overlap(d)
+
+
+def q98_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids + mean norms (posexplode + one
+    (label,dim) hash agg; no driver collect, no UDF)."""
+    from polars_ruby_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")._sdf
+    return similarity.label_centroids(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1333,6 +1361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_ngram_dup_coverage": q93_ngram_dup_coverage,
         "q94_weighted_sample": q94_weighted_sample,
         "q95_expr_value_counts": q95_expr_value_counts,
+        "q96_vocab_encode": q96_vocab_encode,
+        "q97_source_overlap": q97_source_overlap,
+        "q98_label_centroids": q98_label_centroids,
     }
 
 
@@ -1570,6 +1601,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q95_expr_value_counts": """
             SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "q96_vocab_encode": """
+            WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                         FROM documents),
+                 flat AS (SELECT doc_id, unnest(t) AS token,
+                                 unnest(range(1, len(t)+1)) AS pos FROM tok),
+                 counts AS (SELECT token, count(*) AS c FROM flat
+                            WHERE token <> '' GROUP BY token),
+                 vocab AS (SELECT token,
+                                  CAST(row_number() OVER (ORDER BY c DESC, token) - 1
+                                       AS BIGINT) AS tid
+                           FROM counts ORDER BY c DESC, token LIMIT 50)
+            SELECT doc_id, list(COALESCE(tid, -1) ORDER BY pos) AS token_ids
+            FROM flat LEFT JOIN vocab USING (token) GROUP BY doc_id
+        """,
+        "q97_source_overlap": f"""
+            WITH t AS (SELECT source, string_split(lower(text), ' ') AS t
+                       FROM documents),
+                 g0 AS (SELECT source, unnest({_shingle_sql('t')}) AS gram FROM t),
+                 g AS (SELECT DISTINCT source, md5(gram) AS gh FROM g0),
+                 sz AS (SELECT source, count(*) AS n FROM g GROUP BY source)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   sa.n AS n_a, sb.n AS n_b, count(*) AS n_common,
+                   round(count(*) / (sa.n + sb.n - count(*)), 4) AS jaccard
+            FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+            JOIN sz sa ON sa.source = a.source
+            JOIN sz sb ON sb.source = b.source
+            GROUP BY a.source, b.source, sa.n, sb.n
+        """,
+        "q98_label_centroids": """
+            WITH flat AS (SELECT label, unnest(embedding) AS v,
+                                 unnest(range(1, len(embedding)+1)) AS dim
+                          FROM embeddings),
+                 pd AS (SELECT label, dim, avg(v) AS m, count(*) AS n
+                        FROM flat GROUP BY label, dim),
+                 cent AS (SELECT label, CAST(min(n) AS BIGINT) AS n,
+                                 list(round(m, 4) ORDER BY dim) AS centroid
+                          FROM pd GROUP BY label),
+                 nr AS (SELECT label,
+                               sqrt(list_aggregate(list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+                        FROM embeddings),
+                 mn AS (SELECT label, round(avg(nrm), 4) AS mean_norm
+                        FROM nr GROUP BY label)
+            SELECT cent.label, n, centroid, mean_norm FROM cent JOIN mn USING (label)
         """,
         "q84_hash_sample": """
             SELECT doc_id, lang, source FROM documents

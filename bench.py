@@ -80,6 +80,10 @@ def main():
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     results = {}
     for name in names:
+        # per-query untimed warm run: heavy expression trees (minhash, ANN)
+        # pay multi-second one-time codegen that a long-lived cluster
+        # amortizes; without this the median of 3 can still catch it
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()

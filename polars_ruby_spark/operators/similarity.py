@@ -329,3 +329,31 @@ def quantize_int8(sdf: DataFrame, vec_col: str = "embedding",
                         F.col("__v"), F.lit(0.0),
                         lambda acc, x: acc + F.abs(x - qd(x) * F.col("__scale")))
                         / F.size(F.col("__v")), 6).alias("recon_mae")))
+
+
+def label_centroids(sdf: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid of an embedding column → (label, n, centroid,
+    mean_norm) — the corpus-diagnostics / semantic-clustering primitive
+    (class prototypes, drift monitoring, SemDeDup-style cluster stats).
+
+    Scale shape: posexplode to (label, dim, value) then ONE hash agg on
+    (label, dim) — partial aggregation runs map-side so the shuffle carries
+    |labels|×|dims| rows per task, not the data; the re-collect to an array
+    groups |labels|×|dims| rows (tiny).  No driver collect, no UDF.
+    """
+    flat = sdf.select(F.col(label_col).alias("label"),
+                      F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    per_dim = flat.groupBy("label", "dim").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n"))
+    norms = sdf.select(
+        F.col(label_col).alias("label"),
+        F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double") * x)).alias("nrm"))
+    mean_norm = norms.groupBy("label").agg(F.round(F.avg("nrm"), 4).alias("mean_norm"))
+    cent = per_dim.groupBy("label").agg(
+        F.min("n").alias("n"),
+        F.transform(F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: F.round(s["m"], 4)).alias("centroid"))
+    return cent.join(F.broadcast(mean_norm), "label").select(
+        "label", "n", "centroid", "mean_norm")

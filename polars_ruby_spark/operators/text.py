@@ -194,3 +194,82 @@ def bm25_search(sdf: DataFrame, query_terms: list[str], text_col: str = "text",
               .limit(k))
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).select("rank", id_col, "score")
+
+
+def vocab_build(sdf: DataFrame, text_col: str = "text", vocab_size: int = 1000,
+                min_count: int = 1) -> DataFrame:
+    """Corpus-frequency vocabulary: top-``vocab_size`` tokens →
+    (token, token_id, count), ids dense 0..V-1 by (count desc, token asc).
+
+    Scale shape: explode + map-side-combined hash agg is the only
+    data-sized shuffle; the global top-V is orderBy+limit (TakeOrdered, no
+    full sort) and the id-assigning window runs over ≤V rows — bounded by
+    construction (V ≪ corpus), not by the data.
+    """
+    from pyspark.sql.window import Window
+
+    toks = sdf.select(F.explode(_tokens(F.col(text_col))).alias("token")) \
+              .where(F.col("token") != "")
+    counts = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+              .where(F.col("count") >= min_count))
+    top = counts.orderBy(F.col("count").desc(), F.col("token")).limit(vocab_size)
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    return top.withColumn("token_id", (F.row_number().over(w) - 1).cast("long")) \
+              .select("token", "token_id", "count")
+
+
+def encode_tokens(sdf: DataFrame, vocab: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", oov_id: int = -1) -> DataFrame:
+    """Encode documents as token-id arrays against a built vocabulary →
+    (id, token_ids), position order preserved, unknown tokens → ``oov_id``.
+
+    Scale shape: the vocabulary (≤V rows) broadcasts — the posexplode'd
+    token relation never shuffles for the lookup; the single data-sized
+    shuffle is the groupBy(id) re-collect, ordered by the carried position
+    (sort_array on structs, no window).
+    """
+    toks = sdf.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "token"))
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token", "left")
+    return joined.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("pos"),
+                F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("tid")))),
+            lambda s: s["tid"]).alias("token_ids"))
+
+
+def source_overlap(sdf: DataFrame, text_col: str = "text",
+                   group_col: str = "source", k: int = 3) -> DataFrame:
+    """Pairwise k-word-shingle Jaccard overlap between corpus slices
+    (sources) → (source_a, source_b, n_a, n_b, n_common, jaccard) — the
+    cross-source contamination/overlap matrix.
+
+    Scale shape: shingles are md5-hashed BEFORE the distinct's shuffle
+    (narrow rows, q93's hash-before-shuffle move); the self-equi-join on
+    the gram hash reuses the distinct's hash partitioning (no extra
+    exchange); per-group sizes are a tiny broadcast.  Output is
+    |groups|²/2 rows.
+    """
+    from ..operators.dedup import shingles
+
+    g = (sdf.select(F.col(group_col).alias("grp"),
+                    F.explode(shingles(F.col(text_col), k)).alias("gram"))
+         .select("grp", F.md5(F.col("gram")).alias("gh"))
+         .distinct())
+    sizes = g.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("grp").alias("source_a"), "gh")
+    b = g.select(F.col("grp").alias("source_b"), "gh")
+    inter = (a.join(b, "gh")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    na = F.broadcast(sizes.select(F.col("grp").alias("source_a"), F.col("n").alias("n_a")))
+    nb = F.broadcast(sizes.select(F.col("grp").alias("source_b"), F.col("n").alias("n_b")))
+    return (inter.join(na, "source_a").join(nb, "source_b")
+            .select("source_a", "source_b", "n_a", "n_b", "n_common",
+                    F.round(F.col("n_common") /
+                            (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4)
+                    .alias("jaccard")))

@@ -403,3 +403,41 @@ def test_weighted_sample_rate_tracks_weight(spark):
                .agg(F.count("*").alias("n")).collect()}
     assert abs(kept[0] / 20_000 - 0.9) < 0.02
     assert abs(kept[1] / 20_000 - 0.1) < 0.02
+
+
+def test_vocab_encode_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b b d"), (3, "a zzz")], ["doc_id", "text"])
+    vocab = text.vocab_build(df, vocab_size=3)
+    rows = {r["token"]: r for r in vocab.collect()}
+    # b:3, a:3 → tie broken by token asc; c/d/zzz:1 → only one fits V=3
+    assert rows["a"]["token_id"] == 0 and rows["b"]["token_id"] == 1
+    assert len(rows) == 3
+    enc = {r["doc_id"]: r["token_ids"] for r in
+           text.encode_tokens(df, vocab).collect()}
+    assert enc[1] == [0, 1, rows.get("c", {"token_id": -1})["token_id"]
+                      if "c" in rows else -1, 0]
+    assert enc[2][0] == 1 and enc[2][1] == 1
+    assert enc[3][1] == -1  # zzz is out-of-vocab
+
+
+def test_source_overlap_bounds(spark, documents):
+    out = text.source_overlap(documents._sdf.limit(200)).collect()
+    assert out
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n_common"] <= min(r["n_a"], r["n_b"])
+
+
+def test_label_centroids_match_numpy(spark, embeddings):
+    import numpy as np
+
+    sdf = embeddings._sdf.limit(300)
+    got = {r["label"]: r for r in similarity.label_centroids(sdf).collect()}
+    pdf = sdf.toPandas()
+    for lab, grp in pdf.groupby("label"):
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in grp["embedding"]])
+        np.testing.assert_allclose(
+            np.round(mat.mean(axis=0), 4), got[lab]["centroid"], atol=2e-4)
+        assert got[lab]["n"] == len(grp)
