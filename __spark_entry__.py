@@ -1259,6 +1259,17 @@ def q98_label_centroids(spark, sf_dir):
     return similarity.label_centroids(e)
 
 
+def q99_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-confined exact cosine near-dup → components →
+    canonical survivor).  n_clusters=1 degenerates to the exact pipeline,
+    which is what makes it oracle-able (recursive-CTE component minima);
+    the scale path raises n_clusters to bound each O(n²) task."""
+    from polars_ruby_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")._sdf
+    return similarity.semantic_dedup(e, threshold=0.4, n_clusters=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1364,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_vocab_encode": q96_vocab_encode,
         "q97_source_overlap": q97_source_overlap,
         "q98_label_centroids": q98_label_centroids,
+        "q99_semantic_dedup": q99_semantic_dedup,
     }
 
 
@@ -1601,6 +1613,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q95_expr_value_counts": """
             SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "q99_semantic_dedup": """
+            WITH RECURSIVE
+              pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                        FROM embeddings a JOIN embeddings b
+                          ON a.vec_id < b.vec_id
+                        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[]))
+                              >= 0.4),
+              edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT u AS id, u AS label FROM edges
+                        UNION
+                        SELECT e.u AS id, r.label FROM edges e
+                        JOIN reach r ON r.id = e.v),
+              cc AS (SELECT id, MIN(label) AS canonical FROM reach GROUP BY id)
+            SELECT e.vec_id, 0 AS cluster_id,
+                   COALESCE(cc.canonical, e.vec_id) AS canonical_id,
+                   COALESCE(cc.canonical, e.vec_id) <> e.vec_id AS is_duplicate
+            FROM embeddings e LEFT JOIN cc ON cc.id = e.vec_id
         """,
         "q96_vocab_encode": """
             WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t

@@ -996,6 +996,88 @@ class DataFrame(LazyFrame):
     def estimated_size(self) -> int:
         return int(self.to_pandas().memory_usage(deep=True).sum())
 
+    def plot(self, x=None, y=None, type=None, group=None, stacked=None) -> dict:
+        """Vega-Lite chart spec as a plain dict (parity: lib/polars/plot.rb:6
+        — the reference wraps the same spec in Vega::LiteChart; we return the
+        spec itself, renderable by any vega-lite host).  Collects the frame
+        (plots are driver-small by nature, as in the reference)."""
+        from pyspark.sql import types as T
+
+        cols = self.columns
+        if len(cols) != 2 and (x is None or y is None):
+            raise ValueError("Must specify columns")
+        x = x or cols[0]
+        y = y or cols[1]
+        schema = self.schema
+
+        def _is(col, kinds):
+            return isinstance(schema[col], kinds)
+
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.DecimalType)
+        datelike = (T.DateType, T.TimestampType, T.TimestampNTZType)
+        if type is None:
+            if _is(x, numeric) and _is(y, numeric):
+                type = "scatter"
+            elif _is(x, T.StringType) and _is(y, numeric):
+                type = "column"
+            elif _is(x, datelike) and _is(y, numeric):
+                type = "line"
+            else:
+                raise ValueError("Cannot determine type. Use the type option.")
+        keep = list(dict.fromkeys([c for c in (x, y, group) if c is not None]))
+        data = self.select(*[col(c) for c in keep]).collect().to_a()
+        config = {"axis": {"labelFontSize": 12}}
+        if type in ("line", "area"):
+            x_type = ("quantitative" if _is(x, numeric)
+                      else "temporal" if _is(x, datelike) else "nominal")
+            enc = {"x": {"field": x, "type": x_type,
+                         "scale": {"type": "utc"} if x_type == "temporal" else {}},
+                   "y": {"field": y, "type": "quantitative"}}
+            if group:
+                enc["color"] = {"field": group}
+            mark = {"type": type, "tooltip": True, "interpolate": "cardinal",
+                    "point": {"size": 60}}
+        elif type == "pie":
+            if group is not None:
+                raise ValueError("Cannot use group option with pie chart")
+            enc = {"color": {"field": x, "type": "nominal", "sort": "none",
+                             "axis": {"title": None},
+                             "legend": {"labelFontSize": 12}},
+                   "theta": {"field": y, "type": "quantitative"}}
+            mark = {"type": "arc", "tooltip": True}
+            return {"data": {"values": data}, "mark": mark, "encoding": enc,
+                    "view": {"stroke": None}}
+        elif type == "column":
+            enc = {"x": {"field": x, "type": "nominal", "sort": "none",
+                         "axis": {"labelAngle": 0}},
+                   "y": {"field": y, "type": "quantitative"}}
+            if group:
+                enc["color"] = {"field": group}
+                if not stacked:
+                    enc["xOffset"] = {"field": group}
+            mark = {"type": "bar", "tooltip": True}
+        elif type == "bar":
+            enc = {"y": {"field": x, "type": "nominal", "sort": "none",
+                         "axis": {"labelAngle": 0}},
+                   "x": {"field": y, "type": "quantitative"}}
+            if group:
+                enc["color"] = {"field": group}
+                if not stacked:
+                    enc["yOffset"] = {"field": group}
+            mark = {"type": "bar", "tooltip": True}
+        elif type == "scatter":
+            enc = {"x": {"field": x, "type": "quantitative", "scale": {"zero": False}},
+                   "y": {"field": y, "type": "quantitative", "scale": {"zero": False}},
+                   "size": {"value": 60}}
+            if group:
+                enc["color"] = {"field": group}
+            mark = {"type": "circle", "tooltip": True}
+        else:
+            raise ValueError(f"Invalid type: {type}")
+        return {"data": {"values": data}, "mark": mark, "encoding": enc,
+                "config": config}
+
     def glimpse(self) -> str:
         lines = [f"Rows: {self.height}", f"Columns: {self.width}"]
         for name, t in self.schema.items():

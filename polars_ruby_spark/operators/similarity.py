@@ -357,3 +357,56 @@ def label_centroids(sdf: DataFrame, vec_col: str = "embedding",
                     lambda s: F.round(s["m"], 4)).alias("centroid"))
     return cent.join(F.broadcast(mean_norm), "label").select(
         "label", "n", "centroid", "mean_norm")
+
+
+def semantic_dedup(sdf: DataFrame, threshold: float = 0.92,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_clusters: int = 64, sample_size: int = 20_000,
+                   seed: int = 42) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 pattern):
+    k-means coarse clusters → EXACT within-cluster cosine near-dup pairs →
+    connected components → canonical survivor = component-min id.  Returns
+    ``(id, cluster_id, canonical_id, is_duplicate)`` for every row.
+
+    Scale shape: the O(n²) comparison is confined to each cluster — one
+    applyInPandas task per centroid_id with a single float64 BLAS matmul
+    over ~n/C rows (the SemDeDup trade: cross-cluster near-dups are missed
+    by design; raise ``n_clusters`` for speed, use ``n_clusters=1`` or
+    ``cosine_neardup_pairs`` for full recall).  The pair graph is corpus-≪
+    so component labeling is the scale-adaptive ``connected_components``.
+    """
+    import numpy as np
+
+    from .dedup import connected_components
+
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in
+                       sdf.select(vec_col).limit(sample_size).collect()])
+    cent = _kmeans_centroids(sample, n_clusters, seed)
+    assigned = ivf_assign(sdf.select(id_col, vec_col), cent, vec_col)
+    tau = float(threshold)
+
+    def compare(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = pdf[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= tau
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame({"id_a": np.minimum(a, b).astype("int64"),
+                             "id_b": np.maximum(a, b).astype("int64")})
+
+    pairs = assigned.groupBy("centroid_id").applyInPandas(
+        compare, "id_a long, id_b long")
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("__cid__"), F.col("cluster_id").alias("__canon__"))
+    out = (assigned.select(id_col, F.col("centroid_id").alias("cluster_id"))
+           .join(comp, F.col(id_col) == F.col("__cid__"), "left"))
+    return (out.select(
+                id_col, "cluster_id",
+                F.coalesce(F.col("__canon__"), F.col(id_col)).alias("canonical_id"))
+            .withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col)))

@@ -441,3 +441,28 @@ def test_label_centroids_match_numpy(spark, embeddings):
         np.testing.assert_allclose(
             np.round(mat.mean(axis=0), 4), got[lab]["centroid"], atol=2e-4)
         assert got[lab]["n"] == len(grp)
+
+
+def test_semantic_dedup_full_recall_matches_exact(spark, embeddings):
+    """n_clusters=1 → every pair compared → must equal the exact pipeline
+    (cosine_neardup_pairs + connected_components canonical survivors)."""
+    sdf = embeddings._sdf.limit(200)
+    sem = {r["vec_id"]: r for r in
+           similarity.semantic_dedup(sdf, threshold=0.9, n_clusters=1).collect()}
+    pairs = similarity.cosine_neardup_pairs(sdf, 0.9, n_blocks=2)
+    comp = {r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(pairs, "id_a", "id_b").collect()}
+    assert len(sem) == 200
+    for vid, r in sem.items():
+        assert r["canonical_id"] == comp.get(vid, vid)
+        assert r["is_duplicate"] == (comp.get(vid, vid) != vid)
+
+
+def test_plot_spec_shapes(spark):
+    df = pl.DataFrame({"cat": ["a", "b"], "v": [1.0, 2.0]})
+    spec = df.collect().plot()
+    assert spec["mark"]["type"] == "bar"  # str+numeric → column chart
+    assert spec["encoding"]["x"]["field"] == "cat"
+    assert len(spec["data"]["values"]) == 2
+    sc = pl.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]}).collect().plot()
+    assert sc["mark"]["type"] == "circle"  # numeric+numeric → scatter
