@@ -46,6 +46,8 @@ HEADLINE = [
     "q80_dedup_clusters",    # extension: pairs → connected components
     "q81_tfidf_topk",        # extension: tf-idf (explode + 2 aggs + join)
     "q86_pack_shards",       # extension: token-budget sequence packing
+    "q96_vocab_encode",      # extension: vocab build + broadcast-join encode
+    "q99_semantic_dedup",    # extension: cluster-confined semantic dedup
 ]
 
 

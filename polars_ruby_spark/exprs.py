@@ -1126,11 +1126,10 @@ class Expr:
         return self._agg(lambda c: F.slice(F.array_sort(F.collect_list(c)), 1, k))
 
     def gather_every(self, n: int, offset: int = 0):
-        def fn(df, part):
-            # frame-level op in practice; expr form keeps parity
-            return self._fn(df, part)
-
-        return Expr(fn, name=self._name, needs_order=True)
+        # agg-context list semantics like head/tail (expr.rb:2974): every
+        # n-th element of the ordered group, starting at ``offset``
+        return self._agg_listop(lambda vals: F.filter(
+            vals, lambda x, i: (i >= offset) & ((i - offset) % n == 0)))
 
     def search_sorted(self, element, side: str = "any"):
         v = wrap_expr(element)

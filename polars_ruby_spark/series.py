@@ -383,3 +383,44 @@ class Series:
         vals = self._sdf.limit(10).collect()
         body = "\n".join(str(r[0]) for r in vals)
         return f"Series: {self._name} [{self.dtype.simpleString()}]\n{body}"
+
+    # -- container conveniences (series.rb surface tail) ----------------------
+    @property
+    def shape(self):
+        return (self.len(),)
+
+    def describe(self):
+        """Summary-statistics frame (series.rb:651) via the 1-col frame."""
+        return self.to_frame().describe()
+
+    def estimated_size(self) -> int:
+        return self.to_frame().estimated_size()
+
+    def to_dummies(self, separator: str = "_", drop_first: bool = False):
+        return self.to_frame().to_dummies(separator=separator,
+                                          drop_first=drop_first)
+
+    def none(self) -> bool:
+        """True when no element is truthy (series.rb none?)."""
+        return not self.to_frame().lazy().select(
+            col(self._name).cast("boolean").any()).collect().to_a()[0][self._name]
+
+    def is_first(self):
+        # deprecated alias (series.rb is_first → is_first_distinct)
+        return self._dispatch(lambda e: e.is_first_distinct())
+
+    def gather_every(self, n: int, offset: int = 0):
+        # frame-level row filter, not the Expr agg-list form
+        return Series._from_spark(
+            self.to_frame().lazy().gather_every(n, offset)._sdf, self._name)
+
+    def take_every(self, n: int, offset: int = 0):
+        return self.gather_every(n, offset)
+
+    def shrink_to_fit(self):
+        return self  # physical-memory detail the engine hides
+
+    to_numo = to_numpy
+
+    def to_s(self) -> str:
+        return repr(self)
