@@ -1832,7 +1832,9 @@ def col(name, *more_names) -> Expr:
         if name.startswith("^") and name.endswith("$"):
             pat = _re.compile(name)
             return Expr(multi_fn=lambda df: [col(c) for c in df.columns if pat.match(c)])
-        return Expr(lambda df, part: F.col(name), name=name)
+        e = Expr(lambda df, part: F.col(name), name=name)
+        e._is_column = True  # meta.is_column: bare reference, no transforms
+        return e
     # multiple names / dtype selection
     if all(isinstance(n, str) for n in names):
         return Expr(multi_fn=lambda df: [col(n) for n in names])

@@ -711,6 +711,21 @@ class MetaNameSpace(_NS):
             "meta.root_names: root columns are not tracked through the "
             "Column-builder representation")
 
+    def is_column(self) -> bool:
+        # set only by a bare col("name"); any lift/combine builds a fresh
+        # Expr without the flag (meta_expr.rb is_column)
+        return getattr(self._e, "_is_column", False)
+
+    def pop(self):
+        raise NotImplementedError(
+            "meta.pop: child expressions are not tracked through the "
+            "Column-builder representation")
+
+    def tree_format(self):
+        raise NotImplementedError(
+            "meta.tree_format: no walkable AST in the Column-builder "
+            "representation")
+
     def eq(self, other) -> bool:
         return self._e is other or (
             self._e._fn is getattr(other, "_fn", None)

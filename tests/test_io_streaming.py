@@ -221,3 +221,33 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
                  for r in spark.sql("SELECT * FROM ssj_out").collect())
     # (a,lv1)~(rv10) within 2m; (a,lv2) sees nothing within 5m; (b,lv3)~(rv30)
     assert got == [("a", 1, 10), ("b", 3, 30)]
+
+
+def test_batch_ops_compose_on_streams(spark, tmp_path, sf_dir):
+    """The flat-projection training-pipeline ops (quality_score,
+    hash-bucket sampling) are pure row functions, so the SAME operator code
+    runs unchanged on a streaming frame — one API across batch and stream."""
+    import os
+
+    from polars_ruby_spark.operators import sampling, text
+    from polars_ruby_spark.streaming import stream as st
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    batch_sdf = pl.scan_parquet(src, spark=spark).to_spark()
+    expected = {r["doc_id"]: r["quality"] for r in
+                sampling.weighted_sample(text.quality_score(batch_sdf),
+                                         "quality").collect()}
+
+    stage = str(tmp_path / "docs_stage")
+    batch_sdf.write.parquet(stage)
+    lf = st.scan_stream(stage, spark=spark)
+    out = sampling.weighted_sample(text.quality_score(lf._sdf), "quality") \
+        .select("doc_id", "quality")
+    from polars_ruby_spark.frame import LazyFrame
+
+    q = st.sink_stream(LazyFrame(out), str(tmp_path / "out"),
+                       str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["quality"] for r in
+           pl.read_parquet(str(tmp_path / "out"), spark=spark).collect().to_a()}
+    assert got == expected and len(got) > 0
