@@ -251,3 +251,18 @@ def test_batch_ops_compose_on_streams(spark, tmp_path, sf_dir):
     got = {r["doc_id"]: r["quality"] for r in
            pl.read_parquet(str(tmp_path / "out"), spark=spark).collect().to_a()}
     assert got == expected and len(got) > 0
+
+
+def test_hive_partition_pruning(spark, tmp_path, sf_dir):
+    """partition_by write → scan with a partition-column filter prunes at
+    the file index (PartitionFilters in the scan node), the 100 TB
+    scan-elimination path."""
+    d = pl.scan_parquet(os.path.join(sf_dir, "documents.parquet"), spark=spark)
+    p = str(tmp_path / "docs_part")
+    d.collect().write_parquet(p, partition_by="lang")
+    scan = pl.scan_parquet(p, spark=spark).filter(pl.col("lang") == "en")
+    plan = scan.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "lang" in seg  # the filter reached the partition index
+    assert {r["lang"] for r in scan.collect().to_a()} == {"en"}
