@@ -267,3 +267,27 @@ def test_connected_components_matches_union_find(spark, edges):
     nodes = {a for a, _ in edges} | {b for _, b in edges}
     expect = {n: find(n) for n in nodes}
     assert got == expect
+
+
+@SET
+@given(vals=st.lists(st.sampled_from(["a", "b", "c", None]), min_size=1,
+                     max_size=25))
+def test_value_counts_matches_counter(spark, vals):
+    """Expr.value_counts over arbitrary value/null mixes == Counter."""
+    from collections import Counter
+
+    df = pl.DataFrame({"v": vals})
+    got = {r["v"]["v"]: r["v"]["count"] for r in
+           df.select(pl.col("v").value_counts()).to_a()}
+    assert got == dict(Counter(vals))
+
+
+@SET
+@given(n=st.integers(min_value=1, max_value=5),
+       offset=st.integers(min_value=0, max_value=4),
+       size=st.integers(min_value=1, max_value=30))
+def test_gather_every_matches_slicing(spark, n, offset, size):
+    """Series.gather_every == python [offset::n] for arbitrary shapes."""
+    data = list(range(size))
+    s = pl.Series("x", data)
+    assert s.gather_every(n, offset).to_list() == data[offset::n]
