@@ -1273,6 +1273,16 @@ def q99_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(e, threshold=0.4, n_clusters=1)
 
 
+def q100_shard_assign(spark, sf_dir):
+    """Deterministic md5-bucket shard assignment (the balanced export
+    layout): per-shard doc counts; pure flat projection, one tiny agg."""
+    from polars_ruby_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")._sdf
+    return (sampling.shard_assign(d, 16).groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1379,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_source_overlap": q97_source_overlap,
         "q98_label_centroids": q98_label_centroids,
         "q99_semantic_dedup": q99_semantic_dedup,
+        "q100_shard_assign": q100_shard_assign,
     }
 
 
@@ -1616,6 +1627,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q95_expr_value_counts": """
             SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "q100_shard_assign": """
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 16 AS INT) AS shard,
+                   count(*) AS n
+            FROM documents GROUP BY 1
         """,
         "q99_semantic_dedup": """
             WITH RECURSIVE

@@ -103,3 +103,22 @@ def mixing_weights(sdf: DataFrame, group_col: str = "source",
                     (F.pow("size", F.lit(0.0) + alpha) / F.col("pow_marg")).alias("w"),
                     (F.pow("size", F.lit(0.0) + alpha) / F.col("pow_marg")
                      * F.lit(float(budget)) / F.col("size")).alias("epochs")))
+
+
+def shard_assign(sdf: DataFrame, n_shards: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic shard id in [0, n_shards): md5 bucket of the row id —
+    stable across runs, retries, and cluster sizes (unlike round-robin
+    ``repartition``), so resumable export jobs re-produce identical shards.
+    Pure codegen projection, no shuffle."""
+    return sdf.withColumn("shard", hash_bucket(id_col, n_shards).cast("int"))
+
+
+def write_shards(sdf: DataFrame, path: str, n_shards: int,
+                 id_col: str = "doc_id", mode: str = "overwrite") -> None:
+    """Balanced deterministic shard layout: shard = md5 bucket of the id;
+    ONE shuffle (repartition on the shard column) puts each shard in one
+    task → one file per ``shard=N`` directory.  The standard layout feeding
+    per-shard tokenizer/packing workers."""
+    out = shard_assign(sdf, n_shards, id_col)
+    (out.repartition(n_shards, F.col("shard"))
+        .write.partitionBy("shard").mode(mode).parquet(path))

@@ -466,3 +466,26 @@ def test_plot_spec_shapes(spark):
     assert len(spec["data"]["values"]) == 2
     sc = pl.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]}).collect().plot()
     assert sc["mark"]["type"] == "circle"  # numeric+numeric → scatter
+
+
+def test_write_shards_layout(spark, tmp_path, documents):
+    """Balanced deterministic shard export: one file per shard=N dir, every
+    row in its md5 shard, counts stable across re-runs."""
+    import glob
+    import os
+
+    from polars_ruby_spark.operators import sampling
+
+    sdf = documents._sdf.limit(300)
+    p = str(tmp_path / "shards")
+    sampling.write_shards(sdf, p, 8)
+    dirs = sorted(glob.glob(os.path.join(p, "shard=*")))
+    assert len(dirs) == 8
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 300
+    chk = sampling.shard_assign(sdf, 8).select("doc_id", "shard")
+    exp = {r["doc_id"]: r["shard"] for r in chk.collect()}
+    for r in back.select("doc_id", "shard").collect():
+        assert int(r["shard"]) == exp[r["doc_id"]]
