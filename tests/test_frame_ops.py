@@ -274,3 +274,13 @@ def test_expr_value_counts_sample_append(spark):
     up = df.select(pl.col("x").append(pl.col("id"))).to_a()  # upcast → str
     assert [r["x"] for r in up] == ["1", "2", "3", "4", "5", "6",
                                     "a", "b", "b", "c", "c", "c"]
+
+
+def test_plan_summary(spark, orders):
+    from polars_ruby_spark.plans import plan_summary
+
+    lf = orders.filter(pl.col("o_totalprice") > 1000).group_by(
+        "o_orderstatus").agg(pl.len().alias("n"))
+    s = plan_summary(lf)
+    assert s["exchanges"] == 1 and s["pushed_filters"]
+    assert s["python_stages"] == 0 and s["scans"] >= 1
