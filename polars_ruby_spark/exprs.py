@@ -320,7 +320,28 @@ class Expr:
         return self._agg(lambda c: uf(c))
 
     def to_physical(self) -> "Expr":
-        return self._lift(lambda c: c)
+        """Physical (integer) representation of temporal dtypes
+        (expr.rb:178): Date → days-since-epoch Int32, Datetime → µs Int64,
+        Duration → µs Int64.  Strings/numerics pass through (Categorical is
+        already plain strings here — COVERAGE.md dtype policy)."""
+        from pyspark.sql import types as T
+
+        def fn(df, part):
+            c = self._fn(df, part)
+            try:
+                src = df.select(c.alias("__t__")).schema[0].dataType
+            except Exception:
+                return c
+            if isinstance(src, T.DateType):
+                return F.datediff(c, F.lit("1970-01-01")).cast("int")
+            if isinstance(src, (T.TimestampType, T.TimestampNTZType)):
+                return F.unix_micros(c.cast("timestamp"))
+            if isinstance(src, T.DayTimeIntervalType):
+                return c.cast("long")  # total µs (Spark interval→long)
+            return c
+
+        return Expr(fn, name=self._name, is_agg=self._is_agg,
+                    needs_order=self._needs_order)
 
     # -- named operator aliases (expr.rb add/sub/.../xor ruby surface) -------
     def add(self, o):

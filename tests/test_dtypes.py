@@ -63,3 +63,16 @@ def test_time_dtype_casts(spark):
     assert row["t_ts"] == ((12 * 3600 + 30 * 60 + 15) * 1_000_000 + 250000) * 1000
     assert row["t_s"] == ((1 * 3600 + 2 * 60 + 3) * 1_000_000 + 500000) * 1000
     assert row["t_dt"] == row["t_ts"]
+
+
+def test_to_physical_temporal_ints(spark):
+    """to_physical (expr.rb:178): Date → epoch days, Datetime → epoch µs;
+    non-temporal passes through."""
+    import datetime as dt
+
+    df = pl.DataFrame({"d": [dt.date(1970, 1, 3)],
+                       "t": [dt.datetime(1970, 1, 1, 0, 0, 1)],
+                       "s": ["x"]})
+    out = df.select(*[pl.col(c).to_physical().alias(c)
+                      for c in ["d", "t", "s"]]).to_a()[0]
+    assert out == {"d": 2, "t": 1_000_000, "s": "x"}
