@@ -444,3 +444,25 @@ def test_module_function_delegates(spark):
     assert fe == dt.datetime(1970, 1, 2)
     corr = df.select(pl.pearson_corr("v", "v").round(6).alias("c")).to_a()[0]["c"]
     assert corr == 1.0
+
+
+def test_driver_entry_contract(spark):
+    """The driver smoke-checks entry(spark): rows>0, stable schema
+    (SKILL.md known-good evidence shape)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert df.columns == ["l_returnflag", "l_linestatus", "sum_qty",
+                          "sum_base_price", "sum_disc_price", "sum_charge",
+                          "avg_qty", "avg_price", "avg_disc", "count_order"]
+    first = rows[0]
+    assert (first["l_returnflag"], first["l_linestatus"]) == ("A", "F")
+    assert first["sum_qty"] == 13096.0
+    qs, os_ = e.queries(), e.oracle_sql()
+    missing = set(os_) - set(qs)
+    assert not missing  # every oracle key must have a query
