@@ -284,3 +284,38 @@ def test_plan_summary(spark, orders):
     s = plan_summary(lf)
     assert s["exchanges"] == 1 and s["pushed_filters"]
     assert s["python_stages"] == 0 and s["scans"] >= 1
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session defaults (adaptive.skewJoin on) split a hot join key at
+    runtime: final adaptive plan carries SortMergeJoin(skew=true) — the
+    safety net for skewed keys the static planner can't see (SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in
+             ["spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+              "spark.sql.adaptive.skewJoin.skewedPartitionFactor"]}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = (spark.range(500_000)
+                .withColumn("k", F.when(F.col("id") % 10 < 9, 0)
+                            .otherwise(F.col("id") % 1000))
+                .withColumn("pay", F.md5(F.col("id").cast("string"))))
+        right = spark.range(1000).withColumn("k", F.col("id") % 1000)
+        j = left.join(right, "k", "inner").groupBy().count()
+        assert j.collect()[0][0] == 500_000
+        s = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in s
+        assert "skew=true" in s
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
