@@ -1283,6 +1283,39 @@ def q100_shard_assign(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def q101_corr_cov(spark, sf_dir):
+    """corr (pearson + spearman) and cov (§2.4, functions/lazy.rb:679):
+    spearman = pearson over rank-transformed columns (two windows, one agg)."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark import functions as plf
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(
+        plf.corr(pl.col("l_quantity"), pl.col("l_extendedprice")).round(6).alias("pearson"),
+        plf.corr(pl.col("l_quantity"), pl.col("l_extendedprice"),
+                 method="spearman").round(6).alias("spearman"),
+        plf.cov(pl.col("l_quantity"), pl.col("l_extendedprice")).round(4).alias("cov"),
+    )
+    return out.to_spark()
+
+
+def q102_arg_ops(spark, sf_dir):
+    """arg_min/arg_max/arg_sort (§2.4/§2.6): positional indices under the
+    frame's row order (row-index machinery, min_by/max_by aggregation)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey")
+    ab = o.select(
+        pl.col("o_totalprice").arg_min().alias("amin"),
+        pl.col("o_totalprice").arg_max().alias("amax"),
+    ).collect()
+    # sole-select arg_sort = scalable sort projection of the row index;
+    # head-as-aggregate collects the (5-row) frame into one ordered list
+    perm = o.select(pl.col("o_totalprice").arg_sort().alias("p")).head(5)
+    a5 = perm.select(pl.col("p").head(5).alias("asort5")).collect()
+    return ab.hstack(a5).to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1390,6 +1423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_label_centroids": q98_label_centroids,
         "q99_semantic_dedup": q99_semantic_dedup,
         "q100_shard_assign": q100_shard_assign,
+        "q101_corr_cov": q101_corr_cov,
+        "q102_arg_ops": q102_arg_ops,
     }
 
 
@@ -1627,6 +1662,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q95_expr_value_counts": """
             SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "q101_corr_cov": """
+            WITH r AS (
+              SELECT l_quantity, l_extendedprice,
+                     rank() OVER (ORDER BY l_quantity)
+                       + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+                     rank() OVER (ORDER BY l_extendedprice)
+                       + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rp
+              FROM lineitem)
+            SELECT round(corr(l_quantity, l_extendedprice), 6) AS pearson,
+                   round(corr(rq, rp), 6) AS spearman,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS cov
+            FROM r
+        """,
+        "q102_arg_ops": """
+            WITH o AS (SELECT o_totalprice,
+                              row_number() OVER (ORDER BY o_orderkey) - 1 AS ri
+                       FROM orders)
+            SELECT (SELECT ri FROM o ORDER BY o_totalprice, ri LIMIT 1) AS amin,
+                   (SELECT ri FROM o ORDER BY o_totalprice DESC, ri LIMIT 1) AS amax,
+                   (SELECT list(ri ORDER BY o_totalprice, ri) FROM o)[1:5] AS asort5
         """,
         "q100_shard_assign": """
             SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -1008,19 +1008,43 @@ class Expr:
         return Expr(fn, name=self._name)
 
     def arg_sort(self, reverse: bool = False, nulls_last: bool = False):
+        """Permutation indices that sort this column (expr.rb:1419).
+
+        As the sole select expression this is a plain sort projection of the
+        row index (scalable — one range shuffle, no arrays).  In windowed
+        (``over``) contexts it uses the ordered-collect remap, bounded by
+        the group size.  An UNGROUPED use inside a wider projection would
+        materialize an n-element array per row — rejected by the
+        sole-expression rule instead of silently OOMing.
+        """
+        inner = self
+
         def fn(df, part):
-            c = self._fn(df, part)
+            c = inner._fn(df, part)
             order = c.desc() if reverse else c.asc()
-            order = order.desc_nulls_last() if False else order
             w = Window.partitionBy(*(part or [])).orderBy(order, ROW_IDX)
-            # arg_sort returns the permutation indices: position of each sorted
-            # element in the original frame, gathered in sorted order.
             arr = F.collect_list(F.col(ROW_IDX)).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
             pos = F.row_number().over(Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
             return F.element_at(arr, pos)
 
-        return Expr(fn, name=self._name, needs_order=True)
+        e = Expr(fn, name=self._name, needs_order=True)
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+
+            out_name = out_name or inner._name or "arg_sort"
+            df = lf._ensure_row_index()._sdf
+            c = inner._fn(df, None)
+            if reverse:
+                order = c.desc_nulls_last() if nulls_last else c.desc_nulls_first()
+            else:
+                order = c.asc_nulls_last() if nulls_last else c.asc_nulls_first()
+            return LazyFrame(df.orderBy(order, F.col(ROW_IDX))
+                             .select(F.col(ROW_IDX).cast("long").alias(out_name)))
+
+        e._frame_fn = frame_fn
+        return e
 
     argsort = arg_sort  # expr.rb deprecated alias
 

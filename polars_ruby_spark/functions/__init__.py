@@ -241,10 +241,24 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
 
         return Expr(fn, name="corr", is_agg=True)
     if method == "spearman":
+        # Spark disallows a window (rank) inside an aggregate (corr), so
+        # spearman pre-projects average ranks in a sub-plan and aggregates
+        # the pearson corr of the ranks on top (the classic two-stage).
         ra, rb = ea.rank("average"), eb.rank("average")
 
         def fn(df, part):
-            return F.corr(ra._fn(df, part), rb._fn(df, part))
+            if part is not None:
+                raise NotImplementedError(
+                    "spearman corr inside over() groups: pre-project ranks "
+                    "with with_columns and use pearson corr on them")
+            ranked = df.select(ra._fn(df, None).alias("__ra__"),
+                               rb._fn(df, None).alias("__rb__"))
+            sub = ranked.agg(F.corr(F.col("__ra__"), F.col("__rb__"))
+                             .alias("__sc__"))
+            # one-row scalar, lifted into a literal at bind time (one
+            # distributed rank+corr sub-job — same plan-time-action trade
+            # as reshape's -1 inference)
+            return F.lit(sub.collect()[0][0])
 
         return Expr(fn, name="corr", is_agg=True)
     raise ValueError(method)

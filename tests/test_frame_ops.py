@@ -319,3 +319,24 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_arg_sort_paths_and_spearman(spark):
+    """arg_sort: sole-select = scalable sort projection; grouped over() =
+    bounded ordered-collect remap; spearman corr = two-stage rank+corr."""
+    import pytest
+
+    from polars_ruby_spark import functions as plf
+
+    df = pl.DataFrame({"g": ["a", "a", "b", "b"], "v": [3.0, 1.0, 4.0, 2.0]})
+    perm = df.select(pl.col("v").arg_sort()).to_a()
+    assert [r["v"] for r in perm] == [1, 3, 0, 2]
+    grouped = df.with_columns(pl.col("v").arg_sort().over("g").alias("p")).to_a()
+    assert [r["p"] for r in grouped] == [1, 0, 3, 2]
+    with pytest.raises(pl.InvalidOperationError):
+        df.select(pl.col("v").arg_sort(), pl.col("g"))  # ungrouped wide use
+
+    sp = pl.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "y": [1.0, 4.0, 9.0, 16.0]})
+    out = sp.select(plf.corr(pl.col("x"), pl.col("y"),
+                             method="spearman").alias("s")).to_a()
+    assert abs(out[0]["s"] - 1.0) < 1e-9  # monotone → spearman exactly 1
