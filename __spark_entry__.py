@@ -1316,6 +1316,59 @@ def q102_arg_ops(spark, sf_dir):
     return ab.hstack(a5).to_spark()
 
 
+def q103_bool_nan_aggs(spark, sf_dir):
+    """any/all bool aggregates + NaN-propagating nan_max/nan_min +
+    null_count over injected NaN/null mixes (§2.4)."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.with_columns(
+        (pl.col("l_quantity") > 25).alias("big"),
+        pl.when(pl.col("l_linenumber") == 3)
+        .then(pl.lit(float("nan"))).otherwise(pl.col("l_discount")).alias("dn"),
+        pl.when(pl.col("l_linenumber") == 2)
+        .then(pl.lit(None)).otherwise(pl.col("l_tax")).alias("tn"),
+    )
+    out = d.group_by("l_returnflag").agg(
+        pl.col("big").any().alias("any_big"),
+        pl.col("big").all().alias("all_big"),
+        pl.col("dn").nan_max().alias("nmax"),
+        pl.col("dn").nan_min().alias("nmin"),
+        pl.col("tn").null_count().alias("nnull"),
+    )
+    return out.to_spark()
+
+
+def q104_replace_mapping(spark, sf_dir):
+    """replace (unmatched pass through) and replace_strict (unmatched →
+    default) value mappings (§2.8)."""
+    import polars_ruby_spark as pl
+
+    n = _t(spark, sf_dir, "nation")
+    out = n.select(
+        pl.col("n_nationkey"),
+        pl.col("n_name").replace({"FRANCE": "FR", "GERMANY": "DE"}).alias("abbr"),
+        pl.col("n_regionkey").replace_strict({0: "africa", 1: "america"},
+                                             default="other").alias("region_cls"),
+    )
+    return out.to_spark()
+
+
+def q105_join_nulls(spark, sf_dir):
+    """join_nulls=True: null == null key matching via eqNullSafe (§2.3)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").with_columns(
+        pl.when(pl.col("o_custkey") % 7 == 0).then(pl.lit(None))
+        .otherwise(pl.col("o_custkey")).alias("k"))
+    left = o.select(pl.col("o_orderkey"), pl.col("k"))
+    right = (o.select(pl.col("k")).unique()
+             .with_columns((pl.col("k") % 3).alias("cls")))
+    j = left.join(right, on="k", how="inner", join_nulls=True)
+    out = j.group_by("cls").agg(pl.len().alias("n"))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1425,6 +1478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_shard_assign": q100_shard_assign,
         "q101_corr_cov": q101_corr_cov,
         "q102_arg_ops": q102_arg_ops,
+        "q103_bool_nan_aggs": q103_bool_nan_aggs,
+        "q104_replace_mapping": q104_replace_mapping,
+        "q105_join_nulls": q105_join_nulls,
     }
 
 
@@ -1662,6 +1718,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q95_expr_value_counts": """
             SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "q103_bool_nan_aggs": """
+            WITH d AS (
+              SELECT l_returnflag, l_quantity > 25 AS big,
+                     CASE WHEN l_linenumber = 3 THEN 'nan'::DOUBLE
+                          ELSE l_discount END AS dn,
+                     CASE WHEN l_linenumber = 2 THEN NULL ELSE l_tax END AS tn
+              FROM lineitem)
+            SELECT l_returnflag,
+                   bool_or(big) AS any_big,
+                   bool_and(big) AS all_big,
+                   CASE WHEN bool_or(isnan(dn)) THEN 'nan'::DOUBLE
+                        ELSE max(dn) END AS nmax,
+                   CASE WHEN bool_or(isnan(dn)) THEN 'nan'::DOUBLE
+                        ELSE min(dn) END AS nmin,
+                   count(*) - count(tn) AS nnull
+            FROM d GROUP BY l_returnflag
+        """,
+        "q104_replace_mapping": """
+            SELECT n_nationkey,
+                   CASE n_name WHEN 'FRANCE' THEN 'FR'
+                               WHEN 'GERMANY' THEN 'DE'
+                               ELSE n_name END AS abbr,
+                   CASE n_regionkey WHEN 0 THEN 'africa'
+                                    WHEN 1 THEN 'america'
+                                    ELSE 'other' END AS region_cls
+            FROM nation
+        """,
+        "q105_join_nulls": """
+            WITH o AS (SELECT o_orderkey,
+                              CASE WHEN o_custkey % 7 = 0 THEN NULL
+                                   ELSE o_custkey END AS k
+                       FROM orders),
+                 r AS (SELECT DISTINCT k FROM o),
+                 r2 AS (SELECT k, k % 3 AS cls FROM r),
+                 j AS (SELECT o.o_orderkey, r2.cls FROM o
+                       JOIN r2 ON o.k IS NOT DISTINCT FROM r2.k)
+            SELECT cls, count(*) AS n FROM j GROUP BY cls
         """,
         "q101_corr_cov": """
             WITH r AS (
