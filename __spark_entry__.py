@@ -1308,12 +1308,14 @@ def q102_arg_ops(spark, sf_dir):
     ab = o.select(
         pl.col("o_totalprice").arg_min().alias("amin"),
         pl.col("o_totalprice").arg_max().alias("amax"),
-    ).collect()
-    # sole-select arg_sort = scalable sort projection of the row index;
-    # head-as-aggregate collects the (5-row) frame into one ordered list
-    perm = o.select(pl.col("o_totalprice").arg_sort().alias("p")).head(5)
-    a5 = perm.select(pl.col("p").head(5).alias("asort5")).collect()
-    return ab.hstack(a5).to_spark()
+    )
+    # sole-select arg_sort = scalable sort projection of the row index; its
+    # head(5) compiles to TakeOrdered, the 5-row rank re-index stays tiny,
+    # and the one-row min_by/max_by aggregate attaches as a broadcast scalar
+    perm = (o.select(pl.col("o_totalprice").arg_sort().alias("idx"))
+            .head(5).with_row_index("rank"))
+    out = perm._sdf.crossJoin(F.broadcast(ab._sdf))
+    return out.select("amin", "amax", "rank", "idx")
 
 
 def q103_bool_nan_aggs(spark, sf_dir):
@@ -1773,10 +1775,16 @@ def oracle_sql() -> dict[str, str]:
         "q102_arg_ops": """
             WITH o AS (SELECT o_totalprice,
                               row_number() OVER (ORDER BY o_orderkey) - 1 AS ri
-                       FROM orders)
-            SELECT (SELECT ri FROM o ORDER BY o_totalprice, ri LIMIT 1) AS amin,
-                   (SELECT ri FROM o ORDER BY o_totalprice DESC, ri LIMIT 1) AS amax,
-                   (SELECT list(ri ORDER BY o_totalprice, ri) FROM o)[1:5] AS asort5
+                       FROM orders),
+                 amm AS (SELECT (SELECT ri FROM o ORDER BY o_totalprice, ri
+                                 LIMIT 1) AS amin,
+                                (SELECT ri FROM o ORDER BY o_totalprice DESC, ri
+                                 LIMIT 1) AS amax),
+                 top AS (SELECT ri AS idx,
+                                row_number() OVER (ORDER BY o_totalprice, ri) - 1
+                                  AS rank
+                         FROM o ORDER BY o_totalprice, ri LIMIT 5)
+            SELECT amin, amax, rank, idx FROM top CROSS JOIN amm
         """,
         "q100_shard_assign": """
             SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

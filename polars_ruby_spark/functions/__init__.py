@@ -376,7 +376,24 @@ def arg_sort_by(exprs, descending: bool = False):
             Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
         return F.element_at(pairs, pos)["i"].cast("long")
 
-    return Expr(fn, name="arg_sort_by", needs_order=True)
+    e = Expr(fn, name="arg_sort_by", needs_order=True)
+
+    def frame_fn(lf, out_name):
+        # sole-select path: plain sort projection of the row index —
+        # scalable (one range shuffle), unlike the ordered-collect remap
+        # which materializes an n-element array per row when ungrouped
+        # (same fix as Expr.arg_sort)
+        from ..frame import LazyFrame
+
+        out_name = out_name or "arg_sort_by"
+        df = lf._ensure_row_index()._sdf
+        order = [(ee._fn(df, None).desc() if descending else
+                  ee._fn(df, None).asc()) for ee in es]
+        return LazyFrame(df.orderBy(*order, F.col(ROW_IDX))
+                         .select(F.col(ROW_IDX).cast("long").alias(out_name)))
+
+    e._frame_fn = frame_fn
+    return e
 
 
 # -- module-level delegates & ranges (functions/aggregation, lazy.rb) --------

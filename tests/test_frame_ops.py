@@ -340,3 +340,11 @@ def test_arg_sort_paths_and_spearman(spark):
     out = sp.select(plf.corr(pl.col("x"), pl.col("y"),
                              method="spearman").alias("s")).to_a()
     assert abs(out[0]["s"] - 1.0) < 1e-9  # monotone → spearman exactly 1
+
+
+def test_arg_sort_by_sole_select(spark):
+    from polars_ruby_spark import functions as plf
+
+    df = pl.DataFrame({"a": [3, 1, 2], "b": [1, 1, 0]})
+    out = df.select(plf.arg_sort_by([pl.col("b"), pl.col("a")]).alias("i")).to_a()
+    assert [r["i"] for r in out] == [2, 1, 0]  # sort by (b, a)

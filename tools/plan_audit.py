@@ -47,6 +47,10 @@ def single_partition_violations(plan: str) -> int:
         if "TakeOrderedAndProject" in child:
             # post-limit exchange: carries at most the limit's k rows
             continue
+        if "LocalLimit" in child:
+            # GlobalLimit's exchange: each task contributes at most the
+            # limit's k rows (LocalLimit runs before the exchange)
+            continue
         bad += 1
     return bad
 
