@@ -1371,6 +1371,18 @@ def q105_join_nulls(spark, sf_dir):
     return out.to_spark()
 
 
+def q106_groupby_shortcuts(spark, sf_dir):
+    """GroupBy shortcut aggregates (.median/.mean over every non-key column
+    — group_by.rb:337-598)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").select(
+        pl.col("o_orderstatus"), pl.col("o_totalprice"), pl.col("o_custkey"))
+    med = o.group_by("o_orderstatus").median()
+    out = med.with_columns(pl.col("o_totalprice").round(4))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1481,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_corr_cov": q101_corr_cov,
         "q102_arg_ops": q102_arg_ops,
         "q103_bool_nan_aggs": q103_bool_nan_aggs,
+        "q106_groupby_shortcuts": q106_groupby_shortcuts,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -1720,6 +1733,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q95_expr_value_counts": """
             SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "q106_groupby_shortcuts": """
+            SELECT o_orderstatus,
+                   round(median(o_totalprice), 4) AS o_totalprice,
+                   median(o_custkey) AS o_custkey
+            FROM orders GROUP BY o_orderstatus
         """,
         "q103_bool_nan_aggs": """
             WITH d AS (
