@@ -628,7 +628,12 @@ def q48_multimodal(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")._sdf.withColumn("data", F.encode("text", "utf-8"))
     packed = multimodal.pack_media(d, "data", mime="text/plain")
-    return multimodal.decode_features(packed)
+    feats = multimodal.decode_features(packed)
+    # unnest feat → scalar doubles: the driver's canonicalizer lexsorts all
+    # columns via pandas and cannot sort list cells (round-1 q48 FAIL)
+    return feats.select(
+        "doc_id", "n_bytes",
+        *[F.col("feat")[i].alias(f"f{i}") for i in range(4)])
 
 
 def q49_simhash(spark, sf_dir):
@@ -641,13 +646,16 @@ def q49_simhash(spark, sf_dir):
 
 
 def q50_lsh_ann(spark, sf_dir):
-    """Sign-LSH bucketed ANN — the 100 TB scale path (rows-only check:
-    approximate by design)."""
+    """Sign-LSH bucketed ANN, oracle-gated in its exact-degenerate regime:
+    n_planes=0 puts every vector in one bucket, so the bucket equi-join
+    covers all pairs and the result must equal brute-force top-k (the q79
+    IVF full-probe pattern).  The approximate n_planes>0 mode is the 100 TB
+    scale path — determinism + exactness tests in test_extensions.py."""
     from polars_ruby_spark.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")._sdf
     q = e.filter("vec_id < 20")
-    return similarity.lsh_cosine_topk(q, e, k=5, n_planes=4).select(
+    return similarity.lsh_cosine_topk(q, e, k=5, n_planes=0).select(
         "query_id", "rank", "neighbor_id")
 
 
@@ -972,7 +980,10 @@ def q72_agg_slices(spark, sf_dir):
         pl.col("o_orderkey").tail(2).alias("tl"),
         pl.col("o_orderkey").slice(1, 2).alias("sl"),
     )
-    return out.to_spark()
+    # driver canonicalizer can't sort list cells — emit joined strings
+    return out.to_spark().select(
+        "o_orderstatus",
+        *[F.concat_ws(",", F.col(c)).alias(c) for c in ("hd", "tl", "sl")])
 
 
 def q73_rle(spark, sf_dir):
@@ -1158,7 +1169,8 @@ def q88_reshape(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     out = o.sort("o_orderkey").select(
         pl.col("o_orderkey").reshape([-1, 10]).alias("keys"))
-    return out.to_spark()
+    # driver canonicalizer can't sort list cells — emit joined strings
+    return out.to_spark().select(F.concat_ws(",", F.col("keys")).alias("keys"))
 
 
 def q89_stratified_split(spark, sf_dir):
@@ -1241,7 +1253,10 @@ def q96_vocab_encode(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")._sdf
     vocab = text.vocab_build(d, vocab_size=50)
-    return text.encode_tokens(d, vocab)
+    enc = text.encode_tokens(d, vocab)
+    # driver canonicalizer can't sort list cells — emit joined strings
+    return enc.select(
+        "doc_id", F.concat_ws(",", F.col("token_ids")).alias("token_ids"))
 
 
 def q97_source_overlap(spark, sf_dir):
@@ -1259,7 +1274,13 @@ def q98_label_centroids(spark, sf_dir):
     from polars_ruby_spark.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")._sdf
-    return similarity.label_centroids(e)
+    c = similarity.label_centroids(e)
+    # driver canonicalizer can't sort list cells — explode the centroid to
+    # one (label, dim, m) row per dimension
+    return (c.select("label", "n", "mean_norm",
+                     F.posexplode("centroid").alias("dim", "m"))
+            .select("label", "n", F.col("dim").cast("long").alias("dim"),
+                    "m", "mean_norm"))
 
 
 def q99_semantic_dedup(spark, sf_dir):
@@ -1642,7 +1663,7 @@ def oracle_sql() -> dict[str, str]:
             WITH o AS (SELECT o_orderkey,
                               row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
                        FROM orders)
-            SELECT list(o_orderkey ORDER BY o_orderkey) AS keys
+            SELECT array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS keys
             FROM o GROUP BY rn // 10
         """,
         "q89_stratified_split": """
@@ -1842,7 +1863,8 @@ def oracle_sql() -> dict[str, str]:
                                   CAST(row_number() OVER (ORDER BY c DESC, token) - 1
                                        AS BIGINT) AS tid
                            FROM counts ORDER BY c DESC, token LIMIT 50)
-            SELECT doc_id, list(COALESCE(tid, -1) ORDER BY pos) AS token_ids
+            SELECT doc_id,
+                   array_to_string(list(COALESCE(tid, -1) ORDER BY pos), ',') AS token_ids
             FROM flat LEFT JOIN vocab USING (token) GROUP BY doc_id
         """,
         "q97_source_overlap": f"""
@@ -1861,20 +1883,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q98_label_centroids": """
             WITH flat AS (SELECT label, unnest(embedding) AS v,
-                                 unnest(range(1, len(embedding)+1)) AS dim
+                                 unnest(range(0, len(embedding))) AS dim
                           FROM embeddings),
-                 pd AS (SELECT label, dim, avg(v) AS m, count(*) AS n
+                 pd AS (SELECT label, dim, round(avg(v), 4) AS m,
+                               count(*) AS n
                         FROM flat GROUP BY label, dim),
-                 cent AS (SELECT label, CAST(min(n) AS BIGINT) AS n,
-                                 list(round(m, 4) ORDER BY dim) AS centroid
-                          FROM pd GROUP BY label),
                  nr AS (SELECT label,
                                sqrt(list_aggregate(list_transform(embedding,
                                     x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
                         FROM embeddings),
                  mn AS (SELECT label, round(avg(nrm), 4) AS mean_norm
                         FROM nr GROUP BY label)
-            SELECT cent.label, n, centroid, mean_norm FROM cent JOIN mn USING (label)
+            SELECT pd.label, CAST(pd.n AS BIGINT) AS n,
+                   CAST(pd.dim AS BIGINT) AS dim, pd.m AS m, mn.mean_norm
+            FROM pd JOIN mn USING (label)
         """,
         "q84_hash_sample": """
             SELECT doc_id, lang, source FROM documents
@@ -2028,15 +2050,30 @@ def oracle_sql() -> dict[str, str]:
         "q48_multimodal": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   [CAST(octet_length(encode(text)) % 251 AS DOUBLE),
-                    CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
-                    CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
-                    CAST((octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1))) % 997 AS DOUBLE)]
-                     AS feat
+                   CAST(octet_length(encode(text)) % 251 AS DOUBLE) AS f0,
+                   CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f1,
+                   CAST(ascii(substr(text, length(text), 1)) AS DOUBLE) AS f2,
+                   CAST((octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1))) % 997 AS DOUBLE)
+                     AS f3
             FROM documents
         """,
-        # q49/q50 intentionally omitted: engine-defined hash / approximate →
-        # driver records the weaker rows-only check.
+        "q50_lsh_ann": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+                 s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                        list_aggregate(list_transform(list_zip(qv, cv),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                        / (sqrt(list_aggregate(list_transform(qv,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                         * sqrt(list_aggregate(list_transform(cv,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
+                       FROM q, c WHERE nid <> qid)
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+        """,
     }
     return {
         **ext,
@@ -2513,9 +2550,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q72_agg_slices": """
             SELECT o_orderstatus,
-                   (list(o_orderkey ORDER BY o_orderkey))[1:3] AS hd,
-                   list_slice(list(o_orderkey ORDER BY o_orderkey), -2, -1) AS tl,
-                   (list(o_orderkey ORDER BY o_orderkey))[2:3] AS sl
+                   array_to_string((list(o_orderkey ORDER BY o_orderkey))[1:3], ',') AS hd,
+                   array_to_string(list_slice(list(o_orderkey ORDER BY o_orderkey), -2, -1), ',') AS tl,
+                   array_to_string((list(o_orderkey ORDER BY o_orderkey))[2:3], ',') AS sl
             FROM orders GROUP BY o_orderstatus
         """,
         "q73_rle": """

@@ -38,6 +38,19 @@ from .session import ROW_IDX
 __all__ = ["Expr", "col", "lit", "all_", "when", "element", "int_range_expr"]
 
 
+class _BindContext:
+    """Distinguishes grouped-agg binding (``group_by.agg`` passes
+    ``part=None`` to ``Expr._fn`` just like the ungrouped sole-select path)
+    so scalar-lifting expressions (spearman corr) can refuse grouped use
+    instead of silently returning the global value for every group."""
+
+    def __init__(self):
+        self.grouped_agg = 0
+
+
+bind_context = _BindContext()
+
+
 def _part_window(part) -> WindowSpec:
     return Window.partitionBy(*part)
 

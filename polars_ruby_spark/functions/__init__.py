@@ -247,10 +247,16 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
         ra, rb = ea.rank("average"), eb.rank("average")
 
         def fn(df, part):
-            if part is not None:
+            from ..exprs import bind_context
+
+            if part is not None or bind_context.grouped_agg:
+                # grouped binding would rank over the WHOLE frame and lift
+                # one global scalar into every group — refuse loudly.
                 raise NotImplementedError(
-                    "spearman corr inside over() groups: pre-project ranks "
-                    "with with_columns and use pearson corr on them")
+                    "spearman corr inside group_by().agg() or over() groups: "
+                    "pre-project per-group ranks with "
+                    "col(x).rank('average').over(keys) via with_columns, "
+                    "then aggregate pearson corr of the ranks")
             ranked = df.select(ra._fn(df, None).alias("__ra__"),
                                rb._fn(df, None).alias("__rb__"))
             sub = ranked.agg(F.corr(F.col("__ra__"), F.col("__rb__"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .exprs import Expr, col, wrap_expr
+from .exprs import Expr, bind_context, col, wrap_expr
 from .session import ROW_IDX
 
 
@@ -30,7 +30,11 @@ def _agg_columns(sdf, exprs, named):
         all_exprs.append((name, wrap_expr(e)))
     for name, e in all_exprs:
         if e._is_agg:
-            c = e._fn(sdf, None)
+            bind_context.grouped_agg += 1
+            try:
+                c = e._fn(sdf, None)
+            finally:
+                bind_context.grouped_agg -= 1
         else:
             # implicit implode, preserving row order via the hidden index
             needs_order = True

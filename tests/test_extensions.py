@@ -489,3 +489,14 @@ def test_write_shards_layout(spark, tmp_path, documents):
     exp = {r["doc_id"]: r["shard"] for r in chk.collect()}
     for r in back.select("doc_id", "shard").collect():
         assert int(r["shard"]) == exp[r["doc_id"]]
+
+
+def test_lsh_zero_planes_equals_brute_force(spark, embeddings):
+    """n_planes=0 buckets everything together — the LSH join then covers all
+    pairs and must equal exact brute-force top-k (q50's oracle regime)."""
+    sdf = embeddings.to_spark()
+    q = sdf.filter("vec_id < 5")
+    exact = similarity.cosine_topk(q, sdf, k=3).collect()
+    degen = similarity.lsh_cosine_topk(q, sdf, k=3, n_planes=0).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, exact)) == sorted(map(key, degen))

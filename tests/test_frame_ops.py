@@ -348,3 +348,30 @@ def test_arg_sort_by_sole_select(spark):
     df = pl.DataFrame({"a": [3, 1, 2], "b": [1, 1, 0]})
     out = df.select(plf.arg_sort_by([pl.col("b"), pl.col("a")]).alias("i")).to_a()
     assert [r["i"] for r in out] == [2, 1, 0]  # sort by (b, a)
+
+
+def test_spearman_grouped_agg_raises(spark):
+    """Grouped spearman would rank over the whole frame and lift one global
+    scalar into every group — must refuse loudly (round-2 advice fix). The
+    documented workaround (pre-ranked pearson) gives the per-group answer."""
+    import pytest
+
+    from polars_ruby_spark import functions as plf
+
+    df = pl.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "x": [1.0, 2.0, 3.0, 4.0] * 2,
+        "y": [1.0, 4.0, 9.0, 16.0, 16.0, 9.0, 4.0, 1.0],  # +1 in a, -1 in b
+    })
+    with pytest.raises(NotImplementedError):
+        df.group_by("g").agg(
+            plf.corr(pl.col("x"), pl.col("y"), method="spearman").alias("s"))
+    # workaround: per-group ranks via over(), pearson corr of ranks in agg
+    out = (
+        df.with_columns(
+            pl.col("x").rank("average").over("g").alias("rx"),
+            pl.col("y").rank("average").over("g").alias("ry"))
+        .group_by("g")
+        .agg(plf.corr(pl.col("rx"), pl.col("ry"), method="pearson").alias("s"))
+        .sort("g").to_a())
+    assert abs(out[0]["s"] - 1.0) < 1e-9 and abs(out[1]["s"] + 1.0) < 1e-9
