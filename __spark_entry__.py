@@ -1404,6 +1404,70 @@ def q106_groupby_shortcuts(spark, sf_dir):
     return out.to_spark()
 
 
+def q107_global_ordinals(spark, sf_dir):
+    """Ungrouped cum_sum/cum_max/reverse over FULL lineitem row order — the
+    round-2 scale-safe path: two-pass partition-prefix attach (range
+    repartition + per-partition prefix + broadcast offsets) and index-remap
+    join instead of an empty-partitionBy single-task window.  cum_sum runs on
+    an integer cast so the two-pass partial-sum association stays exact."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem").sort("l_orderkey", "l_linenumber")
+    out = li.with_columns(
+        pl.col("l_quantity").cast(pl.Int64).cum_sum().alias("run_qty"),
+        pl.col("l_extendedprice").cum_max().alias("run_max"),
+        pl.col("l_orderkey").reverse().alias("rev_key"),
+    ).select("l_orderkey", "l_linenumber", "run_qty", "run_max", "rev_key")
+    return out.to_spark()
+
+
+def q108_cumulative_eval(spark, sf_dir):
+    """Expr.cumulative_eval (expr.rb:6684, round-2 new): expanding-prefix
+    evaluation of an element()-based expression.  Distributed plan: flat
+    sequence-explode fan-out + one hash aggregate on the prefix end — the
+    O(n²) pair count is inherent to the operator, every stage multi-task
+    (bounded here to the first 2000 keys)."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark import functions as plf  # noqa: F401
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey").head(2000)
+    out = o.select(pl.col("o_totalprice").cumulative_eval(
+        pl.element().max() - pl.element().min()).alias("spread"))
+    return out.to_spark()
+
+
+def q109_struct_roundtrip(spark, sf_dir):
+    """list.to_struct(fields) → struct.rename_fields → unnest roundtrip
+    (list_expr.rb:752, struct_expr.rb:40 — both round-2 new)."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark import functions as plf
+
+    n = _t(spark, sf_dir, "nation")
+    out = (n.select(
+        pl.col("n_name"),
+        plf.concat_list([pl.col("n_nationkey"), pl.col("n_regionkey")])
+        .list.to_struct(fields=["a", "b"]).alias("s"))
+        .select(pl.col("n_name"),
+                pl.col("s").struct.rename_fields(["k", "r"]).alias("s"))
+        .unnest("s"))
+    return out.to_spark()
+
+
+def q110_calendar_offset(spark, sf_dir):
+    """Calendar dynamic window with offset + closed='right' (round-2:
+    lazy_frame.rb:1416-1458 variants): month windows shifted by 3 days,
+    boundary rows assigned to the PREVIOUS window.  One hash-agg shuffle."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.group_by_dynamic("ts", every="1mo", offset="3d", closed="right",
+                              by=["event_type"], include_boundaries=True).agg(
+        pl.len().alias("n"),
+        pl.col("value").sum().round(4).alias("sv"),
+    )
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1515,6 +1579,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_arg_ops": q102_arg_ops,
         "q103_bool_nan_aggs": q103_bool_nan_aggs,
         "q106_groupby_shortcuts": q106_groupby_shortcuts,
+        "q107_global_ordinals": q107_global_ordinals,
+        "q108_cumulative_eval": q108_cumulative_eval,
+        "q109_struct_roundtrip": q109_struct_roundtrip,
+        "q110_calendar_offset": q110_calendar_offset,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -1760,6 +1828,51 @@ def oracle_sql() -> dict[str, str]:
                    round(median(o_totalprice), 4) AS o_totalprice,
                    median(o_custkey) AS o_custkey
             FROM orders GROUP BY o_orderstatus
+        """,
+        "q110_calendar_offset": """
+            WITH b AS (
+              SELECT event_type, value, ts,
+                     date_trunc('month', ts - INTERVAL 3 DAY)::TIMESTAMP
+                       + INTERVAL 3 DAY AS s0
+              FROM events),
+            w AS (
+              SELECT event_type, value,
+                     CASE WHEN ts = s0 THEN s0 - INTERVAL 1 MONTH ELSE s0 END AS w
+              FROM b)
+            SELECT w AS _lower_boundary, w + INTERVAL 1 MONTH AS _upper_boundary,
+                   w AS ts, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sv
+            FROM w GROUP BY 1, 2, 3, 4
+        """,
+        "q108_cumulative_eval": """
+            WITH o AS (SELECT o_totalprice,
+                              row_number() OVER (ORDER BY o_orderkey) AS rn
+                       FROM orders ORDER BY o_orderkey LIMIT 2000)
+            SELECT max(o_totalprice)
+                     OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - min(o_totalprice)
+                     OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS spread
+            FROM o
+        """,
+        "q109_struct_roundtrip": """
+            SELECT n_name, n_nationkey AS k, n_regionkey AS r FROM nation
+        """,
+        "q107_global_ordinals": """
+            WITH o AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                              l_extendedprice,
+                              row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                              count(*) OVER () AS n
+                       FROM lineitem)
+            SELECT a.l_orderkey, a.l_linenumber,
+                   sum(CAST(a.l_quantity AS BIGINT))
+                     OVER (ORDER BY a.rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS run_qty,
+                   max(a.l_extendedprice)
+                     OVER (ORDER BY a.rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS run_max,
+                   b.l_orderkey AS rev_key
+            FROM o a JOIN o b ON b.rn = a.n - 1 - a.rn
         """,
         "q103_bool_nan_aggs": """
             WITH d AS (

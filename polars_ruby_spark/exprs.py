@@ -59,6 +59,14 @@ def _ordered_window(part) -> WindowSpec:
     return Window.partitionBy(*(part or [])).orderBy(ROW_IDX)
 
 
+_GORD_COUNTER = [0]
+
+
+def _next_gord_name() -> str:
+    _GORD_COUNTER[0] += 1
+    return f"__gord_{_GORD_COUNTER[0]}__"
+
+
 class Expr:
     """A deferred column expression (parity: ``lib/polars/expr.rb``)."""
 
@@ -66,6 +74,14 @@ class Expr:
     #: (reshape) — ``select`` routes the WHOLE frame through it instead of
     #: binding a Column (a Column cannot change cardinality).
     _frame_fn = None
+
+    #: ungrouped-ordinal hook: ``(sdf) -> (new_sdf, tmp_col_name)``.  Set on
+    #: cum_*/reverse/shuffle so an ungrouped select/with_columns binding
+    #: routes through the two-pass partition-prefix machinery
+    #: (operators/row_index.py) instead of an empty-partitionBy window that
+    #: funnels the whole table through one task.  Grouped ``over()`` use
+    #: still binds the windowed column fn.
+    _global_ordinal_fn = None
 
     def __init__(
         self,
@@ -166,6 +182,7 @@ class Expr:
         e = self._lift(lambda c: c)
         e._name = name
         e._frame_fn = self._frame_fn  # keep frame-level hooks (reshape) alive
+        e._global_ordinal_fn = self._global_ordinal_fn
         return e
 
     def suffix(self, s: str) -> "Expr":
@@ -350,7 +367,10 @@ class Expr:
             if isinstance(src, (T.TimestampType, T.TimestampNTZType)):
                 return F.unix_micros(c.cast("timestamp"))
             if isinstance(src, T.DayTimeIntervalType):
-                return c.cast("long")  # total µs (Spark interval→long)
+                # cast-to-long yields the interval's END-FIELD unit (whole
+                # seconds for DAY TO SECOND), not µs — convert via epoch
+                # arithmetic instead (advice r2): epoch + interval, in µs
+                return F.unix_micros(F.timestamp_micros(F.lit(0)) + c)
             return c
 
         return Expr(fn, name=self._name, is_agg=self._is_agg,
@@ -532,7 +552,18 @@ class Expr:
             pos = F.row_number().over(Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
             return F.element_at(pairs, pos)["v"]
 
-        return Expr(fn, name=self._name, needs_order=True)
+        e = Expr(fn, name=self._name, needs_order=True)
+        inner = self
+
+        def gfn(sdf):
+            from .operators.row_index import attach_global_shuffle
+
+            tmp = _next_gord_name()
+            return attach_global_shuffle(
+                sdf, lambda df: inner._fn(df, None), seed, tmp), tmp
+
+        e._global_ordinal_fn = gfn
+        return e
 
     def interpolate(self, method: str = "linear"):
         """Fill nulls by interpolation between neighbours (expr.rb:3871).
@@ -950,30 +981,24 @@ class Expr:
         return self._ordered(f)
 
     def cum_sum(self, reverse: bool = False):
-        return self._cum(F.sum, reverse)
+        return self._cum("sum", reverse)
 
     def cum_min(self, reverse: bool = False):
-        return self._cum(F.min, reverse)
+        return self._cum("min", reverse)
 
     def cum_max(self, reverse: bool = False):
-        return self._cum(F.max, reverse)
+        return self._cum("max", reverse)
 
     def cum_count(self, reverse: bool = False):
-        return self._cum(F.count, reverse)
+        return self._cum("count", reverse)
 
     def cum_prod(self, reverse: bool = False):
-        def f(c, w):
-            wf = w.rowsBetween(Window.unboundedPreceding, 0)
-            return F.product(c).over(wf)
+        return self._cum("product", reverse)
 
-        if reverse:
-            def f(c, w):  # noqa: F811
-                wf = w.rowsBetween(0, Window.unboundedFollowing)
-                return F.product(c).over(wf)
+    def _cum(self, kind: str, reverse: bool):
+        aggf = {"sum": F.sum, "min": F.min, "max": F.max,
+                "count": F.count, "product": F.product}[kind]
 
-        return self._ordered(f)
-
-    def _cum(self, aggf, reverse: bool):
         def f(c, w):
             if reverse:
                 wf = w.rowsBetween(0, Window.unboundedFollowing)
@@ -981,21 +1006,100 @@ class Expr:
                 wf = w.rowsBetween(Window.unboundedPreceding, 0)
             return aggf(c).over(wf)
 
-        return self._ordered(f)
+        e = self._ordered(f)
+        if self._multi_fn is None:
+            inner = self
 
-    def cumulative_eval(self, expr=None):
-        # expanding-window aggregate (expr.rb:6684): approximated as cum agg
-        raise NotImplementedError("use cum_* or rolling_* instead")
+            def gfn(sdf):
+                from .operators.row_index import attach_global_cum
+
+                tmp = _next_gord_name()
+                return attach_global_cum(
+                    sdf, lambda df: inner._fn(df, None), kind, reverse, tmp), tmp
+
+            e._global_ordinal_fn = gfn
+        return e
+
+    def cumulative_eval(self, expr=None, min_periods: int = 1,
+                        parallel: bool = False):
+        """Evaluate ``expr`` (built from ``Polars.element()``) over the
+        expanding prefix of this column (expr.rb:6684).
+
+        Sole-select frame op.  Plan: each source row ``i`` fans out to every
+        prefix-end ``r >= i`` (flat ``explode(sequence(i, n-1))`` — no
+        window, no self-join), then ONE hash aggregate on ``r`` evaluates
+        the sub-expression with ``element()`` bound to the value column.
+        The O(n²) pair blow-up is inherent to the operator (the reference
+        docs carry the same warning) but every stage here is multi-task;
+        pairs are re-sorted within ``r``-partitions so order-sensitive
+        aggregates (first/last) stay deterministic.
+        """
+        if expr is None:
+            raise TypeError("cumulative_eval requires an element()-based expr")
+        inner = self
+        sub = expr
+
+        def fn(df, part):
+            raise NotImplementedError(
+                "cumulative_eval inside over()/agg groups: select it as the "
+                "sole expression instead (sole-select frame op)")
+
+        e = Expr(fn, name=self._name, needs_order=True)
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+
+            out_name = out_name or inner._name or "cumulative_eval"
+            df = lf._ensure_row_index()._sdf
+            n = df.count()  # one scalar action at plan time (reshape trade)
+            vals = df.select(F.col(ROW_IDX),
+                             inner._fn(df, None).alias("__ce_v__"))
+            pairs = vals.select(
+                F.col(ROW_IDX),
+                F.col("__ce_v__"),
+                F.explode(F.sequence(F.col(ROW_IDX), F.lit(n - 1)))
+                .alias("__ce_r__"))
+            pairs = pairs.repartition(F.col("__ce_r__")).sortWithinPartitions(
+                "__ce_r__", ROW_IDX)
+            _ELEMENT_STACK.append(F.col("__ce_v__"))
+            try:
+                agg_c = sub._fn(pairs, None)
+            finally:
+                _ELEMENT_STACK.pop()
+            out = pairs.groupBy("__ce_r__").agg(
+                agg_c.alias(out_name),
+                F.count(F.lit(1)).alias("__ce_n__"))
+            if min_periods > 1:
+                out = out.withColumn(
+                    out_name,
+                    F.when(F.col("__ce_n__") >= min_periods, F.col(out_name)))
+            return LazyFrame(out.orderBy("__ce_r__").select(out_name))
+
+        e._frame_fn = frame_fn
+        return e
 
     def reverse(self):
         def fn(df, part):
+            # bounded per-group remap under over(); ungrouped bindings route
+            # through _global_ordinal_fn (index-remap join) instead
             c = self._fn(df, part)
             w = Window.partitionBy(*(part or [])).orderBy(F.col(ROW_IDX).desc())
             arr = F.collect_list(c).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
             pos = F.row_number().over(Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
             return F.element_at(arr, pos)
 
-        return Expr(fn, name=self._name, needs_order=True)
+        e = Expr(fn, name=self._name, needs_order=True)
+        inner = self
+
+        def gfn(sdf):
+            from .operators.row_index import attach_global_reverse
+
+            tmp = _next_gord_name()
+            return attach_global_reverse(
+                sdf, lambda df: inner._fn(df, None), tmp), tmp
+
+        e._global_ordinal_fn = gfn
+        return e
 
     def rank(self, method: str = "average", descending: bool = False, seed=None):
         """Parity: expr.rb:5691 — rank over VALUES (not row order)."""
@@ -1034,7 +1138,11 @@ class Expr:
 
         def fn(df, part):
             c = inner._fn(df, part)
-            order = c.desc() if reverse else c.asc()
+            # mirror the frame path's explicit null placement (advice r2)
+            if reverse:
+                order = c.desc_nulls_last() if nulls_last else c.desc_nulls_first()
+            else:
+                order = c.asc_nulls_last() if nulls_last else c.asc_nulls_first()
             w = Window.partitionBy(*(part or [])).orderBy(order, ROW_IDX)
             arr = F.collect_list(F.col(ROW_IDX)).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
@@ -1470,7 +1578,19 @@ class Expr:
             # first row registers as a change → ids start at 1; polars starts at 0
             return (cum - 1).cast("long")
 
-        return self._ordered(f)
+        e = self._ordered(f)
+        if self._multi_fn is None:
+            inner = self
+
+            def gfn(sdf):
+                from .operators.row_index import attach_global_rle_id
+
+                tmp = _next_gord_name()
+                return attach_global_rle_id(
+                    sdf, lambda df: inner._fn(df, None), tmp), tmp
+
+            e._global_ordinal_fn = gfn
+        return e
 
     def peak_max(self):
         def f(c, w):
@@ -1713,19 +1833,27 @@ class Expr:
         e._frame_fn = frame_fn
         return e
 
-    def sample(self, frac: float | None = None, with_replacement: bool = True,
+    def sample(self, frac: float | None = None, with_replacement: bool = False,
                shuffle: bool = False, seed: int | None = None,
                n: int | None = None):
         """Seeded row sample of this expression (expr.rb:6338).
 
         Row-count-changing → sole-select-expression rule.  Deterministic
         engine-defined pick (md5 of seed+row index — the reference's own
-        docs skip-list seeded ops from bit-compat); without-replacement
-        semantics regardless of ``with_replacement``.  Scale: ``frac`` is a
-        flat filter (no shuffle); ``n`` is a TakeOrdered global top-k.
+        docs skip-list seeded ops from bit-compat); only without-replacement
+        semantics are implemented, and the default now says so (advice r2).
+        Both ``n`` and ``frac`` omitted → n=1 (reference default).  Scale:
+        ``frac`` is a flat filter (no shuffle); ``n`` is a TakeOrdered
+        global top-k.
         """
         if n is not None and frac is not None:
             raise ValueError("cannot specify both `n` and `frac`")
+        if n is None and frac is None:
+            n = 1  # reference default (expr.rb:6338)
+        if with_replacement:
+            raise NotImplementedError(
+                "sample(with_replacement=True): only without-replacement "
+                "sampling is implemented")
         inner = self
 
         def frame_fn(lf, out_name):

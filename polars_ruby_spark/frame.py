@@ -116,19 +116,52 @@ class LazyFrame:
             sdf = self._ensure_row_index()._sdf
         all_agg = bool(expanded) and all(e._is_agg for _, e in expanded)
         any_agg = any(e._is_agg for _, e in expanded)
+        # Aggregates inside a row-preserving context (with_columns / mixed
+        # select) attach as a ONE-ROW keyless sub-aggregate crossJoined back
+        # (two-phase partial agg + 1-row broadcast — the sanctioned
+        # scalar-attach) instead of an empty-partition global window that
+        # funnels the whole table through one task.  Composed exprs mixing
+        # per-row and aggregate parts (x - x.mean()) cannot land in df.agg —
+        # the analysis probe fails and they keep the global-window binding.
+        scalar_plan: dict[int, str] = {}
+        if not (context == "select" and all_agg):
+            probe_cols = []
+            for k, (name, e) in enumerate(expanded):
+                if not e._is_agg:
+                    continue
+                c = e._fn(sdf, None)
+                tmp = f"__scal_{k}__"
+                try:
+                    sdf.agg(c.alias(tmp))  # analysis-only pure-agg probe
+                except Exception:
+                    continue
+                scalar_plan[k] = tmp
+                probe_cols.append(c.alias(tmp))
+            if probe_cols:
+                one = sdf.agg(*probe_cols)
+                sdf = sdf.crossJoin(F.broadcast(one))
         cols = []
-        for name, e in expanded:
+        helpers = list(scalar_plan.values())
+        for k, (name, e) in enumerate(expanded):
             if context == "select" and all_agg:
                 c = e._fn(sdf, None)          # plain aggregate → df.agg
+            elif e._is_agg and k in scalar_plan:
+                c = F.col(scalar_plan[k])
             elif e._is_agg and (context == "with_columns" or any_agg):
-                c = e._fn(sdf, [])            # broadcast over global window
+                c = e._fn(sdf, [])            # composed agg: global window
+            elif e._global_ordinal_fn is not None and not any_agg:
+                # ungrouped ordinal (cum_*/reverse/shuffle): two-pass
+                # partition-prefix attach instead of a single-task window
+                sdf, tmp = e._global_ordinal_fn(sdf)
+                helpers.append(tmp)
+                c = F.col(tmp)
             else:
                 c = e._fn(sdf, None)
             alias = name or e._name
             if alias:
                 c = c.alias(alias)
             cols.append((alias, c))
-        return sdf, cols, all_agg
+        return sdf, cols, all_agg, helpers
 
     # -- projections ----------------------------------------------------------
     def select(self, *exprs, **named) -> "LazyFrame":
@@ -142,7 +175,7 @@ class LazyFrame:
                     "only expression in a select")
             name, e = parsed[0]
             return e._frame_fn(self, name or e._name)
-        sdf, cols, all_agg = self._bind_all(parsed, "select")
+        sdf, cols, all_agg, _helpers = self._bind_all(parsed, "select")
         if all_agg:
             return LazyFrame(sdf.agg(*[c for _, c in cols]))
         return LazyFrame(sdf.select(*[c for _, c in cols]))
@@ -151,7 +184,7 @@ class LazyFrame:
 
     def with_columns(self, *exprs, **named) -> "LazyFrame":
         parsed = _parse_exprs(exprs, named)
-        sdf, cols, _ = self._bind_all(parsed, "with_columns")
+        sdf, cols, _, helpers = self._bind_all(parsed, "with_columns")
         mapping = {}
         for alias, c in cols:
             if alias is None:
@@ -160,6 +193,9 @@ class LazyFrame:
             mapping[alias] = c
         # withColumns keeps original column order and replaces in place
         out = sdf.withColumns(mapping)
+        drop = [h for h in helpers if h not in mapping]
+        if drop:
+            out = out.drop(*drop)
         return LazyFrame(strip_row_index(out) if ROW_IDX not in self._sdf.columns else out)
 
     with_columns_seq = with_columns
@@ -712,11 +748,20 @@ class DataFrame(LazyFrame):
     empty = is_empty
 
     def equals(self, other, null_equal: bool = True) -> bool:
+        """Row-order-sensitive frame equality (data_frame.rb:1273) without
+        collecting either side (advice r2): both frames get the two-pass row
+        index attached, and equality is count parity + an empty
+        ``exceptAll`` on (index, columns) — distributed anti-join, nulls
+        compare equal (multiset semantics)."""
         a, b = self.to_spark(), other.to_spark()
         if a.columns != b.columns or [f.dataType for f in a.schema.fields] != \
                 [f.dataType for f in b.schema.fields]:
             return False
-        return a.collect() == b.collect()
+        ai = with_row_index(a, "__eq_idx__")
+        bi = with_row_index(b, "__eq_idx__")
+        if ai.count() != bi.count():
+            return False
+        return ai.exceptAll(bi).isEmpty()
 
     frame_equal = equals
 

@@ -210,10 +210,22 @@ def format(fstring: str, *args):
 
 
 def concat_list(exprs):
+    """functions/as_datatype.rb:239 — horizontal list concat; scalar inputs
+    wrap into single-element lists (polars semantics)."""
+    from pyspark.sql import types as T
+
     es = _exprs(exprs)
 
     def fn(df, part):
-        return F.concat(*[e._fn(df, part) for e in es])
+        cols = []
+        for e in es:
+            c = e._fn(df, part)
+            try:
+                dt = df.select(c.alias("__t__")).schema[0].dataType
+            except Exception:
+                dt = None
+            cols.append(c if isinstance(dt, T.ArrayType) else F.array(c))
+        return F.concat(*cols)
 
     return Expr(fn, name=es[0]._name if es else None)
 

@@ -304,44 +304,80 @@ class DynamicGroupBy:
         return LazyFrame(out)
 
     def _agg_calendar(self, every, period, exprs, named):
-        """Calendar-unit (1mo/1q/1y) TUMBLING windows: group on date_trunc —
-        variable-length months can't go through fixed-duration F.window, but
-        truncation is exact and stays a plain hash aggregate (one shuffle).
+        """Calendar-unit (1mo/1q/1y) TUMBLING windows with offset and all
+        four closed modes (round-2; ``lazy_frame.rb:1416-1458``).
+
+        Variable-length months can't go through fixed-duration F.window;
+        instead: shift by -offset, ``date_trunc``, shift back (interval
+        arithmetic, so sub-day offsets keep the time component).  Boundary
+        rows (timestamp exactly on a window start) re-assign to the previous
+        window (closed='right'), duplicate into both neighbours (a ≤2-element
+        explode, closed='both') or drop (closed='none').  Still ONE hash-agg
+        shuffle.
         """
+        from .functions.duration import parse_duration
         from .frame import LazyFrame
 
         if (every.months, every.microseconds) != (period.months, period.microseconds):
             raise NotImplementedError("calendar windows support tumbling only "
                                       "(period == every)")
-        if self._closed != "left" or self._offset is not None:
-            raise NotImplementedError("calendar windows: closed='left', no offset")
         unit = {1: "month", 3: "quarter", 12: "year"}.get(every.months)
         if unit is None or every.microseconds:
             raise NotImplementedError(f"unsupported calendar every {self._every!r}")
+        step = every.months
+        off = parse_duration(self._offset) if self._offset is not None else None
         sdf = self._lf._sdf
         aggs, needs_order = _agg_columns(sdf, exprs, named)
         if needs_order:
             sdf = self._lf._ensure_row_index()._sdf
             aggs, _ = _agg_columns(sdf, exprs, named)
-        win = F.date_trunc(unit, F.col(self._index))
+
+        def shift(c, months, us):
+            if months > 0:
+                c = c + F.expr(f"INTERVAL {months} MONTH")
+            elif months < 0:
+                c = c - F.expr(f"INTERVAL {-months} MONTH")
+            if us > 0:
+                c = c + F.expr(f"INTERVAL {us} MICROSECOND")
+            elif us < 0:
+                c = c - F.expr(f"INTERVAL {-us} MICROSECOND")
+            return c
+
+        t = F.col(self._index)
+        om = off.months if off else 0
+        ou = int(off.microseconds) if off else 0
+        start = F.date_trunc(unit, shift(t, -om, -ou))
+        if off:
+            start = shift(start, om, ou)
+        base = sdf
+        if self._closed == "left":
+            base = base.withColumn("__w__", start)
+        elif self._closed == "right":
+            base = base.withColumn(
+                "__w__", F.when(t == start, shift(start, -step, 0)).otherwise(start))
+        elif self._closed == "none":
+            base = base.filter(t != start).withColumn("__w__", start)
+        elif self._closed == "both":
+            base = base.withColumn("__w__", F.explode(
+                F.when(t == start, F.array(start, shift(start, -step, 0)))
+                .otherwise(F.array(start))))
+        else:
+            raise ValueError(f"invalid closed: {self._closed!r}")
         by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
                    for b in self._by]
         extra_aggs = [F.min(F.col(self._index)).alias("__dp__")] \
             if self._label == "datapoint" else []
-        grouped = sdf.groupBy(win.alias("__w__"), *by_cols).agg(*aggs, *extra_aggs)
+        grouped = base.groupBy(F.col("__w__"), *by_cols).agg(*aggs, *extra_aggs)
         if self._label == "datapoint":
             label_col = F.col("__dp__").alias(self._index)
         elif self._label == "right":
-            step = {"month": 1, "quarter": 3, "year": 12}[unit]
-            label_col = F.add_months(F.col("__w__"), step).cast("timestamp").alias(self._index)
+            label_col = shift(F.col("__w__"), step, 0).alias(self._index)
         else:
             label_col = F.col("__w__").alias(self._index)
         extra = []
         if self._include_boundaries:
-            step = {"month": 1, "quarter": 3, "year": 12}[unit]
             extra = [F.col("__w__").alias("_lower_boundary"),
-                     F.add_months(F.col("__w__"), step).cast("timestamp")
-                     .alias("_upper_boundary")]
+                     shift(F.col("__w__"), step, 0).alias("_upper_boundary")]
         keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
         out = grouped.select(*extra, label_col, *keep)
         return LazyFrame(out)

@@ -575,7 +575,29 @@ class ListNameSpace(_NS):
             v, lambda c, x: F.size(F.filter(c, lambda y: y == x)))
 
     def to_struct(self, n_field_strategy: str = "first_non_null", fields=None) -> Expr:
-        raise NotImplementedError("list.to_struct needs a known width; use eval")
+        """list_expr.rb:752 — fan a list column into positional struct fields.
+
+        ``fields`` (list of names) fixes the width directly; otherwise the
+        width comes from a ONE-ROW probe aggregate at bind time
+        (``first_non_null`` → length of the first non-null list,
+        ``max_width`` → max list length — the same plan-time-action trade as
+        reshape's -1 inference).  Fields are ``field_N`` like polars.
+        """
+
+        def f(c, df, part):
+            if fields is not None:
+                names = list(fields)
+            else:
+                if n_field_strategy == "max_width":
+                    probe = F.max(F.size(c))
+                else:  # first_non_null
+                    probe = F.first(F.size(c), ignorenulls=True)
+                width = df.select(probe).first()[0] or 0
+                names = [f"field_{i}" for i in range(width)]
+            return F.struct(*[F.element_at(c, i + 1).alias(n)
+                              for i, n in enumerate(names)])
+
+        return self._e._lift_ctx(f)
 
     def eval(self, expr: Expr, parallel: bool = False) -> Expr:
         """list_expr.rb:787 — run an Expr over each element (Polars.element()).
@@ -640,11 +662,24 @@ class StructNameSpace(_NS):
         return self.field(name)
 
     def rename_fields(self, names: list[str]) -> Expr:
-        def f(c, df, part):
-            # requires schema knowledge: re-pack positionally
-            return F.struct(*[c.getField(f"col{i}") for i, n in enumerate(names)])
+        """struct_expr.rb:40 — positional re-pack with new field names; the
+        current names come from the bound column's schema (driver-side
+        analysis only, no action)."""
 
-        raise NotImplementedError("rename_fields: use frame.unnest + rename")
+        def f(c, df, part):
+            from pyspark.sql import types as T
+
+            src = df.select(c.alias("__s__")).schema[0].dataType
+            if not isinstance(src, T.StructType):
+                raise ValueError("rename_fields: not a struct column")
+            old = [fld.name for fld in src.fields]
+            if len(names) < len(old):
+                raise ValueError(
+                    f"rename_fields: {len(old)} fields, got {len(names)} names")
+            return F.struct(*[c.getField(o).alias(n)
+                              for o, n in zip(old, names)])
+
+        return self._e._lift_ctx(f)
 
     def json_encode(self) -> Expr:
         return self._e._lift(F.to_json)

@@ -14,7 +14,11 @@ column, which AQE handles with skew splitting.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def _tokens(col):
@@ -109,6 +113,17 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, max_bucket_size: int | None) 
     ids = F.sort_array(F.array_distinct(F.col("__ids__")))
     sized = buckets.withColumn("__ids__", ids).filter(F.size("__ids__") > 1)
     if max_bucket_size is not None:
+        # surface the drop count as a named observed metric (readable from a
+        # QueryExecutionListener / the Spark UI SQL tab at action time — no
+        # extra pass) so capped runs are auditable, and log the regime
+        sized = sized.observe(
+            "minhash_bucket_cap",
+            F.sum(F.when(F.size("__ids__") > max_bucket_size, 1).otherwise(0))
+            .alias("dropped_buckets"),
+            F.count(F.lit(1)).alias("total_buckets"))
+        _LOG.info("minhash bucket cap active: buckets larger than %d members "
+                  "are dropped (run exact_dedup first — oversized buckets are "
+                  "overwhelmingly exact-duplicate clusters)", max_bucket_size)
         sized = sized.filter(F.size("__ids__") <= max_bucket_size)
     pairs = sized.select(F.explode(F.flatten(F.transform(
         "__ids__",
@@ -121,11 +136,17 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, max_bucket_size: int | None) 
 
 def minhash_dedup_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         num_hashes: int = 9, bands: int = 3, shingle_k: int = 3,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = 1000) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH band bucketing.
 
     One shuffle on (band_id, band_hash); pairs enumerated inside each bucket
-    (see `_bucket_pairs` for the scale rationale).
+    (see `_bucket_pairs` for the scale rationale).  ``max_bucket_size``
+    defaults to a finite cap (round-2): in-bucket enumeration is
+    O(|bucket|²), and at 100 TB one boilerplate band bucket (empty docs,
+    templates) would otherwise emit billions of pairs.  Oversized buckets
+    are nearly always exact-duplicate clusters — run ``exact_dedup`` first
+    (linear) and the cap then drops nothing real (property-tested).  Pass
+    ``None`` to disable.
     """
     sig = minhash_signatures(sdf, text_col, id_col, num_hashes, bands, shingle_k)
     buckets = sig.groupBy("band_id", "band_hash").agg(
@@ -173,9 +194,11 @@ def simhash(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  band_bytes: int = 16, max_bucket_size: int | None = None) -> DataFrame:
+                  band_bytes: int = 16, max_bucket_size: int | None = 1000) -> DataFrame:
     """Near-dup candidates: docs sharing any simhash substring band
-    (Hamming-LSH: 4 bands of 16 bits → finds pairs within ~3 bit flips)."""
+    (Hamming-LSH: 4 bands of 16 bits → finds pairs within ~3 bit flips).
+    Same finite ``max_bucket_size`` default as ``minhash_dedup_pairs`` —
+    in-bucket enumeration is O(|bucket|²)."""
     s = simhash(sdf, text_col, id_col)
     bands = [F.struct(F.lit(i).alias("band_id"),
                       F.substring("simhash_bits", i * band_bytes + 1, band_bytes)

@@ -98,3 +98,136 @@ def strip_row_index(sdf: DataFrame) -> DataFrame:
     if ROW_IDX in sdf.columns:
         return sdf.drop(ROW_IDX)
     return sdf
+
+
+# -- global (ungrouped) ordinal attachments ---------------------------------
+#
+# Ungrouped cum_*/reverse/shuffle previously built Window.partitionBy()
+# (empty) .orderBy(ROW_IDX) — the whole table funnels through ONE task.
+# These helpers give each a multi-task plan built from the same primitives
+# as with_row_index: range-partition on the row index (contiguous ranges in
+# ascending partition-id order), per-partition local work, an O(partitions)-
+# row offset table combined with a window over that tiny frame, and a
+# broadcast join back.
+
+_CUM_AGG = {"sum": F.sum, "min": F.min, "max": F.max,
+            "count": F.count, "product": F.product}
+# how per-partition totals combine across partitions
+_CUM_COMBINE = {"sum": F.sum, "min": F.min, "max": F.max,
+                "count": F.sum, "product": F.product}
+
+
+def attach_global_cum(sdf: DataFrame, value_fn, kind: str, reverse: bool,
+                      out_name: str) -> DataFrame:
+    """Attach an ungrouped cumulative aggregate over global row order.
+
+    Two-pass partition-prefix (the with_row_index construction): range-
+    repartition by ROW_IDX so partitions hold contiguous index ranges, local
+    prefix-aggregate inside each partition, combine per-partition totals into
+    exclusive offsets via a window over the O(partitions)-row totals table,
+    broadcast-join the offsets back and merge.  No single-task window.
+    """
+    assert ROW_IDX in sdf.columns
+    aggf, comb = _CUM_AGG[kind], _CUM_COMBINE[kind]
+    base = sdf.repartitionByRange(F.col(ROW_IDX).asc()).withColumn(
+        _PID, F.spark_partition_id())
+    c = value_fn(base)
+    dirn = F.col(ROW_IDX).desc() if reverse else F.col(ROW_IDX).asc()
+    local = aggf(c).over(
+        Window.partitionBy(_PID).orderBy(dirn)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    totals = base.groupBy(_PID).agg(aggf(c).alias("__gc_tot__"))
+    pdir = F.col(_PID).desc() if reverse else F.col(_PID).asc()
+    offsets = totals.select(
+        _PID,
+        comb(F.col("__gc_tot__")).over(
+            Window.orderBy(pdir).rowsBetween(Window.unboundedPreceding, -1)
+        ).alias(_OFF))
+    joined = base.join(F.broadcast(offsets), _PID, "left")
+    off = F.col(_OFF)
+    if kind == "min":
+        res = F.least(local, off)          # least/greatest skip nulls
+    elif kind == "max":
+        res = F.greatest(local, off)
+    elif kind == "count":
+        res = (local + F.coalesce(off, F.lit(0))).cast("long")
+    elif kind == "product":
+        res = F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
+            F.coalesce(local, F.lit(1.0)) * F.coalesce(off, F.lit(1.0)))
+    else:  # sum
+        res = F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
+            F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0)))
+    # partitions hold contiguous ROW_IDX ranges in pid order, so a local
+    # within-partition sort restores global physical row order (the reverse-
+    # direction window may have left partitions sorted desc) — no shuffle
+    return (joined.withColumn(out_name, res).drop(_PID, _OFF)
+            .sortWithinPartitions(ROW_IDX))
+
+
+def attach_global_reverse(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
+    """Attach the column reversed over global row order: row j takes the
+    value of row n-1-j via an equi-join on the remapped index (one shuffle
+    hash join on a unique long key — no per-row O(n) arrays, no single-task
+    window).  ``n`` is one scalar action at plan time (the sanctioned
+    reshape/-1 trade)."""
+    assert ROW_IDX in sdf.columns
+    c = value_fn(sdf)
+    n = sdf.count()
+    rev = sdf.select((F.lit(n - 1) - F.col(ROW_IDX)).alias(ROW_IDX),
+                     c.alias(out_name))
+    # the hash join scatters physical row order — restore it with a range
+    # sort (range exchange + local sort, never a single task)
+    return sdf.join(rev, ROW_IDX, "left").orderBy(ROW_IDX)
+
+
+def attach_global_shuffle(sdf: DataFrame, value_fn, seed, out_name: str) -> DataFrame:
+    """Attach a seed-deterministic global permutation of the column: sort the
+    (key, value) projection by a per-row hash (range-partitioned sort), derive
+    the destination index with the two-pass row-index construction, and join
+    back on the original index.  All stages multi-task."""
+    assert ROW_IDX in sdf.columns
+    c = value_fn(sdf)
+    key = (F.xxhash64(F.col(ROW_IDX), F.lit(seed)) if seed is not None
+           else (F.rand() * 1e18).cast("long"))
+    vals = sdf.select(F.col(ROW_IDX).alias("__gs_src__"), c.alias(out_name),
+                      key.alias("__gs_key__"))
+    shuffled = vals.orderBy(F.col("__gs_key__"), F.col("__gs_src__")).select(out_name)
+    indexed = with_row_index(shuffled, ROW_IDX)
+    # restore physical row order after the hash join (range sort, multi-task)
+    return sdf.join(indexed, ROW_IDX, "left").orderBy(ROW_IDX)
+
+
+def attach_global_rle_id(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
+    """Attach ungrouped run ids (gaps-and-islands) without a single-task
+    window.  Change flags need the PREVIOUS row's value across partition
+    boundaries: a per-partition last-value table (O(partitions) rows) is
+    lag'd and broadcast back, so each partition's first row compares against
+    its predecessor partition's last value; the change flags then prefix-sum
+    through the same two-pass partition-offset construction as
+    attach_global_cum."""
+    assert ROW_IDX in sdf.columns
+    base = sdf.repartitionByRange(F.col(ROW_IDX).asc()).withColumn(
+        _PID, F.spark_partition_id())
+    c = value_fn(base)
+    wp = Window.partitionBy(_PID).orderBy(F.col(ROW_IDX).asc())
+    bnd = base.groupBy(_PID).agg(F.max_by(c, F.col(ROW_IDX)).alias("__gr_lastv__"))
+    prevb = bnd.select(
+        _PID, F.lag("__gr_lastv__").over(Window.orderBy(_PID)).alias("__gr_prev__"))
+    joined = base.join(F.broadcast(prevb), _PID, "left")
+    prev = F.when(F.row_number().over(wp) == 1,
+                  F.col("__gr_prev__")).otherwise(F.lag(c, 1).over(wp))
+    change = F.when(~c.eqNullSafe(prev), 1).otherwise(0)
+    flagged = joined.withColumn("__gr_chg__", change)
+    local = F.sum("__gr_chg__").over(wp.rowsBetween(Window.unboundedPreceding, 0))
+    totals = flagged.groupBy(_PID).agg(F.sum("__gr_chg__").alias("__gr_tot__"))
+    offsets = totals.select(
+        _PID,
+        F.sum("__gr_tot__").over(
+            Window.orderBy(F.col(_PID).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)).alias(_OFF))
+    out = (flagged.join(F.broadcast(offsets), _PID, "left")
+           .withColumn(out_name,
+                       (local + F.coalesce(F.col(_OFF), F.lit(0)) - 1)
+                       .cast("long"))
+           .drop(_PID, _OFF, "__gr_prev__", "__gr_chg__"))
+    return out.sortWithinPartitions(ROW_IDX)

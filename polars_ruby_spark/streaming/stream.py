@@ -141,8 +141,8 @@ def stream_stream_join(left, right, on, ts_left: str, ts_right: str,
     wm = parse_duration(watermark)
     w = parse_duration(within)
     on = [on] if isinstance(on, str) else list(on)
-    ls, _ = _watermarked(left._sdf, ts_left, wm)
-    rs, _ = _watermarked(right._sdf, ts_right, wm)
+    ls, ntz_l = _watermarked(left._sdf, ts_left, wm)
+    rs, ntz_r = _watermarked(right._sdf, ts_right, wm)
     # disambiguate: rename right's join keys (and a same-named event-time
     # column) then join on equality exprs
     if ts_right == ts_left:
@@ -158,6 +158,13 @@ def stream_stream_join(left, right, on, ts_left: str, ts_right: str,
     cond = cond & (rs[ts_right] >= ls[ts_left] - F.expr(f"INTERVAL {span} SECONDS"))
     cond = cond & (rs[ts_right] <= ls[ts_left] + F.expr(f"INTERVAL {span} SECONDS"))
     out = ls.join(rs, cond, how).drop(*[f"__r_{c}__" for c in on])
+    # NTZ event-time columns were cast to TIMESTAMP for the watermark —
+    # cast back so the joined output matches windowed_agg/dedup_stream
+    # (advice r2)
+    if ntz_l:
+        out = out.withColumn(ts_left, F.col(ts_left).cast("timestamp_ntz"))
+    if ntz_r:
+        out = out.withColumn(ts_right, F.col(ts_right).cast("timestamp_ntz"))
     from ..frame import LazyFrame
 
     return LazyFrame(out)

@@ -500,3 +500,32 @@ def test_lsh_zero_planes_equals_brute_force(spark, embeddings):
     degen = similarity.lsh_cosine_topk(q, sdf, k=3, n_planes=0).collect()
     key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
     assert sorted(map(key, exact)) == sorted(map(key, degen))
+
+
+def test_minhash_bucket_cap_safe_after_exact_dedup(spark):
+    """Round-2: max_bucket_size defaults finite.  Oversized buckets come from
+    exact-duplicate clusters; once exact_dedup collapses those, the cap drops
+    no pair — and on the full corpus the capped/uncapped difference involves
+    only exact-duplicate docs."""
+    base = [(i, f"alpha beta gamma delta epsilon zeta {i} eta theta iota kappa")
+            for i in range(10)]
+    near = [(100 + i, f"alpha beta gamma delta epsilon zeta {i} eta theta iota lambda")
+            for i in range(10)]  # near-dup of base (1 token differs)
+    boiler = [(1000 + i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(30)]  # exact copies → one giant band bucket
+    df = spark.createDataFrame(base + near + boiler, ["doc_id", "text"])
+
+    key = lambda r: (r["id_a"], r["id_b"])
+    capped_full = set(map(key, dedup.minhash_dedup_pairs(df, max_bucket_size=25).collect()))
+    uncapped_full = set(map(key, dedup.minhash_dedup_pairs(df, max_bucket_size=None).collect()))
+    assert capped_full <= uncapped_full
+    boiler_ids = set(range(1000, 1030))
+    dropped = uncapped_full - capped_full
+    assert dropped and all(a in boiler_ids and b in boiler_ids for a, b in dropped)
+
+    # after exact dedup the oversized bucket is gone: cap is a no-op
+    survivors = dedup.exact_dedup(df)
+    surv_df = df.join(survivors.select("doc_id"), "doc_id", "semi")
+    capped = set(map(key, dedup.minhash_dedup_pairs(surv_df, max_bucket_size=25).collect()))
+    uncapped = set(map(key, dedup.minhash_dedup_pairs(surv_df, max_bucket_size=None).collect()))
+    assert capped == uncapped and capped

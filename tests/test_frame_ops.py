@@ -375,3 +375,88 @@ def test_spearman_grouped_agg_raises(spark):
         .agg(plf.corr(pl.col("rx"), pl.col("ry"), method="pearson").alias("s"))
         .sort("g").to_a())
     assert abs(out[0]["s"] - 1.0) < 1e-9 and abs(out[1]["s"] + 1.0) < 1e-9
+
+
+def test_global_ordinal_plans_are_multi_task(spark):
+    """Round-2: ungrouped cum_*/reverse/shuffle/rle_id must not plan a
+    single-task window — audited with the same rules as tools/plan_audit."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import (empty_partition_window_violations,
+                            single_partition_violations)
+
+    df = pl.scan_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = df.sort("l_orderkey", "l_linenumber").with_columns(
+        pl.col("l_quantity").cum_sum().alias("cs"),
+        pl.col("l_orderkey").reverse().alias("rv"),
+        pl.col("l_linestatus").rle_id().alias("rid"),
+    )
+    plan = out._sdf._jdf.queryExecution().executedPlan().toString()
+    assert empty_partition_window_violations(plan) == 0, plan
+    assert single_partition_violations(plan) == 0, plan
+
+
+def test_cumulative_eval_and_struct_ops(spark):
+    """Round-2 new surface: cumulative_eval (reference doctest expr.rb:6684),
+    list.to_struct, struct.rename_fields, scalar concat_list wrap."""
+    import pytest
+
+    df = pl.DataFrame({"values": [1, 2, 3, 4, 5]})
+    out = df.select(pl.col("values").cumulative_eval(
+        pl.element().first() - pl.element().last() ** 2).alias("v")).to_a()
+    assert [r["v"] for r in out] == [0, -3, -8, -15, -24]
+    mp = df.select(pl.col("values").cumulative_eval(
+        pl.element().max() - pl.element().min(), min_periods=3).alias("d")).to_a()
+    assert [r["d"] for r in mp] == [None, None, 2, 3, 4]
+    with pytest.raises(NotImplementedError):
+        df.with_columns(pl.col("values").cumulative_eval(
+            pl.element().max()).alias("x")).to_a()
+
+    lf = pl.DataFrame({"l": [[1, 2, 3], [4, 5], None]})
+    s = lf.select(pl.col("l").list.to_struct().alias("s")).to_a()
+    assert s[0]["s"] == {"field_0": 1, "field_1": 2, "field_2": 3}
+    assert s[1]["s"] == {"field_0": 4, "field_1": 5, "field_2": None}
+    wide = lf.select(pl.col("l").list.to_struct(
+        n_field_strategy="max_width", fields=None).alias("s")).to_a()
+    assert len(wide[0]["s"]) == 3
+
+    from polars_ruby_spark import functions as plf
+
+    rn = (pl.DataFrame({"x": [1], "y": [2]})
+          .select(plf.struct(pl.col("x"), pl.col("y")).alias("s"))
+          .select(pl.col("s").struct.rename_fields(["a", "b"]).alias("s"))
+          .unnest("s").to_a())
+    assert rn == [{"a": 1, "b": 2}]
+    # concat_list: list inputs still concatenate; scalars wrap
+    cl = pl.DataFrame({"a": [[1], [2]], "b": [9, 8]}).select(
+        plf.concat_list([pl.col("a"), pl.col("b")]).alias("c")).to_a()
+    assert [r["c"] for r in cl] == [[1, 9], [2, 8]]
+
+
+def test_calendar_window_closed_modes(spark):
+    """Round-2: 1mo dynamic windows with offset and all four closed modes.
+    Boundary row (exactly on a shifted window start) moves windows under
+    'right', lands in both under 'both', disappears under 'none'."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 4, 0, 0, 0), 1.0),   # exactly on Jan window start (offset 3d)
+        (dt.datetime(2024, 1, 20, 0, 0, 0), 2.0),
+        (dt.datetime(2024, 2, 10, 0, 0, 0), 4.0),
+    ]
+    df = pl.DataFrame({"ts": [r[0] for r in rows], "value": [r[1] for r in rows]})
+
+    def run(closed):
+        out = (df.group_by_dynamic("ts", every="1mo", offset="3d", closed=closed)
+               .agg(pl.col("value").sum().alias("s")).sort("ts").collect().to_a())
+        return [(r["ts"].month, r["ts"].day, r["s"]) for r in out]
+
+    assert run("left") == [(1, 4, 3.0), (2, 4, 4.0)]
+    # boundary row joins the PREVIOUS (Dec 4) window
+    assert run("right") == [(12, 4, 1.0), (1, 4, 2.0), (2, 4, 4.0)]
+    # boundary row counted in BOTH neighbours
+    assert run("both") == [(12, 4, 1.0), (1, 4, 3.0), (2, 4, 4.0)]
+    # boundary row dropped
+    assert run("none") == [(1, 4, 2.0), (2, 4, 4.0)]

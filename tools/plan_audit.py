@@ -20,7 +20,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ALLOWED_NESTED_LOOP = {"q09_join_cross"}
+ALLOWED_NESTED_LOOP = {
+    "q09_join_cross",
+    # exact-degenerate LSH regime (n_planes=0): the constant bucket key
+    # folds away, leaving a broadcast of the 20-row query set over the
+    # corpus — the sanctioned brute-force shape (the approximate n_planes>0
+    # scale path plans a bucket equi-join)
+    "q50_lsh_ann",
+}
 # documented inherently-sequential parity ops (full-column collect)
 ALLOWED_SEQUENTIAL = {"q73_rle"}
 SKIP = {"q51_streaming_window", "q71_stream_dedup"}  # execute streams
@@ -38,7 +45,11 @@ def single_partition_violations(plan: str) -> int:
         if "Exchange SinglePartition" not in line:
             continue
         child = "\n".join(lines[i + 1:i + 3])
-        if "__rix_pid__" in child:
+        if "__rix_pid__" in child and ("Aggregate(" in child
+                                       or "__rix_cnt__" in child):
+            # the O(partitions)-row row-index counts/offsets table — NOT any
+            # full-data exchange that merely sits above the row-index join
+            # (that leak previously sanctioned q27's single-task rle window)
             continue
         if ("keys=[]" in child or "key=[]" in child) \
                 and ("merge_" in child or "partial_" in child) \
@@ -50,6 +61,35 @@ def single_partition_violations(plan: str) -> int:
         if "LocalLimit" in child:
             # GlobalLimit's exchange: each task contributes at most the
             # limit's k rows (LocalLimit runs before the exchange)
+            continue
+        bad += 1
+    return bad
+
+
+def empty_partition_window_violations(plan: str) -> int:
+    """``Window`` nodes planned over a single partition funnel the whole
+    input through one task (round-2 rule: ungrouped cum_*/reverse/shuffle/
+    rle must route via the two-pass partition-prefix attach instead).  The
+    reliable physical signal is an ``Exchange SinglePartition`` directly
+    under the Window (a partitioned window exchanges by hash instead).
+    Sanctioned: windows over the O(partitions)-row ``__rix_pid__`` offset
+    aggregate and windows whose input is limit-bounded
+    (TakeOrderedAndProject / LocalLimit).
+    """
+    lines = plan.splitlines()
+    bad = 0
+    for i, line in enumerate(lines):
+        stripped = line.lstrip(" +-:*")
+        if not stripped.startswith("Window "):
+            continue
+        child = "\n".join(lines[i + 1:i + 5])
+        if "Exchange SinglePartition" not in child:
+            continue
+        if any(("Aggregate(" in ln and "__rix_pid__" in ln)
+               or "TakeOrderedAndProject" in ln or "LocalLimit" in ln
+               for ln in lines[i + 1:i + 7]):
+            # Hash/Sort/ObjectHashAggregate keyed on the partition id: the
+            # O(partitions)-row offset/boundary tables
             continue
         bad += 1
     return bad
@@ -92,6 +132,9 @@ def audit(sf_dir: str) -> int:
         n = single_partition_violations(plan)
         if n and name not in ALLOWED_SEQUENTIAL:
             problems.append(f"{n} unsanctioned single-partition exchange(s)")
+        nw = empty_partition_window_violations(plan)
+        if nw and name not in ALLOWED_SEQUENTIAL:
+            problems.append(f"{nw} empty-partitionBy window(s) over full data")
         if ("CartesianProduct" in plan or has_bad_nested_loop(plan)) \
                 and name not in ALLOWED_NESTED_LOOP:
             problems.append("nested-loop join")
