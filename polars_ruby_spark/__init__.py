@@ -52,10 +52,10 @@ from .config import (
 from .series import Series
 from .session import configure, get_spark
 from .sources import (
-    from_arrow, from_hash, from_pandas, from_records, read_avro, read_csv,
-    read_database, read_ipc, read_json, read_ndjson, read_parquet,
-    read_parquet_schema, scan_csv, scan_ndjson, scan_parquet, scan_table,
-    write_bucketed,
+    BatchedCsvReader, from_arrow, from_hash, from_pandas, from_records,
+    read_avro, read_csv, read_csv_batched, read_database, read_ipc, read_json,
+    read_ndjson, read_parquet, read_parquet_schema, scan_csv, scan_ndjson,
+    scan_parquet, scan_table, write_bucketed,
 )
 from .sql_context import SQLContext
 

@@ -1421,12 +1421,25 @@ class Expr:
     def rolling_skew(self, window_size: int, bias: bool = True,
                      min_periods: int | None = None):
         """expr.rb:5567 — Spark's skewness is the biased g1 = m3/m2^1.5,
-        matching polars bias=True (the rolling default)."""
-        if not bias:
-            raise NotImplementedError("rolling_skew(bias=False)")
-        return self._rolling(F.skewness, window_size,
-                             min_periods if min_periods is not None else window_size,
-                             center=False)
+        matching polars bias=True (the rolling default).  bias=False applies
+        the sample correction G1 = g1 * sqrt(n(n-1))/(n-2) (null for n<3,
+        matching scipy/polars), composed over the same row frame — one
+        window, no extra shuffle."""
+        if bias:
+            return self._rolling(F.skewness, window_size,
+                                 min_periods if min_periods is not None else window_size,
+                                 center=False)
+
+        mp = min_periods if min_periods is not None else window_size
+
+        def f(c, w):
+            wf = w.rowsBetween(-(window_size - 1), 0)
+            g1 = F.skewness(c).over(wf)
+            n = F.count(c).over(wf).cast("double")
+            corr = F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0))
+            return F.when((n >= mp) & (n > 2), g1 * corr)
+
+        return self._ordered(f)
 
     def rolling_std_by(self, by, window_size: str, closed: str = "right", ddof: int = 1):
         f = F.stddev_samp if ddof == 1 else F.stddev_pop

@@ -528,8 +528,44 @@ class LazyFrame:
     def sink_ndjson(self, path: str, mode: str = "overwrite", **kw):
         self.to_spark().write.mode(mode).json(path)
 
-    def sink_ipc(self, path: str, **kw):
-        raise NotImplementedError("Arrow IPC sink: export via collect().to_arrow()")
+    def sink_ipc(self, path: str, mode: str = "overwrite", **kw):
+        """lazy_frame.rb:504 — distributed Arrow IPC sink.
+
+        Spark has no native Arrow-IPC file sink, so this writes a
+        *directory* of ``part-NNNNN.arrow`` files, one per partition, from
+        inside the executors via ``mapInArrow`` (deviation from the
+        reference's single file; same shape as ``sink_parquet``).  The
+        target path must be on a filesystem visible to every executor
+        (always true in local mode; a shared FS on a cluster)."""
+        import os
+        import shutil
+
+        sdf = self.to_spark()
+        if mode == "overwrite" and os.path.isdir(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+
+        def _write(batches):
+            import pyarrow as pa
+            import pyarrow.ipc as ipc
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            fpath = os.path.join(path, f"part-{pid:05d}.arrow")
+            writer = None
+            rows = 0
+            for b in batches:
+                if writer is None:
+                    writer = ipc.new_file(fpath, b.schema)
+                writer.write_batch(b)
+                rows += b.num_rows
+            if writer is not None:
+                writer.close()
+            yield pa.RecordBatch.from_pydict(
+                {"path": [fpath if rows else None], "rows": [rows]})
+
+        stats = sdf.mapInArrow(_write, schema="path string, rows bigint").collect()
+        return sum(r.rows for r in stats)
 
     def first(self) -> "LazyFrame":
         return self.limit(1)

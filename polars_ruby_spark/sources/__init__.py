@@ -9,6 +9,8 @@ from .io import (
     write_bucketed,
     read_avro,
     read_csv,
+    read_csv_batched,
+    BatchedCsvReader,
     read_database,
     read_ipc,
     read_json,
@@ -25,7 +27,7 @@ from .io import (
 )
 
 __all__ = [
-    "read_avro", "read_csv", "read_database", "read_ipc", "read_json",
+    "read_avro", "read_csv", "read_csv_batched", "BatchedCsvReader", "read_database", "read_ipc", "read_json",
     "read_ndjson", "read_parquet", "read_parquet_schema", "scan_csv",
     "scan_ndjson", "scan_parquet", "from_pandas", "from_arrow", "from_hash",
     "from_records",

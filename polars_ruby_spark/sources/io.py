@@ -154,6 +154,50 @@ def read_csv(source, **kw):
     return DataFrame(scan_csv(source, **kw)._sdf)
 
 
+class BatchedCsvReader:
+    """batched_csv_reader.rb:6 — lazily yields DataFrames of ``batch_size``
+    rows each via ``next_batches(n)`` (nil/None when exhausted, matching
+    the reference).
+
+    Spark-first shape: the CSV is scanned ONCE, row-indexed with the
+    two-pass partition-prefix machinery (no global window), and cached;
+    each batch is a row-range filter over the cached frame — no driver
+    collect, batches stay distributed DataFrames."""
+
+    def __init__(self, source, batch_size: int = 50_000, **kw):
+        from pyspark.sql import functions as F
+
+        from ..operators.row_index import with_row_index
+
+        lf = scan_csv(source, **kw)
+        self._sdf = with_row_index(lf._sdf, "__batch_rix__").cache()
+        self._F = F
+        self._batch_size = int(batch_size)
+        self._pos = 0
+        self._total = None
+
+    def next_batches(self, n: int):
+        from ..frame import DataFrame
+
+        if self._total is None:
+            self._total = self._sdf.count()  # materializes the cache
+        out = []
+        for _ in range(n):
+            if self._pos >= self._total:
+                break
+            lo, hi = self._pos, self._pos + self._batch_size
+            c = self._F.col("__batch_rix__")
+            out.append(DataFrame(
+                self._sdf.filter((c >= lo) & (c < hi)).drop("__batch_rix__")))
+            self._pos = hi
+        return out or None
+
+
+def read_csv_batched(source, batch_size: int = 50_000, **kw):
+    """io/csv.rb:407 — returns a BatchedCsvReader."""
+    return BatchedCsvReader(source, batch_size=batch_size, **kw)
+
+
 def read_json(source, spark=None, **kw):
     """io/json.rb:9 — JSON array-of-records (multiLine)."""
     from ..frame import DataFrame
@@ -182,12 +226,24 @@ def read_avro(source, spark=None, **kw):
 
 
 def read_ipc(source, spark=None, **kw):
-    """io/ipc.rb:27 — Arrow IPC via pyarrow → createDataFrame (no native src)."""
+    """io/ipc.rb:27 — Arrow IPC via pyarrow → createDataFrame (no native src).
+
+    Accepts a single ``.arrow`` file or a directory of ``part-*.arrow``
+    files as produced by ``LazyFrame.sink_ipc``."""
+    import os
+
+    import pyarrow as pa
     import pyarrow.feather as feather
 
     from ..frame import DataFrame
 
-    table = feather.read_table(str(source))
+    src = str(source)
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".arrow"))
+        table = pa.concat_tables([feather.read_table(p) for p in parts])
+    else:
+        table = feather.read_table(src)
     return DataFrame(_spark(spark).createDataFrame(table.to_pandas()))
 
 

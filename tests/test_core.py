@@ -278,15 +278,19 @@ def test_weighted_rolling_and_skew(spark):
     out = df.lazy().select(
         pl.col("v").rolling_mean(3, weights=[1.0, 2.0, 3.0]).round(6).alias("wm"),
         pl.col("v").rolling_skew(4).round(6).alias("sk"),
+        pl.col("v").rolling_skew(4, bias=False).round(6).alias("sku"),
     ).collect().to_a()
     s = pd.Series(vals)
     ref_wm = s.rolling(3).apply(lambda w: (w * [1, 2, 3]).sum() / 6).round(6)
     ref_sk = s.rolling(4).apply(
         lambda w: (((w - w.mean()) ** 3).mean())
         / (((w - w.mean()) ** 2).mean()) ** 1.5).round(6)
+    # pandas rolling skew IS the unbiased G1 = g1*sqrt(n(n-1))/(n-2)
+    ref_sku = s.rolling(4).skew().round(6)
     for i, r in enumerate(out):
         assert r["wm"] == (None if ref_wm[i] != ref_wm[i] else ref_wm[i])
         assert r["sk"] == (None if ref_sk[i] != ref_sk[i] else ref_sk[i])
+        assert r["sku"] == (None if ref_sku[i] != ref_sku[i] else ref_sku[i])
 
 
 def test_rolling_std_by_time(spark):

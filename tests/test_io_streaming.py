@@ -266,3 +266,40 @@ def test_hive_partition_pruning(spark, tmp_path, sf_dir):
     seg = plan.split("PartitionFilters")[1][:200]
     assert "lang" in seg  # the filter reached the partition index
     assert {r["lang"] for r in scan.collect().to_a()} == {"en"}
+
+
+def test_sink_ipc_roundtrip(spark, tmp_path):
+    """Distributed IPC sink (one .arrow file per partition) → read_ipc dir."""
+    df = pl.from_hash({"a": list(range(100)), "s": [f"x{i}" for i in range(100)]},
+                      spark=spark)
+    path = str(tmp_path / "ipc_dir")
+    rows = df.lazy().sink_ipc(path)
+    assert rows == 100
+    import os as _os
+    parts = [f for f in _os.listdir(path) if f.endswith(".arrow")]
+    assert parts, "no part files written"
+    back = pl.read_ipc(path, spark=spark).sort("a")
+    assert [r["a"] for r in back.collect().to_a()] == list(range(100))
+
+
+def test_read_csv_batched(spark, tmp_path):
+    """batched_csv_reader.rb:6 — batches cover all rows in order; None when
+    exhausted."""
+    import csv as _csv
+
+    p = str(tmp_path / "batched.csv")
+    with open(p, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["a", "b"])
+        for i in range(250):
+            w.writerow([i, f"s{i}"])
+
+    reader = pl.read_csv_batched(p, batch_size=100, spark=spark)
+    b1 = reader.next_batches(2)
+    assert len(b1) == 2
+    assert all(bf.collect().height == 100 for bf in b1)
+    b2 = reader.next_batches(5)
+    assert len(b2) == 1 and b2[0].collect().height == 50
+    assert reader.next_batches(1) is None
+    got = sorted(r["a"] for bf in b1 + b2 for r in bf.collect().to_a())
+    assert got == list(range(250))
