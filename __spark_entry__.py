@@ -1468,6 +1468,26 @@ def q110_calendar_offset(spark, sf_dir):
     return out.to_spark()
 
 
+def q111_unigram_lm(spark, sf_dir):
+    """Unigram-LM quality score (KenLM-perplexity stand-in, CCNet-style):
+    corpus-trained unigram logprobs → per-doc avg logprob + pseudo-ppl.
+    Two shuffles (vocab agg, per-doc agg); vocab joined back broadcast."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.unigram_logprob(d._sdf)
+
+
+def q112_dup_ngrams(spark, sf_dir):
+    """Duplicate-3-gram fraction per doc (Gopher/FineWeb repetition-across-
+    corpus filter): JVM-side n-gram build, one distinct + hash agg for
+    docs-per-gram, join back, per-doc ratio."""
+    from polars_ruby_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.dup_ngram_fraction(d._sdf, n=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1583,6 +1603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_cumulative_eval": q108_cumulative_eval,
         "q109_struct_roundtrip": q109_struct_roundtrip,
         "q110_calendar_offset": q110_calendar_offset,
+        "q111_unigram_lm": q111_unigram_lm,
+        "q112_dup_ngrams": q112_dup_ngrams,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -1843,6 +1865,34 @@ def oracle_sql() -> dict[str, str]:
                    w AS ts, event_type,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM w GROUP BY 1, 2, 3, 4
+        """,
+        "q111_unigram_lm": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                          FROM documents),
+            counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT sum(cnt) AS t FROM counts),
+            lp AS (SELECT tok, ln(cnt::DOUBLE / (SELECT t FROM tot)) AS logp
+                   FROM counts)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(logp), 6) AS avg_logprob,
+                   round(exp(-avg(logp)), 4) AS pseudo_ppl
+            FROM toks JOIN lp USING (tok)
+            GROUP BY doc_id
+        """,
+        "q112_dup_ngrams": """
+            WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         array_to_string(list_slice(tk, i, i + 2), ' ') AS gram
+                  FROM t, unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)),
+            d AS (SELECT DISTINCT doc_id, gram FROM g),
+            dp AS (SELECT gram, count(*) AS n_docs FROM d GROUP BY gram)
+            SELECT doc_id, count(*) AS n_ngrams,
+                   sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup,
+                   round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 4) AS dup_frac
+            FROM g JOIN dp USING (gram)
+            GROUP BY doc_id
         """,
         "q108_cumulative_eval": """
             WITH o AS (SELECT o_totalprice,

@@ -51,6 +51,12 @@ class _BindContext:
 bind_context = _BindContext()
 
 
+def _op_label(f, default: str = "function") -> str:
+    """Best-effort op name for meta breadcrumbs (lambdas → the default)."""
+    n = getattr(f, "__name__", "")
+    return default if (not n or n == "<lambda>") else n
+
+
 def _part_window(part) -> WindowSpec:
     return Window.partitionBy(*part)
 
@@ -82,6 +88,17 @@ class Expr:
     #: funnels the whole table through one task.  Grouped ``over()`` use
     #: still binds the windowed column fn.
     _global_ordinal_fn = None
+
+    #: lightweight AST breadcrumb ``(op, children_exprs, payload)`` attached
+    #: by the central combinators (col/lit/_lift/_lift2/_agg/_ordered/alias/
+    #: over) — powers meta.root_names/pop/tree_format/eq (meta_expr.rb)
+    #: without a full IR.  None = opaque node (exotic construction sites);
+    #: meta queries raise only when they actually hit one.
+    _meta = None
+
+    def _set_meta(self, op: str, children=(), payload=None) -> "Expr":
+        self._meta = (op, tuple(children), payload)
+        return self
 
     def __init__(
         self,
@@ -124,7 +141,7 @@ class Expr:
             name=name if name is not None else self._name,
             is_agg=self._is_agg if is_agg is None else is_agg,
             needs_order=self._needs_order if needs_order is None else needs_order,
-        )
+        )._set_meta(_op_label(f), (self,))
 
     def _lift_ctx(self, f: Callable[[Column, DataFrame, Any], Column],
                   needs_order: bool = False) -> "Expr":
@@ -136,10 +153,10 @@ class Expr:
             name=self._name,
             is_agg=self._is_agg,
             needs_order=self._needs_order or needs_order,
-        )
+        )._set_meta(_op_label(f), (self,))
 
     def _lift2(self, other, f: Callable[[Column, Column], Column],
-               name: str | None = None) -> "Expr":
+               name: str | None = None, op: str | None = None) -> "Expr":
         o = wrap_expr(other)
         if self._multi_fn is not None:
             mf = self._multi_fn
@@ -149,7 +166,7 @@ class Expr:
             name=name if name is not None else (self._name if self._name is not None else o._name),
             is_agg=self._is_agg or o._is_agg,
             needs_order=self._needs_order or o._needs_order,
-        )
+        )._set_meta(op or _op_label(f, "binary"), (self, o))
 
     def _agg(self, aggf: Callable[[Column], Column], name: str | None = None) -> "Expr":
         """Aggregate; in a windowed context, broadcast over the partition."""
@@ -164,7 +181,8 @@ class Expr:
             return c
 
         return Expr(fn, name=name if name is not None else self._name, is_agg=True,
-                    needs_order=self._needs_order)
+                    needs_order=self._needs_order)._set_meta(
+                        _op_label(aggf, "agg"), (self,))
 
     def _ordered(self, f: Callable[[Column, WindowSpec], Column]) -> "Expr":
         """Window op defined against implicit row order (shift/cum_*/…)."""
@@ -175,7 +193,7 @@ class Expr:
             lambda df, part: f(self._fn(df, part), _ordered_window(part)),
             name=self._name,
             needs_order=True,
-        )
+        )._set_meta("window", (self,))
 
     # -- identity / naming --------------------------------------------------
     def alias(self, name: str) -> "Expr":
@@ -183,7 +201,7 @@ class Expr:
         e._name = name
         e._frame_fn = self._frame_fn  # keep frame-level hooks (reshape) alive
         e._global_ordinal_fn = self._global_ordinal_fn
-        return e
+        return e._set_meta("alias", (self,), name)
 
     def suffix(self, s: str) -> "Expr":
         return self.alias((self._name or "") + s)
@@ -213,38 +231,38 @@ class Expr:
 
     # -- arithmetic (parity: expr.rb / ext/polars/src/expr/general.rs:16-41) --
     def __add__(self, o):
-        return self._lift2(o, lambda a, b: a + b)
+        return self._lift2(o, lambda a, b: a + b, op="+")
 
     def __radd__(self, o):
         return wrap_expr(o)._lift2(self, lambda a, b: a + b)
 
     def __sub__(self, o):
-        return self._lift2(o, lambda a, b: a - b)
+        return self._lift2(o, lambda a, b: a - b, op="-")
 
     def __rsub__(self, o):
         return wrap_expr(o)._lift2(self, lambda a, b: a - b)
 
     def __mul__(self, o):
-        return self._lift2(o, lambda a, b: a * b)
+        return self._lift2(o, lambda a, b: a * b, op="*")
 
     def __rmul__(self, o):
         return wrap_expr(o)._lift2(self, lambda a, b: a * b)
 
     def __truediv__(self, o):
         # Polars truediv is always float (expr.rb:3531); Spark `/` matches.
-        return self._lift2(o, lambda a, b: a / b)
+        return self._lift2(o, lambda a, b: a / b, op="/")
 
     def __rtruediv__(self, o):
         return wrap_expr(o)._lift2(self, lambda a, b: a / b)
 
     def __floordiv__(self, o):
-        return self._lift2(o, lambda a, b: F.floor(a / b))
+        return self._lift2(o, lambda a, b: F.floor(a / b), op="//")
 
     def __mod__(self, o):
-        return self._lift2(o, lambda a, b: F.pmod(a, b))
+        return self._lift2(o, lambda a, b: F.pmod(a, b), op="%")
 
     def __pow__(self, o):
-        return self._lift2(o, lambda a, b: F.pow(a, b))
+        return self._lift2(o, lambda a, b: F.pow(a, b), op="**")
 
     def __neg__(self):
         return self._lift(lambda c: -c)
@@ -254,22 +272,22 @@ class Expr:
 
     # -- comparisons ---------------------------------------------------------
     def __eq__(self, o):  # type: ignore[override]
-        return self._lift2(o, lambda a, b: a == b)
+        return self._lift2(o, lambda a, b: a == b, op="==")
 
     def __ne__(self, o):  # type: ignore[override]
-        return self._lift2(o, lambda a, b: a != b)
+        return self._lift2(o, lambda a, b: a != b, op="!=")
 
     def __lt__(self, o):
-        return self._lift2(o, lambda a, b: a < b)
+        return self._lift2(o, lambda a, b: a < b, op="<")
 
     def __le__(self, o):
-        return self._lift2(o, lambda a, b: a <= b)
+        return self._lift2(o, lambda a, b: a <= b, op="<=")
 
     def __gt__(self, o):
-        return self._lift2(o, lambda a, b: a > b)
+        return self._lift2(o, lambda a, b: a > b, op=">")
 
     def __ge__(self, o):
-        return self._lift2(o, lambda a, b: a >= b)
+        return self._lift2(o, lambda a, b: a >= b, op=">=")
 
     def eq_missing(self, o):
         # expr.rb:3107 — null == null is true.
@@ -280,19 +298,19 @@ class Expr:
 
     # -- boolean --------------------------------------------------------------
     def __and__(self, o):
-        return self._lift2(o, lambda a, b: a & b)
+        return self._lift2(o, lambda a, b: a & b, op="&")
 
     def __rand__(self, o):
         return wrap_expr(o)._lift2(self, lambda a, b: a & b)
 
     def __or__(self, o):
-        return self._lift2(o, lambda a, b: a | b)
+        return self._lift2(o, lambda a, b: a | b, op="|")
 
     def __ror__(self, o):
         return wrap_expr(o)._lift2(self, lambda a, b: a | b)
 
     def __xor__(self, o):
-        return self._lift2(o, lambda a, b: (a | b) & ~(a & b))
+        return self._lift2(o, lambda a, b: (a | b) & ~(a & b), op="^")
 
     def __invert__(self):
         return self.not_()
@@ -1721,7 +1739,9 @@ class Expr:
             cols = [e._fn(df, None) for e in key_exprs]
             return self._fn(df, cols)
 
-        return Expr(fn, name=self._name, is_agg=False, needs_order=self._needs_order)
+        return Expr(fn, name=self._name, is_agg=False,
+                    needs_order=self._needs_order)._set_meta(
+                        "window", (self, *key_exprs))
 
     # -- misc ---------------------------------------------------------------------------
     def filter(self, predicate):
@@ -2033,7 +2053,7 @@ def col(name, *more_names) -> Expr:
             return Expr(multi_fn=lambda df: [col(c) for c in df.columns if pat.match(c)])
         e = Expr(lambda df, part: F.col(name), name=name)
         e._is_column = True  # meta.is_column: bare reference, no transforms
-        return e
+        return e._set_meta("col", (), name)
     # multiple names / dtype selection
     if all(isinstance(n, str) for n in names):
         return Expr(multi_fn=lambda df: [col(n) for n in names])
@@ -2063,8 +2083,10 @@ def all_() -> Expr:
 def lit(value, dtype=None) -> Expr:
     if dtype is not None:
         t = to_spark_type(dtype)
-        return Expr(lambda df, part: F.lit(value).cast(t), name="literal")
-    return Expr(lambda df, part: F.lit(value), name="literal")
+        return Expr(lambda df, part: F.lit(value).cast(t),
+                    name="literal")._set_meta("lit", (), value)
+    return Expr(lambda df, part: F.lit(value),
+                name="literal")._set_meta("lit", (), value)
 
 
 #: Stack of lambda variables for list.eval / element() binding.  Expression

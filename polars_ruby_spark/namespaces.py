@@ -722,16 +722,26 @@ class CatNameSpace(_NS):
 
 
 class MetaNameSpace(_NS):
-    """Expr introspection (meta_expr.rb).  Exprs here are Column-builder
-    closures, not a walkable AST: name-level queries are exact; root-column
-    extraction is not tracked and raises."""
+    """Expr introspection (meta_expr.rb) over the lightweight breadcrumb AST
+    (``Expr._meta = (op, children, payload)``) attached by the central
+    combinators.  Queries raise only when they hit a node built outside the
+    tracked combinators (exotic construction sites)."""
 
     def output_name(self):
         return self._e._name
 
     def undo_aliases(self) -> Expr:
+        # meta_expr.rb:166 — strip every rename layer; with breadcrumbs we
+        # return the pre-alias child chain, else fall back to a
+        # name-stripped clone.
+        e = self._e
+        while e._meta is not None and e._meta[0] == "alias":
+            e = e._meta[1][0]
+        if e is not self._e:
+            return e
         out = Expr(self._e._fn, name=None, is_agg=self._e._is_agg,
                    needs_order=self._e._needs_order, multi_fn=self._e._multi_fn)
+        out._meta = self._e._meta
         return out
 
     def has_multiple_outputs(self) -> bool:
@@ -742,9 +752,31 @@ class MetaNameSpace(_NS):
         return n.startswith("^") and n.endswith("$")
 
     def root_names(self):
-        raise NotImplementedError(
-            "meta.root_names: root columns are not tracked through the "
-            "Column-builder representation")
+        """meta_expr.rb:155 — leaf column names, first-appearance order."""
+        out: list[str] = []
+
+        def walk(e):
+            m = e._meta
+            if m is None:
+                if getattr(e, "_is_column", False) and e._name:
+                    if e._name not in out:
+                        out.append(e._name)
+                    return
+                raise NotImplementedError(
+                    "meta.root_names: expression contains a node built "
+                    "outside the tracked combinators")
+            op, children, payload = m
+            if op == "col":
+                if payload not in out:
+                    out.append(payload)
+                return
+            if op == "lit":
+                return
+            for c in children:
+                walk(c)
+
+        walk(self._e)
+        return out
 
     def is_column(self) -> bool:
         # set only by a bare col("name"); any lift/combine builds a fresh
@@ -752,19 +784,74 @@ class MetaNameSpace(_NS):
         return getattr(self._e, "_is_column", False)
 
     def pop(self):
-        raise NotImplementedError(
-            "meta.pop: child expressions are not tracked through the "
-            "Column-builder representation")
+        """meta_expr.rb:126 — inputs of the top node (latest first)."""
+        m = self._e._meta
+        if m is None:
+            raise NotImplementedError(
+                "meta.pop: top node was built outside the tracked combinators")
+        return list(reversed(m[1]))
 
-    def tree_format(self):
-        raise NotImplementedError(
-            "meta.tree_format: no walkable AST in the Column-builder "
-            "representation")
+    def tree_format(self, return_as_string: bool = False):
+        """meta_expr.rb:212 — indented op tree from the breadcrumbs."""
+        lines: list[str] = []
+
+        def render(e, depth):
+            pad = "  " * depth
+            m = e._meta
+            if m is None:
+                label = f"col({e._name})" if getattr(e, "_is_column", False) \
+                    else f"<opaque {e._name or '?'}>"
+                lines.append(pad + label)
+                return
+            op, children, payload = m
+            if op == "col":
+                lines.append(pad + f'col("{payload}")')
+            elif op == "lit":
+                lines.append(pad + f"lit({payload!r})")
+            elif op == "alias":
+                lines.append(pad + f'alias("{payload}")')
+            else:
+                lines.append(pad + op)
+            for c in children:
+                render(c, depth + 1)
+
+        render(self._e, 0)
+        s = "\n".join(lines)
+        if return_as_string:
+            return s
+        print(s)
+        return None
+
+    def _structural_eq(self, a, b):
+        """(equal?, ambiguous?) — ambiguous when an untagged function/binary
+        label makes two different ops indistinguishable."""
+        ma, mb = a._meta, b._meta
+        if ma is None or mb is None:
+            return (a is b or (a._fn is b._fn and a._name == b._name), False)
+        if ma[0] != mb[0] or ma[2] != mb[2] or len(ma[1]) != len(mb[1]):
+            return (False, False)
+        if a._name != b._name:
+            return (False, False)
+        amb = ma[0] in ("function", "binary", "agg")
+        for ca, cb in zip(ma[1], mb[1]):
+            eq, sub_amb = self._structural_eq(ca, cb)
+            if not eq:
+                return (False, False)
+            amb = amb or sub_amb
+        return (True, amb)
 
     def eq(self, other) -> bool:
-        return self._e is other or (
-            self._e._fn is getattr(other, "_fn", None)
-            and self._e._name == getattr(other, "_name", object()))
+        oe = other._e if isinstance(other, MetaNameSpace) else other
+        if self._e is oe:
+            return True
+        equal, ambiguous = self._structural_eq(self._e, oe)
+        if not equal:
+            return False
+        if not ambiguous:
+            return True
+        # structurally identical but an untagged op could hide a difference:
+        # only identity is safe
+        return self._e._fn is getattr(oe, "_fn", None)
 
     def ne(self, other) -> bool:
         return not self.eq(other)

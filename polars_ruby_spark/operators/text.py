@@ -273,3 +273,70 @@ def source_overlap(sdf: DataFrame, text_col: str = "text",
                     F.round(F.col("n_common") /
                             (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4)
                     .alias("jaccard")))
+
+
+def unigram_logprob(sdf: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM document score → (id, n_tokens, avg_logprob, pseudo_ppl).
+
+    The deterministic stand-in for the KenLM-perplexity quality filter
+    (CCNet-style): train unigram MLE probabilities on the corpus itself in
+    one pass, then score every document by its mean token log-probability;
+    ``pseudo_ppl = exp(-avg_logprob)`` sorts documents exactly like a
+    unigram perplexity would.
+
+    Scale shape: one explode (linear fan-out), one map-side-combined hash
+    agg for the vocab counts, corpus total attached as a one-row broadcast
+    scalar, vocab joined back BROADCAST (vocab ≪ corpus — even at 100 TB a
+    deduped unigram vocab is millions of rows, well under the broadcast
+    threshold after the count agg), one final per-doc agg.  Two shuffles
+    total; no Python.
+    """
+    toks = sdf.select(F.col(id_col).alias("id"),
+                      F.explode(_tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    lp = (counts.crossJoin(F.broadcast(total))  # sanctioned one-row scalar attach
+          .select("tok", F.log(F.col("cnt").cast("double") / F.col("tot")).alias("logp")))
+    return (toks.join(F.broadcast(lp), "tok")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.avg("logp").alias("avg_logprob"))
+            .select(F.col("id").alias(id_col), "n_tokens",
+                    F.round("avg_logprob", 6).alias("avg_logprob"),
+                    F.round(F.exp(-F.col("avg_logprob")), 4).alias("pseudo_ppl")))
+
+
+def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id", min_docs: int = 2) -> DataFrame:
+    """Duplicate-n-gram fraction per document (Gopher/FineWeb-style
+    repetition-across-corpus filter) → (id, n_ngrams, n_dup, dup_frac).
+
+    An n-gram is "duplicated" when it occurs in ≥ ``min_docs`` distinct
+    documents; ``dup_frac`` is the fraction of a document's n-gram
+    *instances* that are duplicated.
+
+    Scale shape: n-grams built JVM-side (``transform`` over an index
+    sequence — no Python), exploded once; the docs-per-ngram table comes
+    from one distinct + hash agg; joined back on the ngram string.  At
+    100 TB swap the join key for ``xxhash64(ngram)`` (documented knob —
+    8-byte shuffle rows; 2^-64 collision odds merge two grams, shifting a
+    count by one) — kept exact-string here so the DuckDB oracle matches
+    bit-for-bit.
+    """
+    t = _tokens(F.col(text_col))
+    # explicit step: sequence(1, 0) without it counts DOWN → bogus grams
+    # for docs shorter than n tokens
+    grams = F.when(F.size(t) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1), F.lit(1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "))).otherwise(F.array())
+    ng = sdf.select(F.col(id_col).alias("id"),
+                    F.explode(grams).alias("gram"))
+    docs_per = (ng.distinct()
+                .groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs")))
+    return (ng.join(docs_per, "gram")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum(F.when(F.col("n_docs") >= min_docs, 1).otherwise(0)).alias("n_dup"))
+            .select(F.col("id").alias(id_col), "n_ngrams", "n_dup",
+                    F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias("dup_frac")))

@@ -383,7 +383,9 @@ def test_expr_surface_extras(spark):
 
     e = pl.col("x").alias("y")
     assert e.meta.output_name() == "y"
-    assert e.meta.undo_aliases().meta.output_name() is None
+    # undo_aliases returns the pre-alias chain: col("x"), output name "x"
+    # (meta_expr.rb:166 — previously this stripped the name to None)
+    assert e.meta.undo_aliases().meta.output_name() == "x"
     assert not e.meta.has_multiple_outputs()
     assert d.select(pl.col("a").keep_name()).columns == ["a"]
     assert d.select(pl.col("a").map_alias(lambda n: n + "_z")).columns == ["a_z"]

@@ -460,3 +460,35 @@ def test_calendar_window_closed_modes(spark):
     assert run("both") == [(12, 4, 1.0), (1, 4, 3.0), (2, 4, 4.0)]
     # boundary row dropped
     assert run("none") == [(1, 4, 2.0), (2, 4, 4.0)]
+
+
+def test_meta_ast_introspection():
+    """meta_expr.rb doctests: root_names/pop/eq/undo_aliases/tree_format over
+    the breadcrumb AST (no Spark session needed)."""
+    import polars_ruby_spark as pl
+
+    assert (pl.col("foo") * pl.col("bar")).meta.root_names() == ["foo", "bar"]
+    assert pl.col("foo").filter(pl.col("bar") == 13).meta.root_names() == ["foo", "bar"]
+    assert pl.col("foo").sum().over("groups").meta.root_names() == ["foo", "groups"]
+
+    foo_bar = pl.col("foo").alias("bar")
+    assert not foo_bar.meta.eq(pl.col("foo"))
+    assert foo_bar.meta.eq(pl.col("foo").alias("bar"))
+    assert foo_bar.meta.ne(pl.col("foo"))
+
+    first = foo_bar.meta.pop()[0]
+    assert first.meta.eq(pl.col("foo"))
+    assert not first.meta.eq(pl.col("bar"))
+
+    assert foo_bar.meta.undo_aliases().meta.eq(pl.col("foo"))
+
+    t = ((pl.col("foo") * pl.col("bar")).sum().over(pl.col("ham")) / 2)
+    s = t.meta.tree_format(return_as_string=True)
+    assert 'col("foo")' in s and 'col("ham")' in s and "window" in s
+
+    # different binary ops are never structurally equal
+    assert (pl.col("a") + pl.col("b")).meta.ne(pl.col("a") - pl.col("b"))
+    # named-function ops compare structurally (F.abs carries its name)
+    assert pl.col("a").abs().meta.eq(pl.col("a").abs())
+    e = pl.col("a").abs()
+    assert e.meta.eq(e)
