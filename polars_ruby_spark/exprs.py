@@ -51,6 +51,11 @@ class _BindContext:
 bind_context = _BindContext()
 
 
+#: "argument omitted" sentinel (reference Expr::NO_DEFAULT, expr.rb:7071) —
+#: distinguishes replace_strict() strict-raise from explicit default=None.
+_NO_DEFAULT = object()
+
+
 def _op_label(f, default: str = "function") -> str:
     """Best-effort op name for meta breadcrumbs (lambdas → the default)."""
     n = getattr(f, "__name__", "")
@@ -1700,13 +1705,13 @@ class Expr:
 
         return Expr(fn, name=self._name)
 
-    def replace_strict(self, old, new=None, default=None):
-        """Value mapping, unmatched → default (null if none; expr.rb:7071).
-
-        Deviation: polars raises on unmatched-without-default; a distributed
-        engine can't cheaply detect that mid-expression, so we document
-        null-fill instead (same as default: nil).
-        """
+    def replace_strict(self, old, new=None, default=_NO_DEFAULT):
+        """Value mapping (expr.rb:7071): unmatched → ``default`` when given,
+        else RAISES at execution time — compiled to a JVM-side
+        ``F.raise_error`` in the otherwise-branch, so the check rides the
+        same codegen projection (no extra job, no driver scan); matches the
+        reference's strict semantics.  Pass ``default=None`` explicitly to
+        null-fill unmatched values."""
         mapping = dict(old) if isinstance(old, dict) else dict(zip(old, new))
 
         def fn(df, part):
@@ -1715,7 +1720,11 @@ class Expr:
             for k, v in mapping.items():
                 cond = c.eqNullSafe(F.lit(k))
                 out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
-            if default is None:
+            if default is _NO_DEFAULT:
+                fallback = F.raise_error(F.concat(
+                    F.lit("replace_strict: value not mapped: "),
+                    F.coalesce(c.cast("string"), F.lit("null"))))
+            elif default is None:
                 fallback = F.lit(None)
             else:
                 fallback = default._fn(df, part) if isinstance(default, Expr) else F.lit(default)
@@ -1873,20 +1882,16 @@ class Expr:
 
         Row-count-changing → sole-select-expression rule.  Deterministic
         engine-defined pick (md5 of seed+row index — the reference's own
-        docs skip-list seeded ops from bit-compat); only without-replacement
-        semantics are implemented, and the default now says so (advice r2).
+        docs skip-list seeded ops from bit-compat).
         Both ``n`` and ``frac`` omitted → n=1 (reference default).  Scale:
         ``frac`` is a flat filter (no shuffle); ``n`` is a TakeOrdered
-        global top-k.
+        global top-k; with_replacement draws are a broadcast join of a
+        seeded draw table (one count action at bind, no collect of data).
         """
         if n is not None and frac is not None:
             raise ValueError("cannot specify both `n` and `frac`")
         if n is None and frac is None:
             n = 1  # reference default (expr.rb:6338)
-        if with_replacement:
-            raise NotImplementedError(
-                "sample(with_replacement=True): only without-replacement "
-                "sampling is implemented")
         inner = self
 
         def frame_fn(lf, out_name):
@@ -1898,6 +1903,18 @@ class Expr:
             out_name = out_name or inner._name or "sample"
             named = df.select(F.col(ROW_IDX).alias("__i__"),
                               inner._fn(df, None).alias(out_name))
+            if with_replacement:
+                # deterministic draws: index_j = md5(seed|j) mod height,
+                # joined back on the row index (draw table ≤ n rows →
+                # broadcast; duplicates ARE the with-replacement semantics)
+                total = named.count()
+                draws = n if n is not None else int(round((frac or 1.0) * total))
+                dk = F.md5(F.concat_ws("|", F.lit(str(s)), F.col("id")))
+                d = (df.sparkSession.range(draws)
+                     .select((F.conv(F.substring(dk, 1, 12), 16, 10)
+                              .cast("long") % F.lit(total)).alias("__i__")))
+                out = F.broadcast(d).join(named, "__i__")
+                return LazyFrame(out.select(out_name))
             key = F.md5(F.concat_ws("|", F.lit(str(s)), F.col("__i__")))
             if n is not None:
                 out = named.withColumn("__k__", key).orderBy("__k__").limit(n)

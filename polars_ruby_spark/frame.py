@@ -517,6 +517,19 @@ class LazyFrame:
     describe_plan = explain
     describe_optimized_plan = explain
 
+    def write_json(self, file=None):
+        """lazy_frame.rb:146 — serialize the LOGICAL PLAN (not data) to
+        JSON.  The reference writes polars' DSL plan; here it's Spark's
+        analyzed logical plan (`TreeNode.toJSON`) — same introspection use,
+        not cross-engine round-trippable (neither is the reference's across
+        versions).  Returns the JSON string when ``file`` is None."""
+        s = self._sdf._jdf.queryExecution().analyzed().toJSON()
+        if file is None:
+            return s
+        with open(file, "w") as f:
+            f.write(s)
+        return None
+
     # -- sinks (already out-of-core in Spark — SURVEY §2.1) -------------------------------------
     def sink_parquet(self, path: str, compression: str = "zstd", mode: str = "overwrite", **kw):
         self.to_spark().write.mode(mode).parquet(path, compression=compression)

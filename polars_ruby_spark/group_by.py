@@ -172,6 +172,28 @@ class GroupBy(LazyGroupBy):
     def tail(self, n: int = 5):
         return self._wrap(super().tail(n))
 
+    def __iter__(self):
+        return self.each()
+
+    def each(self):
+        """group_by.rb:35 — iterate ``(group_name, sub-frame)`` pairs.
+
+        Driver-side by nature (an iterator of frames); the partitioning
+        itself is ``partition_by``'s one distinct-keys collect — each
+        sub-frame stays a distributed filter, not a collected table."""
+        key_names = [n or e._name for n, e in self._keys]
+        parts = self._wrap(self._lf).partition_by(key_names, as_dict=True)
+        yield from parts.items()
+
+    def plot(self, *args, **kwargs):
+        """group_by.rb:605 — grouped Vega-Lite spec via DataFrame.plot."""
+        key_names = [n or e._name for n, e in self._keys]
+        if len(key_names) > 1:
+            raise ValueError("Multiple groups not supported")
+        if "group" in kwargs:
+            raise TypeError("unknown keyword: group")
+        return self._wrap(self._lf).plot(*args, group=key_names[0], **kwargs)
+
 
 class DynamicGroupBy:
     """group_by_dynamic (lazy_frame.rb:1416): event-time tumbling/hopping

@@ -472,3 +472,36 @@ def test_driver_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     missing = set(os_) - set(qs)
     assert not missing  # every oracle key must have a query
+
+
+def test_replace_strict_raises_on_unmapped(spark):
+    """expr.rb:7071 — strict mapping without default raises at execution;
+    compiled to a JVM raise_error in the fallback branch (no extra job)."""
+    import pytest as _pytest
+
+    df = pl.from_hash({"s": ["a", "b", "c"]})
+    # all values mapped: fine
+    out = df.lazy().select(pl.col("s").replace_strict(
+        {"a": 1, "b": 2, "c": 3}).alias("v")).collect().to_a()
+    assert [r["v"] for r in out] == [1, 2, 3]
+    # unmapped value: execution-time error
+    with _pytest.raises(Exception, match="replace_strict"):
+        df.lazy().select(pl.col("s").replace_strict({"a": 1}).alias("v")).collect().to_a()
+    # explicit default=None null-fills
+    out2 = df.lazy().select(pl.col("s").replace_strict(
+        {"a": 1}, default=None).alias("v")).collect().to_a()
+    assert [r["v"] for r in out2] == [1, None, None]
+
+
+def test_expr_sample_with_replacement(spark):
+    """With-replacement draws: deterministic seeded draw table joined back
+    on the row index — n rows out, duplicates possible, reproducible."""
+    df = pl.from_hash({"x": [10, 20, 30, 40, 50]})
+    out1 = df.lazy().select(pl.col("x").sample(n=8, with_replacement=True,
+                                               seed=7)).collect().to_a()
+    out2 = df.lazy().select(pl.col("x").sample(n=8, with_replacement=True,
+                                               seed=7)).collect().to_a()
+    vals1 = sorted(r["x"] for r in out1)
+    assert len(vals1) == 8                      # more draws than rows
+    assert set(vals1) <= {10, 20, 30, 40, 50}
+    assert vals1 == sorted(r["x"] for r in out2)  # seed-reproducible

@@ -492,3 +492,33 @@ def test_meta_ast_introspection():
     assert pl.col("a").abs().meta.eq(pl.col("a").abs())
     e = pl.col("a").abs()
     assert e.meta.eq(e)
+
+
+def test_lazyframe_write_json_plan(spark, tmp_path):
+    """lazy_frame.rb:146 — logical-plan JSON serialization (plan, not data)."""
+    import json as _json
+
+    df = pl.from_hash({"a": [1, 2, 3]})
+    lf = df.lazy().filter(pl.col("a") > 1)
+    s = lf.write_json()
+    assert s and "Filter" in s
+    _json.loads(s.splitlines()[0] if "\n" in s else s)  # valid JSON
+    p = str(tmp_path / "plan.json")
+    assert lf.write_json(p) is None
+    assert open(p).read() == s
+
+
+def test_group_by_each_and_plot(spark):
+    """group_by.rb:35 each → (group, sub-frame) pairs; :605 plot delegates
+    with group=key and rejects multi-key/explicit-group."""
+    import pytest as _pytest
+
+    df = pl.DataFrame({"g": ["a", "b", "a"], "v": [1, 2, 3]})
+    got = {k: sorted(r["v"] for r in f.to_a()) for k, f in df.group_by("g").each()}
+    assert got == {"a": [1, 3], "b": [2]}
+    assert got == {k: sorted(r["v"] for r in f.to_a())
+                   for k, f in df.group_by("g")}  # __iter__ alias
+    spec = df.group_by("g").plot("v", "v", type="scatter")
+    assert "encoding" in spec
+    with _pytest.raises(ValueError):
+        df.group_by(["g", "v"]).plot("v", "v")
