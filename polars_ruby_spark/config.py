@@ -56,9 +56,100 @@ class Config:
     def set_verbose(flag: bool = True):
         return None
 
+    # remaining display-formatting toggles (config.rb:116-525): stored so
+    # Config.state round-trips; Spark-side repr is plain-text, most have no
+    # visual effect here (accepted state, documented no-op rendering)
     @staticmethod
-    def restore_defaults():
-        _STATE.update({"tbl_rows": 10, "tbl_cols": 8, "fmt_str_lengths": 30})
+    def activate_decimals(active: bool = True):
+        _STATE["decimals"] = bool(active)
+
+    @staticmethod
+    def set_ascii_tables(active: bool = True):
+        _STATE["ascii_tables"] = bool(active)
+
+    @staticmethod
+    def set_auto_structify(active: bool = True):
+        _STATE["auto_structify"] = bool(active)
+
+    @staticmethod
+    def set_fmt_float(fmt: str = "mixed"):
+        if fmt not in ("mixed", "full"):
+            raise ValueError("fmt_float must be 'mixed' or 'full'")
+        _STATE["fmt_float"] = fmt
+
+    @staticmethod
+    def set_tbl_cell_alignment(format: str):
+        if format not in ("LEFT", "CENTER", "RIGHT"):
+            raise ValueError("alignment must be LEFT/CENTER/RIGHT")
+        _STATE["tbl_cell_alignment"] = format
+
+    @staticmethod
+    def set_tbl_column_data_type_inline(active: bool = True):
+        _STATE["tbl_dtype_inline"] = bool(active)
+
+    @staticmethod
+    def set_tbl_dataframe_shape_below(active: bool = True):
+        _STATE["tbl_shape_below"] = bool(active)
+
+    @staticmethod
+    def set_tbl_formatting(format=None, rounded_corners: bool = False):
+        _STATE["tbl_formatting"] = (format, bool(rounded_corners))
+
+    @staticmethod
+    def set_tbl_hide_column_data_types(active: bool = True):
+        _STATE["tbl_hide_dtypes"] = bool(active)
+
+    @staticmethod
+    def set_tbl_hide_column_names(active: bool = True):
+        _STATE["tbl_hide_names"] = bool(active)
+
+    @staticmethod
+    def set_tbl_hide_dtype_separator(active: bool = True):
+        _STATE["tbl_hide_dtype_sep"] = bool(active)
+
+    @staticmethod
+    def set_tbl_hide_dataframe_shape(active: bool = True):
+        _STATE["tbl_hide_shape"] = bool(active)
+
+    @staticmethod
+    def set_tbl_width_chars(width: int):
+        _STATE["tbl_width_chars"] = int(width)
+
+    _DEFAULTS = {"tbl_rows": 10, "tbl_cols": 8, "fmt_str_lengths": 30}
+
+    @classmethod
+    def restore_defaults(cls):
+        # random_seed is set via Polars.set_random_seed (a module fn, not a
+        # Config option) — a Config reset must not clear it
+        seed = _STATE.get("random_seed")
+        _STATE.clear()
+        _STATE.update(cls._DEFAULTS)
+        if seed is not None:
+            _STATE["random_seed"] = seed
+
+    @classmethod
+    def state(cls, if_set: bool = False, env_only: bool = False):
+        """config.rb:94 — current option mapping."""
+        if env_only:
+            return {}
+        if if_set:
+            return {k: v for k, v in _STATE.items()
+                    if cls._DEFAULTS.get(k) != v}
+        return dict(_STATE)
+
+    @classmethod
+    def save(cls) -> str:
+        import json
+
+        return json.dumps(_STATE)
+
+    @classmethod
+    def load(cls, cfg: str):
+        import json
+
+        cls.restore_defaults()
+        _STATE.update(json.loads(cfg))
+        return cls
 
 
 # string cache (string_cache.rb:37-45): categorical dictionary interning is

@@ -94,6 +94,14 @@ class Expr:
     #: still binds the windowed column fn.
     _global_ordinal_fn = None
 
+    #: grouped-remap hook: ``(sdf, key_exprs) -> (new_sdf, tmp_col_name)``.
+    #: Set on sort/reverse/shuffle so a GROUPED ``over(keys)`` binding routes
+    #: through the rank-zip join (operators/row_index.attach_grouped_rank_zip)
+    #: instead of a collect_list + per-row array remap that is O(|group|²)
+    #: time and bytes.  ``over()`` converts it into a ``_global_ordinal_fn``
+    #: closed over the keys.
+    _grouped_remap_fn = None
+
     #: lightweight AST breadcrumb ``(op, children_exprs, payload)`` attached
     #: by the central combinators (col/lit/_lift/_lift2/_agg/_ordered/alias/
     #: over) — powers meta.root_names/pop/tree_format/eq (meta_expr.rb)
@@ -141,12 +149,25 @@ class Expr:
         if self._multi_fn is not None:
             mf = self._multi_fn
             return Expr(multi_fn=lambda df: [e._lift(f, None, is_agg, needs_order) for e in mf(df)])
-        return Expr(
+        out = Expr(
             lambda df, part: f(self._fn(df, part)),
             name=name if name is not None else self._name,
             is_agg=self._is_agg if is_agg is None else is_agg,
             needs_order=self._needs_order if needs_order is None else needs_order,
         )._set_meta(_op_label(f), (self,))
+        if self._global_ordinal_fn is not None:
+            # compose the pure Column fn on top of the attached hook column
+            # so e.g. cum_sum().round(2) / sort().over(k).round(2) keep the
+            # multi-task attachment instead of regressing to a global window
+            sgfn = self._global_ordinal_fn
+
+            def gfn(sdf, _f=f):
+                sdf2, tmp = sgfn(sdf)
+                tmp2 = _next_gord_name()
+                return sdf2.withColumn(tmp2, _f(F.col(tmp))).drop(tmp), tmp2
+
+            out._global_ordinal_fn = gfn
+        return out
 
     def _lift_ctx(self, f: Callable[[Column, DataFrame, Any], Column],
                   needs_order: bool = False) -> "Expr":
@@ -586,6 +607,19 @@ class Expr:
                 sdf, lambda df: inner._fn(df, None), seed, tmp), tmp
 
         e._global_ordinal_fn = gfn
+
+        def remap(sdf, key_exprs):
+            from .operators.row_index import attach_grouped_rank_zip
+
+            tmp = _next_gord_name()
+            rk = (F.xxhash64(F.col(ROW_IDX), F.lit(seed)) if seed is not None
+                  else (F.rand() * 1e18).cast("long"))
+            return attach_grouped_rank_zip(
+                sdf, lambda df: inner._fn(df, None),
+                lambda df: [ke._fn(df, None) for ke in key_exprs],
+                tmp, lambda _df: [rk.asc(), F.col(ROW_IDX).asc()]), tmp
+
+        e._grouped_remap_fn = remap
         return e
 
     def interpolate(self, method: str = "linear"):
@@ -1122,6 +1156,17 @@ class Expr:
                 sdf, lambda df: inner._fn(df, None), tmp), tmp
 
         e._global_ordinal_fn = gfn
+
+        def remap(sdf, key_exprs):
+            from .operators.row_index import attach_grouped_rank_zip
+
+            tmp = _next_gord_name()
+            return attach_grouped_rank_zip(
+                sdf, lambda df: inner._fn(df, None),
+                lambda df: [ke._fn(df, None) for ke in key_exprs],
+                tmp, lambda _df: [F.col(ROW_IDX).desc()]), tmp
+
+        e._grouped_remap_fn = remap
         return e
 
     def rank(self, method: str = "average", descending: bool = False, seed=None):
@@ -1271,17 +1316,51 @@ class Expr:
 
     def sort(self, reverse: bool = False, descending: bool = False,
              nulls_last: bool = False):
+        desc = reverse or descending
+
         def fn(df, part):
+            # window fallback (only reachable when a composed unplanned agg
+            # blocks the rank-zip attach): collect + per-row array remap —
+            # O(|group|²); the over() binding routes grouped use through
+            # attach_grouped_rank_zip instead.  Nulls ride inside structs
+            # (collect_list drops bare nulls) with a front/back flag chosen
+            # so the post-reverse placement matches polars (nulls first
+            # unless nulls_last).
             c = self._fn(df, part)
             both = Window.partitionBy(*(part or [])).orderBy(ROW_IDX).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing)
-            arr = F.array_sort(F.collect_list(c).over(both))
-            if reverse or descending:
-                arr = F.reverse(arr)
+            null_front_pre = nulls_last == desc
+            flag = F.when(c.isNull(), F.lit(0 if null_front_pre else 1)) \
+                .otherwise(F.lit(1 if null_front_pre else 0))
+            arr = F.array_sort(F.collect_list(
+                F.struct(flag.alias("f"), c.alias("v"))).over(both))
+            vals = F.transform(arr, lambda s: s["v"])
+            if desc:
+                vals = F.reverse(vals)
             pos = F.row_number().over(Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
-            return F.element_at(arr, pos)
+            return F.element_at(vals, pos)
 
-        return Expr(fn, name=self._name, needs_order=True)
+        e = Expr(fn, name=self._name, needs_order=True)
+        inner = self
+
+        def remap(sdf, key_exprs):
+            from .operators.row_index import attach_grouped_rank_zip
+
+            tmp = _next_gord_name()
+            v = F.col("__gz_val__")
+            if desc:
+                vo = v.desc_nulls_last() if nulls_last else v.desc_nulls_first()
+                order = lambda _df: [vo, F.col(ROW_IDX).desc()]  # noqa: E731
+            else:
+                vo = v.asc_nulls_last() if nulls_last else v.asc_nulls_first()
+                order = lambda _df: [vo, F.col(ROW_IDX).asc()]  # noqa: E731
+            return attach_grouped_rank_zip(
+                sdf, lambda df: inner._fn(df, None),
+                lambda df: [ke._fn(df, None) for ke in key_exprs],
+                tmp, order), tmp
+
+        e._grouped_remap_fn = remap
+        return e
 
     def sort_by(self, by, descending: bool = False):
         by_list = by if isinstance(by, (list, tuple)) else [by]
@@ -1573,11 +1652,30 @@ class Expr:
     def rle(self):
         """Compress runs into (len, value) struct rows (expr.rb:2646).
 
-        Inherently sequential over the full row order: collect once, fold to
-        runs, re-explode.  The output is at most n_runs rows but the fold is
-        single-cell — a parity op for modest columns; for distributed
-        run analysis use ``rle_id()`` + group_by (gaps-and-islands, q27).
+        Sole-select binding is DISTRIBUTED gaps-and-islands: run ids from
+        the scale-safe two-pass ``attach_global_rle_id`` → one hash agg per
+        run (len = count, value = any member) → ordered by run id.  The
+        former single-cell ``F.aggregate`` fold re-built the accumulator
+        array per element — O(n²) copies in one task (>90 s at 150k rows;
+        this shape: sub-second).  The fold remains only as the agg-context
+        fallback (lists inside group_by.agg are per-group small).
         """
+        inner = self
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+            from .operators.row_index import attach_global_rle_id
+
+            out_name = out_name or inner._name or "rle"
+            df = lf._ensure_row_index()._sdf
+            with_id = attach_global_rle_id(
+                df, lambda d: inner._fn(d, None), "__rle_rid__")
+            runs = (with_id.groupBy("__rle_rid__")
+                    .agg(F.count(F.lit(1)).alias("len"),
+                         F.any_value(inner._fn(with_id, None)).alias("value")))
+            out = (runs.orderBy("__rle_rid__")
+                   .select(F.struct(F.col("len"), F.col("value")).alias(out_name)))
+            return LazyFrame(out)
 
         def fn(df, part):
             c = self._fn(df, part)
@@ -1603,7 +1701,9 @@ class Expr:
 
             return F.explode(F.aggregate(vals, init, merge))
 
-        return Expr(fn, name=self._name, needs_order=True)
+        e = Expr(fn, name=self._name, needs_order=True)
+        e._frame_fn = frame_fn
+        return e
 
     def rle_id(self):
         """Run ids (expr.rb:2674): gaps-and-islands cumsum of change points."""
@@ -1748,9 +1848,14 @@ class Expr:
             cols = [e._fn(df, None) for e in key_exprs]
             return self._fn(df, cols)
 
-        return Expr(fn, name=self._name, is_agg=False,
-                    needs_order=self._needs_order)._set_meta(
-                        "window", (self, *key_exprs))
+        out = Expr(fn, name=self._name, is_agg=False,
+                   needs_order=self._needs_order)._set_meta(
+                       "window", (self, *key_exprs))
+        if self._grouped_remap_fn is not None:
+            remap = self._grouped_remap_fn
+            out._global_ordinal_fn = lambda sdf: remap(sdf, key_exprs)
+            out._needs_order = True
+        return out
 
     # -- misc ---------------------------------------------------------------------------
     def filter(self, predicate):

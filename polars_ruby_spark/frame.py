@@ -124,6 +124,7 @@ class LazyFrame:
         # per-row and aggregate parts (x - x.mean()) cannot land in df.agg —
         # the analysis probe fails and they keep the global-window binding.
         scalar_plan: dict[int, str] = {}
+        one = None
         if not (context == "select" and all_agg):
             probe_cols = []
             for k, (name, e) in enumerate(expanded):
@@ -138,10 +139,28 @@ class LazyFrame:
                 scalar_plan[k] = tmp
                 probe_cols.append(c.alias(tmp))
             if probe_cols:
-                one = sdf.agg(*probe_cols)
-                sdf = sdf.crossJoin(F.broadcast(one))
-        cols = []
+                one = sdf.agg(*probe_cols)  # over the PRE-attach frame
         helpers = list(scalar_plan.values())
+        # ordinal hooks may run alongside aggregates as long as every agg
+        # was scalar-planned (its value is already a plain attached column);
+        # only an unplanned composed agg (global-window binding) blocks them
+        unplanned_agg = any(e._is_agg and k not in scalar_plan
+                            for k, (_, e) in enumerate(expanded)) and not (
+                                context == "select" and all_agg)
+        # attach ordinal hooks BEFORE the scalar crossJoin so the attach's
+        # internal self-branches (rank-zip vals side) don't drag a vestigial
+        # pruned one-row broadcast through their plans
+        hook_cols: dict[int, str] = {}
+        if not (context == "select" and all_agg) and not unplanned_agg:
+            for k, (name, e) in enumerate(expanded):
+                if e._is_agg or e._global_ordinal_fn is None:
+                    continue
+                sdf, tmp = e._global_ordinal_fn(sdf)
+                hook_cols[k] = tmp
+                helpers.append(tmp)
+        if one is not None:
+            sdf = sdf.crossJoin(F.broadcast(one))
+        cols = []
         for k, (name, e) in enumerate(expanded):
             if context == "select" and all_agg:
                 c = e._fn(sdf, None)          # plain aggregate → df.agg
@@ -149,12 +168,10 @@ class LazyFrame:
                 c = F.col(scalar_plan[k])
             elif e._is_agg and (context == "with_columns" or any_agg):
                 c = e._fn(sdf, [])            # composed agg: global window
-            elif e._global_ordinal_fn is not None and not any_agg:
-                # ungrouped ordinal (cum_*/reverse/shuffle): two-pass
-                # partition-prefix attach instead of a single-task window
-                sdf, tmp = e._global_ordinal_fn(sdf)
-                helpers.append(tmp)
-                c = F.col(tmp)
+            elif k in hook_cols:
+                # ungrouped ordinal / grouped remap: two-pass attach instead
+                # of a single-task or per-row-array window
+                c = F.col(hook_cols[k])
             else:
                 c = e._fn(sdf, None)
             alias = name or e._name

@@ -330,13 +330,17 @@ def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
     grams = F.when(F.size(t) >= n, F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1), F.lit(1)),
         lambda i: F.array_join(F.slice(t, i, n), " "))).otherwise(F.array())
+    # explode_OUTER: a signal operator must not silently drop documents —
+    # docs shorter than n tokens keep one null-gram row and surface as
+    # n_ngrams=0, dup_frac=null
     ng = sdf.select(F.col(id_col).alias("id"),
-                    F.explode(grams).alias("gram"))
-    docs_per = (ng.distinct()
+                    F.explode_outer(grams).alias("gram"))
+    docs_per = (ng.where(F.col("gram").isNotNull()).distinct()
                 .groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs")))
-    return (ng.join(docs_per, "gram")
+    return (ng.join(docs_per, "gram", "left")
             .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+            .agg(F.count(F.col("gram")).alias("n_ngrams"),
                  F.sum(F.when(F.col("n_docs") >= min_docs, 1).otherwise(0)).alias("n_dup"))
-            .select(F.col("id").alias(id_col), "n_ngrams", "n_dup",
+            .select(F.col("id").alias(id_col), "n_ngrams",
+                    F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
                     F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias("dup_frac")))

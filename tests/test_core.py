@@ -505,3 +505,58 @@ def test_expr_sample_with_replacement(spark):
     assert len(vals1) == 8                      # more draws than rows
     assert set(vals1) <= {10, 20, 30, 40, 50}
     assert vals1 == sorted(r["x"] for r in out2)  # seed-reproducible
+
+
+def test_sort_under_over_rank_zip(spark):
+    """Grouped sort/reverse/shuffle remap via rank-zip join: values, null
+    placement (polars: nulls first unless nulls_last), and plan shape (no
+    collect_list / per-row arrays)."""
+    df = pl.from_hash({"i": list(range(8)),
+                       "g": ["a", "b", "a", "b", "a", "b", "a", "b"],
+                       "v": [3.0, 10.0, None, 30.0, 1.0, None, 2.0, 20.0]})
+    out = (df.lazy().with_columns(
+        pl.col("v").sort().over("g").alias("s_asc"),
+        pl.col("v").sort(descending=True).over("g").alias("s_desc"),
+        pl.col("v").sort(nulls_last=True).over("g").alias("s_nl"),
+        pl.col("v").reverse().over("g").alias("rev"),
+    ).sort("i").collect().to_a())
+    # group a rows (i=0,2,4,6), values [3.0, None, 1.0, 2.0]
+    a = [r for r in out if r["g"] == "a"]
+    assert [r["s_asc"] for r in a] == [None, 1.0, 2.0, 3.0]   # nulls first
+    assert [r["s_desc"] for r in a] == [None, 3.0, 2.0, 1.0]  # nulls first
+    assert [r["s_nl"] for r in a] == [1.0, 2.0, 3.0, None]    # nulls last
+    assert [r["rev"] for r in a] == [2.0, 1.0, None, 3.0]
+    b = [r for r in out if r["g"] == "b"]
+    assert [r["s_asc"] for r in b] == [None, 10.0, 20.0, 30.0]
+
+    # composed post-over lift keeps the attachment (round on top)
+    out2 = (df.lazy().with_columns(
+        pl.col("v").sort().over("g").round(1).alias("s"))
+        .sort("i").collect().to_a())
+    assert [r["s"] for r in out2 if r["g"] == "a"] == [None, 1.0, 2.0, 3.0]
+
+    # plan shape: no collect_list window (the O(g²) remap) in the plan
+    plan = (df.lazy().with_columns(
+        pl.col("v").sort().over("g").alias("s"))
+        .to_spark()._jdf.queryExecution().executedPlan().toString())
+    assert "collect_list" not in plan
+
+    # grouped shuffle: a permutation of each group, seed-stable
+    s1 = (df.lazy().with_columns(
+        pl.col("v").shuffle(seed=3).over("g").alias("p")).sort("i").collect().to_a())
+    s2 = (df.lazy().with_columns(
+        pl.col("v").shuffle(seed=3).over("g").alias("p")).sort("i").collect().to_a())
+    assert [r["p"] for r in s1] == [r["p"] for r in s2]
+    for grp in ("a", "b"):
+        got = sorted((r["p"] is None, r["p"] or 0) for r in s1 if r["g"] == grp)
+        want = sorted((r["v"] is None, r["v"] or 0) for r in s1 if r["g"] == grp)
+        assert got == want
+
+
+def test_rle_distributed_frame_path(spark):
+    """Sole-select rle routes through gaps-and-islands (no single-cell fold);
+    runs and order match the sequential semantics."""
+    df = pl.from_hash({"x": [1, 1, 2, 2, 2, 1, None, None, 3]})
+    out = df.lazy().select(pl.col("x").rle().alias("r")).collect().to_a()
+    runs = [(r["r"]["len"], r["r"]["value"]) for r in out]
+    assert runs == [(2, 1), (3, 2), (1, 1), (2, None), (1, 3)]

@@ -529,3 +529,40 @@ def test_minhash_bucket_cap_safe_after_exact_dedup(spark):
     capped = set(map(key, dedup.minhash_dedup_pairs(surv_df, max_bucket_size=25).collect()))
     uncapped = set(map(key, dedup.minhash_dedup_pairs(surv_df, max_bucket_size=None).collect()))
     assert capped == uncapped and capped
+
+
+def test_config_surface_roundtrip():
+    """config.rb:51-525 — full setter surface + save/load/state round-trip."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.config import Config, _STATE
+
+    Config.restore_defaults()
+    Config.set_tbl_rows(25)
+    Config.set_fmt_float("full")
+    Config.set_ascii_tables(True)
+    Config.set_tbl_width_chars(120)
+    st = Config.state(if_set=True)
+    assert st["tbl_rows"] == 25 and st["fmt_float"] == "full"
+    saved = Config.save()
+    Config.restore_defaults()
+    assert Config.state()["tbl_rows"] == 10
+    Config.load(saved)
+    assert Config.state()["tbl_rows"] == 25
+
+    # context form restores on exit
+    with Config(tbl_rows=3):
+        assert _STATE["tbl_rows"] == 3
+    assert _STATE["tbl_rows"] == 25
+
+    # invalid enum values raise like the reference
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Config.set_fmt_float("bogus")
+    with _pytest.raises(ValueError):
+        Config.set_tbl_cell_alignment("MIDDLE")
+
+    # restore_defaults must not clear the module-level random seed
+    pl.set_random_seed(99)
+    Config.restore_defaults()
+    assert _STATE["random_seed"] == 99
+    Config.restore_defaults()

@@ -291,3 +291,64 @@ def test_gather_every_matches_slicing(spark, n, offset, size):
     data = list(range(size))
     s = pl.Series("x", data)
     assert s.gather_every(n, offset).to_list() == data[offset::n]
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_words, min_size=0, max_size=8).map(" ".join)
+
+
+@SET
+@given(st.lists(_doc, min_size=1, max_size=10))
+def test_dup_ngram_fraction_property(spark, docs):
+    """dup_ngram_fraction vs a pure-python reference over random tiny docs
+    (covers <n-token docs, all-dup corpora, singleton grams)."""
+    from collections import Counter
+
+    from polars_ruby_spark.operators.text import dup_ngram_fraction
+
+    n = 2
+    df = pl.from_hash({"doc_id": list(range(len(docs))), "text": docs})
+    rows = {r["doc_id"]: r for r in
+            dup_ngram_fraction(df._sdf, n=n).collect()}
+
+    def grams(t):
+        tk = t.lower().split(" ")
+        return [" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)]
+
+    docs_per = Counter()
+    for i, t in enumerate(docs):
+        for g in set(grams(t)):
+            docs_per[g] += 1
+    for i, t in enumerate(docs):
+        gs = grams(t)
+        r = rows[i]  # every doc keeps a row — short docs are NOT dropped
+        if not gs:
+            assert r["n_ngrams"] == 0 and r["n_dup"] == 0
+            assert r["dup_frac"] is None
+            continue
+        dup = sum(1 for g in gs if docs_per[g] >= 2)
+        assert r["n_ngrams"] == len(gs)
+        assert r["n_dup"] == dup
+        assert _close(r["dup_frac"], round(dup / len(gs), 4), tol=1e-9)
+
+
+@SET
+@given(st.lists(_doc.filter(lambda s: s), min_size=1, max_size=10))
+def test_unigram_logprob_property(spark, docs):
+    """unigram_logprob vs a pure-python MLE unigram model."""
+    import math as _m
+    from collections import Counter
+
+    from polars_ruby_spark.operators.text import unigram_logprob
+
+    df = pl.from_hash({"doc_id": list(range(len(docs))), "text": docs})
+    rows = {r["doc_id"]: r for r in unigram_logprob(df._sdf).collect()}
+
+    counts = Counter(t for d in docs for t in d.lower().split(" "))
+    total = sum(counts.values())
+    for i, d in enumerate(docs):
+        toks = d.lower().split(" ")
+        avg = sum(_m.log(counts[t] / total) for t in toks) / len(toks)
+        r = rows[i]
+        assert r["n_tokens"] == len(toks)
+        assert _close(r["avg_logprob"], round(avg, 6), tol=1e-5)
