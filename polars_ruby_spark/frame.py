@@ -973,7 +973,15 @@ class DataFrame(LazyFrame):
     to_numo = to_numpy  # numo is ruby's numpy
 
     def write_ipc_stream(self, path, **kw):
-        return self.write_ipc(path, **kw)
+        """data_frame.rb write_ipc_stream — Arrow STREAMING format (no
+        footer; distinct from the random-access file format write_ipc
+        emits; io/ipc.rb:150)."""
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        table = pa.Table.from_pandas(self.to_pandas())
+        with ipc.new_stream(str(path), table.schema) as w:
+            w.write_table(table)
 
     def write_ipc(self, path, **kw):
         import pyarrow as pa

@@ -96,7 +96,15 @@ class StringNameSpace(_NS):
         return self._e._lift(f)
 
     def splitn(self, by: str, n: int) -> Expr:
-        return self._e._lift(lambda c: F.split(c, re.escape(by), n))
+        """string_expr.rb:1140 — struct[n] of fields, missing splits padded
+        with null (was: a bare variable-length array)."""
+
+        def f(c):
+            parts = F.split(c, re.escape(by), n)
+            return F.struct(*[F.element_at(parts, i + 1).alias(f"field_{i}")
+                              for i in range(n)])
+
+        return self._e._lift(f)
 
     def len_bytes(self) -> Expr:
         return self._e._lift(F.octet_length)
@@ -149,7 +157,21 @@ class StringNameSpace(_NS):
         return self._e._lift(lambda c: F.rpad(c, length, fill_char))
 
     def zfill(self, length: int) -> Expr:
-        return self._e._lift(lambda c: F.lpad(c, length, "0"))
+        """string_expr.rb:630 — sign-aware zero fill; unlike bare lpad it
+        never truncates (width <= len(s) returns s) and pads AFTER a
+        leading +/- sign."""
+
+        def f(c):
+            sign = F.substring(c, 1, 1)
+            signed = sign.isin("+", "-")
+            padded = F.when(
+                signed,
+                F.concat(sign, F.lpad(F.substring(c, 2, 2147483646),
+                                      max(length - 1, 0), "0"))
+            ).otherwise(F.lpad(c, length, "0"))
+            return F.when(F.length(c) >= length, c).otherwise(padded)
+
+        return self._e._lift(f)
 
     def slice(self, offset: int, length: int | None = None) -> Expr:
         def f(c):
@@ -440,11 +462,19 @@ class DateTimeNameSpace(_NS):
 
         return self._e._lift(f)
 
+    def _time_of_day(self, c):
+        # polars month_start/month_end RETAIN the time component
+        # (date_time_expr.rb:1317 doctest: 02:00:00 survives the roll)
+        ts = c.cast("timestamp")
+        return ts - F.date_trunc("day", ts)
+
     def month_start(self) -> Expr:
-        return self._e._lift(lambda c: F.date_trunc("month", c))
+        return self._e._lift(
+            lambda c: F.date_trunc("month", c) + self._time_of_day(c))
 
     def month_end(self) -> Expr:
-        return self._e._lift(lambda c: F.to_timestamp(F.last_day(c)))
+        return self._e._lift(
+            lambda c: F.to_timestamp(F.last_day(c)) + self._time_of_day(c))
 
     def is_leap_year(self) -> Expr:
         def f(c):
@@ -567,7 +597,11 @@ class ListNameSpace(_NS):
         return self.slice(0, n)
 
     def tail(self, n: int = 5) -> Expr:
-        return self._e._lift(lambda c: F.slice(c, -n, n))
+        # negative start must clamp to the list head: slice([5], -2, 2)
+        # starts before the list and returns [] — polars returns the whole
+        # list when n >= len
+        return self._e._lift(lambda c: F.slice(
+            c, F.greatest(F.size(c) - F.lit(n) + 1, F.lit(1)), n))
 
     def count_matches(self, element) -> Expr:
         v = wrap_expr(element)

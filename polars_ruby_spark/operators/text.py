@@ -124,33 +124,33 @@ def repetition_signals(sdf: DataFrame, text_col: str = "text",
     ``distinct_ratio`` (unique/total tokens), ``top_bigram_frac`` (fraction of
     bigram occurrences taken by the most common bigram), ``mean_word_len``.
 
-    One scan: per-row token stats stay in a flat codegen projection
-    (array_distinct/size; the char-sum lambda is arithmetic-only, cheap even
-    interpreted), and the bigram mode — the one thing array functions can't
-    express — is explode → groupBy(doc, gram) → groupBy(doc), both
-    map-side combined.  ``explode_outer`` keeps <2-token docs alive with a
-    null gram; their top_bigram_frac is defined as 0.
+    Two branches off the same scan, joined on the doc id: per-row token
+    stats in a flat codegen projection (array_distinct/size; the char-sum
+    lambda is arithmetic-only), and the bigram mode — the one thing array
+    functions can't express — as explode → groupBy(doc, gram) →
+    groupBy(doc), both map-side combined.  The branches MUST stay separate:
+    with the flats projected alongside the explode, Catalyst collapses them
+    ABOVE the Generate and re-evaluates every flat expression once per
+    exploded gram row — measured ~6× on this query at sf0.1 (the join costs
+    one |docs|-row shuffle instead).  ``explode_outer`` keeps <2-token docs
+    alive with a null gram; their top_bigram_frac is defined as 0.
     """
     from ..operators.dedup import shingles
 
     t = _tokens(F.col(text_col))
-    base = sdf.select(
+    flats = sdf.select(
         F.col(id_col),
         F.size(t).alias("n_tok"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
-        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).alias("char_sum"),
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).alias("char_sum"))
+    grams = sdf.select(
+        F.col(id_col),
         F.explode_outer(shingles(F.col(text_col), 2)).alias("g"))
-    per_gram = (base.groupBy(id_col, "g")
-                .agg(F.count(F.lit(1)).alias("c"),
-                     F.first("n_tok").alias("n_tok"),
-                     F.first("n_distinct").alias("n_distinct"),
-                     F.first("char_sum").alias("char_sum")))
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     nn = F.when(F.col("g").isNotNull(), F.col("c"))
-    return (per_gram.groupBy(id_col)
-            .agg(F.max(nn).alias("top_c"), F.sum(nn).alias("tot"),
-                 F.first("n_tok").alias("n_tok"),
-                 F.first("n_distinct").alias("n_distinct"),
-                 F.first("char_sum").alias("char_sum"))
+    mode = (per_gram.groupBy(id_col)
+            .agg(F.max(nn).alias("top_c"), F.sum(nn).alias("tot")))
+    return (flats.join(mode, id_col)
             .select(
                 F.col(id_col),
                 F.round(F.col("n_distinct") / F.col("n_tok"), 4).alias("distinct_ratio"),
@@ -324,12 +324,13 @@ def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
     count by one) — kept exact-string here so the DuckDB oracle matches
     bit-for-bit.
     """
-    t = _tokens(F.col(text_col))
-    # explicit step: sequence(1, 0) without it counts DOWN → bogus grams
-    # for docs shorter than n tokens
-    grams = F.when(F.size(t) >= n, F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1), F.lit(1)),
-        lambda i: F.array_join(F.slice(t, i, n), " "))).otherwise(F.array())
+    from ..operators.dedup import shingles
+
+    # shingles() IS the n-gram constructor, with the transform-over-
+    # singleton binding that evaluates split() once per row — building the
+    # grams from a bare `_tokens(col)` expression re-splits the text per
+    # element inside the interpreted HOF (measured ~4× on this query)
+    grams = shingles(F.col(text_col), n)
     # explode_OUTER: a signal operator must not silently drop documents —
     # docs shorter than n tokens keep one null-gram row and surface as
     # n_ngrams=0, dup_frac=null

@@ -247,6 +247,18 @@ def read_ipc(source, spark=None, **kw):
     return DataFrame(_spark(spark).createDataFrame(table.to_pandas()))
 
 
+def read_ipc_stream(source, spark=None, **kw):
+    """io/ipc.rb:150 — Arrow STREAMING format (no footer), distinct from
+    the random-access file format read_ipc handles."""
+    import pyarrow.ipc as ipc
+
+    from ..frame import DataFrame
+
+    with ipc.open_stream(str(source)) as r:
+        table = r.read_all()
+    return DataFrame(_spark(spark).createDataFrame(table.to_pandas()))
+
+
 def read_database(query: str, url: str | None = None, spark=None, **kw):
     """io/database.rb:12 — JDBC."""
     from ..frame import DataFrame

@@ -76,3 +76,58 @@ def test_to_physical_temporal_ints(spark):
     out = df.select(*[pl.col(c).to_physical().alias(c)
                       for c in ["d", "t", "s"]]).to_a()[0]
     assert out == {"d": 2, "t": 1_000_000, "s": "x"}
+
+
+def test_reference_doctest_parity_str_dt_list(spark):
+    """Literal expectations lifted from reference doctests — edge semantics
+    the DuckDB oracle queries don't exercise (string_expr.rb:630 zfill sign
+    handling, :1140 splitn padding, date_time_expr.rb:1317 month_end,
+    list slicing/set ops)."""
+    import datetime as dtm
+
+    import polars_ruby_spark as pl
+
+    # zfill (string_expr.rb:630): sign-aware, no-op when width <= len, null
+    df = pl.from_hash({"a": ["-1", "123", "999999", None]})
+    out = df.lazy().select(pl.col("a").str.zfill(4).alias("z")).collect().to_a()
+    assert [r["z"] for r in out] == ["-001", "0123", "999999", None]
+
+    # splitn (string_expr.rb:1140): struct fields, null padding, remainder
+    df = pl.from_hash({"s": ["foo bar", None, "foo-bar", "foo bar baz"]})
+    out = df.lazy().select(pl.col("s").str.splitn(" ", 2).alias("f")).collect().to_a()
+    got = [(r["f"]["field_0"], r["f"]["field_1"]) if r["f"] is not None
+           else None for r in out]
+    assert got[0] == ("foo", "bar")
+    assert got[1] in (None, (None, None))       # null row
+    assert got[2] == ("foo-bar", None)          # no split point
+    assert got[3] == ("foo", "bar baz")         # remainder in last field
+
+    # month_end (date_time_expr.rb:1317): clamps to last day, keeps time
+    df = pl.from_hash({"d": [dtm.datetime(2000, 1, 15, 2), dtm.datetime(2000, 2, 1, 2),
+                             dtm.datetime(2000, 4, 30, 2)]})
+    out = df.lazy().select(pl.col("d").dt.month_end().alias("e")).collect().to_a()
+    assert [r["e"] for r in out] == [dtm.datetime(2000, 1, 31, 2),
+                                     dtm.datetime(2000, 2, 29, 2),
+                                     dtm.datetime(2000, 4, 30, 2)]
+
+    # list ops (list_expr.rb): head/tail/slice/diff/unique-set semantics
+    df = pl.from_hash({"l": [[1, 2, 3, 4], [5]]})
+    out = df.lazy().select(
+        pl.col("l").list.slice(1, 2).alias("sl"),
+        pl.col("l").list.head(2).alias("h"),
+        pl.col("l").list.tail(2).alias("t"),
+        pl.col("l").list.diff().alias("d"),
+    ).collect().to_a()
+    assert out[0]["sl"] == [2, 3] and out[1]["sl"] == []
+    assert out[0]["h"] == [1, 2] and out[1]["h"] == [5]
+    assert out[0]["t"] == [3, 4] and out[1]["t"] == [5]
+    assert out[0]["d"] == [None, 1, 1, 1]
+
+    # strip_chars family (string_expr.rb): custom char set, not substring
+    df = pl.from_hash({"s": ["xxabcxx", "  hi  "]})
+    out = df.lazy().select(
+        pl.col("s").str.strip_chars("x").alias("c"),
+        pl.col("s").str.strip_chars().alias("w"),
+    ).collect().to_a()
+    assert out[0]["c"] == "abc"
+    assert out[1]["w"] == "hi"

@@ -303,3 +303,17 @@ def test_read_csv_batched(spark, tmp_path):
     assert reader.next_batches(1) is None
     got = sorted(r["a"] for bf in b1 + b2 for r in bf.collect().to_a())
     assert got == list(range(250))
+
+
+def test_ipc_stream_roundtrip(spark, tmp_path):
+    """io/ipc.rb:150 — Arrow streaming format (no footer) round-trips and is
+    a genuinely different container from the feather/file format."""
+    import pyarrow.ipc as ipc
+
+    df = pl.from_hash({"a": [1, 2, 3], "s": ["x", "y", "z"]})
+    p = str(tmp_path / "s.arrows")
+    df.collect().write_ipc_stream(p)
+    with ipc.open_stream(p) as r:  # readable as a STREAM (file format isn't)
+        assert r.read_all().num_rows == 3
+    back = pl.read_ipc_stream(p, spark=spark).sort("a")
+    assert [r["s"] for r in back.collect().to_a()] == ["x", "y", "z"]
