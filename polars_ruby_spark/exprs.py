@@ -285,7 +285,11 @@ class Expr:
         return self._lift2(o, lambda a, b: F.floor(a / b), op="//")
 
     def __mod__(self, o):
-        return self._lift2(o, lambda a, b: F.pmod(a, b), op="%")
+        # polars % pairs with floored // (sign of DIVISOR, python semantics);
+        # F.pmod is always non-negative and breaks for negative divisors
+        # (pmod(5,-3)=2, want -1) — ((a%b)+b)%b gives the floored remainder
+        # in the operands' own type
+        return self._lift2(o, lambda a, b: ((a % b) + b) % b, op="%")
 
     def __pow__(self, o):
         return self._lift2(o, lambda a, b: F.pow(a, b), op="**")

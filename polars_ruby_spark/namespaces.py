@@ -549,9 +549,12 @@ class ListNameSpace(_NS):
         return self._e._lift(lambda c: F.element_at(c, index))
 
     def gather(self, indices) -> Expr:
+        # negative indices count from the end (list_expr.rb gather), like get
         idx = wrap_expr(indices)
         return self._e._lift2(
-            idx, lambda c, ixs: F.transform(ixs, lambda i: F.element_at(c, i.cast("int") + 1)))
+            idx, lambda c, ixs: F.transform(
+                ixs, lambda i: F.element_at(
+                    c, F.when(i >= 0, i.cast("int") + 1).otherwise(i.cast("int")))))
 
     def first(self) -> Expr:
         return self.get(0)

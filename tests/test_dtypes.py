@@ -131,3 +131,47 @@ def test_reference_doctest_parity_str_dt_list(spark):
     ).collect().to_a()
     assert out[0]["c"] == "abc"
     assert out[1]["w"] == "hi"
+
+
+def test_reference_doctest_parity_batch2(spark):
+    """Second doctest-harvest batch: dt.offset_by combos/negatives
+    (date_time_expr.rb:1213), month-end clamping, list.gather negatives,
+    str.find, when-without-otherwise null branch, mod/floordiv sign
+    conventions."""
+    import datetime as dtm
+
+    import polars_ruby_spark as pl
+
+    # offset_by: calendar-aware, combined units, single leading minus
+    df = pl.from_hash({"d": [dtm.datetime(2000, 1, 1), dtm.datetime(2020, 1, 31)]})
+    out = df.lazy().select(
+        pl.col("d").dt.offset_by("1y").alias("p1y"),
+        pl.col("d").dt.offset_by("-1y2mo").alias("m1y2mo"),
+        pl.col("d").dt.offset_by("1mo").alias("p1mo"),
+    ).collect().to_a()
+    assert out[0]["p1y"] == dtm.datetime(2001, 1, 1)
+    assert out[0]["m1y2mo"] == dtm.datetime(1998, 11, 1)
+    # month-end clamp: Jan 31 + 1mo → Feb 29 (2020 is a leap year)
+    assert out[1]["p1mo"] == dtm.datetime(2020, 2, 29)
+
+    # list.gather: negative indices count from the end
+    df = pl.from_hash({"l": [[10, 20, 30, 40]]})
+    out = df.lazy().select(
+        pl.col("l").list.gather([0, -1]).alias("g")).collect().to_a()
+    assert out[0]["g"] == [10, 40]
+
+    # when without otherwise → null branch (whenthen.rb)
+    df = pl.from_hash({"x": [1, 5]})
+    out = df.lazy().select(
+        pl.when(pl.col("x") > 3).then(pl.lit("big")).alias("b")).collect().to_a()
+    assert [r["b"] for r in out] == [None, "big"]
+
+    # arithmetic conventions: % sign-of-divisor (python/polars), floordiv
+    # floors toward -inf, int div-by-zero → null
+    df = pl.from_hash({"a": [-5, 5, -5], "b": [3, -3, 0]})
+    out = df.lazy().select(
+        (pl.col("a") % pl.col("b")).alias("m"),
+        (pl.col("a") // pl.col("b")).alias("fd"),
+    ).collect().to_a()
+    assert [r["m"] for r in out] == [1, -1, None]
+    assert [r["fd"] for r in out] == [-2, -2, None]
