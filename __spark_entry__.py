@@ -768,11 +768,11 @@ def q58_ranges(spark, sf_dir):
     """int_range + date_range generators (§2.8 ranges) → spark.range/sequence."""
     import polars_ruby_spark as pl
 
-    ints = pl.int_range(0, 30, spark=spark)
+    ints = pl.int_range(0, 30, eager=True, spark=spark)  # Series 'arange'
     dates = pl.date_range("2024-01-01", "2024-01-30", "1d", spark=spark)
     di = dates.with_row_index("idx")
-    out = di.join(ints.lazy(), left_on="idx", right_on="int_range", how="inner").select(
-        "idx", "date")
+    out = di.join(ints.to_frame().lazy(), left_on="idx", right_on="arange",
+                  how="inner").select("idx", "date")
     return out.to_spark()
 
 

@@ -38,7 +38,7 @@ from .functions import (
 )
 from .functions import count, first, last, len, max, mean, min, sum  # noqa: A004
 from .functions import (
-    approx_n_unique, arctan2d, arg_where, cum_count, cum_sum, date_ranges,
+    approx_n_unique, arange, arctan2d, arg_where, cum_count, cum_sum, date_ranges,
     datetime_ranges, duration, exclude, from_epoch, get_dummies, groups,
     implode, median, n_unique, ones, pearson_corr, quantile, select,
     set_random_seed, spearman_rank_corr, std, time_range, time_ranges,

@@ -823,13 +823,17 @@ class Expr:
 
     def n_unique(self):
         def fn(df, part):
+            # polars counts null as a distinct value; countDistinct /
+            # collect_set exclude it — add a has-null flag
+            c = self._fn(df, None)
+            nullflag = F.max(F.when(c.isNull(), 1).otherwise(0))
             if part is not None:
                 # Spark rejects count(DISTINCT) over a window — size of the
-                # per-partition collect_set is the same count (nulls excluded
-                # by collect_set, matching countDistinct)
-                return F.size(F.collect_set(self._fn(df, None))
-                              .over(_part_window(part)))
-            return F.countDistinct(self._fn(df, None))
+                # per-partition collect_set is the same count
+                w = _part_window(part)
+                return (F.size(F.collect_set(c).over(w))
+                        + nullflag.over(w))
+            return F.countDistinct(c) + nullflag
 
         return Expr(fn, name=self._name, is_agg=True)
 
@@ -872,7 +876,40 @@ class Expr:
         raise ValueError(f"unknown interpolation {interpolation!r}")
 
     def mode(self):
-        return self._agg(F.mode)
+        """expr.rb:1178 — ALL most-occurring values (can be several).
+
+        Agg/window context: sorted list of modes built from the collected
+        group via JVM HOFs (O(d²) in the group's distinct count — groups are
+        bounded by definition).  Sole ungrouped select: distributed
+        groupBy-count → filter max → one row per mode (no collect)."""
+        inner = self
+
+        def aggf(c):
+            arr = F.collect_list(c)
+            dis = F.array_distinct(arr)
+            cnts = F.transform(dis, lambda x: F.size(F.filter(arr, lambda y: y == x)))
+            mx = F.array_max(cnts)
+            return F.array_sort(F.filter(
+                F.zip_with(dis, cnts, lambda v, n: F.when(n == mx, v)),
+                lambda v: v.isNotNull()))
+
+        e = self._agg(aggf)
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+
+            out_name = out_name or inner._name or "mode"
+            df = lf._sdf
+            counts = (df.groupBy(inner._fn(df, None).alias(out_name))
+                      .agg(F.count(F.lit(1)).alias("__mc__")))
+            mx = counts.agg(F.max("__mc__").alias("__mx__"))
+            out = (counts.crossJoin(F.broadcast(mx))  # one-row scalar attach
+                   .where(F.col("__mc__") == F.col("__mx__"))
+                   .orderBy(out_name).select(out_name))
+            return LazyFrame(out)
+
+        e._frame_fn = frame_fn
+        return e
 
     def skew(self, bias: bool = True):
         # Spark skewness() is the biased (population) g1 — matches bias=true.
@@ -1063,6 +1100,22 @@ class Expr:
     def _cum(self, kind: str, reverse: bool):
         aggf = {"sum": F.sum, "min": F.min, "max": F.max,
                 "count": F.count, "product": F.product}[kind]
+        if kind in ("sum", "product"):
+            # polars cum_sum over booleans = running count of trues (sum/
+            # product reject BOOLEAN in Spark); schema-probe at bind time
+            base = self
+
+            def widen(c, df, part):
+                from pyspark.sql.types import BooleanType
+
+                try:
+                    dt = df.select(c.alias("__t__")).schema[0].dataType
+                except Exception:
+                    return c
+                return c.cast("int") if isinstance(dt, BooleanType) else c
+
+            self = base._lift_ctx(widen)
+            self._name = base._name
 
         def f(c, w):
             if reverse:
@@ -1182,21 +1235,26 @@ class Expr:
 
         def fn(df, part):
             c = self._fn(df, part)
-            w = Window.partitionBy(*(part or [])).orderBy(c.desc() if descending else c.asc())
+            # polars leaves null values UNRANKED (null out); ordering nulls
+            # last keeps the non-null ranks identical to ranking them alone
+            w = Window.partitionBy(*(part or [])).orderBy(
+                c.desc_nulls_last() if descending else c.asc_nulls_last())
             if method == "ordinal":
-                return F.row_number().over(w)
-            if method == "min":
-                return F.rank().over(w)
-            if method == "dense":
-                return F.dense_rank().over(w)
-            if method == "max":
+                r = F.row_number().over(w)
+            elif method == "min":
+                r = F.rank().over(w)
+            elif method == "dense":
+                r = F.dense_rank().over(w)
+            elif method == "max":
                 # min-rank of next distinct value − 1 == rank + count(==value) − 1
                 cnt = F.count(F.lit(1)).over(Window.partitionBy(*(part or []), c))
-                return F.rank().over(w) + cnt - 1
-            if method == "average":
+                r = F.rank().over(w) + cnt - 1
+            elif method == "average":
                 cnt = F.count(F.lit(1)).over(Window.partitionBy(*(part or []), c))
-                return (F.rank().over(w).cast("double") * 2 + cnt.cast("double") - 1) / 2
-            raise ValueError(f"unknown rank method {method!r}")
+                r = (F.rank().over(w).cast("double") * 2 + cnt.cast("double") - 1) / 2
+            else:
+                raise ValueError(f"unknown rank method {method!r}")
+            return F.when(c.isNotNull(), r)
 
         return Expr(fn, name=self._name)
 
@@ -1892,7 +1950,9 @@ class Expr:
         return Expr(multi_fn=mf)
 
     def explode(self):
-        return self._lift(F.explode)
+        # explode_OUTER: polars yields one null row for empty/null lists
+        # (bare F.explode silently drops those source rows)
+        return self._lift(F.explode_outer)
 
     def flatten(self):
         return self._lift(F.flatten)

@@ -307,17 +307,46 @@ def coalesce(*exprs):
 
 
 # ranges (functions/range/*.rb) — frame producers
-def int_range(start, end=None, step: int = 1, eager: bool = False, spark=None):
+def int_range(start, end=None, step: int = 1, eager: bool = False,
+              dtype=None, spark=None):
+    """functions/range/int_range.rb:31 — Expr named 'arange' (sole-select
+    row generator backed by ``spark.range``), or a Series with eager."""
     from ..session import get_spark
 
     if end is None:
         start, end = 0, start
     s = spark or get_spark()
-    sdf = s.range(start, end, step).withColumnRenamed("id", "int_range")
-    from .. import frame
 
-    out = frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
-    return out
+    def _sdf():
+        return s.range(start, end, step).withColumnRenamed("id", "arange")
+
+    if eager:
+        from ..series import Series
+
+        return Series._from_spark(_sdf(), "arange")
+
+    from ..exprs import Expr
+
+    def fn(df, part):
+        raise NotImplementedError(
+            "int_range composed with other expressions: select it alone "
+            "(row-count-defining) or pass eager=true")
+
+    e = Expr(fn, name="arange")
+
+    def frame_fn(lf, out_name):
+        from ..frame import LazyFrame
+
+        out = _sdf()
+        if out_name and out_name != "arange":
+            out = out.withColumnRenamed("arange", out_name)
+        return LazyFrame(out)
+
+    e._frame_fn = frame_fn
+    return e
+
+
+arange = int_range  # reference alias (int_range.rb:58)
 
 
 def date_range(start, end, interval: str = "1d", eager: bool = False, closed: str = "both",

@@ -542,7 +542,9 @@ class ListNameSpace(_NS):
     def reverse(self) -> Expr:
         return self._e._lift(F.reverse)
 
-    def unique(self) -> Expr:
+    def unique(self, maintain_order: bool = False) -> Expr:
+        # array_distinct keeps first-appearance order — satisfies both the
+        # maintain_order=true contract and the unordered default
         return self._e._lift(F.array_distinct)
 
     def concat(self, other) -> Expr:
@@ -686,8 +688,9 @@ class ListNameSpace(_NS):
         return self._e._lift(fn)
 
     def explode(self) -> Expr:
-        # array_expr.rb explode — one output row per element (generator)
-        return self._e._lift(lambda c: F.explode(c))
+        # array_expr.rb explode — one output row per element; OUTER so
+        # empty/null lists keep a null row (polars semantics)
+        return self._e._lift(lambda c: F.explode_outer(c))
 
     def to_list(self) -> Expr:
         # arr → list is a free cast (fixed width is a checked constraint)

@@ -386,6 +386,48 @@ class Series:
     def __truediv__(self, o):
         return self._binop(o, "__truediv__")
 
+    def __floordiv__(self, o):
+        return self._binop(o, "__floordiv__")
+
+    def __mod__(self, o):
+        return self._binop(o, "__mod__")
+
+    def __pow__(self, o):
+        return self._binop(o, "__pow__")
+
+    # elementwise comparisons (series.rb ==/!=/</>... return bool Series)
+    def __eq__(self, o):  # type: ignore[override]
+        return self._binop(o, "__eq__")
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._binop(o, "__ne__")
+
+    __hash__ = object.__hash__  # __eq__ is elementwise; keep identity hash
+
+    def __lt__(self, o):
+        return self._binop(o, "__lt__")
+
+    def __le__(self, o):
+        return self._binop(o, "__le__")
+
+    def __gt__(self, o):
+        return self._binop(o, "__gt__")
+
+    def __ge__(self, o):
+        return self._binop(o, "__ge__")
+
+    def __and__(self, o):
+        return self._binop(o, "__and__")
+
+    def __or__(self, o):
+        return self._binop(o, "__or__")
+
+    def __invert__(self):
+        return self._dispatch(lambda e: e.not_())
+
+    def __neg__(self):
+        return self._dispatch(lambda e: -e)
+
     def __repr__(self) -> str:
         vals = self._sdf.limit(10).collect()
         body = "\n".join(str(r[0]) for r in vals)

@@ -231,3 +231,45 @@ def test_reference_doctest_parity_batch4(spark):
         pl.col("a").struct.json_encode().alias("j")).collect().to_a()
     import json as _json
     assert _json.loads(out[0]["j"]) == {"x": 1, "y": "q"}
+
+
+def test_reference_doctest_parity_batch5(spark):
+    """Fifth harvest batch: explode keeps empty/null rows, rank leaves nulls
+    unranked, n_unique counts null, cum_sum over booleans, multi-value mode
+    (expr.rb:1178), list.unique(maintain_order)."""
+    import polars_ruby_spark as pl
+
+    # explode: empty and null lists yield a null row each (not dropped)
+    df = pl.from_hash({"i": [1, 2, 3], "l": [[10, 20], [], None]})
+    out = df.lazy().select(pl.col("i"), pl.col("l").explode().alias("e")).collect().to_a()
+    assert [(r["i"], r["e"]) for r in out] == [(1, 10), (1, 20), (2, None), (3, None)]
+
+    # rank: nulls stay null; non-null ranks unaffected by null count
+    d = pl.from_hash({"i": [0, 1, 2, 3, 4], "x": [1.0, 1.0, 2.0, None, None]})
+    out = d.lazy().select(pl.col("i"), pl.col("x").rank().alias("r")).sort("i").collect().to_a()
+    assert [r["r"] for r in out] == [1.5, 1.5, 3.0, None, None]
+
+    # n_unique: null is a distinct value (polars)
+    assert d.lazy().select(pl.col("x").n_unique().alias("c")).collect().to_a() == [{"c": 3}]
+    g = pl.from_hash({"g": ["a", "a", "b"], "x": [1, None, 2]})
+    out = g.lazy().group_by("g").agg(pl.col("x").n_unique().alias("c")).sort("g").collect().to_a()
+    assert [r["c"] for r in out] == [2, 1]
+
+    # cum_sum over booleans = running count of trues
+    out = pl.from_hash({"b": [True, False, True]}).lazy().select(
+        pl.col("b").cum_sum().alias("c")).collect().to_a()
+    assert [r["c"] for r in out] == [1, 1, 2]
+
+    # mode: ALL most-occurring values, one row each (sole select), sorted;
+    # list per group under agg
+    out = pl.from_hash({"x": [1, 1, 2, 2, 3]}).lazy().select(
+        pl.col("x").mode().alias("m")).collect().to_a()
+    assert [r["m"] for r in out] == [1, 2]
+    out = pl.from_hash({"g": ["a", "a", "a", "b"], "x": [1, 1, 2, 5]}).lazy() \
+        .group_by("g").agg(pl.col("x").mode().alias("m")).sort("g").collect().to_a()
+    assert [r["m"] for r in out] == [[1], [5]]
+
+    # list.unique accepts maintain_order and keeps first appearance
+    out = pl.from_hash({"l": [[3, 1, 3, 2]]}).lazy().select(
+        pl.col("l").list.unique(maintain_order=True).alias("u")).collect().to_a()
+    assert out[0]["u"] == [3, 1, 2]
