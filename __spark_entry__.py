@@ -1488,6 +1488,29 @@ def q112_dup_ngrams(spark, sf_dir):
     return text.dup_ngram_fraction(d._sdf, n=3)
 
 
+def q113_null_semantics(spark, sf_dir):
+    """Round-2 parity batch pins under the oracle: rank leaves injected
+    nulls unranked, n_unique counts null as a value, explode keeps
+    empty-list rows, multi-value mode.  Nulls injected deterministically
+    (every 7th order) so the semantics actually exercise."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey")
+    base = o.with_columns(
+        pl.when(pl.col("o_orderkey") % 7 == 0).then(pl.lit(None))
+        .otherwise(pl.col("o_totalprice")).alias("p"))
+    out = (base.with_columns(
+        pl.col("p").rank("min").over("o_orderstatus").alias("rnk"))
+        .group_by("o_orderstatus")
+        .agg(
+            pl.col("p").n_unique().alias("nuq"),
+            pl.col("rnk").max().alias("max_rnk"),
+            pl.col("rnk").null_count().alias("null_rnks"),
+        )
+        .sort("o_orderstatus"))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1605,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_calendar_offset": q110_calendar_offset,
         "q111_unigram_lm": q111_unigram_lm,
         "q112_dup_ngrams": q112_dup_ngrams,
+        "q113_null_semantics": q113_null_semantics,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -1878,6 +1902,27 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(logp)), 4) AS pseudo_ppl
             FROM toks JOIN lp USING (tok)
             GROUP BY doc_id
+        """,
+        "q113_null_semantics": """
+            WITH base AS (
+              SELECT o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE o_totalprice END AS p
+              FROM orders),
+            rnk AS (
+              SELECT o_orderstatus, p,
+                     CASE WHEN p IS NOT NULL THEN
+                       rank() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY p ASC NULLS LAST)
+                     END AS rnk
+              FROM base)
+            SELECT o_orderstatus,
+                   count(DISTINCT p)
+                     + max(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS nuq,
+                   max(rnk) AS max_rnk,
+                   sum(CASE WHEN rnk IS NULL THEN 1 ELSE 0 END) AS null_rnks
+            FROM rnk
+            GROUP BY o_orderstatus
         """,
         "q112_dup_ngrams": """
             WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
