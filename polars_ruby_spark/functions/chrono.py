@@ -40,6 +40,15 @@ _MAP = {
     "D": "MM/dd/yy",
     "F": "yyyy-MM-dd",
     "R": "HH:mm",
+    # chrono no-pad modifier (%-d etc.) → Java single-letter = unpadded
+    "-d": "d",
+    "-m": "M",
+    "-H": "H",
+    "-M": "m",
+    "-S": "s",
+    "-I": "h",
+    "-j": "D",
+    "-y": "yy",
 }
 
 

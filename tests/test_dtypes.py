@@ -273,3 +273,18 @@ def test_reference_doctest_parity_batch5(spark):
     out = pl.from_hash({"l": [[3, 1, 3, 2]]}).lazy().select(
         pl.col("l").list.unique(maintain_order=True).alias("u")).collect().to_a()
     assert out[0]["u"] == [3, 1, 2]
+
+
+def test_chrono_nopad_directives(spark):
+    """chrono %-d/%-m/%-H no-pad modifiers → Java single-letter patterns."""
+    import datetime as dtm
+
+    import polars_ruby_spark as pl
+
+    d = pl.from_hash({"t": [dtm.datetime(2024, 3, 5, 9, 7, 9)]})
+    out = d.lazy().select(
+        pl.col("t").dt.to_string("%-d/%-m/%Y").alias("a"),
+        pl.col("t").dt.to_string("%-H:%M").alias("b"),
+    ).collect().to_a()[0]
+    assert out["a"] == "5/3/2024"
+    assert out["b"] == "9:07"
