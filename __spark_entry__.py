@@ -1412,7 +1412,11 @@ def q107_global_ordinals(spark, sf_dir):
     an integer cast so the two-pass partial-sum association stays exact."""
     import polars_ruby_spark as pl
 
-    li = _t(spark, sf_dir, "lineitem").sort("l_orderkey", "l_linenumber")
+    # the full composite below is the UNIQUE sort key at sf0.1 —
+    # (orderkey, linenumber) alone has ties there, and cumulative values
+    # among tied sort keys are tie-order-dependent across engines
+    li = _t(spark, sf_dir, "lineitem").sort(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
     out = li.with_columns(
         pl.col("l_quantity").cast(pl.Int64).cum_sum().alias("run_qty"),
         pl.col("l_extendedprice").cum_max().alias("run_max"),
@@ -1508,6 +1512,22 @@ def q113_null_semantics(spark, sf_dir):
             pl.col("rnk").null_count().alias("null_rnks"),
         )
         .sort("o_orderstatus"))
+    return out.to_spark()
+
+
+def q114_dynamic_datapoint(spark, sf_dir):
+    """group_by_dynamic(start_by='datapoint'): each event_type's window grid
+    anchors at ITS first event (per-group min broadcast + arithmetic
+    buckets — F.window's epoch anchor is global, so it can't express this).
+    One hash agg for anchors + one for windows."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.group_by_dynamic("ts", every="6h", by=["event_type"],
+                              start_by="datapoint").agg(
+        pl.len().alias("n"),
+        pl.col("value").sum().round(4).alias("sv"),
+    )
     return out.to_spark()
 
 
@@ -1629,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_unigram_lm": q111_unigram_lm,
         "q112_dup_ngrams": q112_dup_ngrams,
         "q113_null_semantics": q113_null_semantics,
+        "q114_dynamic_datapoint": q114_dynamic_datapoint,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -1903,6 +1924,19 @@ def oracle_sql() -> dict[str, str]:
             FROM toks JOIN lp USING (tok)
             GROUP BY doc_id
         """,
+        "q114_dynamic_datapoint": """
+            WITH m AS (
+              SELECT event_type, min(ts) AS mn FROM events GROUP BY event_type),
+            b AS (
+              SELECT e.event_type, e.value,
+                     m.mn + to_microseconds(
+                       (epoch_us(e.ts) - epoch_us(m.mn))
+                       // 21600000000 * 21600000000) AS w
+              FROM events e JOIN m USING (event_type))
+            SELECT w AS ts, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sv
+            FROM b GROUP BY 1, 2
+        """,
         "q113_null_semantics": """
             WITH base AS (
               SELECT o_orderstatus,
@@ -1956,7 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "q107_global_ordinals": """
             WITH o AS (SELECT l_orderkey, l_linenumber, l_quantity,
                               l_extendedprice,
-                              row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+                              row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn,
                               count(*) OVER () AS n
                        FROM lineitem)
             SELECT a.l_orderkey, a.l_linenumber,

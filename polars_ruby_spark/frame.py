@@ -412,9 +412,11 @@ class LazyFrame:
 
     def group_by_dynamic(self, index_column, every, period=None, offset=None,
                          closed="left", label="left", include_boundaries=False,
-                         by=None, group_by=None) -> DynamicGroupBy:
+                         by=None, group_by=None,
+                         start_by="window") -> DynamicGroupBy:
         return DynamicGroupBy(self, index_column, every, period, offset, closed,
-                              label, include_boundaries, by or group_by)
+                              label, include_boundaries, by or group_by,
+                              start_by=start_by)
 
     groupby_dynamic = group_by_dynamic
 
@@ -726,7 +728,9 @@ class DataFrame(LazyFrame):
 
         return pa.Table.from_pandas(self.to_pandas())
 
-    def rows(self) -> list[tuple]:
+    def rows(self, named: bool = False):
+        if named:
+            return [r.asDict(recursive=True) for r in self.to_spark().collect()]
         return [tuple(r) for r in self.to_spark().collect()]
 
     def to_a(self) -> list[dict]:

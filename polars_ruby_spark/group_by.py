@@ -204,8 +204,14 @@ class DynamicGroupBy:
     when period > every (Spark handles via window duplication).
     """
 
+    #: epoch 1970-01-01 was a Thursday; startTime day-shift that makes
+    #: weekly windows begin on the requested weekday (lazy_frame.rb start_by)
+    _WEEKDAY_SHIFT = {"thursday": 0, "friday": 1, "saturday": 2, "sunday": 3,
+                      "monday": 4, "tuesday": 5, "wednesday": 6}
+
     def __init__(self, lf, index_column, every, period=None, offset=None,
-                 closed="left", label="left", include_boundaries=False, by=None):
+                 closed="left", label="left", include_boundaries=False, by=None,
+                 start_by="window"):
         self._lf = lf
         self._index = index_column
         self._every = every
@@ -215,6 +221,7 @@ class DynamicGroupBy:
         self._label = label
         self._include_boundaries = include_boundaries
         self._by = by or []
+        self._start_by = start_by
 
     def agg(self, *exprs, **named):
         from .functions.duration import parse_duration
@@ -235,6 +242,14 @@ class DynamicGroupBy:
         if self._offset is not None:
             off = parse_duration(self._offset)
             start = f"{off.total_seconds()} seconds"
+        if self._start_by in self._WEEKDAY_SHIFT:
+            # weekday start: shift F.window's epoch anchor (composes with
+            # nothing else; polars restricts it to weekly windows too)
+            start = f"{self._WEEKDAY_SHIFT[self._start_by]} days"
+        elif self._start_by == "datapoint":
+            return self._agg_datapoint(every, period, exprs, named)
+        elif self._start_by != "window":
+            raise ValueError(f"invalid start_by: {self._start_by!r}")
         if self._closed in ("both", "none"):
             # boundary rows belong to two windows ('both') or zero ('none') —
             # not a single-window assignment, so enumerate candidate windows
@@ -264,6 +279,62 @@ class DynamicGroupBy:
                      F.col("__w__.end").alias("_upper_boundary")]
         keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
         out = grouped.select(*extra, label_col, *keep)
+        return LazyFrame(out)
+
+    def _agg_datapoint(self, every, period, exprs, named):
+        """start_by='datapoint': each group's FIRST data point anchors its
+        window grid (lazy_frame.rb start_by).  Per-group min-ts via one hash
+        agg broadcast back, then arithmetic bucket assignment — no F.window
+        (its epoch anchor is global).  Tumbling only (period == every),
+        closed left/right."""
+        from .frame import LazyFrame
+
+        if every.total_seconds() != period.total_seconds():
+            raise NotImplementedError("start_by='datapoint' with period != every")
+        if self._closed not in ("left", "right"):
+            raise NotImplementedError("start_by='datapoint' with closed=" + self._closed)
+        every_us = int(every.total_seconds() * 1_000_000)
+        sdf = self._lf._sdf
+        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        if needs_order:
+            sdf = self._lf._ensure_row_index()._sdf
+            aggs, _ = _agg_columns(sdf, exprs, named)
+        by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
+                   for b in self._by]
+        by_names = [f"__sbk{i}__" for i in range(len(by_cols))]
+        base = sdf.select("*", *[c.alias(n) for c, n in zip(by_cols, by_names)])
+        t = F.unix_micros(F.col(self._index).cast("timestamp"))
+        anchors = (base.groupBy(*by_names)
+                   .agg(F.min(t).alias("__sb_min__")))
+        if by_names:
+            joined = base.join(F.broadcast(anchors.withColumnsRenamed(
+                {n: n + "r" for n in by_names})),
+                on=[base[n].eqNullSafe(F.col(n + "r")) for n in by_names])
+        else:
+            joined = base.crossJoin(F.broadcast(anchors))
+        tt = t - (F.lit(1) if self._closed == "right" else F.lit(0))
+        k = F.floor((tt - F.col("__sb_min__")) / F.lit(every_us)).cast("long")
+        start_us = F.col("__sb_min__") + k * F.lit(every_us)
+        grouped = (joined.withColumn("__s__", start_us)
+                   .groupBy(F.col("__s__"), *[F.col(n) for n in by_names])
+                   .agg(*aggs,
+                        *([F.min(F.col(self._index)).alias("__dp__")]
+                          if self._label == "datapoint" else [])))
+        if self._label == "datapoint":
+            label_col = F.col("__dp__").alias(self._index)
+        elif self._label == "right":
+            label_col = F.timestamp_micros(F.col("__s__") + F.lit(every_us)).alias(self._index)
+        else:
+            label_col = F.timestamp_micros(F.col("__s__")).alias(self._index)
+        extra = []
+        if self._include_boundaries:
+            extra = [F.timestamp_micros(F.col("__s__")).alias("_lower_boundary"),
+                     F.timestamp_micros(F.col("__s__") + F.lit(every_us)).alias("_upper_boundary")]
+        keep = [c for c in grouped.columns
+                if c not in ("__s__", "__dp__") and c not in by_names]
+        renames = [F.col(n).alias(str(b)) if isinstance(b, str) else F.col(n)
+                   for n, b in zip(by_names, self._by)]
+        out = grouped.select(*extra, label_col, *renames, *keep)
         return LazyFrame(out)
 
     def _agg_enumerated(self, every, period, exprs, named):

@@ -129,8 +129,15 @@ def attach_global_cum(sdf: DataFrame, value_fn, kind: str, reverse: bool,
     """
     assert ROW_IDX in sdf.columns
     aggf, comb = _CUM_AGG[kind], _CUM_COMBINE[kind]
-    base = sdf.repartitionByRange(F.col(ROW_IDX).asc()).withColumn(
-        _PID, F.spark_partition_id())
+    # the range exchange SAMPLES its boundaries per execution; the data
+    # branch and the column-pruned totals branch are different subtrees, so
+    # ReuseExchange does not fire and each would sample its own boundaries —
+    # divergent pid→range mappings corrupt the offsets (nondeterministic
+    # wrong prefixes, surfaced at sf0.1).  The lazy localCheckpoint pins ONE
+    # layout that both branches read.
+    base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
+            .localCheckpoint(eager=False)
+            .withColumn(_PID, F.spark_partition_id()))
     c = value_fn(base)
     dirn = F.col(ROW_IDX).desc() if reverse else F.col(ROW_IDX).asc()
     local = aggf(c).over(
@@ -206,8 +213,10 @@ def attach_global_rle_id(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
     through the same two-pass partition-offset construction as
     attach_global_cum."""
     assert ROW_IDX in sdf.columns
-    base = sdf.repartitionByRange(F.col(ROW_IDX).asc()).withColumn(
-        _PID, F.spark_partition_id())
+    # same sampled-boundary hazard as attach_global_cum: pin one layout
+    base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
+            .localCheckpoint(eager=False)
+            .withColumn(_PID, F.spark_partition_id()))
     c = value_fn(base)
     wp = Window.partitionBy(_PID).orderBy(F.col(ROW_IDX).asc())
     bnd = base.groupBy(_PID).agg(F.max_by(c, F.col(ROW_IDX)).alias("__gr_lastv__"))

@@ -473,3 +473,23 @@ class Series:
 
     def to_s(self) -> str:
         return repr(self)
+
+
+class _SeriesNS:
+    """Namespace proxy: forward ``series.str.foo(...)`` through the Expr
+    namespace and materialize back to a Series (series.rb delegates the
+    same way via ExprDispatch)."""
+
+    def __init__(self, series: "Series", ns: str):
+        self._s = series
+        self._ns = ns
+
+    def __getattr__(self, item: str):
+        if item.startswith("_"):
+            raise AttributeError(item)
+
+        def call(*args, **kwargs):
+            return self._s._dispatch(
+                lambda e: getattr(getattr(e, self._ns), item)(*args, **kwargs))
+
+        return call

@@ -560,3 +560,30 @@ def test_rle_distributed_frame_path(spark):
     out = df.lazy().select(pl.col("x").rle().alias("r")).collect().to_a()
     runs = [(r["r"]["len"], r["r"]["value"]) for r in out]
     assert runs == [(2, 1), (3, 2), (1, 1), (2, None), (1, 3)]
+
+
+def test_group_by_dynamic_start_by(spark):
+    """lazy_frame.rb start_by: 'datapoint' anchors each group's window grid
+    at its first point; weekday names align weekly windows."""
+    import datetime as dtm
+
+    ev = pl.from_hash({"ts": [dtm.datetime(2024, 1, 1, 0, 37),
+                              dtm.datetime(2024, 1, 1, 1, 10),
+                              dtm.datetime(2024, 1, 1, 2, 40)], "v": [1, 2, 3]})
+    out = ev.lazy().group_by_dynamic("ts", every="1h", start_by="datapoint").agg(
+        pl.col("v").sum().alias("s")).sort("ts").collect().to_a()
+    assert [(r["ts"].minute, r["s"]) for r in out] == [(37, 3), (37, 3)]
+
+    ev2 = pl.from_hash({"ts": [dtm.datetime(2024, 1, 3), dtm.datetime(2024, 1, 9)]})
+    out2 = ev2.lazy().group_by_dynamic("ts", every="1w", start_by="monday").agg(
+        pl.len().alias("n")).sort("ts").collect().to_a()
+    assert [r["ts"].day for r in out2] == [1, 8]  # Mondays
+
+    ev3 = pl.from_hash({"g": ["a", "a", "b"],
+                        "ts": [dtm.datetime(2024, 1, 1, 0, 10),
+                               dtm.datetime(2024, 1, 1, 0, 50),
+                               dtm.datetime(2024, 1, 1, 0, 45)]})
+    out3 = ev3.lazy().group_by_dynamic("ts", every="1h", by="g",
+                                       start_by="datapoint").agg(
+        pl.len().alias("n")).sort("g").collect().to_a()
+    assert [(r["g"], r["ts"].minute, r["n"]) for r in out3] == [("a", 10, 2), ("b", 45, 1)]
