@@ -292,7 +292,28 @@ class Expr:
         return self._lift2(o, lambda a, b: ((a % b) + b) % b, op="%")
 
     def __pow__(self, o):
-        return self._lift2(o, lambda a, b: F.pow(a, b), op="**")
+        # polars: int ** int stays integer (expr.rb:3535 doctest — i64 cube
+        # column is i64, float exponent → f64); F.pow always returns double,
+        # so probe both operand dtypes at bind time and cast back.
+        oe = wrap_expr(o)
+
+        def f2(a, b, df):
+            from pyspark.sql import types as T
+
+            ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ta = df.select(a.alias("__t__")).schema[0].dataType
+            tb = df.select(b.alias("__t__")).schema[0].dataType
+            out = F.pow(a, b)
+            if isinstance(ta, ints) and isinstance(tb, ints):
+                return out.cast(ta)
+            return out
+
+        return Expr(
+            lambda df, part: f2(self._fn(df, part), oe._fn(df, part), df),
+            name=self._name if self._name is not None else oe._name,
+            is_agg=self._is_agg or oe._is_agg,
+            needs_order=self._needs_order or oe._needs_order,
+        )._set_meta("**", (self, oe))
 
     def __neg__(self):
         return self._lift(lambda c: -c)
@@ -667,14 +688,23 @@ class Expr:
     def exp(self):
         return self._lift(F.exp)
 
+    @staticmethod
+    def _log_domain(c: Column, logged: Column, lower: float = 0.0) -> Column:
+        # polars log family: below the domain → NaN, at the boundary → -inf
+        # (expr.rb truediv doctest shows log2(0) = -inf, log2(-1) = NaN);
+        # Spark's log/log10/log1p return null there instead.
+        return (F.when(c < F.lit(lower), F.lit(float("nan")))
+                 .when(c == F.lit(lower), F.lit(float("-inf")))
+                 .otherwise(logged))
+
     def log(self, base: float = math.e):
-        return self._lift(lambda c: F.log(float(base), c))
+        return self._lift(lambda c: Expr._log_domain(c, F.log(float(base), c)))
 
     def log10(self):
-        return self._lift(F.log10)
+        return self._lift(lambda c: Expr._log_domain(c, F.log10(c)))
 
     def log1p(self):
-        return self._lift(F.log1p)
+        return self._lift(lambda c: Expr._log_domain(c, F.log1p(c), lower=-1.0))
 
     def floor(self):
         return self._lift(F.floor)
@@ -788,7 +818,32 @@ class Expr:
         return self._lift2(ne, lambda c, k: F.array_repeat(c, k.cast("int")))
 
     def shrink_dtype(self):
-        return self._lift(lambda c: c)
+        """Cast to the smallest dtype fitting the column's extrema
+        (expr.rb:6744 doctest: ints shrink by min/max, f64 → f32, str/bool
+        unchanged).  Needs a bind-time extrema probe — one map-side-combined
+        min/max agg (cheap, one row back to the driver)."""
+
+        def fn(c, df, part):
+            from pyspark.sql import types as T
+
+            dt = df.select(c.alias("__t__")).schema[0].dataType
+            if isinstance(dt, T.DoubleType):
+                return c.cast("float")
+            if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                                   T.LongType)):
+                return c
+            row = df.select(F.min(c).alias("lo"), F.max(c).alias("hi")).head()
+            lo = row["lo"] if row is not None else None
+            hi = row["hi"] if row is not None else None
+            if lo is None or hi is None:
+                return c.cast("tinyint")
+            for t, bound in (("tinyint", 1 << 7), ("smallint", 1 << 15),
+                             ("int", 1 << 31)):
+                if -bound <= lo and hi < bound:
+                    return c.cast(t)
+            return c
+
+        return self._lift_ctx(fn)
 
     # -- aggregates (expr.rb lines in SURVEY §2.4) -------------------------------
     def sum(self):
@@ -1045,11 +1100,32 @@ class Expr:
         return self._agg(F.collect_set)
 
     def unique_counts(self):
-        def fn(df, part):
-            c = self._fn(df, part)
-            return F.count(F.lit(1)).over(Window.partitionBy(c))
+        """Count per unique value, in order of first appearance
+        (expr.rb:6544 doctest: ["a","b","b","c","c","c"] → [1, 2, 3]).
 
-        return Expr(fn, name=self._name)
+        Row-count-changing → sole-select-expression rule (like
+        value_counts).  Scale: one hash groupBy carrying min(row_idx) as the
+        appearance key — no window, no per-row fan-out."""
+        inner = self
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+            from .operators.row_index import with_row_index
+
+            out_name = out_name or inner._name or "unique_counts"
+            df = lf._sdf
+            base = with_row_index(df.select(inner._fn(df, None).alias("__v__")),
+                                  "__i__")
+            cnt = (base.groupBy("__v__")
+                   .agg(F.count(F.lit(1)).alias("__n__"),
+                        F.min("__i__").alias("__first__")))
+            out = cnt.select(F.col("__n__").cast("long").alias(out_name),
+                             F.col("__first__"))
+            return LazyFrame(out).sort("__first__").drop("__first__")
+
+        e = Expr(None, name=inner._name)
+        e._frame_fn = frame_fn
+        return e
 
     # -- ordinal / order-dependent ops --------------------------------------------
     def shift(self, n: int = 1, fill_value=None):
@@ -1072,7 +1148,18 @@ class Expr:
 
         e = self._ordered(f)
         if null_behavior == "drop":
-            return e  # frame-level drop handled by drop_nulls
+            # polars drops the first n slots entirely (row-count-changing)
+            # → sole-select-expression rule: compute the ordinary diff
+            # through the ordered machinery, then slice off the n-row prefix.
+            inner = self
+
+            def frame_fn(lf, out_name):
+                out_name = out_name or inner._name or "diff"
+                return lf.select(inner.diff(n, "ignore").alias(out_name)).slice(n)
+
+            fe = Expr(None, name=self._name)
+            fe._frame_fn = frame_fn
+            return fe
         return e
 
     def pct_change(self, n: int = 1):
@@ -2027,6 +2114,10 @@ class Expr:
             from .frame import LazyFrame
 
             df = (lf._ensure_row_index() if inner._needs_order else lf)._sdf
+            # alias renames the OUTER column only; the struct's value field
+            # keeps the source expression's own name (polars semantics:
+            # col("a").value_counts.alias("c") → column c, fields {a, count})
+            field_name = inner._name or out_name or "value_counts"
             out_name = out_name or inner._name or "value_counts"
             vals = df.select(inner._fn(df, None).alias("__v__"))
             cnt = vals.groupBy("__v__").agg(F.count(F.lit(1)).alias("__n__"))
@@ -2036,7 +2127,7 @@ class Expr:
                 field = (F.col("__n__") / F.col("__t__")).alias(cname)
             else:
                 field = F.col("__n__").cast("long").alias(cname)
-            out = cnt.select(F.struct(F.col("__v__").alias(out_name), field)
+            out = cnt.select(F.struct(F.col("__v__").alias(field_name), field)
                              .alias(out_name))
             lfo = LazyFrame(out)
             if sort:
@@ -2127,7 +2218,27 @@ class Expr:
         return e
 
     def extend_constant(self, value, n):
-        raise NotImplementedError("extend_constant is frame-level: use concat")
+        """Append ``n`` copies of ``value`` after the column's rows
+        (expr.rb:6398).  Row-count-changing → sole-select-expression rule;
+        the tail rows come from a broadcast-size local relation, so the
+        union is free at scale."""
+        inner = self
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+
+            out_name = out_name or inner._name or "extend_constant"
+            df = lf._sdf
+            head = df.select(inner._fn(df, None).alias(out_name))
+            t = head.schema[0].dataType
+            spark = df.sparkSession
+            tail = spark.range(int(n)).select(
+                F.lit(value).cast(t).alias(out_name))
+            return LazyFrame(head.unionByName(tail))
+
+        e = Expr(None, name=inner._name)
+        e._frame_fn = frame_fn
+        return e
 
     def map_elements(self, function, return_dtype=None, skip_nulls: bool = True):
         """Scalar python function per element (series.rb:2885 map_elements).

@@ -542,8 +542,12 @@ def from_epoch(column, time_unit: str = "s"):
 
 
 def arg_where(condition, eager: bool = False):
-    """Row indices where the predicate holds (functions/lazy.rb arg_where).
-    Agg-context list (same convention as head/gather)."""
+    """Row indices where the predicate holds (functions/lazy.rb:1092).
+
+    Sole-select → one row per match (row-count-changing, doctest shape);
+    grouped agg context → list of indices (same convention as head/gather).
+    Scale: the select path is a flat filter over the row-indexed frame —
+    no window, no shuffle beyond the row index itself."""
     from ..session import ROW_IDX
 
     e = wrap_expr(condition)
@@ -554,7 +558,20 @@ def arg_where(condition, eager: bool = False):
             F.when(c, F.struct(F.col(ROW_IDX).alias("i")))))
         return F.transform(arr, lambda s: s["i"].cast("long"))
 
-    return Expr(fn, is_agg=True, needs_order=True, name="arg_where")
+    out = Expr(fn, is_agg=True, needs_order=True, name=e._name or "arg_where")
+
+    def frame_fn(lf, out_name):
+        from ..frame import LazyFrame
+
+        out_name = out_name or e._name or "arg_where"
+        df = lf._ensure_row_index()._sdf
+        sel = (df.filter(e._fn(df, None))
+               .select(F.col(ROW_IDX).cast("long").alias(out_name),
+                       F.col(ROW_IDX).alias("__aw_ord__")))
+        return LazyFrame(sel).sort("__aw_ord__").drop("__aw_ord__")
+
+    out._frame_fn = frame_fn
+    return out
 
 
 def duration(*, weeks=0, days=0, hours=0, minutes=0, seconds=0,

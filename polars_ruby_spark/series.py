@@ -33,7 +33,19 @@ class Series:
             from .datatypes import to_spark_type
             import pandas as pd
 
-            pdf = pd.DataFrame({self._name or "values": list(values)})
+            vals = list(values)
+            if not vals:
+                # empty series: pandas inference has no rows to work with —
+                # build from an explicit schema (Null dtype when none given,
+                # matching polars' empty-series default)
+                from pyspark.sql import types as T
+
+                t = to_spark_type(dtype) if dtype is not None else T.NullType()
+                self._name = self._name or "values"
+                self._sdf = spark.createDataFrame(
+                    [], schema=T.StructType([T.StructField(self._name, t)]))
+                return
+            pdf = pd.DataFrame({self._name or "values": vals})
             sdf = spark.createDataFrame(pdf)
             if dtype is not None:
                 t = to_spark_type(dtype)
@@ -65,7 +77,16 @@ class Series:
         return DataFrame(self._sdf.withColumnRenamed(self._sdf.columns[0], self._name))
 
     def to_list(self) -> list:
-        return [r[0] for r in self._sdf.collect()]
+        from pyspark.sql import Row
+
+        def conv(v):
+            if isinstance(v, Row):
+                return v.asDict(recursive=True)
+            if isinstance(v, list):
+                return [conv(x) for x in v]
+            return v
+
+        return [conv(r[0]) for r in self._sdf.collect()]
 
     to_a = to_list
 

@@ -435,8 +435,12 @@ def test_module_function_delegates(spark):
     assert [r["nu"] for r in row] == [2, 2, 2]
     assert [r["cs"] for r in row] == [1.0, 4.0, 9.0]
 
+    # sole-select arg_where → one row per match (functions/lazy.rb:1092)
     assert df.select(pl.arg_where(pl.col("v") > 2).alias("aw")
-                     ).to_a()[0]["aw"] == [1, 2]
+                     ).to_a() == [{"aw": 1}, {"aw": 2}]
+    # grouped agg context keeps the list convention
+    assert df.group_by("g").agg(pl.arg_where(pl.col("v") > 0).alias("aw")) \
+             .sort("g").to_a()[0]["aw"] is not None
     dr = df.select(pl.date_ranges("d0", "d1").alias("dr")).to_a()[0]["dr"]
     assert len(dr) == 4 and dr[0] == dt.date(2024, 1, 1)
     plus = df.select((pl.col("d0").cast(pl.Datetime)

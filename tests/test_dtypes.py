@@ -288,3 +288,82 @@ def test_chrono_nopad_directives(spark):
     ).collect().to_a()[0]
     assert out["a"] == "5/3/2024"
     assert out["b"] == "9:07"
+
+
+def test_reference_doctest_parity_batch6(spark):
+    """Sixth harvest batch: int pow stays int (expr.rb:3535), log-family
+    domain (NaN below, -inf at the boundary), unique_counts in order of
+    appearance (expr.rb:6544), diff(null_behavior: "drop") drops the prefix,
+    extend_constant, sole-select arg_where (functions/lazy.rb:1092),
+    shrink_dtype extrema cast (expr.rb:6744), value_counts field naming
+    under alias, empty Series."""
+    import math
+
+    import polars_ruby_spark as pl
+
+    # int ** int stays integer; float exponent → f64
+    out = pl.from_hash({"x": [1, 2, 4, 8]}).lazy().select(
+        (pl.col("x") ** 3).alias("cube"),
+        pl.col("x").pow(pl.col("x").log(2)).alias("xl")).collect()
+    assert [r["cube"] for r in out.to_a()] == [1, 8, 64, 512]
+    assert "Long" in str(out.schema["cube"]) or "Int64" in str(out.schema["cube"])
+    assert [r["xl"] for r in out.to_a()] == [1.0, 2.0, 16.0, 512.0]
+
+    # log family: negative → NaN, zero → -inf (log1p shifted by one)
+    out = pl.from_hash({"a": [-1.0, 0.0, 8.0, None]}).lazy().select(
+        pl.col("a").log().alias("l"), pl.col("a").log(2).alias("l2"),
+        pl.col("a").log10().alias("l10"), pl.col("a").log1p().alias("lp"),
+    ).collect().to_a()
+    assert math.isnan(out[0]["l"]) and math.isnan(out[0]["l2"]) and math.isnan(out[0]["l10"])
+    assert out[0]["lp"] == float("-inf")          # log1p(-1) = log(0)
+    assert out[1]["l"] == float("-inf") and out[1]["l2"] == float("-inf")
+    assert out[2]["l2"] == 3.0
+    assert all(v is None for v in out[3].values())
+    lp = pl.from_hash({"a": [-2.0]}).lazy().select(
+        pl.col("a").log1p().alias("c")).collect().to_a()
+    assert math.isnan(lp[0]["c"])
+
+    # unique_counts: one row per unique value, order of first appearance
+    out = pl.from_hash({"id": ["a", "b", "b", "c", "c", "c"]}).lazy().select(
+        pl.col("id").unique_counts()).collect().to_a()
+    assert [r["id"] for r in out] == [1, 2, 3]
+
+    # diff(null_behavior: "drop") removes the n-row prefix
+    out = pl.from_hash({"a": [10, 20, 35]}).lazy().select(
+        pl.col("a").diff(null_behavior="drop").alias("c")).collect().to_a()
+    assert [r["c"] for r in out] == [10, 15]
+
+    # extend_constant appends n constant rows
+    out = pl.from_hash({"a": [1, 2]}).lazy().select(
+        pl.col("a").extend_constant(99, 2).alias("c")).collect().to_a()
+    assert [r["c"] for r in out] == [1, 2, 99, 99]
+
+    # sole-select arg_where → one row per matching index, named after root
+    out = pl.from_hash({"a": [1, 2, 3, 4, 5]}).lazy().select(
+        pl.arg_where(pl.col("a") % 2 == 0)).collect().to_a()
+    assert out == [{"a": 1}, {"a": 3}]
+
+    # shrink_dtype: ints by extrema, f64 → f32, str unchanged (multi-expr)
+    out = pl.from_hash({"a": [1, 2, 3], "b": [1, 2, 2 << 32],
+                        "c": [-1, 2, 1 << 30], "d": [-112, 2, 112],
+                        "e": [-112, 2, 129], "g": [0.1, 1.32, 0.12]}) \
+        .lazy().select(pl.all_().shrink_dtype()).collect()
+    got = {k: str(out.schema[k]) for k in ["a", "b", "c", "d", "e", "g"]}
+    assert "Byte" in got["a"] or "Int8" in got["a"]
+    assert "Long" in got["b"] or "Int64" in got["b"]
+    assert "Integer" in got["c"] or "Int32" in got["c"]
+    assert "Byte" in got["d"] and ("Short" in got["e"] or "Int16" in got["e"])
+    assert "Float" in got["g"] and "Double" not in got["g"]
+    assert [r["a"] for r in out.to_a()] == [1, 2, 3]
+
+    # value_counts: alias renames the outer column, value field keeps source name
+    out = pl.from_hash({"a": ["x", "x", "y"]}).lazy().select(
+        pl.col("a").value_counts().alias("c")).collect().to_a()
+    assert sorted((r["c"]["a"], r["c"]["count"]) for r in out) == [("x", 2), ("y", 1)]
+
+    # empty Series: Null dtype default, is_empty
+    s = pl.Series("a", [])
+    assert s.is_empty() and s.len() == 0
+    # Series.to_a converts struct rows to plain dicts
+    assert pl.from_hash({"a": [1], "b": ["x"]}).to_struct("s").to_a() == \
+        [{"a": 1, "b": "x"}]
