@@ -210,6 +210,36 @@ class Expr:
                     needs_order=self._needs_order)._set_meta(
                         _op_label(aggf, "agg"), (self,))
 
+    def _agg_ctx(self, aggf: Callable[[Column, DataFrame], Column],
+                 label: str = "agg", name: str | None = None) -> "Expr":
+        """Like :meth:`_agg` but the aggregate function also receives the
+        bound DataFrame, for dtype-dependent aggregates (bool sum → count of
+        trues, int product stays int).  The dtype probe is analysis-only
+        (no job) and takes the schema fast path for bare columns.
+        ``label`` is the meta-breadcrumb op name (meta.eq distinguishes
+        aggregates by it)."""
+        if self._multi_fn is not None:
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [e._agg_ctx(aggf, label) for e in mf(df)])
+
+        def fn(df, part):
+            c = aggf(self._fn(df, None), df)
+            if part is not None:
+                c = c.over(_part_window(part))
+            return c
+
+        return Expr(fn, name=name if name is not None else self._name,
+                    is_agg=True, needs_order=self._needs_order)._set_meta(
+                        label, (self,))
+
+    def _probe_dtype(self, df: DataFrame, c: Column):
+        """Data type of this expression bound against ``df`` — reads the
+        frame schema directly for bare columns (free), falls back to a
+        single-column analysis probe otherwise."""
+        if self._meta and self._meta[0] == "col" and self._meta[2] in df.columns:
+            return df.schema[self._meta[2]].dataType
+        return df.select(c.alias("__t__")).schema[0].dataType
+
     def _ordered(self, f: Callable[[Column, WindowSpec], Column]) -> "Expr":
         """Window op defined against implicit row order (shift/cum_*/…)."""
         if self._multi_fn is not None:
@@ -847,10 +877,27 @@ class Expr:
 
     # -- aggregates (expr.rb lines in SURVEY §2.4) -------------------------------
     def sum(self):
-        return self._agg(F.sum)
+        # polars: sum over booleans counts trues (u32); Spark's sum rejects
+        # BOOLEAN outright — probe and cast.
+        def aggf(c, df):
+            from pyspark.sql import types as T
+
+            if isinstance(self._probe_dtype(df, c), T.BooleanType):
+                return F.sum(c.cast("long"))
+            return F.sum(c)
+
+        return self._agg_ctx(aggf, "sum")
 
     def mean(self):
-        return self._agg(F.avg)
+        # polars: mean over booleans = fraction of trues (f64)
+        def aggf(c, df):
+            from pyspark.sql import types as T
+
+            if isinstance(self._probe_dtype(df, c), T.BooleanType):
+                return F.avg(c.cast("int"))
+            return F.avg(c)
+
+        return self._agg_ctx(aggf, "mean")
 
     def median(self):
         return self._agg(F.median)
@@ -862,7 +909,17 @@ class Expr:
         return self._agg(F.max)
 
     def product(self):
-        return self._agg(lambda c: F.product(c))
+        # polars: product of an integer column stays integer; F.product
+        # always returns double — probe and cast back.
+        def aggf(c, df):
+            from pyspark.sql import types as T
+
+            if isinstance(self._probe_dtype(df, c),
+                          (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return F.product(c).cast("long")
+            return F.product(c)
+
+        return self._agg_ctx(aggf, "product")
 
     def std(self, ddof: int = 1):
         return self._agg(F.stddev_samp if ddof == 1 else F.stddev_pop)
@@ -1443,12 +1500,31 @@ class Expr:
 
     take = gather  # deprecated reference alias
 
+    def _drop_rows_where(self, agg_expr: "Expr", keep) -> "Expr":
+        """Shared shape for drop_nulls/drop_nans: list semantics in agg
+        context; in a sole select they are row-count-changing flat filters
+        (expr.rb:893/921 doctests show fewer rows out)."""
+        inner = self
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+
+            out_name = out_name or inner._name or "drop"
+            df = (lf._ensure_row_index() if inner._needs_order else lf)._sdf
+            c = inner._fn(df, None)
+            return LazyFrame(df.filter(keep(c)).select(c.alias(out_name)))
+
+        agg_expr._frame_fn = frame_fn
+        return agg_expr
+
     def drop_nulls(self) -> "Expr":
-        return self._agg_listop(lambda vals: F.filter(vals, lambda v: v.isNotNull()))
+        e = self._agg_listop(lambda vals: F.filter(vals, lambda v: v.isNotNull()))
+        return self._drop_rows_where(e, lambda c: c.isNotNull())
 
     def drop_nans(self) -> "Expr":
-        return self._agg_listop(lambda vals: F.filter(
+        e = self._agg_listop(lambda vals: F.filter(
             vals, lambda v: ~F.isnan(v) | v.isNull()))
+        return self._drop_rows_where(e, lambda c: ~F.isnan(c) | c.isNull())
 
     def arg_unique(self) -> "Expr":
         """Index of the first occurrence of each distinct value (expr.rb)."""
@@ -1515,23 +1591,48 @@ class Expr:
         e._grouped_remap_fn = remap
         return e
 
-    def sort_by(self, by, descending: bool = False):
-        by_list = by if isinstance(by, (list, tuple)) else [by]
+    def sort_by(self, by, *more_by, descending=False, nulls_last: bool = False):
+        by_list = list(by) if isinstance(by, (list, tuple)) else [by]
+        by_list += list(more_by)
         by_exprs = [as_expr(b) for b in by_list]
+        dirs = (list(descending) if isinstance(descending, (list, tuple))
+                else [bool(descending)] * len(by_exprs))
+        if len(dirs) != len(by_exprs):
+            raise ValueError("descending list length must match keys")
 
         def fn(df, part):
             c = self._fn(df, part)
-            keys = F.struct(*[b._fn(df, part) for b in by_exprs])
+            keys = F.struct(*[b._fn(df, part).alias(f"k{i}")
+                              for i, b in enumerate(by_exprs)])
             both = Window.partitionBy(*(part or [])).orderBy(ROW_IDX).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing)
-            pairs = F.collect_list(F.struct(keys.alias("k"), c.alias("v"))).over(both)
-            pairs = F.array_sort(pairs)
-            if descending:
-                pairs = F.reverse(pairs)
+            pairs = F.collect_list(F.struct(keys.alias("k"), c.alias("v"),
+                                            F.col(ROW_IDX).alias("i"))).over(both)
+
+            # per-key direction + null placement (polars: nulls first unless
+            # nulls_last, regardless of direction); original index as a final
+            # tiebreak makes the sort stable
+            def cmp(l, r):
+                res = F.when(l["i"] < r["i"], F.lit(-1)).otherwise(F.lit(1))
+                for idx in reversed(range(len(by_exprs))):
+                    lk, rk = l["k"][f"k{idx}"], r["k"][f"k{idx}"]
+                    lo, hi = ((F.lit(1), F.lit(-1)) if dirs[idx]
+                              else (F.lit(-1), F.lit(1)))
+                    nl = F.lit(1) if nulls_last else F.lit(-1)
+                    res = (F.when(lk.isNull() & rk.isNull(), res)
+                           .when(lk.isNull(), nl)
+                           .when(rk.isNull(), -nl)
+                           .when(lk < rk, lo)
+                           .when(lk > rk, hi)
+                           .otherwise(res))
+                return res.cast("int")
+
+            pairs = F.array_sort(pairs, cmp)
             pos = F.row_number().over(Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
             return F.element_at(pairs, pos)["v"]
 
-        return Expr(fn, name=self._name, needs_order=True)
+        return Expr(fn, name=self._name, needs_order=True)._set_meta(
+            "sort_by", (self, *by_exprs))
 
     def top_k(self, k: int = 5):
         def fn(df, part):

@@ -618,10 +618,14 @@ class LazyFrame:
         return self.select(*[col(c).min() for c in self.columns])
 
     def sum(self):
-        return self.select(*[col(c).sum() for c in self._numeric_columns()])
+        # bool columns participate (count of trues — Expr.sum casts)
+        return self.select(*[col(c).sum()
+                             for c in self._numeric_columns(include_bool=True)])
 
     def mean(self):
-        return self.select(*[col(c).mean() for c in self._numeric_columns()])
+        # bool columns participate (fraction of trues — Expr.mean casts)
+        return self.select(*[col(c).mean()
+                             for c in self._numeric_columns(include_bool=True)])
 
     def median(self):
         return self.select(*[col(c).median() for c in self._numeric_columns()])
@@ -630,8 +634,10 @@ class LazyFrame:
         return self.select(*[col(c).quantile(q, interpolation)
                              for c in self._numeric_columns()])
 
-    def _numeric_columns(self):
+    def _numeric_columns(self, include_bool: bool = False):
         num = ("byte", "short", "integer", "long", "float", "double", "decimal")
+        if include_bool:
+            num = num + ("boolean",)
         return [f.name for f in self._sdf.schema.fields
                 if f.dataType.typeName().startswith(num) and f.name != ROW_IDX]
 

@@ -175,8 +175,12 @@ def cum_fold(acc, function, exprs):
 
 
 # string builders (functions/as_datatype.rb:213,251)
-def concat_str(exprs, separator: str = "", ignore_nulls: bool = False):
-    es = _exprs(exprs if isinstance(exprs, (list, tuple)) else [exprs])
+def concat_str(exprs, *more_exprs, separator: str = "",
+               ignore_nulls: bool = False, sep: str | None = None):
+    if sep is not None:  # reference kw name (functions/as_datatype.rb)
+        separator = sep
+    base = list(exprs) if isinstance(exprs, (list, tuple)) else [exprs]
+    es = _exprs(base + list(more_exprs))
 
     def fn(df, part):
         cols = [e._fn(df, part).cast("string") for e in es]
@@ -386,13 +390,22 @@ def datetime_range(start, end, interval: str = "1h", eager: bool = False, spark=
     return frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
 
 
-def repeat(value, n: int, eager: bool = False, spark=None):
+def repeat(value, n: int, dtype=None, eager: bool = False, name: str | None = None,
+           spark=None):
+    """Column of ``value`` repeated ``n`` times (functions/repeat.rb:37).
+    ``eager`` → a Series named 'repeat' (reference doctest), else a
+    LazyFrame row source."""
     from ..session import get_spark
-    from .. import frame
+    from ..datatypes import to_spark_type
+    from .. import frame, series
 
     s = spark or get_spark()
-    sdf = s.range(n).select(F.lit(value).alias("repeat"))
-    return frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
+    nm = name or "repeat"
+    c = F.lit(value)
+    if dtype is not None:
+        c = c.cast(to_spark_type(dtype))
+    sdf = s.range(n).select(c.alias(nm))
+    return series.Series._from_spark(sdf, nm) if eager else frame.LazyFrame(sdf)
 
 
 def sql_expr(sql: str) -> Expr:
@@ -673,11 +686,13 @@ def time_ranges(start, stop, interval: str = "1h", closed: str = "both"):
 
 
 def ones(n: int, dtype=None, eager: bool = True, spark=None):
-    return repeat(1.0 if dtype is None else 1, n, eager=eager, spark=spark)
+    return repeat(1.0 if dtype is None else 1, n, dtype=dtype, eager=eager,
+                  name="ones", spark=spark)
 
 
 def zeros(n: int, dtype=None, eager: bool = True, spark=None):
-    return repeat(0.0 if dtype is None else 0, n, eager=eager, spark=spark)
+    return repeat(0.0 if dtype is None else 0, n, dtype=dtype, eager=eager,
+                  name="zeros", spark=spark)
 
 
 def select(*exprs, **named):

@@ -203,8 +203,20 @@ class StringNameSpace(_NS):
 
     strptime = to_datetime
 
-    def to_decimal(self, scale: int = 0) -> Expr:
-        return self._e._lift(lambda c: c.cast(f"decimal(38,{scale})"))
+    def to_decimal(self, inference_length: int = 100) -> Expr:
+        """Parse to Decimal, inferring the scale from the data like the
+        reference (string_expr.rb:253 — "143.9" under a 2-dp column renders
+        143.90).  The scale probe is a bounded one-row agg over the first
+        ``inference_length`` rows."""
+
+        def fn(c, df, part):
+            probe = (df.limit(int(inference_length))
+                     .select(F.max(F.length(F.regexp_extract(
+                         c, r"\.(\d+)$", 1))).alias("s")).head())
+            scale = int(probe["s"]) if probe and probe["s"] is not None else 0
+            return c.cast(f"decimal(38,{scale})")
+
+        return self._e._lift_ctx(fn)
 
     def to_time(self, format: str | None = None, strict: bool = True,
                 cache: bool = True) -> Expr:

@@ -449,7 +449,7 @@ def test_module_function_delegates(spark):
     assert pl.select(pl.lit(2).alias("two")).to_a() == [{"two": 2}]
     tr = pl.time_range(dt.time(1), dt.time(3), "1h", eager=True).to_a()
     assert [r["time"] for r in tr] == [3600 * 10**9, 7200 * 10**9, 10800 * 10**9]
-    assert pl.ones(2).to_a() == [{"repeat": 1.0}] * 2
+    assert pl.ones(2).to_a() == [1.0, 1.0]  # eager default → Series 'ones'
     fe = df.select(pl.from_epoch(pl.lit(86400), "s").alias("fe")).to_a()[0]["fe"]
     assert fe == dt.datetime(1970, 1, 2)
     corr = df.select(pl.pearson_corr("v", "v").round(6).alias("c")).to_a()[0]["c"]

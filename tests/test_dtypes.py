@@ -367,3 +367,71 @@ def test_reference_doctest_parity_batch6(spark):
     # Series.to_a converts struct rows to plain dicts
     assert pl.from_hash({"a": [1], "b": ["x"]}).to_struct("s").to_a() == \
         [{"a": 1, "b": "x"}]
+
+
+def test_reference_doctest_parity_batch7(spark):
+    """Seventh harvest batch: boolean aggregates (sum counts trues, mean is
+    the true-fraction), integer product stays integer, drop_nulls/drop_nans
+    as row-count-changing sole selects (expr.rb:893), per-key sort_by
+    directions, concat_str varargs + ignore_nulls, repeat/ones/zeros eager
+    Series (functions/repeat.rb:37), str.to_decimal scale inference
+    (string_expr.rb:253), frame-level bool aggs."""
+    import math
+
+    import polars_ruby_spark as pl
+
+    out = pl.from_hash({"b": [True, False, True, None]}).lazy().select(
+        pl.col("b").sum().alias("s"), pl.col("b").mean().alias("m"),
+        pl.col("b").min().alias("mn"), pl.col("b").max().alias("mx"),
+    ).collect().to_a()[0]
+    assert out["s"] == 2 and abs(out["m"] - 2 / 3) < 1e-12
+    assert out["mn"] is False and out["mx"] is True
+    g = pl.from_hash({"g": ["a", "a", "b"], "b": [True, True, False]}).lazy() \
+        .group_by("g").agg(pl.col("b").sum().alias("s")).sort("g").collect().to_a()
+    assert [r["s"] for r in g] == [2, 0]
+
+    p = pl.from_hash({"a": [2, 3, 4]}).lazy().select(
+        pl.col("a").product().alias("p")).collect()
+    assert p.to_a() == [{"p": 24}] and "Long" in str(p.schema["p"])
+
+    # drop_nulls / drop_nans: fewer rows out of a sole select
+    assert [r["a"] for r in pl.from_hash({"a": [1, None, 3]}).lazy().select(
+        pl.col("a").drop_nulls()).collect().to_a()] == [1.0, 3.0]
+    nans = pl.from_hash({"a": [1.0, -1.0, 3.0]}).lazy().select(
+        pl.col("a").sqrt().drop_nans().alias("c")).collect().to_a()
+    assert [r["c"] for r in nans] == [1.0, math.sqrt(3.0)]
+
+    # sort_by: per-key directions, stability, grouped over()
+    out = pl.from_hash({"g": [1, 1, 2], "v": ["b", "a", "c"], "o": [1, 2, 3]}) \
+        .lazy().select(pl.col("v").sort_by(["g", "o"], descending=[False, True])
+                       .alias("s")).collect().to_a()
+    assert [r["s"] for r in out] == ["a", "b", "c"]
+    out = pl.from_hash({"g": ["x", "x", "y", "y"], "v": [1, 2, 3, 4],
+                        "o": [2, 1, 2, 1]}).lazy().select(
+        pl.col("v").sort_by("o").over("g").alias("s")).collect().to_a()
+    assert [r["s"] for r in out] == [2, 1, 4, 3]
+
+    # concat_str: varargs form + ignore_nulls
+    d = pl.from_hash({"a": ["x", None], "b": ["y", "z"]})
+    assert [r["c"] for r in d.lazy().select(pl.concat_str(
+        pl.col("a"), pl.col("b"), separator="-").alias("c")).collect().to_a()] \
+        == ["x-y", None]
+    assert [r["c"] for r in d.lazy().select(pl.concat_str(
+        [pl.col("a"), pl.col("b")], separator="-", ignore_nulls=True)
+        .alias("c")).collect().to_a()] == ["x-y", "z"]
+
+    # repeat/ones/zeros: eager → named Series, dtype honored
+    s = pl.repeat(3, 3, dtype=pl.Int8, eager=True)
+    assert s.to_a() == [3, 3, 3] and s.name == "repeat" and "Byte" in str(s.dtype)
+    assert pl.ones(2).name == "ones" and pl.ones(2).to_a() == [1.0, 1.0]
+    assert pl.zeros(2).to_a() == [0.0, 0.0]
+
+    # str.to_decimal infers scale from the data
+    dec = pl.from_hash({"n": ["40.12", "143.9"]}).lazy().select(
+        pl.col("n").str.to_decimal().alias("d")).collect().to_a()
+    assert [str(r["d"]) for r in dec] == ["40.12", "143.90"]
+
+    # frame-level sum/mean include booleans
+    assert pl.from_hash({"b": [True, False], "x": [1.0, 3.0]}).mean().to_a() \
+        == [{"b": 0.5, "x": 2.0}]
+    assert pl.from_hash({"b": [True, True, False]}).sum().to_a() == [{"b": 2}]
