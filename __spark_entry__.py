@@ -1531,6 +1531,73 @@ def q114_dynamic_datapoint(spark, sf_dir):
     return out.to_spark()
 
 
+def q115_agg_typing(spark, sf_dir):
+    """Boolean aggregates + integer pow typing (doctest-parity batch 7):
+    sum over bool counts trues, mean is the true-fraction, int ** int stays
+    integer.  One hash agg, map-side combined."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = (li.with_columns((pl.col("l_quantity") > 25).alias("big"))
+           .group_by("l_returnflag")
+           .agg(
+               pl.col("big").sum().alias("n_big"),
+               pl.col("big").mean().round(9).alias("frac_big"),
+               (pl.col("l_linenumber") ** 2).sum().alias("sq_sum"),
+           )
+           .sort("l_returnflag"))
+    return out.to_spark()
+
+
+def q116_unique_counts(spark, sf_dir):
+    """Expr.unique_counts (expr.rb:6544): count per unique value in order of
+    FIRST APPEARANCE — verified by pairing each count with its output
+    ordinal.  One hash groupBy carrying min(row_idx); no window."""
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents").sort("doc_id")
+    out = d.select(pl.col("lang").unique_counts()).with_row_index("ord")
+    return out.to_spark()
+
+
+def q117_arg_where(spark, sf_dir):
+    """Sole-select arg_where (functions/lazy.rb:1092): one row per matching
+    row index.  Flat filter over the row-indexed frame — no window."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort("event_id")
+    out = ev.select(pl.arg_where(pl.col("value") > 220.0))
+    return out.to_spark()
+
+
+def q118_diff_drop_extend(spark, sf_dir):
+    """diff(null_behavior='drop') drops the n-row prefix, then
+    extend_constant appends constant rows (both row-count-changing
+    sole-select shapes, chained)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey").head(50)
+    dd = o.select(pl.col("o_totalprice").diff(null_behavior="drop").alias("d"))
+    out = dd.select(pl.col("d").extend_constant(-1.0, 2).alias("d"))
+    return out.to_spark()
+
+
+def q119_sort_by_directions(spark, sf_dir):
+    """sort_by with per-key directions under over() (expr.rb sort_by):
+    grouped rank-zip remap (two row_number windows + one join — never a
+    collected per-row array)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey")
+    out = (o.select(
+        pl.col("o_orderstatus"),
+        pl.col("o_orderkey").sort_by(["o_orderpriority", "o_totalprice"],
+                                     descending=[False, True])
+          .over("o_orderstatus").alias("k"))
+        .with_row_index("ord"))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1650,6 +1717,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_dup_ngrams": q112_dup_ngrams,
         "q113_null_semantics": q113_null_semantics,
         "q114_dynamic_datapoint": q114_dynamic_datapoint,
+        "q115_agg_typing": q115_agg_typing,
+        "q116_unique_counts": q116_unique_counts,
+        "q117_arg_where": q117_arg_where,
+        "q118_diff_drop_extend": q118_diff_drop_extend,
+        "q119_sort_by_directions": q119_sort_by_directions,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -1936,6 +2008,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS ts, event_type,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM b GROUP BY 1, 2
+        """,
+        "q115_agg_typing": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big,
+                   ROUND(AVG(CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END), 9) AS frac_big,
+                   SUM(l_linenumber * l_linenumber) AS sq_sum
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q116_unique_counts": """
+            WITH b AS (SELECT lang, row_number() OVER (ORDER BY doc_id) AS i
+                       FROM documents),
+                 g AS (SELECT lang, COUNT(*) AS cnt, MIN(i) AS f
+                       FROM b GROUP BY lang)
+            SELECT row_number() OVER (ORDER BY f) - 1 AS ord, cnt AS lang
+            FROM g
+        """,
+        "q117_arg_where": """
+            WITH b AS (SELECT value,
+                              row_number() OVER (ORDER BY event_id) - 1 AS i
+                       FROM events)
+            SELECT i AS value FROM b WHERE value > 220.0
+        """,
+        "q118_diff_drop_extend": """
+            WITH o AS (SELECT o_totalprice,
+                              row_number() OVER (ORDER BY o_orderkey) AS rn
+                       FROM orders ORDER BY o_orderkey LIMIT 50),
+                 d AS (SELECT o_totalprice
+                              - lag(o_totalprice) OVER (ORDER BY rn) AS d, rn
+                       FROM o)
+            SELECT d FROM d WHERE rn > 1
+            UNION ALL SELECT -1.0 FROM range(2)
+        """,
+        "q119_sort_by_directions": """
+            WITH b AS (SELECT o_orderstatus, o_orderkey, o_orderpriority,
+                              o_totalprice,
+                              row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+                       FROM orders),
+                 pos AS (SELECT o_orderstatus, rid,
+                                row_number() OVER (PARTITION BY o_orderstatus
+                                                   ORDER BY rid) AS p
+                         FROM b),
+                 rnk AS (SELECT o_orderstatus, o_orderkey AS k,
+                                row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_orderpriority ASC,
+                                             o_totalprice DESC, rid ASC) AS r
+                         FROM b)
+            SELECT pos.rid AS ord, pos.o_orderstatus, rnk.k
+            FROM pos JOIN rnk ON pos.o_orderstatus = rnk.o_orderstatus
+                             AND pos.p = rnk.r
         """,
         "q113_null_semantics": """
             WITH base AS (

@@ -1631,8 +1631,38 @@ class Expr:
             pos = F.row_number().over(Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
             return F.element_at(pairs, pos)["v"]
 
-        return Expr(fn, name=self._name, needs_order=True)._set_meta(
+        e = Expr(fn, name=self._name, needs_order=True)._set_meta(
             "sort_by", (self, *by_exprs))
+        inner = self
+
+        def remap(sdf, key_exprs):
+            # scale path under over(): rank-zip join (two row_number windows
+            # + one shuffle) instead of the O(|group|²) collected-array fn
+            from .operators.row_index import attach_grouped_rank_zip
+
+            tmp = _next_gord_name()
+
+            def order(_vals):
+                cols = []
+                for i, d in enumerate(dirs):
+                    k = F.col(f"__gz_o{i}__")
+                    if d:
+                        cols.append(k.desc_nulls_last() if nulls_last
+                                    else k.desc_nulls_first())
+                    else:
+                        cols.append(k.asc_nulls_last() if nulls_last
+                                    else k.asc_nulls_first())
+                cols.append(F.col(ROW_IDX).asc())   # stable tiebreak
+                return cols
+
+            return attach_grouped_rank_zip(
+                sdf, lambda df: inner._fn(df, None),
+                lambda df: [ke._fn(df, None) for ke in key_exprs],
+                tmp, order,
+                extra_fns=lambda df: [b._fn(df, None) for b in by_exprs]), tmp
+
+        e._grouped_remap_fn = remap
+        return e
 
     def top_k(self, k: int = 5):
         def fn(df, part):

@@ -243,7 +243,7 @@ def attach_global_rle_id(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
 
 
 def attach_grouped_rank_zip(sdf: DataFrame, value_fn, key_fns, out_name: str,
-                            order_fn) -> DataFrame:
+                            order_fn, extra_fns=None) -> DataFrame:
     """Grouped positional remap (sort/reverse/shuffle under ``over(keys)``).
 
     Semantics: the i-th row of a group (counting in frame row order) takes
@@ -258,7 +258,9 @@ def attach_grouped_rank_zip(sdf: DataFrame, value_fn, key_fns, out_name: str,
     task with an interpreted comparator; this shape: sub-second).
 
     ``order_fn(vals_df) -> [Column...]`` builds the ordering over a frame
-    holding the group keys, ``__gz_val__`` and ``ROW_IDX``.
+    holding the group keys, ``__gz_val__`` and ``ROW_IDX``.  ``extra_fns``
+    optionally adds ordering-only columns ``__gz_o{i}__`` to that frame
+    (sort_by orders the value column by OTHER expressions).
     """
     assert ROW_IDX in sdf.columns
     keys = key_fns(sdf)
@@ -267,7 +269,10 @@ def attach_grouped_rank_zip(sdf: DataFrame, value_fn, key_fns, out_name: str,
     pos = F.row_number().over(
         Window.partitionBy(*kn).orderBy(F.col(ROW_IDX).asc()))
     left = base.withColumn("__gz_pos__", pos)
-    vals = base.select(*kn, ROW_IDX, value_fn(base).alias("__gz_val__"))
+    extras = ([e.alias(f"__gz_o{i}__")
+               for i, e in enumerate(extra_fns(base))] if extra_fns else [])
+    vals = base.select(*kn, ROW_IDX, value_fn(base).alias("__gz_val__"),
+                       *extras)
     rnk = F.row_number().over(
         Window.partitionBy(*kn).orderBy(*order_fn(vals)))
     ranked = vals.select(
