@@ -6,6 +6,7 @@ struct ctor, sql_expr — SURVEY §2.4/§2.7/§2.8.
 
 from __future__ import annotations
 
+import builtins
 import functools
 
 from pyspark.sql import Window
@@ -41,17 +42,17 @@ def _exprs(args):
 # vertical convenience (functions/aggregation/vertical.rb:44-277)
 def sum(*names):
     es = _exprs(names)
-    return es[0].sum() if len(es) == 1 else sum_horizontal(*es)
+    return es[0].sum() if builtins.len(es) == 1 else sum_horizontal(*es)
 
 
 def min(*names):
     es = _exprs(names)
-    return es[0].min() if len(es) == 1 else min_horizontal(*es)
+    return es[0].min() if builtins.len(es) == 1 else min_horizontal(*es)
 
 
 def max(*names):
     es = _exprs(names)
-    return es[0].max() if len(es) == 1 else max_horizontal(*es)
+    return es[0].max() if builtins.len(es) == 1 else max_horizontal(*es)
 
 
 def mean(*names):
@@ -198,7 +199,7 @@ def format(fstring: str, *args):
     """functions/as_datatype.rb:251 — '{}' placeholders."""
     parts = fstring.split("{}")
     es = _exprs(args)
-    if len(parts) - 1 != len(es):
+    if builtins.len(parts) - 1 != builtins.len(es):
         raise ValueError("format placeholder/arg count mismatch")
 
     def fn(df, part):
@@ -206,7 +207,7 @@ def format(fstring: str, *args):
         for i, p in enumerate(parts):
             if p:
                 cols.append(F.lit(p))
-            if i < len(es):
+            if i < builtins.len(es):
                 cols.append(es[i]._fn(df, part).cast("string"))
         return F.concat(*cols)
 

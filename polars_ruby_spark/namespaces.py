@@ -45,7 +45,10 @@ class StringNameSpace(_NS):
         )
 
     def extract_all(self, pattern: str) -> Expr:
-        return self._e._lift(lambda c: F.regexp_extract_all(c, F.lit(pattern)))
+        # group 0 = the full match — polars returns whole matches, and
+        # Spark's default group index 1 errors on group-less patterns
+        return self._e._lift(
+            lambda c: F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
 
     def extract_groups(self, pattern: str) -> Expr:
         """string_expr.rb:1032 — all capture groups as a struct (fields named
@@ -241,11 +244,30 @@ class StringNameSpace(_NS):
         return self._e._lift(
             lambda c: F.when(c.rlike(pat), F.conv(c, base, 10).cast("long")))
 
-    def json_decode(self, dtype=None) -> Expr:
-        t = to_spark_type(dtype) if dtype is not None else None
-        if t is None:
-            raise ValueError("json_decode requires a dtype (Spark needs a schema)")
-        return self._e._lift(lambda c: F.from_json(c, t))
+    def json_decode(self, dtype=None, infer_schema_length: int = 100) -> Expr:
+        """Parse JSON strings into structs/lists (string_expr.rb:804).  With
+        no dtype, the schema is inferred from the first
+        ``infer_schema_length`` non-null rows (bounded driver probe, like
+        the reference's own inference)."""
+        if dtype is not None:
+            t = to_spark_type(dtype)
+            return self._e._lift(lambda c: F.from_json(c, t))
+
+        def fn(c, df, part):
+            rows = (df.select(c.alias("__j__")).filter(F.col("__j__").isNotNull())
+                    .limit(int(infer_schema_length)).collect())
+            if not rows:
+                return F.lit(None)
+            spark = df.sparkSession
+            # merge the per-row inferred schemas by letting Spark infer over
+            # the sample as a JSON dataset (handles heterogeneous keys)
+            sample = spark.createDataFrame([(r["__j__"],) for r in rows],
+                                           "j string")
+            inferred = spark.read.json(
+                sample.rdd.map(lambda r: r["j"])).schema
+            return F.from_json(c, inferred)
+
+        return self._e._lift_ctx(fn)
 
     def json_path_match(self, path: str) -> Expr:
         return self._e._lift(lambda c: F.get_json_object(c, path))
@@ -562,7 +584,10 @@ class ListNameSpace(_NS):
     def concat(self, other) -> Expr:
         return self._e._lift2(wrap_expr(other), F.concat)
 
-    def get(self, index: int) -> Expr:
+    def get(self, index: int, null_on_oob: bool = True) -> Expr:
+        # null_on_oob accepted for signature parity (list_expr.rb:389);
+        # element_at under ANSI-off already yields null out of bounds —
+        # the strict (raising) mode is not expressible distributed-side.
         if index >= 0:
             return self._e._lift(lambda c: F.element_at(c, index + 1))
         return self._e._lift(lambda c: F.element_at(c, index))
@@ -582,6 +607,10 @@ class ListNameSpace(_NS):
         return self._e._lift(lambda c: F.element_at(c, -1))
 
     def contains(self, item) -> Expr:
+        if item is None:
+            # array_contains rejects NULL-typed needles; "does the list hold
+            # a null" is an exists scan
+            return self._e._lift(lambda c: F.exists(c, lambda x: x.isNull()))
         return self._e._lift2(wrap_expr(item), F.array_contains)
 
     def join(self, separator: str) -> Expr:
@@ -772,7 +801,27 @@ class BinaryNameSpace(_NS):
 
 class CatNameSpace(_NS):
     def get_categories(self) -> Expr:
-        return self._e._agg(F.collect_set)
+        """One row per category in order of first appearance
+        (cat_expr.rb doctest) — row-count-changing sole-select, one hash
+        groupBy carrying min(row_idx)."""
+        inner = self._e
+
+        def frame_fn(lf, out_name):
+            from .frame import LazyFrame
+            from .operators.row_index import with_row_index
+
+            out_name = out_name or inner._name or "category"
+            df = lf._sdf
+            base = with_row_index(
+                df.select(inner._fn(df, None).alias("__v__")), "__i__")
+            cats = (base.filter(F.col("__v__").isNotNull())
+                    .groupBy("__v__").agg(F.min("__i__").alias("__first__"))
+                    .select(F.col("__v__").alias(out_name), "__first__"))
+            return LazyFrame(cats).sort("__first__").drop("__first__")
+
+        e = Expr(None, name=inner._name)
+        e._frame_fn = frame_fn
+        return e
 
     def set_ordering(self, ordering: str) -> Expr:
         return self._e._lift(lambda c: c)

@@ -435,3 +435,39 @@ def test_reference_doctest_parity_batch7(spark):
     assert pl.from_hash({"b": [True, False], "x": [1.0, 3.0]}).mean().to_a() \
         == [{"b": 0.5, "x": 2.0}]
     assert pl.from_hash({"b": [True, True, False]}).sum().to_a() == [{"b": 2}]
+
+
+def test_reference_doctest_parity_batch8(spark):
+    """Eighth harvest batch: the functions-module builtin-len shadow broke
+    pl.sum/min/max single-column and pl.format entirely; extract_all on
+    group-less patterns (string_expr.rb:975), json_decode schema inference
+    (string_expr.rb:804), list.contains(nil), list.get null_on_oob kwarg,
+    cat.get_categories one row per category in appearance order."""
+    import polars_ruby_spark as pl
+
+    d = pl.from_hash({"a": [1, 2], "b": [3, 4]})
+    assert d.lazy().select(pl.sum("a")).collect().to_a() == [{"a": 3}]
+    assert d.lazy().select(pl.min("a"), pl.max("b").alias("mb")) \
+        .collect().to_a() == [{"a": 1, "mb": 4}]
+    assert pl.from_hash({"a": ["x"], "n": [2]}).lazy().select(
+        pl.format("{}-{}", pl.col("a"), pl.col("n")).alias("c")
+    ).collect().to_a() == [{"c": "x-2"}]
+
+    out = pl.from_hash({"foo": ["123 bla 45 asd", "xyz 678 910t"]}).lazy() \
+        .select(pl.col("foo").str.extract_all(r"(\d+)").alias("e")).collect().to_a()
+    assert [r["e"] for r in out] == [["123", "45"], ["678", "910"]]
+
+    j = pl.from_hash({"j": ['{"a": 1, "b": [1,2]}', '{"a": 2, "b": []}']}) \
+        .lazy().select(pl.col("j").str.json_decode().alias("c")).collect().to_a()
+    assert j[0]["c"] == {"a": 1, "b": [1, 2]} and j[1]["c"] == {"a": 2, "b": []}
+
+    out = pl.from_hash({"l": [[1, None], [2, 3]]}).lazy().select(
+        pl.col("l").list.contains(None).alias("c")).collect().to_a()
+    assert [r["c"] for r in out] == [True, False]
+    assert pl.from_hash({"l": [[1, 2]]}).lazy().select(
+        pl.col("l").list.get(5, null_on_oob=True).alias("c")
+    ).collect().to_a() == [{"c": None}]
+
+    cats = pl.from_hash({"s": ["b", "a", "b", "c"]}).lazy().select(
+        pl.col("s").cast(pl.Categorical).cat.get_categories()).collect().to_a()
+    assert [r["s"] for r in cats] == ["b", "a", "c"]
