@@ -769,7 +769,9 @@ def q58_ranges(spark, sf_dir):
     import polars_ruby_spark as pl
 
     ints = pl.int_range(0, 30, eager=True, spark=spark)  # Series 'arange'
-    dates = pl.date_range("2024-01-01", "2024-01-30", "1d", spark=spark)
+    # lazy range = Expr (reference semantics) → select it alone for a frame
+    dates = pl.select(pl.date_range("2024-01-01", "2024-01-30", "1d",
+                                    spark=spark)).lazy()
     di = dates.with_row_index("idx")
     out = di.join(ints.to_frame().lazy(), left_on="idx", right_on="arange",
                   how="inner").select("idx", "date")

@@ -2506,7 +2506,13 @@ def cols(*names) -> Expr:
     return col(names[0], *names[1:])
 
 
-def all_() -> Expr:
+def all_(*names, ignore_nulls: bool = True) -> Expr:
+    # Polars.all() = every column; Polars.all("a") = boolean AND of a column
+    # (functions/aggregation/vertical.rb:44)
+    if names:
+        out = [(col(n) if isinstance(n, str) else wrap_expr(n)).all()
+               for n in names]
+        return out[0] if len(out) == 1 else out
     from .session import ROW_IDX as _RI
 
     return Expr(multi_fn=lambda df: [col(c) for c in df.columns if c != _RI])

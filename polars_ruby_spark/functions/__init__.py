@@ -312,6 +312,36 @@ def coalesce(*exprs):
 
 
 # ranges (functions/range/*.rb) — frame producers
+def _range_producer(build_sdf, default_name: str, eager: bool):
+    """Shared shape for int/date/datetime/time ranges: ``eager`` → a named
+    Series; lazy → an Expr usable only as the sole select expression
+    (row-count-defining generator), matching the reference's Expr return."""
+    if eager:
+        from ..series import Series
+
+        return Series._from_spark(build_sdf(), default_name)
+
+    from ..exprs import Expr
+
+    def fn(df, part):
+        raise NotImplementedError(
+            f"{default_name} range composed with other expressions: select "
+            "it alone (row-count-defining) or pass eager=true")
+
+    e = Expr(fn, name=default_name)
+
+    def frame_fn(lf, out_name):
+        from ..frame import LazyFrame
+
+        out = build_sdf()
+        if out_name and out_name != default_name:
+            out = out.withColumnRenamed(default_name, out_name)
+        return LazyFrame(out)
+
+    e._frame_fn = frame_fn
+    return e
+
+
 def int_range(start, end=None, step: int = 1, eager: bool = False,
               dtype=None, spark=None):
     """functions/range/int_range.rb:31 — Expr named 'arange' (sole-select
@@ -321,34 +351,9 @@ def int_range(start, end=None, step: int = 1, eager: bool = False,
     if end is None:
         start, end = 0, start
     s = spark or get_spark()
-
-    def _sdf():
-        return s.range(start, end, step).withColumnRenamed("id", "arange")
-
-    if eager:
-        from ..series import Series
-
-        return Series._from_spark(_sdf(), "arange")
-
-    from ..exprs import Expr
-
-    def fn(df, part):
-        raise NotImplementedError(
-            "int_range composed with other expressions: select it alone "
-            "(row-count-defining) or pass eager=true")
-
-    e = Expr(fn, name="arange")
-
-    def frame_fn(lf, out_name):
-        from ..frame import LazyFrame
-
-        out = _sdf()
-        if out_name and out_name != "arange":
-            out = out.withColumnRenamed("arange", out_name)
-        return LazyFrame(out)
-
-    e._frame_fn = frame_fn
-    return e
+    return _range_producer(
+        lambda: s.range(start, end, step).withColumnRenamed("id", "arange"),
+        "arange", eager)
 
 
 arange = int_range  # reference alias (int_range.rb:58)
@@ -365,15 +370,19 @@ def date_range(start, end, interval: str = "1d", eager: bool = False, closed: st
         step = f"INTERVAL {dur.months} MONTH"
     else:
         step = f"INTERVAL {int(dur.total_seconds())} SECOND"
-    sdf = s.range(1).select(
-        F.explode(
-            F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"), F.expr(step))
-        ).alias("date"))
-    if closed in ("left", "none"):
-        sdf = sdf.filter(F.col("date") != F.lit(end).cast("date"))
-    if closed in ("right", "none"):
-        sdf = sdf.filter(F.col("date") != F.lit(start).cast("date"))
-    return frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
+    def build():
+        sdf = s.range(1).select(
+            F.explode(
+                F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"),
+                           F.expr(step))
+            ).alias("date"))
+        if closed in ("left", "none"):
+            sdf = sdf.filter(F.col("date") != F.lit(end).cast("date"))
+        if closed in ("right", "none"):
+            sdf = sdf.filter(F.col("date") != F.lit(start).cast("date"))
+        return sdf
+
+    return _range_producer(build, "date", eager)
 
 
 def datetime_range(start, end, interval: str = "1h", eager: bool = False, spark=None):
@@ -383,12 +392,13 @@ def datetime_range(start, end, interval: str = "1h", eager: bool = False, spark=
     dur = parse_duration(interval)
     s = spark or get_spark()
     step = f"INTERVAL {int(dur.total_seconds() * 1e6)} MICROSECOND"
-    sdf = s.range(1).select(
-        F.explode(
-            F.sequence(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp"),
-                       F.expr(step))
-        ).alias("datetime"))
-    return frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
+    return _range_producer(
+        lambda: s.range(1).select(
+            F.explode(
+                F.sequence(F.lit(start).cast("timestamp"),
+                           F.lit(end).cast("timestamp"), F.expr(step))
+            ).alias("datetime")),
+        "datetime", eager)
 
 
 def repeat(value, n: int, dtype=None, eager: bool = False, name: str | None = None,
@@ -437,7 +447,8 @@ def arg_sort_by(exprs, descending: bool = False):
             Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
         return F.element_at(pairs, pos)["i"].cast("long")
 
-    e = Expr(fn, name="arg_sort_by", needs_order=True)
+    # named after the first key expression (py-polars convention)
+    e = Expr(fn, name=es[0]._name or "arg_sort_by", needs_order=True)
 
     def frame_fn(lf, out_name):
         # sole-select path: plain sort projection of the row index —
@@ -446,7 +457,7 @@ def arg_sort_by(exprs, descending: bool = False):
         # (same fix as Expr.arg_sort)
         from ..frame import LazyFrame
 
-        out_name = out_name or "arg_sort_by"
+        out_name = out_name or es[0]._name or "arg_sort_by"
         df = lf._ensure_row_index()._sdf
         order = [(ee._fn(df, None).desc() if descending else
                   ee._fn(df, None).asc()) for ee in es]
@@ -661,13 +672,17 @@ def time_range(start=None, stop=None, interval: str = "1h",
     hi = _time_ns(stop) if stop is not None else 24 * 3600 * 10**9 - 1
     step = int(dur.total_seconds() * 1e9)
     s = spark or get_spark()
-    sdf = s.range(1).select(F.explode(F.sequence(
-        F.lit(lo), F.lit(hi), F.lit(step))).alias("time"))
-    if closed in ("left", "none"):
-        sdf = sdf.filter(F.col("time") != hi)
-    if closed in ("right", "none"):
-        sdf = sdf.filter(F.col("time") != lo)
-    return frame.DataFrame(sdf) if eager else frame.LazyFrame(sdf)
+
+    def build():
+        sdf = s.range(1).select(F.explode(F.sequence(
+            F.lit(lo), F.lit(hi), F.lit(step))).alias("time"))
+        if closed in ("left", "none"):
+            sdf = sdf.filter(F.col("time") != hi)
+        if closed in ("right", "none"):
+            sdf = sdf.filter(F.col("time") != lo)
+        return sdf
+
+    return _range_producer(build, "time", eager)
 
 
 def time_ranges(start, stop, interval: str = "1h", closed: str = "both"):

@@ -965,7 +965,23 @@ class MetaNameSpace(_NS):
 
 class NameNameSpace(_NS):
     def keep(self) -> Expr:
-        return self._e
+        # restore the ROOT column name, undoing any alias (name_expr.rb:keep
+        # doctest: (col("a")+1).alias("x").name.keep → column "a") — walk the
+        # breadcrumb AST to the first col leaf
+        def root(m):
+            if m is None:
+                return None
+            op, children, payload = m
+            if op == "col":
+                return payload
+            for ch in children:
+                r = root(ch._meta)
+                if r is not None:
+                    return r
+            return None
+
+        rn = root(self._e._meta)
+        return self._e.alias(rn) if rn else self._e
 
     def map(self, function) -> Expr:
         return self._e.alias(function(self._e._name or ""))

@@ -161,7 +161,7 @@ class Series:
 
     @property
     def struct(self):
-        return _SeriesNS(self, "struct")
+        return _SeriesStructNS(self, "struct")
 
     @property
     def bin(self):
@@ -169,7 +169,7 @@ class Series:
 
     @property
     def cat(self):
-        return _SeriesNS(self, "cat")
+        return _SeriesCatNS(self, "cat")
 
     # -- scalar reductions materialize ------------------------------------------
     def _scalar(self, method, *args, **kwargs):
@@ -514,3 +514,40 @@ class _SeriesNS:
                 lambda e: getattr(getattr(e, self._ns), item)(*args, **kwargs))
 
         return call
+
+
+class _SeriesStructNS(_SeriesNS):
+    """Series-level struct namespace (struct_name_space.rb): ``fields`` /
+    ``schema`` are properties, ``unnest``/``to_frame`` yield a DataFrame."""
+
+    @property
+    def fields(self) -> list:
+        from pyspark.sql import types as T
+
+        dt = self._s.dtype
+        return [f.name for f in dt.fields] if isinstance(dt, T.StructType) else []
+
+    @property
+    def schema(self) -> dict:
+        from pyspark.sql import types as T
+
+        dt = self._s.dtype
+        if not isinstance(dt, T.StructType):
+            return {}
+        return {f.name: f.dataType for f in dt.fields}
+
+    def unnest(self):
+        return self._s.to_frame().unnest(self._s.name)
+
+    to_frame = unnest
+
+
+class _SeriesCatNS(_SeriesNS):
+    """Series-level categorical namespace (cat_name_space.rb) — this engine
+    has no global string cache, so every categorical is 'local'."""
+
+    def is_local(self) -> bool:
+        return True
+
+    def to_local(self) -> "Series":
+        return self._s

@@ -447,8 +447,13 @@ def test_module_function_delegates(spark):
                       + pl.duration(days=1, hours=6)).alias("p")).to_a()[0]["p"]
     assert plus == dt.datetime(2024, 1, 2, 6, 0)
     assert pl.select(pl.lit(2).alias("two")).to_a() == [{"two": 2}]
+    # eager range → Series of values (reference functions/range semantics)
     tr = pl.time_range(dt.time(1), dt.time(3), "1h", eager=True).to_a()
-    assert [r["time"] for r in tr] == [3600 * 10**9, 7200 * 10**9, 10800 * 10**9]
+    assert tr == [3600 * 10**9, 7200 * 10**9, 10800 * 10**9]
+    # lazy range → Expr, sole-select row generator
+    dr2 = pl.select(pl.datetime_range(dt.datetime(2024, 1, 1),
+                                      dt.datetime(2024, 1, 2), "6h").alias("t"))
+    assert len(dr2.to_a()) == 5
     assert pl.ones(2).to_a() == [1.0, 1.0]  # eager default → Series 'ones'
     fe = df.select(pl.from_epoch(pl.lit(86400), "s").alias("fe")).to_a()[0]["fe"]
     assert fe == dt.datetime(1970, 1, 2)

@@ -471,3 +471,52 @@ def test_reference_doctest_parity_batch8(spark):
     cats = pl.from_hash({"s": ["b", "a", "b", "c"]}).lazy().select(
         pl.col("s").cast(pl.Categorical).cat.get_categories()).collect().to_a()
     assert [r["s"] for r in cats] == ["b", "a", "c"]
+
+
+def test_reference_doctest_parity_batch9(spark):
+    """Ninth harvest batch: lazy ranges are Exprs (functions/range/*.rb) with
+    eager=true yielding named Series; Polars.all("col") vertical AND
+    (vertical.rb:44); name.keep restores the root name; Series-level struct
+    namespace (struct_name_space.rb fields/schema/unnest); Series cat
+    is_local/to_local; arg_sort_by named after its first key."""
+    import datetime as dt
+
+    import polars_ruby_spark as pl
+
+    # lazy range Expr → sole-select generator; eager → Series of values
+    dr = pl.select(pl.datetime_range(dt.datetime(2024, 1, 1),
+                                     dt.datetime(2024, 1, 2), "6h").alias("t"))
+    assert len(dr.to_a()) == 5
+    s = pl.date_range(dt.date(2024, 1, 1), dt.date(2024, 1, 3), "1d", eager=True)
+    assert s.to_a() == [dt.date(2024, 1, 1), dt.date(2024, 1, 2), dt.date(2024, 1, 3)]
+    assert s.name == "date"
+
+    # Polars.all(name) / any(name): vertical boolean aggregates
+    out = pl.from_hash({"b": [True, False]}).lazy().select(
+        pl.any("b").alias("a"), pl.all("b").alias("l")).collect().to_a()
+    assert out == [{"a": True, "l": False}]
+    # bare all() still expands every column
+    assert pl.from_hash({"a": [1], "b": [2]}).lazy().select(pl.all()) \
+        .collect().columns == ["a", "b"]
+
+    # name.keep undoes aliasing back to the root column
+    assert pl.from_hash({"Alpha": [1]}).lazy().select(
+        (pl.col("Alpha") + 1).alias("x").name.keep()).collect().columns == ["Alpha"]
+
+    # Series struct namespace: property fields/schema, unnest to a frame
+    ss = pl.Series("a", [{"x": 1, "y": "q"}])
+    assert ss.struct.fields == ["x", "y"]
+    assert list(ss.struct.schema.keys()) == ["x", "y"]
+    assert ss.struct.unnest().columns == ["x", "y"]
+    assert ss.struct.field("x").to_a() == [1]
+
+    # cat: every categorical is local in this engine
+    sc = pl.Series("s", ["b", "a", "b"]).cast(pl.Categorical)
+    assert sc.cat.is_local() is True
+    assert sc.cat.to_local().to_a() == ["b", "a", "b"]
+    assert sc.cat.get_categories().to_a() == ["b", "a"]
+
+    # arg_sort_by takes its first key's name
+    out = pl.from_hash({"v": [3, 1, 2]}).lazy().select(
+        pl.arg_sort_by("v")).collect().to_a()
+    assert out == [{"v": 1}, {"v": 2}, {"v": 0}]
