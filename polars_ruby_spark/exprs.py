@@ -102,6 +102,12 @@ class Expr:
     #: closed over the keys.
     _grouped_remap_fn = None
 
+    #: set on expressions whose physical plan sorts rows by a VALUE key
+    #: (rank, rolling_*_by): Spark's WindowExec leaves the output partition-
+    #: sorted by the window ordering, so select/with_columns must restore
+    #: frame row order (ROW_IDX sort) afterward — polars preserves row order.
+    _scrambles_order = False
+
     #: lightweight AST breadcrumb ``(op, children_exprs, payload)`` attached
     #: by the central combinators (col/lit/_lift/_lift2/_agg/_ordered/alias/
     #: over) — powers meta.root_names/pop/tree_format/eq (meta_expr.rb)
@@ -155,6 +161,7 @@ class Expr:
             is_agg=self._is_agg if is_agg is None else is_agg,
             needs_order=self._needs_order if needs_order is None else needs_order,
         )._set_meta(_op_label(f), (self,))
+        out._scrambles_order = self._scrambles_order
         if self._global_ordinal_fn is not None:
             # compose the pure Column fn on top of the attached hook column
             # so e.g. cum_sum().round(2) / sort().over(k).round(2) keep the
@@ -174,12 +181,14 @@ class Expr:
         if self._multi_fn is not None:
             mf = self._multi_fn
             return Expr(multi_fn=lambda df: [e._lift_ctx(f, needs_order) for e in mf(df)])
-        return Expr(
+        out = Expr(
             lambda df, part: f(self._fn(df, part), df, part),
             name=self._name,
             is_agg=self._is_agg,
             needs_order=self._needs_order or needs_order,
         )._set_meta(_op_label(f), (self,))
+        out._scrambles_order = self._scrambles_order
+        return out
 
     def _lift2(self, other, f: Callable[[Column, Column], Column],
                name: str | None = None, op: str | None = None) -> "Expr":
@@ -187,12 +196,14 @@ class Expr:
         if self._multi_fn is not None:
             mf = self._multi_fn
             return Expr(multi_fn=lambda df: [e._lift2(o, f) for e in mf(df)])
-        return Expr(
+        out = Expr(
             lambda df, part: f(self._fn(df, part), o._fn(df, part)),
             name=name if name is not None else (self._name if self._name is not None else o._name),
             is_agg=self._is_agg or o._is_agg,
             needs_order=self._needs_order or o._needs_order,
         )._set_meta(op or _op_label(f, "binary"), (self, o))
+        out._scrambles_order = self._scrambles_order or o._scrambles_order
+        return out
 
     def _agg(self, aggf: Callable[[Column], Column], name: str | None = None) -> "Expr":
         """Aggregate; in a windowed context, broadcast over the partition."""
@@ -1400,7 +1411,9 @@ class Expr:
                 raise ValueError(f"unknown rank method {method!r}")
             return F.when(c.isNotNull(), r)
 
-        return Expr(fn, name=self._name)
+        e = Expr(fn, name=self._name)
+        e._scrambles_order = True   # WindowExec leaves rows value-sorted
+        return e
 
     def arg_sort(self, reverse: bool = False, nulls_last: bool = False):
         """Permutation indices that sort this column (expr.rb:1419).
@@ -1790,7 +1803,9 @@ class Expr:
                 lo, hi = -span + 1, -1
             return aggf(c).over(w.rangeBetween(lo, hi))
 
-        return Expr(fn, name=self._name)
+        e = Expr(fn, name=self._name)
+        e._scrambles_order = True   # WindowExec leaves rows sorted by `by`
+        return e
 
     def rolling_sum_by(self, by, window_size: str, closed: str = "right"):
         return self._rolling_by(F.sum, by, window_size, closed)
@@ -2135,6 +2150,7 @@ class Expr:
         out = Expr(fn, name=self._name, is_agg=False,
                    needs_order=self._needs_order)._set_meta(
                        "window", (self, *key_exprs))
+        out._scrambles_order = self._scrambles_order
         if self._grouped_remap_fn is not None:
             remap = self._grouped_remap_fn
             out._global_ordinal_fn = lambda sdf: remap(sdf, key_exprs)

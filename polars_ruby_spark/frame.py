@@ -111,7 +111,8 @@ class LazyFrame:
         for name, e in parsed:
             for ee in e._expand(sdf):
                 expanded.append((name, ee))
-        needs_order = any(e._needs_order for _, e in expanded)
+        needs_order = any(e._needs_order or e._scrambles_order
+                          for _, e in expanded)
         if needs_order:
             sdf = self._ensure_row_index()._sdf
         all_agg = bool(expanded) and all(e._is_agg for _, e in expanded)
@@ -178,6 +179,11 @@ class LazyFrame:
             if alias:
                 c = c.alias(alias)
             cols.append((alias, c))
+        # value-ordered windows (rank, rolling_*_by) leave the output
+        # partition-sorted by their window key — callers must restore frame
+        # row order (polars preserves it)
+        self._last_bind_scrambled = any(
+            e._scrambles_order and not e._is_agg for _, e in expanded)
         return sdf, cols, all_agg, helpers
 
     # -- projections ----------------------------------------------------------
@@ -195,6 +201,12 @@ class LazyFrame:
         sdf, cols, all_agg, _helpers = self._bind_all(parsed, "select")
         if all_agg:
             return LazyFrame(sdf.agg(*[c for _, c in cols]))
+        if self._last_bind_scrambled and ROW_IDX in sdf.columns:
+            from pyspark.sql import functions as F
+
+            out = (sdf.select(*[c for _, c in cols], F.col(ROW_IDX))
+                   .orderBy(ROW_IDX))
+            return LazyFrame(out)   # ROW_IDX stays valid as the hidden index
         return LazyFrame(sdf.select(*[c for _, c in cols]))
 
     select_seq = select
@@ -213,6 +225,9 @@ class LazyFrame:
         drop = [h for h in helpers if h not in mapping]
         if drop:
             out = out.drop(*drop)
+        if self._last_bind_scrambled and ROW_IDX in out.columns:
+            out = out.orderBy(ROW_IDX)
+            return LazyFrame(out)   # keep the (still valid) hidden index
         return LazyFrame(strip_row_index(out) if ROW_IDX not in self._sdf.columns else out)
 
     with_columns_seq = with_columns

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
 
 from .exprs import Expr, col
 
@@ -213,6 +214,114 @@ class Series:
 
     def quantile(self, q: float, interpolation: str = "nearest"):
         return self._scalar("quantile", q, interpolation)
+
+    def count(self):
+        return self._scalar("count")
+
+    def product(self):
+        return self._scalar("product")
+
+    def entropy(self, base: float = 2.0, normalize: bool = True):
+        return self._scalar("entropy", base=base, normalize=normalize)
+
+    def skew(self, bias: bool = True):
+        return self._scalar("skew", bias=bias)
+
+    def kurtosis(self, fisher: bool = True, bias: bool = True):
+        return self._scalar("kurtosis", fisher=fisher, bias=bias)
+
+    # -- row-subset ops (frame-level, flat — the Expr forms are agg-context
+    #    listops and would yield one row holding a list) -----------------------
+    def _via_frame(self, f) -> "Series":
+        return Series._from_spark(f(self.to_frame().lazy())._sdf, self._name)
+
+    def head(self, n: int = 10) -> "Series":
+        return self._via_frame(lambda lf: lf.head(n))
+
+    def tail(self, n: int = 10) -> "Series":
+        return self._via_frame(lambda lf: lf.tail(n))
+
+    def limit(self, n: int = 10) -> "Series":
+        return self._via_frame(lambda lf: lf.limit(n))
+
+    def slice(self, offset: int, length: int | None = None) -> "Series":
+        return self._via_frame(lambda lf: lf.slice(offset, length))
+
+    def top_k(self, k: int = 5) -> "Series":
+        return self._via_frame(lambda lf: lf.sort(self._name, descending=True)
+                               .head(k))
+
+    def bottom_k(self, k: int = 5) -> "Series":
+        return self._via_frame(lambda lf: lf.sort(self._name).head(k))
+
+    def unique(self, maintain_order: bool = False) -> "Series":
+        return self._via_frame(lambda lf: lf.unique())
+
+    def arg_unique(self) -> "Series":
+        """Index of the first occurrence of each distinct value, flat."""
+        from .operators.row_index import with_row_index
+
+        base = with_row_index(self._sdf, "__i__")
+        out = (base.groupBy(self._sdf.columns[0])
+               .agg(F.min("__i__").alias("__first__"))
+               .orderBy("__first__")
+               .select(F.col("__first__").cast("long").alias(self._name)))
+        return Series._from_spark(out, self._name)
+
+    def gather(self, indices) -> "Series":
+        """Rows at the given positions (flat, series.rb take)."""
+        from .operators.row_index import with_row_index
+
+        idx = list(indices.to_a() if isinstance(indices, Series) else indices)
+        n = self.len()
+        idx = [i if i >= 0 else n + i for i in idx]
+        base = with_row_index(self._sdf, "__i__")
+        # broadcast-join a (position → output ordinal) table: scales to any
+        # index-list size the driver can hold, no per-index plan nodes
+        spark = self._sdf.sparkSession
+        lut = spark.createDataFrame(
+            [(int(i), k) for k, i in enumerate(idx)], "__i__ long, __ord__ long")
+        out = (base.join(F.broadcast(lut), "__i__")
+               .orderBy("__ord__").select(self._sdf.columns[0]))
+        return Series._from_spark(out, self._name)
+
+    take = gather
+
+    def filter(self, mask) -> "Series":
+        """Keep rows where the boolean mask holds (series.rb filter) — the
+        mask may be a Series or a plain list; zipped by row position."""
+        from .operators.row_index import with_row_index
+
+        if isinstance(mask, (list, tuple)):
+            mask = Series("", list(mask))
+        if isinstance(mask, Series):
+            left = with_row_index(self._sdf, "__i__")
+            right = with_row_index(
+                mask._sdf.select(F.col(mask._sdf.columns[0]).alias("__m__")),
+                "__i__")
+            out = (left.join(right, "__i__")
+                   .filter(F.col("__m__")).orderBy("__i__")
+                   .select(self._sdf.columns[0]))
+            return Series._from_spark(out, self._name)
+        # Expr mask
+        return self._dispatch(lambda e: e.filter(mask))
+
+    def dot(self, other) -> float:
+        """Inner product with another Series (series.rb dot), zipped by row
+        position."""
+        from .operators.row_index import with_row_index
+
+        if isinstance(other, Series):
+            left = with_row_index(
+                self._sdf.select(F.col(self._sdf.columns[0]).alias("__a__")),
+                "__i__")
+            right = with_row_index(
+                other._sdf.select(F.col(other._sdf.columns[0]).alias("__b__")),
+                "__i__")
+            row = (left.join(right, "__i__")
+                   .agg(F.sum(F.col("__a__") * F.col("__b__"))).collect()[0])
+            return row[0]
+        return self._scalar("dot", other)
 
     # -- arithmetic via dispatch ---------------------------------------------------
     def value_counts(self, sort: bool = False, name: str = "count"):

@@ -520,3 +520,40 @@ def test_reference_doctest_parity_batch9(spark):
     out = pl.from_hash({"v": [3, 1, 2]}).lazy().select(
         pl.arg_sort_by("v")).collect().to_a()
     assert out == [{"v": 1}, {"v": 2}, {"v": 0}]
+
+
+def test_reference_doctest_parity_batch10(spark):
+    """Tenth harvest batch (Series sweep): rank/rolling_*_by preserve frame
+    row order (WindowExec leaves rows value-sorted — now restored via the
+    hidden index); Series head/tail/limit/slice/top_k/unique/arg_unique/
+    take/filter/dot are flat row ops, not agg-context lists; Series
+    count/product/entropy/skew return scalars."""
+    import polars_ruby_spark as pl
+
+    # rank preserves the original row order in every binding context
+    assert pl.Series("a", [3, 6, 1, 1, 6]).rank().to_a() == \
+        [3.0, 4.5, 1.5, 1.5, 4.5]
+    d = pl.from_hash({"i": [0, 1, 2], "x": [3.0, 1.0, 2.0]})
+    assert [r["r"] for r in d.lazy().with_columns(
+        pl.col("x").rank().alias("r")).collect().to_a()] == [3.0, 1.0, 2.0]
+    g = pl.from_hash({"g": ["a", "b", "a", "b"], "x": [2.0, 5.0, 1.0, 4.0]})
+    assert [r["r"] for r in g.lazy().select(
+        pl.col("x").rank().over("g").alias("r")).collect().to_a()] == \
+        [2.0, 2.0, 1.0, 1.0]
+
+    s = pl.Series("a", [1, 2, 3])
+    assert s.head(2).to_a() == [1, 2] and s.tail(2).to_a() == [2, 3]
+    assert s.limit(2).to_a() == [1, 2] and s.slice(1, 2).to_a() == [2, 3]
+    assert pl.Series("a", [3, 1, 2]).top_k(2).to_a() == [3, 2]
+    assert pl.Series("a", [3, 1, 2]).bottom_k(2).to_a() == [1, 2]
+    assert sorted(pl.Series("a", [1, 1, 2]).unique().to_a()) == [1, 2]
+    assert pl.Series("a", [1, 1, 2]).arg_unique().to_a() == [0, 2]
+    assert pl.Series("a", [10, 20, 30]).take([2, 0]).to_a() == [30, 10]
+    assert pl.Series("a", [10, 20, 30]).take([-1]).to_a() == [30]
+    assert s.filter(pl.Series("m", [True, False, True])).to_a() == [1, 3]
+    assert s.filter([False, True, True]).to_a() == [2, 3]
+    assert s.dot(pl.Series("b", [4, 5, 6])) == 32
+    assert s.count() == 3
+    assert pl.Series("a", [2, 3, 4]).product() == 24
+    assert abs(pl.Series("a", [1.0, 1.0]).entropy(base=2) - 1.0) < 1e-12
+    assert abs(pl.Series("a", [1.0, 2.0, 3.0, 10.0]).skew() - 1.01823) < 1e-4
