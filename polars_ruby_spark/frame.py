@@ -445,7 +445,9 @@ class LazyFrame:
     # -- joins ------------------------------------------------------------------------------
     def join(self, other: "LazyFrame", on=None, how: str = "inner", left_on=None,
              right_on=None, suffix: str = "_right", join_nulls: bool = False,
-             coalesce: bool | None = None, broadcast: bool | None = None) -> "LazyFrame":
+             coalesce: bool | None = None, broadcast: bool | None = None,
+             validate: str = "m:m", allow_parallel: bool = True,
+             force_parallel: bool = False) -> "LazyFrame":
         """Equi joins (lazy_frame.rb:1700). ``full`` keeps both key columns
         with the right one suffixed (doctest lazy_frame.rb:1648-1660).
 
@@ -455,6 +457,24 @@ class LazyFrame:
         """
         from .operators.joins import join as _join
 
+        if validate not in (None, "m:m"):
+            # key-uniqueness check (lazy_frame.rb join validate): one
+            # map-side-combined agg per constrained side — polars also pays
+            # a uniqueness pass when asked to validate
+            from .exceptions import ComputeError
+
+            lk = [on] if isinstance(on, str) else list(on or []) or \
+                ([left_on] if isinstance(left_on, str) else list(left_on or []))
+            rk = [on] if isinstance(on, str) else list(on or []) or \
+                ([right_on] if isinstance(right_on, str) else list(right_on or []))
+            def _unique(side, keys):
+                mx = side._sdf.groupBy(*keys).count().agg(
+                    F.max("count")).head()[0]
+                return (mx or 0) <= 1
+            if validate in ("1:1", "1:m") and not _unique(self, lk):
+                raise ComputeError(f"join keys not unique on the left side ({validate})")
+            if validate in ("1:1", "m:1") and not _unique(other, rk):
+                raise ComputeError(f"join keys not unique on the right side ({validate})")
         return _join(self, other, on=on, how=how, left_on=left_on,
                      right_on=right_on, suffix=suffix, join_nulls=join_nulls,
                      coalesce=coalesce, broadcast=broadcast)
@@ -494,9 +514,18 @@ class LazyFrame:
         for c in columns:
             names.extend(c if isinstance(c, (list, tuple)) else [c])
         out = strip_row_index(self._sdf)
-        for name in names:
-            out = out.withColumn(name, F.explode_outer(F.col(name)))
-        return LazyFrame(out)
+        if len(names) <= 1:
+            for name in names:
+                out = out.withColumn(name, F.explode_outer(F.col(name)))
+            return LazyFrame(out)
+        # multiple list columns explode in LOCKSTEP (polars zips them; a
+        # per-column explode would cross-product).  arrays_zip pads unequal
+        # lengths with null where polars raises — documented deviation.
+        out = out.withColumn(
+            "__zx__", F.explode_outer(F.arrays_zip(*[F.col(n) for n in names])))
+        for n in names:
+            out = out.withColumn(n, F.col("__zx__")[n])
+        return LazyFrame(out.drop("__zx__"))
 
     def unnest(self, *columns) -> "LazyFrame":
         names = []
@@ -948,6 +977,32 @@ class DataFrame(LazyFrame):
     def __getitem__(self, key):
         if isinstance(key, str):
             return self.get_column(key)
+        # df[row, col] two-arg form (data_frame.rb:316): int/slice row
+        # selection combined with a column name or list
+        if (isinstance(key, tuple) and len(key) == 2
+                and not all(isinstance(k, str) for k in key)):
+            row_sel, col_sel = key
+            if isinstance(col_sel, str):
+                s = self.get_column(col_sel)
+                if isinstance(row_sel, int):
+                    i = row_sel if row_sel >= 0 else self.height + row_sel
+                    vals = s.slice(i, 1).to_a()
+                    if not vals:
+                        raise IndexError(row_sel)
+                    return vals[0]
+                if isinstance(row_sel, slice):
+                    start = row_sel.start or 0
+                    length = (None if row_sel.stop is None
+                              else row_sel.stop - start)
+                    return s.slice(start, length)
+            cols = [col_sel] if isinstance(col_sel, str) else list(col_sel)
+            sub = DataFrame(self.to_spark().select(*cols))
+            if isinstance(row_sel, int):
+                i = row_sel if row_sel >= 0 else self.height + row_sel
+                return DataFrame._from_lazy(sub.lazy().slice(i, 1))
+            if isinstance(row_sel, slice):
+                return sub[row_sel]
+            raise TypeError(f"cannot index DataFrame with {key!r}")
         if isinstance(key, (list, tuple)) and all(isinstance(k, str) for k in key):
             return DataFrame(self.to_spark().select(*key))
         if isinstance(key, slice):
@@ -975,10 +1030,26 @@ class DataFrame(LazyFrame):
             return buf.getvalue()
         self.to_spark().write.mode(mode).csv(path, header=include_header, sep=separator)
 
-    def write_json(self, path: str | None = None, mode: str = "overwrite", **kw):
+    def write_json(self, path: str | None = None, pretty: bool = False,
+                   row_oriented: bool = False, **kw):
+        """Single-file JSON like the reference (data_frame.rb:584) — a
+        driver-side export API (collects), not a distributed sink; use
+        write_ndjson/sink_ndjson for scale-out output."""
+        import json as _json
+
+        if row_oriented:
+            payload = self.to_a()
+        else:
+            pdf = self.to_pandas()
+            payload = {"columns": [
+                {"name": c, "datatype": str(self.schema[c]),
+                 "values": pdf[c].tolist()} for c in self.columns]}
+        s = _json.dumps(payload, indent=2 if pretty else None, default=str)
         if path is None:
-            return self.to_pandas().to_json(orient="records")
-        self.to_spark().write.mode(mode).json(path)
+            return s
+        with open(path, "w") as f:
+            f.write(s)
+        return None
 
     def write_ndjson(self, path: str | None = None, mode: str = "overwrite", **kw):
         if path is None:
@@ -1121,7 +1192,10 @@ class DataFrame(LazyFrame):
     apply = map_rows
 
     def sample(self, n: int | None = None, fraction: float | None = None,
-               with_replacement: bool = False, seed: int | None = None):
+               with_replacement: bool = False, seed: int | None = None,
+               frac: float | None = None, shuffle: bool = False):
+        if frac is not None:   # reference kw name (data_frame.rb sample)
+            fraction = frac
         if fraction is None:
             total = self.height
             fraction = min(1.0, (n or 1) * 1.2 / max(total, 1))

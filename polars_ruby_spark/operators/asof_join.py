@@ -56,8 +56,10 @@ def join_asof(left, right, on=None, left_on=None, right_on=None, by=None,
     lsdf = left._sdf.drop(ROW_IDX) if ROW_IDX in left._sdf.columns else left._sdf
     rsdf = right._sdf.drop(ROW_IDX) if ROW_IDX in right._sdf.columns else right._sdf
 
-    # right payload: every right column except its by-keys, suffixed on collision
-    payload_cols = [c for c in rsdf.columns if c not in br]
+    # right payload: every right column except its by-keys AND its on-key —
+    # polars drops the right time column (data_frame.rb:2223 doctest shows
+    # only date/population/gdp in the output)
+    payload_cols = [c for c in rsdf.columns if c not in br and c != ron]
     out_names = {}
     for c in payload_cols:
         out_names[c] = c + suffix if (c in lsdf.columns) else c

@@ -522,3 +522,50 @@ def test_group_by_each_and_plot(spark):
     assert "encoding" in spec
     with _pytest.raises(ValueError):
         df.group_by(["g", "v"]).plot("v", "v")
+
+
+def test_reference_doctest_parity_batch11(spark):
+    """Eleventh harvest batch (frame/join sweep): multi-column explode zips
+    in lockstep (was a cross product), join_asof drops the right on-column
+    (data_frame.rb:2223), df[row, col] two-arg indexing, write_json single
+    file (row_oriented / column-oriented / string), sample(frac:),
+    join validate (1:1 / 1:m / m:1)."""
+    import datetime as dtm
+    import json
+    import os
+    import tempfile
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.exceptions import ComputeError
+
+    out = pl.from_hash({"a": [[1, 2]], "b": [["x", "y"]]}).explode("a", "b").to_a()
+    assert out == [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+
+    a = pl.from_hash({"t": [dtm.datetime(2024, 1, 1, 0), dtm.datetime(2024, 1, 1, 5)],
+                      "x": [1, 2]})
+    b = pl.from_hash({"t": [dtm.datetime(2024, 1, 1, 1)], "y": [9]})
+    j = a.sort("t").join_asof(b.sort("t"), on="t", strategy="backward",
+                              tolerance="2h")
+    assert j.columns == ["t", "x", "y"]   # right `t` dropped like polars
+
+    df = pl.from_hash({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    assert df[1, "a"] == 2 and df[-1, "b"] == "z"
+    assert df[1, ["a", "b"]].to_a() == [{"a": 2, "b": "y"}]
+
+    p = tempfile.mktemp(suffix=".json")
+    df.write_json(p, row_oriented=True)
+    assert json.load(open(p)) == df.to_a()
+    os.unlink(p)
+    assert "columns" in json.loads(df.write_json())
+
+    assert 0 <= len(df.sample(frac=0.5, seed=1).to_a()) <= 3
+
+    l = pl.from_hash({"k": [1, 2], "v": [10, 20]})
+    r = pl.from_hash({"k": [2, 3], "v": [200, 300]})
+    assert l.join(r, on="k", how="inner", validate="1:1").to_a() is not None
+    dup = pl.from_hash({"k": [2, 2], "v": [1, 2]})
+    try:
+        l.join(dup, on="k", how="inner", validate="m:1").to_a()
+        raise AssertionError("expected ComputeError")
+    except ComputeError:
+        pass
