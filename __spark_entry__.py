@@ -1600,6 +1600,43 @@ def q119_sort_by_directions(spark, sf_dir):
     return out.to_spark()
 
 
+def q120_explode_zip(spark, sf_dir):
+    """Multi-column explode zips in LOCKSTEP (polars semantics; a per-column
+    explode would cross-product).  One generate node, no shuffle."""
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents").sort("doc_id").head(200)
+    base = d.with_columns(
+        pl.col("text").str.split(" ").alias("w"),
+        pl.col("text").str.to_uppercase().str.split(" ").alias("wu"))
+    out = base.explode("w", "wu").select("doc_id", "w", "wu")
+    return out.to_spark()
+
+
+def q121_cat_categories(spark, sf_dir):
+    """cat.get_categories: one row per category in first-appearance order
+    (cat_expr.rb) — hash groupBy carrying min(row_idx), no window."""
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents").sort("doc_id")
+    out = (d.select(pl.col("source").cast(pl.Categorical)
+                    .cat.get_categories()).with_row_index("ord"))
+    return out.to_spark()
+
+
+def q122_json_infer(spark, sf_dir):
+    """str.json_decode with INFERRED schema (string_expr.rb:804 optional
+    dtype): bounded driver probe over the first rows, then one JVM-side
+    from_json projection."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort("event_id").head(500)
+    out = ev.select(
+        pl.col("event_id"),
+        pl.col("props").str.json_decode().struct.field("k").alias("k"))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1724,6 +1761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_arg_where": q117_arg_where,
         "q118_diff_drop_extend": q118_diff_drop_extend,
         "q119_sort_by_directions": q119_sort_by_directions,
+        "q120_explode_zip": q120_explode_zip,
+        "q121_cat_categories": q121_cat_categories,
+        "q122_json_infer": q122_json_infer,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -2010,6 +2050,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS ts, event_type,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM b GROUP BY 1, 2
+        """,
+        "q120_explode_zip": """
+            WITH b AS (SELECT doc_id, text FROM documents
+                       ORDER BY doc_id LIMIT 200)
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   unnest(string_split(upper(text), ' ')) AS wu
+            FROM b
+        """,
+        "q121_cat_categories": """
+            WITH b AS (SELECT source,
+                              row_number() OVER (ORDER BY doc_id) AS i
+                       FROM documents),
+                 g AS (SELECT source, MIN(i) AS f FROM b
+                       WHERE source IS NOT NULL GROUP BY source)
+            SELECT row_number() OVER (ORDER BY f) - 1 AS ord, source
+            FROM g
+        """,
+        "q122_json_infer": """
+            WITH b AS (SELECT event_id, props FROM events
+                       ORDER BY event_id LIMIT 500)
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM b
         """,
         "q115_agg_typing": """
             SELECT l_returnflag,
