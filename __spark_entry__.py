@@ -1637,6 +1637,26 @@ def q122_json_infer(spark, sf_dir):
     return out.to_spark()
 
 
+def q123_duration_totals(spark, sf_dir):
+    """Duration accessors over real timestamp subtraction (date_time_expr.rb
+    :970): total_days/hours/seconds of (fixed date − o_orderdate).  The
+    interval-typed difference is normalized to epoch µs first (a bare long
+    cast of a DayTimeInterval yields SECONDS — the latent unit bug this
+    query pins)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    anchor = pl.lit("1998-12-31").cast(pl.Datetime)
+    dur = anchor - pl.col("o_orderdate").cast(pl.Datetime)
+    out = (o.select(
+        pl.col("o_orderkey"),
+        dur.dt.total_days().alias("days"),
+        dur.dt.total_hours().alias("hours"),
+        dur.dt.total_seconds().alias("secs"),
+    ).sort("o_orderkey"))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1764,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_explode_zip": q120_explode_zip,
         "q121_cat_categories": q121_cat_categories,
         "q122_json_infer": q122_json_infer,
+        "q123_duration_totals": q123_duration_totals,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -2050,6 +2071,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS ts, event_type,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM b GROUP BY 1, 2
+        """,
+        "q123_duration_totals": """
+            SELECT o_orderkey,
+                   date_diff('day', o_orderdate, DATE '1998-12-31') AS days,
+                   date_diff('day', o_orderdate, DATE '1998-12-31') * 24 AS hours,
+                   date_diff('day', o_orderdate, DATE '1998-12-31') * 86400 AS secs
+            FROM orders ORDER BY o_orderkey
         """,
         "q120_explode_zip": """
             WITH b AS (SELECT doc_id, text FROM documents

@@ -522,28 +522,45 @@ class DateTimeNameSpace(_NS):
 
         return self._e._lift(f)
 
-    # Duration accessors (date_time_expr.rb:970-1202) — operate on a
-    # microsecond-valued Long duration (our Duration physical repr).
+    # Duration accessors (date_time_expr.rb:970-1202).  Durations appear
+    # either as a µs-valued Long (our Duration physical repr) or as Spark's
+    # DayTimeIntervalType (the result of timestamp subtraction) — whose
+    # bare long cast yields SECONDS, not µs.  Normalize to total µs first.
+    def _dur_us(self) -> Expr:
+        def fn(c, df, part):
+            from pyspark.sql import types as T
+
+            dt = df.select(c.alias("__t__")).schema[0].dataType
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType, T.FloatType, T.DoubleType)):
+                return c.cast("long")
+            # any interval flavor (DayTimeInterval from timestamp
+            # subtraction, CalendarInterval from make_interval): anchor at
+            # epoch 0 and read back the µs offset
+            return F.unix_micros(F.timestamp_micros(F.lit(0)) + c)
+
+        return self._e._lift_ctx(fn)
+
     def total_days(self) -> Expr:
-        return self._e._lift(lambda c: (c / (86400 * _SEC)).cast("long"))
+        return self._dur_us()._lift(lambda c: (c / (86400 * _SEC)).cast("long"))
 
     def total_hours(self) -> Expr:
-        return self._e._lift(lambda c: (c / (3600 * _SEC)).cast("long"))
+        return self._dur_us()._lift(lambda c: (c / (3600 * _SEC)).cast("long"))
 
     def total_minutes(self) -> Expr:
-        return self._e._lift(lambda c: (c / (60 * _SEC)).cast("long"))
+        return self._dur_us()._lift(lambda c: (c / (60 * _SEC)).cast("long"))
 
     def total_seconds(self) -> Expr:
-        return self._e._lift(lambda c: (c / _SEC).cast("long"))
+        return self._dur_us()._lift(lambda c: (c / _SEC).cast("long"))
 
     def total_milliseconds(self) -> Expr:
-        return self._e._lift(lambda c: (c / 1000).cast("long"))
+        return self._dur_us()._lift(lambda c: (c / 1000).cast("long"))
 
     def total_microseconds(self) -> Expr:
-        return self._e._lift(lambda c: c.cast("long"))
+        return self._dur_us()._lift(lambda c: c)
 
     def total_nanoseconds(self) -> Expr:
-        return self._e._lift(lambda c: (c * 1000).cast("long"))
+        return self._dur_us()._lift(lambda c: c * 1000)
 
 
 class ListNameSpace(_NS):

@@ -557,3 +557,28 @@ def test_reference_doctest_parity_batch10(spark):
     assert pl.Series("a", [2, 3, 4]).product() == 24
     assert abs(pl.Series("a", [1.0, 1.0]).entropy(base=2) - 1.0) < 1e-12
     assert abs(pl.Series("a", [1.0, 2.0, 3.0, 10.0]).skew() - 1.01823) < 1e-4
+
+
+def test_duration_total_units(spark):
+    """date_time_expr.rb:970 duration accessors: a DayTimeInterval's bare
+    long cast is SECONDS, not µs — totals must normalize via epoch µs.
+    Covers interval-from-subtraction AND make_interval (pl.duration)."""
+    import datetime as dtm
+
+    import polars_ruby_spark as pl
+
+    d = pl.from_hash({"a": [dtm.datetime(2024, 1, 3, 12)],
+                      "b": [dtm.datetime(2024, 1, 1)]})
+    dur = pl.col("a") - pl.col("b")
+    out = d.lazy().select(
+        dur.dt.total_days().alias("d"), dur.dt.total_hours().alias("h"),
+        dur.dt.total_minutes().alias("m"), dur.dt.total_seconds().alias("s"),
+        dur.dt.total_milliseconds().alias("ms"),
+        dur.dt.total_microseconds().alias("us"),
+        dur.dt.total_nanoseconds().alias("ns"),
+    ).collect().to_a()[0]
+    assert out == {"d": 2, "h": 60, "m": 3600, "s": 216000,
+                   "ms": 216000000, "us": 216000000000,
+                   "ns": 216000000000000}
+    assert d.lazy().select(pl.duration(days=1, hours=12).dt.total_hours()
+                           .alias("h")).collect().to_a() == [{"h": 36}]
