@@ -1657,6 +1657,27 @@ def q123_duration_totals(spark, sf_dir):
     return out.to_spark()
 
 
+def q124_pii(spark, sf_dir):
+    """PII detection + redaction (training-data pipeline op): per-doc match
+    counts and redacted length over deterministically injected PII.  Flat
+    regexp_count/regexp_replace codegen projections, 0 shuffles."""
+    from pyspark.sql import functions as F
+
+    from polars_ruby_spark.operators.text import pii_redact, pii_signals
+
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents").sort("doc_id").head(500)
+    base = d.with_columns(
+        pl.format("{} contact u{}@ex.com ip 10.0.0.{} tel 555-123-4567",
+                  pl.col("text"), pl.col("doc_id"),
+                  (pl.col("doc_id") % 250) + 1).alias("t2"))
+    sig = pii_signals(base._sdf, "t2")
+    red = pii_redact(sig, "t2", "clean")
+    return red.select("doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn",
+                      "n_pii", F.length("clean").alias("red_len"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1785,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_cat_categories": q121_cat_categories,
         "q122_json_infer": q122_json_infer,
         "q123_duration_totals": q123_duration_totals,
+        "q124_pii": q124_pii,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -2071,6 +2093,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS ts, event_type,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM b GROUP BY 1, 2
+        """,
+        "q124_pii": r"""
+            WITH b AS (SELECT doc_id,
+                              text || ' contact u' || CAST(doc_id AS VARCHAR)
+                                   || '@ex.com ip 10.0.0.'
+                                   || CAST((doc_id % 250) + 1 AS VARCHAR)
+                                   || ' tel 555-123-4567' AS t2
+                       FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500)),
+                 s AS (SELECT doc_id, t2,
+                              len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                              len(regexp_extract_all(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+                              len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                              len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+                       FROM b)
+            SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn,
+                   n_email + n_phone + n_ipv4 + n_ssn AS n_pii,
+                   length(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(t2,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
+                   ) AS red_len
+            FROM s
         """,
         "q123_duration_totals": """
             SELECT o_orderkey,

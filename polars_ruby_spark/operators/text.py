@@ -345,3 +345,49 @@ def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
             .select(F.col("id").alias(id_col), "n_ngrams",
                     F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
                     F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias("dup_frac")))
+
+
+# -- PII detection / redaction (training-data pipeline op) ---------------------
+#: conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB
+#: oracle) — no lookarounds, no backrefs
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_signals(sdf: DataFrame, text_col: str = "text",
+                kinds=None) -> DataFrame:
+    """Per-document PII match counts (emails, phone numbers, IPv4s,
+    SSN-shaped ids) as flat ``regexp_count`` projections.
+
+    Scale: whole-stage-codegen row-local work, 0 shuffles — linear over
+    100 TB and trivially partition-parallel.  Patterns are deliberately
+    conservative (high precision) so the counts are actionable as filter
+    signals; swap :data:`PII_PATTERNS` for a jurisdiction-specific set.
+    """
+    kinds = list(kinds or PII_PATTERNS)
+    c = F.col(text_col)
+    cols = [F.regexp_count(c, F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
+            for k in kinds]
+    total = None
+    for k in kinds:
+        t = F.regexp_count(c, F.lit(PII_PATTERNS[k]))
+        total = t if total is None else total + t
+    return sdf.select("*", *cols, total.alias("n_pii"))
+
+
+def pii_redact(sdf: DataFrame, text_col: str = "text", out_col: str = None,
+               kinds=None) -> DataFrame:
+    """Replace PII matches with typed placeholder tokens (``<EMAIL>``,
+    ``<PHONE>``, ``<IPV4>``, ``<SSN>``) — chained ``regexp_replace``, flat
+    codegen, 0 shuffles.  Order matters: SSN before phone so the more
+    specific shape wins where patterns overlap."""
+    kinds = list(kinds or ["email", "ssn", "phone", "ipv4"])
+    out_col = out_col or text_col
+    c = F.col(text_col)
+    for k in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[k], f"<{k.upper()}>")
+    return sdf.withColumn(out_col, c)

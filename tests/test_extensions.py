@@ -566,3 +566,26 @@ def test_config_surface_roundtrip():
     Config.restore_defaults()
     assert _STATE["random_seed"] == 99
     Config.restore_defaults()
+
+
+def test_pii_signals_and_redact(spark):
+    """PII pipeline op: conservative regex counts + typed-token redaction,
+    flat codegen projections (no shuffle)."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.operators.text import pii_redact, pii_signals
+
+    d = pl.from_hash({
+        "doc_id": [1, 2, 3],
+        "text": ["mail bob@x.com or 10.0.0.1",
+                 "ssn 123-45-6789 tel 555-123-4567",
+                 "no pii here"]})
+    sig = pii_signals(d._sdf, "text")
+    rows = {r["doc_id"]: r.asDict() for r in sig.collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 1
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_phone"] == 1
+    assert rows[3]["n_pii"] == 0
+    red = {r["doc_id"]: r["clean"]
+           for r in pii_redact(d._sdf, "text", "clean").collect()}
+    assert red[1] == "mail <EMAIL> or <IPV4>"
+    assert red[2] == "ssn <SSN> tel <PHONE>"
+    assert red[3] == "no pii here"
