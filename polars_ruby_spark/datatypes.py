@@ -238,7 +238,12 @@ def to_spark_type(dtype) -> T.DataType:
             return _STRING_ALIASES[key].to_spark()
         return dtype  # let Spark parse DDL strings like "decimal(10,2)"
     if isinstance(dtype, type) and issubclass(dtype, DataType):
-        return dtype.to_spark()
+        try:
+            return dtype.to_spark()
+        except TypeError:
+            # parameterized dtype passed as a bare class (Polars::Decimal,
+            # Polars::Datetime…): instantiate with defaults
+            return dtype().to_spark()
     if isinstance(dtype, DataType):
         return dtype.to_spark()
     raise TypeError(f"cannot interpret {dtype!r} as a dtype")

@@ -50,6 +50,17 @@ class LazyFrame:
             from .session import get_spark
 
             sdf = get_spark().createDataFrame([], StructType([]))
+        from .series import Series as _Series
+
+        if isinstance(sdf, _Series):
+            # DataFrame.new(series) (data_frame_test.rb)
+            sdf = sdf.to_frame()._sdf
+        elif isinstance(sdf, (list, tuple)) and sdf and \
+                all(isinstance(x, _Series) for x in sdf):
+            # DataFrame.new([series, series, ...]) → horizontal assemble
+            from .sources.io import from_hash
+
+            sdf = from_hash({s.name: s for s in sdf}, schema=schema)._sdf
         if isinstance(sdf, dict):
             # Polars::DataFrame.new({...}) hash-of-columns (convert.rb:29)
             from .sources.io import from_hash

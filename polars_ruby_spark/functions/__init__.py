@@ -39,20 +39,27 @@ def _exprs(args):
     return out
 
 
-# vertical convenience (functions/aggregation/vertical.rb:44-277)
-def sum(*names):
+# vertical convenience (functions/aggregation/vertical.rb:44-277):
+# sugar for col(*names).<agg> — multiple names give PER-COLUMN vertical
+# aggregates (expr_test.rb: min(["a","b"]) → {a: [1], b: [2]}), never a
+# horizontal fold (that's min_horizontal & co.)
+def _vertical(names, method):
     es = _exprs(names)
-    return es[0].sum() if builtins.len(es) == 1 else sum_horizontal(*es)
+    if builtins.len(es) == 1:
+        return getattr(es[0], method)()
+    return Expr(multi_fn=lambda df: [getattr(e, method)() for e in es])
+
+
+def sum(*names):
+    return _vertical(names, "sum")
 
 
 def min(*names):
-    es = _exprs(names)
-    return es[0].min() if builtins.len(es) == 1 else min_horizontal(*es)
+    return _vertical(names, "min")
 
 
 def max(*names):
-    es = _exprs(names)
-    return es[0].max() if builtins.len(es) == 1 else max_horizontal(*es)
+    return _vertical(names, "max")
 
 
 def mean(*names):

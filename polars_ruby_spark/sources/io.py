@@ -282,11 +282,15 @@ def from_arrow(table, spark=None):
 
 
 def from_hash(data: dict[str, list], schema=None, spark=None):
-    """convert.rb:29 — hash-of-arrays → frame."""
+    """convert.rb:29 — hash-of-arrays → frame.  Values may also be Series
+    (data_frame_test.rb: the key names the column) or scalars (broadcast)."""
     import pandas as pd
 
     from ..frame import DataFrame
+    from ..series import Series
 
+    data = {k: (v.to_a() if isinstance(v, Series) else v)
+            for k, v in data.items()}
     sdf = _spark(spark).createDataFrame(pd.DataFrame(data), schema=_schema_arg(schema))
     return DataFrame(sdf)
 

@@ -569,3 +569,32 @@ def test_reference_doctest_parity_batch11(spark):
         raise AssertionError("expected ComputeError")
     except ComputeError:
         pass
+
+
+def test_reference_doctest_parity_batch12(spark):
+    """Twelfth harvest batch (reference test/ sweep): Polars.min/max/sum with
+    an array of names are PER-COLUMN vertical aggregates
+    (aggregation/vertical.rb:135,190,245), never a horizontal fold;
+    DataFrame.new accepts a Series / array-of-Series / hash-with-Series
+    values (data_frame_test.rb ctor matrix); bare parameterized dtype
+    classes (Decimal, Datetime) instantiate with defaults."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.datatypes import Datetime, Decimal, to_spark_type
+
+    df = pl.from_hash({"a": [1, 8, 3], "b": [4, 5, 2]})
+    assert df.select(pl.min(["a", "b"])).to_a() == [{"a": 1, "b": 2}]
+    assert df.select(pl.max(["a", "b"])).to_a() == [{"a": 8, "b": 5}]
+    assert df.select(pl.sum(["a", "b"])).to_a() == [{"a": 12, "b": 11}]
+    assert df.select(pl.min("a")).to_a() == [{"a": 1}]
+
+    d1 = pl.DataFrame(pl.Series("x", [1, 2, 3]))
+    assert d1.columns == ["x"] and [r["x"] for r in d1.to_a()] == [1, 2, 3]
+    d2 = pl.DataFrame([pl.Series("p", [1, 2]), pl.Series("q", ["a", "b"])])
+    assert d2.columns == ["p", "q"]
+    assert d2.to_a() == [{"p": 1, "q": "a"}, {"p": 2, "q": "b"}]
+    d3 = pl.DataFrame({"k": pl.Series("ignored", [9, 8]), "v": [1, 2]})
+    assert d3.columns == ["k", "v"]
+    assert [r["k"] for r in d3.to_a()] == [9, 8]
+
+    assert to_spark_type(Decimal).simpleString() == "decimal(38,0)"
+    assert to_spark_type(Datetime).simpleString() == "timestamp"
