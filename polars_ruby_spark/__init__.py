@@ -54,7 +54,7 @@ from .session import configure, get_spark
 from .sources import (
     BatchedCsvReader, from_arrow, from_hash, from_pandas, from_records,
     read_avro, read_csv, read_csv_batched, read_database, read_ipc,
-    read_ipc_stream, read_json,
+    read_ipc_schema, read_ipc_stream, read_json, scan_ipc,
     read_ndjson, read_parquet, read_parquet_schema, scan_csv, scan_ndjson,
     scan_parquet, scan_table, write_bucketed,
 )

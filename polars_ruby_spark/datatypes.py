@@ -23,8 +23,66 @@ class DataType:
     def to_spark(cls) -> T.DataType:
         return cls.spark
 
+    # -- dtype-object API (data_types.rb / data_types_test.rb) --------------
+    @classmethod
+    def base_type(cls) -> type:
+        """The unparameterized class (List(Int64).base_type → List)."""
+        return cls
+
+    @classmethod
+    def is_numeric(cls) -> bool:
+        return issubclass(cls, NumericType)
+
+    @classmethod
+    def is_decimal(cls) -> bool:
+        return issubclass(cls, Decimal)
+
+    @classmethod
+    def is_integer(cls) -> bool:
+        return issubclass(cls, IntegerType)
+
+    @classmethod
+    def is_signed_integer(cls) -> bool:
+        return issubclass(cls, SignedIntegerType)
+
+    @classmethod
+    def is_unsigned_integer(cls) -> bool:
+        return issubclass(cls, UnsignedIntegerType)
+
+    @classmethod
+    def is_float(cls) -> bool:
+        return issubclass(cls, FloatType)
+
+    @classmethod
+    def is_temporal(cls) -> bool:
+        return issubclass(cls, TemporalType)
+
+    @classmethod
+    def is_nested(cls) -> bool:
+        return issubclass(cls, NestedType)
+
+    def __eq__(self, other):
+        # Decimal(15,1) == Decimal (bare family class) is True; instances
+        # compare by parameters (data_types_test.rb equality matrix)
+        if isinstance(other, type) and issubclass(other, DataType):
+            return isinstance(self, other)
+        if isinstance(other, DataType):
+            if type(self) is not type(other):
+                return False
+            a = {k: v for k, v in self.__dict__.items() if k != "spark"}
+            b = {k: v for k, v in other.__dict__.items() if k != "spark"}
+            return a == b
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(type(self))
+
     def __repr__(self) -> str:
-        return type(self).__name__
+        params = {k: v for k, v in self.__dict__.items() if k != "spark"}
+        if not params:
+            return type(self).__name__
+        inner = ", ".join(f"{k}={v!r}" for k, v in params.items())
+        return f"{type(self).__name__}({inner})"
 
 
 class NumericType(DataType):
@@ -167,9 +225,10 @@ class Decimal(NumericType):
 
 
 class List(NestedType):
-    def __init__(self, inner):
+    def __init__(self, inner=None):
         self.inner = inner
-        self.spark = T.ArrayType(to_spark_type(inner))
+        self.spark = T.ArrayType(
+            to_spark_type(inner) if inner is not None else T.NullType())
 
     def to_spark(self) -> T.DataType:  # type: ignore[override]
         return self.spark
@@ -178,9 +237,14 @@ class List(NestedType):
 class Array(NestedType):
     """Fixed-width array → ArrayType; width enforced at cast (SURVEY §1.3)."""
 
-    def __init__(self, inner, width: int):
+    def __init__(self, inner=None, width: int | None = None):
+        # the reference's ctor order is (width, inner) — data_types_test.rb
+        # Polars::Array.new(2, Polars::Int64); accept either order
+        if isinstance(inner, int) and not isinstance(width, int):
+            inner, width = width, inner
         self.inner, self.width = inner, width
-        self.spark = T.ArrayType(to_spark_type(inner))
+        self.spark = T.ArrayType(
+            to_spark_type(inner) if inner is not None else T.NullType())
 
     def to_spark(self) -> T.DataType:  # type: ignore[override]
         return self.spark
@@ -190,9 +254,21 @@ class Field:
     def __init__(self, name: str, dtype):
         self.name, self.dtype = name, dtype
 
+    def __eq__(self, other):
+        return (isinstance(other, Field) and self.name == other.name
+                and self.dtype == other.dtype)
+
+    def __hash__(self):
+        return hash((self.name, self.dtype if isinstance(self.dtype, type)
+                     else type(self.dtype)))
+
+    def __repr__(self):
+        return f"Field({self.name!r}, {self.dtype!r})"
+
 
 class Struct(NestedType):
-    def __init__(self, fields):
+    def __init__(self, fields=None):
+        fields = [] if fields is None else fields
         if isinstance(fields, dict):
             fields = [Field(k, v) for k, v in fields.items()]
         self.fields = fields
@@ -247,3 +323,39 @@ def to_spark_type(dtype) -> T.DataType:
     if isinstance(dtype, DataType):
         return dtype.to_spark()
     raise TypeError(f"cannot interpret {dtype!r} as a dtype")
+
+
+# cast-family table: a BARE parameterized dtype class (or Unknown) names a
+# family, not a concrete type — when ingest inference already produced a
+# member of that family, casting would only destroy inferred parameters
+# (decimal scale, struct fields, list element type)
+_BARE_FAMILY = {}
+
+
+def _init_bare_family():
+    _BARE_FAMILY.update({
+        Decimal: (T.DecimalType,),
+        Datetime: (T.TimestampType, T.TimestampNTZType),
+        Struct: (T.StructType,),
+        List: (T.ArrayType,),
+        Array: (T.ArrayType,),
+        Duration: (T.DayTimeIntervalType,),
+    })
+
+
+_init_bare_family()
+
+
+def cast_is_noop(dtype, inferred: T.DataType) -> bool:
+    """True when casting `inferred` to `dtype` should be skipped: Unknown
+    always defers to inference; a bare family class defers when the
+    inferred type is already in-family (types_test.rb dtype matrix)."""
+    if dtype is Unknown or isinstance(dtype, Unknown):
+        return True
+    if isinstance(dtype, type) and dtype in _BARE_FAMILY:
+        return isinstance(inferred, _BARE_FAMILY[dtype])
+    if isinstance(dtype, (List, Array)) and dtype.inner is None:
+        return isinstance(inferred, T.ArrayType)
+    if isinstance(dtype, Struct) and not dtype.fields:
+        return isinstance(inferred, T.StructType)
+    return False

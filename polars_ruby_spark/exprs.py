@@ -325,6 +325,9 @@ class Expr:
     def __floordiv__(self, o):
         return self._lift2(o, lambda a, b: F.floor(a / b), op="//")
 
+    def __rfloordiv__(self, o):
+        return wrap_expr(o)._lift2(self, lambda a, b: F.floor(a / b))
+
     def __mod__(self, o):
         # polars % pairs with floored // (sign of DIVISOR, python semantics);
         # F.pmod is always non-negative and breaks for negative divisors
@@ -355,6 +358,12 @@ class Expr:
             is_agg=self._is_agg or oe._is_agg,
             needs_order=self._needs_order or oe._needs_order,
         )._set_meta("**", (self, oe))
+
+    def __rmod__(self, o):
+        return wrap_expr(o).__mod__(self)
+
+    def __rpow__(self, o):
+        return wrap_expr(o).__pow__(self)
 
     def __neg__(self):
         return self._lift(lambda c: -c)
@@ -1053,7 +1062,9 @@ class Expr:
             e = e._lift(lambda c: c + 3)
         return e
 
-    def entropy(self, base: float = math.e, normalize: bool = True):
+    def entropy(self, base: float = 2, normalize: bool = True):
+        # expr.rb:6637 defaults (base: 2, normalize: true); the Series form
+        # overrides with (Math::E, false) — series.rb:1144
         def fn(df, part):
             c = self._fn(df, None)
             total = F.sum(c)
@@ -1385,8 +1396,11 @@ class Expr:
         e._grouped_remap_fn = remap
         return e
 
-    def rank(self, method: str = "average", descending: bool = False, seed=None):
-        """Parity: expr.rb:5691 — rank over VALUES (not row order)."""
+    def rank(self, method: str = "average", descending: bool = False,
+             seed=None, reverse: bool = False):
+        """Parity: expr.rb:5691 — rank over VALUES (not row order);
+        ``reverse:`` is the reference's older name for descending."""
+        descending = descending or reverse
 
         def fn(df, part):
             c = self._fn(df, part)
@@ -2395,9 +2409,33 @@ class Expr:
         """
         from ._udf_helpers import make_scalar_pandas_udf
 
-        t = to_spark_type(return_dtype) if return_dtype is not None else to_spark_type("str")
-        _udf = make_scalar_pandas_udf(function, t, skip_nulls)
-        return self._lift(lambda c: _udf(c))
+        if return_dtype is not None:
+            t = to_spark_type(return_dtype)
+            _udf = make_scalar_pandas_udf(function, t, skip_nulls)
+            return self._lift(lambda c: _udf(c))
+
+        # no return_dtype: infer like the reference (series.rb:2885) from a
+        # driver-side sample of the bound column's first values
+        def fn(df, part):
+            c = self._fn(df, part)
+            t = None
+            try:
+                sample = [r[0] for r in df.select(c.alias("__mi__"))
+                          .limit(16).collect()]
+                results = [function(v) for v in sample
+                           if v is not None or not skip_nulls]
+                import pyarrow as pa
+                from pyspark.sql.pandas.types import from_arrow_type
+
+                t = from_arrow_type(pa.array(results).type)
+            except Exception:
+                pass
+            if t is None or str(t) == "NullType()":
+                t = to_spark_type("str")
+            return make_scalar_pandas_udf(function, t, skip_nulls)(c)
+
+        return Expr(fn, name=self._name, needs_order=self._needs_order,
+                    is_agg=self._is_agg)
 
     map = map_elements
     apply = map_elements
@@ -2475,6 +2513,12 @@ def _prepare_alpha(com=None, span=None, half_life=None, alpha=None) -> float:
 def wrap_expr(v) -> Expr:
     if isinstance(v, Expr):
         return v
+    if isinstance(v, (list, tuple)):
+        # internal arg coercion keeps arrays as per-row ARRAY literals
+        # (gather indices, is_in sets…) — only the public lit() promotes
+        # arrays to Series columns (functions/lit.rb:26)
+        return Expr(lambda df, part: F.lit(list(v)),
+                    name="literal")._set_meta("lit", (), v)
     return lit(v)
 
 
@@ -2499,7 +2543,14 @@ def col(name, *more_names) -> Expr:
         if name.startswith("^") and name.endswith("$"):
             pat = _re.compile(name)
             return Expr(multi_fn=lambda df: [col(c) for c in df.columns if pat.match(c)])
-        e = Expr(lambda df, part: F.col(name), name=name)
+        def colfn(df, part):
+            if name == "" and _ELEMENT_STACK:
+                # inside list.eval, col("") refers to the element
+                # (list_expr_test.rb: element.rank / col("").count)
+                return _ELEMENT_STACK[-1]
+            return F.col(name)
+
+        e = Expr(colfn, name=name)
         e._is_column = True  # meta.is_column: bare reference, no transforms
         return e._set_meta("col", (), name)
     # multiple names / dtype selection
@@ -2534,7 +2585,44 @@ def all_(*names, ignore_nulls: bool = True) -> Expr:
     return Expr(multi_fn=lambda df: [col(c) for c in df.columns if c != _RI])
 
 
-def lit(value, dtype=None) -> Expr:
+def lit(value, dtype=None, allow_object=None) -> Expr:
+    from .series import Series as _Series
+
+    if isinstance(value, (list, tuple)):
+        # functions/lit.rb:26 — arrays become Series literals
+        value = _Series("", list(value))
+    if isinstance(value, _Series):
+        # Series literal (lit.rb:18): a COLUMN, not a per-row array.  Length
+        # 1 broadcasts as a scalar; longer series are sole-select frame
+        # producers (positional zip in a mixed select is not a Column op).
+        s = value
+        vals = s.to_a()
+        name = s.name or "literal"
+        if len(vals) == 1:
+            e = lit(vals[0], dtype)
+            e._name = name
+            return e
+
+        def fn(df, part):
+            raise NotImplementedError(
+                f"Series literal of length {len(vals)} can only stand alone "
+                "in a select — use hstack to attach it positionally")
+
+        e = Expr(fn, name=name)
+
+        def frame_fn(frame, out_name):
+            from .frame import LazyFrame as _LF
+
+            sdf = s._sdf.withColumnRenamed(
+                s._sdf.columns[0], out_name or name)
+            if dtype is not None:
+                t = to_spark_type(dtype)
+                nm = out_name or name
+                sdf = sdf.select(F.col(nm).cast(t).alias(nm))
+            return _LF(sdf)
+
+        e._frame_fn = frame_fn
+        return e._set_meta("lit", (), value)
     if dtype is not None:
         t = to_spark_type(dtype)
         return Expr(lambda df, part: F.lit(value).cast(t),

@@ -91,6 +91,21 @@ class LazyFrame:
     def columns(self) -> list[str]:
         return [c for c in self._sdf.columns if c != ROW_IDX]
 
+    @columns.setter
+    def columns(self, names) -> None:
+        # data_frame.rb:135 columns= — positional rename, mutates in place
+        cur = self.columns
+        if len(names) != len(cur):
+            raise ValueError(
+                f"{len(names)} column names given for {len(cur)} columns")
+        mapping = dict(zip(cur, names))
+        self._sdf = self._sdf.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in self._sdf.columns])
+
+    def __contains__(self, name) -> bool:
+        # data_frame.rb:302 include?
+        return name in self.columns
+
     @property
     def schema(self):
         return {f.name: f.dataType for f in self._sdf.schema.fields if f.name != ROW_IDX}
@@ -703,7 +718,14 @@ class LazyFrame:
         return LazyFrame(self._sdf)
 
     def __repr__(self) -> str:
-        return f"<LazyFrame {self.columns}>"
+        # lazy_frame.rb to_s prints "naive plan:" + the unoptimized plan;
+        # our plan is Catalyst's, shown unanalyzed
+        try:
+            plan = self._sdf._jdf.queryExecution().logical().toString()
+        except Exception:
+            plan = f"columns: {self.columns}"
+        return ("naive plan: (run LazyFrame#explain to see the optimized "
+                f"plan)\n{plan}")
 
 
 def _lazy_clear(self, n: int = 0):
@@ -745,6 +767,45 @@ LazyFrame.cleared = _lazy_clear
 LazyFrame.interpolate = _lazy_interpolate
 LazyFrame.set_sorted = _lazy_set_sorted
 LazyFrame.to_s = LazyFrame.__repr__ if hasattr(LazyFrame, "__repr__") else repr
+
+
+def _short_dtype(t) -> str:
+    """Spark type → polars short dtype label for the table repr."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.ByteType):
+        return "i8"
+    if isinstance(t, T.ShortType):
+        return "i16"
+    if isinstance(t, T.IntegerType):
+        return "i32"
+    if isinstance(t, T.LongType):
+        return "i64"
+    if isinstance(t, T.FloatType):
+        return "f32"
+    if isinstance(t, T.DoubleType):
+        return "f64"
+    if isinstance(t, T.StringType):
+        return "str"
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "datetime[μs]"
+    if isinstance(t, T.DayTimeIntervalType):
+        return "duration[μs]"
+    if isinstance(t, T.BinaryType):
+        return "binary"
+    if isinstance(t, T.DecimalType):
+        return f"decimal[{t.precision},{t.scale}]"
+    if isinstance(t, T.ArrayType):
+        return f"list[{_short_dtype(t.elementType)}]"
+    if isinstance(t, T.StructType):
+        return f"struct[{len(t.fields)}]"
+    if isinstance(t, T.NullType):
+        return "null"
+    return t.simpleString()
 
 
 class DataFrame(LazyFrame):
@@ -945,13 +1006,63 @@ class DataFrame(LazyFrame):
 
     cleared = clear
 
+    # -- axis=1 (row-wise) aggregate forms (data_frame.rb:3727-3845) ---------
+    def max(self, axis: int = 0):
+        if axis == 1:
+            from .functions import max_horizontal
+
+            return self.select(max_horizontal(*self.columns).alias("max")
+                               ).to_series()
+        return super().max()
+
+    def min(self, axis: int = 0):
+        if axis == 1:
+            from .functions import min_horizontal
+
+            return self.select(min_horizontal(*self.columns).alias("min")
+                               ).to_series()
+        return super().min()
+
+    def sum(self, axis: int = 0, null_strategy: str = "ignore"):
+        if axis == 1:
+            from .exprs import col as _col
+            from .functions import sum_horizontal
+
+            if null_strategy == "propagate":
+                e = _col(self.columns[0])
+                for c in self.columns[1:]:
+                    e = e + _col(c)
+            else:
+                e = sum_horizontal(*self.columns)
+            return self.select(e.alias("sum")).to_series()
+        return super().sum()
+
+    def mean(self, axis: int = 0, null_strategy: str = "ignore"):
+        if axis == 1:
+            from .exprs import col as _col
+            from .functions import mean_horizontal
+
+            if null_strategy == "propagate":
+                e = _col(self.columns[0])
+                for c in self.columns[1:]:
+                    e = e + _col(c)
+                e = e / len(self.columns)
+            else:
+                e = mean_horizontal(*self.columns)
+            return self.select(e.alias("mean")).to_series()
+        return super().mean()
+
     # -- in-place column mutation (thin-wrapper reassignment) ----------------
     def drop_in_place(self, name: str):
         s = self.get_column(name)
         self._sdf = self.to_spark().drop(name)
         return s
 
-    delete = drop_in_place
+    def delete(self, name: str):
+        # data_frame.rb delete — nil (None) when the column doesn't exist
+        if name not in self.columns:
+            return None
+        return self.drop_in_place(name)
 
     def insert_column(self, index: int, series) -> "DataFrame":
         cols = list(self.columns)
@@ -985,6 +1096,104 @@ class DataFrame(LazyFrame):
     def to_s(self) -> str:
         return self.__repr__()
 
+    # -- element-wise comparison / arithmetic (data_frame.rb:185-300,
+    # 5124-5187).  Frame-vs-frame zips positionally (hstack row-index join);
+    # scalars broadcast per column; bare arrays are rejected like the
+    # reference (`_prepare_other_arg`).
+    def _comp(self, other, fn):
+        from .operators.reshape import hstack as _hstack
+
+        cols = self.columns
+        if isinstance(other, LazyFrame):
+            if cols != other.columns:
+                raise ValueError("DataFrame columns do not match")
+            r = DataFrame(other.to_spark().toDF(
+                *[f"{c}__POLARS_CMP_OTHER" for c in cols]))
+            combined = _hstack(self, r).to_spark()
+            return DataFrame(combined.select(
+                *[fn(F.col(c), F.col(f"{c}__POLARS_CMP_OTHER")).alias(c)
+                  for c in cols]))
+        return DataFrame(self.to_spark().select(
+            *[fn(F.col(c), F.lit(other)).alias(c) for c in cols]))
+
+    def __eq__(self, other):
+        if other is None or isinstance(other, (list, tuple, dict)):
+            return NotImplemented
+        return self._comp(other, lambda a, b: a == b)
+
+    def __ne__(self, other):
+        if other is None or isinstance(other, (list, tuple, dict)):
+            return NotImplemented
+        return self._comp(other, lambda a, b: a != b)
+
+    def __gt__(self, other):
+        return self._comp(other, lambda a, b: a > b)
+
+    def __lt__(self, other):
+        return self._comp(other, lambda a, b: a < b)
+
+    def __ge__(self, other):
+        return self._comp(other, lambda a, b: a >= b)
+
+    def __le__(self, other):
+        return self._comp(other, lambda a, b: a <= b)
+
+    __hash__ = object.__hash__  # defining __eq__ would otherwise drop it
+
+    def _arith(self, other, fn, int_preserving: bool = False):
+        from .operators.reshape import hstack as _hstack
+        from .series import Series as _Series
+
+        cols = self.columns
+        ints = ("byte", "short", "integer", "long")
+
+        def _out(a, b, name, left_type):
+            r = fn(a, b)
+            if int_preserving and left_type.typeName() in ints:
+                # div_df on integer frames stays integral (truncating),
+                # matching the reference's dtype-preserving frame arithmetic
+                r = r.cast(left_type)
+            return r.alias(name)
+
+        types = {f.name: f.dataType for f in self.to_spark().schema.fields}
+        if isinstance(other, _Series):
+            r = DataFrame(other.to_frame().to_spark().toDF("__arith_rhs__"))
+            combined = _hstack(self, r).to_spark()
+            return DataFrame(combined.select(
+                *[_out(F.col(c), F.col("__arith_rhs__"), c, types[c])
+                  for c in cols]))
+        if isinstance(other, LazyFrame):
+            n = len(other.columns)
+            r = DataFrame(other.to_spark().toDF(
+                *[f"__arith_{i}__" for i in range(n)]))
+            combined = _hstack(self, r).to_spark()
+            return DataFrame(combined.select(
+                *[_out(F.col(c), F.col(f"__arith_{i % n}__"), c, types[c])
+                  for i, c in enumerate(cols)]))
+        if isinstance(other, (list, tuple)):
+            raise ValueError("Operation not supported.")
+        return DataFrame(self.to_spark().select(
+            *[_out(F.col(c), F.lit(other), c, types[c]) for c in cols]))
+
+    def __add__(self, other):
+        return self._arith(other, lambda a, b: a + b)
+
+    def __sub__(self, other):
+        return self._arith(other, lambda a, b: a - b)
+
+    def __mul__(self, other):
+        return self._arith(other, lambda a, b: a * b)
+
+    def __truediv__(self, other):
+        return self._arith(other, lambda a, b: a / b, int_preserving=True)
+
+    def __mod__(self, other):
+        return self._arith(other, lambda a, b: a % b)
+
+    def __iter__(self):
+        # data_frame.rb:309 each — iterate column Series
+        return iter(self.get_columns())
+
     def __getitem__(self, key):
         if isinstance(key, str):
             return self.get_column(key)
@@ -996,10 +1205,13 @@ class DataFrame(LazyFrame):
             if isinstance(col_sel, str):
                 s = self.get_column(col_sel)
                 if isinstance(row_sel, int):
-                    i = row_sel if row_sel >= 0 else self.height + row_sel
+                    h = self.height
+                    i = row_sel if row_sel >= 0 else h + row_sel
                     vals = s.slice(i, 1).to_a()
                     if not vals:
-                        raise IndexError(row_sel)
+                        raise IndexError(
+                            f"index {row_sel} is out of bounds for sequence "
+                            f"of length {h}")
                     return vals[0]
                 if isinstance(row_sel, slice):
                     start = row_sel.start or 0
@@ -1021,25 +1233,117 @@ class DataFrame(LazyFrame):
             stop = key.stop
             length = None if stop is None else stop - start
             return DataFrame._from_lazy(self.lazy().slice(start, length))
+        # data_frame.rb:316 extended row selections: boolean mask (Expr or
+        # Series — positional hstack zip), or an integer position list
+        from .exprs import Expr as _Expr
+        from .series import Series as _Series
+
+        if isinstance(key, _Expr):
+            return DataFrame._from_lazy(self.lazy().filter(key))
+        if isinstance(key, _Series):
+            if key.dtype.typeName() == "boolean":
+                from .operators.reshape import hstack as _hstack
+
+                m = DataFrame(key.to_frame().to_spark().toDF("__mask__"))
+                z = _hstack(self, m).to_spark()
+                return DataFrame(z.filter(F.col("__mask__")).drop("__mask__"))
+            key = key.to_a()
+        if isinstance(key, (list, tuple)) and all(
+                isinstance(k, int) and not isinstance(k, bool) for k in key):
+            h = None
+            idx = []
+            for k in key:
+                if k < 0:
+                    h = self.height if h is None else h
+                    k = h + k
+                idx.append(k)
+            rix = "__get_rix__"
+            sdf = with_row_index(self.to_spark(), rix)
+            out = (sdf.filter(F.col(rix).isin(idx))
+                   .withColumn("__ord__", F.array_position(
+                       F.lit(idx).cast("array<bigint>"), F.col(rix)))
+                   .orderBy("__ord__").drop(rix, "__ord__"))
+            return DataFrame(out)
         raise TypeError(f"cannot index DataFrame with {key!r}")
 
+    def __setitem__(self, key, value):
+        """data_frame.rb:418 []= — column assignment (Series / array /
+        scalar broadcast) and (row, column) cell assignment."""
+        from .exprs import lit as _lit
+        from .series import Series as _Series
+
+        if isinstance(key, tuple) and len(key) == 2:
+            row, cname = key
+            h = self.height
+            i = row if row >= 0 else h + row
+            if not 0 <= i < h:
+                raise IndexError(
+                    f"index {row} is out of bounds for sequence of length {h}")
+            rix = "__set_rix__"
+            sdf = with_row_index(self.to_spark(), rix)
+            dtype = dict((f.name, f.dataType) for f in sdf.schema.fields)[cname]
+            self._sdf = sdf.withColumn(
+                cname, F.when(F.col(rix) == i, F.lit(value).cast(dtype))
+                .otherwise(F.col(cname))).orderBy(rix).drop(rix)
+            return
+        if not isinstance(key, str):
+            raise TypeError(f"cannot set DataFrame item with key {key!r}")
+        if isinstance(value, (list, tuple)):
+            value = _Series(key, list(value))
+        if isinstance(value, _Series):
+            if value.len() != self.height:
+                raise ValueError(
+                    "lengths don't match: unable to add a column of length "
+                    f"{value.len()} to a DataFrame of height {self.height}")
+            from .operators.reshape import hstack as _hstack
+
+            cols = self.columns
+            base = self if key not in cols else DataFrame(
+                self.to_spark().drop(key))
+            merged = _hstack(base, DataFrame(
+                value.to_frame().to_spark().toDF(key)))
+            order = cols if key in cols else cols + [key]
+            self._sdf = merged.to_spark().select(*order)
+            return
+        # scalar broadcast
+        self._sdf = self.with_columns(_lit(value).alias(key))._sdf
+
     # -- writers (data_frame.rb:694-941) -----------------------------------------------
-    def write_parquet(self, path: str, compression: str = "zstd", mode: str = "overwrite",
+    def write_parquet(self, path, compression: str = "zstd", mode: str = "overwrite",
                       partition_by=None, **kw):
+        if hasattr(path, "write"):
+            # IO target (parquet_test.rb) — driver-side single-file export
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.Table.from_pandas(self.to_pandas()), path)
+            return None
         w = self.to_spark().write.mode(mode)
         if partition_by:
             w = w.partitionBy(*([partition_by] if isinstance(partition_by, str) else partition_by))
-        w.parquet(path, compression=compression)
+        w.parquet(str(path), compression=compression)
+        return None
 
     def write_csv(self, path: str | None = None, include_header: bool = True,
-                  separator: str = ",", mode: str = "overwrite", **kw):
-        if path is None:
-            import io as _io
+                  separator: str = ",", **kw):
+        """Single-file eager CSV export like the reference (csv_test.rb:
+        ``File.read(path)`` sees one file) — a driver-side API; use
+        ``sink_csv`` for the distributed directory sink.  Accepts a path,
+        an IO object, or None (returns the CSV string)."""
+        import io as _io
 
-            buf = _io.StringIO()
-            self.to_pandas().to_csv(buf, index=False, header=include_header, sep=separator)
-            return buf.getvalue()
-        self.to_spark().write.mode(mode).csv(path, header=include_header, sep=separator)
+        buf = _io.StringIO()
+        self.to_pandas().to_csv(buf, index=False, header=include_header,
+                                sep=separator)
+        s = buf.getvalue()
+        if path is None:
+            return s
+        if hasattr(path, "write"):
+            path.write(s)
+            return None
+        with open(str(path), "w") as f:
+            f.write(s)
+        return None
 
     def write_json(self, path: str | None = None, pretty: bool = False,
                    row_oriented: bool = False, **kw):
@@ -1058,14 +1362,28 @@ class DataFrame(LazyFrame):
         s = _json.dumps(payload, indent=2 if pretty else None, default=str)
         if path is None:
             return s
-        with open(path, "w") as f:
+        if hasattr(path, "write"):
+            path.write(s)
+            return None
+        with open(str(path), "w") as f:
             f.write(s)
         return None
 
-    def write_ndjson(self, path: str | None = None, mode: str = "overwrite", **kw):
+    def write_ndjson(self, path: str | None = None, **kw):
+        """Single-file eager NDJSON export (json_test.rb) — driver-side;
+        ``sink_ndjson`` is the distributed directory sink.  Accepts a path,
+        an IO object, or None (returns the string)."""
+        import json as _json
+
+        s = "".join(_json.dumps(r, default=str) + "\n" for r in self.to_a())
         if path is None:
-            return self.to_pandas().to_json(orient="records", lines=True)
-        self.to_spark().write.mode(mode).json(path)
+            return s
+        if hasattr(path, "write"):
+            path.write(s)
+            return None
+        with open(str(path), "w") as f:
+            f.write(s)
+        return None
 
     def write_avro(self, path: str, mode: str = "overwrite", **kw):
         self.to_spark().write.mode(mode).format("avro").save(path)
@@ -1090,11 +1408,21 @@ class DataFrame(LazyFrame):
         with ipc.new_stream(str(path), table.schema) as w:
             w.write_table(table)
 
-    def write_ipc(self, path, **kw):
+    def write_ipc(self, path=None, **kw):
+        """Arrow random-access file.  path=None returns the bytes
+        (ipc_test.rb: output starts with the ARROW magic)."""
         import pyarrow as pa
         import pyarrow.feather as feather
 
-        feather.write_feather(pa.Table.from_pandas(self.to_pandas()), path)
+        table = pa.Table.from_pandas(self.to_pandas())
+        if path is None:
+            import io as _io
+
+            buf = _io.BytesIO()
+            feather.write_feather(table, buf)
+            return buf.getvalue()
+        feather.write_feather(table, path)
+        return None
 
     def write_delta(self, path, **kw):
         raise NotImplementedError("delta-rs not bundled; use write_parquet")
@@ -1215,15 +1543,30 @@ class DataFrame(LazyFrame):
             out = out.limit(n)
         return DataFrame(out)
 
-    def n_chunks(self) -> int:
-        # chunking is physical detail Spark hides (SURVEY §1.1): partitions
-        return self.to_spark().rdd.getNumPartitions()
+    def n_chunks(self, strategy: str = "first"):
+        # chunking is physical detail Spark hides (SURVEY §1.1): partitions.
+        # data_frame.rb:3695 — strategy "all" reports one count per column.
+        n = self.to_spark().rdd.getNumPartitions()
+        if strategy == "all":
+            return [n for _ in self.columns]
+        if strategy != "first":
+            raise ValueError(
+                f"strategy: {strategy!r} not understood (expected one of "
+                "{'first', 'all'})")
+        return n
 
     def rechunk(self) -> "DataFrame":
         return self
 
-    def estimated_size(self) -> int:
-        return int(self.to_pandas().memory_usage(deep=True).sum())
+    def estimated_size(self, unit: str = "b"):
+        """data_frame.rb:942 — heap-size estimate, scaled to unit."""
+        sz = int(self.to_pandas().memory_usage(deep=True).sum())
+        scale = {"b": 1, "kb": 2**10, "mb": 2**20, "gb": 2**30, "tb": 2**40}
+        if unit not in scale:
+            raise ValueError(
+                f"unit must be one of {{'b', 'kb', 'mb', 'gb', 'tb'}}, "
+                f"got {unit!r}")
+        return sz if unit == "b" else sz / scale[unit]
 
     def plot(self, x=None, y=None, type=None, group=None, stacked=None) -> dict:
         """Vega-Lite chart spec as a plain dict (parity: lib/polars/plot.rb:6
@@ -1341,9 +1684,44 @@ class DataFrame(LazyFrame):
         return Series._from_spark(out, "hash")
 
     def __repr__(self) -> str:
+        # polars-style box table (data_frame.rb to_s renders the same rust
+        # fmt table; matched loosely — header + dtype row + up to 10 rows)
         try:
-            pdf = self.to_spark().limit(10).toPandas()
-            return f"shape: {self.shape}\n" + pdf.to_string(index=False)
+            rows = [tuple(r) for r in self.to_spark().limit(11).collect()]
+            truncated = len(rows) > 10
+            rows = rows[:10]
+            names = self.columns
+            dts = [_short_dtype(t) for t in self.dtypes]
+
+            def _fmt(v):
+                if v is None:
+                    return "null"
+                if isinstance(v, float):
+                    return f"{v:.6g}"
+                return str(v)
+
+            cells = [[_fmt(v) for v in r] for r in rows]
+            if truncated:
+                cells.append(["…"] * len(names))
+            widths = [max(len(names[i]), len(dts[i]), 3,
+                          *[len(c[i]) for c in cells] or [0])
+                      for i in range(len(names))]
+
+            def _line(l, m, r, fill="─"):
+                return l + m.join(fill * (w + 2) for w in widths) + r
+
+            def _row(vals, sep="┆"):
+                return ("│ " + f" {sep} ".join(v.ljust(w)
+                        for v, w in zip(vals, widths)) + " │")
+
+            h = len(rows) if not truncated else self.height
+            out = [f"shape: ({h}, {len(names)})",
+                   _line("┌", "┬", "┐"), _row(names),
+                   _row(["---"] * len(names)), _row(dts),
+                   _line("╞", "╪", "╡", "═")]
+            out += [_row(c) for c in cells]
+            out.append(_line("└", "┴", "┘"))
+            return "\n".join(out)
         except Exception:
             return f"<DataFrame {self.columns}>"
 

@@ -248,7 +248,13 @@ def struct(*exprs, **named):
     named_es = [(k, wrap_expr(v)) for k, v in named.items()]
 
     def fn(df, part):
-        cols = [e._fn(df, part).alias(e._name or f"field_{i}") for i, e in enumerate(es)]
+        cols = []
+        for i, e in enumerate(es):
+            # expand regex/multi selectors (lazy_frame_test.rb:
+            # struct(col("^t_.$")))
+            for ee in e._expand(df):
+                cols.append(ee._fn(df, part)
+                            .alias(ee._name or e._name or f"field_{i}"))
         cols += [v._fn(df, part).alias(k) for k, v in named_es]
         return F.struct(*cols)
 

@@ -127,6 +127,26 @@ class StringNameSpace(_NS):
     def to_titlecase(self) -> Expr:
         return self._e._lift(F.initcap)
 
+    # deprecated reference aliases (string_expr_test.rb: strip/lstrip/
+    # rstrip/ljust/rjust/count_match/lengths)
+    def strip(self, characters: str | None = None) -> Expr:
+        return self.strip_chars(characters)
+
+    def lstrip(self, characters: str | None = None) -> Expr:
+        return self.strip_chars_start(characters)
+
+    def rstrip(self, characters: str | None = None) -> Expr:
+        return self.strip_chars_end(characters)
+
+    def ljust(self, length: int, fill_char: str = " ") -> Expr:
+        return self.pad_end(length, fill_char)
+
+    def rjust(self, length: int, fill_char: str = " ") -> Expr:
+        return self.pad_start(length, fill_char)
+
+    def count_match(self, pattern: str, literal: bool = False) -> Expr:
+        return self.count_matches(pattern, literal)
+
     def strip_chars(self, characters: str | None = None) -> Expr:
         if characters is None:
             return self._e._lift(F.trim)
@@ -494,7 +514,10 @@ class DateTimeNameSpace(_NS):
         def f(c):
             out = c
             if dur.months:
-                out = F.add_months(out, dur.months).cast("timestamp")
+                # add_months returns a DATE — re-attach the time component
+                # (polars calendar offsets keep time-of-day)
+                out = (F.add_months(out, dur.months).cast("timestamp")
+                       + self._time_of_day(out))
             if dur.microseconds:
                 out = F.timestamp_micros(F.unix_micros(out.cast("timestamp")) + dur.microseconds)
             return out
@@ -562,6 +585,16 @@ class DateTimeNameSpace(_NS):
     def total_nanoseconds(self) -> Expr:
         return self._dur_us()._lift(lambda c: c * 1000)
 
+    # reference aliases (date_time_expr.rb:1163 alias_method :microseconds,
+    # :total_microseconds etc.) — plural = duration total, singular = part
+    days = total_days
+    hours = total_hours
+    minutes = total_minutes
+    seconds = total_seconds
+    milliseconds = total_milliseconds
+    microseconds = total_microseconds
+    nanoseconds = total_nanoseconds
+
 
 class ListNameSpace(_NS):
     # list_expr.rb line refs per SURVEY §2.8
@@ -608,6 +641,10 @@ class ListNameSpace(_NS):
         if index >= 0:
             return self._e._lift(lambda c: F.element_at(c, index + 1))
         return self._e._lift(lambda c: F.element_at(c, index))
+
+    def __getitem__(self, index: int) -> Expr:
+        # list_expr_test.rb: list_expr[0]
+        return self.get(index)
 
     def gather(self, indices) -> Expr:
         # negative indices count from the end (list_expr.rb gather), like get
@@ -761,8 +798,23 @@ class StructNameSpace(_NS):
         e._name = name
         return e
 
-    def __getitem__(self, name: str) -> Expr:
-        return self.field(name)
+    def __getitem__(self, key) -> Expr:
+        # struct_expr_test.rb: integer position or field name; anything
+        # else raises like the reference
+        if isinstance(key, str):
+            return self.field(key)
+        if isinstance(key, int) and not isinstance(key, bool):
+            base = self._e
+
+            def fn(df, part):
+                c = base._fn(df, part)
+                st = df.select(c.alias("__st__")).schema[0].dataType
+                return c.getField(st.fields[key].name)
+
+            return Expr(fn, name=None, is_agg=base._is_agg,
+                        needs_order=base._needs_order)
+        raise ValueError(
+            f"expected type Integer or String, got {type(key).__name__}")
 
     def rename_fields(self, names: list[str]) -> Expr:
         """struct_expr.rb:40 — positional re-pack with new field names; the

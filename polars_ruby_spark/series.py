@@ -32,7 +32,6 @@ class Series:
             spark = get_spark()
         if values is not None:
             from .datatypes import to_spark_type
-            import pandas as pd
 
             vals = list(values)
             if not vals:
@@ -46,11 +45,40 @@ class Series:
                 self._sdf = spark.createDataFrame(
                     [], schema=T.StructType([T.StructField(self._name, t)]))
                 return
-            pdf = pd.DataFrame({self._name or "values": vals})
-            sdf = spark.createDataFrame(pdf)
+            from .sources.io import pylists_to_sdf
+
+            # Arrow-first: preserves NaN values and integral dtypes under
+            # nulls (the pandas path nulls NaN and floats int columns)
+            sdf = pylists_to_sdf({self._name or "values": vals}, spark=spark)
             if dtype is not None:
-                t = to_spark_type(dtype)
-                sdf = sdf.select(sdf[0].cast(t).alias(self._name or "values"))
+                from pyspark.sql import types as T
+
+                from .datatypes import Array as _Arr
+                from .datatypes import Duration as _Dur
+                from .datatypes import cast_is_noop
+
+                cn = self._name or "values"
+                inferred = sdf.schema.fields[0].dataType
+                is_dur = dtype is _Dur or isinstance(dtype, _Dur)
+                if cast_is_noop(dtype, inferred):
+                    pass  # bare family class / Unknown: inference wins
+                elif is_dur and isinstance(
+                        inferred, (T.LongType, T.DoubleType, T.IntegerType,
+                                   T.FloatType, T.DecimalType)):
+                    # numeric counts in the requested unit → real intervals
+                    unit = dtype.time_unit if isinstance(dtype, _Dur) else "us"
+                    per_sec = {"ns": 1e9, "us": 1e6, "ms": 1e3, "s": 1.0}[unit]
+                    sdf = sdf.select(F.make_dt_interval(
+                        secs=F.col(cn).cast("double") / per_sec).alias(cn))
+                else:
+                    t = to_spark_type(dtype)
+                    sdf = sdf.select(sdf[0].cast(t).alias(cn))
+                if isinstance(dtype, _Arr) and dtype.width is not None:
+                    bad = sdf.where(
+                        F.size(F.col(cn)) != dtype.width).limit(1).count()
+                    if bad:
+                        raise ValueError("not all elements have the "
+                                         f"specified width {dtype.width}")
             self._sdf = sdf
             self._name = self._name or "values"
         else:
@@ -71,6 +99,14 @@ class Series:
     @property
     def dtype(self):
         return self._sdf.schema.fields[0].dataType
+
+    @property
+    def inner_dtype(self):
+        # series.rb inner_dtype — list element type, nil otherwise
+        from pyspark.sql import types as T
+
+        dt = self.dtype
+        return dt.elementType if isinstance(dt, T.ArrayType) else None
 
     def to_frame(self):
         from .frame import DataFrame
@@ -100,10 +136,14 @@ class Series:
     def __len__(self) -> int:
         return self.len()
 
-    def rename(self, name: str) -> "Series":
+    def rename(self, name: str, in_place: bool = False) -> "Series":
+        if in_place:
+            self._name = name
+            return self
         return Series._from_spark(self._sdf, name)
 
-    alias = rename
+    def alias(self, name: str) -> "Series":
+        return Series._from_spark(self._sdf, name)
 
     def item(self) -> Any:
         rows = self._sdf.limit(2).collect()
@@ -117,7 +157,7 @@ class Series:
     def chunk_lengths(self) -> list[int]:
         return [self.len()]
 
-    def rechunk(self) -> "Series":
+    def rechunk(self, in_place: bool = False) -> "Series":
         return self
 
     # -- expr dispatch (the reference's ExprDispatch trick) ---------------------
@@ -179,7 +219,9 @@ class Series:
         return row[0]
 
     def sum(self):
-        return self._scalar("sum")
+        # series_test.rb: sum of an empty series is 0, not nil
+        r = self._scalar("sum")
+        return 0 if r is None else r
 
     def mean(self):
         return self._scalar("mean")
@@ -213,6 +255,8 @@ class Series:
         return self._scalar("arg_min")
 
     def quantile(self, q: float, interpolation: str = "nearest"):
+        if not 0.0 <= q <= 1.0:
+            raise ValueError("quantile should be between 0.0 and 1.0")
         return self._scalar("quantile", q, interpolation)
 
     def count(self):
@@ -221,11 +265,30 @@ class Series:
     def product(self):
         return self._scalar("product")
 
-    def entropy(self, base: float = 2.0, normalize: bool = True):
+    def entropy(self, base: float = None, normalize: bool = False):
+        # series.rb:1144 defaults (base: Math::E, normalize: false) differ
+        # from the Expr form (expr.rb:6637: base 2, normalize true)
+        import math
+
+        base = math.e if base is None else base
         return self._scalar("entropy", base=base, normalize=normalize)
 
     def skew(self, bias: bool = True):
         return self._scalar("skew", bias=bias)
+
+    def nan_max(self):
+        # series.rb nan_max — aggregate, returns a scalar (NaN-propagating)
+        return self._scalar("nan_max")
+
+    def nan_min(self):
+        return self._scalar("nan_min")
+
+    def search_sorted(self, element, side: str = "any"):
+        # series.rb:2236 — scalar element gives an Integer position
+        if isinstance(element, (list, tuple, Series)):
+            return self._dispatch(
+                lambda e: e.search_sorted(element, side=side))
+        return self._scalar("search_sorted", element, side)
 
     def kurtosis(self, fisher: bool = True, bias: bool = True):
         return self._scalar("kurtosis", fisher=fisher, bias=bias)
@@ -459,6 +522,8 @@ class Series:
 
         return isinstance(self.dtype, T.BooleanType)
 
+    is_bool = is_boolean
+
     def is_utf8(self) -> bool:
         from pyspark.sql import types as T
 
@@ -472,9 +537,29 @@ class Series:
     def time_unit(self) -> str:
         return "us"  # storage policy (COVERAGE.md dtype table)
 
+    _sorted = None  # "asc" | "desc" | None — set by sort(in_place)/set_sorted
+
     @property
     def flags(self) -> dict:
-        return {"SORTED_ASC": False, "SORTED_DESC": False}
+        return {"SORTED_ASC": self._sorted == "asc",
+                "SORTED_DESC": self._sorted == "desc"}
+
+    def sort(self, reverse: bool = False, descending: bool = False,
+             nulls_last: bool = False, in_place: bool = False) -> "Series":
+        desc = reverse or descending
+        out = self._dispatch(
+            lambda e: e.sort(descending=desc, nulls_last=nulls_last))
+        out._sorted = "desc" if desc else "asc"
+        if in_place:
+            self._sdf = out._sdf
+            self._sorted = out._sorted
+            return self
+        return out
+
+    def set_sorted(self, descending: bool = False) -> "Series":
+        out = Series._from_spark(self._sdf, self._name)
+        out._sorted = "desc" if descending else "asc"
+        return out
 
     def each(self):
         for r in self._sdf.toLocalIterator():
@@ -514,6 +599,12 @@ class Series:
         return self._binop(o, "__mul__")
 
     def __truediv__(self, o):
+        from pyspark.sql import types as T
+
+        if self.is_datelike() or isinstance(self.dtype, T.DayTimeIntervalType):
+            # series_test.rb test_duration
+            raise ValueError(
+                "first cast to integer before dividing datelike dtypes")
         return self._binop(o, "__truediv__")
 
     def __floordiv__(self, o):
@@ -524,6 +615,31 @@ class Series:
 
     def __pow__(self, o):
         return self._binop(o, "__pow__")
+
+    def __xor__(self, o):
+        return self._binop(o, "__xor__")
+
+    # reflected scalar forms (series_test.rb test_arithmetic: 5 + a, 35 - a…)
+    def __radd__(self, o):
+        return self._dispatch(lambda e: e.__radd__(o))
+
+    def __rsub__(self, o):
+        return self._dispatch(lambda e: e.__rsub__(o))
+
+    def __rmul__(self, o):
+        return self._dispatch(lambda e: e.__rmul__(o))
+
+    def __rtruediv__(self, o):
+        return self._dispatch(lambda e: e.__rtruediv__(o))
+
+    def __rfloordiv__(self, o):
+        return self._dispatch(lambda e: e.__rfloordiv__(o))
+
+    def __rmod__(self, o):
+        return self._dispatch(lambda e: e.__rmod__(o))
+
+    def __rpow__(self, o):
+        return self._dispatch(lambda e: e.__rpow__(o))
 
     # elementwise comparisons (series.rb ==/!=/</>... return bool Series)
     def __eq__(self, o):  # type: ignore[override]
@@ -558,10 +674,71 @@ class Series:
     def __neg__(self):
         return self._dispatch(lambda e: -e)
 
+    # -- positional element access (series.rb:440-520 []/[]=) ---------------
+    def __getitem__(self, key):
+        if isinstance(key, bool):
+            raise TypeError("cannot index Series with a bool")
+        if isinstance(key, int):
+            i = key if key >= 0 else self.len() + key
+            vals = self.slice(i, 1).to_a()
+            if not vals:
+                raise IndexError(
+                    f"index {key} is out of bounds for sequence of length "
+                    f"{self.len()}")
+            return vals[0]
+        if isinstance(key, Series):
+            key = key.to_a()
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self.len())
+            if step == 1:
+                return self.slice(start, max(0, stop - start))
+            key = list(range(start, stop, step))
+        if isinstance(key, (list, tuple)):
+            return self.take(list(key))
+        raise TypeError(f"cannot index Series with {key!r}")
+
+    def __setitem__(self, key, value):
+        from .operators.row_index import with_row_index
+
+        n = self.len()
+        if isinstance(key, Series):
+            key = key.to_a()
+        if isinstance(key, slice):
+            idx = list(range(*key.indices(n)))
+        elif isinstance(key, int):
+            idx = [key if key >= 0 else n + key]
+        else:
+            idx = [k if k >= 0 else n + k for k in key]
+        vals = (list(value) if isinstance(value, (list, tuple))
+                else [value] * len(idx))
+        if len(vals) != len(idx):
+            raise ValueError(
+                f"cannot set {len(idx)} positions with "
+                f"{len(vals)} values")
+        cn = self._sdf.columns[0]
+        rix = "__set_rix__"
+        sdf = with_row_index(self._sdf, rix)
+        dtype = sdf.schema[cn].dataType
+        expr = F.col(cn)
+        for i, v in zip(idx, vals):
+            expr = F.when(F.col(rix) == i,
+                          F.lit(v).cast(dtype)).otherwise(expr)
+        self._sdf = sdf.withColumn(cn, expr).orderBy(rix).drop(rix)
+
+    def __iter__(self):
+        return self.each()
+
     def __repr__(self) -> str:
+        from .frame import _short_dtype
+
         vals = self._sdf.limit(10).collect()
-        body = "\n".join(str(r[0]) for r in vals)
-        return f"Series: {self._name} [{self.dtype.simpleString()}]\n{body}"
+        body = "\n".join("\t" + ("null" if r[0] is None else str(r[0]))
+                         for r in vals)
+        return (f"shape: ({self.len()},)\n"
+                f"Series: '{self._name}' [{_short_dtype(self.dtype)}]\n"
+                f"[\n{body}\n]")
+
+    to_s = __repr__
 
     # -- container conveniences (series.rb surface tail) ----------------------
     @property
@@ -572,7 +749,16 @@ class Series:
         """Summary-statistics frame (series.rb:651) via the 1-col frame."""
         return self.to_frame().describe()
 
-    def estimated_size(self) -> int:
+    def estimated_size(self, unit: str = "b"):
+        sz = self._estimated_size_bytes()
+        scale = {"b": 1, "kb": 2**10, "mb": 2**20, "gb": 2**30, "tb": 2**40}
+        if unit not in scale:
+            raise ValueError(
+                f"unit must be one of {{'b', 'kb', 'mb', 'gb', 'tb'}}, "
+                f"got {unit!r}")
+        return sz if unit == "b" else sz / scale[unit]
+
+    def _estimated_size_bytes(self) -> int:
         return self.to_frame().estimated_size()
 
     def to_dummies(self, separator: str = "_", drop_first: bool = False):
@@ -596,7 +782,7 @@ class Series:
     def take_every(self, n: int, offset: int = 0):
         return self.gather_every(n, offset)
 
-    def shrink_to_fit(self):
+    def shrink_to_fit(self, in_place: bool = False):
         return self  # physical-memory detail the engine hides
 
     to_numo = to_numpy
@@ -649,6 +835,11 @@ class _SeriesStructNS(_SeriesNS):
         return self._s.to_frame().unnest(self._s.name)
 
     to_frame = unnest
+
+    def __getitem__(self, field: str) -> "Series":
+        # series_test.rb test_new_struct: s.struct["f1"] → field Series
+        return self._s._dispatch(
+            lambda e: e.struct.field(field)).rename(field)
 
 
 class _SeriesCatNS(_SeriesNS):

@@ -13,7 +13,9 @@ from .io import (
     BatchedCsvReader,
     read_database,
     read_ipc,
+    read_ipc_schema,
     read_ipc_stream,
+    scan_ipc,
     read_json,
     read_ndjson,
     read_parquet,
@@ -28,7 +30,7 @@ from .io import (
 )
 
 __all__ = [
-    "read_avro", "read_csv", "read_csv_batched", "BatchedCsvReader", "read_database", "read_ipc", "read_ipc_stream", "read_json",
+    "read_avro", "read_csv", "read_csv_batched", "BatchedCsvReader", "read_database", "read_ipc", "read_ipc_schema", "read_ipc_stream", "scan_ipc", "read_json",
     "read_ndjson", "read_parquet", "read_parquet_schema", "scan_csv",
     "scan_ndjson", "scan_parquet", "from_pandas", "from_arrow", "from_hash",
     "from_records",

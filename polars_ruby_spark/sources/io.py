@@ -73,6 +73,7 @@ def scan_parquet(source, hive_partitioning: bool = True, n_rows: int | None = No
     from ..operators.row_index import with_row_index
 
     s = _spark(spark)
+    source = _materialize_source(source, ".parquet")
     ns_cols = _ns_timestamp_cols(source)
     if ns_cols:
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -105,6 +106,29 @@ def read_parquet_schema(source, spark=None) -> dict:
     return {f.name: f.dataType for f in sdf.schema.fields}
 
 
+
+
+def _materialize_source(source, suffix: str):
+    """The reference's readers accept paths, Pathname, AND IO objects
+    (csv_test.rb/json_test.rb StringIO cases) — spool file-likes to a temp
+    file for Spark's path-based readers.  Remote URLs must be passed as
+    URI objects in the reference; plain http(s) strings raise."""
+    if hasattr(source, "read"):
+        import tempfile
+
+        data = source.read()
+        if isinstance(data, str):
+            data = data.encode()
+        f = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        f.write(data)
+        f.close()
+        return f.name
+    s = str(source)
+    if s.startswith(("http://", "https://")):
+        raise ValueError("use URI(...) for remote files")
+    return s
+
+
 def scan_csv(source, has_header: bool = True, separator: str = ",", comment_prefix=None,
              quote_char: str = '"', skip_rows: int = 0, schema=None, dtypes=None,
              null_values=None, try_parse_dates: bool = False, n_rows=None,
@@ -134,7 +158,10 @@ def scan_csv(source, has_header: bool = True, separator: str = ",", comment_pref
     sch = _schema_arg(schema or dtypes)
     if sch is not None:
         reader = reader.schema(sch)
-    sdf = reader.csv(str(source))
+    sdf = reader.csv(_materialize_source(source, ".csv"))
+    if not has_header:
+        # polars names headerless columns column_1.. (csv_test.rb)
+        sdf = sdf.toDF(*[f"column_{i + 1}" for i in range(len(sdf.columns))])
     if skip_rows:
         from ..operators.row_index import with_row_index as _wri
         from pyspark.sql import functions as F
@@ -202,14 +229,16 @@ def read_json(source, spark=None, **kw):
     """io/json.rb:9 — JSON array-of-records (multiLine)."""
     from ..frame import DataFrame
 
-    return DataFrame(_spark(spark).read.option("multiLine", True).json(str(source)))
+    return DataFrame(_spark(spark).read.option("multiLine", True).json(
+        _materialize_source(source, ".json")))
 
 
 def scan_ndjson(source, spark=None, **kw):
     """io/ndjson.rb:53 — newline-delimited JSON (Spark-native format)."""
     from ..frame import LazyFrame
 
-    return LazyFrame(_spark(spark).read.json(str(source)))
+    return LazyFrame(_spark(spark).read.json(
+        _materialize_source(source, ".ndjson")))
 
 
 def read_ndjson(source, **kw):
@@ -222,7 +251,8 @@ def read_avro(source, spark=None, **kw):
     """io/avro.rb:14 — requires spark-avro package at runtime."""
     from ..frame import DataFrame
 
-    return DataFrame(_spark(spark).read.format("avro").load(str(source)))
+    return DataFrame(_spark(spark).read.format("avro").load(
+        _materialize_source(source, ".avro")))
 
 
 def read_ipc(source, spark=None, **kw):
@@ -237,14 +267,30 @@ def read_ipc(source, spark=None, **kw):
 
     from ..frame import DataFrame
 
-    src = str(source)
-    if os.path.isdir(src):
+    src = source if hasattr(source, "read") else str(source)
+    if not hasattr(src, "read") and os.path.isdir(src):
         parts = sorted(
             os.path.join(src, f) for f in os.listdir(src) if f.endswith(".arrow"))
         table = pa.concat_tables([feather.read_table(p) for p in parts])
     else:
         table = feather.read_table(src)
     return DataFrame(_spark(spark).createDataFrame(table.to_pandas()))
+
+
+def scan_ipc(source, spark=None, **kw):
+    """io/ipc.rb:189 — lazy form of read_ipc (the pyarrow bridge is eager
+    either way; kept for API parity)."""
+    return read_ipc(source, spark=spark, **kw).lazy()
+
+
+def read_ipc_schema(source, spark=None) -> dict:
+    """io/ipc.rb:218 — schema without reading data."""
+    import pyarrow.feather as feather
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    src = source if hasattr(source, "read") else str(source)
+    schema = feather.read_table(src).schema
+    return {f.name: from_arrow_type(f.type) for f in schema}
 
 
 def read_ipc_stream(source, spark=None, **kw):
@@ -281,23 +327,67 @@ def from_arrow(table, spark=None):
     return from_pandas(table.to_pandas(), spark)
 
 
+def pylists_to_sdf(data: dict[str, list], schema=None, spark=None):
+    """Build a Spark DF from python lists, Arrow-first: pyarrow inference
+    preserves NaN as a float VALUE (Spark's pandas path nulls it) and keeps
+    integer columns integral under nulls (pandas coerces to float64).
+    Falls back to the pandas path for inputs Arrow can't infer."""
+    import pyarrow as pa
+
+    sch = _schema_arg(schema)
+    try:
+        table = pa.table({k: (v if isinstance(v, pa.Array) else pa.array(v))
+                          for k, v in data.items()})
+        return _spark(spark).createDataFrame(table, schema=sch)
+    except Exception:
+        import pandas as pd
+
+        return _spark(spark).createDataFrame(pd.DataFrame(data), schema=sch)
+
+
 def from_hash(data: dict[str, list], schema=None, spark=None):
     """convert.rb:29 — hash-of-arrays → frame.  Values may also be Series
-    (data_frame_test.rb: the key names the column) or scalars (broadcast)."""
-    import pandas as pd
-
+    (data_frame_test.rb: the key names the column) or scalars (broadcast);
+    mismatched column lengths raise like the reference."""
     from ..frame import DataFrame
     from ..series import Series
 
-    data = {k: (v.to_a() if isinstance(v, Series) else v)
+    for k in data:
+        if not isinstance(k, str):
+            raise TypeError(
+                f"no implicit conversion of {type(k).__name__} into String")
+    data = {k: (v.to_a() if isinstance(v, Series)
+                else list(v) if isinstance(v, (list, tuple, range)) else v)
             for k, v in data.items()}
-    sdf = _spark(spark).createDataFrame(pd.DataFrame(data), schema=_schema_arg(schema))
-    return DataFrame(sdf)
+    lengths = {k: len(v) for k, v in data.items() if isinstance(v, list)}
+    if lengths:
+        n = max(lengths.values())
+        if any(l != n for l in lengths.values()):
+            raise ValueError(
+                "lengths don't match: could not create a DataFrame from "
+                f"columns of unequal lengths {lengths}")
+        data = {k: (v if isinstance(v, list) else [v] * n)
+                for k, v in data.items()}
+    else:
+        data = {k: [v] for k, v in data.items()}
+    return DataFrame(pylists_to_sdf(data, schema, spark))
 
 
 def from_records(rows: list, schema=None, orient: str = "row", spark=None):
     from ..frame import DataFrame
 
+    if rows and all(isinstance(r, dict) for r in rows):
+        # Arrow-first (types_test.rb dtype matrix): handles all-null columns
+        # (Null dtype), nested structs/lists, and NaN preservation — the
+        # direct createDataFrame(rows) path fails type inference on these
+        import pyarrow as pa
+
+        try:
+            table = pa.Table.from_pylist(rows)
+            return DataFrame(_spark(spark).createDataFrame(
+                table, schema=_schema_arg(schema)))
+        except Exception:
+            pass
     return DataFrame(_spark(spark).createDataFrame(rows, schema=_schema_arg(schema)))
 
 

@@ -44,13 +44,24 @@ def _val_eq(a: Any, b: Any, rtol: float, atol: float) -> bool:
 
 
 def assert_frame_equal(left, right, check_row_order: bool = True,
-                       check_column_order: bool = True, check_dtype: bool = False,
+                       check_column_order: bool = True, check_dtype: bool = True,
                        rtol: float = 1e-5, atol: float = 1e-8) -> None:
     lcols, rcols = _columns(left), _columns(right)
+    only_left = [c for c in lcols if c not in rcols]
+    if only_left:
+        raise AssertionError(
+            f"columns {only_left!r} in left DataFrames, but not in right")
     if check_column_order:
         assert lcols == rcols, f"columns differ: {lcols} vs {rcols}"
     else:
         assert sorted(lcols) == sorted(rcols), f"columns differ: {lcols} vs {rcols}"
+    if check_dtype and hasattr(left, "dtypes") and hasattr(right, "dtypes"):
+        ld = dict(zip(lcols, left.dtypes))
+        rd = dict(zip(rcols, right.dtypes))
+        if any(ld[c] != rd[c] for c in lcols):
+            raise AssertionError(
+                "DataFrames are different (dtypes do not match): "
+                f"{ld} vs {rd}")
     lv, rv = _values(left), _values(right)
     if not check_column_order:
         lorder = [lcols.index(c) for c in sorted(lcols)]
@@ -69,6 +80,11 @@ def assert_frame_equal(left, right, check_row_order: bool = True,
 
 def assert_series_equal(left, right, check_dtype: bool = False,
                         rtol: float = 1e-5, atol: float = 1e-8) -> None:
+    if check_dtype and hasattr(left, "dtype") and hasattr(right, "dtype"):
+        if left.dtype != right.dtype:
+            raise AssertionError(
+                "Series are different (dtypes do not match): "
+                f"{left.dtype} vs {right.dtype}")
     lv = left.to_list() if hasattr(left, "to_list") else list(left)
     rv = right.to_list() if hasattr(right, "to_list") else list(right)
     assert len(lv) == len(rv), f"lengths differ: {len(lv)} vs {len(rv)}"
@@ -82,7 +98,7 @@ def assert_frame_not_equal(left, right, **kwargs):
         assert_frame_equal(left, right, **kwargs)
     except AssertionError:
         return
-    raise AssertionError("frames are equal (expected not equal)")
+    raise AssertionError("frames are equal")
 
 
 def assert_series_not_equal(left, right, **kwargs):
@@ -90,4 +106,4 @@ def assert_series_not_equal(left, right, **kwargs):
         assert_series_equal(left, right, **kwargs)
     except AssertionError:
         return
-    raise AssertionError("series are equal (expected not equal)")
+    raise AssertionError("Series are equal")

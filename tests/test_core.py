@@ -596,3 +596,46 @@ def test_group_by_dynamic_start_by(spark):
                                        start_by="datapoint").agg(
         pl.len().alias("n")).sort("g").collect().to_a()
     assert [(r["g"], r["ts"].minute, r["n"]) for r in out3] == [("a", 10, 2), ("b", 45, 1)]
+
+
+def test_reference_doctest_parity_batch19(spark):
+    """Nineteenth harvest batch (testing/meta/date_time tests):
+    assert_frame_equal checks dtypes by default with the reference's
+    messages (testing_test.rb), calendar offset_by preserves time-of-day,
+    SQLContext kwargs registration, meta pop/root_names on bare cols."""
+    import datetime as dtm
+
+    import pytest as _pytest
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.testing import (
+        assert_frame_equal, assert_frame_not_equal, assert_series_not_equal)
+
+    df = pl.DataFrame({"a": [1, 2, 3]})
+    assert_frame_equal(df, df)
+    with _pytest.raises(AssertionError, match="dtypes do not match"):
+        assert_frame_equal(df, pl.DataFrame({"a": [1.0, 2.0, 3.0]}))
+    assert_frame_equal(df, pl.DataFrame({"a": [1.0, 2.0, 3.0]}),
+                       check_dtype=False)
+    with _pytest.raises(AssertionError, match=r"in left DataFrames"):
+        assert_frame_equal(df, pl.DataFrame({"b": [1, 2, 3]}))
+    with _pytest.raises(AssertionError, match="frames are equal"):
+        assert_frame_not_equal(df, df)
+    with _pytest.raises(AssertionError, match="Series are equal"):
+        assert_series_not_equal(pl.Series([1, 2]), pl.Series([1, 2]))
+
+    t = pl.DataFrame({"a": [dtm.datetime(2024, 3, 15, 10, 30, 45)]})
+    out = t.select(pl.col("a").dt.offset_by("1y").alias("x"),
+                   pl.col("a").dt.offset_by("-1y2mo").alias("y")).to_a()[0]
+    assert out["x"] == dtm.datetime(2025, 3, 15, 10, 30, 45)
+    assert out["y"] == dtm.datetime(2023, 1, 15, 10, 30, 45)
+
+    res = pl.SQLContext(frame=pl.LazyFrame({"a": [1, 2, 3],
+                                            "b": ["x", None, "z"]})).execute(
+        "SELECT b, a*2 AS two_a FROM frame WHERE b IS NOT NULL")
+    assert res.collect().to_a() == [{"b": "x", "two_a": 2},
+                                    {"b": "z", "two_a": 6}]
+
+    assert pl.col("a").meta.pop() == []
+    assert pl.col("a").meta.root_names() == ["a"]
+    assert pl.col("a").meta.output_name() == "a"

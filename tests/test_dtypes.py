@@ -555,7 +555,11 @@ def test_reference_doctest_parity_batch10(spark):
     assert s.dot(pl.Series("b", [4, 5, 6])) == 32
     assert s.count() == 3
     assert pl.Series("a", [2, 3, 4]).product() == 24
-    assert abs(pl.Series("a", [1.0, 1.0]).entropy(base=2) - 1.0) < 1e-12
+    # Series entropy default is normalize=False (series.rb:1144) — pass
+    # normalize explicitly for the distributional form
+    assert abs(pl.Series("a", [1.0, 1.0]).entropy(base=2, normalize=True)
+               - 1.0) < 1e-12
+    assert pl.Series("a", [1.0, 1.0]).entropy(base=2) == 0.0
     assert abs(pl.Series("a", [1.0, 2.0, 3.0, 10.0]).skew() - 1.01823) < 1e-4
 
 
@@ -582,3 +586,202 @@ def test_duration_total_units(spark):
                    "ns": 216000000000000}
     assert d.lazy().select(pl.duration(days=1, hours=12).dt.total_hours()
                            .alias("h")).collect().to_a() == [{"h": 36}]
+
+
+def test_reference_doctest_parity_batch14(spark):
+    """Fourteenth harvest batch (series_test.rb sweep): struct field
+    subscript, inner_dtype, xor + reflected arithmetic, positional
+    get/set ([], []=), in_place variants (rename/sort/rechunk),
+    estimated_size(unit), scalar nan_max/search_sorted, quantile bounds,
+    entropy Series defaults (base e, normalize false — series.rb:1144),
+    empty sum = 0, map_elements return-dtype inference, sorted flags,
+    datelike division raise, polars repr format."""
+    import datetime as dtm
+
+    import pytest as _pytest
+
+    import polars_ruby_spark as pl
+
+    S = pl.Series
+    s = S([{"f1": 1}, {"f1": 2}])
+    assert s.struct["f1"].to_a() == [1, 2]
+    nested = S([{"a": {"b": {"c": 1}}}, {"a": {"b": {"c": 2}}}])
+    assert nested.struct["a"].struct["b"].struct["c"].to_a() == [1, 2]
+
+    assert S([1, 2, 3]).inner_dtype is None
+    assert S([[1, 2], [3]]).inner_dtype.typeName() == "long"
+
+    a = S([True, True, False, False])
+    b = S([True, False, True, False])
+    assert (a ^ b).to_a() == [False, True, True, False]
+
+    x = S([10, 20, 30])
+    assert (5 + x).to_a() == [15, 25, 35]
+    assert (35 - x).to_a() == [25, 15, 5]
+    assert (5 * x).to_a() == [50, 100, 150]
+    assert (5 % x).to_a() == [5, 5, 5]
+
+    g = S(range(1, 4))
+    assert g[1] == 2 and g[-1] == 3
+    assert g[[0, 1]].to_a() == [1, 2]
+    assert g[S([0, 1])].to_a() == [1, 2]
+    assert g[0:2].to_a() == [1, 2]
+    assert g[0:-1].to_a() == [1, 2]
+    assert g[1:].to_a() == [2, 3]
+    assert g[3:3].to_a() == []
+
+    st = S(range(1, 4))
+    st[1] = 9
+    assert st.to_a() == [1, 9, 3]
+    st[[0, 2]] = 2
+    assert st.to_a() == [2, 9, 2]
+    st[1:3] = 4
+    assert st.to_a() == [2, 4, 4]
+    st[[0, 1]] = [7, 8]
+    assert st.to_a() == [7, 8, 4]
+
+    r = S("a", [1, 2, 3])
+    r.rename("c", in_place=True)
+    assert r.name == "c"
+    srt = S([2, 3, 1])
+    assert srt.sort().to_a() == [1, 2, 3] and srt.to_a() == [2, 3, 1]
+    srt.sort(in_place=True)
+    assert srt.to_a() == [1, 2, 3] and srt.flags["SORTED_ASC"]
+    srt.sort(reverse=True, in_place=True)
+    assert srt.flags["SORTED_DESC"] and not srt.flags["SORTED_ASC"]
+    assert S([1, 2, 3]).set_sorted().flags["SORTED_ASC"]
+    S([1, 2, 3]).rechunk(in_place=True)
+
+    es = S(range(1, 1001))
+    assert es.estimated_size("kb") == _pytest.approx(
+        es.estimated_size() / 1024.0)
+
+    import math
+
+    assert math.isnan(S([1.0, float("nan"), 3.0]).nan_max())
+    assert S([1, 2, 4]).search_sorted(3) == 2
+    with _pytest.raises(ValueError, match="between 0.0 and 1.0"):
+        S([1, 2, 3]).quantile(2)
+
+    assert S([0.99, 0.005, 0.005]).entropy(normalize=True) == \
+        _pytest.approx(0.06293300616044681)
+    assert S([0.65, 0.10, 0.25]).entropy(normalize=True) == \
+        _pytest.approx(0.8568409950394724)
+    assert S([]).sum() == 0
+
+    assert S([1, 2, 3]).apply(lambda v: v ** 2).to_a() == [1, 4, 9]
+    m = S([1, 2, 3]).map_elements(lambda v: float(v))
+    assert m.to_a() == [1.0, 2.0, 3.0] and m.dtype.typeName() == "double"
+    mb = S([1, 2, 3]).map_elements(lambda v: v % 2 == 0)
+    assert mb.to_a() == [False, True, False] and mb.dtype.typeName() == "boolean"
+
+    with _pytest.raises(ValueError, match="first cast to integer"):
+        (S([dtm.date(2024, 1, 3)]) - dtm.date(2024, 1, 1)) / 86400.0
+
+    rep = str(S("a", [1, 2, 3]))
+    assert "Series: 'a' [i64]" in rep and rep.startswith("shape: (3,)")
+    assert list(iter(S([1, 2]))) == [1, 2]
+
+
+def test_reference_doctest_parity_batch15(spark):
+    """Fifteenth harvest batch (types_test.rb dtype matrix): bare family
+    dtype classes defer to inference (Decimal scale, Struct fields, List
+    inner, Datetime), Unknown defers entirely, Duration builds intervals
+    from numeric unit counts (+ total_* plural aliases), Array accepts the
+    reference's (width, inner) ctor order and enforces width, dict-row
+    frames ingest all-null / nested columns via Arrow."""
+    import datetime as dtm
+    from decimal import Decimal as D
+
+    import pytest as _pytest
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark import datatypes as dt
+
+    S = pl.Series
+    s = S([D("12.3456"), None], dtype=dt.Decimal)
+    assert s.to_a() == [D("12.3456"), None]
+    assert s.dtype.scale == 4
+
+    assert S([[1, 2], [3, 4]], dtype=dt.Array).to_a() == [[1, 2], [3, 4]]
+    assert S([[1, 2], [3, 4]], dtype=dt.Array(2, dt.Int64)).to_a() == \
+        [[1, 2], [3, 4]]
+    with _pytest.raises(ValueError, match="specified width 3"):
+        S([[1, 2], [3, 4]], dtype=dt.Array(3, dt.Int64))
+
+    assert S([{"a": 1}, {"a": 2}], dtype=dt.Struct).to_a() == \
+        [{"a": 1}, {"a": 2}]
+    assert S([1, 2, 3], dtype=dt.Unknown).to_a() == [1, 2, 3]
+    assert S([None, None], dtype=dt.Null).to_a() == [None, None]
+
+    d = S([1e6, 2e6, 3e6], dtype=dt.Duration)
+    assert d.dtype.typeName() == "daytimeinterval"
+    assert d.dt.total_seconds().to_a() == [1, 2, 3]
+    assert d.dt.microseconds().to_a() == [1000000, 2000000, 3000000]
+    dm = S([1e3, 2e3], dtype=dt.Duration("ms"))
+    assert dm.dt.milliseconds().to_a() == [1000, 2000]
+
+    df = pl.DataFrame([{
+        "b": True, "i": 1, "f": 1.5, "s": "one",
+        "d": dtm.date(2024, 1, 1), "t": dtm.datetime(2024, 1, 1),
+        "h": {"f": 1}, "a": [1, 2, 3], "u": None}])
+    sch = df.schema
+    assert sch["u"].typeName() == "void"
+    assert sch["h"].typeName() == "struct"
+    assert sch["a"].typeName() == "array"
+    assert sch["i"].typeName() == "long"
+
+    for name, tn in [("Int8", "byte"), ("Int16", "short"), ("Int32", "integer"),
+                     ("Int64", "long"), ("UInt8", "short"),
+                     ("UInt16", "integer"), ("UInt32", "long")]:
+        ss = S([1, None, 3], dtype=getattr(dt, name))
+        assert ss.to_a() == [1, None, 3] and ss.dtype.typeName() == tn
+
+
+def test_reference_doctest_parity_batch18(spark):
+    """Eighteenth harvest batch (string/list/struct expr tests): deprecated
+    str aliases (strip/lstrip/rstrip/ljust/rjust/count_match), list
+    subscript, struct positional subscript + type raise, rank(reverse:),
+    col('') as the element inside list.eval, and wrap_expr keeping plain
+    arrays as array literals (gather indices) while public lit() promotes
+    them to Series columns."""
+    import pytest as _pytest
+
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"s": [" hey ", "xhix"], "l": [[3, 1, 2], [9]],
+                       "st": [{"a": 1, "b": 2}, {"a": 3, "b": 4}]})
+    out = df.select(
+        pl.col("s").str.strip().alias("w"),
+        pl.col("s").str.lstrip("x").alias("lx"),
+        pl.col("s").str.rstrip("x").alias("rx"),
+        pl.col("s").str.ljust(7, "*").alias("lj"),
+        pl.col("s").str.rjust(7, "*").alias("rj"),
+        pl.col("s").str.count_match("h").alias("cm"),
+        pl.col("l").list[0].alias("l0"),
+        pl.col("st").struct[0].alias("s0"),
+        pl.col("st").struct["b"].alias("sb"),
+    ).to_a()
+    assert out[0]["w"] == "hey" and out[1]["w"] == "xhix"
+    assert out[1]["lx"] == "hix" and out[1]["rx"] == "xhi"
+    assert out[0]["lj"] == " hey **" and out[0]["rj"] == "** hey "
+    assert [r["cm"] for r in out] == [1, 1]
+    assert [r["l0"] for r in out] == [3, 9]
+    assert [r["s0"] for r in out] == [1, 3]
+    assert [r["sb"] for r in out] == [2, 4]
+
+    with _pytest.raises(ValueError, match="expected type Integer or String"):
+        pl.col("st").struct[1.5]
+
+    # rank(reverse:) == rank(descending:)
+    r = df.select(pl.col("l").list[0].rank(reverse=True).alias("r")).to_a()
+    assert [x["r"] for x in r] == [2.0, 1.0]
+
+    # wrap_expr array arg stays an array literal: gather with plain list
+    g = pl.DataFrame({"l": [[10, 20, 30, 40]]}).select(
+        pl.col("l").list.gather([0, -1]).alias("g")).to_a()
+    assert g[0]["g"] == [10, 40]
+
+    # element-wise eval still compiles to F.transform (JVM-side)
+    e = df.select(pl.col("l").list.eval(pl.element() * 2).alias("e")).to_a()
+    assert e[0]["e"] == [6, 2, 4] and e[1]["e"] == [18]

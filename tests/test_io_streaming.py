@@ -317,3 +317,62 @@ def test_ipc_stream_roundtrip(spark, tmp_path):
         assert r.read_all().num_rows == 3
     back = pl.read_ipc_stream(p, spark=spark).sort("a")
     assert [r["s"] for r in back.collect().to_a()] == ["x", "y", "z"]
+
+
+def test_reference_doctest_parity_batch17(spark, tmp_path):
+    """Seventeenth harvest batch (csv/json/parquet/ipc tests): single-file
+    eager write_csv/write_ndjson (csv_test.rb File.read sees one file),
+    IO-object sources & targets across formats, http(s) string raise,
+    has_header:false column_N naming, write_ipc(nil) → ARROW bytes,
+    scan_ipc / read_ipc_schema."""
+    import io
+
+    import pytest as _pytest
+
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"a": [1, 2, 3], "b": ["one", "two", "three"]})
+
+    p = str(tmp_path / "data.csv")
+    assert df.write_csv(p) is None
+    assert open(p).read() == "a,b\n1,one\n2,two\n3,three\n"
+    assert df.write_csv() == "a,b\n1,one\n2,two\n3,three\n"
+    assert pl.read_csv(p).to_a() == df.to_a()
+    assert pl.read_csv(io.StringIO(open(p).read())).to_a() == df.to_a()
+    assert pl.read_csv(open(p, "rb")).to_a() == df.to_a()
+    assert pl.read_csv(p, has_header=False).columns == \
+        ["column_1", "column_2"]
+    assert pl.read_csv(p, has_header=False).height == 4
+    sio = io.StringIO()
+    df.write_csv(sio)
+    assert sio.getvalue().startswith("a,b\n")
+    with _pytest.raises(ValueError, match="use URI"):
+        pl.read_csv("https://www.example.com")
+
+    pn = str(tmp_path / "data.ndjson")
+    assert df.write_ndjson(pn) is None
+    assert pl.read_ndjson(pn).sort("a").to_a() == df.to_a()
+    nio = io.StringIO()
+    df.write_ndjson(nio)
+    nio.seek(0)
+    assert pl.read_ndjson(nio).sort("a").to_a() == df.to_a()
+
+    jio = io.StringIO()
+    df.write_json(jio, row_oriented=True)
+    jio.seek(0)
+    assert pl.read_json(jio).sort("a").to_a() == df.to_a()
+
+    pio = io.BytesIO()
+    df.write_parquet(pio)
+    pio.seek(0)
+    assert pl.read_parquet(pio).sort("a").to_a() == df.to_a()
+
+    pa_path = str(tmp_path / "data.arrow")
+    assert df.write_ipc(pa_path) is None
+    assert pl.read_ipc(pa_path).to_a() == df.to_a()
+    assert pl.read_ipc(open(pa_path, "rb")).to_a() == df.to_a()
+    assert pl.scan_ipc(pa_path).collect().to_a() == df.to_a()
+    out = df.write_ipc(None)
+    assert isinstance(out, bytes) and out.startswith(b"ARROW")
+    sch = pl.read_ipc_schema(pa_path)
+    assert sch["a"].typeName() == "long" and sch["b"].typeName() == "string"
