@@ -1678,6 +1678,68 @@ def q124_pii(spark, sf_dir):
                       "n_pii", F.length("clean").alias("red_len"))
 
 
+def q125_calendar_offsets(spark, sf_dir):
+    """Calendar offset_by over event timestamps — preserves time-of-day and
+    clamps month ends (batch-19 fix: add_months returns a DATE; the time
+    component is re-attached).  Flat codegen projection, 0 shuffles."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        pl.col("event_id"),
+        pl.col("ts").dt.offset_by("1mo").alias("plus_1mo"),
+        pl.col("ts").dt.offset_by("-1y").alias("minus_1y"),
+        pl.col("ts").dt.offset_by("3d12h").alias("plus_3d12h"),
+    ).to_spark()
+
+
+def q126_agg_context(spark, sf_dir):
+    """Order-dependent per-row ops INSIDE group_by().agg (guide_test.rb agg
+    semantics): shift_and_fill / reverse compile to per-group array
+    transforms of the ordered collected base (one hash agg, no window-in-
+    aggregate), filtered aggregates, unique().count() agg-of-agg, and an
+    aggregate OVER a shifted sequence — exploded back to scalars lockstep
+    for the driver's canonicalizer."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    g = ev.group_by("user_id").agg(
+        pl.col("event_id").alias("eid"),
+        pl.col("value").shift_and_fill(1, 0.0).alias("sv"),
+        pl.col("value").reverse().alias("rv"),
+        pl.col("value").filter(pl.col("value") > 0).sum().alias("fsum"),
+        pl.col("event_type").unique().count().alias("uniq_types"),
+        pl.col("value").shift_and_fill(1, 0.0).sum().alias("ssum"),
+    )
+    out = g.explode("eid", "sv", "rv").select(
+        pl.col("user_id"), pl.col("eid"),
+        pl.col("sv").round(4).alias("sv"),
+        pl.col("rv").round(4).alias("rv"),
+        pl.col("fsum").round(4).alias("fsum"),
+        pl.col("uniq_types"),
+        pl.col("ssum").round(4).alias("ssum"),
+    )
+    return out.to_spark()
+
+
+def q127_list_eval_rank(spark, sf_dir):
+    """Aggregates and rank INSIDE list.eval (guide_test.rb list-context):
+    element().rank(reverse) / col("").count() compiles to nested JVM
+    higher-order functions (filter/size counts per element) — no window,
+    no UDF, no explode on the Spark side; exploded to scalars only for the
+    driver's canonicalizer."""
+    import polars_ruby_spark as pl
+
+    em = _t(spark, sf_dir, "embeddings")
+    rank_pct = pl.element().rank(reverse=True) / pl.col("").count()
+    out = (em.select(
+        pl.col("vec_id"),
+        pl.col("embedding").list.eval(rank_pct).alias("rp"))
+        .explode("rp")
+        .select(pl.col("vec_id"), pl.col("rp").round(6).alias("rank_pct")))
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1807,6 +1869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_json_infer": q122_json_infer,
         "q123_duration_totals": q123_duration_totals,
         "q124_pii": q124_pii,
+        "q125_calendar_offsets": q125_calendar_offsets,
+        "q126_agg_context": q126_agg_context,
+        "q127_list_eval_rank": q127_list_eval_rank,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -2093,6 +2158,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS ts, event_type,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM b GROUP BY 1, 2
+        """,
+        "q127_list_eval_rank": """
+            SELECT vec_id,
+                   round(unnest(list_transform(embedding, x ->
+                     ((2 * len(list_filter(embedding, y -> y > x)) +
+                       len(list_filter(embedding, y -> y = x)) + 1) / 2.0)
+                     / len(embedding))), 6) AS rank_pct
+            FROM embeddings
+        """,
+        "q126_agg_context": """
+            WITH s AS (SELECT user_id, event_id, event_type, value,
+                              row_number() OVER (ORDER BY ts, event_id) AS rid
+                       FROM events),
+                 g AS (SELECT user_id,
+                              list(event_id ORDER BY rid) AS eids,
+                              list(value ORDER BY rid) AS vals,
+                              sum(CASE WHEN value > 0 THEN value END) AS fsum,
+                              count(DISTINCT event_type) AS uniq_types
+                       FROM s GROUP BY user_id)
+            SELECT user_id,
+                   unnest(eids) AS eid,
+                   round(unnest(list_transform(range(1, len(vals) + 1),
+                         i -> CASE WHEN i = 1 THEN 0.0 ELSE vals[i - 1] END)), 4) AS sv,
+                   round(unnest(list_reverse(vals)), 4) AS rv,
+                   round(fsum, 4) AS fsum,
+                   uniq_types,
+                   round(list_sum(vals) - vals[len(vals)], 4) AS ssum
+            FROM g
+        """,
+        "q125_calendar_offsets": """
+            SELECT event_id,
+                   CAST(ts + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_1mo,
+                   CAST(ts - INTERVAL 1 YEAR AS TIMESTAMP) AS minus_1y,
+                   CAST(ts + INTERVAL '3 days 12 hours' AS TIMESTAMP) AS plus_3d12h
+            FROM events
         """,
         "q124_pii": r"""
             WITH b AS (SELECT doc_id,

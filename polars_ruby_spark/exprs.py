@@ -66,6 +66,43 @@ def _part_window(part) -> WindowSpec:
     return Window.partitionBy(*part)
 
 
+def _ordered_collect(base: "Expr", df) -> Column:
+    """Row-order-preserving per-group array of base values (agg context)."""
+    from .session import ROW_IDX
+
+    inner = base._fn(df, None)
+    pairs = F.array_sort(F.collect_list(
+        F.struct(F.col(ROW_IDX).alias("i"), inner.alias("v"))))
+    return F.transform(pairs, lambda p: p["v"])
+
+
+def _arr_reduce(label: str, arr: Column, df) -> Column:
+    """Aggregate an order-transformed per-group array (guide_test.rb:
+    shift_and_fill(1, 0).sum() under agg)."""
+    if label in ("count",):
+        return F.size(F.filter(arr, lambda x: x.isNotNull()))
+    if label == "len":
+        return F.size(arr)
+    if label == "min":
+        return F.array_min(arr)
+    if label == "max":
+        return F.array_max(arr)
+    if label == "first":
+        return F.element_at(arr, 1)
+    if label == "last":
+        return F.element_at(arr, -1)
+    if label in ("sum", "mean"):
+        t = df.select(arr.alias("__arf__")).schema[0].dataType.elementType
+        nn = F.filter(arr, lambda x: x.isNotNull())
+        s = F.aggregate(nn, F.lit(0).cast(t), lambda a, x: a + x)
+        if label == "sum":
+            return s
+        return s.cast("double") / F.size(nn)
+    raise NotImplementedError(
+        f"aggregate {label!r} over an order-transformed expression "
+        "inside group_by().agg")
+
+
 def _ordered_window(part) -> WindowSpec:
     return Window.partitionBy(*(part or [])).orderBy(ROW_IDX)
 
@@ -107,6 +144,14 @@ class Expr:
     #: sorted by the window ordering, so select/with_columns must restore
     #: frame row order (ROW_IDX sort) afterward — polars preserves row order.
     _scrambles_order = False
+
+    #: agg-context hook: ``(arr) -> Column`` applied to the ordered
+    #: collected ARRAY of ``_agg_list_base`` when the expr is bound inside
+    #: ``group_by().agg`` — order-dependent per-row ops (shift/reverse/sort)
+    #: become per-group array transforms (guide_test.rb agg semantics)
+    #: instead of an illegal window-inside-aggregate.
+    _agg_list_fn = None
+    _agg_list_base = None
 
     #: lightweight AST breadcrumb ``(op, children_exprs, payload)`` attached
     #: by the central combinators (col/lit/_lift/_lift2/_agg/_ordered/alias/
@@ -211,7 +256,29 @@ class Expr:
             mf = self._multi_fn
             return Expr(multi_fn=lambda df: [e._agg(aggf) for e in mf(df)])
 
+        label = _op_label(aggf, "agg")
+
         def fn(df, part):
+            if _EVAL_ARRAY_STACK:
+                # inside list.eval: aggregate over the current list
+                mapped = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                return _arr_reduce(label, mapped, df)
+            if bind_context.grouped_agg and self._agg_list_fn is not None:
+                arr = self._agg_list_fn(_ordered_collect(self._agg_list_base, df))
+                return _arr_reduce(label, arr, df)
+            if self._is_agg:
+                from pyspark.sql import types as T
+
+                inner_c = self._fn(df, None)
+                try:
+                    t = df.select(inner_c.alias("__t__")).schema[0].dataType
+                except Exception:
+                    t = None
+                if isinstance(t, T.ArrayType):
+                    # agg-of-agg (unique().count(), implode().sum()…):
+                    # reduce over the inner aggregate's array
+                    r = _arr_reduce(label, inner_c, df)
+                    return r.over(_part_window(part)) if part is not None else r
             c = aggf(self._fn(df, None))
             if part is not None:
                 c = c.over(_part_window(part))
@@ -219,7 +286,7 @@ class Expr:
 
         return Expr(fn, name=name if name is not None else self._name, is_agg=True,
                     needs_order=self._needs_order)._set_meta(
-                        _op_label(aggf, "agg"), (self,))
+                        label, (self,))
 
     def _agg_ctx(self, aggf: Callable[[Column, DataFrame], Column],
                  label: str = "agg", name: str | None = None) -> "Expr":
@@ -234,6 +301,26 @@ class Expr:
             return Expr(multi_fn=lambda df: [e._agg_ctx(aggf, label) for e in mf(df)])
 
         def fn(df, part):
+            if _EVAL_ARRAY_STACK:
+                # inside list.eval: aggregate over the current list
+                mapped = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                return _arr_reduce(label, mapped, df)
+            if bind_context.grouped_agg and self._agg_list_fn is not None:
+                arr = self._agg_list_fn(_ordered_collect(self._agg_list_base, df))
+                return _arr_reduce(label, arr, df)
+            if self._is_agg:
+                from pyspark.sql import types as T
+
+                inner_c = self._fn(df, None)
+                try:
+                    t = df.select(inner_c.alias("__t__")).schema[0].dataType
+                except Exception:
+                    t = None
+                if isinstance(t, T.ArrayType):
+                    # agg-of-agg (unique().count(), implode().sum()…):
+                    # reduce over the inner aggregate's array
+                    r = _arr_reduce(label, inner_c, df)
+                    return r.over(_part_window(part)) if part is not None else r
             c = aggf(self._fn(df, None), df)
             if part is not None:
                 c = c.over(_part_window(part))
@@ -268,6 +355,9 @@ class Expr:
         e._name = name
         e._frame_fn = self._frame_fn  # keep frame-level hooks (reshape) alive
         e._global_ordinal_fn = self._global_ordinal_fn
+        e._grouped_remap_fn = self._grouped_remap_fn
+        e._agg_list_fn = self._agg_list_fn
+        e._agg_list_base = self._agg_list_base
         return e._set_meta("alias", (self,), name)
 
     def suffix(self, s: str) -> "Expr":
@@ -682,6 +772,8 @@ class Expr:
                 sdf, lambda df: inner._fn(df, None), seed, tmp), tmp
 
         e._global_ordinal_fn = gfn
+        e._agg_list_fn = F.shuffle
+        e._agg_list_base = inner
 
         def remap(sdf, key_exprs):
             from .operators.row_index import attach_grouped_rank_zip
@@ -1216,10 +1308,26 @@ class Expr:
                 return F.coalesce(out, fv._fn(None, None))
             return out
 
-        return self._ordered(f)
+        e = self._ordered(f)
 
-    def shift_and_fill(self, value, n: int = 1):
-        return self.shift(n, fill_value=value)
+        def arr_fn(arr):
+            sz = F.size(arr)
+            vacated = (F.lit(None) if fv is None else fv._fn(None, None))
+
+            def elem(x, i):
+                src_pos = i - F.lit(n)
+                return F.when((src_pos >= 0) & (src_pos < sz),
+                              F.element_at(arr, src_pos + 1)).otherwise(vacated)
+
+            return F.transform(arr, elem)
+
+        e._agg_list_fn = arr_fn
+        e._agg_list_base = self
+        return e
+
+    def shift_and_fill(self, periods, fill_value):
+        # expr.rb:1656 — (periods, fill_value), positional
+        return self.shift(periods, fill_value=fill_value)
 
     def diff(self, n: int = 1, null_behavior: str = "ignore"):
         def f(c, w):
@@ -1363,6 +1471,10 @@ class Expr:
         return e
 
     def reverse(self):
+        if self._multi_fn is not None:
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [e.reverse() for e in mf(df)])
+
         def fn(df, part):
             # bounded per-group remap under over(); ungrouped bindings route
             # through _global_ordinal_fn (index-remap join) instead
@@ -1383,6 +1495,8 @@ class Expr:
                 sdf, lambda df: inner._fn(df, None), tmp), tmp
 
         e._global_ordinal_fn = gfn
+        e._agg_list_fn = F.reverse
+        e._agg_list_base = inner
 
         def remap(sdf, key_exprs):
             from .operators.row_index import attach_grouped_rank_zip
@@ -1404,6 +1518,30 @@ class Expr:
 
         def fn(df, part):
             c = self._fn(df, part)
+            if _EVAL_ARRAY_STACK:
+                # inside list.eval: rank of this element within its list
+                # (guide_test.rb list-context) — nested HOF counts, no window
+                mapped = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                nn = F.filter(mapped, lambda y: y.isNotNull())
+                before = F.size(F.filter(
+                    nn, lambda y: (y > c) if descending else (y < c)))
+                ties = F.size(F.filter(nn, lambda y: y == c))
+                if method == "min":
+                    r = (before + 1).cast("double")
+                elif method == "max":
+                    r = (before + ties).cast("double")
+                elif method == "dense":
+                    distinct_before = F.size(F.array_distinct(F.filter(
+                        nn, lambda y: (y > c) if descending else (y < c))))
+                    r = (distinct_before + 1).cast("double")
+                elif method == "average":
+                    r = (before.cast("double") * 2
+                         + ties.cast("double") + 1) / 2
+                else:
+                    raise NotImplementedError(
+                        f"rank method {method!r} inside list.eval")
+                out = F.when(c.isNotNull(), r)
+                return out if method == "average" else out.cast("long")
             # polars leaves null values UNRANKED (null out); ordering nulls
             # last keeps the non-null ranks identical to ranking them alone
             w = Window.partitionBy(*(part or [])).orderBy(
@@ -1616,6 +1754,20 @@ class Expr:
                 tmp, order), tmp
 
         e._grouped_remap_fn = remap
+
+        def arr_fn(arr):
+            # nulls ride first (asc) / last (desc) via sort_array semantics,
+            # matching polars' nulls_last=False default ordering
+            out = F.sort_array(arr, asc=not desc)
+            if nulls_last != desc:
+                nn = F.filter(out, lambda x: x.isNotNull())
+                nulls = F.filter(out, lambda x: x.isNull())
+                out = (F.concat(nn, nulls) if nulls_last
+                       else F.concat(nulls, nn))
+            return out
+
+        e._agg_list_fn = arr_fn
+        e._agg_list_base = inner
         return e
 
     def sort_by(self, by, *more_by, descending=False, nulls_last: bool = False):
@@ -2536,8 +2688,13 @@ def col(name, *more_names) -> Expr:
     """Column reference (functions/col.rb:6) incl. '*' and '^regex$' forms."""
     import re as _re
 
-    names = [name] + list(more_names)
-    if len(names) == 1 and isinstance(name, str):
+    if isinstance(name, (list, tuple)) and not more_names:
+        # Polars.col(["A", "B"]) (guide_test.rb) — multi-column reference
+        names = list(name)
+    else:
+        names = [name] + list(more_names)
+    if len(names) == 1 and isinstance(names[0], str):
+        name = names[0]
         if name == "*":
             return all_()
         if name.startswith("^") and name.endswith("$"):
@@ -2634,6 +2791,24 @@ def lit(value, dtype=None, allow_object=None) -> Expr:
 #: Stack of lambda variables for list.eval / element() binding.  Expression
 #: construction is synchronous driver-side code, so a plain stack is safe.
 _ELEMENT_STACK: list = []
+
+#: Parallel stack of the ARRAY columns being eval'd — lets aggregates and
+#: rank inside list.eval reduce over the whole list (guide_test.rb
+#: list-context: element.rank / col("").count) via nested HOFs, JVM-side.
+_EVAL_ARRAY_STACK: list = []
+
+
+def _eval_map(base: "Expr", arr, df):
+    """Map `base` over the eval array's elements (nested HOF)."""
+
+    def lam(y):
+        _ELEMENT_STACK.append(y)
+        try:
+            return base._fn(df, None)
+        finally:
+            _ELEMENT_STACK.pop()
+
+    return F.transform(arr, lam)
 
 
 def element() -> Expr:

@@ -142,6 +142,18 @@ class LazyFrame:
         if needs_order:
             sdf = self._ensure_row_index()._sdf
         all_agg = bool(expanded) and all(e._is_agg for _, e in expanded)
+        if context == "select" and all_agg:
+            # composed per-row+aggregate exprs (x * x.sum(), when(...) *
+            # sum(...)) carry is_agg but cannot land in df.agg — analysis-
+            # probe each; any failure demotes the whole bind to the mixed
+            # path (scalar-attach + global-window fallback), which preserves
+            # row count like polars does for these
+            for _, e in expanded:
+                try:
+                    sdf.agg(e._fn(sdf, None).alias("__aggprobe__"))
+                except Exception:
+                    all_agg = False
+                    break
         any_agg = any(e._is_agg for _, e in expanded)
         # Aggregates inside a row-preserving context (with_columns / mixed
         # select) attach as a ONE-ROW keyless sub-aggregate crossJoined back

@@ -226,17 +226,18 @@ def concat_list(exprs):
     wrap into single-element lists (polars semantics)."""
     from pyspark.sql import types as T
 
-    es = _exprs(exprs)
+    es = _exprs([exprs] if isinstance(exprs, Expr) else exprs)
 
     def fn(df, part):
         cols = []
         for e in es:
-            c = e._fn(df, part)
-            try:
-                dt = df.select(c.alias("__t__")).schema[0].dataType
-            except Exception:
-                dt = None
-            cols.append(c if isinstance(dt, T.ArrayType) else F.array(c))
+            for ee in e._expand(df):  # all()/exclude()/regex selectors
+                c = ee._fn(df, part)
+                try:
+                    dt = df.select(c.alias("__t__")).schema[0].dataType
+                except Exception:
+                    dt = None
+                cols.append(c if isinstance(dt, T.ArrayType) else F.array(c))
         return F.concat(*cols)
 
     return Expr(fn, name=es[0]._name if es else None)

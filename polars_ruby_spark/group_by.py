@@ -29,12 +29,27 @@ def _agg_columns(sdf, exprs, named):
     for name, e in named.items():
         all_exprs.append((name, wrap_expr(e)))
     for name, e in all_exprs:
+        if e._needs_order and ROW_IDX not in sdf.columns:
+            # order-dependent expr before the hidden index exists: defer —
+            # agg() re-runs this compile on the row-indexed frame (eager
+            # dtype probes inside the bind would otherwise fail analysis)
+            needs_order = True
+            out.append(F.lit(None))
+            continue
         if e._is_agg:
             bind_context.grouped_agg += 1
             try:
                 c = e._fn(sdf, None)
             finally:
                 bind_context.grouped_agg -= 1
+        elif e._agg_list_fn is not None:
+            # order-dependent per-row op (shift/reverse/sort) → per-group
+            # array transform of the ordered collected base values
+            # (guide_test.rb: agg(col("cars").reverse) yields reversed lists)
+            from .exprs import _ordered_collect
+
+            needs_order = True
+            c = e._agg_list_fn(_ordered_collect(e._agg_list_base, sdf))
         else:
             # implicit implode, preserving row order via the hidden index
             needs_order = True

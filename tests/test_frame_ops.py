@@ -747,3 +747,70 @@ def test_reference_doctest_parity_batch16(spark):
     # collapses trivial projections into the scan, so assert plan text only)
     assert "Plan" in pl.DataFrame({"a": [1]}).lazy().select("a") \
         .describe_optimized_plan()
+
+
+def test_reference_doctest_parity_batch20(spark):
+    """Twentieth harvest batch (guide_test.rb user-guide patterns):
+    order-dependent per-row ops inside group_by().agg (shift/reverse/sort →
+    per-group array transforms), aggregates over them (shift_and_fill.sum),
+    agg-of-agg (unique().count()), composed per-row×aggregate exprs in
+    select (when*sum, x-mean), aggregates+rank inside list.eval (nested
+    HOFs), concat_list/col list args, multi-expr reverse, reference
+    shift_and_fill arg order (periods, fill_value)."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({
+        "A": [1, 2, 3, 4, 5],
+        "fruits": ["banana", "banana", "apple", "apple", "banana"],
+        "B": [5, 4, 3, 2, 1],
+        "cars": ["beetle", "audi", "beetle", "beetle", "beetle"],
+    })
+
+    out = df.group_by("fruits").agg(
+        pl.col("B").shift().alias("shift_B"),
+        pl.col("B").reverse().alias("rev_B"),
+        pl.col("B").shift_and_fill(1, 0).alias("sf"),
+        pl.col("B").shift_and_fill(1, 0).sum().alias("sfs"),
+        pl.col("B").sort().alias("sorted_B"),
+        pl.col("cars").unique().count().alias("uc"),
+    ).sort("fruits").to_a()
+    assert out[0]["fruits"] == "apple"
+    assert out[0]["shift_B"] == [None, 3] and out[1]["shift_B"] == [None, 5, 4]
+    assert out[0]["rev_B"] == [2, 3] and out[1]["rev_B"] == [1, 4, 5]
+    assert out[0]["sf"] == [0, 3] and out[1]["sf"] == [0, 5, 4]
+    assert out[0]["sfs"] == 3 and out[1]["sfs"] == 9
+    assert out[0]["sorted_B"] == [2, 3] and out[1]["sorted_B"] == [1, 4, 5]
+    assert out[0]["uc"] == 1 and out[1]["uc"] == 2
+
+    ex = df.group_by("fruits").agg(
+        pl.len(), pl.col("B").shift().alias("B_shifted")
+    ).explode("B_shifted").sort("fruits").to_a()
+    assert [r["B_shifted"] for r in ex] == [None, 3, None, 5, 4]
+
+    # composed per-row × aggregate in select keeps row count (guide)
+    w = df.select((pl.when(pl.col("B") > 3).then(0).otherwise(pl.col("B"))
+                   * pl.col("A").sum()).alias("x")).to_a()
+    assert [r["x"] for r in w] == [0, 0, 45, 30, 15]
+    m = df.select((pl.col("B") - pl.col("B").mean()).alias("d")).to_a()
+    assert [r["d"] for r in m] == [2.0, 1.0, 0.0, -1.0, -2.0]
+
+    # ungrouped select: unique().count()
+    assert df.select(pl.col("fruits").unique().count().alias("u")).to_a() \
+        == [{"u": 2}]
+
+    # list context: agg + rank inside eval (nested HOFs, no UDF)
+    grades = pl.DataFrame({"student": ["bas", "laura"],
+                           "arithmetic": [10, 5], "biology": [4, 6],
+                           "geography": [8, 4]})
+    rank_pct = pl.element().rank(reverse=True) / pl.col("").count()
+    g = grades.with_column(
+        pl.concat_list(pl.all().exclude("student")).alias("all_grades")
+    ).select(pl.col("student"),
+             pl.col("all_grades").list.eval(rank_pct).alias("gr")).to_a()
+    assert g[0]["gr"] == [1 / 3, 1.0, 2 / 3]
+    assert g[1]["gr"] == [2 / 3, 1 / 3, 1.0]  # laura [5,6,4]
+
+    assert df.select(pl.col(["A", "B"]).sum()).to_a() == \
+        [{"A": 15, "B": 15}]
+    sfx = df.select(pl.all(), pl.all().reverse().suffix("_rev"))
+    assert sfx.columns[:4] == ["A", "fruits", "B", "cars"]
