@@ -1740,6 +1740,52 @@ def q127_list_eval_rank(spark, sf_dir):
     return out.to_spark()
 
 
+def q128_boilerplate(spark, sf_dir):
+    """Corpus-frequent shingle ('boilerplate') filter — C4/CCNet-style line
+    frequency re-expressed over unstructured text: distinct 5-gram document
+    frequencies (one map-combined hash agg), per-doc boilerplate fraction
+    (gram-key join + per-doc agg)."""
+    from polars_ruby_spark.operators.text import boilerplate_signals
+
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents")
+    out = boilerplate_signals(d._sdf, "text", "doc_id", k=5, df_threshold=3)
+    return out.selectExpr("doc_id", "n_shingles", "n_frequent",
+                          "round(boilerplate_frac, 6) AS boilerplate_frac")
+
+
+def q129_url_normalize(spark, sf_dir):
+    """URL extraction + canonicalization over deterministically injected
+    URLs (training-data pipeline op): lowercase host, strip www., drop
+    query/fragment.  Flat regexp codegen, 0 shuffles."""
+    from polars_ruby_spark.operators.text import url_signals
+
+    import polars_ruby_spark as pl
+
+    d = _t(spark, sf_dir, "documents").sort("doc_id").head(500)
+    base = d.with_columns(
+        pl.format("{} see HTTPS://WWW.Example{}.COM/Path/{}?utm=x#frag",
+                  pl.col("text"), (pl.col("doc_id") % 7),
+                  pl.col("doc_id")).alias("t2"))
+    out = url_signals(base._sdf, "t2")
+    return out.select("doc_id", "url", "host", "domain", "url_normalized")
+
+
+def q130_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rules (training-data pipeline op): word-count /
+    mean-word-length / alphabetic-fraction gates — flat HOF projections,
+    0 shuffles."""
+    from polars_ruby_spark.operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_rules(d._sdf, "text", min_words=30)
+    return out.selectExpr("doc_id", "n_words",
+                          "round(mean_word_len, 6) AS mean_word_len",
+                          "round(alpha_word_frac, 6) AS alpha_word_frac",
+                          "gopher_pass")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1872,6 +1918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_calendar_offsets": q125_calendar_offsets,
         "q126_agg_context": q126_agg_context,
         "q127_list_eval_rank": q127_list_eval_rank,
+        "q128_boilerplate": q128_boilerplate,
+        "q129_url_normalize": q129_url_normalize,
+        "q130_gopher_rules": q130_gopher_rules,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -2158,6 +2207,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS ts, event_type,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM b GROUP BY 1, 2
+        """,
+        "q130_gopher_rules": """
+            WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                       FROM documents)
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   round(list_sum(list_transform(w, x -> length(x)))
+                         * 1.0 / len(w), 6) AS mean_word_len,
+                   round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                         * 1.0 / len(w), 6) AS alpha_word_frac,
+                   (len(w) BETWEEN 30 AND 100000)
+                     AND (list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+                          BETWEEN 3.0 AND 10.0)
+                     AND (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                          * 1.0 / len(w) >= 0.8) AS gopher_pass
+            FROM t
+        """,
+        "q128_boilerplate": """
+            WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                       FROM documents),
+                 g AS (SELECT DISTINCT doc_id, gram FROM (
+                         SELECT doc_id,
+                                unnest(list_transform(range(1, len(w) - 3),
+                                  i -> array_to_string(w[i:i+4], ' '))) AS gram
+                         FROM t WHERE len(w) >= 5)),
+                 dfc AS (SELECT gram, count(DISTINCT doc_id) AS df
+                         FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   count(*) AS n_shingles,
+                   sum(CASE WHEN dfc.df > 3 THEN 1 ELSE 0 END) AS n_frequent,
+                   round(avg(CASE WHEN dfc.df > 3 THEN 1.0 ELSE 0.0 END), 6)
+                       AS boilerplate_frac
+            FROM g JOIN dfc USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "q129_url_normalize": """
+            WITH b AS (SELECT doc_id,
+                              text || ' see HTTPS://WWW.Example'
+                                   || CAST(doc_id % 7 AS VARCHAR)
+                                   || '.COM/Path/' || CAST(doc_id AS VARCHAR)
+                                   || '?utm=x#frag' AS t2
+                       FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500))
+            SELECT doc_id,
+                   NULLIF(regexp_extract(t2, '(?i)https?://[^\s]+', 0), '') AS url,
+                   lower(regexp_extract(t2, '(?i)https?://([^/\s:?#]+)', 1)) AS host,
+                   regexp_replace(lower(regexp_extract(t2, '(?i)https?://([^/\s:?#]+)', 1)),
+                                  '^www\.', '') AS domain,
+                   lower(regexp_extract(t2, '(?i)(https?)://', 1)) || '://'
+                     || lower(regexp_extract(t2, '(?i)https?://([^/\s:?#]+)', 1))
+                     || regexp_extract(t2, '(?i)https?://[^/\s?#]+([^\s?#]*)', 1)
+                     AS url_normalized
+            FROM b
         """,
         "q127_list_eval_rank": """
             SELECT vec_id,

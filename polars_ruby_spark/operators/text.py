@@ -391,3 +391,76 @@ def pii_redact(sdf: DataFrame, text_col: str = "text", out_col: str = None,
     for k in kinds:
         c = F.regexp_replace(c, PII_PATTERNS[k], f"<{k.upper()}>")
     return sdf.withColumn(out_col, c)
+
+
+def boilerplate_signals(sdf: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        df_threshold: int = 3) -> DataFrame:
+    """Corpus-frequent shingle scoring — the C4/CCNet line-frequency
+    boilerplate filter re-expressed for unstructured text: a k-word shingle
+    occurring in more than ``df_threshold`` distinct documents counts as
+    boilerplate; each doc gets the fraction of its (distinct) shingles that
+    are boilerplate.
+
+    Scale shape (100 TB): per-doc DISTINCT shingles explode partition-local;
+    ONE hash-agg shuffle computes document frequencies (map-side combined);
+    the per-doc fraction is a shuffle join on the gram key + per-doc agg.
+    The df side is Zipf-headed — for very large corpora, filter it to
+    ``df > threshold`` and broadcast that (small) frequent set instead of
+    the full join; both shapes avoid any driver materialization.
+    """
+    from ..operators.dedup import shingles
+
+    g = sdf.select(F.col(id_col), F.explode(F.array_distinct(
+        shingles(F.col(text_col), k))).alias("gram"))
+    dfc = g.groupBy("gram").agg(F.countDistinct(id_col).alias("df"))
+    frequent_flag = (F.col("df") > df_threshold).cast("int")
+    return (g.join(dfc, "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(frequent_flag).alias("n_frequent"),
+                 F.avg(frequent_flag.cast("double")).alias("boilerplate_frac")))
+
+
+URL_RE = r"(?i)https?://[^\s]+"
+
+
+def url_signals(sdf: DataFrame, text_col: str = "text") -> DataFrame:
+    """Extract + canonicalize the first URL per document: lowercase host,
+    strip a leading ``www.``, drop query string and fragment.  Flat
+    regexp codegen projections, 0 shuffles."""
+    url = F.regexp_extract(F.col(text_col), URL_RE, 0)
+    url = F.when(url != "", url)
+    host = F.lower(F.regexp_extract(url, r"(?i)https?://([^/\s:?#]+)", 1))
+    domain = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(url, r"(?i)https?://[^/\s?#]+([^\s?#]*)", 1)
+    scheme = F.lower(F.regexp_extract(url, r"(?i)^(https?)://", 1))
+    return (sdf.withColumn("url", url)
+            .withColumn("host", host)
+            .withColumn("domain", domain)
+            .withColumn("url_normalized",
+                        F.when(url.isNotNull(),
+                               F.concat(scheme, F.lit("://"), host, path))))
+
+
+def gopher_rules(sdf: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 min_alpha_frac: float = 0.8) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1): word
+    count bounds, mean-word-length bounds, fraction of words containing an
+    alphabetic character.  Flat JVM higher-order projections, 0 shuffles."""
+    w = _tokens(F.col(text_col))
+    n_words = F.size(w)
+    mean_wl = (F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))
+               .cast("double") / n_words)
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = alpha.cast("double") / n_words
+    passes = ((n_words >= min_words) & (n_words <= max_words)
+              & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+              & (alpha_frac >= min_alpha_frac))
+    return (sdf.withColumn("n_words", n_words)
+            .withColumn("mean_word_len", mean_wl)
+            .withColumn("alpha_word_frac", alpha_frac)
+            .withColumn("gopher_pass", passes))

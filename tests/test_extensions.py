@@ -589,3 +589,54 @@ def test_pii_signals_and_redact(spark):
     assert red[1] == "mail <EMAIL> or <IPV4>"
     assert red[2] == "ssn <SSN> tel <PHONE>"
     assert red[3] == "no pii here"
+
+
+def test_boilerplate_signals(spark):
+    """Corpus-frequent shingle filter: a 5-gram repeated across >threshold
+    docs is boilerplate; unique text scores 0."""
+    from polars_ruby_spark.operators.text import boilerplate_signals
+
+    tpl = "this exact legal footer text appears on every single page here"
+    rows = [{"doc_id": i, "text": tpl + f" unique tail {i} alpha beta gamma delta epsilon zeta"}
+            for i in range(5)]
+    rows.append({"doc_id": 99, "text": "completely different words nothing shared at all among documents whatsoever kappa"})
+    df = pl.DataFrame(rows)
+    out = {r["doc_id"]: r for r in
+           boilerplate_signals(df.to_spark(), "text", "doc_id",
+                               k=5, df_threshold=3).collect()}
+    assert out[99]["n_frequent"] == 0 and out[99]["boilerplate_frac"] == 0.0
+    # the shared footer dominates the template docs
+    assert out[0]["n_frequent"] >= 7
+    assert out[0]["boilerplate_frac"] > 0.3
+
+
+def test_url_signals(spark):
+    from polars_ruby_spark.operators.text import url_signals
+
+    df = pl.DataFrame({"text": [
+        "go to HTTPS://WWW.Example.COM/Path/One?a=1#frag now",
+        "see http://sub.site.org/x/y",
+        "no links here",
+    ]})
+    rows = url_signals(df.to_spark(), "text").collect()
+    assert rows[0]["host"] == "www.example.com"
+    assert rows[0]["domain"] == "example.com"
+    assert rows[0]["url_normalized"] == "https://www.example.com/Path/One"
+    assert rows[1]["domain"] == "sub.site.org"
+    assert rows[1]["url_normalized"] == "http://sub.site.org/x/y"
+    assert rows[2]["url"] is None and rows[2]["url_normalized"] is None
+
+
+def test_gopher_rules(spark):
+    from polars_ruby_spark.operators.text import gopher_rules
+
+    long_ok = " ".join(["word"] * 60)
+    too_short = "just a few words"
+    symbols = " ".join(["@@@@"] * 60)
+    df = pl.DataFrame({"text": [long_ok, too_short, symbols]})
+    rows = gopher_rules(df.to_spark(), "text", min_words=50).collect()
+    assert rows[0]["gopher_pass"] is True
+    assert rows[1]["gopher_pass"] is False          # too few words
+    assert rows[2]["gopher_pass"] is False          # no alphabetic words
+    assert rows[0]["n_words"] == 60
+    assert rows[0]["mean_word_len"] == 4.0
