@@ -2699,7 +2699,9 @@ def col(name, *more_names) -> Expr:
             return all_()
         if name.startswith("^") and name.endswith("$"):
             pat = _re.compile(name)
-            return Expr(multi_fn=lambda df: [col(c) for c in df.columns if pat.match(c)])
+            return Expr(multi_fn=lambda df: [col(c) for c in df.columns
+                                             if pat.match(c)],
+                        name=name)._set_meta("col", (), name)
         def colfn(df, part):
             if name == "" and _ELEMENT_STACK:
                 # inside list.eval, col("") refers to the element

@@ -224,7 +224,22 @@ class StringNameSpace(_NS):
         fmt = chrono_to_java(format) if format else None
         return self._e._lift(lambda c: F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c))
 
-    strptime = to_datetime
+    def strptime(self, dtype=None, format: str | None = None,
+                 strict: bool = True, exact: bool = True,
+                 cache: bool = True) -> Expr:
+        """string_expr.rb strptime(dtype, format:) — the first argument is
+        the TARGET dtype (Date / Datetime / Time), class or instance."""
+        from .datatypes import Date as _Date
+        from .datatypes import Time as _Time
+
+        base = dtype if isinstance(dtype, type) else type(dtype)
+        if isinstance(dtype, str):
+            base = {"date": _Date, "time": _Time}.get(dtype.lower(), None)
+        if base is _Date:
+            return self.to_date(format)
+        if base is _Time:
+            return self.to_datetime(format).dt.time()
+        return self.to_datetime(format)
 
     def to_decimal(self, inference_length: int = 100) -> Expr:
         """Parse to Decimal, inferring the scale from the data like the

@@ -785,3 +785,21 @@ def test_reference_doctest_parity_batch18(spark):
     # element-wise eval still compiles to F.transform (JVM-side)
     e = df.select(pl.col("l").list.eval(pl.element() * 2).alias("e")).to_a()
     assert e[0]["e"] == [6, 2, 4] and e[1]["e"] == [18]
+
+
+def test_strptime_and_meta_regex(spark):
+    """strptime takes the TARGET dtype first (string_expr.rb); regex col
+    projections carry their pattern for meta.is_regex_projection."""
+    import datetime as dtm
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark import datatypes as dt
+
+    df = pl.DataFrame({"s": ["2024-01-02"]})
+    assert df.select(pl.col("s").str.strptime(dt.Date, "%Y-%m-%d")
+                     .alias("d")).to_a() == [{"d": dtm.date(2024, 1, 2)}]
+    assert df.select(pl.col("s").str.strptime(dt.Datetime, "%Y-%m-%d")
+                     .alias("t")).to_a() == [{"t": dtm.datetime(2024, 1, 2)}]
+    assert pl.col("^a.*$").meta.is_regex_projection()
+    assert not pl.col("a").meta.is_regex_projection()
+    assert pl.col("a").meta.is_column()
