@@ -632,15 +632,43 @@ class LazyFrame:
         return None
 
     # -- sinks (already out-of-core in Spark — SURVEY §2.1) -------------------------------------
+    def _sink(self, path: str, fmt: str, mode: str, options: dict,
+              suffix: str):
+        """Shared sink: a path WITH the format's extension gets the
+        reference's single-file form (csv_test.rb: File.read(path) sees one
+        file) — written out-of-core through ONE task (coalesce(1), no
+        driver collect) and moved into place; any other path keeps the
+        scale-out directory sink (one file per partition)."""
+        single = str(path).endswith(suffix)
+        sdf = self.to_spark()
+        if not single:
+            sdf.write.mode(mode).format(fmt).options(**options).save(str(path))
+            return None
+        import glob as _glob
+        import os
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="sink_")
+        out_dir = os.path.join(tmp, "out")
+        (sdf.coalesce(1).write.mode("overwrite").format(fmt)
+         .options(**options).save(out_dir))
+        part = _glob.glob(os.path.join(out_dir, "part-*"))[0]
+        shutil.move(part, str(path))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None
+
     def sink_parquet(self, path: str, compression: str = "zstd", mode: str = "overwrite", **kw):
-        self.to_spark().write.mode(mode).parquet(path, compression=compression)
+        return self._sink(path, "parquet", mode,
+                          {"compression": compression}, ".parquet")
 
     def sink_csv(self, path: str, include_header: bool = True, separator: str = ",",
                  mode: str = "overwrite", **kw):
-        self.to_spark().write.mode(mode).csv(path, header=include_header, sep=separator)
+        return self._sink(path, "csv", mode,
+                          {"header": include_header, "sep": separator}, ".csv")
 
     def sink_ndjson(self, path: str, mode: str = "overwrite", **kw):
-        self.to_spark().write.mode(mode).json(path)
+        return self._sink(path, "json", mode, {}, ".ndjson")
 
     def sink_ipc(self, path: str, mode: str = "overwrite", **kw):
         """lazy_frame.rb:504 — distributed Arrow IPC sink.

@@ -400,10 +400,12 @@ class Series:
 
     # -- series-specific container ops (series.rb; not Expr-delegable) -------
     def append(self, other: "Series") -> "Series":
-        sdf = self._sdf.unionByName(
+        # series.rb append MUTATES self (series_test.rb: a.append(b);
+        # assert_series [1,2,3,4], a) and returns it
+        self._sdf = self._sdf.unionByName(
             other._sdf.withColumnRenamed(other._sdf.columns[0],
                                          self._sdf.columns[0]))
-        return Series._from_spark(sdf, self._name)
+        return self
 
     def extend_constant(self, value, n: int) -> "Series":
         from pyspark.sql import functions as F

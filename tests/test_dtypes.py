@@ -803,3 +803,12 @@ def test_strptime_and_meta_regex(spark):
     assert pl.col("^a.*$").meta.is_regex_projection()
     assert not pl.col("a").meta.is_regex_projection()
     assert pl.col("a").meta.is_column()
+
+
+def test_series_append_mutates(spark):
+    """series.rb append mutates the receiver (series_test.rb test_append)."""
+    import polars_ruby_spark as pl
+
+    a = pl.Series([1, 2])
+    r = a.append(pl.Series([3, 4]))
+    assert a.to_a() == [1, 2, 3, 4] and r is a

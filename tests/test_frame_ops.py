@@ -179,7 +179,9 @@ def test_frame_container_surface(spark):
 def test_series_container_surface(spark):
     """series.rb-specific ops that can't delegate to the Expr layer."""
     s = pl.Series("a", [1, 2, 3])
-    assert s.append(pl.Series("b", [4, 5])).to_list() == [1, 2, 3, 4, 5]
+    # append MUTATES the receiver (series_test.rb) — use a throwaway
+    assert pl.Series("a", [1, 2, 3]).append(
+        pl.Series("b", [4, 5])).to_list() == [1, 2, 3, 4, 5]
     assert s.extend_constant(9, 2).to_list() == [1, 2, 3, 9, 9]
     assert s.zip_with(pl.Series("m", [True, False, True]),
                       pl.Series("o", [10, 20, 30])).to_list() == [1, 20, 3]

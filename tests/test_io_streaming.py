@@ -376,3 +376,32 @@ def test_reference_doctest_parity_batch17(spark, tmp_path):
     assert isinstance(out, bytes) and out.startswith(b"ARROW")
     sch = pl.read_ipc_schema(pa_path)
     assert sch["a"].typeName() == "long" and sch["b"].typeName() == "string"
+
+
+def test_sink_single_file_forms(spark, tmp_path):
+    """csv_test.rb test_sink_csv: a path with the format extension yields
+    ONE file with exact contents (out-of-core single-task write + move);
+    extensionless paths keep the scale-out directory sink."""
+    import os
+
+    df = pl.DataFrame({"a": [1, 2, 3], "b": ["one", "two", "three"]})
+
+    p = str(tmp_path / "data.csv")
+    assert df.lazy().sink_csv(p) is None
+    assert os.path.isfile(p)
+    assert open(p).read() == "a,b\n1,one\n2,two\n3,three\n"
+
+    pj = str(tmp_path / "data.ndjson")
+    df.lazy().sink_ndjson(pj)
+    assert os.path.isfile(pj)
+    assert pl.read_ndjson(pj).sort("a").to_a() == df.to_a()
+
+    pq = str(tmp_path / "data.parquet")
+    df.lazy().sink_parquet(pq)
+    assert os.path.isfile(pq)
+    assert pl.read_parquet(pq).sort("a").to_a() == df.to_a()
+
+    d = str(tmp_path / "dir_sink")
+    df.lazy().sink_csv(d)
+    assert os.path.isdir(d)
+    assert pl.scan_csv(d, spark=spark).collect().sort("a").to_a() == df.to_a()
