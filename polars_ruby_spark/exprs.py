@@ -849,10 +849,14 @@ class Expr:
         return self._lift(lambda c: Expr._log_domain(c, F.log1p(c), lower=-1.0))
 
     def floor(self):
-        return self._lift(F.floor)
+        # polars floor/ceil keep the input dtype (expr.rb doctests: f64 in,
+        # f64 out); Spark's return LONG — cast back via an analysis probe
+        return self._lift_ctx(lambda c, df, part: F.floor(c).cast(
+            self._probe_dtype(df, c)))
 
     def ceil(self):
-        return self._lift(F.ceil)
+        return self._lift_ctx(lambda c, df, part: F.ceil(c).cast(
+            self._probe_dtype(df, c)))
 
     def round(self, decimals: int = 0):
         return self._lift(lambda c: F.round(c, decimals))
@@ -956,7 +960,8 @@ class Expr:
         return self._lift(lambda c: F.xxhash64(c, F.lit(seed)))
 
     def repeat_by(self, n):
-        ne = wrap_expr(n)
+        # expr.rb:3644 — a string names the count COLUMN, not a literal
+        ne = as_expr(n)
         return self._lift2(ne, lambda c, k: F.array_repeat(c, k.cast("int")))
 
     def shrink_dtype(self):
@@ -1242,14 +1247,18 @@ class Expr:
             c = self._fn(df, part)
             return F.count(F.lit(1)).over(Window.partitionBy(c)) == 1
 
-        return Expr(fn, name=self._name)
+        e = Expr(fn, name=self._name)
+        e._scrambles_order = True  # value-partitioned WindowExec output
+        return e
 
     def is_duplicated(self):
         def fn(df, part):
             c = self._fn(df, part)
             return F.count(F.lit(1)).over(Window.partitionBy(c)) > 1
 
-        return Expr(fn, name=self._name)
+        e = Expr(fn, name=self._name)
+        e._scrambles_order = True  # value-partitioned WindowExec output
+        return e
 
     def is_first_distinct(self):
         def fn(df, part):
@@ -1257,7 +1266,9 @@ class Expr:
             w = Window.partitionBy(c).orderBy(ROW_IDX)
             return F.row_number().over(w) == 1
 
-        return Expr(fn, name=self._name, needs_order=True)
+        e = Expr(fn, name=self._name, needs_order=True)
+        e._scrambles_order = True
+        return e
 
     def is_last_distinct(self):
         def fn(df, part):
@@ -1265,7 +1276,12 @@ class Expr:
             w = Window.partitionBy(c).orderBy(F.col(ROW_IDX).desc())
             return F.row_number().over(w) == 1
 
-        return Expr(fn, name=self._name, needs_order=True)
+        e = Expr(fn, name=self._name, needs_order=True)
+        e._scrambles_order = True
+        return e
+
+    is_first = is_first_distinct
+    is_last = is_last_distinct
 
     def unique(self, maintain_order: bool = False):
         return self._agg(F.collect_set)
@@ -1391,6 +1407,8 @@ class Expr:
             self = base._lift_ctx(widen)
             self._name = base._name
 
+        int_preserving = kind == "product"
+
         def f(c, w):
             if reverse:
                 wf = w.rowsBetween(0, Window.unboundedFollowing)
@@ -1399,6 +1417,19 @@ class Expr:
             return aggf(c).over(wf)
 
         e = self._ordered(f)
+        if int_preserving and self._multi_fn is None:
+            # polars cum_prod over ints stays integral; F.product is double
+            base_e, inner_self = e, self
+
+            def fn2(df, part):
+                from pyspark.sql import types as T
+
+                c = base_e._fn(df, part)
+                t = inner_self._probe_dtype(df, inner_self._fn(df, part))
+                ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+                return c.cast(t) if isinstance(t, ints) else c
+
+            e = Expr(fn2, name=e._name, needs_order=True)
         if self._multi_fn is None:
             inner = self
 
@@ -1406,8 +1437,16 @@ class Expr:
                 from .operators.row_index import attach_global_cum
 
                 tmp = _next_gord_name()
-                return attach_global_cum(
-                    sdf, lambda df: inner._fn(df, None), kind, reverse, tmp), tmp
+                out = attach_global_cum(
+                    sdf, lambda df: inner._fn(df, None), kind, reverse, tmp)
+                if int_preserving:
+                    from pyspark.sql import types as T
+
+                    t = inner._probe_dtype(sdf, inner._fn(sdf, None))
+                    if isinstance(t, (T.ByteType, T.ShortType,
+                                      T.IntegerType, T.LongType)):
+                        out = out.withColumn(tmp, F.col(tmp).cast(t))
+                return out, tmp
 
             e._global_ordinal_fn = gfn
         return e

@@ -812,3 +812,103 @@ def test_series_append_mutates(spark):
     a = pl.Series([1, 2])
     r = a.append(pl.Series([3, 4]))
     assert a.to_a() == [1, 2, 3, 4] and r is a
+
+
+def test_reference_doctest_parity_batch21(spark):
+    """Twenty-first harvest batch (expr.rb doctest values): floor/ceil keep
+    the input dtype, cum_prod over ints stays integral on every binding
+    path (windowed / grouped / ungrouped partition-prefix), is_first/
+    is_last aliases, and the is_unique/is_duplicated/is_first_distinct
+    family restores frame row order after its value-partitioned window."""
+    import polars_ruby_spark as pl
+
+    c = pl.DataFrame({"a": [0.3, 0.5, 1.0, 1.1]}).select(
+        pl.col("a").ceil().alias("c"))
+    assert [r["c"] for r in c.to_a()] == [1.0, 1.0, 1.0, 2.0]
+    assert c.dtypes[0].typeName() == "double"
+    f = pl.DataFrame({"a": [1, 2]}).select(pl.col("a").floor().alias("f"))
+    assert f.dtypes[0].typeName() == "long"
+
+    p = pl.DataFrame({"a": [1, 2, 3]}).select(
+        pl.col("a").cum_prod().alias("p"),
+        pl.col("a").cum_prod(reverse=True).alias("pr"))
+    assert [r["p"] for r in p.to_a()] == [1, 2, 6]
+    assert [r["pr"] for r in p.to_a()] == [6, 6, 3]
+    assert p.dtypes[0].typeName() == "long"
+    g = pl.DataFrame({"g": ["x", "x"], "a": [2, 3]}).select(
+        pl.col("a").cum_prod().over("g").alias("p"))
+    assert g.dtypes[0].typeName() == "long"
+
+    out = pl.DataFrame({"num": [1, 2, 3, 1, 5]}).with_column(
+        pl.col("num").is_first().alias("f")).to_a()
+    assert [r["num"] for r in out] == [1, 2, 3, 1, 5]  # row order kept
+    assert [r["f"] for r in out] == [True, True, True, False, True]
+    u = pl.DataFrame({"a": [1, 2, 3, 1]}).with_column(
+        pl.col("a").is_unique().alias("u")).to_a()
+    assert [r["a"] for r in u] == [1, 2, 3, 1]
+    assert [r["u"] for r in u] == [False, True, True, False]
+
+    cc = pl.DataFrame({"a": ["x", "k", None, "d"]}).with_columns(
+        pl.col("a").cum_count().alias("cc"),
+        pl.col("a").cum_count(reverse=True).alias("ccr")).to_a()
+    assert [r["cc"] for r in cc] == [1, 2, 2, 3]
+    assert [r["ccr"] for r in cc] == [3, 2, 1, 1]
+
+    bf = pl.DataFrame({"a": [1, 2, None], "b": [4, None, 6]}).select(
+        pl.all().backward_fill()).to_a()
+    assert bf == [{"a": 1, "b": 4}, {"a": 2, "b": 6}, {"a": None, "b": 6}]
+
+    import math
+    nm = pl.DataFrame({"a": [0.0, float("nan")]}).select(
+        pl.col("a").nan_min().alias("m")).to_a()
+    assert math.isnan(nm[0]["m"])
+
+    ag = pl.DataFrame({"group": ["one"] * 3 + ["two"] * 3,
+                       "value": [94, 95, 96, 97, 97, 99]}).group_by(
+        "group", maintain_order=True).agg(
+        pl.col("value").agg_groups()).sort("group").to_a()
+    assert ag == [{"group": "one", "value": [0, 1, 2]},
+                  {"group": "two", "value": [3, 4, 5]}]
+
+
+def test_reference_doctest_parity_batch22(spark):
+    """Twenty-second harvest batch (expr.rb doctest values): repeat_by with
+    a column NAME (expr.rb:3644), is_between closed modes, argsort alias,
+    pct_change null head, clip_min/max null passthrough, inverse/hyperbolic
+    trig, peaks, ne_missing."""
+    import polars_ruby_spark as pl
+
+    r = pl.DataFrame({"a": ["x", "y", "z"], "n": [1, 2, 3]}).select(
+        pl.col("a").repeat_by("n").alias("r")).to_a()
+    assert [x["r"] for x in r] == [["x"], ["y", "y"], ["z", "z", "z"]]
+
+    b = pl.DataFrame({"num": [1, 2, 3, 4, 5]})
+    assert [x["b"] for x in b.select(pl.col("num").is_between(2, 4)
+            .alias("b")).to_a()] == [False, True, True, True, False]
+    assert [x["b"] for x in b.select(pl.col("num").is_between(2, 4, closed="left")
+            .alias("b")).to_a()] == [False, True, True, False, False]
+
+    assert [x["s"] for x in pl.DataFrame({"a": [20, 10, 30]}).select(
+        pl.col("a").argsort().alias("s")).to_a()] == [1, 0, 2]
+    assert [x["p"] for x in pl.DataFrame({"a": [10, 11, 12]}).select(
+        pl.col("a").pct_change().round(4).alias("p")).to_a()] == \
+        [None, 0.1, 0.0909]
+
+    c = pl.DataFrame({"f": [-50, 5, None, 50]}).select(
+        pl.col("f").clip_min(1).alias("a"),
+        pl.col("f").clip_max(10).alias("b")).to_a()
+    assert [x["a"] for x in c] == [1, 5, None, 50]
+    assert [x["b"] for x in c] == [-50, 5, None, 10]
+
+    tr = pl.DataFrame({"a": [0.5]}).select(
+        pl.col("a").arcsin().round(4).alias("as"),
+        pl.col("a").sinh().round(4).alias("sh"),
+        pl.col("a").arctanh().round(4).alias("at")).to_a()[0]
+    assert tr == {"as": 0.5236, "sh": 0.5211, "at": 0.5493}
+
+    pk = pl.DataFrame({"a": [1, 2, 3, 2, 1]}).select(
+        pl.col("a").peak_max().alias("p")).to_a()
+    assert [x["p"] for x in pk] == [False, False, True, False, False]
+    nm = pl.DataFrame({"a": [1, None], "b": [1, 2]}).select(
+        pl.col("a").ne_missing(pl.col("b")).alias("n")).to_a()
+    assert [x["n"] for x in nm] == [False, True]
