@@ -1788,7 +1788,9 @@ for _m in [
     "drop_nulls", "drop_nans", "fill_null", "fill_nan", "sort", "reverse",
     "limit", "head", "tail", "slice", "gather_every", "shift",
     "with_row_index", "unique", "join", "join_asof", "merge_sorted",
-    "with_context", "explode", "unnest", "unpivot", "vstack",
+    "with_context", "explode", "unnest", "unpivot", "melt", "take_every",
+    "vstack", "median", "quantile", "first", "last", "std", "var",
+    "interpolate",
 ]:
     if not hasattr(DataFrame, "__dict__") or _m not in DataFrame.__dict__:
         setattr(DataFrame, _m, _eagerize(_m))

@@ -816,3 +816,16 @@ def test_reference_doctest_parity_batch20(spark):
         [{"A": 15, "B": 15}]
     sfx = df.select(pl.all(), pl.all().reverse().suffix("_rev"))
     assert sfx.columns[:4] == ["A", "fruits", "B", "cars"]
+
+
+def test_eager_class_preservation(spark):
+    """Every frame-transform called on an eager DataFrame returns a
+    DataFrame (take_every and the statistic forms were leaking LazyFrame)."""
+    df = pl.DataFrame({"a": [1, 2, 3, 4]})
+    for m, args in [("take_every", (2,)), ("gather_every", (2,)),
+                    ("median", ()), ("quantile", (0.5,)), ("first", ()),
+                    ("last", ()), ("std", ()), ("var", ()),
+                    ("interpolate", ()), ("melt", ())]:
+        out = getattr(df, m)(*args)
+        assert type(out).__name__ == "DataFrame", m
+    assert df.take_every(2).to_a() == [{"a": 1}, {"a": 3}]
