@@ -1786,6 +1786,29 @@ def q130_gopher_rules(spark, sf_dir):
                           "gopher_pass")
 
 
+def q131_scalar_semantics(spark, sf_dir):
+    """Batch-21/22 doctest semantics over TPC-H data: is_between closed
+    modes, clip, dtype-preserving ceil/floor, grouped pct_change, and the
+    row-order-preserving is_unique/is_first_distinct family (flat windows
+    + one brand-key exchange, no single-partition funnels)."""
+    import polars_ruby_spark as pl
+
+    p = _t(spark, sf_dir, "part").sort("p_partkey")
+    out = p.select(
+        pl.col("p_partkey"),
+        pl.col("p_size").is_between(20, 30).alias("sz_both"),
+        pl.col("p_size").is_between(20, 30, closed="left").alias("sz_left"),
+        pl.col("p_retailprice").clip(950.0, 1500.0).round(2).alias("clipped"),
+        pl.col("p_retailprice").ceil().alias("ceilp"),
+        pl.col("p_retailprice").floor().alias("floorp"),
+        pl.col("p_retailprice").pct_change().over("p_brand").round(6)
+        .alias("pct"),
+        pl.col("p_size").is_first_distinct().alias("first_sz"),
+        pl.col("p_size").is_unique().alias("uniq_sz"),
+    )
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1921,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_boilerplate": q128_boilerplate,
         "q129_url_normalize": q129_url_normalize,
         "q130_gopher_rules": q130_gopher_rules,
+        "q131_scalar_semantics": q131_scalar_semantics,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
     }
@@ -2207,6 +2231,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS ts, event_type,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM b GROUP BY 1, 2
+        """,
+        "q131_scalar_semantics": """
+            WITH s AS (SELECT *, row_number() OVER (ORDER BY p_partkey) AS rid
+                       FROM part)
+            SELECT p_partkey,
+                   p_size BETWEEN 20 AND 30 AS sz_both,
+                   (p_size >= 20 AND p_size < 30) AS sz_left,
+                   round(least(greatest(CAST(p_retailprice AS DOUBLE), 950.0),
+                               1500.0), 2) AS clipped,
+                   ceil(CAST(p_retailprice AS DOUBLE)) AS ceilp,
+                   floor(CAST(p_retailprice AS DOUBLE)) AS floorp,
+                   round(CAST(p_retailprice AS DOUBLE)
+                         / lag(CAST(p_retailprice AS DOUBLE)) OVER
+                           (PARTITION BY p_brand ORDER BY rid) - 1.0, 6) AS pct,
+                   (row_number() OVER (PARTITION BY p_size ORDER BY rid) = 1)
+                       AS first_sz,
+                   (count(*) OVER (PARTITION BY p_size) = 1) AS uniq_sz
+            FROM s
         """,
         "q130_gopher_rules": """
             WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
