@@ -352,3 +352,60 @@ def test_unigram_logprob_property(spark, docs):
         r = rows[i]
         assert r["n_tokens"] == len(toks)
         assert _close(r["avg_logprob"], round(avg, 6), tol=1e-5)
+
+
+@SET
+@given(st.lists(st.one_of(st.none(), st.integers(-100, 100),
+                          st.floats(allow_infinity=False, width=32)),
+                min_size=1, max_size=20))
+def test_ingestion_roundtrip_preserves_values(spark, vals):
+    """Arrow-first ingestion: Series(values).to_a() == values — None stays
+    null, NaN stays NaN (the pandas path used to null NaN and float ints)."""
+    homogeneous = [v for v in vals if v is not None]
+    if homogeneous and not (
+            all(isinstance(v, int) for v in homogeneous)
+            or all(isinstance(v, float) for v in homogeneous)):
+        return  # mixed int/float lists widen — covered by dtype tests
+    out = pl.Series("v", vals).to_a()
+    assert len(out) == len(vals)
+    for a, b in zip(out, vals):
+        if b is None:
+            assert a is None
+        elif isinstance(b, float) and math.isnan(b):
+            assert isinstance(a, float) and math.isnan(a)
+        else:
+            assert _close(float(a), float(b), 1e-6)
+
+
+@SET
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+                min_size=2, max_size=24))
+def test_agg_context_shift_matches_window_lag(spark, rows):
+    """group_by().agg(shift()).explode() must equal the windowed lag form —
+    the per-group array-transform path (batch 20) vs the over() path."""
+    df, pdf = _frame(spark, {"g": [r[0] for r in rows],
+                             "v": [r[1] for r in rows]})
+    eager = df.collect()
+    via_agg = (eager.group_by("g")
+               .agg(pl.col("v").shift().alias("s"))
+               .explode("s").sort("g").to_a())
+    via_window = (eager.with_columns(
+        pl.col("v").shift().over("g").alias("s"))
+        .select("g", "s").sort("g").to_a())
+    key = lambda r: (r["g"], -1e18 if r["s"] is None else r["s"])  # noqa: E731
+    assert sorted(via_agg, key=key) == sorted(via_window, key=key)
+
+
+@SET
+@given(st.lists(st.integers(-20, 20), min_size=1, max_size=16),
+       st.lists(st.integers(-20, 20), min_size=1, max_size=16))
+def test_frame_elementwise_comparison_matches_python(spark, a, b):
+    """DataFrame == / < on equal-length frames matches python zip."""
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    fa = pl.DataFrame({"x": a})
+    fb = pl.DataFrame({"x": b})
+    assert [r["x"] for r in (fa == fb).to_a()] == \
+        [x == y for x, y in zip(a, b)]
+    assert [r["x"] for r in (fa < fb).to_a()] == \
+        [x < y for x, y in zip(a, b)]
