@@ -488,20 +488,56 @@ class Expr:
         return self._lift2(o, lambda a, b: ~a.eqNullSafe(b))
 
     # -- boolean --------------------------------------------------------------
+    def _logical_or_bitwise(self, o, kind: str):
+        """polars &/|/^ are logical on booleans, BITWISE on integers
+        (expr.rb bitand/bitor/bitxor); probe the left operand's dtype."""
+        oe = wrap_expr(o)
+        # breadcrumb fast path: comparisons/logicals are boolean — skip the
+        # per-bind analysis probe for the overwhelmingly common filter case
+        bool_ops = {">", "<", ">=", "<=", "==", "!=", "&", "|", "^"}
+        known_bool = bool(self._meta) and self._meta[0] in bool_ops
+
+        def fn(df, part):
+            from pyspark.sql import types as T
+
+            a, b = self._fn(df, part), oe._fn(df, part)
+            if known_bool:
+                t = T.BooleanType()
+            else:
+                try:
+                    t = self._probe_dtype(df, a)
+                except Exception:
+                    t = T.BooleanType()
+            if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType)):
+                return {"and": a.bitwiseAND(b), "or": a.bitwiseOR(b),
+                        "xor": a.bitwiseXOR(b)}[kind]
+            if kind == "and":
+                return a & b
+            if kind == "or":
+                return a | b
+            return (a | b) & ~(a & b)
+
+        return Expr(fn, name=self._name if self._name is not None else oe._name,
+                    is_agg=self._is_agg or oe._is_agg,
+                    needs_order=self._needs_order or oe._needs_order,
+                    )._set_meta({"and": "&", "or": "|", "xor": "^"}[kind],
+                                (self, oe))
+
     def __and__(self, o):
-        return self._lift2(o, lambda a, b: a & b, op="&")
+        return self._logical_or_bitwise(o, "and")
 
     def __rand__(self, o):
-        return wrap_expr(o)._lift2(self, lambda a, b: a & b)
+        return wrap_expr(o)._logical_or_bitwise(self, "and")
 
     def __or__(self, o):
-        return self._lift2(o, lambda a, b: a | b, op="|")
+        return self._logical_or_bitwise(o, "or")
 
     def __ror__(self, o):
-        return wrap_expr(o)._lift2(self, lambda a, b: a | b)
+        return wrap_expr(o)._logical_or_bitwise(self, "or")
 
     def __xor__(self, o):
-        return self._lift2(o, lambda a, b: (a | b) & ~(a & b), op="^")
+        return self._logical_or_bitwise(o, "xor")
 
     def __invert__(self):
         return self.not_()

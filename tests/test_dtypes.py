@@ -912,3 +912,23 @@ def test_reference_doctest_parity_batch22(spark):
     nm = pl.DataFrame({"a": [1, None], "b": [1, 2]}).select(
         pl.col("a").ne_missing(pl.col("b")).alias("n")).to_a()
     assert [x["n"] for x in nm] == [False, True]
+
+
+def test_bitwise_vs_logical_ops(spark):
+    """expr.rb bitand/bitor/bitxor: &/|/^ are BITWISE on integers, logical
+    on booleans (series_test.rb only exercises the boolean form)."""
+    import polars_ruby_spark as pl
+
+    r = pl.DataFrame({"a": [6], "b": [3]}).select(
+        (pl.col("a") & pl.col("b")).alias("x"),
+        (pl.col("a") | pl.col("b")).alias("y"),
+        (pl.col("a") ^ pl.col("b")).alias("z")).to_a()[0]
+    assert r == {"x": 2, "y": 7, "z": 5}
+    b = pl.DataFrame({"a": [True, False], "b": [True, True]}).select(
+        (pl.col("a") & pl.col("b")).alias("x"),
+        (pl.col("a") ^ pl.col("b")).alias("z")).to_a()
+    assert [x["x"] for x in b] == [True, False]
+    assert [x["z"] for x in b] == [False, True]
+    # composite filters stay on the no-probe fast path and work unchanged
+    assert pl.DataFrame({"a": [1, 5], "b": [1, 1]}).filter(
+        (pl.col("a") > 2) & (pl.col("b") == 1)).to_a() == [{"a": 5, "b": 1}]
