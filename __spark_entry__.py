@@ -3196,7 +3196,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN starts_with(p_type, 'STANDARD ')
                         THEN substr(p_type, 10) ELSE p_type END AS noprefix,
                    length(p_name) - length(replace(p_name, 'a', '')) AS n_a,
-                   upper(hex(p_brand)) AS hexed
+                   lower(hex(p_brand)) AS hexed
             FROM part
         """,
         "q62_list_eval": """
@@ -3267,7 +3267,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q76_binary_ns": """
             SELECT doc_id,
-                   upper(hex(encode(substr(text, 1, 8)))) AS hx,
+                   lower(hex(encode(substr(text, 1, 8)))) AS hx,
                    to_base64(encode(substr(text, 1, 8))) AS b64,
                    octet_length(encode(substr(text, 1, 8))) AS nb,
                    starts_with(substr(text, 1, 8), 'T') AS t_start

@@ -309,7 +309,8 @@ class StringNameSpace(_NS):
 
     def encode(self, encoding: str) -> Expr:
         if encoding == "hex":
-            return self._e._lift(F.hex)
+            # polars hex encoding is lowercase; Spark's F.hex is uppercase
+            return self._e._lift(lambda c: F.lower(F.hex(c)))
         if encoding == "base64":
             return self._e._lift(F.base64)
         raise ValueError(encoding)
@@ -869,7 +870,8 @@ class BinaryNameSpace(_NS):
 
     def encode(self, encoding: str) -> Expr:
         if encoding == "hex":
-            return self._e._lift(F.hex)
+            # polars hex encoding is lowercase; Spark's F.hex is uppercase
+            return self._e._lift(lambda c: F.lower(F.hex(c)))
         if encoding == "base64":
             return self._e._lift(F.base64)
         raise ValueError(encoding)

@@ -932,3 +932,16 @@ def test_bitwise_vs_logical_ops(spark):
     # composite filters stay on the no-probe fast path and work unchanged
     assert pl.DataFrame({"a": [1, 5], "b": [1, 1]}).filter(
         (pl.col("a") > 2) & (pl.col("b") == 1)).to_a() == [{"a": 5, "b": 1}]
+
+
+def test_hex_encode_lowercase(spark):
+    """polars hex encoding is lowercase (binary_expr.rb); Spark's F.hex is
+    uppercase — q61's oracle previously papered over this with upper()."""
+    import polars_ruby_spark as pl
+
+    out = pl.DataFrame({"b": [b"\xffabc"]}).select(
+        pl.col("b").bin.encode("hex").alias("h")).to_a()
+    assert out == [{"h": "ff616263"}]
+    s = pl.DataFrame({"s": ["\xff"]}).select(
+        pl.col("s").str.encode("hex").alias("h")).to_a()
+    assert s[0]["h"] == s[0]["h"].lower()
