@@ -2407,19 +2407,34 @@ class Expr:
     where = filter  # expr.rb:2748 alias
 
     def exclude(self, *names):
-        excl = set()
+        import re as _re
+
+        flat = []
         for n in names:
-            if isinstance(n, (list, tuple)):
-                excl.update(n)
+            flat.extend(n) if isinstance(n, (list, tuple)) else flat.append(n)
+        plain, pats, dtypes = set(), [], []
+        for n in flat:
+            if isinstance(n, str) and n.startswith("^") and n.endswith("$"):
+                # expr.rb exclude: '^regex$' patterns drop matching columns
+                pats.append(_re.compile(n))
+            elif isinstance(n, str):
+                plain.add(n)
             else:
-                excl.add(n)
+                # dtype class/instance: drop columns of that family
+                dtypes.append(to_spark_type(n))
         base = self
 
         def mf(df):
             out = []
             for e in base._expand(df):
-                if e._name not in excl:
-                    out.append(e)
+                nm = e._name
+                if nm in plain or any(p.match(nm or "") for p in pats):
+                    continue
+                if dtypes and nm in df.columns and any(
+                        isinstance(df.schema[nm].dataType, type(t))
+                        for t in dtypes):
+                    continue
+                out.append(e)
             return out
 
         return Expr(multi_fn=mf)

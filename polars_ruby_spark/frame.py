@@ -279,7 +279,10 @@ class LazyFrame:
             names.extend(c if isinstance(c, (list, tuple)) else [c])
         return LazyFrame(self._sdf.drop(*names))
 
-    def rename(self, mapping: dict[str, str]) -> "LazyFrame":
+    def rename(self, mapping) -> "LazyFrame":
+        # data_frame.rb rename accepts a mapping or a name-transform callable
+        if callable(mapping) and not isinstance(mapping, dict):
+            mapping = {c: mapping(c) for c in self.columns}
         return LazyFrame(self._sdf.withColumnsRenamed(mapping))
 
     # -- filters ----------------------------------------------------------------
@@ -356,6 +359,11 @@ class LazyFrame:
         return LazyFrame(self._sdf.limit(n))
 
     def head(self, n: int = 5) -> "LazyFrame":
+        if n < 0:
+            # polars: negative n keeps all but the LAST |n| rows
+            out = self._with_total().filter(
+                F.col(ROW_IDX) <= F.col("__total__") + n)
+            return LazyFrame(strip_row_index(out.drop("__total__")))
         return self.limit(n)
 
     def _with_total(self):
@@ -367,6 +375,9 @@ class LazyFrame:
         return lf._sdf.crossJoin(F.broadcast(total))
 
     def tail(self, n: int = 5) -> "LazyFrame":
+        if n < 0:
+            # polars: negative n skips the FIRST |n| rows
+            return self.slice(-n, None)
         out = self._with_total().filter(F.col(ROW_IDX) > F.col("__total__") - n)
         return LazyFrame(strip_row_index(out.drop("__total__")))
 

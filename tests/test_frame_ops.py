@@ -829,3 +829,22 @@ def test_eager_class_preservation(spark):
         out = getattr(df, m)(*args)
         assert type(out).__name__ == "DataFrame", m
     assert df.take_every(2).to_a() == [{"a": 1}, {"a": 3}]
+
+
+def test_reference_doctest_parity_batch23(spark):
+    """Twenty-third harvest batch: exclude with regex patterns and dtype
+    classes (expr.rb exclude), rename with a name-transform callable,
+    negative head/tail (all-but-last / all-but-first)."""
+    from polars_ruby_spark import datatypes as dt
+
+    df = pl.DataFrame({"aa": [1], "ab": [2], "b": ["x"]})
+    assert df.select(pl.all().exclude("^a.*$")).columns == ["b"]
+    assert df.select(pl.all().exclude(dt.String)).columns == ["aa", "ab"]
+    assert df.select(pl.all().exclude("b")).columns == ["aa", "ab"]
+    assert df.rename(lambda n: n.upper()).columns == ["AA", "AB", "B"]
+
+    four = pl.DataFrame({"a": [1, 2, 3, 4]})
+    assert [r["a"] for r in four.head(-2).to_a()] == [1, 2]
+    assert [r["a"] for r in four.tail(-2).to_a()] == [3, 4]
+    assert [r["a"] for r in four.head(2).to_a()] == [1, 2]
+    assert [r["a"] for r in four.tail(2).to_a()] == [3, 4]
