@@ -2284,7 +2284,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN dfc USING (gram)
             GROUP BY g.doc_id
         """,
-        "q129_url_normalize": """
+        "q129_url_normalize": r"""
             WITH b AS (SELECT doc_id,
                               text || ' see HTTPS://WWW.Example'
                                    || CAST(doc_id % 7 AS VARCHAR)

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 from .datatypes import to_spark_type
+from .exceptions import InvalidOperationError
 from .session import ROW_IDX
 
 __all__ = ["Expr", "col", "lit", "all_", "when", "element", "int_range_expr"]
@@ -429,6 +430,10 @@ class Expr:
         # polars: int ** int stays integer (expr.rb:3535 doctest — i64 cube
         # column is i64, float exponent → f64); F.pow always returns double,
         # so probe both operand dtypes at bind time and cast back.
+        # A NEGATIVE integer exponent on an integer base raises (polars
+        # InvalidOperationError) instead of silently truncating pow's double
+        # toward zero (ADVICE r2); base dtype is only known at bind time.
+        neg_lit = isinstance(o, int) and not isinstance(o, bool) and o < 0
         oe = wrap_expr(o)
 
         def f2(a, b, df):
@@ -439,15 +444,29 @@ class Expr:
             tb = df.select(b.alias("__t__")).schema[0].dataType
             out = F.pow(a, b)
             if isinstance(ta, ints) and isinstance(tb, ints):
-                return out.cast(ta)
+                if neg_lit:
+                    raise InvalidOperationError(
+                        "integer raised to a negative exponent; cast to "
+                        "Float64 first")
+                # data-dependent negative exponent → per-row raise, matching
+                # polars; raise_error needs an explicit result-type cast
+                guard = F.when(
+                    b < F.lit(0),
+                    F.raise_error(F.lit(
+                        "InvalidOperationError: integer raised to a "
+                        "negative exponent")).cast(ta),
+                ).otherwise(out.cast(ta))
+                return guard
             return out
 
-        return Expr(
+        out = Expr(
             lambda df, part: f2(self._fn(df, part), oe._fn(df, part), df),
             name=self._name if self._name is not None else oe._name,
             is_agg=self._is_agg or oe._is_agg,
             needs_order=self._needs_order or oe._needs_order,
         )._set_meta("**", (self, oe))
+        out._scrambles_order = self._scrambles_order or oe._scrambles_order
+        return out
 
     def __rmod__(self, o):
         return wrap_expr(o).__mod__(self)
@@ -488,14 +507,31 @@ class Expr:
         return self._lift2(o, lambda a, b: ~a.eqNullSafe(b))
 
     # -- boolean --------------------------------------------------------------
+    @staticmethod
+    def _meta_known_bool(e) -> bool:
+        """True only when the breadcrumb AST PROVES the expr is boolean:
+        comparisons are always boolean; &/|/^ are boolean iff their left
+        operand is (recursively) — a chained integer bitwise expression
+        like (a & b) & c must NOT take the boolean fast path (ADVICE r2)."""
+        cmp_ops = {">", "<", ">=", "<=", "==", "!="}
+        while True:
+            if not isinstance(e, Expr) or not e._meta:
+                return False
+            op = e._meta[0]
+            if op in cmp_ops:
+                return True
+            if op in {"&", "|", "^"} and e._meta[1]:
+                e = e._meta[1][0]
+                continue
+            return False
+
     def _logical_or_bitwise(self, o, kind: str):
         """polars &/|/^ are logical on booleans, BITWISE on integers
         (expr.rb bitand/bitor/bitxor); probe the left operand's dtype."""
         oe = wrap_expr(o)
-        # breadcrumb fast path: comparisons/logicals are boolean — skip the
+        # breadcrumb fast path: a PROVEN-boolean left operand skips the
         # per-bind analysis probe for the overwhelmingly common filter case
-        bool_ops = {">", "<", ">=", "<=", "==", "!=", "&", "|", "^"}
-        known_bool = bool(self._meta) and self._meta[0] in bool_ops
+        known_bool = Expr._meta_known_bool(self)
 
         def fn(df, part):
             from pyspark.sql import types as T
@@ -518,11 +554,13 @@ class Expr:
                 return a | b
             return (a | b) & ~(a & b)
 
-        return Expr(fn, name=self._name if self._name is not None else oe._name,
-                    is_agg=self._is_agg or oe._is_agg,
-                    needs_order=self._needs_order or oe._needs_order,
-                    )._set_meta({"and": "&", "or": "|", "xor": "^"}[kind],
-                                (self, oe))
+        out = Expr(fn, name=self._name if self._name is not None else oe._name,
+                   is_agg=self._is_agg or oe._is_agg,
+                   needs_order=self._needs_order or oe._needs_order,
+                   )._set_meta({"and": "&", "or": "|", "xor": "^"}[kind],
+                               (self, oe))
+        out._scrambles_order = self._scrambles_order or oe._scrambles_order
+        return out
 
     def __and__(self, o):
         return self._logical_or_bitwise(o, "and")

@@ -108,12 +108,32 @@ def read_parquet_schema(source, spark=None) -> dict:
 
 
 
+#: temp files spooled for IO-object sources; lazy scans reference the path
+#: until materialized, so lifetime is process-long — reaped at exit.
+_SPOOLED_PATHS: list[str] = []
+
+
+def _reap_spooled() -> None:
+    import os
+
+    while _SPOOLED_PATHS:
+        p = _SPOOLED_PATHS.pop()
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+
 def _materialize_source(source, suffix: str):
     """The reference's readers accept paths, Pathname, AND IO objects
     (csv_test.rb/json_test.rb StringIO cases) — spool file-likes to a temp
     file for Spark's path-based readers.  Remote URLs must be passed as
-    URI objects in the reference; plain http(s) strings raise."""
+    URI objects in the reference; plain http(s) strings raise.
+
+    Spooled files must outlive any LazyFrame scanning them, so they are
+    tracked in ``_SPOOLED_PATHS`` and deleted atexit (ADVICE r2 leak fix)."""
     if hasattr(source, "read"):
+        import atexit
         import tempfile
 
         data = source.read()
@@ -122,6 +142,9 @@ def _materialize_source(source, suffix: str):
         f = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
         f.write(data)
         f.close()
+        if not _SPOOLED_PATHS:
+            atexit.register(_reap_spooled)
+        _SPOOLED_PATHS.append(f.name)
         return f.name
     s = str(source)
     if s.startswith(("http://", "https://")):

@@ -848,3 +848,46 @@ def test_reference_doctest_parity_batch23(spark):
     assert [r["a"] for r in four.tail(-2).to_a()] == [3, 4]
     assert [r["a"] for r in four.head(2).to_a()] == [1, 2]
     assert [r["a"] for r in four.tail(2).to_a()] == [3, 4]
+
+
+def test_reference_doctest_parity_batch24(spark):
+    """Twenty-fourth batch (r2 ADVICE closures): CHAINED integer bitwise
+    &/|/^ (expr.rb bitand/bitor/bitxor compose), negative integer exponent
+    raises InvalidOperationError (expr.rb pow on ints), float base ** -1
+    stays the float reciprocal, and _scrambles_order propagates through
+    &,|,^,** so rank-combined filters still restore row order."""
+    import pytest
+
+    from polars_ruby_spark.exceptions import InvalidOperationError
+
+    df = pl.DataFrame({"a": [5, 6, 7], "b": [3, 3, 3], "c": [1, 2, 4],
+                       "x": [1.0, 2.0, 4.0]})
+    got = df.select(
+        ((pl.col("a") & pl.col("b")) & pl.col("c")).alias("and3"),
+        ((pl.col("a") | pl.col("b")) | pl.col("c")).alias("or3"),
+        ((pl.col("a") ^ pl.col("b")) ^ pl.col("c")).alias("xor3"),
+    ).rows()
+    exp = [((a & b) & c, (a | b) | c, (a ^ b) ^ c)
+           for a, b, c in [(5, 3, 1), (6, 3, 2), (7, 3, 4)]]
+    assert got == exp
+
+    # boolean chains (the fast path) unchanged
+    assert df.filter(
+        (pl.col("a") > 5) & (pl.col("b") == 3) & (pl.col("c") < 4)
+    ).rows() == [(6, 3, 2, 2.0)]
+
+    # pow dtype + negative exponent semantics
+    assert df.select((pl.col("a") ** 2).alias("p")).to_series().to_list() \
+        == [25, 36, 49]
+    with pytest.raises(InvalidOperationError):
+        df.select(pl.col("a") ** -1)
+    assert df.select((pl.col("x") ** -1).alias("p")).to_series().to_list() \
+        == [1.0, 0.5, 0.25]
+
+    # _scrambles_order propagation: rank() under & keeps frame row order
+    rdf = pl.DataFrame({"v": [30, 10, 20], "t": [1, 1, 1]})
+    out = rdf.select(
+        ((pl.col("v").rank("ordinal") > 1) & (pl.col("t") == 1)).alias("f"),
+        pl.col("v"),
+    )
+    assert [r["v"] for r in out.to_a()] == [30, 10, 20]
