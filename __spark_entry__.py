@@ -1809,6 +1809,70 @@ def q131_scalar_semantics(spark, sf_dir):
     return out.to_spark()
 
 
+def q132_ewm_single_series(spark, sf_dir):
+    """ewm_mean/ewm_std over ONE series spanning the WHOLE events table
+    (§2.5) — the round-2 scale-killer regression gate: the old plan
+    materialized every row's full prefix (O(n²) cells); the new
+    block-segmented prescaled scan (operators/ewm.py) is O(n), multi-task,
+    pure JVM windows + a driver-composed O(partitions) carry."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = ev.with_columns(
+        pl.col("value").ewm_mean(alpha=0.7).round(4).alias("em"),
+        pl.col("value").ewm_std(alpha=0.7).round(4).alias("es"),
+    ).select("event_id", "em", "es")
+    return out.to_spark()
+
+
+def q133_calendar_hopping(spark, sf_dir):
+    """group_by_dynamic with CALENDAR every + LONGER calendar period
+    (every=1mo, period=3mo — monthly sliding quarters, §2.10; closed the
+    round-2 'tumbling only' gap).  Candidate-start enumeration + one hash
+    agg; variable month lengths via make_interval."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.group_by_dynamic("ts", every="1mo", period="3mo",
+                            group_by="event_type")
+        .agg(pl.col("value").sum().round(4).alias("sv"),
+             pl.col("value").mean().round(4).alias("mv"),
+             pl.len().alias("n"))
+    )
+    return out.to_spark()
+
+
+def q134_calendar_rolling(spark, sf_dir):
+    """rolling(period="1mo") — calendar-unit per-row look-back windows
+    (§2.10, lazy_frame.rb:1161; closed the round-2 raise).  Month-bucket
+    band join + one hash agg per anchor row."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.rolling(index_column="ts", period="1mo", group_by="event_type")
+        .agg(pl.col("value").sum().round(4).alias("sv"),
+             pl.len().alias("n"))
+    )
+    return out.to_spark()
+
+
+def q135_datapoint_hopping(spark, sf_dir):
+    """start_by='datapoint' with period != every (every=1h, period=2h;
+    §2.10) — per-group first-datapoint anchor + candidate-start enumeration
+    (closed the round-2 'tumbling only' datapoint gap)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.group_by_dynamic("ts", every="1h", period="2h",
+                            group_by="event_type", start_by="datapoint")
+        .agg(pl.col("value").sum().round(4).alias("sv"), pl.len().alias("n"))
+    )
+    return out.to_spark()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, SF_DEFAULT)
@@ -1947,6 +2011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_scalar_semantics": q131_scalar_semantics,
         "q104_replace_mapping": q104_replace_mapping,
         "q105_join_nulls": q105_join_nulls,
+        "q132_ewm_single_series": q132_ewm_single_series,
+        "q133_calendar_hopping": q133_calendar_hopping,
+        "q134_calendar_rolling": q134_calendar_rolling,
+        "q135_datapoint_hopping": q135_datapoint_hopping,
     }
 
 
@@ -2231,6 +2299,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS ts, event_type,
                    count(*) AS n, round(sum(value), 4) AS sv
             FROM b GROUP BY 1, 2
+        """,
+        # ewm oracle: alpha=0.7 -> lam=0.3; weights beyond 40 rows back are
+        # < 0.3^40 ~ 1.2e-21 (values <= ~500), invisible at round(4) — an
+        # explicit 40-term lag expansion sidesteps DuckDB's power() overflow
+        # on the usual prescaling identity over 10k rows.
+        "q132_ewm_single_series": f"""
+            WITH s AS (SELECT event_id, value,
+                              {", ".join(
+                                  f"lag(value, {k}) OVER "
+                                  f"(ORDER BY ts, event_id) AS l{k}"
+                                  for k in range(1, 40))}
+                       FROM events)
+            SELECT event_id,
+                   round(({" + ".join(
+                       f"coalesce(l{k}, 0) * {0.3 ** k!r}"
+                       for k in range(1, 40))} + value)
+                     / ({" + ".join(
+                       f"(CASE WHEN l{k} IS NOT NULL THEN {0.3 ** k!r} "
+                       f"ELSE 0 END)" for k in range(1, 40))} + 1), 4) AS em,
+                   round(CASE WHEN ({" + ".join(
+                       f"(CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END)"
+                       for k in range(1, 40))}) = 0 THEN 0.0 ELSE sqrt(
+                     greatest(
+                       (({" + ".join(
+                           f"coalesce(l{k} * l{k}, 0) * {0.3 ** k!r}"
+                           for k in range(1, 40))} + value * value)
+                        / ({" + ".join(
+                           f"(CASE WHEN l{k} IS NOT NULL THEN {0.3 ** k!r} "
+                           f"ELSE 0 END)" for k in range(1, 40))} + 1)
+                        - pow(({" + ".join(
+                           f"coalesce(l{k}, 0) * {0.3 ** k!r}"
+                           for k in range(1, 40))} + value)
+                          / ({" + ".join(
+                           f"(CASE WHEN l{k} IS NOT NULL THEN {0.3 ** k!r} "
+                           f"ELSE 0 END)" for k in range(1, 40))} + 1), 2))
+                       * pow({" + ".join(
+                           f"(CASE WHEN l{k} IS NOT NULL THEN {0.3 ** k!r} "
+                           f"ELSE 0 END)" for k in range(1, 40))} + 1, 2)
+                       / (pow({" + ".join(
+                           f"(CASE WHEN l{k} IS NOT NULL THEN {0.3 ** k!r} "
+                           f"ELSE 0 END)" for k in range(1, 40))} + 1, 2)
+                          - ({" + ".join(
+                           f"(CASE WHEN l{k} IS NOT NULL THEN {0.3 ** (2 * k)!r} "
+                           f"ELSE 0 END)" for k in range(1, 40))} + 1)),
+                       0.0)) END, 4) AS es
+            FROM s
+        """,
+        "q133_calendar_hopping": """
+            WITH g AS (SELECT date_trunc('month', ts) - to_months(i::INT) AS w,
+                              value, event_type
+                       FROM events, range(3) r(i))
+            SELECT w AS ts, event_type,
+                   round(sum(value), 4) AS sv,
+                   round(avg(value), 4) AS mv,
+                   count(*) AS n
+            FROM g GROUP BY w, event_type
+        """,
+        "q134_calendar_rolling": """
+            SELECT a.event_type, a.ts,
+                   round(sum(b.value), 4) AS sv, count(b.ts) AS n
+            FROM events a LEFT JOIN events b
+              ON a.event_type = b.event_type
+             AND b.ts > a.ts - INTERVAL 1 MONTH AND b.ts <= a.ts
+            GROUP BY a.event_type, a.ts, a.event_id
+        """,
+        "q135_datapoint_hopping": """
+            WITH e AS (SELECT *, epoch_us(ts) tu FROM events),
+                 a AS (SELECT event_type, min(tu) mn FROM e GROUP BY event_type),
+                 j AS (SELECT e.*, a.mn FROM e JOIN a USING (event_type)),
+                 x AS (SELECT *, unnest(range((tu - mn - 7200000000) // 3600000000,
+                                              (tu - mn) // 3600000000 + 1)) AS k
+                       FROM j),
+                 f AS (SELECT *, mn + k * 3600000000 AS s FROM x
+                       WHERE mn + k * 3600000000 <= tu
+                         AND tu < mn + k * 3600000000 + 7200000000)
+            SELECT make_timestamp(s) AS ts, event_type,
+                   round(sum(value), 4) AS sv, count(*) AS n
+            FROM f GROUP BY s, event_type
         """,
         "q131_scalar_semantics": """
             WITH s AS (SELECT *, row_number() OVER (ORDER BY p_partkey) AS rid

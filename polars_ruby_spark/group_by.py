@@ -210,7 +210,20 @@ class GroupBy(LazyGroupBy):
         return self._wrap(self._lf).plot(*args, group=key_names[0], **kwargs)
 
 
-class DynamicGroupBy:
+
+class _TemporalGroupByMixin:
+    """Eager-in/eager-out for the temporal group-bys (the reference's
+    DataFrame#group_by_dynamic/#rolling return eager frames)."""
+
+    def _wrap_out(self, lf):
+        from .frame import DataFrame
+
+        if isinstance(self._lf, DataFrame):
+            return DataFrame._from_lazy(lf)
+        return lf
+
+
+class DynamicGroupBy(_TemporalGroupByMixin):
     """group_by_dynamic (lazy_frame.rb:1416): event-time tumbling/hopping
     windows → native ``F.window`` (SURVEY §2.10).
 
@@ -235,7 +248,7 @@ class DynamicGroupBy:
         self._closed = closed
         self._label = label
         self._include_boundaries = include_boundaries
-        self._by = by or []
+        self._by = [by] if isinstance(by, (str, Expr)) else (by or [])
         self._start_by = start_by
 
     def agg(self, *exprs, **named):
@@ -294,20 +307,23 @@ class DynamicGroupBy:
                      F.col("__w__.end").alias("_upper_boundary")]
         keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
         out = grouped.select(*extra, label_col, *keep)
-        return LazyFrame(out)
+        return self._wrap_out(LazyFrame(out))
 
     def _agg_datapoint(self, every, period, exprs, named):
         """start_by='datapoint': each group's FIRST data point anchors its
         window grid (lazy_frame.rb start_by).  Per-group min-ts via one hash
         agg broadcast back, then arithmetic bucket assignment — no F.window
-        (its epoch anchor is global).  Tumbling only (period == every),
-        closed left/right."""
+        (its epoch anchor is global).  Tumbling closed left/right is a
+        single-assignment fast path; period != every and closed both/none
+        (round-3) enumerate candidate starts on the anchored grid and filter
+        by the closed-interval test (same shape as _agg_enumerated)."""
         from .frame import LazyFrame
 
-        if every.total_seconds() != period.total_seconds():
-            raise NotImplementedError("start_by='datapoint' with period != every")
+        hopping = every.total_seconds() != period.total_seconds()
+        if hopping or self._closed in ("both", "none"):
+            return self._agg_datapoint_enumerated(every, period, exprs, named)
         if self._closed not in ("left", "right"):
-            raise NotImplementedError("start_by='datapoint' with closed=" + self._closed)
+            raise ValueError(f"invalid closed: {self._closed!r}")
         every_us = int(every.total_seconds() * 1_000_000)
         sdf = self._lf._sdf
         aggs, needs_order = _agg_columns(sdf, exprs, named)
@@ -350,7 +366,82 @@ class DynamicGroupBy:
         renames = [F.col(n).alias(str(b)) if isinstance(b, str) else F.col(n)
                    for n, b in zip(by_names, self._by)]
         out = grouped.select(*extra, label_col, *renames, *keep)
-        return LazyFrame(out)
+        return self._wrap_out(LazyFrame(out))
+
+    def _agg_datapoint_enumerated(self, every, period, exprs, named):
+        """start_by='datapoint' with period != every or closed both/none
+        (round-3; lazy_frame.rb:1416 allows all combinations): per-group
+        min-ts anchor broadcast back, then candidate-start enumeration on
+        the anchored grid + ONE closed-interval membership test — the same
+        single hash-agg shuffle as every other dynamic path."""
+        from .frame import LazyFrame
+
+        if every.months or period.months:
+            raise NotImplementedError(
+                "start_by='datapoint' with calendar-unit durations")
+        every_us = int(every.total_seconds() * 1_000_000)
+        period_us = int(period.total_seconds() * 1_000_000)
+        sdf = self._lf._sdf
+        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        if needs_order:
+            sdf = self._lf._ensure_row_index()._sdf
+            aggs, _ = _agg_columns(sdf, exprs, named)
+        by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
+                   for b in self._by]
+        by_names = [f"__sbk{i}__" for i in range(len(by_cols))]
+        base = sdf.select("*", *[c.alias(n) for c, n in zip(by_cols, by_names)])
+        t = F.unix_micros(F.col(self._index).cast("timestamp"))
+        anchors = (base.groupBy(*by_names)
+                   .agg(F.min(t).alias("__sb_min__")))
+        if by_names:
+            joined = base.join(F.broadcast(anchors.withColumnsRenamed(
+                {n: n + "r" for n in by_names})),
+                on=[base[n].eqNullSafe(F.col(n + "r")) for n in by_names])
+        else:
+            joined = base.crossJoin(F.broadcast(anchors))
+
+        def floordiv(a, b):
+            return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+        rel = t - F.col("__sb_min__")
+        k_hi = floordiv(rel, every_us)
+        k_lo = floordiv(rel - F.lit(period_us), every_us)
+        exploded = joined.withColumn(
+            "__k__", F.explode(F.sequence(k_lo, k_hi)))
+        s = F.col("__sb_min__") + F.col("__k__") * F.lit(every_us)
+        e = s + F.lit(period_us)
+        member = {
+            "left": (s <= t) & (t < e),
+            "right": (s < t) & (t <= e),
+            "both": (s <= t) & (t <= e),
+            "none": (s < t) & (t < e),
+        }.get(self._closed)
+        if member is None:
+            raise ValueError(f"invalid closed: {self._closed!r}")
+        filtered = exploded.withColumn("__s__", s).filter(member)
+        grouped = (filtered
+                   .groupBy(F.col("__s__"), *[F.col(n) for n in by_names])
+                   .agg(*aggs,
+                        *([F.min(F.col(self._index)).alias("__dp__")]
+                          if self._label == "datapoint" else [])))
+        if self._label == "datapoint":
+            label_col = F.col("__dp__").alias(self._index)
+        elif self._label == "right":
+            label_col = F.timestamp_micros(
+                F.col("__s__") + F.lit(period_us)).alias(self._index)
+        else:
+            label_col = F.timestamp_micros(F.col("__s__")).alias(self._index)
+        extra = []
+        if self._include_boundaries:
+            extra = [F.timestamp_micros(F.col("__s__")).alias("_lower_boundary"),
+                     F.timestamp_micros(F.col("__s__") + F.lit(period_us))
+                     .alias("_upper_boundary")]
+        keep = [c for c in grouped.columns
+                if c not in ("__s__", "__dp__") and c not in by_names]
+        renames = [F.col(n).alias(str(b)) if isinstance(b, str) else F.col(n)
+                   for n, b in zip(by_names, self._by)]
+        out = grouped.select(*extra, label_col, *renames, *keep)
+        return self._wrap_out(LazyFrame(out))
 
     def _agg_enumerated(self, every, period, exprs, named):
         """closed='both'/'none': enumerate each row's candidate window starts
@@ -409,7 +500,7 @@ class DynamicGroupBy:
                      .alias("_upper_boundary")]
         keep = [c for c in grouped.columns if c not in ("__s__", "__dp__")]
         out = grouped.select(*extra, label_col, *keep)
-        return LazyFrame(out)
+        return self._wrap_out(LazyFrame(out))
 
     def _agg_calendar(self, every, period, exprs, named):
         """Calendar-unit (1mo/1q/1y) TUMBLING windows with offset and all
@@ -426,12 +517,21 @@ class DynamicGroupBy:
         from .functions.duration import parse_duration
         from .frame import LazyFrame
 
-        if (every.months, every.microseconds) != (period.months, period.microseconds):
-            raise NotImplementedError("calendar windows support tumbling only "
-                                      "(period == every)")
+        if every.months and every.microseconds:
+            # MIXED every (1mo10d): the grid index drifts unboundedly vs any
+            # closed-form row->k mapping; unsupported (document + raise)
+            raise NotImplementedError(
+                f"every mixing calendar and fixed units: {self._every!r}")
+        hopping = (every.months, every.microseconds) != (period.months,
+                                                         period.microseconds)
         unit = {1: "month", 3: "quarter", 12: "year"}.get(every.months)
-        if unit is None or every.microseconds:
-            raise NotImplementedError(f"unsupported calendar every {self._every!r}")
+        if hopping or unit is None:
+            # calendar HOPPING (period != every, round-3) and non-
+            # truncatable pure-month steps (2mo, 6mo): enumerate each row's
+            # candidate window starts on the every-grid and filter by the
+            # closed-interval test — same explode shape as _agg_enumerated,
+            # month-shift arithmetic via make_interval
+            return self._agg_calendar_enumerated(every, period, exprs, named)
         step = every.months
         off = parse_duration(self._offset) if self._offset is not None else None
         sdf = self._lf._sdf
@@ -488,10 +588,110 @@ class DynamicGroupBy:
                      shift(F.col("__w__"), step, 0).alias("_upper_boundary")]
         keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
         out = grouped.select(*extra, label_col, *keep)
-        return LazyFrame(out)
+        return self._wrap_out(LazyFrame(out))
+
+    def _agg_calendar_enumerated(self, every, period, exprs, named):
+        """Calendar hopping/sliding dynamic windows (round-3;
+        ``lazy_frame.rb:1416-1458`` any every/period combination).
+
+        Grid: window starts at every multiple of ``every`` from the epoch
+        (plus offset) — a pure-month grid (every = Nmo) indexed by the row's
+        epoch-month, or a fixed-duration grid (every in h/m/s/d) indexed by
+        epoch-microseconds.  Each row enumerates its ≤⌈period/every⌉+2
+        candidate starts (explode), membership is ONE closed-interval test
+        (all four closed modes, no boundary special cases), then the same
+        single hash-agg shuffle on (start, by) as every other dynamic path.
+        ``period`` may mix months and sub-month parts; month shifts use
+        ``make_interval`` so variable month lengths are exact.
+        """
+        from .functions.duration import parse_duration
+        from .frame import LazyFrame
+
+        off = (parse_duration(self._offset) if self._offset is not None
+               else parse_duration("0s"))
+        sdf = self._lf._sdf
+        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        if needs_order:
+            sdf = self._lf._ensure_row_index()._sdf
+            aggs, _ = _agg_columns(sdf, exprs, named)
+        t = F.col(self._index).cast("timestamp")
+        pm, pus = period.months, int(period.microseconds)
+        om, ous = off.months, int(off.microseconds)
+        epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        _28D_US = 28 * 86400 * 1_000_000
+        _31D_US = 31 * 86400 * 1_000_000
+
+        def win_start(k):
+            # epoch + (k*em + om) months + (k*eus + ous) µs, exact per month
+            s = epoch
+            if every.months or om:
+                s = s + F.make_interval(
+                    F.lit(0), (k * F.lit(every.months) + F.lit(om)))
+            us = k * F.lit(int(every.microseconds)) + F.lit(ous)
+            return F.timestamp_micros(F.unix_micros(s) + us)
+
+        def win_end(s):
+            e = s
+            if pm:
+                e = e + F.make_interval(F.lit(0), F.lit(pm))
+            if pus:
+                e = F.timestamp_micros(F.unix_micros(e) + F.lit(pus))
+            return e
+
+        if every.months:
+            # month-grid: k_hi from the shifted row's epoch-month index
+            tshift = t
+            if om:
+                tshift = tshift - F.make_interval(F.lit(0), F.lit(om))
+            if ous:
+                tshift = F.timestamp_micros(F.unix_micros(tshift) - F.lit(ous))
+            mi = (F.year(tshift) - F.lit(1970)) * F.lit(12) + F.month(tshift) - F.lit(1)
+            k_hi = F.floor(mi.cast("double") / F.lit(float(every.months))).cast("long")
+            span_months = pm + -(-pus // _28D_US)     # ceil
+            n_back = -(-span_months // every.months) + 1
+        else:
+            every_us = int(every.microseconds)
+            t_us = F.unix_micros(t)
+            rel = t_us - F.lit(ous)
+            k_hi = ((rel - F.pmod(rel, F.lit(every_us))) / F.lit(every_us)).cast("long")
+            max_period_us = pm * _31D_US + pus
+            n_back = -(-max_period_us // every_us) + 1
+        exploded = sdf.withColumn(
+            "__k__", F.explode(F.sequence(k_hi - F.lit(int(n_back)), k_hi)))
+        s = win_start(F.col("__k__"))
+        e = win_end(s)
+        member = {
+            "left": (s <= t) & (t < e),
+            "right": (s < t) & (t <= e),
+            "both": (s <= t) & (t <= e),
+            "none": (s < t) & (t < e),
+        }.get(self._closed)
+        if member is None:
+            raise ValueError(f"invalid closed: {self._closed!r}")
+        filtered = (exploded.withColumn("__w__", s).filter(member)
+                    .drop("__k__"))
+        by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr)
+                   else F.col(b) for b in self._by]
+        extra_aggs = [F.min(F.col(self._index)).alias("__dp__")] \
+            if self._label == "datapoint" else []
+        grouped = filtered.groupBy(F.col("__w__"), *by_cols).agg(
+            *aggs, *extra_aggs)
+        if self._label == "datapoint":
+            label_col = F.col("__dp__").alias(self._index)
+        elif self._label == "right":
+            label_col = win_end(F.col("__w__")).alias(self._index)
+        else:
+            label_col = F.col("__w__").alias(self._index)
+        extra = []
+        if self._include_boundaries:
+            extra = [F.col("__w__").alias("_lower_boundary"),
+                     win_end(F.col("__w__")).alias("_upper_boundary")]
+        keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
+        out = grouped.select(*extra, label_col, *keep)
+        return self._wrap_out(LazyFrame(out))
 
 
-class RollingGroupBy:
+class RollingGroupBy(_TemporalGroupByMixin):
     """rolling / group_by_rolling (lazy_frame.rb:1161): per-row look-back
     window → range-frame window functions (no extra shuffle beyond the
     partitionBy on ``by``)."""
@@ -501,7 +701,7 @@ class RollingGroupBy:
         self._index = index_column
         self._period = period
         self._closed = closed
-        self._by = by or []
+        self._by = [by] if isinstance(by, (str, Expr)) else (by or [])
 
     def agg(self, *exprs, **named):
         from pyspark.sql import Window
@@ -511,7 +711,7 @@ class RollingGroupBy:
 
         dur = parse_duration(self._period)
         if dur.is_calendar:
-            raise NotImplementedError("calendar-unit rolling windows")
+            return self._agg_calendar(dur, exprs, named)
         span_us = int(dur.total_seconds() * 1_000_000)
         sdf = self._lf._sdf
         by_cols = [F.col(b) for b in self._by]
@@ -536,4 +736,73 @@ class RollingGroupBy:
             c = e._fn(sdf, None).over(w)
             cols.append(c.alias(e._name) if e._name else c)
         keep = [F.col(b) for b in self._by] + [F.col(self._index)]
-        return LazyFrame(out.select(*keep, *cols))
+        return self._wrap_out(LazyFrame(out.select(*keep, *cols)))
+
+    def _agg_calendar(self, dur, exprs, named):
+        """Calendar-unit rolling windows (round-3; ``lazy_frame.rb:1161``
+        accepts 1mo/1q/1y periods).
+
+        Variable month lengths rule out a fixed ``rangeBetween`` frame, so
+        each row's look-back ``(t - period, t]`` becomes a month-bucket BAND
+        JOIN: contributor rows replicate to the ≤ months(period)+2 bucket
+        months whose anchors they can serve, the join is an EQUI-join on
+        (by, bucket-month) plus the exact interval predicate, then one hash
+        agg per anchor row.  All stages multi-task; replication factor is
+        the window's month span, never data-sized.  Anchors LEFT-join so
+        empty windows still emit their row (count 0 / sum null).
+        """
+        from .frame import LazyFrame
+
+        pm, pus = dur.months, int(dur.microseconds)
+        _28D_US = 28 * 86400 * 1_000_000
+        n_back = pm + -(-pus // _28D_US) + 1
+        lf = self._lf._ensure_row_index()
+        sdf = lf._sdf
+        t = F.col(self._index).cast("timestamp")
+        mi = (F.year(t) - F.lit(1970)) * F.lit(12) + F.month(t) - F.lit(1)
+
+        kn = [f"__ra_k{i}__" for i in range(len(self._by))]
+        anchors = sdf.select(
+            F.col(ROW_IDX),
+            t.alias("__ra_ts__"),
+            mi.alias("__ra_m__"),
+            *[F.col(b).alias(n) for b, n in zip(self._by, kn)])
+        contrib = (sdf.drop(ROW_IDX)
+                   .withColumn("__rc_r__", F.explode(
+                       F.sequence(F.lit(0), F.lit(int(n_back)))))
+                   .withColumn("__rc_b__", mi + F.col("__rc_r__"))
+                   .drop("__rc_r__"))
+        ats = F.col("__ra_ts__")
+        lo = ats - F.make_interval(F.lit(0), F.lit(pm))
+        if pus:
+            lo = F.timestamp_micros(F.unix_micros(lo) - F.lit(pus))
+        cts = t  # contributor timestamp (original column name side)
+        rng = {
+            "right": (cts > lo) & (cts <= ats),
+            "left": (cts >= lo) & (cts < ats),
+            "both": (cts >= lo) & (cts <= ats),
+            "none": (cts > lo) & (cts < ats),
+        }.get(self._closed)
+        if rng is None:
+            raise ValueError(f"invalid closed: {self._closed!r}")
+        cond = F.col("__ra_m__") == F.col("__rc_b__")
+        for b, n in zip(self._by, kn):
+            cond = cond & F.col(n).eqNullSafe(contrib[b])
+        joined = anchors.join(contrib, cond & rng, "left")
+        all_exprs = [wrap_expr(e) for e in exprs] + [
+            wrap_expr(e).alias(k) for k, e in named.items()]
+        aggs = []
+        for e in all_exprs:
+            if not e._is_agg:
+                raise ValueError("rolling().agg takes aggregate expressions")
+            c = e._fn(joined, None)
+            aggs.append(c.alias(e._name) if e._name else c)
+        grouped = joined.groupBy(
+            F.col(ROW_IDX), F.col("__ra_ts__"), *[F.col(n) for n in kn]
+        ).agg(*aggs)
+        out = grouped.orderBy(ROW_IDX).select(
+            *[F.col(n).alias(b) for b, n in zip(self._by, kn)],
+            F.col("__ra_ts__").alias(self._index),
+            *[F.col(e._name) if e._name else F.col(str(i))
+              for i, e in enumerate(all_exprs)])
+        return self._wrap_out(LazyFrame(out))

@@ -203,10 +203,12 @@ def test_ewm_var_std_match_pandas(spark):
     ).collect()
     rows = out.to_a()
     ref = pd.Series(vals).ewm(alpha=0.5)
+    # first row: pandas NaN (ddof), polars 0.0 (expr.rb:6398 doctest) — we
+    # follow the reference
     for got, exp in zip([r["ev"] for r in rows], ref.var().round(6)):
-        assert got == (None if exp != exp else exp)
+        assert got == (0.0 if exp != exp else exp)
     for got, exp in zip([r["es"] for r in rows], ref.std().round(6)):
-        assert got == (None if exp != exp else exp)
+        assert got == (0.0 if exp != exp else exp)
 
 
 def test_value_counts(spark):

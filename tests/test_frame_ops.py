@@ -891,3 +891,108 @@ def test_reference_doctest_parity_batch24(spark):
         pl.col("v"),
     )
     assert [r["v"] for r in out.to_a()] == [30, 10, 20]
+
+
+def test_ewm_scale_safe_all_modes(spark):
+    """Round-3 ewm rewrite (expr.rb:6381-6482): the O(n) block-segmented
+    scan must match pandas/polars across adjust x ignore_nulls x bias, for
+    grouped (over) and ungrouped bindings, with nulls present.  The
+    reference doctest values pin ewm_mean/std/var(com: 1) exactly."""
+    import numpy as np
+    import pandas as pd
+
+    vals = [1.0, None, 3.0, 2.5, None, None, 8.0, 0.5, 4.0, None, 7.5]
+    grp = ["a", "a", "b", "a", "b", "a", "b", "a", "b", "b", "a"]
+    df = pl.DataFrame({"x": vals, "g": grp})
+
+    # reference doctests (expr.rb:6381,6398,6442)
+    d3 = pl.DataFrame({"a": [1, 2, 3]})
+    assert d3.select(pl.col("a").ewm_mean(com=1).round(6).alias("v")) \
+        .to_series().to_list() == [1.0, 1.666667, 2.428571]
+    assert d3.select(pl.col("a").ewm_std(com=1).round(6).alias("v")) \
+        .to_series().to_list() == [0.0, 0.707107, 0.963624]
+    assert d3.select(pl.col("a").ewm_var(com=1).round(6).alias("v")) \
+        .to_series().to_list() == [0.0, 0.5, 0.928571]
+
+    def expected(series, kind, adjust, ign, bias):
+        s = pd.Series([np.nan if v is None else v for v in series])
+        ew = s.ewm(alpha=0.4, adjust=adjust, ignore_na=ign, min_periods=1)
+        out = ew.mean() if kind == "mean" else (
+            ew.var(bias=bias) if kind == "var"
+            else np.sqrt(ew.var(bias=bias)))
+        # polars: 0.0 (not NaN) at the first observation for var/std
+        res, cnt = [], 0
+        for i, v in enumerate(series):
+            if v is not None:
+                cnt += 1
+            if cnt == 0:
+                res.append(None)
+            elif kind != "mean" and cnt == 1:
+                res.append(0.0)
+            else:
+                res.append(round(float(out.iloc[i]), 6))
+        return res
+
+    for kind, meth in [("mean", "ewm_mean"), ("var", "ewm_var"),
+                       ("std", "ewm_std")]:
+        for adjust in (True, False):
+            for ign in (True, False):
+                kw = dict(alpha=0.4, adjust=adjust, min_periods=1,
+                          ignore_nulls=ign)
+                if kind != "mean":
+                    kw["bias"] = False
+                got = df.select(
+                    getattr(pl.col("x"), meth)(**kw).round(6).alias("v")
+                ).to_series().to_list()
+                assert got == expected(vals, kind, adjust, ign, False), \
+                    f"ungrouped {kind} adjust={adjust} ign={ign}"
+                rows = df.with_columns(
+                    getattr(pl.col("x"), meth)(**kw).over("g").round(6)
+                    .alias("v")).to_a()
+                per_g = {}
+                for v, g, r in zip(vals, grp, rows):
+                    per_g.setdefault(g, []).append((v, r["v"]))
+                for g, items in per_g.items():
+                    exp = expected([v for v, _ in items], kind, adjust,
+                                   ign, False)
+                    assert [gv for _, gv in items] == exp, \
+                        f"grouped {kind} adjust={adjust} ign={ign} g={g}"
+
+
+def test_calendar_hopping_rolling_datapoint(spark):
+    """Round-3 dynamic-window closures (lazy_frame.rb:1416-1458, 1161):
+    calendar every with longer period (monthly sliding quarters), calendar
+    rolling look-backs, and start_by=datapoint with period != every."""
+    ts = [f"2024-{m:02d}-{d:02d} 0{h}:00:00"
+          for m, d, h in [(1, 5, 1), (1, 20, 2), (2, 10, 3), (3, 3, 1),
+                          (4, 18, 2), (6, 1, 3)]]
+    df = pl.DataFrame({"ts": ts, "v": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]}) \
+        .with_columns(pl.col("ts").cast(pl.Datetime))
+    srt = df.sort("ts")
+
+    # calendar hopping: every=1mo period=2mo, closed left (default)
+    out = (srt.group_by_dynamic("ts", every="1mo", period="2mo")
+           .agg(pl.col("v").sum().alias("s")))
+    got = {str(r["ts"])[:10]: r["s"] for r in out.to_a()}
+    # windows [dec,feb)=3, [jan,mar)=7, [feb,apr)=12, [mar,may)=24,
+    # [apr,jun)=16, [may,jul)=32, [jun,aug)=32
+    assert got == {"2023-12-01": 3.0, "2024-01-01": 7.0, "2024-02-01": 12.0,
+                   "2024-03-01": 24.0, "2024-04-01": 16.0,
+                   "2024-05-01": 32.0, "2024-06-01": 32.0}
+
+    # calendar rolling 1mo look-back (t-1mo, t]
+    r = (srt.rolling(index_column="ts", period="1mo")
+         .agg(pl.col("v").sum().alias("s")))
+    assert [x["s"] for x in r.to_a()] == [1.0, 3.0, 6.0, 12.0, 16.0, 32.0]
+
+    # datapoint-anchored hopping: every=40d period=80d (fixed durations)
+    d = (srt.group_by_dynamic("ts", every="40d", period="80d",
+                              start_by="datapoint")
+         .agg(pl.col("v").sum().alias("s")))
+    dd = {str(r["ts"])[:10]: r["s"] for r in d.to_a()}
+    # anchor 2024-01-05; starts: -40d (11-26): rows<80d→ {1,2,4}=7;
+    # 01-05: {1,2,4,8}=15? 8 is 03-03 = 58d after anchor < 80 ✓ =15;
+    # 02-14: {4?no 02-10<02-14..} window [02-14,05-04): {8,16}=24;
+    # 03-25: [03-25,06-13): {16,32}=48; 05-04: [05-04,07-23): {32}
+    assert dd == {"2023-11-26": 7.0, "2024-01-05": 15.0, "2024-02-14": 24.0,
+                  "2024-03-25": 48.0, "2024-05-04": 32.0}
