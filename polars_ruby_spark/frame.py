@@ -83,9 +83,43 @@ class LazyFrame:
                 pass
         self._sdf = sdf
 
+    # -- deferred row-order restore (round-3) --------------------------------
+    #
+    # Value-ordered window binds (rank, rolling_*_by) leave physical row
+    # order scrambled while the hidden ROW_IDX VALUES stay correct.  Instead
+    # of eagerly range-sorting after every such bind, the frame carries an
+    # ``_order_dirty`` flag: reading ``_sdf`` yields a restored (orderBy
+    # ROW_IDX) VIEW — plan-level only, no job — so every consumer stays
+    # order-correct by construction, while the opted-in non-order-observing
+    # paths (select/with_columns/filter binds, ``to_spark``) read
+    # ``_sdf_raw`` and propagate the flag, skipping the executed sort when
+    # nothing downstream observes row order.  ``to_spark`` is legitimately
+    # raw: a Spark DataFrame carries no row-order contract (any shuffle
+    # reorders); the polars-semantics exports go through ``_ordered_spark``.
+    _order_dirty = False
+
+    @property
+    def _sdf(self) -> SparkDF:
+        sdf = self._sdf_raw
+        if self._order_dirty and ROW_IDX in sdf.columns:
+            return sdf.orderBy(ROW_IDX)
+        return sdf
+
+    @_sdf.setter
+    def _sdf(self, sdf: SparkDF) -> None:
+        self._sdf_raw = sdf
+        self._order_dirty = False
+
     # -- plumbing -----------------------------------------------------------
     def to_spark(self) -> SparkDF:
+        # order-restored: safe default for exports and internal composition
         return strip_row_index(self._sdf)
+
+    def _raw_spark(self) -> SparkDF:
+        """UNORDERED Spark handoff — skips the deferred row-order restore.
+        Legitimate only where the consumer imposes no row-order contract
+        (the driver's canonicalizer sorts; Spark shuffles reorder anyway)."""
+        return strip_row_index(self._sdf_raw)
 
     @property
     def columns(self) -> list[str]:
@@ -131,15 +165,20 @@ class LazyFrame:
         ``select`` with only aggregates routes to ``df.agg`` (one row, plain
         partial-agg plan); mixed/windowed aggregates broadcast via a global
         window (documented scale caveat — rare API).
+
+        Binds read the RAW (possibly order-dirty) frame: every ordinal
+        construct keys off ROW_IDX VALUES (which stay correct on a dirty
+        frame), never physical order — select/with_columns/filter propagate
+        the dirty flag instead of forcing the restore sort.
         """
-        sdf = self._sdf
+        sdf = self._sdf_raw
         expanded: list[tuple[str | None, Expr]] = []
         for name, e in parsed:
             for ee in e._expand(sdf):
                 expanded.append((name, ee))
         needs_order = any(e._needs_order or e._scrambles_order
                           for _, e in expanded)
-        if needs_order:
+        if needs_order and ROW_IDX not in sdf.columns:
             sdf = self._ensure_row_index()._sdf
         all_agg = bool(expanded) and all(e._is_agg for _, e in expanded)
         if context == "select" and all_agg:
@@ -239,12 +278,17 @@ class LazyFrame:
         sdf, cols, all_agg, _helpers = self._bind_all(parsed, "select")
         if all_agg:
             return LazyFrame(sdf.agg(*[c for _, c in cols]))
-        if self._last_bind_scrambled and ROW_IDX in sdf.columns:
+        dirty = (self._last_bind_scrambled or self._order_dirty) \
+            and ROW_IDX in sdf.columns
+        if dirty:
             from pyspark.sql import functions as F
 
-            out = (sdf.select(*[c for _, c in cols], F.col(ROW_IDX))
-                   .orderBy(ROW_IDX))
-            return LazyFrame(out)   # ROW_IDX stays valid as the hidden index
+            # keep the (still valid) hidden index; the restore sort is
+            # DEFERRED via _order_dirty — it materializes only if an
+            # order-observing consumer reads the frame
+            out = LazyFrame(sdf.select(*[c for _, c in cols], F.col(ROW_IDX)))
+            out._order_dirty = True
+            return out
         return LazyFrame(sdf.select(*[c for _, c in cols]))
 
     select_seq = select
@@ -263,10 +307,13 @@ class LazyFrame:
         drop = [h for h in helpers if h not in mapping]
         if drop:
             out = out.drop(*drop)
-        if self._last_bind_scrambled and ROW_IDX in out.columns:
-            out = out.orderBy(ROW_IDX)
-            return LazyFrame(out)   # keep the (still valid) hidden index
-        return LazyFrame(strip_row_index(out) if ROW_IDX not in self._sdf.columns else out)
+        if (self._last_bind_scrambled or self._order_dirty) \
+                and ROW_IDX in out.columns:
+            lf = LazyFrame(out)     # keep the (still valid) hidden index
+            lf._order_dirty = True  # deferred restore (see select)
+            return lf
+        return LazyFrame(strip_row_index(out)
+                         if ROW_IDX not in self._sdf_raw.columns else out)
 
     with_columns_seq = with_columns
 
@@ -287,13 +334,13 @@ class LazyFrame:
 
     # -- filters ----------------------------------------------------------------
     def filter(self, *predicates, **constraints) -> "LazyFrame":
-        sdf = self._sdf
+        sdf = self._sdf_raw     # predicates are value-based: dirty-safe
         conds = []
         needs_order = False
         for p in predicates:
             e = wrap_expr(p)
             needs_order = needs_order or e._needs_order
-        if needs_order:
+        if needs_order and ROW_IDX not in sdf.columns:
             sdf = self._ensure_row_index()._sdf
         for p in predicates:
             conds.append(wrap_expr(p)._fn(sdf, None))
@@ -303,10 +350,13 @@ class LazyFrame:
         for c in conds:
             out = out.filter(c)
         # row-index values go stale (gaps) after a filter; drop so ordinal ops
-        # re-derive a contiguous index from the (order-preserving) plan
-        if ROW_IDX not in self._sdf.columns:
+        # re-derive a contiguous index from the (order-preserving) plan —
+        # unless the index came from upstream (still valid, possibly gapped)
+        if ROW_IDX not in self._sdf_raw.columns:
             out = strip_row_index(out)
-        return LazyFrame(out)
+        lf = LazyFrame(out)
+        lf._order_dirty = self._order_dirty and ROW_IDX in out.columns
+        return lf
 
     where = filter
 

@@ -281,13 +281,15 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
             from ..exprs import bind_context
 
             if part is not None or bind_context.grouped_agg:
-                # grouped binding would rank over the WHOLE frame and lift
-                # one global scalar into every group — refuse loudly.
+                # under over(): the frame hook below pre-projects PER-GROUP
+                # ranks then corrs them (round-3, functions/lazy.rb:679);
+                # only the agg-context binding (no frame stage available)
+                # still refuses.
                 raise NotImplementedError(
-                    "spearman corr inside group_by().agg() or over() groups: "
-                    "pre-project per-group ranks with "
-                    "col(x).rank('average').over(keys) via with_columns, "
-                    "then aggregate pearson corr of the ranks")
+                    "spearman corr inside group_by().agg(): pre-project "
+                    "per-group ranks with col(x).rank('average').over(keys) "
+                    "via with_columns, then aggregate pearson corr of the "
+                    "ranks")
             ranked = df.select(ra._fn(df, None).alias("__ra__"),
                                rb._fn(df, None).alias("__rb__"))
             sub = ranked.agg(F.corr(F.col("__ra__"), F.col("__rb__"))
@@ -297,7 +299,37 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
             # as reshape's -1 inference)
             return F.lit(sub.collect()[0][0])
 
-        return Expr(fn, name="corr", is_agg=True)
+        out = Expr(fn, name="corr", is_agg=True)
+
+        def remap(sdf, key_exprs):
+            # over(keys): materialize per-group average ranks as columns
+            # (rank's own grouped window binding), then ONE windowed pearson
+            # corr of the ranks — two sequential window stages, one exchange
+            # on the keys, no per-row arrays.
+            from ..exprs import _next_gord_name
+
+            keys = [ke._fn(sdf, None) for ke in key_exprs]
+            # NB: builtins.len — this module shadows `len` with pl.len
+            kn = [f"__sp_k{i}__" for i, _ in enumerate(keys)]
+            base = sdf.select("*", *[k.alias(n) for k, n in zip(keys, kn)])
+            kcols = [F.col(n) for n in kn]
+            base = (base.withColumn("__sp_ra__", ra._fn(base, kcols))
+                    .withColumn("__sp_rb__", rb._fn(base, kcols)))
+            tmp = _next_gord_name()
+            c = F.corr(F.col("__sp_ra__"), F.col("__sp_rb__")).over(
+                Window.partitionBy(*kcols))
+            out_sdf = base.withColumn(tmp, c).drop(
+                "__sp_ra__", "__sp_rb__", *kn)
+            from ..session import ROW_IDX
+
+            if ROW_IDX in out_sdf.columns:
+                # rank's value-ordered windows scramble physical row order —
+                # restore it (range sort, multi-task)
+                out_sdf = out_sdf.orderBy(ROW_IDX)
+            return out_sdf, tmp
+
+        out._grouped_remap_fn = remap
+        return out
     raise ValueError(method)
 
 
