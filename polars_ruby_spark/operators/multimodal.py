@@ -103,6 +103,119 @@ def require_real_decoder(payload: bytes) -> dict:
         "environment; pass real_decoder= when they are")
 
 
+# -- real image header decode (round-3) ---------------------------------------
+#
+# Full pixel decode needs PIL/ffmpeg (absent here, still stubbed), but the
+# container HEADERS are plain struct reads: PNG IHDR, JPEG SOFn, GIF logical
+# screen, BMP info header.  This makes decode_features/decode_image_meta
+# REAL for the metadata axis (dimensions/channels/bit depth) with no deps.
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Parse PNG/JPEG/GIF/BMP headers from raw bytes.
+
+    Returns ``{mime, width, height, channels, bit_depth}`` or None when the
+    container is not recognized.  Pure-Python struct reads — runs inside the
+    existing Arrow-batched ``mapInPandas`` stage.
+    """
+    import struct
+
+    b = bytes(payload or b"")
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        bit_depth, color_type = b[24], b[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        return {"mime": "image/png", "width": w, "height": h,
+                "channels": channels, "bit_depth": bit_depth}
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # walk JPEG segments to the first SOFn frame header
+        i = 2
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(b):
+                break
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if marker in sof and i + 9 <= len(b):
+                precision = b[i + 4]
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                channels = b[i + 9] if i + 10 <= len(b) else None
+                return {"mime": "image/jpeg", "width": w, "height": h,
+                        "channels": channels, "bit_depth": precision}
+            i += 2 + seg_len
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"mime": "image/gif", "width": w, "height": h,
+                "channels": 3, "bit_depth": 8}
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return {"mime": "image/bmp", "width": w, "height": abs(h),
+                "channels": 3, "bit_depth": 8}
+    return None
+
+
+def image_header_decoder(payload: bytes) -> dict:
+    """``real_decoder``-compatible header decode: feat = [width, height,
+    channels, bit_depth].  Raises (the documented capability boundary) only
+    for genuinely unrecognized containers."""
+    hdr = parse_image_header(payload)
+    if hdr is None:
+        raise NotImplementedError(
+            "unrecognized image container (PNG/JPEG/GIF/BMP headers are "
+            "decoded natively; other codecs need PIL/ffmpeg)")
+    return {"n_bytes": len(payload or b""),
+            "feat": [float(hdr["width"]), float(hdr["height"]),
+                     float(hdr["channels"] or 0), float(hdr["bit_depth"])]}
+
+
+def decode_image_meta(sdf: DataFrame, media_col: str = "media",
+                      target_partition_mb: int | None = 64) -> DataFrame:
+    """Fill the media struct's ``meta`` (mime/width/height) by parsing the
+    REAL container headers — Arrow-batched ``mapInPandas``, size-aware
+    partitioning, same plumbing as decode_features.  Unrecognized payloads
+    keep their packed mime and null dimensions (no per-row raise: corpus
+    scans must not die on one bad file)."""
+    import pandas as pd
+
+    cols = sdf.columns
+    schema = T.StructType([sdf.schema[c] for c in cols])
+
+    def run(batches):
+        for pdf in batches:
+            metas = []
+            for m in pdf[media_col]:
+                hdr = parse_image_header(m["data"])
+                meta = dict(m["meta"]) if m["meta"] is not None else {
+                    "mime": None, "n_bytes": None,
+                    "width": None, "height": None}
+                nb = len(m["data"] or b"")
+                meta["n_bytes"] = nb
+                if hdr is not None:
+                    meta.update(mime=hdr["mime"], width=hdr["width"],
+                                height=hdr["height"])
+                metas.append({"uri": m["uri"], "data": m["data"],
+                              "meta": meta})
+            pdf = pdf.copy()
+            pdf[media_col] = metas
+            yield pdf
+
+    narrow = sdf
+    if target_partition_mb is not None:
+        total = narrow.select(
+            F.sum(F.octet_length(F.col(f"{media_col}.data")))).first()[0] or 0
+        n_parts = max(1, int(total // (target_partition_mb * 1024 * 1024)) + 1)
+        if n_parts > narrow.rdd.getNumPartitions():
+            narrow = narrow.repartition(n_parts)
+    return narrow.mapInPandas(run, schema)
+
+
 def frame_sample(sdf: DataFrame, media_col: str = "media", every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing (STUB): emits (frame_no) rows per media
     item via posexplode over a planned frame grid; the actual frame decode is

@@ -640,3 +640,76 @@ def test_gopher_rules(spark):
     assert rows[2]["gopher_pass"] is False          # no alphabetic words
     assert rows[0]["n_words"] == 60
     assert rows[0]["mean_word_len"] == 4.0
+
+
+def _make_png(width, height, color=(200, 10, 10)):
+    """A REAL, fully-valid RGB PNG built from the spec (zlib + CRCs)."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(color) * width for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _make_jpeg(width, height):
+    """Structurally valid JPEG prefix: SOI + APP0 (JFIF) + SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" \
+        + struct.pack(">HH", height, width) + b"\x03" \
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_real_image_header_decode(spark):
+    """Round-3: the multimodal decode step parses REAL container bytes
+    (PNG IHDR / JPEG SOF0 / GIF / BMP) — dimensions, channels, bit depth —
+    through the same mapInPandas plumbing; only pixel decode stays stubbed."""
+    import struct
+
+    png = _make_png(37, 21)
+    jpg = _make_jpeg(640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 12, 7) + b"\x00" * 20
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 99, -44) + b"\x00" * 20
+
+    hdr = multimodal.parse_image_header(png)
+    assert hdr == {"mime": "image/png", "width": 37, "height": 21,
+                   "channels": 3, "bit_depth": 8}
+    assert multimodal.parse_image_header(jpg) == {
+        "mime": "image/jpeg", "width": 640, "height": 480,
+        "channels": 3, "bit_depth": 8}
+    assert multimodal.parse_image_header(gif)["width"] == 12
+    assert multimodal.parse_image_header(bmp) == {
+        "mime": "image/bmp", "width": 99, "height": 44,
+        "channels": 3, "bit_depth": 8}
+    assert multimodal.parse_image_header(b"not an image") is None
+
+    # end-to-end through the Spark plumbing
+    sdf = spark.createDataFrame(
+        [(1, png), (2, jpg), (3, gif), (4, b"garbage")], ["doc_id", "data"])
+    packed = multimodal.pack_media(sdf, "data")
+    decoded = multimodal.decode_image_meta(packed)
+    rows = {r["doc_id"]: r["media"]["meta"].asDict()
+            for r in decoded.collect()}
+    assert rows[1]["mime"] == "image/png" and (rows[1]["width"],
+                                               rows[1]["height"]) == (37, 21)
+    assert rows[2]["mime"] == "image/jpeg" and rows[2]["width"] == 640
+    assert rows[3]["mime"] == "image/gif"
+    assert rows[4]["width"] is None          # bad file: survives, null dims
+    assert rows[4]["n_bytes"] == len(b"garbage")
+
+    # header decoder as a real_decoder for decode_features
+    feats = multimodal.decode_features(
+        packed.filter("doc_id <= 2"),
+        real_decoder=multimodal.image_header_decoder)
+    got = {r["doc_id"]: r["feat"] for r in feats.collect()}
+    assert got[1] == [37.0, 21.0, 3.0, 8.0]
+    assert got[2] == [640.0, 480.0, 3.0, 8.0]
