@@ -1859,8 +1859,8 @@ def q134_calendar_rolling(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
     out = (
         ev.rolling(index_column="ts", period="1mo", group_by="event_type")
-        .agg(pl.col("value").sum().round(4).alias("sv"),
-             pl.len().alias("n"))
+        .agg(pl.col("value").sum().alias("sv"), pl.len().alias("n"))
+        .with_columns(pl.col("sv").round(4))
     )
     return _out(out)
 

@@ -302,16 +302,20 @@ class Expr:
                         label, (self,))
 
     def _agg_ctx(self, aggf: Callable[[Column, DataFrame], Column],
-                 label: str = "agg", name: str | None = None) -> "Expr":
+                 label: str = "agg", name: str | None = None,
+                 post: Callable[[Column], Column] | None = None) -> "Expr":
         """Like :meth:`_agg` but the aggregate function also receives the
         bound DataFrame, for dtype-dependent aggregates (bool sum → count of
         trues, int product stays int).  The dtype probe is analysis-only
         (no job) and takes the schema fast path for bare columns.
         ``label`` is the meta-breadcrumb op name (meta.eq distinguishes
-        aggregates by it)."""
+        aggregates by it).  ``post`` applies AFTER the window wrapping (a
+        non-window scalar transform like coalesce cannot sit between the
+        aggregate and ``.over``)."""
         if self._multi_fn is not None:
             mf = self._multi_fn
-            return Expr(multi_fn=lambda df: [e._agg_ctx(aggf, label) for e in mf(df)])
+            return Expr(multi_fn=lambda df: [e._agg_ctx(aggf, label, post=post)
+                                             for e in mf(df)])
 
         def fn(df, part):
             if _EVAL_ARRAY_STACK:
@@ -337,6 +341,8 @@ class Expr:
             c = aggf(self._fn(df, None), df)
             if part is not None:
                 c = c.over(_part_window(part))
+            if post is not None:
+                c = post(c)
             return c
 
         return Expr(fn, name=name if name is not None else self._name,
@@ -1081,15 +1087,26 @@ class Expr:
     # -- aggregates (expr.rb lines in SURVEY §2.4) -------------------------------
     def sum(self):
         # polars: sum over booleans counts trues (u32); Spark's sum rejects
-        # BOOLEAN outright — probe and cast.
+        # BOOLEAN outright — probe and cast.  An EMPTY / all-null group of a
+        # NUMERIC column sums to 0, not null (series_test.rb:395
+        # `Series.new([]).sum == 0`; found by tools/fuzz_diff seed 922) —
+        # coalesce applied post-window; duration/interval sums keep null
+        # (0 is not an interval).
         def aggf(c, df):
             from pyspark.sql import types as T
 
-            if isinstance(self._probe_dtype(df, c), T.BooleanType):
+            t = self._probe_dtype(df, c)
+            # NullType included: `Series.new([]).sum == 0` is dtype Null
+            self._sum_numeric = isinstance(
+                t, (T.NumericType, T.BooleanType, T.NullType))
+            if isinstance(t, T.BooleanType):
                 return F.sum(c.cast("long"))
             return F.sum(c)
 
-        return self._agg_ctx(aggf, "sum")
+        def post(c):
+            return F.coalesce(c, F.lit(0)) if self._sum_numeric else c
+
+        return self._agg_ctx(aggf, "sum", post=post)
 
     def mean(self):
         # polars: mean over booleans = fraction of trues (f64)
@@ -1113,16 +1130,22 @@ class Expr:
 
     def product(self):
         # polars: product of an integer column stays integer; F.product
-        # always returns double — probe and cast back.
+        # always returns double — probe and cast back (post-window: a cast
+        # cannot sit between the aggregate and .over).  Empty/all-null
+        # product is 1, matching polars' multiplicative identity.
         def aggf(c, df):
             from pyspark.sql import types as T
 
-            if isinstance(self._probe_dtype(df, c),
-                          (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-                return F.product(c).cast("long")
+            self._prod_int = isinstance(
+                self._probe_dtype(df, c),
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
             return F.product(c)
 
-        return self._agg_ctx(aggf, "product")
+        def post(c):
+            out = F.coalesce(c, F.lit(1.0))
+            return out.cast("long") if self._prod_int else out
+
+        return self._agg_ctx(aggf, "product", post=post)
 
     def std(self, ddof: int = 1):
         return self._agg(F.stddev_samp if ddof == 1 else F.stddev_pop)
@@ -2726,6 +2749,17 @@ class Expr:
 
         Compiled to a vectorized pandas UDF (Arrow batches — SURVEY §2.9), the
         10-100× faster path vs row-at-a-time UDFs.
+
+        Without ``return_dtype`` the type is inferred by running ``function``
+        driver-side over the column's FIRST 16 values — those elements are
+        therefore invoked twice (pass return_dtype for side-effectful
+        functions), and an unrepresentative sample infers a too-narrow type
+        (ADVICE r2).  Mitigations: inferred integer types WIDEN to Int64 and
+        floats to Float64, so an int-sampled/float-later column only loses
+        exactness, never rows; a mixed int/float sample infers Float64 via
+        Arrow's own promotion.  Genuinely incompatible later values (str
+        after int) still null out — polars raises there; pass return_dtype
+        for full parity.
         """
         from ._udf_helpers import make_scalar_pandas_udf
 
@@ -2745,9 +2779,15 @@ class Expr:
                 results = [function(v) for v in sample
                            if v is not None or not skip_nulls]
                 import pyarrow as pa
+                from pyspark.sql import types as T
                 from pyspark.sql.pandas.types import from_arrow_type
 
                 t = from_arrow_type(pa.array(results).type)
+                # widen sampled numerics: later rows may overflow/decimalize
+                if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType)):
+                    t = T.LongType()
+                elif isinstance(t, T.FloatType):
+                    t = T.DoubleType()
             except Exception:
                 pass
             if t is None or str(t) == "NullType()":

@@ -79,7 +79,8 @@ def count(name=None):
 
 
 def len():
-    return Expr(lambda df, part: F.count(F.lit(1)), name="len", is_agg=True)
+    return Expr(lambda df, part: F.count(F.lit(1)), name="len",
+                is_agg=True)._set_meta("len", ())
 
 
 # horizontal (row-wise) aggregations (functions/aggregation/horizontal.rb:34-235)

@@ -165,7 +165,7 @@ class LazyGroupBy:
 
 def _len_expr(name: str = "count"):
     e = Expr(lambda df, part: F.count(F.lit(1)), name=name, is_agg=True)
-    return e
+    return e._set_meta("len", ())
 
 
 class GroupBy(LazyGroupBy):
@@ -738,20 +738,148 @@ class RollingGroupBy(_TemporalGroupByMixin):
         keep = [F.col(b) for b in self._by] + [F.col(self._index)]
         return self._wrap_out(LazyFrame(out.select(*keep, *cols)))
 
+    @staticmethod
+    def _prefix_plan(all_exprs):
+        """Classify rolling aggregates as prefix-sum-expressible.
+
+        Returns ``[(kind, value_expr|None), ...]`` when EVERY aggregate is
+        sum/mean/count/len over a row-level expression, else None (the
+        general band-join path handles min/max/median &c)."""
+        plan = []
+        for e in all_exprs:
+            # unwrap alias nodes — naming doesn't change the aggregate
+            while e._meta and e._meta[0] == "alias" and e._meta[1]:
+                e = e._meta[1][0]
+            label = e._meta[0] if e._meta else None
+            if label == "len":
+                plan.append(("len", None))
+            elif label in ("sum", "mean", "count") and e._meta[1]:
+                child = e._meta[1][0]
+                if getattr(child, "_is_agg", False) or \
+                        getattr(child, "_needs_order", False):
+                    return None
+                plan.append((label, child))
+            else:
+                return None
+        return plan
+
+    def _agg_calendar_prefix(self, dur, all_exprs, plan):
+        """Calendar rolling sum/mean/count/len in O(n log n), NO expansion.
+
+        The band join (general path) enumerates every (anchor, contributor)
+        pair — quadratic per month bucket on dense series (killed at sf0.1).
+        Algebraic aggregates instead difference PREFIX sums at the exact
+        window bounds: per-(by, ts) partial sums -> one running-sum window
+        over the keys -> each anchor looks up the cumulative value at its
+        upper bound (its own ts) and at ``ts - period`` via a union-merge
+        as-of lookup (the asof_join trick: probes interleave with data rows
+        in ONE ordered window, last_value ignorenulls carries the cum
+        forward).  Two lookups per row, each one exchange on the keys."""
+        from pyspark.sql import Window
+
+        from .frame import LazyFrame
+
+        pm, pus = dur.months, int(dur.microseconds)
+        lf = self._lf._ensure_row_index()
+        sdf = lf._sdf
+        t = F.col(self._index).cast("timestamp")
+        t_us = F.unix_micros(t)
+        kn = list(self._by)
+        vals = {}
+        for i, (kind, child) in enumerate(plan):
+            if kind == "len":
+                vals[f"__rv{i}__"] = F.lit(1)
+            else:
+                vals[f"__rv{i}__"] = child._fn(sdf, None)
+        base = sdf.select(F.col(ROW_IDX), *kn, F.col(self._index),
+                          t_us.alias("__rts__"),
+                          *[c.alias(n) for n, c in vals.items()])
+        # per-(by, ts) partials -> running cums over keys
+        paggs = []
+        for i, (kind, _child) in enumerate(plan):
+            v = F.col(f"__rv{i}__")
+            if kind in ("sum", "mean"):
+                paggs.append(F.sum(v).alias(f"__s{i}__"))
+            if kind in ("mean", "count", "len"):
+                paggs.append(F.count(v).alias(f"__n{i}__"))
+        ptab = base.groupBy(*kn, "__rts__").agg(*paggs)
+        wcum = (Window.partitionBy(*kn).orderBy(F.col("__rts__").asc())
+                .rowsBetween(Window.unboundedPreceding, 0))
+        cum_cols = [c for c in ptab.columns
+                    if c.startswith("__s") or c.startswith("__n")]
+        ptab = ptab.withColumns(
+            {c: F.sum(F.col(c)).over(wcum) for c in cum_cols})
+
+        # window (lo, hi] bounds in µs, per closed mode; lookups are
+        # "cum at largest data-ts <= bound"
+        lo_ts = t - F.make_interval(F.lit(0), F.lit(pm))
+        lo_us = F.unix_micros(lo_ts) - F.lit(pus)
+        hi = t_us if self._closed in ("right", "both") else t_us - F.lit(1)
+        lo = lo_us if self._closed in ("right", "none") else lo_us - F.lit(1)
+        anchors = sdf.select(F.col(ROW_IDX), *kn, F.col(self._index),
+                             hi.alias("__hi__"), lo.alias("__lo__"))
+
+        def lookup(bound_name, suffix):
+            probes = anchors.select(
+                *kn, F.col(bound_name).alias("__rts__"),
+                F.col(ROW_IDX).alias("__pid__"))
+            merged = ptab.withColumn("__tag__", F.lit(0)).unionByName(
+                probes.withColumn("__tag__", F.lit(1)),
+                allowMissingColumns=True)
+            wm = (Window.partitionBy(*kn)
+                  .orderBy(F.col("__rts__").asc(), F.col("__tag__").asc())
+                  .rowsBetween(Window.unboundedPreceding, 0))
+            carried = merged.withColumns(
+                {c: F.last(F.col(c), ignorenulls=True).over(wm)
+                 for c in cum_cols})
+            return carried.filter(F.col("__pid__").isNotNull()).select(
+                F.col("__pid__").alias(f"__pid{suffix}__"),
+                *[F.col(c).alias(f"{c}{suffix}") for c in cum_cols])
+
+        hi_tab = lookup("__hi__", "h")
+        lo_tab = lookup("__lo__", "l")
+        joined = (anchors
+                  .join(hi_tab, anchors[ROW_IDX] == hi_tab["__pidh__"], "left")
+                  .join(lo_tab, anchors[ROW_IDX] == lo_tab["__pidl__"], "left"))
+        out_cols = []
+        for i, ((kind, _child), e) in enumerate(zip(plan, all_exprs)):
+            def diff(prefix):
+                return (F.coalesce(F.col(f"__{prefix}{i}__h"), F.lit(0))
+                        - F.coalesce(F.col(f"__{prefix}{i}__l"), F.lit(0)))
+            if kind == "sum":
+                c = diff("s")
+            elif kind in ("count", "len"):
+                c = diff("n").cast("long")
+            else:  # mean: null over an empty window, like polars
+                n = diff("n")
+                c = F.when(n > 0, diff("s") / n)
+            out_cols.append(c.alias(e._name) if e._name else c)
+        out = joined.orderBy(ROW_IDX).select(
+            *kn, F.col(self._index), *out_cols)
+        return self._wrap_out(LazyFrame(out))
+
     def _agg_calendar(self, dur, exprs, named):
         """Calendar-unit rolling windows (round-3; ``lazy_frame.rb:1161``
         accepts 1mo/1q/1y periods).
 
-        Variable month lengths rule out a fixed ``rangeBetween`` frame, so
-        each row's look-back ``(t - period, t]`` becomes a month-bucket BAND
-        JOIN: contributor rows replicate to the ≤ months(period)+2 bucket
-        months whose anchors they can serve, the join is an EQUI-join on
-        (by, bucket-month) plus the exact interval predicate, then one hash
-        agg per anchor row.  All stages multi-task; replication factor is
-        the window's month span, never data-sized.  Anchors LEFT-join so
-        empty windows still emit their row (count 0 / sum null).
+        Algebraic aggregates (sum/mean/count/len) take the O(n) prefix-sum
+        difference path (``_agg_calendar_prefix``).  General aggregates
+        (min/max/median/...) fall back to the month-bucket BAND JOIN:
+        contributor rows replicate to the ≤ months(period)+2 bucket months
+        whose anchors they can serve, the join is an EQUI-join on (by,
+        bucket-month) plus the exact interval predicate, then one hash agg
+        per anchor row.  The band join's pair count is anchors × window
+        rows — fine for sparse-per-month series, quadratic for dense ones
+        (the documented hazard; prefer algebraic aggs at scale).
+        Anchors LEFT-join so empty windows still emit their row.
         """
         from .frame import LazyFrame
+
+        all_pre = [wrap_expr(e) for e in exprs] + [
+            wrap_expr(e).alias(k) for k, e in named.items()]
+        plan = self._prefix_plan(all_pre)
+        if plan is not None:
+            return self._agg_calendar_prefix(dur, all_pre, plan)
 
         pm, pus = dur.months, int(dur.microseconds)
         _28D_US = 28 * 86400 * 1_000_000

@@ -136,8 +136,9 @@ def test_group_by_agg_matches_sql(spark, rows):
                pl.col("v").count().alias("nn"),
            ).collect().to_a()}
     pdf2 = pd.DataFrame({"g": g, "v": pd.array(v, dtype="Int64")})
+    # polars sums an all-null group to 0, not null (series_test.rb:395)
     exp = {r[0]: (r[1], r[2], r[3]) for r in _duck(pdf2, """
-        SELECT g, sum(v) AS s, count(*) AS n, count(v) AS nn
+        SELECT g, coalesce(sum(v), 0) AS s, count(*) AS n, count(v) AS nn
         FROM t GROUP BY g""")}
     assert got == exp
 

@@ -1,0 +1,376 @@
+"""Differential fuzzer: random frames + random expression trees, engine vs
+DuckDB (round-3, VERDICT item 8).
+
+Each seed builds a random small frame (ints/floats/strings/bools, ~25% nulls)
+registered in BOTH engines, then runs three query shapes:
+
+1. projection — a batch of randomly composed scalar expressions (recursive
+   arithmetic trees, conditionals, string ops, null ops) over ``idx`` order;
+2. grouped aggregation — random aggregates per group key;
+3. window — order-dependent ops (cum_sum/shift/diff/rank) over ``idx``
+   within groups.
+
+Every template is a PAIRED generator: the engine expression and the
+equivalent DuckDB SQL are produced together, so any value divergence is a
+real parity bug (or an oracle-translation bug — both worth knowing).
+Floats are rounded to 6dp on both sides before the sorted-row hash to
+absorb accumulation-order noise.
+
+Usage: python tools/fuzz_diff.py [N_SEEDS] [START_SEED]
+Exit code = number of diverging seeds; each divergence prints the seed and
+the first differing rows for replay.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_correctness import norm_val  # noqa: E402
+
+
+def _round6(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # DuckDB literal arithmetic yields DECIMAL; engine is double —
+        # normalize BEFORE the sorted-line pairing ('1.00' vs '1' would
+        # misalign every subsequent row)
+        return round(float(v), 6)
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return [_round6(x) for x in v]
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(norm_val(_round6(r[i])) for i in order)
+                  for r in rows)
+
+
+# -- random frame -------------------------------------------------------------
+
+def make_frame(rng: random.Random):
+    n = rng.randint(20, 50)
+    words = ["alpha", "Bravo", "charlie x", "", "Delta-9", "écho", "FOX"]
+
+    def maybe(gen, p=0.25):
+        return [None if rng.random() < p else gen() for _ in range(n)]
+
+    data = {
+        "idx": list(range(n)),
+        "g": [rng.randint(0, 3) for _ in range(n)],
+        "a": maybe(lambda: rng.randint(-50, 50)),
+        "b": maybe(lambda: rng.randint(1, 20)),
+        "x": maybe(lambda: round(rng.uniform(-100, 100), 3)),
+        "y": maybe(lambda: round(rng.uniform(0.5, 25.0), 3)),
+        "s": maybe(lambda: rng.choice(words)),
+        "p": maybe(lambda: rng.random() < 0.5),
+    }
+    return data
+
+
+# -- paired expression generators ---------------------------------------------
+#
+# Each generator returns (pl_expr, sql_string).  ``pl`` is the engine module.
+
+def num_tree(pl, rng, depth=0):
+    """Random numeric expression tree with matched SQL."""
+    if depth >= 2 or rng.random() < 0.35:
+        leaf = rng.choice(["a", "b", "x", "y", "lit_i", "lit_f"])
+        if leaf == "lit_i":
+            v = rng.randint(-9, 9)
+            return pl.lit(v), str(v)
+        if leaf == "lit_f":
+            v = round(rng.uniform(-5, 5), 2)
+            return pl.lit(v), repr(v)
+        cast = "CAST({} AS DOUBLE)" if leaf in ("x", "y") else "{}"
+        return pl.col(leaf), cast.format(leaf)
+    op = rng.choice(["+", "-", "*", "/", "abs", "neg", "clip", "fill"])
+    l_e, l_s = num_tree(pl, rng, depth + 1)
+    if op == "abs":
+        return l_e.abs(), f"abs({l_s})"
+    if op == "neg":
+        return -l_e, f"(-({l_s}))"
+    if op == "clip":
+        lo, hi = sorted([rng.randint(-20, 0), rng.randint(1, 20)])
+        # NB: DuckDB least/greatest SKIP nulls; polars clip(null) is null
+        return (l_e.clip(lo, hi),
+                f"(CASE WHEN {l_s} IS NULL THEN NULL "
+                f"ELSE least(greatest({l_s}, {lo}), {hi}) END)")
+    if op == "fill":
+        v = rng.randint(-5, 5)
+        return l_e.fill_null(v), f"coalesce({l_s}, {v})"
+    r_e, r_s = num_tree(pl, rng, depth + 1)
+    if op == "+":
+        return l_e + r_e, f"({l_s} + {r_s})"
+    if op == "-":
+        return l_e - r_e, f"({l_s} - {r_s})"
+    if op == "*":
+        return l_e * r_e, f"({l_s} * {r_s})"
+    # protected float division (both engines: x/0.0 handled below by +1 guard)
+    return (l_e / (r_e.abs() + 1),
+            f"(CAST({l_s} AS DOUBLE) / (abs({r_s}) + 1))")
+
+
+def bool_tree(pl, rng, depth=0):
+    if depth >= 1 or rng.random() < 0.4:
+        kind = rng.choice(["cmp", "null", "in", "between", "str", "p"])
+        if kind == "cmp":
+            l_e, l_s = num_tree(pl, rng, 2)
+            r_e, r_s = num_tree(pl, rng, 2)
+            op = rng.choice(["<", "<=", ">", ">=", "==", "!="])
+            sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+            e = {"<": l_e < r_e, "<=": l_e <= r_e, ">": l_e > r_e,
+                 ">=": l_e >= r_e, "==": l_e == r_e, "!=": l_e != r_e}[op]
+            return e, f"({l_s} {sql_op} {r_s})"
+        if kind == "null":
+            c = rng.choice(["a", "x", "s"])
+            return pl.col(c).is_null(), f"({c} IS NULL)"
+        if kind == "in":
+            vals = sorted({rng.randint(-10, 10) for _ in range(4)})
+            return (pl.col("a").is_in(vals),
+                    f"(a IN ({', '.join(map(str, vals))}))")
+        if kind == "between":
+            lo, hi = sorted([rng.randint(-30, 10), rng.randint(0, 40)])
+            return (pl.col("a").is_between(lo, hi),
+                    f"(a BETWEEN {lo} AND {hi})")
+        if kind == "str":
+            pat = rng.choice(["a", "o", "x", "E"])
+            return (pl.col("s").str.contains(pat, literal=True),
+                    f"(contains(s, '{pat}'))")
+        return pl.col("p"), "p"
+    l_e, l_s = bool_tree(pl, rng, depth + 1)
+    r_e, r_s = bool_tree(pl, rng, depth + 1)
+    if rng.random() < 0.5:
+        return l_e & r_e, f"({l_s} AND {r_s})"
+    return l_e | r_e, f"({l_s} OR {r_s})"
+
+
+def scalar_exprs(pl, rng):
+    """Projection batch: [(name, pl_expr, sql)]."""
+    out = []
+    for i in range(6):
+        nm = f"c{i}"
+        k = rng.random()
+        if k < 0.45:
+            e, s = num_tree(pl, rng)
+            out.append((nm, e.round(6), f"round({s}, 6)"))
+        elif k < 0.6:
+            c_e, c_s = bool_tree(pl, rng)
+            t_e, t_s = num_tree(pl, rng, 1)
+            f_e, f_s = num_tree(pl, rng, 1)
+            out.append((nm,
+                        pl.when(c_e).then(t_e).otherwise(f_e)
+                        .cast(pl.Float64).round(6),
+                        f"round(CAST(CASE WHEN {c_s} THEN {t_s} ELSE {f_s} "
+                        f"END AS DOUBLE), 6)"))
+        elif k < 0.72:
+            e, s = bool_tree(pl, rng)
+            out.append((nm, e, s))
+        elif k < 0.88:
+            which = rng.choice(["upper", "lower", "len", "slice", "rev",
+                                "strip", "replace"])
+            if which == "upper":
+                out.append((nm, pl.col("s").str.to_uppercase(), "upper(s)"))
+            elif which == "lower":
+                out.append((nm, pl.col("s").str.to_lowercase(), "lower(s)"))
+            elif which == "len":
+                out.append((nm, pl.col("s").str.len_chars().cast(pl.Int64),
+                            "CAST(length(s) AS BIGINT)"))
+            elif which == "slice":
+                off = rng.randint(0, 3)
+                ln = rng.randint(1, 4)
+                out.append((nm, pl.col("s").str.slice(off, ln),
+                            f"substr(s, {off + 1}, {ln})"))
+            elif which == "rev":
+                out.append((nm, pl.col("s").str.reverse(), "reverse(s)"))
+            elif which == "strip":
+                out.append((nm, pl.col("s").str.strip_chars(), "trim(s)"))
+            else:
+                out.append((nm, pl.col("s").str.replace_all("a", "_"),
+                            "replace(s, 'a', '_')"))
+        else:
+            which = rng.choice(["floor", "ceil", "sign", "mod"])
+            if which == "floor":
+                out.append((nm, pl.col("x").floor(), "floor(x)"))
+            elif which == "ceil":
+                out.append((nm, pl.col("x").ceil(), "ceil(x)"))
+            elif which == "sign":
+                out.append((nm, pl.col("a").sign(), "sign(a)"))
+            else:
+                # polars % is FLOORED (python semantics); duckdb's is
+                # truncated — translate with the floored identity
+                m = rng.randint(2, 9)
+                out.append((nm, pl.col("a") % m,
+                            f"(((a % {m}) + {m}) % {m})"))
+    return out
+
+
+def agg_exprs(pl, rng):
+    out = []
+    pool = [
+        lambda: (pl.col("a").sum().cast(pl.Int64),
+                 "CAST(coalesce(sum(a), 0) AS BIGINT)"),
+        lambda: (pl.col("x").sum().round(6), "round(coalesce(sum(x), 0), 6)"),
+        lambda: (pl.col("x").mean().round(6), "round(avg(x), 6)"),
+        lambda: (pl.col("a").min(), "min(a)"),
+        lambda: (pl.col("y").max(), "max(y)"),
+        lambda: (pl.len().cast(pl.Int64), "CAST(count(*) AS BIGINT)"),
+        lambda: (pl.col("a").count().cast(pl.Int64),
+                 "CAST(count(a) AS BIGINT)"),
+        lambda: (pl.col("a").n_unique().cast(pl.Int64),
+                 "CAST(count(DISTINCT a) + CAST(max(CASE WHEN a IS NULL "
+                 "THEN 1 ELSE 0 END) AS BIGINT) AS BIGINT)"),
+        lambda: (pl.col("x").std().round(6), "round(stddev_samp(x), 6)"),
+        lambda: (pl.col("x").var().round(6), "round(var_samp(x), 6)"),
+        lambda: (pl.col("y").median().round(6),
+                 "round(CAST(median(y) AS DOUBLE), 6)"),
+        lambda: (pl.col("p").sum().cast(pl.Int64),
+                 "CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)"),
+    ]
+    for i, mk in enumerate(rng.sample(pool, 5)):
+        e, s = mk()
+        out.append((f"m{i}", e, s))
+    return out
+
+
+def window_exprs(pl, rng):
+    """Order-dependent ops over idx within g."""
+    w = ("OVER (PARTITION BY g ORDER BY idx "
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    pool = [
+        lambda: (pl.col("x").cum_sum().over("g").round(6),
+                 f"round(sum(x) {w}, 6)"),
+        lambda: (pl.col("a").cum_max().over("g"),
+                 f"max(a) {w}"),
+        lambda: (pl.col("a").cum_count().over("g").cast(pl.Int64),
+                 f"CAST(count(a) {w} AS BIGINT)"),
+        lambda: (pl.col("x").shift(1).over("g"),
+                 "lag(x, 1) OVER (PARTITION BY g ORDER BY idx)"),
+        lambda: (pl.col("x").diff().over("g").round(6),
+                 "round(x - lag(x, 1) OVER (PARTITION BY g ORDER BY idx), 6)"),
+        lambda: (pl.col("y").rank("min").over("g").cast(pl.Int64),
+                 "CASE WHEN y IS NOT NULL THEN CAST(rank() OVER "
+                 "(PARTITION BY g ORDER BY y NULLS LAST) AS BIGINT) END"),
+        lambda: (pl.col("x").forward_fill().over("g"),
+                 "last_value(x IGNORE NULLS) OVER (PARTITION BY g ORDER BY "
+                 "idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+        lambda: ((pl.col("x").sum().over("g")).round(6),
+                 "round(coalesce(sum(x) OVER (PARTITION BY g), 0), 6)"),
+    ]
+    out = []
+    for i, mk in enumerate(rng.sample(pool, 4)):
+        e, s = mk()
+        out.append((f"w{i}", e.alias(f"w{i}"), s))
+    return out
+
+
+# -- runner -------------------------------------------------------------------
+
+def run_seed(pl, spark, duck, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    data = make_frame(rng)
+    import pandas as pd
+
+    pdf = pd.DataFrame({k: pd.Series(v, dtype="object")
+                        for k, v in data.items()})
+    duck.register("t", pdf)
+    df = pl.DataFrame({k: list(v) for k, v in data.items()})
+    diffs = []
+
+    def _tolerant_eq(g_line: str, e_line: str) -> bool:
+        """Field-wise recheck absorbing 6dp rounding-boundary flaps
+        (x.xxxxx5 rounds differently after cross-engine accumulation)."""
+        gs, es = g_line.split("|"), e_line.split("|")
+        if len(gs) != len(es):
+            return False
+        for gv, ev in zip(gs, es):
+            if gv == ev:
+                continue
+            try:
+                if abs(float(gv) - float(ev)) <= 2e-6:
+                    continue
+            except ValueError:
+                pass
+            return False
+        return True
+
+    def compare(kind, spark_df, sql):
+        got = canon(spark_df.columns, [tuple(r) for r in spark_df.collect()])
+        cur = duck.execute(sql)
+        exp = canon([d[0] for d in cur.description], cur.fetchall())
+        if got != exp:
+            if len(got) == len(exp) and all(
+                    _tolerant_eq(g, e) for g, e in zip(got, exp)):
+                return
+            bad = next(((g, e) for g, e in zip(got, exp)
+                        if not _tolerant_eq(g, e)), (got[:1], exp[:1]))
+            diffs.append(f"seed={seed} {kind}: engine={bad[0]} oracle={bad[1]}")
+
+    # 1. projection
+    sc = scalar_exprs(pl, rng)
+    proj = df.lazy().select(
+        pl.col("idx"), *[e.alias(nm) for nm, e, _ in sc])
+    sql = "SELECT idx, " + ", ".join(
+        f"{s} AS {nm}" for nm, _, s in sc) + " FROM t"
+    compare("projection", proj.collect().to_spark(), sql)
+
+    # 2. grouped aggregation
+    ag = agg_exprs(pl, rng)
+    gq = df.lazy().group_by("g").agg(*[e.alias(nm) for nm, e, _ in ag])
+    sql = "SELECT g, " + ", ".join(
+        f"{s} AS {nm}" for nm, _, s in ag) + " FROM t GROUP BY g"
+    compare("agg", gq.collect().to_spark(), sql)
+
+    # 3. windows over idx
+    wx = window_exprs(pl, rng)
+    wq = df.lazy().sort("idx").select(
+        pl.col("idx"), *[e for _, e, _ in wx])
+    sql = "SELECT idx, " + ", ".join(
+        f"{s} AS {nm}" for nm, _, s in wx) + " FROM t"
+    compare("window", wq.collect().to_spark(), sql)
+
+    duck.unregister("t")
+    return diffs
+
+
+def main():
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.session import configure
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    spark = configure(
+        SparkSession.builder.master("local[*]")
+        .appName("fuzz-diff")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    duck = duckdb.connect()
+    failures = []
+    for seed in range(start, start + n):
+        try:
+            diffs = run_seed(pl, spark, duck, seed)
+        except Exception as exc:  # noqa: BLE001 — a crash is a finding too
+            diffs = [f"seed={seed} CRASH: {type(exc).__name__}: {exc}"]
+        failures.extend(diffs)
+        for d in diffs:
+            print("DIFF", d[:400])
+        if (seed - start + 1) % 20 == 0:
+            print(f"... {seed - start + 1}/{n} seeds, "
+                  f"{len(failures)} divergences", flush=True)
+    print(f"{n} seeds: {len(failures)} divergences")
+    sys.exit(min(len(failures), 120))
+
+
+if __name__ == "__main__":
+    main()
