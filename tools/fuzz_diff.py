@@ -55,8 +55,11 @@ def canon(cols, rows):
 # -- random frame -------------------------------------------------------------
 
 def make_frame(rng: random.Random):
+    import datetime as dt
+
     n = rng.randint(20, 50)
     words = ["alpha", "Bravo", "charlie x", "", "Delta-9", "écho", "FOX"]
+    epoch = dt.datetime(2024, 3, 1)
 
     def maybe(gen, p=0.25):
         return [None if rng.random() < p else gen() for _ in range(n)]
@@ -70,6 +73,8 @@ def make_frame(rng: random.Random):
         "y": maybe(lambda: round(rng.uniform(0.5, 25.0), 3)),
         "s": maybe(lambda: rng.choice(words)),
         "p": maybe(lambda: rng.random() < 0.5),
+        "ts": maybe(lambda: epoch + dt.timedelta(
+            minutes=rng.randint(0, 200000))),
     }
     return data
 
@@ -334,6 +339,67 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
     sql = "SELECT idx, " + ", ".join(
         f"{s} AS {nm}" for nm, _, s in wx) + " FROM t"
     compare("window", wq.collect().to_spark(), sql)
+
+    # 4. join: split by idx parity, join on the (nullable) key a % 7
+    lhs = df.lazy().filter(pl.col("idx") % 2 == 0).with_columns(
+        (pl.col("a") % 7).alias("k")).select("idx", "k", "x")
+    rhs = df.lazy().filter(pl.col("idx") % 2 == 1).with_columns(
+        (pl.col("a") % 7).alias("k")).select(
+        pl.col("idx").alias("ridx"), pl.col("k"), pl.col("y"))
+    how = rng.choice(["inner", "left", "semi", "anti"])
+    jq = lhs.join(rhs, on="k", how=how)
+    base_lr = ("(SELECT idx, ((a % 7) + 7) % 7 AS k, x FROM t "
+               "WHERE idx % 2 = 0)")
+    base_rr = ("(SELECT idx AS ridx, ((a % 7) + 7) % 7 AS k, y FROM t "
+               "WHERE idx % 2 = 1)")
+    if how == "inner":
+        sql = (f"SELECT l.idx, l.k, l.x, r.ridx, r.y FROM {base_lr} l "
+               f"JOIN {base_rr} r USING (k)")
+    elif how == "left":
+        sql = (f"SELECT l.idx, l.k, l.x, r.ridx, r.y FROM {base_lr} l "
+               f"LEFT JOIN {base_rr} r USING (k)")
+    elif how == "semi":
+        sql = (f"SELECT l.idx, l.k, l.x FROM {base_lr} l "
+               f"WHERE EXISTS (SELECT 1 FROM {base_rr} r WHERE r.k = l.k)")
+    else:
+        sql = (f"SELECT l.idx, l.k, l.x FROM {base_lr} l WHERE NOT EXISTS "
+               f"(SELECT 1 FROM {base_rr} r WHERE r.k = l.k)")
+    compare(f"join_{how}", jq.collect().to_spark(), sql)
+
+    # 5. sort + head (polars default: nulls FIRST) — value order observable
+    k = rng.randint(3, 12)
+    sq = df.lazy().sort(["x", "idx"]).head(k).select("idx", "x")
+    sql = (f"SELECT idx, x FROM t ORDER BY x ASC NULLS FIRST, idx "
+           f"LIMIT {k}")
+    compare("sort_head", sq.collect().to_spark(), sql)
+
+    # 6. unique keep=first on g (row order = first occurrence)
+    uq = df.lazy().select("idx", "g", "a").unique(subset=["g"], keep="first")
+    sql = ("SELECT idx, g, a FROM (SELECT idx, g, a, row_number() OVER "
+           "(PARTITION BY g ORDER BY idx) AS rn FROM t) WHERE rn = 1")
+    compare("unique_first", uq.collect().to_spark(), sql)
+
+    # 7. dt + str namespaces
+    dq = df.lazy().select(
+        pl.col("idx"),
+        pl.col("ts").dt.year().alias("yy"),
+        pl.col("ts").dt.month().alias("mm"),
+        pl.col("ts").dt.hour().alias("hh"),
+        pl.col("ts").dt.weekday().alias("wd"),
+        pl.col("ts").dt.truncate("1h").alias("tr"),
+        pl.col("ts").dt.offset_by("3d").alias("off"),
+        pl.col("s").str.starts_with("B").alias("sw"),
+        pl.col("s").str.ends_with("X").alias("ew"),
+        pl.col("s").str.len_bytes().cast(pl.Int64).alias("lb"),
+    )
+    sql = ("SELECT idx, CAST(year(ts) AS INT) AS yy, "
+           "CAST(month(ts) AS INT) AS mm, CAST(hour(ts) AS INT) AS hh, "
+           "CAST(isodow(ts) AS INT) AS wd, "
+           "date_trunc('hour', ts) AS tr, ts + INTERVAL 3 DAY AS off, "
+           "starts_with(s, 'B') AS sw, "
+           "(CASE WHEN s IS NULL THEN NULL ELSE s LIKE '%X' END) AS ew, "
+           "CAST(strlen(s) AS BIGINT) AS lb FROM t")
+    compare("dt_str", dq.collect().to_spark(), sql)
 
     duck.unregister("t")
     return diffs
