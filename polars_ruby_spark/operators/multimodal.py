@@ -2,10 +2,14 @@
 
 Media (image/audio/video) travel as opaque ``binary`` columns with a typed
 metadata struct — the Spark-side schema, partitioning, Arrow batch shape and
-UDF signatures here are real and tested; the actual codec step is STUBBED
-(image/audio libraries are not in this container) behind
-``decode_image``'s ``real_decoder`` hook, with a deterministic fake so
-pipelines are testable end-to-end.
+UDF signatures here are real and tested.  The codec layer is REAL where the
+stdlib suffices: container-header parse for PNG/JPEG/GIF/BMP
+(``parse_image_header``) and FULL pixel decode for PNG (zlib inflate +
+scanline unfilter) and uncompressed BMP (``decode_image_pixels``), plus
+nearest-neighbor resize (``resize_nearest``).  Entropy-coded formats
+(JPEG DCT, GIF LZW, audio/video) stay behind a clearly-marked
+``NotImplementedError`` boundary until PIL/ffmpeg are available; a
+deterministic fake keeps those pipelines testable end-to-end.
 
 Batch sizing note for 100 TB: media rows are large — repartition by size
 (``target_partition_mb``) before ``mapInPandas`` so Arrow batches stay
@@ -173,6 +177,170 @@ def image_header_decoder(payload: bytes) -> dict:
     return {"n_bytes": len(payload or b""),
             "feat": [float(hdr["width"]), float(hdr["height"]),
                      float(hdr["channels"] or 0), float(hdr["bit_depth"])]}
+
+
+# -- real pixel decode (round-3) ----------------------------------------------
+#
+# PNG and uncompressed BMP decode fully with the stdlib: zlib inflate +
+# per-scanline unfilter (PNG filters 0-4) and padded-row BGR reads (BMP).
+# These are REAL codecs — bytes in, pixel array out — running inside the
+# same Arrow-batched ``mapInPandas`` stage.  JPEG (entropy-coded DCT) and
+# GIF (LZW) stay behind the NotImplementedError boundary.
+
+def decode_png_pixels(payload: bytes):
+    """Decode a non-interlaced 8-bit PNG to an ``(h, w, channels)`` uint8
+    numpy array.  Supports color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); raises NotImplementedError for Adam7
+    interlace or 16-bit depth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, palette, trns = 8, [], None, None
+    w = h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(b):
+        (ln,), typ = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            bit_depth, color_type, _, _, interlace = data[8:13]
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG IDAT truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        row = np.frombuffer(raw, dtype=np.uint8,
+                            count=stride, offset=y * (stride + 1) + 1)
+        ftype = raw[y * (stride + 1)]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 2:  # Up — vectorized
+            out[y] = row + prev
+        elif ftype == 1:  # Sub — sequential along x
+            cur = out[y]
+            cur[:bpp] = row[:bpp]
+            for x in range(bpp, stride):
+                cur[x] = (int(row[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+    px = out.reshape(h, w, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def decode_bmp_pixels(payload: bytes):
+    """Decode an uncompressed (BI_RGB) 24/32-bit bottom-up BMP to an
+    ``(h, w, 3|4)`` uint8 RGB(A) numpy array."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", b[10:14])
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp, comp = struct.unpack("<HI", b[28:34])
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP compression={comp} bpp={bpp}")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = []
+    for y in range(abs(h)):
+        row = np.frombuffer(b, dtype=np.uint8, count=w * nch,
+                            offset=off + y * stride).reshape(w, nch)
+        rows.append(row)
+    if h > 0:  # bottom-up storage
+        rows.reverse()
+    px = np.stack(rows)  # BGR(A) -> RGB(A)
+    order = [2, 1, 0] + ([3] if nch == 4 else [])
+    return px[:, :, order]
+
+
+def decode_image_pixels(payload: bytes):
+    """Dispatch on container magic; returns ``(h, w, c)`` uint8 array."""
+    b = bytes(payload or b"")
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(b)
+    if b[:2] == b"BM":
+        return decode_bmp_pixels(b)
+    hdr = parse_image_header(b)
+    kind = hdr["mime"] if hdr else "unrecognized container"
+    raise NotImplementedError(
+        f"pixel decode for {kind} needs an entropy/DCT codec (PIL/ffmpeg); "
+        "PNG and uncompressed BMP decode natively")
+
+
+def image_pixel_decoder(payload: bytes) -> dict:
+    """``real_decoder``-compatible FULL decode: feat = [width, height,
+    channels, mean pixel value] computed from actual decoded pixels."""
+    px = decode_image_pixels(payload)
+    h, w, c = px.shape
+    return {"n_bytes": len(payload or b""),
+            "feat": [float(w), float(h), float(c), float(px.mean())]}
+
+
+def resize_nearest(px, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an ``(h, w, c)`` array — pure numpy
+    index-gather, the standard cheap thumbnail path."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return px[ys][:, xs]
+
+
+def thumbnail_decoder(out_h: int = 8, out_w: int = 8):
+    """Build a ``real_decoder`` that fully decodes, resizes (nearest) and
+    emits the grayscale thumbnail as the feature vector — the classic
+    perceptual-hash front end, all real computation."""
+    def dec(payload: bytes) -> dict:
+        px = decode_image_pixels(payload)
+        th = resize_nearest(px.astype("float64"), out_h, out_w)
+        gray = th.mean(axis=2) if th.ndim == 3 else th
+        return {"n_bytes": len(payload or b""),
+                "feat": [float(v) for v in gray.ravel()]}
+    return dec
 
 
 def decode_image_meta(sdf: DataFrame, media_col: str = "media",

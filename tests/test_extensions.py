@@ -713,3 +713,147 @@ def test_real_image_header_decode(spark):
     got = {r["doc_id"]: r["feat"] for r in feats.collect()}
     assert got[1] == [37.0, 21.0, 3.0, 8.0]
     assert got[2] == [640.0, 480.0, 3.0, 8.0]
+
+
+# -- round-3: REAL pixel decode (PNG zlib+unfilter, BMP) ----------------------
+
+def _png_encode(px, color_type, filters, palette=None):
+    """Reference PNG encoder for tests: applies the requested per-row filter
+    types then deflates — exercises the decoder's unfilter paths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    flat = px.reshape(h, w * channels).astype(np.uint8)
+    bpp = channels
+    out = bytearray()
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    for y in range(h):
+        row = flat[y]
+        ft = filters[y % len(filters)]
+        out.append(ft)
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            enc = row - left
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            enc = row - ((left.astype(int) + prev.astype(int)) // 2).astype(
+                np.uint8)
+        elif ft == 4:
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            a, b, c = left.astype(int), prev.astype(int), ul.astype(int)
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, b, c)).astype(np.uint8)
+            enc = row - pred
+        out.extend(bytes(enc))
+        prev = row
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        parts.append(chunk(b"PLTE", palette.astype(np.uint8).tobytes()))
+    parts += [chunk(b"IDAT", zlib.compress(bytes(out))),
+              chunk(b"IEND", b"")]
+    return b"".join(parts)
+
+
+def test_png_pixel_decode_all_filters():
+    """decode_png_pixels reconstructs exact pixels through every PNG filter
+    type (None/Sub/Up/Average/Paeth) and color types 0/2/3/4/6."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for color_type, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        px = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            blob = _png_encode(px, color_type, filters)
+            got = multimodal.decode_png_pixels(blob)
+            assert got.shape == (13, 9, ch)
+            assert np.array_equal(got, px), (color_type, filters)
+
+    # palette (color type 3): indices resolve through PLTE to RGB
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 5, 1), dtype=np.uint8)
+    blob = _png_encode(idx, 3, [0, 2], palette=pal)
+    got = multimodal.decode_png_pixels(blob)
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+
+def test_bmp_pixel_decode():
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # 24-bit bottom-up with row padding (w=3 -> stride 12, 3 pad bytes)
+    px = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    stride = (3 * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(3, -1, -1):          # bottom-up
+        row = px[y][:, [2, 1, 0]].tobytes()   # RGB -> BGR on disk
+        body += row + b"\x00" * (stride - len(row))
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 3, 4, 1, 24, 0, len(body),
+                         0, 0, 0, 0))
+    got = multimodal.decode_bmp_pixels(hdr + bytes(body))
+    assert np.array_equal(got, px)
+
+    # 32-bit BGRA
+    px4 = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
+    body4 = b"".join(px4[y][:, [2, 1, 0, 3]].tobytes() for y in (1, 0))
+    hdr4 = (b"BM" + struct.pack("<IHHI", 54 + len(body4), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, len(body4),
+                          0, 0, 0, 0))
+    assert np.array_equal(multimodal.decode_bmp_pixels(hdr4 + body4), px4)
+
+
+def test_pixel_decode_spark_pipeline(spark):
+    """Full real-decode path through Spark: pack -> decode -> resize -> feat
+    via the Arrow-batched mapInPandas stage; JPEG stays a loud boundary."""
+    import numpy as np
+    import pytest as pt
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    png = _png_encode(px, 2, [0, 1, 2, 3, 4])
+    solid = np.full((8, 4, 3), 200, dtype=np.uint8)
+    png2 = _png_encode(solid, 2, [2])
+
+    sdf = spark.createDataFrame([(1, png), (2, png2)], ["doc_id", "data"])
+    packed = multimodal.pack_media(sdf, "data", mime="image/png")
+    feats = multimodal.decode_features(
+        packed, real_decoder=multimodal.image_pixel_decoder)
+    got = {r["doc_id"]: r["feat"] for r in feats.collect()}
+    assert got[1][:3] == [16.0, 16.0, 3.0]
+    assert got[1][3] == float(px.mean())
+    assert got[2] == [4.0, 8.0, 3.0, 200.0]
+
+    # decode + resize thumbnail features (8x8 grayscale = 64 dims)
+    th = multimodal.decode_features(
+        packed, real_decoder=multimodal.thumbnail_decoder(8, 8))
+    trow = {r["doc_id"]: r["feat"] for r in th.collect()}
+    assert len(trow[1]) == 64
+    assert trow[2] == [200.0] * 64      # solid image -> constant thumbnail
+
+    # resize correctness on a known gradient
+    grad = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    small = multimodal.resize_nearest(grad, 2, 2)
+    assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
+
+    # entropy-coded formats remain a documented boundary
+    with pt.raises(NotImplementedError, match="PNG and uncompressed BMP"):
+        multimodal.decode_image_pixels(_make_jpeg(10, 10))
