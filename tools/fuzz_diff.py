@@ -401,6 +401,54 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
            "CAST(strlen(s) AS BIGINT) AS lb FROM t")
     compare("dt_str", dq.collect().to_spark(), sql)
 
+    # 8. asof join on ts (backward / forward) — right side deduped on ts so
+    # the tie row is deterministic in both engines
+    strat = rng.choice(["backward", "forward"])
+    al = (df.lazy().filter((pl.col("idx") % 2 == 0)
+                           & pl.col("ts").is_not_null())
+          .select("idx", "ts", "x").sort("ts", "idx"))
+    ar = (df.lazy().filter((pl.col("idx") % 2 == 1)
+                           & pl.col("ts").is_not_null())
+          .select("ts", "y").group_by("ts").agg(pl.col("y").max())
+          .sort("ts"))
+    aq = al.join_asof(ar, on="ts", strategy=strat).select("idx", "ts", "y")
+    base_al = ("(SELECT idx, ts, x FROM t WHERE idx % 2 = 0 "
+               "AND ts IS NOT NULL)")
+    base_ar = ("(SELECT ts, max(y) AS y FROM t WHERE idx % 2 = 1 "
+               "AND ts IS NOT NULL GROUP BY ts)")
+    op = ">=" if strat == "backward" else "<="
+    sql = (f"SELECT l.idx, l.ts, r.y FROM {base_al} l ASOF LEFT JOIN "
+           f"{base_ar} r ON l.ts {op} r.ts")
+    compare(f"asof_{strat}", aq.collect().to_spark(), sql)
+
+    # 9. tumbling dynamic group-by vs DuckDB time_bucket (epoch-aligned)
+    every = rng.choice(["15m", "30m", "1h", "2h"])
+    dur = {"15m": "15 MINUTES", "30m": "30 MINUTES",
+           "1h": "1 HOUR", "2h": "2 HOURS"}[every]
+    tq = (df.lazy().filter(pl.col("ts").is_not_null()).sort("ts")
+          .group_by_dynamic("ts", every=every)
+          .agg(pl.col("x").sum().round(6).alias("sx"),
+               pl.col("a").count().cast(pl.Int64).alias("ca")))
+    sql = (f"SELECT time_bucket(INTERVAL {dur}, ts) AS ts, "
+           "round(coalesce(sum(x), 0), 6) AS sx, "
+           "CAST(count(a) AS BIGINT) AS ca "
+           "FROM t WHERE ts IS NOT NULL GROUP BY 1")
+    compare(f"dynamic_{every}", tq.collect().to_spark(), sql)
+
+    # 10. time-based rolling window vs RANGE INTERVAL frame
+    rq = (df.lazy().filter(pl.col("ts").is_not_null()).sort("ts", "idx")
+          .select(pl.col("idx"),
+                  pl.col("x").rolling_sum_by("ts", "45m").round(6)
+                  .alias("rs"),
+                  pl.col("y").rolling_min_by("ts", "3h").alias("rm")))
+    sql = ("SELECT idx, round(sum(x) OVER "
+           "(ORDER BY ts RANGE BETWEEN INTERVAL 45 MINUTES PRECEDING "
+           "AND CURRENT ROW), 6) AS rs, "
+           "min(y) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 3 HOURS "
+           "PRECEDING AND CURRENT ROW) AS rm "
+           "FROM t WHERE ts IS NOT NULL")
+    compare("rolling_by", rq.collect().to_spark(), sql)
+
     duck.unregister("t")
     return diffs
 
