@@ -104,7 +104,18 @@ def _arr_reduce(label: str, arr: Column, df) -> Column:
         "inside group_by().agg")
 
 
+#: active sort-key ordering stack (frame.LazyFrame._bind_all installs it):
+#: when the frame's row order came from an explicit sort(keys) and every
+#: order-consuming expr in the bind is _order_safe, ordered windows sort by
+#: the ORIGINAL KEYS instead of a materialized ROW_IDX — skipping the global
+#: range-sort + index attach entirely (the dominant cost of
+#: sort→window pipelines at scale).
+_ORDER_CTX: list = []
+
+
 def _ordered_window(part) -> WindowSpec:
+    if _ORDER_CTX and _ORDER_CTX[-1] is not None:
+        return Window.partitionBy(*(part or [])).orderBy(*_ORDER_CTX[-1])
     return Window.partitionBy(*(part or [])).orderBy(ROW_IDX)
 
 
@@ -145,6 +156,20 @@ class Expr:
     #: sorted by the window ordering, so select/with_columns must restore
     #: frame row order (ROW_IDX sort) afterward — polars preserves row order.
     _scrambles_order = False
+
+    #: True when this expr consumes row order ONLY through _ordered_window
+    #: (never F.col(ROW_IDX) values): shift/diff/cum_*/rolling/fills/
+    #: interpolate.  Such binds can order windows by the frame's sort KEYS
+    #: (LazyFrame._order_cols) instead of materializing a global row index —
+    #: skipping the range-sort entirely on sort→window pipelines.
+    _order_only = False
+
+    @property
+    def _order_safe(self) -> bool:
+        """Safe under sort-key ordering: either never consumes row order, or
+        consumes it exclusively via _ordered_window."""
+        return self._order_only or not (self._needs_order
+                                        or self._scrambles_order)
 
     #: agg-context hook: ``(arr) -> Column`` applied to the ordered
     #: collected ARRAY of ``_agg_list_base`` when the expr is bound inside
@@ -208,6 +233,7 @@ class Expr:
             needs_order=self._needs_order if needs_order is None else needs_order,
         )._set_meta(_op_label(f), (self,))
         out._scrambles_order = self._scrambles_order
+        out._order_only = self._order_only
         if self._global_ordinal_fn is not None:
             # compose the pure Column fn on top of the attached hook column
             # so e.g. cum_sum().round(2) / sort().over(k).round(2) keep the
@@ -246,6 +272,7 @@ class Expr:
             needs_order=self._needs_order or needs_order,
         )._set_meta(_op_label(f), (self,))
         out._scrambles_order = self._scrambles_order
+        out._order_only = self._order_only and not needs_order
         return out
 
     def _lift2(self, other, f: Callable[[Column, Column], Column],
@@ -261,6 +288,7 @@ class Expr:
             needs_order=self._needs_order or o._needs_order,
         )._set_meta(op or _op_label(f, "binary"), (self, o))
         out._scrambles_order = self._scrambles_order or o._scrambles_order
+        out._order_only = self._order_safe and o._order_safe
         return out
 
     def _agg(self, aggf: Callable[[Column], Column], name: str | None = None) -> "Expr":
@@ -357,16 +385,24 @@ class Expr:
             return df.schema[self._meta[2]].dataType
         return df.select(c.alias("__t__")).schema[0].dataType
 
-    def _ordered(self, f: Callable[[Column, WindowSpec], Column]) -> "Expr":
-        """Window op defined against implicit row order (shift/cum_*/…)."""
+    def _ordered(self, f: Callable[[Column, WindowSpec], Column],
+                 order_only: bool = False) -> "Expr":
+        """Window op defined against implicit row order (shift/cum_*/…).
+
+        ``order_only=True`` declares that ``f`` touches row order ONLY via
+        the passed WindowSpec (no ``F.col(ROW_IDX)`` values) — enabling the
+        sort-key window ordering fast path (see _ORDER_CTX)."""
         if self._multi_fn is not None:
             mf = self._multi_fn
-            return Expr(multi_fn=lambda df: [e._ordered(f) for e in mf(df)])
-        return Expr(
+            return Expr(multi_fn=lambda df: [e._ordered(f, order_only)
+                                             for e in mf(df)])
+        out = Expr(
             lambda df, part: f(self._fn(df, part), _ordered_window(part)),
             name=self._name,
             needs_order=True,
         )._set_meta("window", (self,))
+        out._order_only = order_only and self._order_safe
+        return out
 
     # -- identity / naming --------------------------------------------------
     def alias(self, name: str) -> "Expr":
@@ -821,7 +857,7 @@ class Expr:
                 w = w.rowsBetween(Window.unboundedPreceding, 0)
             return F.coalesce(c, F.last(c, ignorenulls=True).over(w))
 
-        return self._ordered(f)
+        return self._ordered(f, order_only=True)
 
     def backward_fill(self, limit: int | None = None):
         def f(c, w):
@@ -831,7 +867,7 @@ class Expr:
                 w = w.rowsBetween(0, Window.unboundedFollowing)
             return F.coalesce(c, F.first(c, ignorenulls=True).over(w))
 
-        return self._ordered(f)
+        return self._ordered(f, order_only=True)
 
     def shuffle(self, seed: int | None = None):
         """expr.rb:6301 — deterministic-with-seed permutation via the ordered
@@ -907,7 +943,7 @@ class Expr:
             return F.when(c.isNotNull(), c.cast("double")).otherwise(
                 F.when(pv.isNotNull() & nv.isNotNull(), filled))
 
-        return self._ordered(f)
+        return self._ordered(f, order_only=True)
 
     # -- math (expr.rb — line refs in SURVEY §2.8) ------------------------------
     def abs(self):
@@ -1442,7 +1478,7 @@ class Expr:
                 return F.coalesce(out, fv._fn(None, None))
             return out
 
-        e = self._ordered(f)
+        e = self._ordered(f, order_only=True)
 
         def arr_fn(arr):
             sz = F.size(arr)
@@ -1467,7 +1503,7 @@ class Expr:
         def f(c, w):
             return c - F.lag(c, n).over(w)
 
-        e = self._ordered(f)
+        e = self._ordered(f, order_only=True)
         if null_behavior == "drop":
             # polars drops the first n slots entirely (row-count-changing)
             # → sole-select-expression rule: compute the ordinary diff
@@ -1488,7 +1524,7 @@ class Expr:
             prev = F.lag(c, n).over(w)
             return (c - prev) / prev
 
-        return self._ordered(f)
+        return self._ordered(f, order_only=True)
 
     def cum_sum(self, reverse: bool = False):
         return self._cum("sum", reverse)
@@ -1534,7 +1570,7 @@ class Expr:
                 wf = w.rowsBetween(Window.unboundedPreceding, 0)
             return aggf(c).over(wf)
 
-        e = self._ordered(f)
+        e = self._ordered(f, order_only=True)
         if int_preserving and self._multi_fn is None:
             # polars cum_prod over ints stays integral; F.product is double
             base_e, inner_self = e, self
@@ -1547,7 +1583,9 @@ class Expr:
                 ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
                 return c.cast(t) if isinstance(t, ints) else c
 
-            e = Expr(fn2, name=e._name, needs_order=True)
+            e2 = Expr(fn2, name=e._name, needs_order=True)
+            e2._order_only = e._order_only
+            e = e2
         if self._multi_fn is None:
             inner = self
 
@@ -2041,7 +2079,7 @@ class Expr:
             cnt = F.count(c).over(wf)
             return F.when(cnt >= min_periods, val)
 
-        return self._ordered(f)
+        return self._ordered(f, order_only=True)
 
     def _rolling_weighted(self, window_size: int, weights, center: bool, mean: bool):
         """Weighted row-frame rolling: collect the window, dot with the
@@ -2064,7 +2102,7 @@ class Expr:
             out = dot / F.lit(wsum) if mean else dot
             return F.when(F.size(arr) >= window_size, out)
 
-        return self._ordered(f)
+        return self._ordered(f, order_only=True)
 
     def rolling_sum(self, window_size: int, weights=None,
                     min_periods: int | None = None, center: bool = False):
@@ -2128,6 +2166,8 @@ class Expr:
 
         e = Expr(fn, name=self._name)
         e._scrambles_order = True   # WindowExec leaves rows sorted by `by`
+        # orders by the `by` column itself — never touches ROW_IDX
+        e._order_only = self._order_safe and by_e._order_safe
         return e
 
     def rolling_sum_by(self, by, window_size: str, closed: str = "right"):
@@ -2493,6 +2533,8 @@ class Expr:
                    needs_order=self._needs_order)._set_meta(
                        "window", (self, *key_exprs))
         out._scrambles_order = self._scrambles_order
+        out._order_only = self._order_only and all(
+            k._order_safe for k in key_exprs)
         if self._grouped_remap_fn is not None:
             remap = self._grouped_remap_fn
             out._global_ordinal_fn = lambda sdf: remap(sdf, key_exprs)
@@ -3048,10 +3090,19 @@ class When:
         return Then(list(zip(self._conds, self._thens + [wrap_expr(value)])))
 
 
+def _merge_order_flags(e: Expr, parts: list) -> Expr:
+    """Propagate order/scramble breadcrumbs from constituent exprs."""
+    e._needs_order = any(p._needs_order for p in parts)
+    e._scrambles_order = any(p._scrambles_order for p in parts)
+    e._order_only = all(p._order_safe for p in parts)
+    return e
+
+
 class Then(Expr):
     def __init__(self, pairs):
         self._pairs = pairs
         super().__init__(self._make_fn(None), name=None)
+        _merge_order_flags(self, [x for p in pairs for x in p])
 
     def _make_fn(self, otherwise):
         pairs = self._pairs
@@ -3074,8 +3125,10 @@ class Then(Expr):
         return w
 
     def otherwise(self, value) -> Expr:
-        e = Expr(self._make_fn(wrap_expr(value)))
-        return e
+        v = wrap_expr(value)
+        e = Expr(self._make_fn(v))
+        return _merge_order_flags(
+            e, [x for p in self._pairs for x in p] + [v])
 
 
 def when(condition) -> When:

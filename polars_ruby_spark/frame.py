@@ -98,11 +98,34 @@ class LazyFrame:
     # reorders); the polars-semantics exports go through ``_ordered_spark``.
     _order_dirty = False
 
+    #: sort-key row-order provenance: ``((name, desc, nulls_last), ...)``
+    #: set by an explicit sort(string_keys).  When present (and ROW_IDX is
+    #: not), order-consuming binds may window by THESE KEYS directly
+    #: (exprs._ORDER_CTX) instead of materializing a global row index, and
+    #: the deferred restore is an orderBy on the keys.  Hidden ``__ord_i__``
+    #: copies keep the restore possible after a projection drops the keys.
+    _order_cols = None
+
+    @staticmethod
+    def _spec_cols(spec):
+        out = []
+        for n, desc, nl in spec:
+            c = F.col(n)
+            if desc:
+                out.append(c.desc_nulls_last() if nl else c.desc_nulls_first())
+            else:
+                out.append(c.asc_nulls_last() if nl else c.asc_nulls_first())
+        return out
+
     @property
     def _sdf(self) -> SparkDF:
         sdf = self._sdf_raw
-        if self._order_dirty and ROW_IDX in sdf.columns:
-            return sdf.orderBy(ROW_IDX)
+        if self._order_dirty:
+            if ROW_IDX in sdf.columns:
+                return sdf.orderBy(ROW_IDX)
+            if self._order_cols and all(
+                    n in sdf.columns for n, _, _ in self._order_cols):
+                return sdf.orderBy(*self._spec_cols(self._order_cols))
         return sdf
 
     @_sdf.setter
@@ -256,11 +279,17 @@ class LazyFrame:
             if alias:
                 c = c.alias(alias)
             cols.append((alias, c))
-        # value-ordered windows (rank, rolling_*_by) leave the output
-        # partition-sorted by their window key — callers must restore frame
-        # row order (polars preserves it)
+        # windows leave the output partition-sorted by their window key —
+        # value-ordered ones (rank, rolling_*_by) by the value, and plain
+        # ROW_IDX-ordered ones (shift/cum_*/rolling/… under over()) by
+        # (keys, ROW_IDX): both scramble physical row order, so callers must
+        # restore frame row order (polars preserves it).  Hook-bound exprs
+        # (k in hook_cols) are exempt: the two-pass attachments re-sort to
+        # global order by construction (row_index.attach_global_cum).
         self._last_bind_scrambled = any(
-            e._scrambles_order and not e._is_agg for _, e in expanded)
+            (e._scrambles_order or e._needs_order)
+            and not e._is_agg and k not in hook_cols
+            for k, (_, e) in enumerate(expanded))
         return sdf, cols, all_agg, helpers
 
     # -- projections ----------------------------------------------------------
@@ -334,26 +363,43 @@ class LazyFrame:
 
     # -- filters ----------------------------------------------------------------
     def filter(self, *predicates, **constraints) -> "LazyFrame":
-        sdf = self._sdf_raw     # predicates are value-based: dirty-safe
-        conds = []
-        needs_order = False
-        for p in predicates:
-            e = wrap_expr(p)
-            needs_order = needs_order or e._needs_order
-        if needs_order and ROW_IDX not in sdf.columns:
-            sdf = self._ensure_row_index()._sdf
-        for p in predicates:
-            conds.append(wrap_expr(p)._fn(sdf, None))
+        preds = [wrap_expr(p) for p in predicates]
+        complex_ = [e for e in preds
+                    if e._needs_order or e._is_agg or e._scrambles_order
+                    or e._global_ordinal_fn is not None
+                    or e._grouped_remap_fn is not None]
+        if complex_:
+            # windowed / aggregate predicates are illegal inside a WHERE
+            # clause (polars allows them: filter(x > x.mean()),
+            # filter(cum_sum().over(g) > k)) — materialize them through the
+            # full _bind_all machinery (scalar attach, two-pass hooks,
+            # scramble marking), filter on the attached booleans, drop.
+            tmps = [(f"__flt_{i}__", e) for i, e in enumerate(preds)]
+            lf = self.with_columns(*[e.alias(n) for n, e in tmps])
+            sdf = lf._sdf_raw
+            for n, _ in tmps:
+                sdf = sdf.filter(F.col(n))
+            for name, v in constraints.items():
+                sdf = sdf.filter(F.col(name) == v)
+            sdf = sdf.drop(*[n for n, _ in tmps])
+            if ROW_IDX in sdf.columns \
+                    and ROW_IDX not in self._sdf_raw.columns:
+                # index self-attached for this filter: its values are now
+                # gapped (stale for positional ops) — restore physical row
+                # order if a window scrambled it, then strip
+                if lf._order_dirty:
+                    sdf = sdf.orderBy(ROW_IDX)
+                sdf = strip_row_index(sdf)
+            out = LazyFrame(sdf)
+            out._order_dirty = ROW_IDX in sdf.columns and lf._order_dirty
+            return out
+        sdf = self._sdf_raw     # plain predicates are value-based: dirty-safe
+        conds = [e._fn(sdf, None) for e in preds]
         for name, v in constraints.items():
             conds.append(F.col(name) == v)
         out = sdf
         for c in conds:
             out = out.filter(c)
-        # row-index values go stale (gaps) after a filter; drop so ordinal ops
-        # re-derive a contiguous index from the (order-preserving) plan —
-        # unless the index came from upstream (still valid, possibly gapped)
-        if ROW_IDX not in self._sdf_raw.columns:
-            out = strip_row_index(out)
         lf = LazyFrame(out)
         lf._order_dirty = self._order_dirty and ROW_IDX in out.columns
         return lf

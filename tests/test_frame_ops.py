@@ -996,3 +996,34 @@ def test_calendar_hopping_rolling_datapoint(spark):
     # 03-25: [03-25,06-13): {16,32}=48; 05-04: [05-04,07-23): {32}
     assert dd == {"2023-11-26": 7.0, "2024-01-05": 15.0, "2024-02-14": 24.0,
                   "2024-03-25": 48.0, "2024-05-04": 32.0}
+
+
+def test_row_order_preserved_after_ordered_windows(spark):
+    """Round-3: polars preserves frame row order through with_columns /
+    select / filter even when the binding runs a (keys, row-order) window —
+    Spark's WindowExec physically re-sorts by the partition keys, so the
+    deferred restore must fire for plain ordered windows too, not only the
+    value-ordered (_scrambles_order) ones.  expr.rb over() doctests show
+    interleaved groups keeping their original row positions."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"g": ["a", "b"] * 16, "x": list(range(32))})
+
+    for label, e in [
+        ("cum_sum", pl.col("x").cum_sum().over("g")),
+        ("shift", pl.col("x").shift(1).over("g")),
+        ("rolling", pl.col("x").rolling_sum(2).over("g")),
+        ("ffill", pl.col("x").shift(1).forward_fill().over("g")),
+    ]:
+        rows = df.lazy().with_columns(e.alias("y")).collect().rows()
+        assert [r[1] for r in rows] == list(range(32)), label
+
+    # windowed + aggregate predicates are legal filter args (expr.rb
+    # filter doctests); output keeps original relative row order
+    # group a (evens): cumsum k(k+1) > 5 from x=4; group b (odds):
+    # (k+1)^2 > 5 from x=5 — kept rows are exactly 4..31 in original order
+    got = df.lazy().filter(pl.col("x").cum_sum().over("g") > 5).collect().rows()
+    assert [r[1] for r in got] == list(range(4, 32))
+
+    got2 = df.lazy().filter(pl.col("x") > pl.col("x").mean()).collect().rows()
+    assert [r[1] for r in got2] == list(range(16, 32))
