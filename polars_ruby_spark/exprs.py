@@ -119,6 +119,13 @@ def _ordered_window(part) -> WindowSpec:
     return Window.partitionBy(*(part or [])).orderBy(ROW_IDX)
 
 
+def _visible_cols(df) -> list:
+    """User-visible columns: hides the internal row index and the hidden
+    ``__ord_i__`` sort-key copies that keep deferred restores possible."""
+    return [c for c in df.columns
+            if c != ROW_IDX and not c.startswith("__ord_")]
+
+
 _GORD_COUNTER = [0]
 
 
@@ -2949,7 +2956,7 @@ def col(name, *more_names) -> Expr:
             return all_()
         if name.startswith("^") and name.endswith("$"):
             pat = _re.compile(name)
-            return Expr(multi_fn=lambda df: [col(c) for c in df.columns
+            return Expr(multi_fn=lambda df: [col(c) for c in _visible_cols(df)
                                              if pat.match(c)],
                         name=name)._set_meta("col", (), name)
         def colfn(df, part):
@@ -2969,9 +2976,10 @@ def col(name, *more_names) -> Expr:
     dtypes = [to_spark_type(n) for n in names]
 
     def mf(df):
+        vis = set(_visible_cols(df))
         sel = []
         for f_ in df.schema.fields:
-            if any(f_.dataType == t for t in dtypes):
+            if f_.name in vis and any(f_.dataType == t for t in dtypes):
                 sel.append(col(f_.name))
         return sel
 
@@ -2989,9 +2997,7 @@ def all_(*names, ignore_nulls: bool = True) -> Expr:
         out = [(col(n) if isinstance(n, str) else wrap_expr(n)).all()
                for n in names]
         return out[0] if len(out) == 1 else out
-    from .session import ROW_IDX as _RI
-
-    return Expr(multi_fn=lambda df: [col(c) for c in df.columns if c != _RI])
+    return Expr(multi_fn=lambda df: [col(c) for c in _visible_cols(df)])
 
 
 def lit(value, dtype=None, allow_object=None) -> Expr:

@@ -27,6 +27,18 @@ from .operators.row_index import strip_row_index, with_row_index
 from .session import ROW_IDX
 
 
+def _identity_source(e) -> str | None:
+    """Column name when ``e`` is a bare (possibly re-aliased) column
+    reference — the projection passes the value through unchanged."""
+    m = getattr(e, "_meta", None)
+    while m and m[0] == "alias":
+        e = m[1][0]
+        m = getattr(e, "_meta", None)
+    if m and m[0] == "col" and isinstance(m[2], str):
+        return m[2]
+    return None
+
+
 def _parse_exprs(exprs, named) -> list[tuple[str | None, Expr]]:
     out: list[tuple[str | None, Expr]] = []
     for e in exprs:
@@ -125,13 +137,15 @@ class LazyFrame:
                 return sdf.orderBy(ROW_IDX)
             if self._order_cols and all(
                     n in sdf.columns for n, _, _ in self._order_cols):
-                return sdf.orderBy(*self._spec_cols(self._order_cols))
-        return sdf
+                sdf = sdf.orderBy(*self._spec_cols(self._order_cols))
+        hidden = [c for c in sdf.columns if c.startswith("__ord_")]
+        return sdf.drop(*hidden) if hidden else sdf
 
     @_sdf.setter
     def _sdf(self, sdf: SparkDF) -> None:
         self._sdf_raw = sdf
         self._order_dirty = False
+        self._order_cols = None
 
     # -- plumbing -----------------------------------------------------------
     def to_spark(self) -> SparkDF:
@@ -142,7 +156,10 @@ class LazyFrame:
         """UNORDERED Spark handoff — skips the deferred row-order restore.
         Legitimate only where the consumer imposes no row-order contract
         (the driver's canonicalizer sorts; Spark shuffles reorder anyway)."""
-        return strip_row_index(self._sdf_raw)
+        sdf = self._sdf_raw
+        drops = [c for c in sdf.columns
+                 if c == ROW_IDX or c.startswith("__ord_")]
+        return sdf.drop(*drops) if drops else sdf
 
     @property
     def columns(self) -> list[str]:
@@ -201,95 +218,124 @@ class LazyFrame:
                 expanded.append((name, ee))
         needs_order = any(e._needs_order or e._scrambles_order
                           for _, e in expanded)
-        if needs_order and ROW_IDX not in sdf.columns:
+        # sort-key window-ordering fast path: the frame's row order came
+        # from an explicit sort(keys) and every order consumer in this bind
+        # is _order_safe (windows only, never ROW_IDX values) — order
+        # windows by the ORIGINAL SORT KEYS and skip the global range-sort +
+        # row-index materialization entirely.  A with_columns that
+        # overwrites a sort-key column falls back (the restore would read
+        # the new values).
+        fast_cols = None
+        spec = self._order_cols
+        if (needs_order and ROW_IDX not in sdf.columns and spec
+                and all(n in sdf.columns for n, _, _ in spec)
+                and all(e._order_safe for _, e in expanded)
+                and not any(e._global_ordinal_fn is not None
+                            or e._grouped_remap_fn is not None
+                            for _, e in expanded)
+                and not (context == "with_columns"
+                         and {nm or e._name for nm, e in expanded}
+                         & {n for n, _, _ in spec})):
+            fast_cols = self._spec_cols(spec)
+        if needs_order and ROW_IDX not in sdf.columns and fast_cols is None:
             sdf = self._ensure_row_index()._sdf
-        all_agg = bool(expanded) and all(e._is_agg for _, e in expanded)
-        if context == "select" and all_agg:
-            # composed per-row+aggregate exprs (x * x.sum(), when(...) *
-            # sum(...)) carry is_agg but cannot land in df.agg — analysis-
-            # probe each; any failure demotes the whole bind to the mixed
-            # path (scalar-attach + global-window fallback), which preserves
-            # row count like polars does for these
-            for _, e in expanded:
-                try:
-                    sdf.agg(e._fn(sdf, None).alias("__aggprobe__"))
-                except Exception:
-                    all_agg = False
-                    break
-        any_agg = any(e._is_agg for _, e in expanded)
-        # Aggregates inside a row-preserving context (with_columns / mixed
-        # select) attach as a ONE-ROW keyless sub-aggregate crossJoined back
-        # (two-phase partial agg + 1-row broadcast — the sanctioned
-        # scalar-attach) instead of an empty-partition global window that
-        # funnels the whole table through one task.  Composed exprs mixing
-        # per-row and aggregate parts (x - x.mean()) cannot land in df.agg —
-        # the analysis probe fails and they keep the global-window binding.
-        scalar_plan: dict[int, str] = {}
-        one = None
-        if not (context == "select" and all_agg):
-            probe_cols = []
-            for k, (name, e) in enumerate(expanded):
-                if not e._is_agg:
-                    continue
-                c = e._fn(sdf, None)
-                tmp = f"__scal_{k}__"
-                try:
-                    sdf.agg(c.alias(tmp))  # analysis-only pure-agg probe
-                except Exception:
-                    continue
-                scalar_plan[k] = tmp
-                probe_cols.append(c.alias(tmp))
-            if probe_cols:
-                one = sdf.agg(*probe_cols)  # over the PRE-attach frame
-        helpers = list(scalar_plan.values())
-        # ordinal hooks may run alongside aggregates as long as every agg
-        # was scalar-planned (its value is already a plain attached column);
-        # only an unplanned composed agg (global-window binding) blocks them
-        unplanned_agg = any(e._is_agg and k not in scalar_plan
-                            for k, (_, e) in enumerate(expanded)) and not (
-                                context == "select" and all_agg)
-        # attach ordinal hooks BEFORE the scalar crossJoin so the attach's
-        # internal self-branches (rank-zip vals side) don't drag a vestigial
-        # pruned one-row broadcast through their plans
-        hook_cols: dict[int, str] = {}
-        if not (context == "select" and all_agg) and not unplanned_agg:
-            for k, (name, e) in enumerate(expanded):
-                if e._is_agg or e._global_ordinal_fn is None:
-                    continue
-                sdf, tmp = e._global_ordinal_fn(sdf)
-                hook_cols[k] = tmp
-                helpers.append(tmp)
-        if one is not None:
-            sdf = sdf.crossJoin(F.broadcast(one))
-        cols = []
-        for k, (name, e) in enumerate(expanded):
+        from .exprs import _ORDER_CTX
+
+        _ORDER_CTX.append(fast_cols)
+        try:
+            all_agg = bool(expanded) and all(e._is_agg for _, e in expanded)
             if context == "select" and all_agg:
-                c = e._fn(sdf, None)          # plain aggregate → df.agg
-            elif e._is_agg and k in scalar_plan:
-                c = F.col(scalar_plan[k])
-            elif e._is_agg and (context == "with_columns" or any_agg):
-                c = e._fn(sdf, [])            # composed agg: global window
-            elif k in hook_cols:
-                # ungrouped ordinal / grouped remap: two-pass attach instead
-                # of a single-task or per-row-array window
-                c = F.col(hook_cols[k])
-            else:
-                c = e._fn(sdf, None)
-            alias = name or e._name
-            if alias:
-                c = c.alias(alias)
-            cols.append((alias, c))
-        # windows leave the output partition-sorted by their window key —
-        # value-ordered ones (rank, rolling_*_by) by the value, and plain
-        # ROW_IDX-ordered ones (shift/cum_*/rolling/… under over()) by
-        # (keys, ROW_IDX): both scramble physical row order, so callers must
-        # restore frame row order (polars preserves it).  Hook-bound exprs
-        # (k in hook_cols) are exempt: the two-pass attachments re-sort to
-        # global order by construction (row_index.attach_global_cum).
-        self._last_bind_scrambled = any(
-            (e._scrambles_order or e._needs_order)
-            and not e._is_agg and k not in hook_cols
-            for k, (_, e) in enumerate(expanded))
+                # composed per-row+aggregate exprs (x * x.sum(), when(...) *
+                # sum(...)) carry is_agg but cannot land in df.agg — analysis-
+                # probe each; any failure demotes the whole bind to the mixed
+                # path (scalar-attach + global-window fallback), which preserves
+                # row count like polars does for these
+                for _, e in expanded:
+                    try:
+                        sdf.agg(e._fn(sdf, None).alias("__aggprobe__"))
+                    except Exception:
+                        all_agg = False
+                        break
+            any_agg = any(e._is_agg for _, e in expanded)
+            # Aggregates inside a row-preserving context (with_columns / mixed
+            # select) attach as a ONE-ROW keyless sub-aggregate crossJoined back
+            # (two-phase partial agg + 1-row broadcast — the sanctioned
+            # scalar-attach) instead of an empty-partition global window that
+            # funnels the whole table through one task.  Composed exprs mixing
+            # per-row and aggregate parts (x - x.mean()) cannot land in df.agg —
+            # the analysis probe fails and they keep the global-window binding.
+            scalar_plan: dict[int, str] = {}
+            one = None
+            if not (context == "select" and all_agg):
+                probe_cols = []
+                for k, (name, e) in enumerate(expanded):
+                    if not e._is_agg:
+                        continue
+                    c = e._fn(sdf, None)
+                    tmp = f"__scal_{k}__"
+                    try:
+                        sdf.agg(c.alias(tmp))  # analysis-only pure-agg probe
+                    except Exception:
+                        continue
+                    scalar_plan[k] = tmp
+                    probe_cols.append(c.alias(tmp))
+                if probe_cols:
+                    one = sdf.agg(*probe_cols)  # over the PRE-attach frame
+            helpers = list(scalar_plan.values())
+            # ordinal hooks may run alongside aggregates as long as every agg
+            # was scalar-planned (its value is already a plain attached column);
+            # only an unplanned composed agg (global-window binding) blocks them
+            unplanned_agg = any(e._is_agg and k not in scalar_plan
+                                for k, (_, e) in enumerate(expanded)) and not (
+                                    context == "select" and all_agg)
+            # attach ordinal hooks BEFORE the scalar crossJoin so the attach's
+            # internal self-branches (rank-zip vals side) don't drag a vestigial
+            # pruned one-row broadcast through their plans
+            hook_cols: dict[int, str] = {}
+            if not (context == "select" and all_agg) and not unplanned_agg:
+                for k, (name, e) in enumerate(expanded):
+                    if e._is_agg or e._global_ordinal_fn is None:
+                        continue
+                    sdf, tmp = e._global_ordinal_fn(sdf)
+                    hook_cols[k] = tmp
+                    helpers.append(tmp)
+            if one is not None:
+                sdf = sdf.crossJoin(F.broadcast(one))
+            cols = []
+            for k, (name, e) in enumerate(expanded):
+                if context == "select" and all_agg:
+                    c = e._fn(sdf, None)          # plain aggregate → df.agg
+                elif e._is_agg and k in scalar_plan:
+                    c = F.col(scalar_plan[k])
+                elif e._is_agg and (context == "with_columns" or any_agg):
+                    c = e._fn(sdf, [])            # composed agg: global window
+                elif k in hook_cols:
+                    # ungrouped ordinal / grouped remap: two-pass attach instead
+                    # of a single-task or per-row-array window
+                    c = F.col(hook_cols[k])
+                else:
+                    c = e._fn(sdf, None)
+                alias = name or e._name
+                if alias:
+                    c = c.alias(alias)
+                cols.append((alias, c))
+            # windows leave the output partition-sorted by their window key —
+            # value-ordered ones (rank, rolling_*_by) by the value, and plain
+            # ROW_IDX-ordered ones (shift/cum_*/rolling/… under over()) by
+            # (keys, ROW_IDX): both scramble physical row order, so callers must
+            # restore frame row order (polars preserves it).  Hook-bound exprs
+            # (k in hook_cols) are exempt: the two-pass attachments re-sort to
+            # global order by construction (row_index.attach_global_cum).
+            self._last_bind_scrambled = any(
+                (e._scrambles_order or e._needs_order)
+                and not e._is_agg and k not in hook_cols
+                for k, (_, e) in enumerate(expanded))
+            self._last_bind_fast = fast_cols is not None
+            self._last_bind_identities = {
+                alias: _identity_source(e)
+                for (alias, _c), (_nm, e) in zip(cols, expanded)}
+        finally:
+            _ORDER_CTX.pop()
         return sdf, cols, all_agg, helpers
 
     # -- projections ----------------------------------------------------------
@@ -307,18 +353,42 @@ class LazyFrame:
         sdf, cols, all_agg, _helpers = self._bind_all(parsed, "select")
         if all_agg:
             return LazyFrame(sdf.agg(*[c for _, c in cols]))
-        dirty = (self._last_bind_scrambled or self._order_dirty) \
-            and ROW_IDX in sdf.columns
-        if dirty:
-            from pyspark.sql import functions as F
-
+        scrambled = self._last_bind_scrambled or self._order_dirty
+        if scrambled and ROW_IDX in sdf.columns:
             # keep the (still valid) hidden index; the restore sort is
             # DEFERRED via _order_dirty — it materializes only if an
             # order-observing consumer reads the frame
             out = LazyFrame(sdf.select(*[c for _, c in cols], F.col(ROW_IDX)))
             out._order_dirty = True
             return out
-        return LazyFrame(sdf.select(*[c for _, c in cols]))
+        # sort-key row-order provenance: survives when every key column is
+        # an identity projection of this select; otherwise hidden __ord_i__
+        # copies keep a deferred restore possible
+        spec = self._order_cols
+        idents = getattr(self, "_last_bind_identities", {})
+        surv = None
+        if spec:
+            out_names = {a for a, _ in cols}
+            if all(n in out_names and idents.get(n) == n
+                   for n, _, _ in spec):
+                surv = spec
+        if scrambled and spec and ROW_IDX not in sdf.columns:
+            if surv is None:
+                hid = tuple((f"__ord_{i}__", d, nl)
+                            for i, (n, d, nl) in enumerate(spec))
+                out = LazyFrame(sdf.select(
+                    *[c for _, c in cols],
+                    *[F.col(n).alias(h)
+                      for (n, _, _), (h, _, _) in zip(spec, hid)]))
+                out._order_cols = hid
+            else:
+                out = LazyFrame(sdf.select(*[c for _, c in cols]))
+                out._order_cols = surv
+            out._order_dirty = True
+            return out
+        out = LazyFrame(sdf.select(*[c for _, c in cols]))
+        out._order_cols = surv
+        return out
 
     select_seq = select
 
@@ -331,18 +401,38 @@ class LazyFrame:
                 # fall back to Spark's inferred name (driver-side analysis only)
                 alias = sdf.select(c).columns[0]
             mapping[alias] = c
+        scrambled = self._last_bind_scrambled or self._order_dirty
+        spec = self._order_cols
+        hid = None
+        base = sdf
+        if (scrambled and ROW_IDX not in sdf.columns and spec
+                and {n for n, _, _ in spec} & set(mapping)):
+            # an order-key column is being overwritten while row order is
+            # scrambled: stash hidden copies of the OLD values so the
+            # deferred restore still sorts by the original keys
+            hid = tuple((f"__ord_{i}__", d, nl)
+                        for i, (n, d, nl) in enumerate(spec))
+            base = sdf.withColumns({h: F.col(n) for (n, _, _), (h, _, _)
+                                    in zip(spec, hid)})
         # withColumns keeps original column order and replaces in place
-        out = sdf.withColumns(mapping)
+        out = base.withColumns(mapping)
         drop = [h for h in helpers if h not in mapping]
         if drop:
             out = out.drop(*drop)
-        if (self._last_bind_scrambled or self._order_dirty) \
-                and ROW_IDX in out.columns:
+        if scrambled and ROW_IDX in out.columns:
             lf = LazyFrame(out)     # keep the (still valid) hidden index
             lf._order_dirty = True  # deferred restore (see select)
             return lf
-        return LazyFrame(strip_row_index(out)
-                         if ROW_IDX not in self._sdf_raw.columns else out)
+        lf = LazyFrame(strip_row_index(out)
+                       if ROW_IDX not in self._sdf_raw.columns else out)
+        if spec and ROW_IDX not in out.columns:
+            if hid is not None:
+                lf._order_cols = hid
+                lf._order_dirty = True
+            elif not ({n for n, _, _ in spec} & set(mapping)):
+                lf._order_cols = spec
+                lf._order_dirty = scrambled
+        return lf
 
     with_columns_seq = with_columns
 
@@ -445,7 +535,14 @@ class LazyFrame:
                 order.append(c.asc_nulls_last() if nulls_last else c.asc_nulls_first())
         if maintain_order and ROW_IDX in self._sdf.columns:
             order.append(F.col(ROW_IDX).asc())
-        return LazyFrame(sdf.orderBy(*order))
+        out = LazyFrame(sdf.orderBy(*order))
+        if all(isinstance(k, str) for k in keys):
+            # record sort-key row-order provenance: downstream ordered-
+            # window binds may order by these keys directly (no row index)
+            out._order_cols = tuple(
+                (k, bool(d), bool(nulls_last))
+                for k, d in zip(keys, descending))
+        return out
 
     def reverse(self) -> "LazyFrame":
         lf = self._ensure_row_index()

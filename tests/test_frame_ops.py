@@ -1027,3 +1027,58 @@ def test_row_order_preserved_after_ordered_windows(spark):
 
     got2 = df.lazy().filter(pl.col("x") > pl.col("x").mean()).collect().rows()
     assert [r[1] for r in got2] == list(range(16, 32))
+
+
+def test_sort_key_window_fast_path(spark):
+    """Round-3: after an explicit sort(keys), order-safe window binds order
+    by the SORT KEYS directly — the plan contains no row-index
+    materialization (no monotonically_increasing_id / range re-sort) — while
+    producing identical values and row order to the index-backed path."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({
+        "g": ["a", "b"] * 16,
+        "ts": list(range(31, -1, -1)),
+        "x": [float(i) for i in range(32)],
+    })
+
+    lf = df.lazy().sort("ts").with_columns(
+        pl.col("x").shift(1).over("g").alias("sh"),
+        pl.col("x").cum_sum().over("g").alias("cs"),
+        pl.col("x").rolling_mean(3).over("g").alias("rm"),
+        pl.col("x").diff().over("g").alias("df_"),
+    )
+    plan = lf._sdf_raw._jdf.queryExecution().optimizedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    assert "__row_idx__" not in plan
+
+    rows = lf.collect().rows()
+    assert [r[1] for r in rows] == list(range(32))      # ts-sorted order
+    # ts=2 is ('b', x=29): previous b row (ts=0) had x=31
+    assert rows[2][3] == 31.0
+    # cum_sum for g='b' at ts=2: 31 + 29
+    assert rows[2][4] == 60.0
+
+    # select dropping the sort key: hidden __ord_ copies keep the deferred
+    # restore possible, and exports never leak them
+    out = df.lazy().sort("ts").with_columns(
+        pl.col("x").cum_sum().over("g").alias("cs")).select("g", "cs")
+    got = out.collect()
+    assert got.columns == ["g", "cs"]
+    assert [r[1] for r in got.rows()][:4] == [31.0, 30.0, 60.0, 58.0]
+
+    # overwriting a sort-key column falls back to the index-backed path
+    # (restore would otherwise read the new values) — still correct
+    ow = df.lazy().sort("ts").with_columns(
+        pl.col("ts").cum_sum().over("g").alias("ts")).collect().rows()
+    assert ow[0][1] == 0 and ow[1][1] == 1          # b: 0; a: 1
+    assert ow[2][1] == 2 and ow[3][1] == 4          # b: 0+2; a: 1+3
+
+    # an index-consuming op (rank remap family) in the same bind disables
+    # the fast path but stays correct
+    rk = df.lazy().sort("ts").with_columns(
+        pl.col("x").rank("ordinal").over("g").alias("rk"),
+        pl.col("x").shift(1).over("g").alias("sh"))
+    rrows = rk.collect().rows()
+    assert [r[1] for r in rrows] == list(range(32))
+    assert rrows[0][3] == 16 and rrows[2][3] == 15  # x desc along ts asc
