@@ -292,7 +292,9 @@ def q18_list_funcs(spark, sf_dir):
         pl.col("embedding").list.len().alias("dim"),
         pl.col("embedding").list.get(0).cast(pl.Float64).round(4).alias("first_val"),
         pl.col("embedding").list.max().cast(pl.Float64).round(4).alias("max_val"),
-        pl.col("embedding").list.sum().round(4).alias("vec_sum"),
+        # list.sum keeps the f32 element dtype (polars semantics) — cast up
+        # front so the 4dp round compares against the double-summing oracle
+        pl.col("embedding").list.sum().cast(pl.Float64).round(4).alias("vec_sum"),
     )
     return _out(out)
 

@@ -620,8 +620,11 @@ class ListNameSpace(_NS):
     lengths = len
 
     def sum(self) -> Expr:
-        return self._e._lift(
-            lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double")))
+        # polars skips null ELEMENTS and keeps the element dtype (empty /
+        # all-null list → 0) — the plain F.aggregate null-propagates
+        from .exprs import _arr_reduce
+
+        return self._e._lift_ctx(lambda c, df, part: _arr_reduce("sum", c, df))
 
     def max(self) -> Expr:
         return self._e._lift(F.array_max)
@@ -630,9 +633,11 @@ class ListNameSpace(_NS):
         return self._e._lift(F.array_min)
 
     def mean(self) -> Expr:
-        return self._e._lift(
-            lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double"))
-            / F.size(c).cast("double"))
+        # null elements excluded from BOTH numerator and denominator;
+        # empty / all-null list → null (0/0 under ANSI off)
+        from .exprs import _arr_reduce
+
+        return self._e._lift_ctx(lambda c, df, part: _arr_reduce("mean", c, df))
 
     def sort(self, descending: bool = False) -> Expr:
         if descending:

@@ -945,3 +945,23 @@ def test_hex_encode_lowercase(spark):
     s = pl.DataFrame({"s": ["\xff"]}).select(
         pl.col("s").str.encode("hex").alias("h")).to_a()
     assert s[0]["h"] == s[0]["h"].lower()
+
+
+def test_list_sum_mean_null_elements(spark):
+    """list.sum skips null ELEMENTS and keeps the element dtype (empty /
+    all-null list → 0; null list → null); list.mean divides by the
+    non-null count (list_expr.rb sum/mean delegate to Series semantics).
+    Caught by the differential fuzzer (implode_sum template)."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"l": [[1, None, 3], [], [None, None], None, [2, 4]]})
+    out = df.lazy().select(
+        pl.col("l").list.sum().alias("s"),
+        pl.col("l").list.mean().alias("m")).collect()
+    assert [r["s"] for r in out.to_a()] == [4, 0, 0, None, 6]
+    assert [r["m"] for r in out.to_a()] == [2.0, None, None, None, 3.0]
+    assert type(out.schema["s"]).__name__ == "LongType"   # dtype preserved
+
+    fl = pl.DataFrame({"l": [[1.5, None, 2.5]]}).lazy().select(
+        pl.col("l").list.sum().alias("s")).collect()
+    assert fl.to_a() == [{"s": 4.0}]

@@ -449,6 +449,48 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
            "FROM t WHERE ts IS NOT NULL")
     compare("rolling_by", rq.collect().to_spark(), sql)
 
+    # 11. implode per group (sorted list) + explode round-trip
+    iq = (df.lazy().group_by("g")
+          .agg(pl.col("a").sort().alias("la"),
+               pl.col("a").count().cast(pl.Int64).alias("na"))
+          .select("g", pl.col("la").list.sum().alias("sa"), "na"))
+    sql = ("SELECT g, CASE WHEN count(a) > 0 THEN sum(a) END AS sa, "
+           "CAST(count(a) AS BIGINT) AS na FROM t GROUP BY g")
+    compare("implode_sum", iq.collect().to_spark(), sql)
+
+    # 12. fill_null strategies vs window equivalents (idx order)
+    fq = (df.lazy().sort("idx").select(
+        pl.col("idx"),
+        pl.col("x").fill_null(strategy="forward").alias("ff"),
+        pl.col("x").fill_null(strategy="backward").alias("bf"),
+        pl.col("x").fill_null(strategy="mean").round(6).alias("mf"),
+        pl.col("x").fill_null(0.5).alias("vf"),
+    ))
+    sql = ("SELECT idx, "
+           "coalesce(x, last_value(x IGNORE NULLS) OVER "
+           "(ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+           " AS ff, "
+           "coalesce(x, first_value(x IGNORE NULLS) OVER "
+           "(ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))"
+           " AS bf, "
+           "round(coalesce(x, avg(x) OVER ()), 6) AS mf, "
+           "coalesce(x, 0.5) AS vf FROM t")
+    compare("fill_null", fq.collect().to_spark(), sql)
+
+    # 13. str transforms: replace_all / slice / contains / to_uppercase
+    sq2 = df.lazy().select(
+        pl.col("idx"),
+        pl.col("s").str.replace_all("a", "_").alias("rp"),
+        pl.col("s").str.slice(1, 3).alias("sl"),
+        pl.col("s").str.contains("ha").alias("ct"),
+        pl.col("s").str.to_uppercase().alias("up"),
+        pl.col("s").str.strip_chars().alias("st"),
+    )
+    sql = ("SELECT idx, replace(s, 'a', '_') AS rp, s[2:4] AS sl, "
+           "(CASE WHEN s IS NULL THEN NULL ELSE contains(s, 'ha') END) "
+           "AS ct, upper(s) AS up, trim(s) AS st FROM t")
+    compare("str_ops", sq2.collect().to_spark(), sql)
+
     duck.unregister("t")
     return diffs
 
