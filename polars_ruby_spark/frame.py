@@ -491,14 +491,20 @@ class LazyFrame:
         for c in conds:
             out = out.filter(c)
         lf = LazyFrame(out)
-        lf._order_dirty = self._order_dirty and ROW_IDX in out.columns
+        lf._order_cols = self._order_cols   # filters keep sort-key provenance
+        lf._order_dirty = self._order_dirty and (
+            ROW_IDX in out.columns or lf._order_cols is not None)
         return lf
 
     where = filter
 
     def drop_nulls(self, subset=None) -> "LazyFrame":
         subset = [subset] if isinstance(subset, str) else subset
-        return LazyFrame(self._sdf.dropna(subset=subset))
+        out = LazyFrame(self._sdf_raw.dropna(subset=subset))
+        out._order_cols = self._order_cols
+        out._order_dirty = self._order_dirty and (
+            ROW_IDX in self._sdf_raw.columns or out._order_cols is not None)
+        return out
 
     def drop_nans(self, subset=None) -> "LazyFrame":
         cols_ = subset or [f.name for f in self._sdf.schema.fields
