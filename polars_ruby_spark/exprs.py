@@ -1767,6 +1767,9 @@ class Expr:
 
         e = Expr(fn, name=self._name)
         e._scrambles_order = True   # WindowExec leaves rows value-sorted
+        # ranks over VALUES only — never reads ROW_IDX, so the sort-key
+        # restore path suffices (same as _rolling_by)
+        e._order_only = self._order_safe
         return e
 
     def arg_sort(self, reverse: bool = False, nulls_last: bool = False):

@@ -1074,8 +1074,8 @@ def test_sort_key_window_fast_path(spark):
     assert ow[0][1] == 0 and ow[1][1] == 1          # b: 0; a: 1
     assert ow[2][1] == 2 and ow[3][1] == 4          # b: 0+2; a: 1+3
 
-    # an index-consuming op (rank remap family) in the same bind disables
-    # the fast path but stays correct
+    # rank is value-ordered but never reads ROW_IDX — it rides the fast
+    # path too (restore via sort keys), mixed with spec-ordered shift
     rk = df.lazy().sort("ts").with_columns(
         pl.col("x").rank("ordinal").over("g").alias("rk"),
         pl.col("x").shift(1).over("g").alias("sh"))
