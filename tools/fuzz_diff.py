@@ -449,6 +449,34 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
            "FROM t WHERE ts IS NOT NULL")
     compare("rolling_by", rq.collect().to_spark(), sql)
 
+    # 10b. asof join WITH by-groups (DuckDB ASOF supports equality prefixes)
+    bl = (df.lazy().filter((pl.col("idx") % 2 == 0)
+                           & pl.col("ts").is_not_null())
+          .select("idx", "g", "ts", "x").sort("ts", "idx"))
+    br = (df.lazy().filter((pl.col("idx") % 2 == 1)
+                           & pl.col("ts").is_not_null())
+          .select("g", "ts", "y").group_by("g", "ts")
+          .agg(pl.col("y").max()).sort("ts"))
+    bq = (bl.join_asof(br, on="ts", by="g", strategy="backward")
+          .select("idx", "g", "ts", "y"))
+    base_bl = ("(SELECT idx, g, ts, x FROM t WHERE idx % 2 = 0 "
+               "AND ts IS NOT NULL)")
+    base_br = ("(SELECT g, ts, max(y) AS y FROM t WHERE idx % 2 = 1 "
+               "AND ts IS NOT NULL GROUP BY g, ts)")
+    sql = (f"SELECT l.idx, l.g, l.ts, r.y FROM {base_bl} l ASOF LEFT JOIN "
+           f"{base_br} r ON l.g = r.g AND l.ts >= r.ts")
+    compare("asof_by", bq.collect().to_spark(), sql)
+
+    # 10c. multi-key group_by + post-agg filter (polars filter after agg)
+    mq = (df.lazy().group_by("g", "p")
+          .agg(pl.col("x").sum().round(6).alias("sx"),
+               pl.len().alias("n"))
+          .filter(pl.col("n") > 1))
+    sql = ("SELECT g, p, round(coalesce(sum(x), 0), 6) AS sx, "
+           "CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g, p "
+           "HAVING count(*) > 1")
+    compare("multikey_agg", mq.collect().to_spark(), sql)
+
     # 11. implode per group (sorted list) + explode round-trip
     iq = (df.lazy().group_by("g")
           .agg(pl.col("a").sort().alias("la"),
