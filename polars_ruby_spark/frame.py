@@ -541,14 +541,21 @@ class LazyFrame:
                 order.append(c.asc_nulls_last() if nulls_last else c.asc_nulls_first())
         if maintain_order and ROW_IDX in self._sdf.columns:
             order.append(F.col(ROW_IDX).asc())
-        out = LazyFrame(sdf.orderBy(*order))
+            return LazyFrame(sdf.orderBy(*order))
         if all(isinstance(k, str) for k in keys):
-            # record sort-key row-order provenance: downstream ordered-
-            # window binds may order by these keys directly (no row index)
+            # DEFERRED sort: record the key spec and keep the raw plan
+            # unsorted — the `_sdf` restored view adds the orderBy only when
+            # an order-observing consumer reads the frame, and ordered-
+            # window binds order by these keys directly (exprs._ORDER_CTX),
+            # so sort→window pipelines never execute the global range sort
+            # at all, and sort→head compiles to TakeOrdered.
+            out = LazyFrame(sdf)
             out._order_cols = tuple(
                 (k, bool(d), bool(nulls_last))
                 for k, d in zip(keys, descending))
-        return out
+            out._order_dirty = True
+            return out
+        return LazyFrame(sdf.orderBy(*order))
 
     def reverse(self) -> "LazyFrame":
         lf = self._ensure_row_index()
