@@ -1082,3 +1082,33 @@ def test_sort_key_window_fast_path(spark):
     rrows = rk.collect().rows()
     assert [r[1] for r in rrows] == list(range(32))
     assert rrows[0][3] == 16 and rrows[2][3] == 15  # x desc along ts asc
+
+
+def test_deferred_sort_ordinal_interplay(spark):
+    """The deferred sort must be observed by every ordinal consumer:
+    row index, reverse, gather_every, slice, head/tail, group_by first/last
+    all see the SORTED order (lazy_frame.rb sort doctests)."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"k": [3, 1, 4, 1, 5, 9, 2, 6],
+                       "g": ["a", "b", "a", "b", "a", "b", "a", "b"]})
+    s = df.lazy().sort("k")
+
+    assert [r[0] for r in s.collect().rows()] == [1, 1, 2, 3, 4, 5, 6, 9]
+    wri = s.with_row_index().collect().rows()
+    assert [(r[0], r[1]) for r in wri[:3]] == [(0, 1), (1, 1), (2, 2)]
+    assert [r[0] for r in s.reverse().collect().rows()] == [9, 6, 5, 4, 3, 2, 1, 1]
+    assert [r[0] for r in s.gather_every(3).collect().rows()] == [1, 3, 6]
+    assert [r[0] for r in s.slice(2, 3).collect().rows()] == [2, 3, 4]
+    assert [r[0] for r in s.head(2).collect().rows()] == [1, 1]
+    assert [r[0] for r in s.tail(2).collect().rows()] == [6, 9]
+
+    # group_by first/last observe the sorted order
+    fl = {r[0]: (r[1], r[2]) for r in s.group_by("g").agg(
+        pl.col("k").first().alias("f"),
+        pl.col("k").last().alias("l")).collect().rows()}
+    assert fl == {"a": (2, 5), "b": (1, 9)}
+
+    # shift on the sorted frame (ungrouped, fast-path-eligible frame)
+    sh = s.with_columns(pl.col("k").shift(1).alias("p")).collect().rows()
+    assert [r[2] for r in sh] == [None, 1, 1, 2, 3, 4, 5, 6]
