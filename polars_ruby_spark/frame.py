@@ -629,6 +629,36 @@ class LazyFrame:
         subset = [subset] if isinstance(subset, str) else subset
         if keep == "any":
             return LazyFrame(self._sdf.dropDuplicates(subset))
+        spec = self._order_cols
+        if keep in ("first", "last") and spec and ROW_IDX not in \
+                self._sdf_raw.columns and all(
+                    n in self._sdf_raw.columns for n, _, _ in spec):
+            # deferred-sorted frame: "first in row order" = first under the
+            # sort keys — dedupe with a keys-ordered window, no row index,
+            # no executed global sort (classic sort→unique dedup pattern)
+            part = [F.col(c) for c in (subset or self.columns)]
+            order = self._spec_cols(spec)
+            if keep == "last":
+                # last in sort order = first under the fully reversed order
+                # (direction and null placement both flip)
+                flipped = []
+                for (n, d, nl) in spec:
+                    c = F.col(n)
+                    if d:
+                        flipped.append(c.asc_nulls_first() if nl
+                                       else c.asc_nulls_last())
+                    else:
+                        flipped.append(c.desc_nulls_first() if nl
+                                       else c.desc_nulls_last())
+                order = flipped
+            w = Window.partitionBy(*part).orderBy(*order)
+            out = (self._sdf_raw.withColumn(
+                "__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1).drop("__rn__"))
+            res = LazyFrame(out)
+            res._order_cols = spec
+            res._order_dirty = True      # window scrambled physical order
+            return res
         lf = self._ensure_row_index()
         part = [F.col(c) for c in (subset or self.columns)]
         if keep == "first":

@@ -1112,3 +1112,14 @@ def test_deferred_sort_ordinal_interplay(spark):
     # shift on the sorted frame (ungrouped, fast-path-eligible frame)
     sh = s.with_columns(pl.col("k").shift(1).alias("p")).collect().rows()
     assert [r[2] for r in sh] == [None, 1, 1, 2, 3, 4, 5, 6]
+
+    # sort→unique(keep=first/last): keys-ordered dedup window, no row index
+    sv = pl.DataFrame({"g": ["a", "a", "b", "b", "a"],
+                       "v": [3, 1, 5, 2, None]}).lazy().sort("v")
+    assert sorted(sv.unique(subset=["g"], keep="first").collect().rows(),
+                  key=str) == [("a", None), ("b", 2)]
+    assert sorted(sv.unique(subset=["g"], keep="last").collect().rows(),
+                  key=str) == [("a", 3), ("b", 5)]
+    uplan = sv.unique(subset=["g"], keep="first") \
+        ._sdf_raw._jdf.queryExecution().optimizedPlan().toString()
+    assert "__row_idx__" not in uplan
