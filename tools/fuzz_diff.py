@@ -482,7 +482,9 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
           .agg(pl.col("a").sort().alias("la"),
                pl.col("a").count().cast(pl.Int64).alias("na"))
           .select("g", pl.col("la").list.sum().alias("sa"), "na"))
-    sql = ("SELECT g, CASE WHEN count(a) > 0 THEN sum(a) END AS sa, "
+    # all-null group: polars list.sum([null,…]) = 0 (Series.sum semantics),
+    # so the oracle must coalesce — groups always have >=1 row here
+    sql = ("SELECT g, coalesce(sum(a), 0) AS sa, "
            "CAST(count(a) AS BIGINT) AS na FROM t GROUP BY g")
     compare("implode_sum", iq.collect().to_spark(), sql)
 
