@@ -296,9 +296,10 @@ def q18_list_funcs(spark, sf_dir):
         pl.col("embedding").list.len().alias("dim"),
         pl.col("embedding").list.get(0).cast(pl.Float64).round(4).alias("first_val"),
         pl.col("embedding").list.max().cast(pl.Float64).round(4).alias("max_val"),
-        # list.sum keeps the f32 element dtype (polars semantics) — cast up
-        # front so the 4dp round compares against the double-summing oracle
-        pl.col("embedding").list.sum().cast(pl.Float64).round(4).alias("vec_sum"),
+        # list.sum keeps the element dtype (polars semantics), so summing f32
+        # directly accumulates in f32 and flaps at round-half boundaries vs
+        # the double-summing oracle — cast the ELEMENTS up before the sum
+        pl.col("embedding").cast(pl.List(pl.Float64)).list.sum().round(4).alias("vec_sum"),
     )
     return _out(out)
 
@@ -2453,9 +2454,11 @@ def oracle_sql() -> dict[str, str]:
                                1500.0), 2) AS clipped,
                    ceil(CAST(p_retailprice AS DOUBLE)) AS ceilp,
                    floor(CAST(p_retailprice AS DOUBLE)) AS floorp,
-                   round(CAST(p_retailprice AS DOUBLE)
+                   round((CAST(p_retailprice AS DOUBLE)
+                          - lag(CAST(p_retailprice AS DOUBLE)) OVER
+                            (PARTITION BY p_brand ORDER BY rid))
                          / lag(CAST(p_retailprice AS DOUBLE)) OVER
-                           (PARTITION BY p_brand ORDER BY rid) - 1.0, 6) AS pct,
+                           (PARTITION BY p_brand ORDER BY rid), 6) AS pct,
                    (row_number() OVER (PARTITION BY p_size ORDER BY rid) = 1)
                        AS first_sz,
                    (count(*) OVER (PARTITION BY p_size) = 1) AS uniq_sz

@@ -477,6 +477,33 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
            "HAVING count(*) > 1")
     compare("multikey_agg", mq.collect().to_spark(), sql)
 
+    # 10d. fixed-size rolling with min_periods + center over idx order
+    n_roll = rng.randint(2, 5)
+    minp = rng.randint(1, n_roll)
+    rq2 = (df.lazy().sort("idx").select(
+        pl.col("idx"),
+        pl.col("x").rolling_sum(n_roll, min_periods=minp).round(6)
+        .alias("rs"),
+        pl.col("y").rolling_max(n_roll, center=True).alias("rm")))
+    before = (n_roll - 1) // 2
+    after = n_roll - 1 - before
+    sql = (f"SELECT idx, CASE WHEN count(x) OVER w1 >= {minp} THEN "
+           "round(sum(x) OVER w1, 6) END AS rs, "
+           f"CASE WHEN count(y) OVER w2 >= {n_roll} THEN max(y) OVER w2 "
+           "END AS rm FROM t WINDOW "
+           f"w1 AS (ORDER BY idx ROWS BETWEEN {n_roll - 1} PRECEDING "
+           "AND CURRENT ROW), "
+           f"w2 AS (ORDER BY idx ROWS BETWEEN {before} PRECEDING AND "
+           f"{after} FOLLOWING)")
+    compare("rolling_fixed", rq2.collect().to_spark(), sql)
+
+    # 10e. unpivot (melt) two value columns over the idx identifier
+    uq2 = (df.lazy().select("idx", "x", "y")
+           .unpivot(index="idx", on=["x", "y"]))
+    sql = ("SELECT idx, 'x' AS variable, x AS value FROM t "
+           "UNION ALL SELECT idx, 'y', y FROM t")
+    compare("unpivot", uq2.collect().to_spark(), sql)
+
     # 11. implode per group (sorted list) + explode round-trip
     iq = (df.lazy().group_by("g")
           .agg(pl.col("a").sort().alias("la"),
