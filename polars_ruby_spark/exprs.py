@@ -164,6 +164,10 @@ class Expr:
     #: frame row order (ROW_IDX sort) afterward — polars preserves row order.
     _scrambles_order = False
 
+    #: True when the expr reads ROW_IDX VALUES as global frame positions
+    #: (agg_groups) — group-local ordinal substitutes are not equivalent.
+    _needs_global_index = False
+
     #: True when this expr consumes row order ONLY through _ordered_window
     #: (never F.col(ROW_IDX) values): shift/diff/cum_*/rolling/fills/
     #: interpolate.  Such binds can order windows by the frame's sort KEYS
@@ -241,6 +245,7 @@ class Expr:
         )._set_meta(_op_label(f), (self,))
         out._scrambles_order = self._scrambles_order
         out._order_only = self._order_only
+        out._needs_global_index = self._needs_global_index
         if self._global_ordinal_fn is not None:
             # compose the pure Column fn on top of the attached hook column
             # so e.g. cum_sum().round(2) / sort().over(k).round(2) keep the
@@ -280,6 +285,7 @@ class Expr:
         )._set_meta(_op_label(f), (self,))
         out._scrambles_order = self._scrambles_order
         out._order_only = self._order_only and not needs_order
+        out._needs_global_index = self._needs_global_index
         return out
 
     def _lift2(self, other, f: Callable[[Column, Column], Column],
@@ -296,6 +302,8 @@ class Expr:
         )._set_meta(op or _op_label(f, "binary"), (self, o))
         out._scrambles_order = self._scrambles_order or o._scrambles_order
         out._order_only = self._order_safe and o._order_safe
+        out._needs_global_index = (self._needs_global_index
+                                   or o._needs_global_index)
         return out
 
     def _agg(self, aggf: Callable[[Column], Column], name: str | None = None) -> "Expr":
@@ -1225,10 +1233,24 @@ class Expr:
         return self._agg(lambda c: F.count(F.when(c.isNull(), 1)))
 
     def first(self):
-        return self._agg(lambda c: F.first(c))
+        # NOT F.first(c): Spark's First merges partial buffers in shuffle-
+        # fetch order — deterministic on local[N], arbitrary on a cluster.
+        # min_by over the hidden row index pins polars' "first row of the
+        # group in frame order" at any executor count.
+        def first(c):
+            return F.min_by(c, F.col(ROW_IDX))
+
+        e = self._agg(first)
+        e._needs_order = True
+        return e
 
     def last(self):
-        return self._agg(lambda c: F.last(c))
+        def last(c):
+            return F.max_by(c, F.col(ROW_IDX))
+
+        e = self._agg(last)
+        e._needs_order = True
+        return e
 
     def quantile(self, q: float, interpolation: str = "nearest"):
         """Parity: expr.rb:2473. linear → percentile_cont; nearest is polars'
@@ -1396,7 +1418,11 @@ class Expr:
                 out = out.over(_part_window(part))
             return out
 
-        return Expr(fn, name=self._name, is_agg=True, needs_order=True)
+        e = Expr(fn, name=self._name, is_agg=True, needs_order=True)
+        # collects the index VALUES as global frame positions — the
+        # group-local ordinal substitute is not equivalent here
+        e._needs_global_index = True
+        return e
 
     def dot(self, other):
         o = wrap_expr(other)

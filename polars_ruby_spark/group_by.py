@@ -80,6 +80,35 @@ class LazyGroupBy:
             cols.append(c.alias(name or e._name or "key"))
         return cols
 
+    def _order_base(self, sdf, exprs, named):
+        """Frame carrying ROW_IDX for order-dependent aggregates.
+
+        Deferred-sorted frames (`LazyFrame._order_cols`) get a WITHIN-GROUP
+        ordinal: row_number over (group keys × sort spec) — the groupBy's
+        own hash exchange satisfies the window, so the plan is ONE exchange
+        with no global range sort and no index materialization.  Every agg-
+        context consumer (min_by/max_by first-last, ordered collect structs)
+        only compares ROW_IDX within a group, so a group-local ordinal is
+        equivalent — except agg_groups (global positions), which falls back.
+        """
+        lf = self._lf
+        spec = getattr(lf, "_order_cols", None)
+        raw = lf._sdf_raw
+        if (spec and ROW_IDX not in raw.columns
+                and self._grouping == "groupBy"
+                and all(n in raw.columns for n, _, _ in spec)
+                and not any(e._needs_order for _, e in self._keys)
+                and not any(
+                    getattr(ee, "_needs_global_index", False)
+                    for e in list(exprs) + list(named.values())
+                    for ee in wrap_expr(e)._expand(raw))):
+            from pyspark.sql import Window
+
+            keys = [e._fn(raw, None) for _, e in self._keys]
+            w = Window.partitionBy(*keys).orderBy(*lf._spec_cols(spec))
+            return raw.withColumn(ROW_IDX, F.row_number().over(w))
+        return lf._ensure_row_index()._sdf
+
     def agg(self, *exprs, **named):
         from .frame import LazyFrame
 
@@ -87,11 +116,22 @@ class LazyGroupBy:
         sdf = lf._sdf
         aggs, needs_order = _agg_columns(sdf, exprs, named)
         key_needs_order = any(e._needs_order for _, e in self._keys)
-        if needs_order or key_needs_order:
-            sdf = lf._ensure_row_index()._sdf
+        if (needs_order or key_needs_order or self._maintain_order) \
+                and ROW_IDX not in sdf.columns:
+            if self._maintain_order:
+                # first-appearance order needs GLOBAL positions — the
+                # group-local ordinal would make every group's min 1
+                sdf = lf._ensure_row_index()._sdf
+            else:
+                sdf = self._order_base(sdf, exprs, named)
             aggs, _ = _agg_columns(sdf, exprs, named)
         keys = self._key_cols(sdf)
         grouped = getattr(sdf, self._grouping)(*keys)
+        if self._maintain_order and ROW_IDX in sdf.columns:
+            # polars contract: groups come out in first-appearance order —
+            # aggregate the min row position and sort the (small) result
+            out = grouped.agg(*aggs, F.min(ROW_IDX).alias("__mo__"))
+            return LazyFrame(out.orderBy("__mo__").drop("__mo__"))
         return LazyFrame(grouped.agg(*aggs))
 
     def head(self, n: int = 5):

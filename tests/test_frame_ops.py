@@ -1123,3 +1123,31 @@ def test_deferred_sort_ordinal_interplay(spark):
     uplan = sv.unique(subset=["g"], keep="first") \
         ._sdf_raw._jdf.queryExecution().optimizedPlan().toString()
     assert "__row_idx__" not in uplan
+
+
+def test_group_agg_order_dependent_fast_path(spark):
+    """first/last aggregate via min_by/max_by over the hidden index (Spark's
+    F.first merges partial buffers in shuffle-fetch order — cluster-
+    nondeterministic); on a deferred-sorted frame the index is a WITHIN-GROUP
+    row_number over (keys, sort spec): one exchange, no global sort.
+    agg_groups needs GLOBAL positions and must fall back."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"g": ["c", "a", "c", "b", "a"], "x": [1, 2, 3, 4, 5]})
+    lf = df.lazy().sort("x", descending=True).group_by("g").agg(
+        pl.col("x").first().alias("f"), pl.col("x").last().alias("l"))
+    plan = lf._sdf_raw._jdf.queryExecution().optimizedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    assert sorted(lf.collect().rows()) == [("a", 5, 2), ("b", 4, 4),
+                                           ("c", 3, 1)]
+
+    # agg_groups: global frame positions of the SORTED order
+    ag = df.lazy().sort("x", descending=True).group_by("g").agg(
+        pl.col("x").agg_groups().alias("ix")).collect().to_a()
+    assert {d["g"]: sorted(d["ix"]) for d in ag} == {
+        "a": [0, 3], "b": [1], "c": [2, 4]}
+
+    # maintain_order keeps first-appearance group order
+    mo = df.lazy().group_by("g", maintain_order=True).agg(
+        pl.col("x").sum().alias("s")).collect().to_a()
+    assert [d["g"] for d in mo] == ["c", "a", "b"]

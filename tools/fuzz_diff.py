@@ -436,11 +436,16 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
     compare(f"dynamic_{every}", tq.collect().to_spark(), sql)
 
     # 10. time-based rolling window vs RANGE INTERVAL frame
+    # closed="both": DuckDB's RANGE INTERVAL frame includes BOTH bounds,
+    # polars' default closed="right" excludes a row exactly window_size
+    # earlier (caught by seed 478 — a real boundary-semantics divergence
+    # between the paired templates, not an engine bug)
     rq = (df.lazy().filter(pl.col("ts").is_not_null()).sort("ts", "idx")
           .select(pl.col("idx"),
-                  pl.col("x").rolling_sum_by("ts", "45m").round(6)
-                  .alias("rs"),
-                  pl.col("y").rolling_min_by("ts", "3h").alias("rm")))
+                  pl.col("x").rolling_sum_by("ts", "45m", closed="both")
+                  .round(6).alias("rs"),
+                  pl.col("y").rolling_min_by("ts", "3h", closed="both")
+                  .alias("rm")))
     sql = ("SELECT idx, round(sum(x) OVER "
            "(ORDER BY ts RANGE BETWEEN INTERVAL 45 MINUTES PRECEDING "
            "AND CURRENT ROW), 6) AS rs, "
