@@ -145,6 +145,35 @@ class LazyGroupBy:
 
         from .frame import LazyFrame
 
+        spec = getattr(self._lf, "_order_cols", None)
+        if (spec and ROW_IDX not in self._lf._sdf_raw.columns
+                and self._grouping == "groupBy"
+                and all(c in self._lf._sdf_raw.columns
+                        for c, _, _ in spec)
+                and not any(e._needs_order for _, e in self._keys)):
+            # deferred-sorted frame: slice against the sort keys directly —
+            # one exchange, no row-index materialization
+            sdf = self._lf._sdf_raw
+            keys = [e._fn(sdf, None) for _, e in self._keys]
+            order = self._lf._spec_cols(spec)
+            if from_tail:
+                flipped = []
+                for (c_, d, nl) in spec:
+                    c = F.col(c_)
+                    if d:
+                        flipped.append(c.asc_nulls_first() if nl
+                                       else c.asc_nulls_last())
+                    else:
+                        flipped.append(c.desc_nulls_first() if nl
+                                       else c.desc_nulls_last())
+                order = flipped
+            w = Window.partitionBy(*keys).orderBy(*order)
+            out = (sdf.withColumn("__rn__", F.row_number().over(w))
+                   .filter(F.col("__rn__") <= n).drop("__rn__"))
+            res = LazyFrame(out)
+            res._order_cols = spec
+            res._order_dirty = True
+            return res
         lf = self._lf._ensure_row_index()
         sdf = lf._sdf
         keys = [e._fn(sdf, None) for _, e in self._keys]
