@@ -553,6 +553,28 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
            "AS ct, upper(s) AS up, trim(s) AS st FROM t")
     compare("str_ops", sq2.collect().to_spark(), sql)
 
+    # 14. vertical concat of three idx-slices + re-aggregation
+    parts = [df.lazy().filter(pl.col("idx") % 3 == k).select("idx", "g", "x")
+             for k in range(3)]
+    cq = (pl.concat(parts).group_by("g")
+          .agg(pl.col("x").sum().round(6).alias("sx"),
+               pl.len().alias("n")))
+    sql = ("SELECT g, round(coalesce(sum(x), 0), 6) AS sx, "
+           "CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g")
+    compare("concat_agg", cq.collect().to_spark(), sql)
+
+    # 15. cross join of two small slices
+    xl = df.lazy().filter(pl.col("idx") < 4).select(
+        pl.col("idx").alias("li"), "x")
+    xr = df.lazy().filter((pl.col("idx") >= 4) & (pl.col("idx") < 7)).select(
+        pl.col("idx").alias("ri"), "y")
+    xq = xl.join(xr, how="cross").select(
+        "li", "ri", (pl.col("x") + pl.col("y")).round(6).alias("s"))
+    sql = ("SELECT l.li, r.ri, round(l.x + r.y, 6) AS s FROM "
+           "(SELECT idx AS li, x FROM t WHERE idx < 4) l CROSS JOIN "
+           "(SELECT idx AS ri, y FROM t WHERE idx >= 4 AND idx < 7) r")
+    compare("cross_join", xq.collect().to_spark(), sql)
+
     duck.unregister("t")
     return diffs
 
