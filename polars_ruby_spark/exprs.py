@@ -1409,7 +1409,18 @@ class Expr:
         return Expr(fn, name=self._name, is_agg=True, needs_order=True)
 
     def implode(self):
-        return self._agg(F.collect_list)
+        # NOT bare F.collect_list: it drops nulls (polars implode keeps
+        # them) and its element order is shuffle-fetch order on a cluster.
+        # Collect (row_idx, value) structs — structs survive null values —
+        # and sort by the index.
+        def implode(c):
+            pairs = F.array_sort(F.collect_list(
+                F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
+            return F.transform(pairs, lambda p: p["v"])
+
+        e = self._agg(implode)
+        e._needs_order = True
+        return e
 
     def agg_groups(self):
         def fn(df, part):

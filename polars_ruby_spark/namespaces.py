@@ -323,8 +323,21 @@ class StringNameSpace(_NS):
         raise ValueError(encoding)
 
     def join(self, delimiter: str = "") -> Expr:
-        # agg: concatenate group values (string_expr.rb:357 str.join)
-        return self._e._agg(lambda c: F.array_join(F.collect_list(c), delimiter))
+        # agg: concatenate group values IN ROW ORDER (string_expr.rb:357
+        # str.join) — bare collect_list order is shuffle-fetch-dependent on
+        # a cluster; nulls are skipped (polars ignore_nulls default)
+        def join(c):
+            from .session import ROW_IDX
+
+            pairs = F.array_sort(F.collect_list(
+                F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
+            vals = F.filter(F.transform(pairs, lambda p: p["v"]),
+                            lambda x: x.isNotNull())
+            return F.array_join(vals, delimiter)
+
+        e = self._e._agg(join)
+        e._needs_order = True
+        return e
 
     concat = join
 

@@ -1151,3 +1151,27 @@ def test_group_agg_order_dependent_fast_path(spark):
     mo = df.lazy().group_by("g", maintain_order=True).agg(
         pl.col("x").sum().alias("s")).collect().to_a()
     assert [d["g"] for d in mo] == ["c", "a", "b"]
+
+
+def test_implode_str_join_order_and_nulls(spark):
+    """implode keeps null ELEMENTS and frame row order (bare collect_list
+    drops nulls and is shuffle-fetch-ordered on a cluster); str.join
+    concatenates in row order skipping nulls."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"g": ["b", "a", "b", "a"],
+                       "x": [1, None, 3, 4],
+                       "s": ["p", None, "q", "r"]})
+    r = sorted(df.lazy().group_by("g").agg(
+        pl.col("x").implode().alias("lx"),
+        pl.col("s").str.join("-").alias("js")).collect().rows())
+    assert r == [("a", [None, 4], "r"), ("b", [1, 3], "p-q")]
+
+    assert df.lazy().select(pl.col("x").implode().alias("a")) \
+        .collect().rows() == [([1, None, 3, 4],)]
+
+    # sorted frame: implode reflects the (deferred) sort order
+    r2 = sorted(df.lazy().sort("x", descending=True, nulls_last=True)
+                .group_by("g").agg(pl.col("x").implode().alias("lx"))
+                .collect().rows())
+    assert r2 == [("a", [4, None]), ("b", [3, 1])]
