@@ -2434,8 +2434,9 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT *, epoch_us(ts) tu FROM events),
                  a AS (SELECT event_type, min(tu) mn FROM e GROUP BY event_type),
                  j AS (SELECT e.*, a.mn FROM e JOIN a USING (event_type)),
-                 x AS (SELECT *, unnest(range((tu - mn - 7200000000) // 3600000000,
-                                              (tu - mn) // 3600000000 + 1)) AS k
+                 x AS (SELECT *, unnest(range(
+                           greatest((tu - mn - 7200000000) // 3600000000, 0),
+                           (tu - mn) // 3600000000 + 1)) AS k
                        FROM j),
                  f AS (SELECT *, mn + k * 3600000000 AS s FROM x
                        WHERE mn + k * 3600000000 <= tu

@@ -1339,18 +1339,22 @@ class Expr:
         def fn(df, part):
             c = self._fn(df, None)
             # two-pass inside one agg: -sum(p*ln p) with p = x/sum(x)
+            nan = F.lit(float("nan"))
             if part is None:
                 # use collect-based computation to stay a single aggregate
                 arr = F.collect_list(c.cast("double"))
                 s = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+                # negative x: ln(p) is NaN in polars — propagate, don't drop
                 ent = F.aggregate(
                     arr, F.lit(0.0),
-                    lambda a, x: a + F.when(x > 0, -(x / s) * F.log(x / s)).otherwise(F.lit(0.0)),
+                    lambda a, x: a + F.when(x < 0, nan)
+                    .when(x > 0, -(x / s) * F.log(x / s)).otherwise(F.lit(0.0)),
                 )
                 if not normalize:
                     ent = F.aggregate(
                         arr, F.lit(0.0),
-                        lambda a, x: a + F.when(x > 0, -x * F.log(x)).otherwise(F.lit(0.0)),
+                        lambda a, x: a + F.when(x < 0, nan)
+                        .when(x > 0, -x * F.log(x)).otherwise(F.lit(0.0)),
                     )
                 if base != math.e:
                     ent = ent / math.log(base)
@@ -1361,7 +1365,10 @@ class Expr:
             w = Window.partitionBy(*part)
             cd = c.cast("double")
             s = F.sum(cd).over(w)
-            t = F.sum(F.when(cd > 0, cd * F.log(cd)).otherwise(F.lit(0.0))
+            # cd < 0 → NaN (polars: ln of a negative p is NaN and the sum
+            # propagates it); only cd == 0 zero-fills (0·ln 0 = 0)
+            t = F.sum(F.when(cd < 0, nan)
+                      .when(cd > 0, cd * F.log(cd)).otherwise(F.lit(0.0))
                       ).over(w)
             ent = (F.log(s) - t / s) if normalize else -t
             if base != math.e:

@@ -481,7 +481,16 @@ class LazyFrame:
                     sdf = sdf.orderBy(ROW_IDX)
                 sdf = strip_row_index(sdf)
             out = LazyFrame(sdf)
-            out._order_dirty = ROW_IDX in sdf.columns and lf._order_dirty
+            if ROW_IDX in sdf.columns:
+                out._order_dirty = lf._order_dirty
+            else:
+                # no row index: keep the with_columns frame's sort-key
+                # provenance (incl. hidden __ord_* copies still in sdf) so
+                # a deferred sort(keys) survives a windowed-predicate
+                # filter — rows must come back in sorted order
+                out._order_cols = lf._order_cols
+                out._order_dirty = (lf._order_dirty
+                                    and lf._order_cols is not None)
             return out
         sdf = self._sdf_raw     # plain predicates are value-based: dirty-safe
         conds = [e._fn(sdf, None) for e in preds]

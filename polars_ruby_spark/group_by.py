@@ -415,7 +415,11 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         tt = t - (F.lit(1) if self._closed == "right" else F.lit(0))
         k = F.floor((tt - F.col("__sb_min__")) / F.lit(every_us)).cast("long")
         start_us = F.col("__sb_min__") + k * F.lit(every_us)
+        # forward-only grid: with closed='right' the anchor datapoint sits
+        # on the open left edge of window 0 (k = -1 here) — polars drops it
+        # rather than emitting a window before the first datapoint
         grouped = (joined.withColumn("__s__", start_us)
+                   .filter(k >= 0)
                    .groupBy(F.col("__s__"), *[F.col(n) for n in by_names])
                    .agg(*aggs,
                         *([F.min(F.col(self._index)).alias("__dp__")]
@@ -474,7 +478,11 @@ class DynamicGroupBy(_TemporalGroupByMixin):
 
         rel = t - F.col("__sb_min__")
         k_hi = floordiv(rel, every_us)
-        k_lo = floordiv(rel - F.lit(period_us), every_us)
+        # the datapoint grid only extends FORWARD from the group's first
+        # datapoint (lazy_frame.rb:1448): clamp so rows within `period` of
+        # the anchor don't spawn windows starting before it
+        k_lo = F.greatest(floordiv(rel - F.lit(period_us), every_us),
+                          F.lit(0))
         exploded = joined.withColumn(
             "__k__", F.explode(F.sequence(k_lo, k_hi)))
         s = F.col("__sb_min__") + F.col("__k__") * F.lit(every_us)

@@ -990,11 +990,12 @@ def test_calendar_hopping_rolling_datapoint(spark):
                               start_by="datapoint")
          .agg(pl.col("v").sum().alias("s")))
     dd = {str(r["ts"])[:10]: r["s"] for r in d.to_a()}
-    # anchor 2024-01-05; starts: -40d (11-26): rows<80d→ {1,2,4}=7;
-    # 01-05: {1,2,4,8}=15? 8 is 03-03 = 58d after anchor < 80 ✓ =15;
-    # 02-14: {4?no 02-10<02-14..} window [02-14,05-04): {8,16}=24;
+    # anchor 2024-01-05; grid extends FORWARD only (no window before the
+    # first datapoint — round-4 clamp):
+    # 01-05: {1,2,4,8}=15 (8 is 03-03 = 58d after anchor < 80 ✓);
+    # 02-14: window [02-14,05-04): {8,16}=24;
     # 03-25: [03-25,06-13): {16,32}=48; 05-04: [05-04,07-23): {32}
-    assert dd == {"2023-11-26": 7.0, "2024-01-05": 15.0, "2024-02-14": 24.0,
+    assert dd == {"2024-01-05": 15.0, "2024-02-14": 24.0,
                   "2024-03-25": 48.0, "2024-05-04": 32.0}
 
 
