@@ -1905,6 +1905,24 @@ def q136_grouped_stats(spark, sf_dir):
     return _out(out)
 
 
+def q137_spearman_agg(spark, sf_dir):
+    """Spearman corr INSIDE group_by().agg() (§2.4; closed the round-3
+    raise).  _agg_pre_fn hook: per-group average ranks as helper columns
+    (windows partitioned by the SAME keys the groupBy hashes — one logical
+    exchange), then a plain pearson-corr hash aggregate on top.  Parity:
+    functions/lazy.rb:679 (corr computes in any context)."""
+    import polars_ruby_spark as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.group_by("l_returnflag").agg(
+        pl.corr("l_quantity", "l_extendedprice", method="spearman")
+        .round(6).alias("sp"),
+        pl.corr("l_quantity", "l_discount").round(6).alias("pr"),
+        pl.len().alias("n"),
+    )
+    return _out(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2054,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_calendar_rolling": q134_calendar_rolling,
         "q135_datapoint_hopping": q135_datapoint_hopping,
         "q136_grouped_stats": q136_grouped_stats,
+        "q137_spearman_agg": q137_spearman_agg,
     }
 
 
@@ -2402,6 +2421,24 @@ def oracle_sql() -> dict[str, str]:
               ON a.event_type = b.event_type
              AND b.ts > a.ts - INTERVAL 1 MONTH AND b.ts <= a.ts
             GROUP BY a.event_type, a.ts, a.event_id
+        """,
+        "q137_spearman_agg": """
+            WITH r AS (SELECT l_returnflag, l_quantity, l_discount,
+                              rank() OVER (PARTITION BY l_returnflag
+                                           ORDER BY l_quantity)
+                                + (count(*) OVER (PARTITION BY l_returnflag,
+                                                  l_quantity) - 1) / 2.0
+                                AS ra,
+                              rank() OVER (PARTITION BY l_returnflag
+                                           ORDER BY l_extendedprice)
+                                + (count(*) OVER (PARTITION BY l_returnflag,
+                                                  l_extendedprice) - 1) / 2.0
+                                AS rb
+                       FROM lineitem)
+            SELECT l_returnflag, round(corr(ra, rb), 6) AS sp,
+                   round(corr(l_quantity, l_discount), 6) AS pr,
+                   count(*) AS n
+            FROM r GROUP BY l_returnflag
         """,
         "q136_grouped_stats": """
             WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag,

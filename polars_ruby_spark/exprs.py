@@ -190,6 +190,14 @@ class Expr:
     _agg_list_fn = None
     _agg_list_base = None
 
+    #: agg-context PRE-STAGE hook: ``(sdf, key_cols) -> (sdf2, Column)`` —
+    #: aggregates that need per-group helper columns computed BEFORE the
+    #: hash agg (spearman corr: per-group average ranks).  ``group_by().
+    #: agg`` extends the frame through the hook and aggregates the returned
+    #: Column; the helper windows partition by the same keys as the groupBy,
+    #: so the plan stays one exchange (AQE reuses it).
+    _agg_pre_fn = None
+
     #: lightweight AST breadcrumb ``(op, children_exprs, payload)`` attached
     #: by the central combinators (col/lit/_lift/_lift2/_agg/_ordered/alias/
     #: over) — powers meta.root_names/pop/tree_format/eq (meta_expr.rb)
@@ -270,6 +278,16 @@ class Expr:
                 return sdf2.withColumn(tmp2, _f(F.col(tmp))).drop(tmp), tmp2
 
             out._grouped_remap_fn = rfn
+        if self._agg_pre_fn is not None:
+            # compose pure Column fns over the agg pre-stage hook too
+            # (spearman(...).round(6) inside agg keeps the rank pre-stage)
+            spfn = self._agg_pre_fn
+
+            def pfn(sdf, key_cols, _f=f):
+                sdf2, c = spfn(sdf, key_cols)
+                return sdf2, _f(c)
+
+            out._agg_pre_fn = pfn
         return out
 
     def _lift_ctx(self, f: Callable[[Column, DataFrame, Any], Column],
@@ -428,6 +446,7 @@ class Expr:
         e._grouped_remap_fn = self._grouped_remap_fn
         e._agg_list_fn = self._agg_list_fn
         e._agg_list_base = self._agg_list_base
+        e._agg_pre_fn = self._agg_pre_fn
         return e._set_meta("alias", (self,), name)
 
     def suffix(self, s: str) -> "Expr":

@@ -282,15 +282,16 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
             from ..exprs import bind_context
 
             if part is not None or bind_context.grouped_agg:
-                # under over(): the frame hook below pre-projects PER-GROUP
-                # ranks then corrs them (round-3, functions/lazy.rb:679);
-                # only the agg-context binding (no frame stage available)
-                # still refuses.
+                # under over(): the _grouped_remap_fn frame hook pre-projects
+                # PER-GROUP ranks then corrs them (round-3); plain group_by().
+                # agg() routes through _agg_pre_fn (round-4).  Only contexts
+                # with no frame stage left — dynamic/rolling group-bys and
+                # cube/rollup — still refuse with the rewrite recipe.
                 raise NotImplementedError(
-                    "spearman corr inside group_by().agg(): pre-project "
-                    "per-group ranks with col(x).rank('average').over(keys) "
-                    "via with_columns, then aggregate pearson corr of the "
-                    "ranks")
+                    "spearman corr inside a dynamic/rolling/cube group-by: "
+                    "pre-project per-group ranks with "
+                    "col(x).rank('average').over(keys) via with_columns, "
+                    "then aggregate pearson corr of the ranks")
             ranked = df.select(ra._fn(df, None).alias("__ra__"),
                                rb._fn(df, None).alias("__rb__"))
             sub = ranked.agg(F.corr(F.col("__ra__"), F.col("__rb__"))
@@ -330,6 +331,23 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
             return out_sdf, tmp
 
         out._grouped_remap_fn = remap
+
+        def agg_pre(sdf, key_cols):
+            # group_by(keys).agg(spearman): per-group average ranks as
+            # helper columns (windows partitioned by the SAME keys the
+            # groupBy hashes — one logical exchange), then a plain pearson
+            # corr aggregate on top (functions/lazy.rb:679; round-4)
+            from ..exprs import _next_gord_name
+
+            # partition the rank windows by the key Columns DIRECTLY (no
+            # aliased copies) so the window exchange and the groupBy hash the
+            # same attributes and Spark reuses one exchange
+            na, nb = _next_gord_name(), _next_gord_name()
+            base = sdf.withColumn(na, ra._fn(sdf, key_cols))
+            base = base.withColumn(nb, rb._fn(base, key_cols))
+            return base, F.corr(F.col(na), F.col(nb))
+
+        out._agg_pre_fn = agg_pre
         return out
     raise ValueError(method)
 

@@ -65,6 +65,34 @@ def _agg_columns(sdf, exprs, named):
     return out, needs_order
 
 
+def _apply_agg_prestages(sdf, exprs, named, key_exprs):
+    """Substitute exprs carrying an ``_agg_pre_fn`` hook (spearman corr).
+
+    The hook extends the frame with per-group helper columns (e.g. average
+    ranks over a window partitioned by the SAME keys the groupBy hashes on —
+    one logical exchange) and yields the aggregate Column to run on top.
+    Returns ``(sdf2, exprs2, named2)`` with hooked exprs replaced by plain
+    aggregates over the helpers."""
+    alls = list(exprs) + list(named.values())
+    if not any(getattr(wrap_expr(e), "_agg_pre_fn", None) is not None
+               for e in alls):
+        return sdf, exprs, named
+
+    def sub(e, name):
+        nonlocal sdf
+        ew = wrap_expr(e)
+        if ew._agg_pre_fn is None:
+            return e
+        sdf, c = ew._agg_pre_fn(sdf, [ke._fn(sdf, None) for _, ke in key_exprs])
+        out = Expr(lambda df, part, _c=c: _c, name=name or ew._name,
+                   is_agg=True)
+        return out
+
+    exprs2 = [sub(e, None) for e in exprs]
+    named2 = {k: sub(v, k) for k, v in named.items()}
+    return sdf, exprs2, named2
+
+
 class LazyGroupBy:
     _grouping = "groupBy"  # cube/rollup subclasses override (Spark extension)
 
@@ -114,7 +142,14 @@ class LazyGroupBy:
 
         lf = self._lf
         sdf = lf._sdf
-        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        if self._grouping == "groupBy":
+            # cube/rollup excluded: the pre-stage's per-key windows don't
+            # match subtotal groupings (workaround raise stays there)
+            psdf, pexprs, pnamed = _apply_agg_prestages(
+                sdf, exprs, named, self._keys)
+        else:
+            psdf, pexprs, pnamed = sdf, exprs, named
+        aggs, needs_order = _agg_columns(psdf, pexprs, pnamed)
         key_needs_order = any(e._needs_order for _, e in self._keys)
         if (needs_order or key_needs_order or self._maintain_order) \
                 and ROW_IDX not in sdf.columns:
@@ -124,7 +159,13 @@ class LazyGroupBy:
                 sdf = lf._ensure_row_index()._sdf
             else:
                 sdf = self._order_base(sdf, exprs, named)
-            aggs, _ = _agg_columns(sdf, exprs, named)
+            if self._grouping == "groupBy":
+                psdf, pexprs, pnamed = _apply_agg_prestages(
+                    sdf, exprs, named, self._keys)
+            else:
+                psdf, pexprs, pnamed = sdf, exprs, named
+            aggs, _ = _agg_columns(psdf, pexprs, pnamed)
+        sdf = psdf
         keys = self._key_cols(sdf)
         grouped = getattr(sdf, self._grouping)(*keys)
         if self._maintain_order and ROW_IDX in sdf.columns:

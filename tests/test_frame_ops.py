@@ -353,11 +353,9 @@ def test_arg_sort_by_sole_select(spark):
 
 
 def test_spearman_grouped_agg_raises(spark):
-    """Grouped spearman would rank over the whole frame and lift one global
-    scalar into every group — must refuse loudly (round-2 advice fix). The
-    documented workaround (pre-ranked pearson) gives the per-group answer."""
-    import pytest
-
+    """group_by().agg(spearman) computes per-group (round-4 _agg_pre_fn:
+    ranks over key-partitioned windows, then one pearson hash agg) and
+    matches the manual pre-ranked pearson rewrite."""
     from polars_ruby_spark import functions as plf
 
     df = pl.DataFrame({
@@ -365,10 +363,11 @@ def test_spearman_grouped_agg_raises(spark):
         "x": [1.0, 2.0, 3.0, 4.0] * 2,
         "y": [1.0, 4.0, 9.0, 16.0, 16.0, 9.0, 4.0, 1.0],  # +1 in a, -1 in b
     })
-    with pytest.raises(NotImplementedError):
-        df.group_by("g").agg(
-            plf.corr(pl.col("x"), pl.col("y"), method="spearman").alias("s"))
-    # workaround: per-group ranks via over(), pearson corr of ranks in agg
+    direct = (df.group_by("g").agg(
+        plf.corr(pl.col("x"), pl.col("y"), method="spearman").alias("s"))
+        .sort("g").to_a())
+    assert abs(direct[0]["s"] - 1.0) < 1e-9 and abs(direct[1]["s"] + 1.0) < 1e-9
+    # the formerly-documented workaround agrees
     out = (
         df.with_columns(
             pl.col("x").rank("average").over("g").alias("rx"),
