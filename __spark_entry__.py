@@ -1923,6 +1923,29 @@ def q137_spearman_agg(spark, sf_dir):
     return _out(out)
 
 
+def q138_cumulative_eval_grouped(spark, sf_dir):
+    """cumulative_eval under over(keys) (§2.4/§2.5; closed the round-3
+    sole-select-only boundary).  Per-group ordered (i,v) pairs collected
+    once per group (one keys exchange), expanding-prefix reduction per row
+    via JVM higher-order functions — no Python, no self-join.  Parity:
+    expr.rb:6684 (cumulative_eval in any context)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort("o_orderkey").head(3000)
+    # integer cents: expanding sums stay EXACT, so the mean is the same
+    # IEEE division in both engines (double prefix-sums differ by fold
+    # order at round() boundaries)
+    cents = (pl.col("o_totalprice") * 100).round(0).cast(pl.Int64)
+    out = o.with_columns(
+        cents.cumulative_eval(pl.element().mean())
+        .over("o_orderstatus").round(4).alias("cmean"),
+        pl.col("o_totalprice").cumulative_eval(
+            pl.element().max() - pl.element().first())
+        .over("o_orderstatus").round(2).alias("cspread"),
+    ).select("o_orderkey", "o_orderstatus", "cmean", "cspread")
+    return _out(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2073,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_datapoint_hopping": q135_datapoint_hopping,
         "q136_grouped_stats": q136_grouped_stats,
         "q137_spearman_agg": q137_spearman_agg,
+        "q138_cumulative_eval_grouped": q138_cumulative_eval_grouped,
     }
 
 
@@ -2731,6 +2755,18 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_frac
             FROM g JOIN dp USING (gram)
             GROUP BY doc_id
+        """,
+        "q138_cumulative_eval_grouped": """
+            WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders ORDER BY o_orderkey LIMIT 3000)
+            SELECT o_orderkey, o_orderstatus,
+                   round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         OVER w, 4) AS cmean,
+                   round(max(o_totalprice) OVER w
+                         - first_value(o_totalprice) OVER w, 2) AS cspread
+            FROM o
+            WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "q108_cumulative_eval": """
             WITH o AS (SELECT o_totalprice,

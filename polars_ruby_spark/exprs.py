@@ -1695,13 +1695,100 @@ class Expr:
             raise TypeError("cumulative_eval requires an element()-based expr")
         inner = self
         sub = expr
+        min_p = min_periods
 
         def fn(df, part):
             raise NotImplementedError(
-                "cumulative_eval inside over()/agg groups: select it as the "
-                "sole expression instead (sole-select frame op)")
+                "cumulative_eval inside a dynamic/rolling group-by: "
+                "pre-compute it via with_columns (over(keys) and "
+                "group_by().agg() are supported)")
 
         e = Expr(fn, name=self._name, needs_order=True)
+
+        def _prefix_eval(base_df, pairs_col, cur_i):
+            """Bind ``sub`` over the expanding prefix (elements with hidden
+            index <= the current row's) of a per-group (i, v) pairs array —
+            aggregates reduce the prefix via the list-eval HOF machinery,
+            fully JVM-side.  O(prefix) work per row is inherent to the
+            operator (expr.rb:6684 carries the same warning)."""
+            pre = F.transform(
+                F.filter(pairs_col, lambda p: p["i"] <= cur_i),
+                lambda p: p["v"])
+            _EVAL_ARRAY_STACK.append(pre)
+            try:
+                c = sub._fn(base_df, None)
+            finally:
+                _EVAL_ARRAY_STACK.pop()
+            if min_p > 1:
+                c = F.when(F.size(pre) >= min_p, c)
+            return c
+
+        def _remap_cols(sdf, key_cols):
+            # per-group ordered (i, v) pairs once per row's group, then the
+            # prefix evaluation per row (round-4; expr.rb:6684 allows
+            # cumulative_eval in any context)
+            pairs = F.array_sort(F.collect_list(
+                F.struct(F.col(ROW_IDX).alias("i"),
+                         inner._fn(sdf, None).alias("v")))
+                .over(Window.partitionBy(*key_cols)))
+            tmp_p = _next_gord_name()
+            base = sdf.withColumn(tmp_p, pairs)
+            c = _prefix_eval(base, F.col(tmp_p), F.col(ROW_IDX))
+            tmp = _next_gord_name()
+            return base.withColumn(tmp, c).drop(tmp_p), tmp
+
+        def remap(sdf, key_exprs):
+            out, tmp = _remap_cols(
+                sdf, [ke._fn(sdf, None) for ke in key_exprs])
+            # hook contract: output physically in global row order (the
+            # group-collect window leaves rows key-clustered); agg_pre skips
+            # this — its consumer is a hash agg
+            return out.orderBy(ROW_IDX), tmp
+
+        e._grouped_remap_fn = remap
+
+        def agg_pre(sdf, key_cols):
+            if ROW_IDX not in sdf.columns:
+                # first _agg_columns pass runs before the hidden index
+                # exists; needs_order triggers the re-run that applies the
+                # prestage for real
+                return sdf, F.lit(None)
+            sdf2, tmp = _remap_cols(sdf, key_cols)
+            pairs = F.array_sort(F.collect_list(
+                F.struct(F.col(ROW_IDX).alias("i"), F.col(tmp).alias("v"))))
+            return sdf2, F.transform(pairs, lambda p: p["v"])
+
+        e._agg_pre_fn = agg_pre
+
+        def gfn(sdf):
+            # ungrouped with_columns/filter: the sole-select explode +
+            # hash-agg plan (multi-task, no global window), results joined
+            # back on the hidden index
+            n = sdf.count()  # one scalar action at plan time (reshape trade)
+            vals = sdf.select(F.col(ROW_IDX),
+                              inner._fn(sdf, None).alias("__ce_v__"))
+            pairs = vals.select(
+                F.col(ROW_IDX).alias("__ce_i__"), F.col("__ce_v__"),
+                F.explode(F.sequence(F.col(ROW_IDX), F.lit(n - 1)))
+                .alias("__ce_r__"))
+            pairs = pairs.repartition(F.col("__ce_r__")).sortWithinPartitions(
+                "__ce_r__", "__ce_i__")
+            _ELEMENT_STACK.append(F.col("__ce_v__"))
+            try:
+                agg_c = sub._fn(pairs, None)
+            finally:
+                _ELEMENT_STACK.pop()
+            tmp = _next_gord_name()
+            res = pairs.groupBy("__ce_r__").agg(
+                agg_c.alias(tmp), F.count(F.lit(1)).alias("__ce_n__"))
+            if min_p > 1:
+                res = res.withColumn(
+                    tmp, F.when(F.col("__ce_n__") >= min_p, F.col(tmp)))
+            res = res.select(F.col("__ce_r__").alias(ROW_IDX), tmp)
+            # hook contract: output physically in global row order
+            return sdf.join(res, on=ROW_IDX).orderBy(ROW_IDX), tmp
+
+        e._global_ordinal_fn = gfn
 
         def frame_fn(lf, out_name):
             from .frame import LazyFrame

@@ -85,7 +85,7 @@ def _apply_agg_prestages(sdf, exprs, named, key_exprs):
             return e
         sdf, c = ew._agg_pre_fn(sdf, [ke._fn(sdf, None) for _, ke in key_exprs])
         out = Expr(lambda df, part, _c=c: _c, name=name or ew._name,
-                   is_agg=True)
+                   is_agg=True, needs_order=ew._needs_order)
         return out
 
     exprs2 = [sub(e, None) for e in exprs]

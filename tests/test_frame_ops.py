@@ -411,9 +411,22 @@ def test_cumulative_eval_and_struct_ops(spark):
     mp = df.select(pl.col("values").cumulative_eval(
         pl.element().max() - pl.element().min(), min_periods=3).alias("d")).to_a()
     assert [r["d"] for r in mp] == [None, None, 2, 3, 4]
-    with pytest.raises(NotImplementedError):
-        df.with_columns(pl.col("values").cumulative_eval(
-            pl.element().max()).alias("x")).to_a()
+    # round-4: with_columns (ungrouped), over(keys), and group_by().agg()
+    wc = df.with_columns(pl.col("values").cumulative_eval(
+        pl.element().max()).alias("x")).to_a()
+    assert [r["x"] for r in wc] == [1, 2, 3, 4, 5]
+    gdf = pl.DataFrame({"g": ["a", "a", "b", "a", "b"],
+                        "v": [3.0, 1.0, 10.0, 2.0, 4.0]})
+    ov = gdf.with_columns(pl.col("v").cumulative_eval(
+        pl.element().min()).over("g").alias("m")).to_a()
+    assert [r["m"] for r in ov] == [3.0, 1.0, 10.0, 1.0, 4.0]
+    ag = (gdf.group_by("g")
+          .agg(pl.col("v").cumulative_eval(pl.element().sum()).alias("cs"))
+          .sort("g").to_a())
+    assert [r["cs"] for r in ag] == [[3.0, 4.0, 6.0], [10.0, 14.0]]
+    mp2 = gdf.with_columns(pl.col("v").cumulative_eval(
+        pl.element().mean(), min_periods=2).over("g").alias("m2")).to_a()
+    assert [r["m2"] for r in mp2] == [None, 2.0, None, 2.0, 7.0]
 
     lf = pl.DataFrame({"l": [[1, 2, 3], [4, 5], None]})
     s = lf.select(pl.col("l").list.to_struct().alias("s")).to_a()
