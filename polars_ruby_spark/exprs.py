@@ -2412,6 +2412,14 @@ class Expr:
                 raise NotImplementedError(
                     "ewm with ignore_nulls=false in this binding context: "
                     "select it directly or under over(keys) instead")
+            import warnings
+
+            warnings.warn(
+                "ewm_* composed with other aggregates in one expression "
+                "falls back to an O(n^2) expanding-window scan; bind the "
+                "ewm alone (select/with_columns, optionally .over(keys)) "
+                "to get the O(n) segmented scan, then combine columns",
+                RuntimeWarning, stacklevel=3)
             arr = F.collect_list(c).over(
                 w.rowsBetween(Window.unboundedPreceding, 0))
             n = F.size(arr)
