@@ -63,6 +63,33 @@ def _op_label(f, default: str = "function") -> str:
     return default if (not n or n == "<lambda>") else n
 
 
+#: Dtype-probe record/replay (cumulative_eval's indexed-transform plan).
+#: Probe sites analyze the constructed Column via a standalone select; an
+#: expression embedding a HOF lambda variable cannot be analyzed that way,
+#: so cumulative_eval first binds the sub-expression over the LAMBDA-FREE
+#: full values array (identical element dtypes to any prefix slice) with
+#: ``_PROBE_RECORD`` capturing every probed type, then re-binds inside the
+#: per-position lambda with ``_PROBE_REPLAY`` serving the captured types.
+#: Expression construction is synchronous driver-side code — plain globals.
+_PROBE_RECORD: list | None = None
+_PROBE_REPLAY: list | None = None
+
+
+def _probe_type(df, c):
+    """Schema-probe a constructed Column (record/replay aware)."""
+    global _PROBE_REPLAY
+    if _PROBE_REPLAY is not None:
+        if not _PROBE_REPLAY:
+            raise RuntimeError(
+                "dtype-probe replay underrun: the lambda-free record pass "
+                "probed fewer types than the real pass needs")
+        return _PROBE_REPLAY.pop(0)
+    t = df.select(c.alias("__t__")).schema[0].dataType
+    if _PROBE_RECORD is not None:
+        _PROBE_RECORD.append(t)
+    return t
+
+
 def _part_window(part) -> WindowSpec:
     return Window.partitionBy(*part)
 
@@ -93,7 +120,7 @@ def _arr_reduce(label: str, arr: Column, df) -> Column:
     if label == "last":
         return F.element_at(arr, -1)
     if label in ("sum", "mean"):
-        t = df.select(arr.alias("__arf__")).schema[0].dataType.elementType
+        t = _probe_type(df, arr).elementType
         nn = F.filter(arr, lambda x: x.isNotNull())
         s = F.aggregate(nn, F.lit(0).cast(t), lambda a, x: a + x)
         if label == "sum":
@@ -322,6 +349,27 @@ class Expr:
         out._order_only = self._order_safe and o._order_safe
         out._needs_global_index = (self._needs_global_index
                                    or o._needs_global_index)
+        if self._agg_pre_fn is not None or o._agg_pre_fn is not None:
+            # compose binary ops over agg pre-stage hooks too (ADVICE r4:
+            # spearman(...) * 2 / + other_agg inside group_by().agg keeps
+            # the rank pre-stage); hooked operands thread the frame, plain
+            # operands bind as ordinary aggregate columns on the result
+            spa, spb = self._agg_pre_fn, o._agg_pre_fn
+            sf, of = self._fn, o._fn
+
+            def pfn(sdf, key_cols, _f=f):
+                ca = cb = None
+                if spa is not None:
+                    sdf, ca = spa(sdf, key_cols)
+                if spb is not None:
+                    sdf, cb = spb(sdf, key_cols)
+                if ca is None:
+                    ca = sf(sdf, None)
+                if cb is None:
+                    cb = of(sdf, None)
+                return sdf, _f(ca, cb)
+
+            out._agg_pre_fn = pfn
         return out
 
     def _agg(self, aggf: Callable[[Column], Column], name: str | None = None) -> "Expr":
@@ -345,7 +393,7 @@ class Expr:
 
                 inner_c = self._fn(df, None)
                 try:
-                    t = df.select(inner_c.alias("__t__")).schema[0].dataType
+                    t = _probe_type(df, inner_c)
                 except Exception:
                     t = None
                 if isinstance(t, T.ArrayType):
@@ -391,7 +439,7 @@ class Expr:
 
                 inner_c = self._fn(df, None)
                 try:
-                    t = df.select(inner_c.alias("__t__")).schema[0].dataType
+                    t = _probe_type(df, inner_c)
                 except Exception:
                     t = None
                 if isinstance(t, T.ArrayType):
@@ -416,7 +464,7 @@ class Expr:
         single-column analysis probe otherwise."""
         if self._meta and self._meta[0] == "col" and self._meta[2] in df.columns:
             return df.schema[self._meta[2]].dataType
-        return df.select(c.alias("__t__")).schema[0].dataType
+        return _probe_type(df, c)
 
     def _ordered(self, f: Callable[[Column, WindowSpec], Column],
                  order_only: bool = False) -> "Expr":
@@ -528,8 +576,8 @@ class Expr:
             from pyspark.sql import types as T
 
             ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-            ta = df.select(a.alias("__t__")).schema[0].dataType
-            tb = df.select(b.alias("__t__")).schema[0].dataType
+            ta = _probe_type(df, a)
+            tb = _probe_type(df, b)
             out = F.pow(a, b)
             if isinstance(ta, ints) and isinstance(tb, ints):
                 if neg_lit:
@@ -693,7 +741,7 @@ class Expr:
         def fn(df, part):
             c = self._fn(df, part)
             try:
-                src = df.select(c.alias("__t__")).schema[0].dataType
+                src = _probe_type(df, c)
             except Exception:
                 src = None
             if isinstance(src, (T.TimestampType, T.TimestampNTZType)):
@@ -730,7 +778,7 @@ class Expr:
         def fn(df, part):
             c = self._fn(df, part)
             try:
-                src = df.select(c.alias("__t__")).schema[0].dataType
+                src = _probe_type(df, c)
             except Exception:
                 return c
             if isinstance(src, T.DateType):
@@ -817,7 +865,7 @@ class Expr:
         def fn(df, part):
             c = self._fn(df, part)
             try:
-                src = df.select(c.alias("__t__")).schema[0].dataType
+                src = _probe_type(df, c)
             except Exception:
                 src = None
             bounds = {
@@ -1135,7 +1183,7 @@ class Expr:
         def fn(c, df, part):
             from pyspark.sql import types as T
 
-            dt = df.select(c.alias("__t__")).schema[0].dataType
+            dt = _probe_type(df, c)
             if isinstance(dt, T.DoubleType):
                 return c.cast("float")
             if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
@@ -1623,7 +1671,7 @@ class Expr:
                 from pyspark.sql.types import BooleanType
 
                 try:
-                    dt = df.select(c.alias("__t__")).schema[0].dataType
+                    dt = _probe_type(df, c)
                 except Exception:
                     return c
                 return c.cast("int") if isinstance(dt, BooleanType) else c
@@ -1705,44 +1753,87 @@ class Expr:
 
         e = Expr(fn, name=self._name, needs_order=True)
 
-        def _prefix_eval(base_df, pairs_col, cur_i):
-            """Bind ``sub`` over the expanding prefix (elements with hidden
-            index <= the current row's) of a per-group (i, v) pairs array —
+        def _prefix_eval(base_df, pre):
+            """Bind ``sub`` over a prefix array of plain values —
             aggregates reduce the prefix via the list-eval HOF machinery,
-            fully JVM-side.  O(prefix) work per row is inherent to the
-            operator (expr.rb:6684 carries the same warning)."""
-            pre = F.transform(
-                F.filter(pairs_col, lambda p: p["i"] <= cur_i),
-                lambda p: p["v"])
+            fully JVM-side.  min_periods counts VALID (non-null) values
+            (expr.rb:6645-6647), not prefix length."""
             _EVAL_ARRAY_STACK.append(pre)
             try:
                 c = sub._fn(base_df, None)
             finally:
                 _EVAL_ARRAY_STACK.pop()
             if min_p > 1:
-                c = F.when(F.size(pre) >= min_p, c)
+                c = F.when(
+                    F.size(F.filter(pre, lambda x: x.isNotNull())) >= min_p,
+                    c)
             return c
 
-        def _remap_cols(sdf, key_cols):
-            # per-group ordered (i, v) pairs once per row's group, then the
-            # prefix evaluation per row (round-4; expr.rb:6684 allows
-            # cumulative_eval in any context)
-            pairs = F.array_sort(F.collect_list(
+        def _result_pairs(base_df, pairs_arr):
+            """Full per-group result array via ONE indexed transform over
+            the group's ordered (i, v) pairs array: result[k] =
+            sub(prefix of length k+1).  O(g) storage — one array per group
+            row, never a full-group array per SOURCE row — with the O(g²)
+            time confined inside the HOF (the time cost is inherent;
+            expr.rb:6684 carries the same warning).  Yields (i, r) structs
+            keyed by the ORIGINAL hidden index, so gapped indexes (post-
+            filter frames) round-trip exactly.
+
+            Dtype probes inside ``sub`` (pow int-guard, cast sources, …)
+            cannot analyze an expression embedding the position lambda
+            variable, so bind once over the lambda-free FULL values array
+            (identical element dtypes to every prefix slice) recording each
+            probe, then replay the captured types in the real pass."""
+            global _PROBE_RECORD, _PROBE_REPLAY
+            pre_full = F.transform(pairs_arr, lambda q: q["v"])
+            rec: list = []
+            saved = (_PROBE_RECORD, _PROBE_REPLAY)
+            _PROBE_RECORD, _PROBE_REPLAY = rec, None
+            try:
+                _prefix_eval(base_df, pre_full)
+            finally:
+                _PROBE_RECORD, _PROBE_REPLAY = saved
+
+            def per_pos(p, k):
+                global _PROBE_RECORD, _PROBE_REPLAY
+                pre = F.transform(
+                    F.slice(pairs_arr, F.lit(1), k + F.lit(1)),
+                    lambda q: q["v"])
+                saved = (_PROBE_RECORD, _PROBE_REPLAY)
+                _PROBE_RECORD, _PROBE_REPLAY = None, list(rec)
+                try:
+                    r = _prefix_eval(base_df, pre)
+                finally:
+                    _PROBE_RECORD, _PROBE_REPLAY = saved
+                return F.struct(p["i"].alias("i"), r.alias("r"))
+
+            return F.transform(pairs_arr, per_pos)
+
+        def _pairs_agg(sdf):
+            return F.array_sort(F.collect_list(
                 F.struct(F.col(ROW_IDX).alias("i"),
-                         inner._fn(sdf, None).alias("v")))
-                .over(Window.partitionBy(*key_cols)))
-            tmp_p = _next_gord_name()
-            base = sdf.withColumn(tmp_p, pairs)
-            c = _prefix_eval(base, F.col(tmp_p), F.col(ROW_IDX))
+                         inner._fn(sdf, None).alias("v"))))
+
+        def _collect_eval(sdf, key_cols):
+            """Shared grouped/ungrouped plan: ONE hash-agg collects the
+            ordered (i, v) pairs array per group (ungrouped = one global
+            group), one indexed transform computes the whole result array,
+            explode + equi-join back on the hidden index.  No plan-time
+            action, no O(n²) pair explosion, no per-row group arrays."""
+            gb = sdf.groupBy(*key_cols) if key_cols else sdf.groupBy()
+            grouped = gb.agg(_pairs_agg(sdf).alias("__ce_p__"))
+            res = grouped.select(F.explode(
+                _result_pairs(grouped, F.col("__ce_p__"))).alias("__ce_z__"))
             tmp = _next_gord_name()
-            return base.withColumn(tmp, c).drop(tmp_p), tmp
+            res = res.select(F.col("__ce_z__")["i"].alias(ROW_IDX),
+                             F.col("__ce_z__")["r"].alias(tmp))
+            return sdf.join(res, on=ROW_IDX, how="left"), tmp
 
         def remap(sdf, key_exprs):
-            out, tmp = _remap_cols(
+            out, tmp = _collect_eval(
                 sdf, [ke._fn(sdf, None) for ke in key_exprs])
             # hook contract: output physically in global row order (the
-            # group-collect window leaves rows key-clustered); agg_pre skips
-            # this — its consumer is a hash agg
+            # join-back leaves rows key-clustered)
             return out.orderBy(ROW_IDX), tmp
 
         e._grouped_remap_fn = remap
@@ -1753,40 +1844,21 @@ class Expr:
                 # exists; needs_order triggers the re-run that applies the
                 # prestage for real
                 return sdf, F.lit(None)
-            sdf2, tmp = _remap_cols(sdf, key_cols)
-            pairs = F.array_sort(F.collect_list(
-                F.struct(F.col(ROW_IDX).alias("i"), F.col(tmp).alias("v"))))
-            return sdf2, F.transform(pairs, lambda p: p["v"])
+            # consumer is a hash agg on the SAME keys: compute the ordered
+            # result array directly inside the aggregate — one exchange,
+            # no join-back
+            res = _result_pairs(sdf, _pairs_agg(sdf))
+            return sdf, F.transform(res, lambda z: z["r"])
 
         e._agg_pre_fn = agg_pre
 
         def gfn(sdf):
-            # ungrouped with_columns/filter: the sole-select explode +
-            # hash-agg plan (multi-task, no global window), results joined
-            # back on the hidden index
-            n = sdf.count()  # one scalar action at plan time (reshape trade)
-            vals = sdf.select(F.col(ROW_IDX),
-                              inner._fn(sdf, None).alias("__ce_v__"))
-            pairs = vals.select(
-                F.col(ROW_IDX).alias("__ce_i__"), F.col("__ce_v__"),
-                F.explode(F.sequence(F.col(ROW_IDX), F.lit(n - 1)))
-                .alias("__ce_r__"))
-            pairs = pairs.repartition(F.col("__ce_r__")).sortWithinPartitions(
-                "__ce_r__", "__ce_i__")
-            _ELEMENT_STACK.append(F.col("__ce_v__"))
-            try:
-                agg_c = sub._fn(pairs, None)
-            finally:
-                _ELEMENT_STACK.pop()
-            tmp = _next_gord_name()
-            res = pairs.groupBy("__ce_r__").agg(
-                agg_c.alias(tmp), F.count(F.lit(1)).alias("__ce_n__"))
-            if min_p > 1:
-                res = res.withColumn(
-                    tmp, F.when(F.col("__ce_n__") >= min_p, F.col(tmp)))
-            res = res.select(F.col("__ce_r__").alias(ROW_IDX), tmp)
+            # ungrouped with_columns/filter: single global group; join-back
+            # on the real hidden index tolerates gapped indexes (post-
+            # filter / scrambled frames)
+            out, tmp = _collect_eval(sdf, [])
             # hook contract: output physically in global row order
-            return sdf.join(res, on=ROW_IDX).orderBy(ROW_IDX), tmp
+            return out.orderBy(ROW_IDX), tmp
 
         e._global_ordinal_fn = gfn
 
@@ -1795,29 +1867,12 @@ class Expr:
 
             out_name = out_name or inner._name or "cumulative_eval"
             df = lf._ensure_row_index()._sdf
-            n = df.count()  # one scalar action at plan time (reshape trade)
-            vals = df.select(F.col(ROW_IDX),
-                             inner._fn(df, None).alias("__ce_v__"))
-            pairs = vals.select(
-                F.col(ROW_IDX),
-                F.col("__ce_v__"),
-                F.explode(F.sequence(F.col(ROW_IDX), F.lit(n - 1)))
-                .alias("__ce_r__"))
-            pairs = pairs.repartition(F.col("__ce_r__")).sortWithinPartitions(
-                "__ce_r__", ROW_IDX)
-            _ELEMENT_STACK.append(F.col("__ce_v__"))
-            try:
-                agg_c = sub._fn(pairs, None)
-            finally:
-                _ELEMENT_STACK.pop()
-            out = pairs.groupBy("__ce_r__").agg(
-                agg_c.alias(out_name),
-                F.count(F.lit(1)).alias("__ce_n__"))
-            if min_periods > 1:
-                out = out.withColumn(
-                    out_name,
-                    F.when(F.col("__ce_n__") >= min_periods, F.col(out_name)))
-            return LazyFrame(out.orderBy("__ce_r__").select(out_name))
+            grouped = df.groupBy().agg(_pairs_agg(df).alias("__ce_p__"))
+            res = grouped.select(F.explode(
+                _result_pairs(grouped, F.col("__ce_p__"))).alias("__ce_z__"))
+            return LazyFrame(
+                res.orderBy(F.col("__ce_z__")["i"])
+                .select(F.col("__ce_z__")["r"].alias(out_name)))
 
         e._frame_fn = frame_fn
         return e
@@ -2529,7 +2584,7 @@ class Expr:
         def fn(df, part):
             c = self._fn(df, part)
             try:
-                vt = df.select(c.alias("__t__")).schema[0].dataType.simpleString()
+                vt = _probe_type(df, c).simpleString()
             except Exception:
                 vt = "string"
             arr = F.sort_array(F.collect_list(

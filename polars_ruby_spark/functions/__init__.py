@@ -12,7 +12,7 @@ import functools
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..exprs import Expr, col, lit, when, wrap_expr
+from ..exprs import Expr, _probe_type, col, lit, when, wrap_expr
 from .chrono import chrono_to_java
 from .duration import Duration, parse_duration
 
@@ -235,7 +235,7 @@ def concat_list(exprs):
             for ee in e._expand(df):  # all()/exclude()/regex selectors
                 c = ee._fn(df, part)
                 try:
-                    dt = df.select(c.alias("__t__")).schema[0].dataType
+                    dt = _probe_type(df, c)
                 except Exception:
                     dt = None
                 cols.append(c if isinstance(dt, T.ArrayType) else F.array(c))
@@ -288,8 +288,9 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
                 # with no frame stage left — dynamic/rolling group-bys and
                 # cube/rollup — still refuse with the rewrite recipe.
                 raise NotImplementedError(
-                    "spearman corr inside a dynamic/rolling/cube group-by: "
-                    "pre-project per-group ranks with "
+                    "spearman corr in this grouped context (dynamic/rolling/"
+                    "cube group-by, or a composition the agg pre-stage hook "
+                    "does not reach): pre-project per-group ranks with "
                     "col(x).rank('average').over(keys) via with_columns, "
                     "then aggregate pearson corr of the ranks")
             ranked = df.select(ra._fn(df, None).alias("__ra__"),

@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .datatypes import to_spark_type
-from .exprs import Expr, wrap_expr
+from .exprs import Expr, _probe_type, wrap_expr
 from .functions.chrono import chrono_to_java
 from .functions.duration import parse_duration
 
@@ -582,7 +582,7 @@ class DateTimeNameSpace(_NS):
         def fn(c, df, part):
             from pyspark.sql import types as T
 
-            dt = df.select(c.alias("__t__")).schema[0].dataType
+            dt = _probe_type(df, c)
             if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
                                T.LongType, T.FloatType, T.DoubleType)):
                 return c.cast("long")
@@ -844,7 +844,7 @@ class StructNameSpace(_NS):
 
             def fn(df, part):
                 c = base._fn(df, part)
-                st = df.select(c.alias("__st__")).schema[0].dataType
+                st = _probe_type(df, c)
                 return c.getField(st.fields[key].name)
 
             return Expr(fn, name=None, is_agg=base._is_agg,
@@ -860,7 +860,7 @@ class StructNameSpace(_NS):
         def f(c, df, part):
             from pyspark.sql import types as T
 
-            src = df.select(c.alias("__s__")).schema[0].dataType
+            src = _probe_type(df, c)
             if not isinstance(src, T.StructType):
                 raise ValueError("rename_fields: not a struct column")
             old = [fld.name for fld in src.fields]

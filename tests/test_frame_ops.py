@@ -376,6 +376,11 @@ def test_spearman_grouped_agg_raises(spark):
         .agg(plf.corr(pl.col("rx"), pl.col("ry"), method="pearson").alias("s"))
         .sort("g").to_a())
     assert abs(out[0]["s"] - 1.0) < 1e-9 and abs(out[1]["s"] + 1.0) < 1e-9
+    # round-5 ADVICE: binary composition keeps the pre-stage (spearman*2+0)
+    comp = (df.group_by("g").agg(
+        (plf.corr(pl.col("x"), pl.col("y"), method="spearman") * 2
+         + pl.lit(0.0)).alias("s2")).sort("g").to_a())
+    assert abs(comp[0]["s2"] - 2.0) < 1e-9 and abs(comp[1]["s2"] + 2.0) < 1e-9
 
 
 def test_global_ordinal_plans_are_multi_task(spark):
@@ -427,6 +432,29 @@ def test_cumulative_eval_and_struct_ops(spark):
     mp2 = gdf.with_columns(pl.col("v").cumulative_eval(
         pl.element().mean(), min_periods=2).over("g").alias("m2")).to_a()
     assert [r["m2"] for r in mp2] == [None, 2.0, None, 2.0, 7.0]
+
+    # round-5 ADVICE regressions:
+    # (a) gapped hidden index (windowed with_columns → filter) must not
+    #     pollute prefixes — join-back on the real index, not 0..n-1
+    gap = pl.DataFrame({"g": ["a", "a", "b", "b", "a"],
+                        "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    go = (gap.with_columns(pl.col("v").shift(1).over("g").alias("s"))
+          .filter(pl.col("v") > 20)
+          .with_columns(pl.col("v").cumulative_eval(
+              pl.element().max()).alias("m"))).to_a()
+    assert [r["m"] for r in go] == [30.0, 40.0, 50.0]
+    # (b) min_periods counts VALID (non-null) values (expr.rb:6645-6647)
+    nn = pl.DataFrame({"v": [1.0, None, 3.0]})
+    no = nn.select(pl.col("v").cumulative_eval(
+        pl.element().sum(), min_periods=2).alias("s")).to_a()
+    assert [r["s"] for r in no] == [None, None, 4.0]
+    # (c) memory shape: the over(keys) plan must carry ONE collected array
+    #     per group (hash agg), never a full-group array per row (window)
+    ovf = gdf.with_columns(pl.col("v").cumulative_eval(
+        pl.element().min()).over("g").alias("m"))
+    plan = ovf._sdf._jdf.queryExecution().executedPlan().toString()
+    assert not [ln for ln in plan.splitlines()
+                if "Window" in ln and "collect_list" in ln], plan
 
     lf = pl.DataFrame({"l": [[1, 2, 3], [4, 5], None]})
     s = lf.select(pl.col("l").list.to_struct().alias("s")).to_a()
