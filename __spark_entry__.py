@@ -1946,6 +1946,55 @@ def q138_cumulative_eval_grouped(spark, sf_dir):
     return _out(out)
 
 
+def q139_jpeg_decode(spark, sf_dir):
+    """FULL baseline-DCT JPEG decode through the Spark multimodal pipeline
+    (round-5; closed the round-3 header-only boundary).  Per doc a
+    deterministic 16x16 grayscale JPEG is encoded executor-side (four
+    constant 8x8 blocks -> DC-only, exact at quant=1), packed into the
+    canonical media struct, then FULLY decoded — segment parse, huffman
+    entropy decode, dequant, vectorized IDCT — via the Arrow-batched
+    mapInPandas stage.  The oracle states the closed-form ground truth of
+    the decoded pixels (mean = base + 15), so a single wrong pixel fails
+    the hash.  Beyond-reference multimodal item."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from polars_ruby_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")._sdf.filter("doc_id < 64") \
+        .select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 200
+                px = np.empty((16, 16), dtype=np.uint8)
+                px[:8, :8] = base
+                px[:8, 8:] = base + 10
+                px[8:, :8] = base + 20
+                px[8:, 8:] = base + 30
+                blobs.append(multimodal.encode_jpeg_baseline(px, quant=1))
+            pdf = pdf.copy()
+            pdf["data"] = blobs
+            yield pdf
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("data", T.BinaryType())])
+    with_jpeg = d.mapInPandas(gen, schema)
+    packed = multimodal.pack_media(with_jpeg, "data", mime="image/jpeg")
+    feats = multimodal.decode_features(
+        packed, real_decoder=multimodal.image_pixel_decoder,
+        target_partition_mb=None)
+    return feats.select(
+        "doc_id",
+        F.col("feat")[0].alias("w"), F.col("feat")[1].alias("h"),
+        F.col("feat")[2].alias("c"),
+        F.round(F.col("feat")[3], 4).alias("mean_px"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2097,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_grouped_stats": q136_grouped_stats,
         "q137_spearman_agg": q137_spearman_agg,
         "q138_cumulative_eval_grouped": q138_cumulative_eval_grouped,
+        "q139_jpeg_decode": q139_jpeg_decode,
     }
 
 
@@ -2755,6 +2805,13 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_frac
             FROM g JOIN dp USING (gram)
             GROUP BY doc_id
+        """,
+        "q139_jpeg_decode": """
+            SELECT doc_id,
+                   CAST(16 AS DOUBLE) AS w, CAST(16 AS DOUBLE) AS h,
+                   CAST(1 AS DOUBLE) AS c,
+                   CAST(doc_id % 200 + 15 AS DOUBLE) AS mean_px
+            FROM documents WHERE doc_id < 64
         """,
         "q138_cumulative_eval_grouped": """
             WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -3,13 +3,15 @@
 Media (image/audio/video) travel as opaque ``binary`` columns with a typed
 metadata struct — the Spark-side schema, partitioning, Arrow batch shape and
 UDF signatures here are real and tested.  The codec layer is REAL where the
-stdlib suffices: container-header parse for PNG/JPEG/GIF/BMP
+stdlib + numpy suffice: container-header parse for PNG/JPEG/GIF/BMP
 (``parse_image_header``) and FULL pixel decode for PNG (zlib inflate +
-scanline unfilter) and uncompressed BMP (``decode_image_pixels``), plus
-nearest-neighbor resize (``resize_nearest``).  Entropy-coded formats
-(JPEG DCT, GIF LZW, audio/video) stay behind a clearly-marked
-``NotImplementedError`` boundary until PIL/ffmpeg are available; a
-deterministic fake keeps those pipelines testable end-to-end.
+scanline unfilter), baseline-DCT JPEG (huffman entropy decode + vectorized
+IDCT + chroma upsample, with a matching fixture encoder) and uncompressed
+BMP (``decode_image_pixels``), plus nearest-neighbor resize
+(``resize_nearest``).  Progressive JPEG, GIF (LZW) and audio/video stay
+behind a clearly-marked ``NotImplementedError`` boundary until PIL/ffmpeg
+are available; a deterministic fake keeps those pipelines testable
+end-to-end.
 
 Batch sizing note for 100 TB: media rows are large — repartition by size
 (``target_partition_mb``) before ``mapInPandas`` so Arrow batches stay
@@ -296,6 +298,449 @@ def decode_bmp_pixels(payload: bytes):
     return px[:, :, order]
 
 
+# -- baseline JPEG codec (round-5) --------------------------------------------
+#
+# Full baseline-DCT JPEG decode with the stdlib + numpy: segment parse,
+# canonical huffman entropy decode (byte-stuffing + restart markers), dequant
+# + de-zigzag, vectorized 8x8 IDCT over all blocks at once, chroma upsample
+# for arbitrary h/v sampling factors, YCbCr->RGB.  Progressive JPEG (SOF2)
+# and GIF (LZW) remain the documented NotImplementedError boundary.
+# A minimal baseline ENCODER (4:4:4 / 4:2:0, custom flat-length huffman
+# tables, optional restart interval) exists so tests can build real JPEG
+# fixtures and round-trip property checks without PIL.
+
+#: zigzag scan order: zigzag index -> natural (row-major) index (ITU T.81
+#: figure 5 — public spec data).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_build_huff(counts, symbols):
+    """Canonical huffman assignment: {(length, code): symbol}."""
+    table = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    byte-aligns and consumes RSTn at restart boundaries."""
+
+    def __init__(self, buf, pos):
+        self.b = buf
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self):
+        if self.nbits == 0:
+            if self.pos >= len(self.b):
+                raise ValueError("JPEG entropy data truncated")
+            byte = self.b[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.b[self.pos] if self.pos < len(self.b) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # marker mid-entropy (EOI short reads): pad with zeros,
+                    # the spec-sanctioned behaviour for truncated final bits
+                    self.pos -= 1
+                    byte = 0
+            self.cur = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self):
+        """Byte-align and consume an RSTn marker."""
+        self.nbits = 0
+        while self.pos + 1 < len(self.b) and self.b[self.pos] != 0xFF:
+            self.pos += 1  # tolerate padding
+        if self.pos + 1 < len(self.b) and 0xD0 <= self.b[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _jpeg_huff_decode(br, table):
+    length = code = 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v, t):
+    return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+
+def _idct_8x8_basis():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c * 0.5
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Decode a baseline (SOF0/SOF1) JPEG to an ``(h, w, c)`` uint8 array
+    (c = 1 grayscale, 3 RGB).  Raises NotImplementedError for progressive
+    (SOF2) or arithmetic-coded streams."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt, huff = {}, {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        seg[p:p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg[p:p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            h, w = struct.unpack(">HH", seg[1:5])
+            comps = []
+            for ci in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/lossless/arithmetic); only "
+                "baseline DCT (SOF0/SOF1) decodes natively")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                nsym = sum(counts)
+                huff[(tc, th)] = _jpeg_build_huff(
+                    counts, list(seg[p + 17:p + 17 + nsym]))
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy-coded scan follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cs, t = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, t >> 4, t & 15))
+            return _jpeg_decode_scan(b, i + 2 + seg_len, frame, qt, huff,
+                                     scan, restart_interval)
+        i += 2 + seg_len
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _jpeg_decode_scan(b, pos, frame, qt, huff, scan, restart_interval):
+    import numpy as np
+
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component zigzag coefficient store: (blocks_y, blocks_x, 64)
+    coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+             for c, _, _ in scan]
+    preds = [0] * len(scan)
+    br = _JpegBitReader(b, pos)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.restart()
+            preds = [0] * len(scan)
+        my, mx = divmod(m, mcux)
+        for ci, (comp, td, ta) in enumerate(scan):
+            dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    blk = coefs[ci][my * comp["v"] + by,
+                                    mx * comp["h"] + bx]
+                    t = _jpeg_huff_decode(br, dc_tbl)
+                    preds[ci] += _jpeg_extend(br.receive(t), t) if t else 0
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(br, ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        blk[k] = _jpeg_extend(br.receive(s), s)
+                        k += 1
+    # dequantize + de-zigzag + one vectorized IDCT per component
+    zz = np.array(_JPEG_ZIGZAG)
+    inv = np.empty(64, dtype=np.int64)
+    inv[zz] = np.arange(64)
+    basis = _idct_8x8_basis()
+    planes = []
+    for ci, (comp, _, _) in enumerate(scan):
+        by, bx, _ = coefs[ci].shape
+        deq = coefs[ci] * qt[comp["tq"]][None, None, :]
+        nat = deq[:, :, inv].reshape(by * bx, 8, 8).astype(np.float64)
+        px = np.einsum("ux,nuv,vy->nxy", basis, nat, basis) + 128.0
+        plane = (px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(by * 8, bx * 8))
+        # chroma upsample to full-resolution grid
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
+                          hmax // comp["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        out = np.stack([y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_baseline(px, quant: int = 1, subsampling: str = "444",
+                         restart_interval: int = 0) -> bytes:
+    """Encode an ``(h, w, 3)`` RGB or ``(h, w)``/``(h, w, 1)`` grayscale
+    uint8 array as a baseline JFIF JPEG.  Fixture/round-trip support (the
+    environment has no PIL): flat quantization tables of value ``quant``
+    (1 = near-lossless) and simple fixed-length huffman tables — any
+    canonical table is valid JPEG; decoders read them from the DHT segment.
+    """
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if nch == 3:
+        r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * bl,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl]
+        sub = {"444": [(1, 1)] * 3, "420": [(2, 2), (1, 1), (1, 1)]}[
+            subsampling]
+    elif nch == 1:
+        planes, sub = [px[:, :, 0]], [(1, 1)]
+    else:
+        raise ValueError("encode_jpeg_baseline: 1 or 3 channels")
+    hmax = max(s[0] for s in sub)
+    vmax = max(s[1] for s in sub)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def block_split(plane, sh, sv):
+        # downsample by box mean, pad to the MCU grid by edge replication
+        if sh != hmax or sv != vmax:
+            fy, fx = vmax // sv, hmax // sh
+            py, pxw = -(-plane.shape[0] // fy) * fy, -(-plane.shape[1] // fx) * fx
+            plane = np.pad(plane, ((0, py - plane.shape[0]),
+                                   (0, pxw - plane.shape[1])), mode="edge")
+            plane = plane.reshape(py // fy, fy, pxw // fx, fx).mean(axis=(1, 3))
+        ty, tx = mcuy * sv * 8, mcux * sh * 8
+        plane = np.pad(plane, ((0, ty - plane.shape[0]),
+                               (0, tx - plane.shape[1])), mode="edge")
+        return plane
+
+    basis = _idct_8x8_basis()
+    zz = np.array(_JPEG_ZIGZAG)
+    qtab = np.full(64, max(1, int(quant)), dtype=np.int32)
+    comp_blocks = []
+    for plane, (sh, sv) in zip(planes, sub):
+        p = block_split(plane, sh, sv) - 128.0
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+                  .reshape(by * bx, 8, 8))
+        # forward DCT = basis @ f @ basis.T (orthonormal pair of the IDCT)
+        coef = np.einsum("ux,nxy,vy->nuv", basis, blocks, basis)
+        # natural -> zigzag, quantize
+        qz = (coef.reshape(by * bx, 64)[:, zz]
+              / qtab[None, :]).round().astype(np.int32)
+        comp_blocks.append(qz.reshape(by, bx, 64))
+
+    # fixed-length canonical huffman over the FULL symbol alphabet — any
+    # canonical table is valid JPEG (the decoder reads DHT); fixed alphabets
+    # keep the encoder restart-reset-proof and stateless
+    def make_table(symbols):
+        L = 1
+        while (1 << L) < len(symbols) + 1:
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(symbols)
+        enc = {}
+        code = k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                enc[symbols[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return counts, symbols, enc
+
+    def csize(v):
+        s = 0
+        a = abs(int(v))
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    ncls = 1 if len(comp_blocks) == 1 else 2
+    dc_alphabet = list(range(12))  # size classes 0..11
+    ac_alphabet = ([0x00, 0xF0]
+                   + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    dc_tbls = [make_table(dc_alphabet) for _ in range(ncls)]
+    ac_tbls = [make_table(ac_alphabet) for _ in range(ncls)]
+
+    class _W:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code, length):
+            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                byte = (self.acc >> (self.n - 8)) & 0xFF
+                self.out.append(byte)
+                if byte == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.n -= 8
+
+        def flush(self):
+            if self.n:
+                self.put(0x7F, 8 - self.n)  # pad with 1s per spec
+
+    wtr = _W()
+
+    def emit_block(blk, prev, enc_dc, enc_ac):
+        diff = int(blk[0]) - prev
+        s = csize(diff)
+        ln, code = enc_dc[s]
+        wtr.put(code, ln)
+        if s:
+            v = diff if diff >= 0 else diff + (1 << s) - 1
+            wtr.put(v, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = enc_ac[0xF0]
+                wtr.put(code, ln)
+                run -= 16
+            s = csize(v)
+            ln, code = enc_ac[(run << 4) | s]
+            wtr.put(code, ln)
+            vv = v if v >= 0 else v + (1 << s) - 1
+            wtr.put(vv, s)
+            run = 0
+        if run:
+            ln, code = enc_ac[0x00]
+            wtr.put(code, ln)
+        return int(blk[0])
+
+    preds = [0] * len(comp_blocks)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * len(comp_blocks)
+        my, mx = divmod(m, mcux)
+        for ci, ((sh, sv), blocks) in enumerate(zip(sub, comp_blocks)):
+            cls = 0 if ci == 0 else 1
+            for byy in range(sv):
+                for bxx in range(sh):
+                    preds[ci] = emit_block(
+                        blocks[my * sv + byy, mx * sh + bxx], preds[ci],
+                        dc_tbls[cls][2], ac_tbls[cls][2])
+    wtr.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    for tq in range(ncls):
+        seg(0xDB, bytes([tq]) + bytes(int(x) for x in qtab))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comp_blocks)])
+    for ci, (sh, sv) in enumerate(sub):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else ncls - 1])
+    seg(0xC0, bytes(sof))
+    for cls in range(ncls):
+        for tc, (counts, symbols, _) in ((0, dc_tbls[cls]), (1, ac_tbls[cls])):
+            seg(0xC4, bytes([(tc << 4) | cls]) + bytes(counts)
+                + bytes(symbols))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(comp_blocks)])
+    for ci in range(len(comp_blocks)):
+        cls = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (cls << 4) | cls])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+    out.extend(wtr.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
 def decode_image_pixels(payload: bytes):
     """Dispatch on container magic; returns ``(h, w, c)`` uint8 array."""
     b = bytes(payload or b"")
@@ -303,11 +748,13 @@ def decode_image_pixels(payload: bytes):
         return decode_png_pixels(b)
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(b)
     hdr = parse_image_header(b)
     kind = hdr["mime"] if hdr else "unrecognized container"
     raise NotImplementedError(
-        f"pixel decode for {kind} needs an entropy/DCT codec (PIL/ffmpeg); "
-        "PNG and uncompressed BMP decode natively")
+        f"pixel decode for {kind} needs an LZW codec (GIF) or PIL/ffmpeg; "
+        "PNG, baseline JPEG and uncompressed BMP decode natively")
 
 
 def image_pixel_decoder(payload: bytes) -> dict:

@@ -854,6 +854,76 @@ def test_pixel_decode_spark_pipeline(spark):
     small = multimodal.resize_nearest(grad, 2, 2)
     assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
 
-    # entropy-coded formats remain a documented boundary
-    with pt.raises(NotImplementedError, match="PNG and uncompressed BMP"):
-        multimodal.decode_image_pixels(_make_jpeg(10, 10))
+    # LZW (GIF) remains a documented boundary; baseline JPEG decodes now
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x00" * 20
+    with pt.raises(NotImplementedError, match="LZW"):
+        multimodal.decode_image_pixels(gif)
+
+
+def test_jpeg_baseline_roundtrip():
+    """Round-5: FULL baseline-DCT JPEG codec — encode (fixture support) and
+    decode (huffman + dequant + IDCT + chroma upsample + YCbCr) round-trip
+    within quantization error; restart markers and 4:2:0 subsampling
+    exercise the marker/upsample paths; progressive stays a loud boundary."""
+    import struct
+
+    import numpy as np
+    import pytest as pt
+
+    rng = np.random.default_rng(7)
+    # grayscale: solid and gradient exact at quant=1
+    for px in [np.full((8, 8), 128, np.uint8),
+               np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))]:
+        out = multimodal.decode_jpeg_pixels(
+            multimodal.encode_jpeg_baseline(px))
+        assert out.shape == (*px.shape, 1)
+        assert np.array_equal(out[:, :, 0], px)
+    # RGB 4:4:4, non-multiple-of-8 dims: within color-convert rounding
+    px = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+    out = multimodal.decode_jpeg_pixels(
+        multimodal.encode_jpeg_baseline(px, quant=1))
+    assert out.shape == (13, 21, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+    # 4:2:0 on achromatic content: chroma flat -> exact luma path
+    y = (np.linspace(0, 255, 32)[:, None] * np.ones(40)[None, :])
+    gray3 = np.stack([y, y, y], 2).astype(np.uint8)
+    out = multimodal.decode_jpeg_pixels(
+        multimodal.encode_jpeg_baseline(gray3, subsampling="420"))
+    assert np.abs(out.astype(int) - gray3.astype(int)).max() <= 1
+    # restart-interval path: RSTn markers + DC predictor resets
+    px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    out = multimodal.decode_jpeg_pixels(
+        multimodal.encode_jpeg_baseline(px, restart_interval=2))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+    # image_pixel_decoder dispatch covers JPEG
+    feat = multimodal.image_pixel_decoder(
+        multimodal.encode_jpeg_baseline(px))["feat"]
+    assert feat[:3] == [24.0, 24.0, 3.0]
+    # progressive (SOF2) raises the documented boundary
+    prog = bytearray(multimodal.encode_jpeg_baseline(px))
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pt.raises(NotImplementedError, match="baseline"):
+        multimodal.decode_jpeg_pixels(bytes(prog))
+
+
+def test_jpeg_decodes_third_party_file():
+    """Cross-compat: a real JPEG produced by an independent encoder (the
+    CPython test-suite logo) decodes — validates huffman/marker handling
+    against bytes this repo did not write.  Skips if the fixture is absent."""
+    import os
+
+    import pytest as pt
+
+    path = ("/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+            "test_email/data/python.jpg")
+    if not os.path.exists(path):
+        pt.skip("no third-party JPEG on this host")
+    with open(path, "rb") as f:
+        blob = f.read()
+    px = multimodal.decode_jpeg_pixels(blob)
+    hdr = multimodal.parse_image_header(blob)
+    assert px.shape == (hdr["height"], hdr["width"], 3)
+    assert 0 < float(px.mean()) < 255  # non-degenerate content
