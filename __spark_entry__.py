@@ -1995,6 +1995,38 @@ def q139_jpeg_decode(spark, sf_dir):
         F.round(F.col("feat")[3], 4).alias("mean_px"))
 
 
+def q140_mixed_every(spark, sf_dir):
+    """group_by_dynamic with MIXED calendar+fixed every ("1mo10d", §2.10;
+    round-5, closed the round-3 raise at group_by.py).  No closed-form
+    row->window mapping exists (month lengths vary), so the candidate
+    window index is bracketed by 28/31-day bounds, enumerated, and resolved
+    by one exact interval test — still a single hash-agg shuffle.  Parity:
+    lazy_frame.rb:1416-1458 (any every)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    out = (o.group_by_dynamic("o_orderdate", every="1mo10d")
+           .agg(pl.col("o_totalprice").sum().round(4).alias("sv"),
+                pl.len().alias("n")))
+    return _out(out)
+
+
+def q141_datapoint_calendar(spark, sf_dir):
+    """group_by_dynamic start_by='datapoint' with CALENDAR every ("2mo",
+    §2.10; round-5 — previously the calendar path silently used the epoch
+    grid).  Per-group min-date anchors the month grid (broadcast-joined
+    pre-pass); candidate starts bracketed + exact-filtered; single hash-agg
+    shuffle.  Parity: lazy_frame.rb:1416-1458 start_by."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders")
+    out = (o.group_by_dynamic("o_orderdate", every="2mo",
+                              group_by="o_orderstatus", start_by="datapoint")
+           .agg(pl.col("o_totalprice").sum().round(4).alias("sv"),
+                pl.len().alias("n")))
+    return _out(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2147,6 +2179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_spearman_agg": q137_spearman_agg,
         "q138_cumulative_eval_grouped": q138_cumulative_eval_grouped,
         "q139_jpeg_decode": q139_jpeg_decode,
+        "q140_mixed_every": q140_mixed_every,
+        "q141_datapoint_calendar": q141_datapoint_calendar,
     }
 
 
@@ -2805,6 +2839,36 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_frac
             FROM g JOIN dp USING (gram)
             GROUP BY doc_id
+        """,
+        "q140_mixed_every": """
+            WITH grid AS (
+              SELECT TIMESTAMP '1970-01-01' + to_months(k::INT)
+                       + to_days((10*k)::INT) AS s
+              FROM range(150, 300) r(k)),
+                 gw AS (SELECT s, s + to_months(1) + to_days(10) AS e
+                        FROM grid)
+            SELECT g.s AS o_orderdate,
+                   round(sum(o_totalprice), 4) AS sv, count(*) AS n
+            FROM orders o JOIN gw g
+              ON CAST(o.o_orderdate AS TIMESTAMP) >= g.s
+             AND CAST(o.o_orderdate AS TIMESTAMP) < g.e
+            GROUP BY g.s
+        """,
+        "q141_datapoint_calendar": """
+            WITH a AS (SELECT o_orderstatus,
+                              min(CAST(o_orderdate AS TIMESTAMP)) AS anc
+                       FROM orders GROUP BY 1),
+                 grid AS (SELECT o_orderstatus,
+                                 anc + to_months((2*k)::INT) AS s,
+                                 anc + to_months((2*(k+1))::INT) AS e
+                          FROM a, range(0, 60) r(k))
+            SELECT g.s AS o_orderdate, g.o_orderstatus,
+                   round(sum(o_totalprice), 4) AS sv, count(*) AS n
+            FROM orders o JOIN grid g
+              ON o.o_orderstatus = g.o_orderstatus
+             AND CAST(o.o_orderdate AS TIMESTAMP) >= g.s
+             AND CAST(o.o_orderdate AS TIMESTAMP) < g.e
+            GROUP BY g.s, g.o_orderstatus
         """,
         "q139_jpeg_decode": """
             SELECT doc_id,

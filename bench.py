@@ -48,6 +48,18 @@ HEADLINE = [
     "q86_pack_shards",       # extension: token-budget sequence packing
     "q96_vocab_encode",      # extension: vocab build + broadcast-join encode
     "q99_semantic_dedup",    # extension: cluster-confined semantic dedup
+    # round-5 breadth (VERDICT r4 item 7): round-over-round tracking for the
+    # newest operator families
+    "q132_ewm_single_series",   # O(n) segmented ewm scan
+    "q133_calendar_hopping",    # calendar sliding windows (enumerated grid)
+    "q134_calendar_rolling",    # calendar rolling look-back
+    "q135_datapoint_hopping",   # datapoint-anchored hopping grid
+    "q136_grouped_stats",       # grouped entropy/spearman stats
+    "q137_spearman_agg",        # spearman agg pre-stage (rank + corr)
+    "q138_cumulative_eval_grouped",  # grouped prefix-HOF reduction
+    "q139_jpeg_decode",         # JPEG encode+decode via mapInPandas
+    "q140_mixed_every",         # mixed calendar+fixed window grid
+    "q141_datapoint_calendar",  # datapoint-anchored calendar grid
 ]
 
 

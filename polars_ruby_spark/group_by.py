@@ -635,15 +635,15 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         from .functions.duration import parse_duration
         from .frame import LazyFrame
 
-        if every.months and every.microseconds:
-            # MIXED every (1mo10d): the grid index drifts unboundedly vs any
-            # closed-form row->k mapping; unsupported (document + raise)
-            raise NotImplementedError(
-                f"every mixing calendar and fixed units: {self._every!r}")
+        if self._start_by == "datapoint":
+            # round-5: each group's first datapoint anchors the calendar
+            # grid — epoch-anchored date_trunc does not apply
+            return self._agg_datapoint_calendar(every, period, exprs, named)
+        mixed = bool(every.months) and bool(int(every.microseconds))
         hopping = (every.months, every.microseconds) != (period.months,
                                                          period.microseconds)
         unit = {1: "month", 3: "quarter", 12: "year"}.get(every.months)
-        if hopping or unit is None:
+        if hopping or unit is None or mixed:
             # calendar HOPPING (period != every, round-3) and non-
             # truncatable pure-month steps (2mo, 6mo): enumerate each row's
             # candidate window starts on the every-grid and filter by the
@@ -756,7 +756,30 @@ class DynamicGroupBy(_TemporalGroupByMixin):
                 e = F.timestamp_micros(F.unix_micros(e) + F.lit(pus))
             return e
 
-        if every.months:
+        def floordiv(a, b):
+            # exact integer floor division (pmod is non-negative)
+            return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+        em, eus = every.months, int(every.microseconds)
+        if em and eus:
+            # MIXED every (1mo10d, round-5): no closed-form row->k mapping
+            # exists (month lengths vary), but k is tightly BRACKETED by the
+            # 28/31-day month bounds — enumerate the bracket, the exact
+            # closed-interval filter below keeps only true members
+            tshift = t
+            if om:
+                tshift = tshift - F.make_interval(F.lit(0), F.lit(om))
+            if ous:
+                tshift = F.timestamp_micros(F.unix_micros(tshift) - F.lit(ous))
+            rel = F.unix_micros(tshift)
+            step28 = em * _28D_US + eus
+            step31 = em * _31D_US + eus
+            span_max = pm * _31D_US + pus
+            k_hi = F.greatest(floordiv(rel, step28),
+                              floordiv(rel, step31)) + F.lit(1)
+            k_lo = F.least(floordiv(rel - F.lit(span_max), step28),
+                           floordiv(rel - F.lit(span_max), step31)) - F.lit(1)
+        elif em:
             # month-grid: k_hi from the shifted row's epoch-month index
             tshift = t
             if om:
@@ -764,18 +787,17 @@ class DynamicGroupBy(_TemporalGroupByMixin):
             if ous:
                 tshift = F.timestamp_micros(F.unix_micros(tshift) - F.lit(ous))
             mi = (F.year(tshift) - F.lit(1970)) * F.lit(12) + F.month(tshift) - F.lit(1)
-            k_hi = F.floor(mi.cast("double") / F.lit(float(every.months))).cast("long")
+            k_hi = F.floor(mi.cast("double") / F.lit(float(em))).cast("long")
             span_months = pm + -(-pus // _28D_US)     # ceil
-            n_back = -(-span_months // every.months) + 1
+            k_lo = k_hi - F.lit(int(-(-span_months // em) + 1))
         else:
-            every_us = int(every.microseconds)
             t_us = F.unix_micros(t)
             rel = t_us - F.lit(ous)
-            k_hi = ((rel - F.pmod(rel, F.lit(every_us))) / F.lit(every_us)).cast("long")
+            k_hi = floordiv(rel, eus)
             max_period_us = pm * _31D_US + pus
-            n_back = -(-max_period_us // every_us) + 1
+            k_lo = k_hi - F.lit(int(-(-max_period_us // eus) + 1))
         exploded = sdf.withColumn(
-            "__k__", F.explode(F.sequence(k_hi - F.lit(int(n_back)), k_hi)))
+            "__k__", F.explode(F.sequence(k_lo, k_hi)))
         s = win_start(F.col("__k__"))
         e = win_end(s)
         member = {
@@ -806,6 +828,107 @@ class DynamicGroupBy(_TemporalGroupByMixin):
                      win_end(F.col("__w__")).alias("_upper_boundary")]
         keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
         out = grouped.select(*extra, label_col, *keep)
+        return self._wrap_out(LazyFrame(out))
+
+    def _agg_datapoint_calendar(self, every, period, exprs, named):
+        """start_by='datapoint' with calendar/mixed durations (round-5;
+        lazy_frame.rb:1416-1458 allows every combination).  Per-group min-ts
+        anchors the grid; window k starts at anchor + k*every with exact
+        month arithmetic (make_interval), so no closed-form row->k mapping
+        exists — k is BRACKETED by the 28/31-day month-length bounds,
+        enumerated (a small explode), and resolved by ONE exact
+        closed-interval membership test.  Same single hash-agg shuffle on
+        (start, by) as every other dynamic path; the anchor agg is a
+        broadcast-joined pre-pass, exactly like the fixed-duration
+        datapoint path."""
+        from .frame import LazyFrame
+
+        em, eus = every.months, int(every.microseconds)
+        pm, pus = period.months, int(period.microseconds)
+        _28D_US = 28 * 86400 * 1_000_000
+        _31D_US = 31 * 86400 * 1_000_000
+        sdf = self._lf._sdf
+        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        if needs_order:
+            sdf = self._lf._ensure_row_index()._sdf
+            aggs, _ = _agg_columns(sdf, exprs, named)
+        by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr)
+                   else F.col(b) for b in self._by]
+        by_names = [f"__sbk{i}__" for i in range(len(by_cols))]
+        base = sdf.select("*", *[c.alias(n) for c, n in zip(by_cols, by_names)])
+        t = F.col(self._index).cast("timestamp")
+        t_us = F.unix_micros(t)
+        anchors = (base.groupBy(*by_names)
+                   .agg(F.min(t_us).alias("__sb_min__")))
+        if by_names:
+            joined = base.join(F.broadcast(anchors.withColumnsRenamed(
+                {n: n + "r" for n in by_names})),
+                on=[base[n].eqNullSafe(F.col(n + "r")) for n in by_names])
+        else:
+            joined = base.crossJoin(F.broadcast(anchors))
+
+        def floordiv(a, b):
+            return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+        rel = t_us - F.col("__sb_min__")   # >= 0: anchor is the group min
+        step_lo = em * _28D_US + eus
+        step_hi = em * _31D_US + eus
+        span_max = pm * _31D_US + pus
+        k_hi = F.greatest(floordiv(rel, step_lo),
+                          floordiv(rel, step_hi)) + F.lit(1)
+        # forward-only grid (lazy_frame.rb:1448): no window starts before
+        # the group's first datapoint
+        k_lo = F.greatest(
+            F.least(floordiv(rel - F.lit(span_max), step_lo),
+                    floordiv(rel - F.lit(span_max), step_hi)) - F.lit(1),
+            F.lit(0))
+        exploded = joined.withColumn(
+            "__k__", F.explode(F.sequence(k_lo, k_hi)))
+        s = F.timestamp_micros(F.col("__sb_min__"))
+        if em:
+            s = s + F.make_interval(F.lit(0), F.col("__k__") * F.lit(em))
+        if eus:
+            s = F.timestamp_micros(
+                F.unix_micros(s) + F.col("__k__") * F.lit(eus))
+
+        def win_end(start):
+            e = start
+            if pm:
+                e = e + F.make_interval(F.lit(0), F.lit(pm))
+            if pus:
+                e = F.timestamp_micros(F.unix_micros(e) + F.lit(pus))
+            return e
+
+        e = win_end(s)
+        member = {
+            "left": (s <= t) & (t < e),
+            "right": (s < t) & (t <= e),
+            "both": (s <= t) & (t <= e),
+            "none": (s < t) & (t < e),
+        }.get(self._closed)
+        if member is None:
+            raise ValueError(f"invalid closed: {self._closed!r}")
+        filtered = exploded.withColumn("__s__", s).filter(member)
+        grouped = (filtered
+                   .groupBy(F.col("__s__"), *[F.col(n) for n in by_names])
+                   .agg(*aggs,
+                        *([F.min(F.col(self._index)).alias("__dp__")]
+                          if self._label == "datapoint" else [])))
+        if self._label == "datapoint":
+            label_col = F.col("__dp__").alias(self._index)
+        elif self._label == "right":
+            label_col = win_end(F.col("__s__")).alias(self._index)
+        else:
+            label_col = F.col("__s__").alias(self._index)
+        extra = []
+        if self._include_boundaries:
+            extra = [F.col("__s__").alias("_lower_boundary"),
+                     win_end(F.col("__s__")).alias("_upper_boundary")]
+        keep = [c for c in grouped.columns
+                if c not in ("__s__", "__dp__") and c not in by_names]
+        renames = [F.col(n).alias(str(b)) if isinstance(b, str) else F.col(n)
+                   for n, b in zip(by_names, self._by)]
+        out = grouped.select(*extra, label_col, *renames, *keep)
         return self._wrap_out(LazyFrame(out))
 
 

@@ -1039,6 +1039,59 @@ def test_calendar_hopping_rolling_datapoint(spark):
                   "2024-03-25": 48.0, "2024-05-04": 32.0}
 
 
+def test_mixed_every_and_datapoint_calendar(spark):
+    """Round-5 dynamic-window closures (lazy_frame.rb:1416-1458, any
+    every/start_by combination): MIXED calendar+fixed every ("1mo10d") and
+    start_by='datapoint' with calendar units — previously a raise and a
+    silent epoch-grid fallback respectively."""
+    import datetime as dt
+
+    df = pl.DataFrame({
+        "ts": [dt.datetime(2024, 1, 15), dt.datetime(2024, 2, 3),
+               dt.datetime(2024, 2, 20), dt.datetime(2024, 4, 1)],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    # datapoint + pure-month grid: anchor Jan15 -> [Jan15,Feb15) [Feb15,
+    # Mar15) [Mar15,Apr15)
+    out = (df.group_by_dynamic("ts", every="1mo", start_by="datapoint")
+           .agg(pl.col("v").sum().alias("s")).sort("ts").to_a())
+    assert [(str(r["ts"])[:10], r["s"]) for r in out] == [
+        ("2024-01-15", 3.0), ("2024-02-15", 3.0), ("2024-03-15", 4.0)]
+    # mixed every from the epoch grid: starts at epoch + k*(1mo+10d) ->
+    # k=488: 2024-01-11, k=489: 2024-02-20, k=490: 2024-04-01
+    out2 = (df.group_by_dynamic("ts", every="1mo10d")
+            .agg(pl.col("v").sum().alias("s")).sort("ts").to_a())
+    assert [(str(r["ts"])[:10], r["s"]) for r in out2] == [
+        ("2024-01-11", 6.0), ("2024-02-20", 3.0), ("2024-04-01", 4.0)]
+    # mixed every + datapoint anchor: [Jan15,Feb25) then [Feb25,Apr04)
+    out3 = (df.group_by_dynamic("ts", every="1mo10d", start_by="datapoint")
+            .agg(pl.col("v").sum().alias("s")).sort("ts").to_a())
+    assert [(str(r["ts"])[:10], r["s"]) for r in out3] == [
+        ("2024-01-15", 6.0), ("2024-02-25", 4.0)]
+    # grouped datapoint calendar: independent anchors per key
+    g = pl.DataFrame({
+        "ts": [dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 25),
+               dt.datetime(2024, 3, 5), dt.datetime(2024, 2, 1)],
+        "g": ["a", "a", "a", "b"],
+        "v": [1.0, 2.0, 3.0, 9.0],
+    })
+    out4 = (g.group_by_dynamic("ts", every="1mo", by="g",
+                               start_by="datapoint")
+            .agg(pl.col("v").sum().alias("s")).sort("g", "ts").to_a())
+    assert [(r["g"], str(r["ts"])[:10], r["s"]) for r in out4] == [
+        ("a", "2024-01-10", 3.0), ("a", "2024-02-10", 3.0),
+        ("b", "2024-02-01", 9.0)]
+    # closed='right' drops the anchor row (open left edge, forward-only
+    # grid) and hopping (period > every) duplicates into overlaps
+    out5 = (df.group_by_dynamic("ts", every="1mo", period="2mo",
+                                start_by="datapoint", closed="right")
+            .agg(pl.col("v").sum().alias("s")).sort("ts").to_a())
+    # windows (Jan15,Mar15] = {Feb3,Feb20} 5.0; (Feb15,Apr15] = {Feb20,
+    # Apr1} 7.0; (Mar15,May15] = {Apr1} 4.0
+    assert [(str(r["ts"])[:10], r["s"]) for r in out5] == [
+        ("2024-01-15", 5.0), ("2024-02-15", 7.0), ("2024-03-15", 4.0)]
+
+
 def test_row_order_preserved_after_ordered_windows(spark):
     """Round-3: polars preserves frame row order through with_columns /
     select / filter even when the binding runs a (keys, row-order) window —
