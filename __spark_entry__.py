@@ -2027,6 +2027,40 @@ def q141_datapoint_calendar(spark, sf_dir):
     return _out(out)
 
 
+def q142_dynamic_spearman(spark, sf_dir):
+    """Spearman corr INSIDE group_by_dynamic().agg() (§2.4/§2.10; round-5,
+    closed the round-4 raise).  The agg pre-stage hook now binds against
+    the window-assigned frame: average ranks over windows partitioned by
+    (window_start, keys) — the SAME attributes the groupBy hashes, one
+    logical exchange — then a plain pearson hash aggregate.  Parity:
+    functions/lazy.rb:679 (corr computes in any context)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.group_by_dynamic("ts", every="1d", group_by="event_type")
+           .agg(pl.corr("value", "user_id", method="spearman")
+                .round(6).alias("s"),
+                pl.len().alias("n")))
+    return _out(out)
+
+
+def q143_rolling_spearman(spark, sf_dir):
+    """Spearman corr inside rolling().agg() (§2.5/§2.10; round-5).
+    Overlapping look-back frames cannot host a rank window, so hooked
+    aggregates take the band-join membership path: anchors equi-join their
+    window rows on a period-wide time bucket + exact interval test, the
+    rank pre-stage partitions by anchor id, one hash agg per anchor.
+    fill_nan aligns Spark's zero-variance NaN with SQL NULL."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.rolling(index_column="ts", period="1h", by="event_type")
+           .agg(pl.corr("value", "user_id", method="spearman")
+                .fill_nan(None).round(6).alias("s"),
+                pl.len().alias("n")))
+    return _out(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2181,6 +2215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_jpeg_decode": q139_jpeg_decode,
         "q140_mixed_every": q140_mixed_every,
         "q141_datapoint_calendar": q141_datapoint_calendar,
+        "q142_dynamic_spearman": q142_dynamic_spearman,
+        "q143_rolling_spearman": q143_rolling_spearman,
     }
 
 
@@ -2839,6 +2875,45 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_frac
             FROM g JOIN dp USING (gram)
             GROUP BY doc_id
+        """,
+        "q142_dynamic_spearman": """
+            WITH r AS (SELECT event_type, date_trunc('day', ts) AS w,
+                              rank() OVER (PARTITION BY event_type,
+                                           date_trunc('day', ts)
+                                           ORDER BY value)
+                                + (count(*) OVER (PARTITION BY event_type,
+                                                  date_trunc('day', ts),
+                                                  value) - 1) / 2.0 AS ra,
+                              rank() OVER (PARTITION BY event_type,
+                                           date_trunc('day', ts)
+                                           ORDER BY user_id)
+                                + (count(*) OVER (PARTITION BY event_type,
+                                                  date_trunc('day', ts),
+                                                  user_id) - 1) / 2.0 AS rb
+                       FROM events)
+            SELECT CAST(w AS TIMESTAMP) AS ts, event_type,
+                   round(corr(ra, rb), 6) AS s, count(*) AS n
+            FROM r GROUP BY w, event_type
+        """,
+        "q143_rolling_spearman": """
+            WITH j AS (SELECT a.event_id AS aid, a.ts AS ats,
+                              a.event_type AS et, b.value AS bv,
+                              b.user_id AS bu
+                       FROM events a JOIN events b
+                         ON a.event_type = b.event_type
+                        AND b.ts > a.ts - INTERVAL 1 HOUR
+                        AND b.ts <= a.ts),
+                 r AS (SELECT aid, ats, et,
+                              rank() OVER (PARTITION BY aid ORDER BY bv)
+                                + (count(*) OVER (PARTITION BY aid, bv)
+                                   - 1) / 2.0 AS ra,
+                              rank() OVER (PARTITION BY aid ORDER BY bu)
+                                + (count(*) OVER (PARTITION BY aid, bu)
+                                   - 1) / 2.0 AS rb
+                       FROM j)
+            SELECT et AS event_type, ats AS ts,
+                   round(corr(ra, rb), 6) AS s, count(*) AS n
+            FROM r GROUP BY aid, ats, et
         """,
         "q140_mixed_every": """
             WITH grid AS (

@@ -60,6 +60,8 @@ HEADLINE = [
     "q139_jpeg_decode",         # JPEG encode+decode via mapInPandas
     "q140_mixed_every",         # mixed calendar+fixed window grid
     "q141_datapoint_calendar",  # datapoint-anchored calendar grid
+    "q142_dynamic_spearman",    # agg pre-stage inside dynamic windows
+    "q143_rolling_spearman",    # band-join rolling pre-stage
 ]
 
 

@@ -1747,9 +1747,10 @@ class Expr:
 
         def fn(df, part):
             raise NotImplementedError(
-                "cumulative_eval inside a dynamic/rolling group-by: "
-                "pre-compute it via with_columns (over(keys) and "
-                "group_by().agg() are supported)")
+                "cumulative_eval inside a cube/rollup group-by (subtotal "
+                "groupings have no single per-group pre-stage): pre-compute "
+                "it via with_columns — over(keys), group_by().agg(), "
+                "group_by_dynamic and rolling all support it directly")
 
         e = Expr(fn, name=self._name, needs_order=True)
 

@@ -284,12 +284,14 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
             if part is not None or bind_context.grouped_agg:
                 # under over(): the _grouped_remap_fn frame hook pre-projects
                 # PER-GROUP ranks then corrs them (round-3); plain group_by().
-                # agg() routes through _agg_pre_fn (round-4).  Only contexts
-                # with no frame stage left — dynamic/rolling group-bys and
-                # cube/rollup — still refuse with the rewrite recipe.
+                # agg() routes through _agg_pre_fn (round-4); dynamic and
+                # rolling group-bys bind the same hook against the window-
+                # membership frame (round-5).  Only cube/rollup (subtotal
+                # groupings have no single per-group pre-stage) and
+                # compositions the hook cannot reach still refuse.
                 raise NotImplementedError(
-                    "spearman corr in this grouped context (dynamic/rolling/"
-                    "cube group-by, or a composition the agg pre-stage hook "
+                    "spearman corr in this grouped context (cube/rollup "
+                    "group-by, or a composition the agg pre-stage hook "
                     "does not reach): pre-project per-group ranks with "
                     "col(x).rank('average').over(keys) via with_columns, "
                     "then aggregate pearson corr of the ranks")

@@ -65,17 +65,21 @@ def _agg_columns(sdf, exprs, named):
     return out, needs_order
 
 
-def _apply_agg_prestages(sdf, exprs, named, key_exprs):
-    """Substitute exprs carrying an ``_agg_pre_fn`` hook (spearman corr).
+def _has_agg_prestages(exprs, named) -> bool:
+    return any(getattr(wrap_expr(e), "_agg_pre_fn", None) is not None
+               for e in list(exprs) + list(named.values()))
+
+
+def _apply_agg_prestages_cols(sdf, exprs, named, key_cols):
+    """Substitute exprs carrying an ``_agg_pre_fn`` hook (spearman corr,
+    cumulative_eval) against explicit grouping key Columns.
 
     The hook extends the frame with per-group helper columns (e.g. average
     ranks over a window partitioned by the SAME keys the groupBy hashes on —
     one logical exchange) and yields the aggregate Column to run on top.
     Returns ``(sdf2, exprs2, named2)`` with hooked exprs replaced by plain
     aggregates over the helpers."""
-    alls = list(exprs) + list(named.values())
-    if not any(getattr(wrap_expr(e), "_agg_pre_fn", None) is not None
-               for e in alls):
+    if not _has_agg_prestages(exprs, named):
         return sdf, exprs, named
 
     def sub(e, name):
@@ -83,7 +87,7 @@ def _apply_agg_prestages(sdf, exprs, named, key_exprs):
         ew = wrap_expr(e)
         if ew._agg_pre_fn is None:
             return e
-        sdf, c = ew._agg_pre_fn(sdf, [ke._fn(sdf, None) for _, ke in key_exprs])
+        sdf, c = ew._agg_pre_fn(sdf, key_cols)
         out = Expr(lambda df, part, _c=c: _c, name=name or ew._name,
                    is_agg=True, needs_order=ew._needs_order)
         return out
@@ -91,6 +95,14 @@ def _apply_agg_prestages(sdf, exprs, named, key_exprs):
     exprs2 = [sub(e, None) for e in exprs]
     named2 = {k: sub(v, k) for k, v in named.items()}
     return sdf, exprs2, named2
+
+
+def _apply_agg_prestages(sdf, exprs, named, key_exprs):
+    """`_apply_agg_prestages_cols` over (name, Expr) key pairs."""
+    if not _has_agg_prestages(exprs, named):
+        return sdf, exprs, named
+    return _apply_agg_prestages_cols(
+        sdf, exprs, named, [ke._fn(sdf, None) for _, ke in key_exprs])
 
 
 class LazyGroupBy:
@@ -332,6 +344,35 @@ class _TemporalGroupByMixin:
             return DataFrame._from_lazy(lf)
         return lf
 
+    def _dyn_pre(self, exprs, named):
+        """Prologue shared by every dynamic-window agg path: returns
+        ``(sdf, aggs, hooked)``.  When any aggregate carries an
+        ``_agg_pre_fn`` hook (spearman corr, cumulative_eval), binding is
+        DEFERRED — those exprs must bind against the window-keyed frame,
+        which only exists after window assignment; ``_dyn_bind`` finishes
+        the job there (round-5, lazy_frame.rb:1416 any expression)."""
+        sdf = self._lf._sdf
+        if _has_agg_prestages(exprs, named):
+            alls = [wrap_expr(e) for e in list(exprs) + list(named.values())]
+            if any(e._needs_order for e in alls) and ROW_IDX not in sdf.columns:
+                sdf = self._lf._ensure_row_index()._sdf
+            return sdf, None, True
+        aggs, needs_order = _agg_columns(sdf, exprs, named)
+        if needs_order:
+            sdf = self._lf._ensure_row_index()._sdf
+            aggs, _ = _agg_columns(sdf, exprs, named)
+        return sdf, aggs, False
+
+    def _dyn_bind(self, frame, exprs, named, key_cols):
+        """Apply deferred ``_agg_pre_fn`` hooks against the window-assigned
+        pre-groupBy frame (keys = window start + group keys — the SAME
+        attributes the groupBy hashes, so the pre-stage windows share its
+        exchange) and compile the final aggregate columns."""
+        frame, exprs2, named2 = _apply_agg_prestages_cols(
+            frame, exprs, named, key_cols)
+        aggs, _ = _agg_columns(frame, exprs2, named2)
+        return frame, aggs
+
 
 class DynamicGroupBy(_TemporalGroupByMixin):
     """group_by_dynamic (lazy_frame.rb:1416): event-time tumbling/hopping
@@ -369,11 +410,7 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         period = parse_duration(self._period)
         if every.is_calendar or period.is_calendar:
             return self._agg_calendar(every, period, exprs, named)
-        sdf = self._lf._sdf
-        aggs, needs_order = _agg_columns(sdf, exprs, named)
-        if needs_order:
-            sdf = self._lf._ensure_row_index()._sdf
-            aggs, _ = _agg_columns(sdf, exprs, named)
+        sdf, aggs, hooked = self._dyn_pre(exprs, named)
         every_s = f"{every.total_seconds()} seconds"
         period_s = f"{period.total_seconds()} seconds"
         start = None
@@ -405,7 +442,15 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         extra_aggs = []
         if self._label == "datapoint":
             extra_aggs.append(F.min(F.col(self._index)).alias("__dp__"))
-        grouped = sdf.groupBy(win.alias("__w__"), *by_cols).agg(*aggs, *extra_aggs)
+        win_key = win.alias("__w__")
+        if hooked:
+            # pre-stage hooks (spearman/cumulative_eval) bind per window:
+            # materialize the window struct as a column first
+            sdf = sdf.withColumn("__w__", win)
+            win_key = F.col("__w__")
+            sdf, aggs = self._dyn_bind(sdf, exprs, named,
+                                       [F.col("__w__"), *by_cols])
+        grouped = sdf.groupBy(win_key, *by_cols).agg(*aggs, *extra_aggs)
         if self._label == "datapoint":
             label_col = F.col("__dp__").alias(self._index)
         else:
@@ -435,11 +480,7 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         if self._closed not in ("left", "right"):
             raise ValueError(f"invalid closed: {self._closed!r}")
         every_us = int(every.total_seconds() * 1_000_000)
-        sdf = self._lf._sdf
-        aggs, needs_order = _agg_columns(sdf, exprs, named)
-        if needs_order:
-            sdf = self._lf._ensure_row_index()._sdf
-            aggs, _ = _agg_columns(sdf, exprs, named)
+        sdf, aggs, hooked = self._dyn_pre(exprs, named)
         by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
                    for b in self._by]
         by_names = [f"__sbk{i}__" for i in range(len(by_cols))]
@@ -459,8 +500,12 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         # forward-only grid: with closed='right' the anchor datapoint sits
         # on the open left edge of window 0 (k = -1 here) — polars drops it
         # rather than emitting a window before the first datapoint
-        grouped = (joined.withColumn("__s__", start_us)
-                   .filter(k >= 0)
+        pre = joined.withColumn("__s__", start_us).filter(k >= 0)
+        if hooked:
+            pre, aggs = self._dyn_bind(
+                pre, exprs, named,
+                [F.col("__s__"), *[F.col(n) for n in by_names]])
+        grouped = (pre
                    .groupBy(F.col("__s__"), *[F.col(n) for n in by_names])
                    .agg(*aggs,
                         *([F.min(F.col(self._index)).alias("__dp__")]
@@ -495,11 +540,7 @@ class DynamicGroupBy(_TemporalGroupByMixin):
                 "start_by='datapoint' with calendar-unit durations")
         every_us = int(every.total_seconds() * 1_000_000)
         period_us = int(period.total_seconds() * 1_000_000)
-        sdf = self._lf._sdf
-        aggs, needs_order = _agg_columns(sdf, exprs, named)
-        if needs_order:
-            sdf = self._lf._ensure_row_index()._sdf
-            aggs, _ = _agg_columns(sdf, exprs, named)
+        sdf, aggs, hooked = self._dyn_pre(exprs, named)
         by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
                    for b in self._by]
         by_names = [f"__sbk{i}__" for i in range(len(by_cols))]
@@ -537,6 +578,10 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         if member is None:
             raise ValueError(f"invalid closed: {self._closed!r}")
         filtered = exploded.withColumn("__s__", s).filter(member)
+        if hooked:
+            filtered, aggs = self._dyn_bind(
+                filtered, exprs, named,
+                [F.col("__s__"), *[F.col(n) for n in by_names]])
         grouped = (filtered
                    .groupBy(F.col("__s__"), *[F.col(n) for n in by_names])
                    .agg(*aggs,
@@ -575,11 +620,7 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         period_us = int(period.total_seconds() * 1_000_000)
         off_us = (int(parse_duration(self._offset).total_seconds() * 1_000_000)
                   if self._offset is not None else 0)
-        sdf = self._lf._sdf
-        aggs, needs_order = _agg_columns(sdf, exprs, named)
-        if needs_order:
-            sdf = self._lf._ensure_row_index()._sdf
-            aggs, _ = _agg_columns(sdf, exprs, named)
+        sdf, aggs, hooked = self._dyn_pre(exprs, named)
 
         t = F.unix_micros(F.col(self._index).cast("timestamp"))
 
@@ -601,6 +642,9 @@ class DynamicGroupBy(_TemporalGroupByMixin):
 
         by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
                    for b in self._by]
+        if hooked:
+            filtered, aggs = self._dyn_bind(
+                filtered, exprs, named, [F.col("__s__"), *by_cols])
         extra_aggs = [F.min(F.col(self._index)).alias("__dp__")] \
             if self._label == "datapoint" else []
         grouped = filtered.groupBy(F.col("__s__"), *by_cols).agg(*aggs, *extra_aggs)
@@ -652,11 +696,7 @@ class DynamicGroupBy(_TemporalGroupByMixin):
             return self._agg_calendar_enumerated(every, period, exprs, named)
         step = every.months
         off = parse_duration(self._offset) if self._offset is not None else None
-        sdf = self._lf._sdf
-        aggs, needs_order = _agg_columns(sdf, exprs, named)
-        if needs_order:
-            sdf = self._lf._ensure_row_index()._sdf
-            aggs, _ = _agg_columns(sdf, exprs, named)
+        sdf, aggs, hooked = self._dyn_pre(exprs, named)
 
         def shift(c, months, us):
             if months > 0:
@@ -691,6 +731,9 @@ class DynamicGroupBy(_TemporalGroupByMixin):
             raise ValueError(f"invalid closed: {self._closed!r}")
         by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr) else F.col(b)
                    for b in self._by]
+        if hooked:
+            base, aggs = self._dyn_bind(
+                base, exprs, named, [F.col("__w__"), *by_cols])
         extra_aggs = [F.min(F.col(self._index)).alias("__dp__")] \
             if self._label == "datapoint" else []
         grouped = base.groupBy(F.col("__w__"), *by_cols).agg(*aggs, *extra_aggs)
@@ -727,11 +770,7 @@ class DynamicGroupBy(_TemporalGroupByMixin):
 
         off = (parse_duration(self._offset) if self._offset is not None
                else parse_duration("0s"))
-        sdf = self._lf._sdf
-        aggs, needs_order = _agg_columns(sdf, exprs, named)
-        if needs_order:
-            sdf = self._lf._ensure_row_index()._sdf
-            aggs, _ = _agg_columns(sdf, exprs, named)
+        sdf, aggs, hooked = self._dyn_pre(exprs, named)
         t = F.col(self._index).cast("timestamp")
         pm, pus = period.months, int(period.microseconds)
         om, ous = off.months, int(off.microseconds)
@@ -812,6 +851,9 @@ class DynamicGroupBy(_TemporalGroupByMixin):
                     .drop("__k__"))
         by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr)
                    else F.col(b) for b in self._by]
+        if hooked:
+            filtered, aggs = self._dyn_bind(
+                filtered, exprs, named, [F.col("__w__"), *by_cols])
         extra_aggs = [F.min(F.col(self._index)).alias("__dp__")] \
             if self._label == "datapoint" else []
         grouped = filtered.groupBy(F.col("__w__"), *by_cols).agg(
@@ -847,11 +889,7 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         pm, pus = period.months, int(period.microseconds)
         _28D_US = 28 * 86400 * 1_000_000
         _31D_US = 31 * 86400 * 1_000_000
-        sdf = self._lf._sdf
-        aggs, needs_order = _agg_columns(sdf, exprs, named)
-        if needs_order:
-            sdf = self._lf._ensure_row_index()._sdf
-            aggs, _ = _agg_columns(sdf, exprs, named)
+        sdf, aggs, hooked = self._dyn_pre(exprs, named)
         by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr)
                    else F.col(b) for b in self._by]
         by_names = [f"__sbk{i}__" for i in range(len(by_cols))]
@@ -909,6 +947,10 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         if member is None:
             raise ValueError(f"invalid closed: {self._closed!r}")
         filtered = exploded.withColumn("__s__", s).filter(member)
+        if hooked:
+            filtered, aggs = self._dyn_bind(
+                filtered, exprs, named,
+                [F.col("__s__"), *[F.col(n) for n in by_names]])
         grouped = (filtered
                    .groupBy(F.col("__s__"), *[F.col(n) for n in by_names])
                    .agg(*aggs,
@@ -951,6 +993,10 @@ class RollingGroupBy(_TemporalGroupByMixin):
         from .frame import LazyFrame
 
         dur = parse_duration(self._period)
+        if _has_agg_prestages(exprs, named):
+            # per-window pre-stage aggs (spearman corr, cumulative_eval)
+            # need materialized window membership — band-join path
+            return self._agg_band(dur, exprs, named)
         if dur.is_calendar:
             return self._agg_calendar(dur, exprs, named)
         span_us = int(dur.total_seconds() * 1_000_000)
@@ -978,6 +1024,78 @@ class RollingGroupBy(_TemporalGroupByMixin):
             cols.append(c.alias(e._name) if e._name else c)
         keep = [F.col(b) for b in self._by] + [F.col(self._index)]
         return self._wrap_out(LazyFrame(out.select(*keep, *cols)))
+
+    def _agg_band(self, dur, exprs, named):
+        """Rolling agg via an explicit window-membership band join — the
+        path for aggregates carrying an ``_agg_pre_fn`` hook (spearman's
+        rank pre-stage, cumulative_eval's prefix reduction), whose
+        pre-stage must bind per look-back window (round-5; overlapping
+        range frames cannot host a rank window).
+
+        Each anchor row equi-joins its window's member rows on a coarse
+        time bucket (bucket width = the period for fixed durations, the
+        calendar month for month-bearing ones; a member spans ≤2 / ≤months+2
+        buckets) plus the exact interval predicate.  Contributor rows keep
+        their own hidden index, so order-sensitive pre-stages see true row
+        order; anchors re-key by ``__ra_id__``.  One hash agg per anchor —
+        pair count is anchors × window rows, the same documented density
+        hazard as the calendar band join."""
+        from .frame import LazyFrame
+
+        pm, pus = dur.months, int(dur.microseconds)
+        _28D_US = 28 * 86400 * 1_000_000
+        lf = self._lf._ensure_row_index()
+        sdf = lf._sdf
+        t = F.col(self._index).cast("timestamp")
+        t_us = F.unix_micros(t)
+        if pm:
+            n_back = pm + -(-pus // _28D_US) + 1
+            bucket = (F.year(t) - F.lit(1970)) * F.lit(12) + F.month(t) - F.lit(1)
+        else:
+            span = max(pus, 1)
+            n_back = 1
+            bucket = F.floor(t_us / F.lit(span)).cast("long")
+        kn = [f"__ra_k{i}__" for i in range(len(self._by))]
+        anchors = sdf.select(
+            F.col(ROW_IDX).alias("__ra_id__"),
+            t.alias("__ra_ts__"),
+            bucket.alias("__ra_b__"),
+            *[F.col(b).alias(n) for b, n in zip(self._by, kn)])
+        contrib = (sdf.withColumn("__rc_r__", F.explode(
+                       F.sequence(F.lit(0), F.lit(int(n_back)))))
+                   .withColumn("__rc_b__", bucket + F.col("__rc_r__"))
+                   .drop("__rc_r__"))
+        ats = F.col("__ra_ts__")
+        lo = ats
+        if pm:
+            lo = lo - F.make_interval(F.lit(0), F.lit(pm))
+        if pus:
+            lo = F.timestamp_micros(F.unix_micros(lo) - F.lit(pus))
+        rng = {
+            "right": (t > lo) & (t <= ats),
+            "left": (t >= lo) & (t < ats),
+            "both": (t >= lo) & (t <= ats),
+            "none": (t > lo) & (t < ats),
+        }.get(self._closed)
+        if rng is None:
+            raise ValueError(f"invalid closed: {self._closed!r}")
+        cond = F.col("__ra_b__") == F.col("__rc_b__")
+        for b, n in zip(self._by, kn):
+            cond = cond & F.col(n).eqNullSafe(contrib[b])
+        joined = anchors.join(contrib, cond & rng, "left")
+        joined, exprs2, named2 = _apply_agg_prestages_cols(
+            joined, exprs, named, [F.col("__ra_id__")])
+        aggs, _ = _agg_columns(joined, exprs2, named2)
+        grouped = joined.groupBy(
+            F.col("__ra_id__"), F.col("__ra_ts__"),
+            *[F.col(n) for n in kn]).agg(*aggs)
+        keep = [c for c in grouped.columns
+                if c not in ("__ra_id__", "__ra_ts__") and c not in kn]
+        out = grouped.orderBy("__ra_id__").select(
+            *[F.col(n).alias(b) for b, n in zip(self._by, kn)],
+            F.col("__ra_ts__").alias(self._index),
+            *keep)
+        return self._wrap_out(LazyFrame(out))
 
     @staticmethod
     def _prefix_plan(all_exprs):

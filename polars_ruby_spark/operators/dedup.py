@@ -212,7 +212,8 @@ def simhash_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                          max_iterations: int = 50,
-                         driver_threshold: int = 2_000_000) -> DataFrame:
+                         driver_threshold: int = 2_000_000,
+                         driver_max_bytes: int = 256 << 20) -> DataFrame:
     """Connected components over an undirected edge list.  Returns
     ``(id, cluster_id)`` for every node that appears in ``edges``, where
     ``cluster_id`` is the smallest node id in the component (deterministic,
@@ -230,7 +231,19 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     not grow with the iteration count.
     """
     edges = edges.localCheckpoint(eager=True)
-    if edges.count() <= driver_threshold:
+    n_edges = edges.count()
+    use_driver = n_edges <= driver_threshold
+    if use_driver and n_edges > 0:
+        # byte guard (round-5): edge COUNT alone under-estimates driver
+        # memory for wide ids (URL/string keys) — sample the id widths and
+        # cap the collected payload at ``driver_max_bytes``
+        avg_w = edges.select(
+            (F.coalesce(F.octet_length(F.col(src).cast("string")), F.lit(8))
+             + F.coalesce(F.octet_length(F.col(dst).cast("string")),
+                          F.lit(8))).alias("__w__")) \
+            .limit(10_000).agg(F.avg("__w__")).first()[0] or 16.0
+        use_driver = n_edges * float(avg_w) <= driver_max_bytes
+    if use_driver:
         return _cc_driver_union_find(edges, src, dst)
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))))

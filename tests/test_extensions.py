@@ -207,6 +207,33 @@ def test_connected_components_chain_and_islands(spark):
     assert dist == expect
 
 
+def test_connected_components_byte_guard(spark):
+    """Round-5: the driver union-find is gated on sampled ROW BYTES, not
+    edge count alone — wide string ids (URL keys) must fall back to the
+    distributed label-propagation path even under the edge threshold."""
+    wide = [(("u" * 500) + str(a), ("u" * 500) + str(b))
+            for a, b in [(2, 1), (2, 3), (10, 11)]]
+    edges = spark.createDataFrame(wide, ["id_a", "id_b"])
+
+    calls = []
+    orig = dedup._cc_driver_union_find
+    dedup._cc_driver_union_find = \
+        lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        # 3 edges x ~1KB rows > a 1KB byte cap -> distributed path
+        out = {r["id"][500:]: r["cluster_id"][500:] for r in
+               dedup.connected_components(
+                   edges, driver_max_bytes=1024).collect()}
+        assert not calls, "byte guard did not trip"
+        assert out == {"1": "1", "2": "1", "3": "1", "10": "10", "11": "10"}
+        # same graph under a roomy cap stays on the driver path
+        out2 = {r["id"][500:]: r["cluster_id"][500:] for r in
+                dedup.connected_components(edges).collect()}
+        assert calls and out2 == out
+    finally:
+        dedup._cc_driver_union_find = orig
+
+
 def test_dedup_clusters_partitions_corpus(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     df = spark.createDataFrame(

@@ -1092,6 +1092,58 @@ def test_mixed_every_and_datapoint_calendar(spark):
         ("2024-01-15", 5.0), ("2024-02-15", 7.0), ("2024-03-15", 4.0)]
 
 
+def test_spearman_cumulative_eval_dynamic_rolling(spark):
+    """Round-5: spearman corr and cumulative_eval inside group_by_dynamic
+    and rolling aggs (functions/lazy.rb:679, expr.rb:6684 — any context).
+    Dynamic paths bind the agg pre-stage hook against the window-assigned
+    frame; rolling routes hooked aggs through the band-join membership
+    path (overlapping range frames cannot host a rank window)."""
+    import datetime as dt
+
+    from polars_ruby_spark import functions as plf
+
+    df = pl.DataFrame({
+        "ts": [dt.datetime(2024, 1, d, h) for d, h in
+               [(1, 1), (1, 5), (1, 9), (2, 1), (2, 5), (2, 9)]],
+        "x": [1.0, 2.0, 3.0, 1.0, 2.0, 3.0],
+        "y": [2.0, 4.0, 9.0, 9.0, 4.0, 2.0],   # monotone +1 day1, -1 day2
+    })
+    out = (df.group_by_dynamic("ts", every="1d")
+           .agg(plf.corr(pl.col("x"), pl.col("y"),
+                         method="spearman").alias("s"))
+           .sort("ts").to_a())
+    assert [(str(r["ts"])[:10], r["s"]) for r in out] == [
+        ("2024-01-01", 1.0), ("2024-01-02", -1.0)]
+    # cumulative_eval in dynamic agg -> per-window expanding lists
+    ce = (df.group_by_dynamic("ts", every="1d")
+          .agg(pl.col("x").cumulative_eval(pl.element().sum()).alias("cs"))
+          .sort("ts").to_a())
+    assert [r["cs"] for r in ce] == [[1.0, 3.0, 6.0], [1.0, 3.0, 6.0]]
+    # hopping windows: rows duplicate into overlaps, ranks stay per-window
+    hop = (df.group_by_dynamic("ts", every="12h", period="1d")
+           .agg(plf.corr(pl.col("x"), pl.col("y"),
+                         method="spearman").alias("s"))
+           .sort("ts").to_a())
+    assert [r["s"] for r in hop] == [1.0, 1.0, -1.0, -1.0]
+    # rolling 8h look-back: window of 1 -> null; pairs carry the sign
+    r = (df.rolling(index_column="ts", period="8h")
+         .agg(plf.corr(pl.col("x"), pl.col("y"),
+                       method="spearman").alias("s")))
+    assert [x["s"] for x in r.to_a()] == [None, 1.0, 1.0, None, -1.0, -1.0]
+    # rolling cumulative_eval: prefix lists over each look-back window
+    r2 = (df.rolling(index_column="ts", period="8h")
+          .agg(pl.col("x").cumulative_eval(pl.element().max()).alias("cm")))
+    assert [x["cm"] for x in r2.to_a()] == [
+        [1.0], [1.0, 2.0], [2.0, 3.0], [1.0], [1.0, 2.0], [2.0, 3.0]]
+    # datapoint-anchored dynamic + spearman (hook composes with the
+    # anchor-grid path)
+    dp = (df.group_by_dynamic("ts", every="1d", start_by="datapoint")
+          .agg(plf.corr(pl.col("x"), pl.col("y"),
+                        method="spearman").alias("s"))
+          .sort("ts").to_a())
+    assert [r["s"] for r in dp] == [1.0, -1.0]
+
+
 def test_row_order_preserved_after_ordered_windows(spark):
     """Round-3: polars preserves frame row order through with_columns /
     select / filter even when the binding runs a (keys, row-order) window —

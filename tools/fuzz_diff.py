@@ -75,6 +75,14 @@ def make_frame(rng: random.Random):
         "p": maybe(lambda: rng.random() < 0.5),
         "ts": maybe(lambda: epoch + dt.timedelta(
             minutes=rng.randint(0, 200000))),
+        # skewed key: ~62% of rows share value 0 (hot-key axis, round-5)
+        "h": maybe(lambda: rng.choice(
+            [0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3, 17, 42]), p=0.1),
+        # skewed timestamps: ~half the rows land inside ONE hour
+        "hts": maybe(lambda: epoch + (
+            dt.timedelta(seconds=rng.randint(0, 3600))
+            if rng.random() < 0.5
+            else dt.timedelta(minutes=rng.randint(0, 200000))), p=0.15),
     }
     return data
 
@@ -244,29 +252,33 @@ def agg_exprs(pl, rng):
     return out
 
 
-def window_exprs(pl, rng):
-    """Order-dependent ops over idx within g."""
-    w = ("OVER (PARTITION BY g ORDER BY idx "
+def window_exprs(pl, rng, key="g"):
+    """Order-dependent ops over idx within the partition key (uniform ``g``
+    or the hot-key ``h`` — round-5 skew axis)."""
+    k = key
+    w = (f"OVER (PARTITION BY {k} ORDER BY idx "
          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     pool = [
-        lambda: (pl.col("x").cum_sum().over("g").round(6),
+        lambda: (pl.col("x").cum_sum().over(k).round(6),
                  f"round(sum(x) {w}, 6)"),
-        lambda: (pl.col("a").cum_max().over("g"),
+        lambda: (pl.col("a").cum_max().over(k),
                  f"max(a) {w}"),
-        lambda: (pl.col("a").cum_count().over("g").cast(pl.Int64),
+        lambda: (pl.col("a").cum_count().over(k).cast(pl.Int64),
                  f"CAST(count(a) {w} AS BIGINT)"),
-        lambda: (pl.col("x").shift(1).over("g"),
-                 "lag(x, 1) OVER (PARTITION BY g ORDER BY idx)"),
-        lambda: (pl.col("x").diff().over("g").round(6),
-                 "round(x - lag(x, 1) OVER (PARTITION BY g ORDER BY idx), 6)"),
-        lambda: (pl.col("y").rank("min").over("g").cast(pl.Int64),
+        lambda: (pl.col("x").shift(1).over(k),
+                 f"lag(x, 1) OVER (PARTITION BY {k} ORDER BY idx)"),
+        lambda: (pl.col("x").diff().over(k).round(6),
+                 f"round(x - lag(x, 1) OVER (PARTITION BY {k} "
+                 "ORDER BY idx), 6)"),
+        lambda: (pl.col("y").rank("min").over(k).cast(pl.Int64),
                  "CASE WHEN y IS NOT NULL THEN CAST(rank() OVER "
-                 "(PARTITION BY g ORDER BY y NULLS LAST) AS BIGINT) END"),
-        lambda: (pl.col("x").forward_fill().over("g"),
-                 "last_value(x IGNORE NULLS) OVER (PARTITION BY g ORDER BY "
-                 "idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
-        lambda: ((pl.col("x").sum().over("g")).round(6),
-                 "round(coalesce(sum(x) OVER (PARTITION BY g), 0), 6)"),
+                 f"(PARTITION BY {k} ORDER BY y NULLS LAST) AS BIGINT) END"),
+        lambda: (pl.col("x").forward_fill().over(k),
+                 f"last_value(x IGNORE NULLS) OVER (PARTITION BY {k} "
+                 "ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                 "CURRENT ROW)"),
+        lambda: ((pl.col("x").sum().over(k)).round(6),
+                 f"round(coalesce(sum(x) OVER (PARTITION BY {k}), 0), 6)"),
     ]
     out = []
     for i, mk in enumerate(rng.sample(pool, 4)):
@@ -574,6 +586,74 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
            "(SELECT idx AS li, x FROM t WHERE idx < 4) l CROSS JOIN "
            "(SELECT idx AS ri, y FROM t WHERE idx >= 4 AND idx < 7) r")
     compare("cross_join", xq.collect().to_spark(), sql)
+
+    # -- round-5 skew templates: the hot-key column h (~62% one value) and
+    # hot-hour timestamps hts drive every join/agg/window shape through the
+    # skewed-distribution regime the uniform columns never reach ------------
+
+    # 16. skewed equi-join (hot key fans out quadratically)
+    how2 = rng.choice(["inner", "left"])
+    kl = df.lazy().filter(pl.col("idx") % 2 == 0).select("idx", "h", "x")
+    kr = df.lazy().filter(pl.col("idx") % 2 == 1).select(
+        pl.col("idx").alias("ridx"), "h", "y")
+    kq = kl.join(kr, on="h", how=how2)
+    base_kl = "(SELECT idx, h, x FROM t WHERE idx % 2 = 0)"
+    base_kr = "(SELECT idx AS ridx, h, y FROM t WHERE idx % 2 = 1)"
+    jk = "JOIN" if how2 == "inner" else "LEFT JOIN"
+    sql = (f"SELECT l.idx, l.h, l.x, r.ridx, r.y FROM {base_kl} l "
+           f"{jk} {base_kr} r USING (h)")
+    compare(f"skew_join_{how2}", kq.collect().to_spark(), sql)
+
+    # 17. skewed grouped aggregation
+    ag2 = agg_exprs(pl, rng)
+    kq2 = df.lazy().group_by("h").agg(*[e.alias(nm) for nm, e, _ in ag2])
+    sql = "SELECT h, " + ", ".join(
+        f"{sq} AS {nm}" for nm, _, sq in ag2) + " FROM t GROUP BY h"
+    compare("skew_agg", kq2.collect().to_spark(), sql)
+
+    # 18. skewed windows (one partition holds most rows)
+    wx2 = window_exprs(pl, rng, key="h")
+    kq3 = df.lazy().sort("idx").select(
+        pl.col("idx"), *[e for _, e, _ in wx2])
+    sql = "SELECT idx, " + ", ".join(
+        f"{sq} AS {nm}" for nm, _, sq in wx2) + " FROM t"
+    compare("skew_window", kq3.collect().to_spark(), sql)
+
+    # 19. asof join over the hot-hour timestamps (dense ties on one band)
+    strat2 = rng.choice(["backward", "forward"])
+    hl = (df.lazy().filter((pl.col("idx") % 2 == 0)
+                           & pl.col("hts").is_not_null())
+          .select("idx", "hts", "x").sort("hts", "idx"))
+    hr = (df.lazy().filter((pl.col("idx") % 2 == 1)
+                           & pl.col("hts").is_not_null())
+          .select("hts", "y").group_by("hts").agg(pl.col("y").max())
+          .sort("hts"))
+    hq = hl.join_asof(hr, on="hts", strategy=strat2).select(
+        "idx", "hts", "y")
+    base_hl = ("(SELECT idx, hts, x FROM t WHERE idx % 2 = 0 "
+               "AND hts IS NOT NULL)")
+    base_hr = ("(SELECT hts, max(y) AS y FROM t WHERE idx % 2 = 1 "
+               "AND hts IS NOT NULL GROUP BY hts)")
+    op2 = ">=" if strat2 == "backward" else "<="
+    sql = (f"SELECT l.idx, l.hts, r.y FROM {base_hl} l ASOF LEFT JOIN "
+           f"{base_hr} r ON l.hts {op2} r.hts")
+    compare(f"skew_asof_{strat2}", hq.collect().to_spark(), sql)
+
+    # 20. dynamic windows over the hot hour, keyed by the hot key
+    every2 = rng.choice(["15m", "30m", "1h"])
+    dur2 = {"15m": "15 MINUTES", "30m": "30 MINUTES",
+            "1h": "1 HOUR"}[every2]
+    hq2 = (df.lazy().filter(pl.col("hts").is_not_null()
+                            & pl.col("h").is_not_null())
+           .sort("hts")
+           .group_by_dynamic("hts", every=every2, group_by="h")
+           .agg(pl.col("x").sum().round(6).alias("sx"),
+                pl.col("a").count().cast(pl.Int64).alias("ca")))
+    sql = (f"SELECT h, time_bucket(INTERVAL {dur2}, hts) AS hts, "
+           "round(coalesce(sum(x), 0), 6) AS sx, "
+           "CAST(count(a) AS BIGINT) AS ca "
+           "FROM t WHERE hts IS NOT NULL AND h IS NOT NULL GROUP BY 1, 2")
+    compare(f"skew_dynamic_{every2}", hq2.collect().to_spark(), sql)
 
     duck.unregister("t")
     return diffs
