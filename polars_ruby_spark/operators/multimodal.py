@@ -6,11 +6,12 @@ UDF signatures here are real and tested.  The codec layer is REAL where the
 stdlib + numpy suffice: container-header parse for PNG/JPEG/GIF/BMP
 (``parse_image_header``) and FULL pixel decode for PNG (zlib inflate +
 scanline unfilter), baseline-DCT JPEG (huffman entropy decode + vectorized
-IDCT + chroma upsample, with a matching fixture encoder) and uncompressed
+IDCT + chroma upsample, with a matching fixture encoder), GIF (variable-
+width LZW + interlace + palette, with a fixture encoder) and uncompressed
 BMP (``decode_image_pixels``), plus nearest-neighbor resize
-(``resize_nearest``).  Progressive JPEG, GIF (LZW) and audio/video stay
-behind a clearly-marked ``NotImplementedError`` boundary until PIL/ffmpeg
-are available; a deterministic fake keeps those pipelines testable
+(``resize_nearest``).  Progressive JPEG and audio/video stay behind a
+clearly-marked ``NotImplementedError`` boundary until PIL/ffmpeg are
+available; a deterministic fake keeps those pipelines testable
 end-to-end.
 
 Batch sizing note for 100 TB: media rows are large — repartition by size
@@ -304,7 +305,7 @@ def decode_bmp_pixels(payload: bytes):
 # canonical huffman entropy decode (byte-stuffing + restart markers), dequant
 # + de-zigzag, vectorized 8x8 IDCT over all blocks at once, chroma upsample
 # for arbitrary h/v sampling factors, YCbCr->RGB.  Progressive JPEG (SOF2)
-# and GIF (LZW) remain the documented NotImplementedError boundary.
+# remains the documented NotImplementedError boundary.
 # A minimal baseline ENCODER (4:4:4 / 4:2:0, custom flat-length huffman
 # tables, optional restart interval) exists so tests can build real JPEG
 # fixtures and round-trip property checks without PIL.
@@ -741,6 +742,200 @@ def encode_jpeg_baseline(px, quant: int = 1, subsampling: str = "444",
     return bytes(out)
 
 
+# -- GIF codec (round-5) -------------------------------------------------------
+#
+# Full GIF87a/89a first-frame decode with the stdlib + numpy: logical screen
+# + color tables, extension skip (transparency noted), variable-width
+# LSB-first LZW with clear/EOI and the deferred-first-add rule, Adam-style
+# 4-pass interlace reorder, palette resolve to RGB.  A minimal fixture
+# ENCODER writes valid GIF89a streams via the fixed-width literal-code +
+# periodic-clear construction (every pixel its own code; a CLEAR resets the
+# dictionary before any width growth) so tests round-trip without PIL.
+
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int):
+    """Variable-width LSB-first GIF LZW -> list of palette indices."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out: list = []
+    table: dict = {}
+    width = min_code + 1
+    next_code = eoi + 1
+    prev = None
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = {i: [i] for i in range(clear)}
+        width = min_code + 1
+        next_code = eoi + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    i = 0
+    while len(out) < npix:
+        while nbits < width:
+            if i >= len(data):
+                return out  # truncated stream: return what decoded
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def decode_gif_pixels(payload: bytes):
+    """Decode the FIRST frame of a GIF87a/89a to an ``(h, w, 3)`` uint8
+    RGB array (frame placed on the logical screen; transparency index
+    resolves to its palette color)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:
+            break
+        if blk == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += b[pos] + 1
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{blk:02x}")
+        left, top, iw, ih = struct.unpack("<HHHH", b[pos + 1:pos + 9])
+        ipacked = b[pos + 9]
+        pos += 10
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            lct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if lct is None:
+            raise ValueError("GIF image without a color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1:pos + 1 + ln]
+            pos += ln + 1
+        idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+        idx = (idx + [0] * (iw * ih - len(idx)))[:iw * ih]
+        arr = np.array(idx, dtype=np.int32).reshape(ih, iw)
+        if ipacked & 0x40:  # 4-pass interlace: rows were stored pass-major
+            order = ([*range(0, ih, 8)] + [*range(4, ih, 8)]
+                     + [*range(2, ih, 4)] + [*range(1, ih, 2)])
+            de = np.empty_like(arr)
+            de[order] = arr
+            arr = de
+        frame = lct[np.clip(arr, 0, len(lct) - 1)]
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        out[top:top + ih, left:left + iw] = frame[:h - top, :w - left]
+        return out
+    raise ValueError("GIF missing image data")
+
+
+def encode_gif(px, interlace: bool = False) -> bytes:
+    """Encode an ``(h, w, 3)`` RGB uint8 array (≤256 distinct colors) as a
+    single-frame GIF89a.  Fixture/round-trip support (no PIL): 256-entry
+    global palette, 8-bit literal codes with a periodic CLEAR before any
+    code-width growth — a valid (if uncompressed) LZW stream every decoder
+    accepts."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=2)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:len(palette)] = palette
+    idx = indices.reshape(h, w)
+    if interlace:
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        idx = idx[order]
+    seq = idx.reshape(-1)
+
+    min_code = 8
+    clear, eoi = 256, 257
+    width = 9
+    # decoder adds one dict entry per literal after the first post-clear
+    # code; clear again before next_code (258 + emitted-1) reaches 512
+    max_run = (1 << width) - eoi - 3
+    codes: list = [clear]
+    run = 0
+    for v in seq:
+        if run >= max_run:
+            codes.append(clear)
+            run = 0
+        codes.append(int(v))
+        run += 1
+    codes.append(eoi)
+    acc = nbits = 0
+    stream = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])          # GCT present, 256 entries
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image_pixels(payload: bytes):
     """Dispatch on container magic; returns ``(h, w, c)`` uint8 array."""
     b = bytes(payload or b"")
@@ -750,11 +945,13 @@ def decode_image_pixels(payload: bytes):
         return decode_bmp_pixels(b)
     if b[:2] == b"\xff\xd8":
         return decode_jpeg_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(b)
     hdr = parse_image_header(b)
     kind = hdr["mime"] if hdr else "unrecognized container"
     raise NotImplementedError(
-        f"pixel decode for {kind} needs an LZW codec (GIF) or PIL/ffmpeg; "
-        "PNG, baseline JPEG and uncompressed BMP decode natively")
+        f"pixel decode for {kind} needs PIL/ffmpeg; PNG, baseline JPEG, "
+        "GIF and uncompressed BMP decode natively")
 
 
 def image_pixel_decoder(payload: bytes) -> dict:

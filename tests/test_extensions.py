@@ -881,12 +881,45 @@ def test_pixel_decode_spark_pipeline(spark):
     small = multimodal.resize_nearest(grad, 2, 2)
     assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
 
-    # LZW (GIF) remains a documented boundary; baseline JPEG decodes now
-    import struct
+    # unrecognized containers remain the documented boundary (PNG, baseline
+    # JPEG, GIF and uncompressed BMP all decode natively now)
+    with pt.raises(NotImplementedError, match="PIL/ffmpeg"):
+        multimodal.decode_image_pixels(b"RIFF\x00\x00\x00\x00WAVEfmt ")
 
-    gif = b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x00" * 20
-    with pt.raises(NotImplementedError, match="LZW"):
-        multimodal.decode_image_pixels(gif)
+
+def test_gif_roundtrip_and_third_party():
+    """Round-5: full GIF codec — variable-width LZW decode (clear/EOI,
+    deferred first add, 12-bit growth), 4-pass interlace, palette resolve;
+    the fixture encoder's literal+periodic-clear stream round-trips
+    exactly, and a real compressed GIF (CPython test logo) exercises the
+    dictionary-entry path the fixture encoder never emits."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    px = pal[rng.integers(0, 16, (13, 21))]
+    assert np.array_equal(
+        multimodal.decode_gif_pixels(multimodal.encode_gif(px)), px)
+    assert np.array_equal(
+        multimodal.decode_gif_pixels(
+            multimodal.encode_gif(px, interlace=True)), px)
+    # 250 colors on 40x40 forces multiple CLEAR resets mid-stream
+    pal2 = rng.integers(0, 256, (250, 3), np.uint8)
+    px2 = pal2[rng.integers(0, 250, (40, 40))]
+    assert np.array_equal(
+        multimodal.decode_image_pixels(multimodal.encode_gif(px2)), px2)
+
+    path = ("/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+            "test_email/data/python.gif")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            blob = f.read()
+        out = multimodal.decode_gif_pixels(blob)
+        hdr = multimodal.parse_image_header(blob)
+        assert out.shape == (hdr["height"], hdr["width"], 3)
+        assert 0 < float(out.mean()) < 255
 
 
 def test_jpeg_baseline_roundtrip():
