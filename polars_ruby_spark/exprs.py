@@ -1747,10 +1747,10 @@ class Expr:
 
         def fn(df, part):
             raise NotImplementedError(
-                "cumulative_eval inside a cube/rollup group-by (subtotal "
-                "groupings have no single per-group pre-stage): pre-compute "
-                "it via with_columns — over(keys), group_by().agg(), "
-                "group_by_dynamic and rolling all support it directly")
+                "cumulative_eval composed in a way its binding hooks do "
+                "not reach: bind it alone (select/with_columns/over(keys)/"
+                "any group-by agg all support it directly), then combine "
+                "columns")
 
         e = Expr(fn, name=self._name, needs_order=True)
 
@@ -2464,10 +2464,6 @@ class Expr:
         inner = self
 
         def fallback(c, w):
-            if not ignore_nulls:
-                raise NotImplementedError(
-                    "ewm with ignore_nulls=false in this binding context: "
-                    "select it directly or under over(keys) instead")
             import warnings
 
             warnings.warn(
@@ -2476,23 +2472,89 @@ class Expr:
                 "ewm alone (select/with_columns, optionally .over(keys)) "
                 "to get the O(n) segmented scan, then combine columns",
                 RuntimeWarning, stacklevel=3)
-            arr = F.collect_list(c).over(
-                w.rowsBetween(Window.unboundedPreceding, 0))
+            if not adjust and not ignore_nulls:
+                # RESET-NORMALIZED form (pandas/polars): at each obs k
+                # periods after the previous, y = (lam^k*y + a*x)/(lam^k+a)
+                # — normalized weights sum to 1 at every step, so history
+                # rescales per observation and no fixed weight-product
+                # model exists (operators/ewm.py _varying_scan).  Run the
+                # same recursion on (s1, s2, sq) sequentially in the HOF.
+                arr = F.collect_list(
+                    F.struct(c.cast("double").alias("v"))).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0))
+                zero = F.struct(
+                    F.lit(0.0).alias("s1"), F.lit(0.0).alias("s2"),
+                    F.lit(0.0).alias("sq"), F.lit(0).alias("k"),
+                    F.lit(0).alias("gap"))
+
+                def rstep(acc, x):
+                    xv = x["v"]
+                    nn = xv.isNotNull()
+                    lamk = F.pow(F.lit(1 - a),
+                                 acc["gap"].cast("double"))
+                    den = lamk + F.lit(a)
+                    mm = F.when(acc["k"] > 0, lamk / den).otherwise(
+                        F.lit(0.0))
+                    ap = F.when(acc["k"] > 0, F.lit(a) / den).otherwise(
+                        F.lit(1.0))
+                    xd = F.coalesce(xv, F.lit(0.0))
+                    return F.struct(
+                        F.when(nn, mm * acc["s1"] + ap * xd)
+                        .otherwise(acc["s1"]).alias("s1"),
+                        F.when(nn, mm * acc["s2"] + ap * xd * xd)
+                        .otherwise(acc["s2"]).alias("s2"),
+                        F.when(nn, mm * mm * acc["sq"] + ap * ap)
+                        .otherwise(acc["sq"]).alias("sq"),
+                        (acc["k"] + F.when(nn, 1).otherwise(0)).alias("k"),
+                        F.when(nn, F.lit(1)).otherwise(acc["gap"] + 1)
+                        .alias("gap"))
+
+                m = F.aggregate(arr, zero, rstep)
+                mean = m["s1"]
+                if kind == "mean":
+                    out = mean
+                else:
+                    var = F.greatest(m["s2"] - mean * mean, F.lit(0.0))
+                    if not bias:
+                        dd = F.lit(1.0) - m["sq"]
+                        var = F.when(dd > 0, var / dd).otherwise(F.lit(0.0))
+                    var = F.when(m["k"] == 1, F.lit(0.0)).otherwise(var)
+                    out = F.sqrt(var) if kind == "std" else var
+                return F.when(m["k"] >= max(min_periods, 1), out)
+            # decay index j = non-null count (ignore_nulls) or ROW position
+            # (not ignore_nulls): structs keep null observations so
+            # absolute positions survive the collect; c_i = 1 (adjust) |
+            # alpha except 1 at the first non-null (non-adjust) — the same
+            # weight model as the O(n) segmented scan (ewm.py docstring)
+            if ignore_nulls:
+                arr = F.transform(
+                    F.collect_list(c).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)),
+                    lambda x: F.struct(x.cast("double").alias("v")))
+            else:
+                arr = F.collect_list(
+                    F.struct(c.cast("double").alias("v"))).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0))
             n = F.size(arr)
             zero = F.struct(F.lit(0.0).alias("s0"), F.lit(0.0).alias("s1"),
                             F.lit(0.0).alias("s2"), F.lit(0.0).alias("sq"),
-                            F.lit(0).alias("i"))
+                            F.lit(0).alias("i"), F.lit(0).alias("k"))
 
             def step(acc, x):
+                xv = x["v"]
+                nn = xv.isNotNull()
                 wgt = F.pow(F.lit(1 - a), (n - 1 - acc["i"]).cast("double"))
                 if not adjust:
-                    wgt = F.when(acc["i"] > 0, wgt * a).otherwise(wgt)
-                xd = x.cast("double")
-                return F.struct((acc["s0"] + wgt).alias("s0"),
-                                (acc["s1"] + wgt * xd).alias("s1"),
-                                (acc["s2"] + wgt * xd * xd).alias("s2"),
-                                (acc["sq"] + wgt * wgt).alias("sq"),
-                                (acc["i"] + 1).alias("i"))
+                    wgt = F.when(acc["k"] > 0, wgt * a).otherwise(wgt)
+                w_eff = F.when(nn, wgt).otherwise(F.lit(0.0))
+                xd = F.coalesce(xv, F.lit(0.0))
+                return F.struct((acc["s0"] + w_eff).alias("s0"),
+                                (acc["s1"] + w_eff * xd).alias("s1"),
+                                (acc["s2"] + w_eff * xd * xd).alias("s2"),
+                                (acc["sq"] + w_eff * w_eff).alias("sq"),
+                                (acc["i"] + 1).alias("i"),
+                                (acc["k"] + F.when(nn, 1).otherwise(0))
+                                .alias("k"))
 
             m = F.aggregate(arr, zero, step)
             mean = m["s1"] / m["s0"]
@@ -2506,7 +2568,7 @@ class Expr:
                                  var * m["s0"] * m["s0"] / denom).otherwise(
                         F.lit(0.0))
                 out = F.sqrt(var) if kind == "std" else var
-            return F.when(n >= max(min_periods, 1), out)
+            return F.when(m["k"] >= max(min_periods, 1), out)
 
         e = self._ordered(fallback)
         e._name = self._name

@@ -282,19 +282,18 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
             from ..exprs import bind_context
 
             if part is not None or bind_context.grouped_agg:
-                # under over(): the _grouped_remap_fn frame hook pre-projects
-                # PER-GROUP ranks then corrs them (round-3); plain group_by().
-                # agg() routes through _agg_pre_fn (round-4); dynamic and
-                # rolling group-bys bind the same hook against the window-
-                # membership frame (round-5).  Only cube/rollup (subtotal
-                # groupings have no single per-group pre-stage) and
-                # compositions the hook cannot reach still refuse.
+                # every grouped context routes through a hook now: over()
+                # via _grouped_remap_fn (round-3), group_by().agg() via
+                # _agg_pre_fn (round-4), dynamic/rolling/cube/rollup via
+                # the window-keyed pre-stage or grouping-set expansion
+                # (round-5).  Only compositions the hooks cannot reach
+                # land here.
                 raise NotImplementedError(
-                    "spearman corr in this grouped context (cube/rollup "
-                    "group-by, or a composition the agg pre-stage hook "
-                    "does not reach): pre-project per-group ranks with "
-                    "col(x).rank('average').over(keys) via with_columns, "
-                    "then aggregate pearson corr of the ranks")
+                    "spearman corr composed in a way the agg pre-stage "
+                    "hook does not reach: pre-project per-group ranks "
+                    "with col(x).rank('average').over(keys) via "
+                    "with_columns, then aggregate pearson corr of the "
+                    "ranks")
             ranked = df.select(ra._fn(df, None).alias("__ra__"),
                                rb._fn(df, None).alias("__rb__"))
             sub = ranked.agg(F.corr(F.col("__ra__"), F.col("__rb__"))

@@ -155,10 +155,16 @@ class LazyGroupBy:
         lf = self._lf
         sdf = lf._sdf
         if self._grouping == "groupBy":
-            # cube/rollup excluded: the pre-stage's per-key windows don't
-            # match subtotal groupings (workaround raise stays there)
             psdf, pexprs, pnamed = _apply_agg_prestages(
                 sdf, exprs, named, self._keys)
+        elif _has_agg_prestages(exprs, named):
+            # cube/rollup with pre-stage aggs (spearman, cumulative_eval):
+            # the single-shuffle plan cannot host per-SUBTOTAL-group
+            # pre-stage windows, so expand to explicit grouping sets —
+            # each a plain groupBy carrying its own pre-stage — and union
+            # (round-5; 2^k / k+1 passes, cube key counts are small by
+            # construction)
+            return self._agg_grouping_sets(exprs, named)
         else:
             psdf, pexprs, pnamed = sdf, exprs, named
         aggs, needs_order = _agg_columns(psdf, pexprs, pnamed)
@@ -186,6 +192,44 @@ class LazyGroupBy:
             out = grouped.agg(*aggs, F.min(ROW_IDX).alias("__mo__"))
             return LazyFrame(out.orderBy("__mo__").drop("__mo__"))
         return LazyFrame(grouped.agg(*aggs))
+
+    def _agg_grouping_sets(self, exprs, named):
+        """cube/rollup expansion for pre-stage aggregates: one plain
+        groupBy per grouping set, subtotal keys null-filled with the full
+        set's dtypes, unioned by name."""
+        from .frame import LazyFrame
+
+        keys = self._keys
+        n = len(keys)
+        key_names = [name or e._name or "key" for name, e in keys]
+        if self._grouping == "rollup":
+            sets = [list(range(i)) for i in range(n, -1, -1)]
+        else:  # cube: all subsets, full set first
+            sets = sorted((tuple(j for j in range(n) if mask >> j & 1)
+                           for mask in range(1 << n)),
+                          key=lambda t: -len(t))
+            sets = [list(t) for t in sets]
+        parts = []
+        key_types = None
+        for idx_set in sets:
+            gb = LazyGroupBy(self._lf, [keys[i] for i in idx_set])
+            out = gb.agg(*exprs, **named)._sdf
+            if key_types is None:
+                # full set first: capture every key's output dtype
+                key_types = {kn: out.schema[kn].dataType
+                             for kn in key_names}
+            present = {key_names[i] for i in idx_set}
+            fills = [F.lit(None).cast(key_types[kn]).alias(kn)
+                     for kn in key_names if kn not in present]
+            agg_cols = [c for c in out.columns if c not in present]
+            ordered = ([F.col(kn) if kn in present
+                        else fills.pop(0) for kn in key_names]
+                       + [F.col(c) for c in agg_cols])
+            parts.append(out.select(*ordered))
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        return LazyFrame(merged)
 
     def head(self, n: int = 5):
         return self._per_group_slice(n, from_tail=False)

@@ -209,6 +209,30 @@ def test_cube_rollup_extension(spark):
     roll = df.lazy().group_by_rollup("a", "b").agg(pl.len().alias("n")).collect()
     assert roll.height == 6  # (a,b) pairs + per-a subtotals + grand total
 
+    # round-5: pre-stage aggs (spearman, cumulative_eval) under cube/rollup
+    # via grouping-set expansion — each set a plain groupBy with its own
+    # pre-stage, subtotal keys null-filled, unioned
+    from polars_ruby_spark import functions as plf
+
+    sp = pl.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "u": [1.0, 2.0, 3.0, 4.0] * 2,
+        "v": [1.0, 4.0, 9.0, 16.0, 16.0, 9.0, 4.0, 1.0],
+    })
+    out = (sp.lazy().group_by_rollup("g")
+           .agg(plf.corr(pl.col("u"), pl.col("v"),
+                         method="spearman").alias("s"),
+                pl.len().alias("n"))
+           .collect().to_a())
+    got = {r["g"]: (r["s"], r["n"]) for r in out}
+    assert got == {"a": (1.0, 4), "b": (-1.0, 4), None: (0.0, 8)}
+    ce = (sp.lazy().group_by_rollup("g")
+          .agg(pl.col("u").cumulative_eval(pl.element().sum()).alias("cs"))
+          .collect().to_a())
+    cs = {r["g"]: r["cs"] for r in ce}
+    assert cs["a"] == [1.0, 3.0, 6.0, 10.0]
+    assert cs[None] == [1.0, 3.0, 6.0, 10.0, 11.0, 13.0, 16.0, 20.0]
+
 
 def test_exceptions_and_row_by_predicate(spark):
     """row(by_predicate:) raises the reference's exception hierarchy
@@ -402,6 +426,47 @@ def test_global_ordinal_plans_are_multi_task(spark):
     plan = out._sdf._jdf.queryExecution().executedPlan().toString()
     assert empty_partition_window_violations(plan) == 0, plan
     assert single_partition_violations(plan) == 0, plan
+
+
+def test_ewm_fallback_all_modes(spark):
+    """Round-5: the composed-aggregate O(n^2) fallback (reached when ewm is
+    combined with another expression in one binding, warns) now supports
+    ignore_nulls=false too — absolute-position decay via null-keeping
+    structs; every adjust x ignore_nulls combo must match the pandas
+    reference, same as the primary O(n) scan."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+
+    vals = [1.0, None, 3.0, 2.5, None, 8.0, 0.5]
+    df = pl.DataFrame({"x": vals, "g": ["a"] * 7})
+
+    def expected(kind, adjust, ign):
+        s = pd.Series([np.nan if v is None else v for v in vals])
+        ew = s.ewm(alpha=0.4, adjust=adjust, ignore_na=ign, min_periods=1)
+        out = ew.mean() if kind == "mean" else ew.var(bias=False)
+        res, cnt = [], 0
+        for i, v in enumerate(vals):
+            cnt += v is not None
+            res.append(None if cnt == 0 else
+                       (0.0 if kind != "mean" and cnt == 1
+                        else round(float(out.iloc[i]), 6)))
+        return res
+
+    for kind, meth in [("mean", "ewm_mean"), ("var", "ewm_var")]:
+        for adjust in (True, False):
+            for ign in (True, False):
+                kw = dict(alpha=0.4, adjust=adjust, min_periods=1,
+                          ignore_nulls=ign)
+                # + lit(0.0) defeats the hook composition -> fallback path
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    got = df.with_columns(
+                        (getattr(pl.col("x"), meth)(**kw) + pl.lit(0.0))
+                        .over("g").round(6).alias("v")).to_a()
+                assert [r["v"] for r in got] == expected(kind, adjust, ign), \
+                    f"fallback {kind} adjust={adjust} ign={ign}"
 
 
 def test_cumulative_eval_and_struct_ops(spark):

@@ -35,7 +35,7 @@ ONLY = _args[2].split(",") if len(_args) > 2 else None
 
 #: window/group/dedup families that hash on the skewed keys
 SKEW_SET = [
-    "q10_join_asof", "q12_diff_groups", "q13_cum_sum", "q14_rolling_1h",
+    "q10_join_asof", "q12_lag_diff", "q13_cum_sum", "q14_rolling_1h",
     "q15_dynamic_1h", "q52_dynamic_sliding", "q55_session_windows",
     "q134_calendar_rolling", "q143_rolling_spearman",
     "q40_dedup_exact", "q41_minhash_pairs", "q42_ngram_jaccard",
