@@ -108,10 +108,17 @@ def main():
         results[name] = sorted(times)[len(times) // 2]
 
     total = round(sum(results.values()), 3)
+    # r1-anchor subtotal: the original 28-query set BENCH_r01 measured —
+    # round-over-round totals stay comparable while breadth grows
+    r1_set = [n for n in HEADLINE if not n.startswith(
+        ("q132", "q133", "q134", "q135", "q136", "q137", "q138",
+         "q139", "q140", "q141", "q142", "q143"))]
+    r1_total = round(sum(results[n] for n in r1_set if n in results), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "headline_queries_total_wall_clock",
         "value": total,
+        "value_r1_set": r1_total,
         "unit": "sec",
         "queries": results,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -9,10 +9,11 @@ scanline unfilter), baseline-DCT JPEG (huffman entropy decode + vectorized
 IDCT + chroma upsample, with a matching fixture encoder), GIF (variable-
 width LZW + interlace + palette, with a fixture encoder) and uncompressed
 BMP (``decode_image_pixels``), plus nearest-neighbor resize
-(``resize_nearest``).  Progressive JPEG and audio/video stay behind a
-clearly-marked ``NotImplementedError`` boundary until PIL/ffmpeg are
-available; a deterministic fake keeps those pipelines testable
-end-to-end.
+(``resize_nearest``).  JPEG covers BOTH baseline (SOF0/1) and
+progressive (SOF2, multi-scan successive approximation) streams; only
+lossless/arithmetic JPEG and audio/video stay behind a clearly-marked
+``NotImplementedError`` boundary until PIL/ffmpeg are available; a
+deterministic fake keeps those pipelines testable end-to-end.
 
 Batch sizing note for 100 TB: media rows are large — repartition by size
 (``target_partition_mb``) before ``mapInPandas`` so Arrow batches stay
@@ -304,8 +305,10 @@ def decode_bmp_pixels(payload: bytes):
 # Full baseline-DCT JPEG decode with the stdlib + numpy: segment parse,
 # canonical huffman entropy decode (byte-stuffing + restart markers), dequant
 # + de-zigzag, vectorized 8x8 IDCT over all blocks at once, chroma upsample
-# for arbitrary h/v sampling factors, YCbCr->RGB.  Progressive JPEG (SOF2)
-# remains the documented NotImplementedError boundary.
+# for arbitrary h/v sampling factors, YCbCr->RGB.  Progressive (SOF2)
+# streams accumulate coefficients across DC/AC first + refinement scans
+# (spectral selection, successive approximation, EOB runs) before the same
+# reconstruct; lossless/arithmetic JPEG remains the documented boundary.
 # A minimal baseline ENCODER (4:4:4 / 4:2:0, custom flat-length huffman
 # tables, optional restart interval) exists so tests can build real JPEG
 # fixtures and round-trip property checks without PIL.
@@ -403,9 +406,9 @@ def _idct_8x8_basis():
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline (SOF0/SOF1) JPEG to an ``(h, w, c)`` uint8 array
-    (c = 1 grayscale, 3 RGB).  Raises NotImplementedError for progressive
-    (SOF2) or arithmetic-coded streams."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to an
+    ``(h, w, c)`` uint8 array (c = 1 grayscale, 3 RGB).  Raises
+    NotImplementedError for lossless or arithmetic-coded streams."""
     import struct
 
     import numpy as np
@@ -416,6 +419,7 @@ def decode_jpeg_pixels(payload: bytes):
     qt, huff = {}, {}
     frame = None
     restart_interval = 0
+    prog_scans: list = []
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -442,19 +446,20 @@ def decode_jpeg_pixels(payload: bytes):
                     qt[tq] = np.frombuffer(
                         seg[p:p + 128], dtype=">u2").astype(np.int32)
                     p += 128
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             h, w = struct.unpack(">HH", seg[1:5])
             comps = []
             for ci in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/lossless/arithmetic); only "
-                "baseline DCT (SOF0/SOF1) decodes natively")
+                "lossless/arithmetic-coded JPEG; only huffman baseline "
+                "(SOF0/SOF1) and progressive (SOF2) decode natively")
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             p = 0
             while p < len(seg):
@@ -475,9 +480,25 @@ def decode_jpeg_pixels(payload: bytes):
                 cs, t = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, t >> 4, t & 15))
-            return _jpeg_decode_scan(b, i + 2 + seg_len, frame, qt, huff,
-                                     scan, restart_interval)
+            if not frame["progressive"]:
+                return _jpeg_decode_scan(b, i + 2 + seg_len, frame, qt,
+                                         huff, scan, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            data_pos = i + 2 + seg_len
+            prog_scans.append({
+                "comps": scan, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 15,
+                "pos": data_pos, "ri": restart_interval,
+                # snapshot the tables: DHT segments may redefine them
+                # between scans
+                "huff": dict(huff),
+            })
+            i = _jpeg_skip_entropy(b, data_pos)
+            continue
         i += 2 + seg_len
+    if frame is not None and frame.get("progressive") and prog_scans:
+        return _jpeg_decode_progressive(b, frame, qt, prog_scans)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -522,13 +543,23 @@ def _jpeg_decode_scan(b, pos, frame, qt, huff, scan, restart_interval):
                             raise ValueError("JPEG AC index overflow")
                         blk[k] = _jpeg_extend(br.receive(s), s)
                         k += 1
-    # dequantize + de-zigzag + one vectorized IDCT per component
+    return _jpeg_reconstruct(frame, qt, [c for c, _, _ in scan], coefs)
+
+
+def _jpeg_reconstruct(frame, qt, comps, coefs):
+    """Shared tail: dequantize + de-zigzag + one vectorized IDCT per
+    component, chroma upsample, YCbCr->RGB."""
+    import numpy as np
+
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     zz = np.array(_JPEG_ZIGZAG)
     inv = np.empty(64, dtype=np.int64)
     inv[zz] = np.arange(64)
     basis = _idct_8x8_basis()
     planes = []
-    for ci, (comp, _, _) in enumerate(scan):
+    for ci, comp in enumerate(comps):
         by, bx, _ = coefs[ci].shape
         deq = coefs[ci] * qt[comp["tq"]][None, None, :]
         nat = deq[:, :, inv].reshape(by * bx, 8, 8).astype(np.float64)
@@ -547,6 +578,152 @@ def _jpeg_decode_scan(b, pos, frame, qt, huff, scan, restart_interval):
                         y - 0.344136 * cb - 0.714136 * cr,
                         y + 1.772 * cb], axis=2)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _jpeg_skip_entropy(b, pos):
+    """Advance past entropy-coded data to the next true marker (skips
+    stuffed 0xFF00 and RSTn)."""
+    while pos + 1 < len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = b[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+            continue
+        return pos
+    return len(b)
+
+
+def _jpeg_decode_progressive(b, frame, qt, scans):
+    """Progressive (SOF2) JPEG: accumulate coefficients across DC/AC
+    first + refinement scans (spectral selection Ss..Se, successive
+    approximation Ah/Al, EOB runs), then the shared reconstruct."""
+    import numpy as np
+
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+             for c in comps]
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+
+    for sc in scans:
+        br = _JpegBitReader(b, sc["pos"])
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        huff = sc["huff"]
+        ri = sc["ri"]
+        scomps = sc["comps"]
+        eobrun = 0
+        preds = [0] * len(scomps)
+        p1, m1 = 1 << al, -(1 << al)
+
+        def refine_band(blk, k_from, k_to):
+            # NB: the coefficient store is ZIGZAG-ordered (like baseline)
+            for kk in range(k_from, k_to + 1):
+                if blk[kk]:
+                    if br.read_bit() and (blk[kk] & p1) == 0:
+                        blk[kk] += p1 if blk[kk] > 0 else m1
+
+        def do_block(blk, si):
+            nonlocal eobrun
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    _, td, _ = scomps[si]
+                    t = _jpeg_huff_decode(br, huff[(0, td)])
+                    preds[si] += (_jpeg_extend(br.receive(t), t)
+                                  if t else 0)
+                    blk[0] = preds[si] * p1
+                else:  # DC refinement: one bit
+                    if br.read_bit():
+                        blk[0] |= p1
+                return
+            _, _, ta = scomps[si]
+            ac_tbl = huff[(1, ta)]
+            if ah == 0:  # AC first pass
+                if eobrun:
+                    eobrun -= 1
+                    return
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huff_decode(br, ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.receive(r)
+                            return
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index overflow")
+                    blk[k] = _jpeg_extend(br.receive(s), s) * p1
+                    k += 1
+                return
+            # AC refinement pass
+            if eobrun:
+                eobrun -= 1
+                refine_band(blk, ss, se)
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(br, ac_tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        refine_band(blk, k, se)
+                        return
+                    val = 0  # ZRL: pass 16 zero-history coeffs
+                else:
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if blk[k]:
+                        if br.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+
+        if len(scomps) > 1:  # interleaved (DC scans only, per spec)
+            for m in range(mcux * mcuy):
+                if ri and m and m % ri == 0:
+                    br.restart()
+                    preds = [0] * len(scomps)
+                    eobrun = 0
+                my, mx = divmod(m, mcux)
+                for si, (comp, _, _) in enumerate(scomps):
+                    fi = cidx[comp["id"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            do_block(coefs[fi][my * comp["v"] + by,
+                                               mx * comp["h"] + bx], si)
+        else:  # non-interleaved: the component's own ceil-grid, row-major
+            comp = scomps[0][0]
+            fi = cidx[comp["id"]]
+            cw = -(-(w * comp["h"]) // hmax)
+            ch = -(-(h * comp["v"]) // vmax)
+            cols, rows = -(-cw // 8), -(-ch // 8)
+            for du in range(rows * cols):
+                if ri and du and du % ri == 0:
+                    br.restart()
+                    preds = [0] * len(scomps)
+                    eobrun = 0
+                do_block(coefs[fi][du // cols, du % cols], 0)
+
+    return _jpeg_reconstruct(frame, qt, comps, coefs)
 
 
 def encode_jpeg_baseline(px, quant: int = 1, subsampling: str = "444",

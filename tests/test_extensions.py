@@ -961,12 +961,193 @@ def test_jpeg_baseline_roundtrip():
     feat = multimodal.image_pixel_decoder(
         multimodal.encode_jpeg_baseline(px))["feat"]
     assert feat[:3] == [24.0, 24.0, 3.0]
-    # progressive (SOF2) raises the documented boundary
-    prog = bytearray(multimodal.encode_jpeg_baseline(px))
-    idx = bytes(prog).find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
-    with pt.raises(NotImplementedError, match="baseline"):
-        multimodal.decode_jpeg_pixels(bytes(prog))
+    # lossless (SOF3) raises the documented boundary (progressive decodes)
+    lossless = bytearray(multimodal.encode_jpeg_baseline(px))
+    idx = bytes(lossless).find(b"\xff\xc0")
+    lossless[idx + 1] = 0xC3
+    with pt.raises(NotImplementedError, match="lossless"):
+        multimodal.decode_jpeg_pixels(bytes(lossless))
+
+
+def _encode_jpeg_progressive(px, quant=1):
+    """Test fixture: minimal PROGRESSIVE (SOF2) encoder — one interleaved
+    DC-first scan + one full-band AC-first scan per component (Al=0, ZRL +
+    per-block EOB).  Exercises the decoder's multi-scan accumulation;
+    refinement/EOB-run paths are exercised by the real third-party file."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if nch == 3:
+        r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * bl,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl]
+    else:
+        planes = [px[:, :, 0]]
+    basis = multimodal._idct_8x8_basis()
+    zz = np.array(multimodal._JPEG_ZIGZAG)
+    qtab = np.full(64, quant, np.int32)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    comp_blocks = []
+    for plane in planes:
+        p = np.pad(plane, ((0, mcuy * 8 - h), (0, mcux * 8 - w)),
+                   mode="edge") - 128.0
+        blocks = (p.reshape(mcuy, 8, mcux, 8).transpose(0, 2, 1, 3)
+                  .reshape(mcuy * mcux, 8, 8))
+        coef = np.einsum("ux,nxy,vy->nuv", basis, blocks, basis)
+        qzb = (coef.reshape(-1, 64)[:, zz] / qtab[None, :]) \
+            .round().astype(np.int32)
+        comp_blocks.append(qzb.reshape(mcuy, mcux, 64))
+    ncls = 1 if len(comp_blocks) == 1 else 2
+    dc_a = list(range(12))
+    ac_a = [0x00, 0xF0] + [(rr << 4) | s for rr in range(16)
+                           for s in range(1, 11)]
+
+    def mk(sym):
+        L = 1
+        while (1 << L) < len(sym) + 1:
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(sym)
+        enc, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                enc[sym[k]] = (ln, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return counts, sym, enc
+
+    dc_t = [mk(dc_a) for _ in range(ncls)]
+    ac_t = [mk(ac_a) for _ in range(ncls)]
+
+    class W:
+        def __init__(s):
+            s.out, s.acc, s.n = bytearray(), 0, 0
+
+        def put(s, c, ln):
+            s.acc = (s.acc << ln) | (c & ((1 << ln) - 1))
+            s.n += ln
+            while s.n >= 8:
+                b = (s.acc >> (s.n - 8)) & 0xFF
+                s.out.append(b)
+                if b == 0xFF:
+                    s.out.append(0)
+                s.n -= 8
+
+        def flush(s):
+            if s.n:
+                s.put(0x7F, 8 - s.n)
+
+    def csize(v):
+        v, s = abs(int(v)), 0
+        while v:
+            s += 1
+            v >>= 1
+        return s
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(m, body):
+        out.extend(bytes([0xFF, m]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    for tq in range(ncls):
+        seg(0xDB, bytes([tq]) + bytes(int(x) for x in qtab))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else ncls - 1])
+    seg(0xC2, bytes(sof))
+    for cls in range(ncls):
+        for tc, (counts, sym, _) in ((0, dc_t[cls]), (1, ac_t[cls])):
+            seg(0xC4, bytes([(tc << 4) | cls]) + bytes(counts) + bytes(sym))
+    wtr = W()
+    preds = [0] * len(comp_blocks)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, blocks in enumerate(comp_blocks):
+            cls = 0 if ci == 0 else 1
+            d = int(blocks[my, mx, 0]) - preds[ci]
+            preds[ci] = int(blocks[my, mx, 0])
+            s = csize(d)
+            ln, code = dc_t[cls][2][s]
+            wtr.put(code, ln)
+            if s:
+                wtr.put(d if d >= 0 else d + (1 << s) - 1, s)
+    wtr.flush()
+    sos = bytearray([len(comp_blocks)])
+    for ci in range(len(comp_blocks)):
+        cls = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (cls << 4) | cls])
+    seg(0xDA, bytes(sos) + bytes([0, 0, 0]))
+    out.extend(wtr.out)
+    for ci, blocks in enumerate(comp_blocks):
+        cls = 0 if ci == 0 else 1
+        wtr = W()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            blk = blocks[my, mx]
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_t[cls][2][0xF0]
+                    wtr.put(code, ln)
+                    run -= 16
+                s = csize(v)
+                ln, code = ac_t[cls][2][(run << 4) | s]
+                wtr.put(code, ln)
+                wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                ln, code = ac_t[cls][2][0x00]
+                wtr.put(code, ln)
+        wtr.flush()
+        seg(0xDA, bytes([1, ci + 1, (cls << 4) | cls, 1, 63, 0]))
+        out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_jpeg_progressive_decode():
+    """Round-5: progressive (SOF2) JPEG decodes — multi-scan coefficient
+    accumulation (DC/AC first passes via the fixture encoder, refinement +
+    EOB-run paths via a real progressive file shipped with Spark's mllib
+    sample data, cross-checked against its baseline-encoded color twin)."""
+    import os
+
+    import numpy as np
+    import pytest as pt
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+    dec = multimodal.decode_jpeg_pixels(_encode_jpeg_progressive(px))
+    assert dec.shape == (13, 21, 3)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
+    g = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    assert np.array_equal(multimodal.decode_jpeg_pixels(
+        _encode_jpeg_progressive(g))[:, :, 0], g)
+
+    base = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+    prog_p = base + "multi-channel/grayscale.jpg"
+    twin_p = base + "multi-channel/chr30.4.184.jpg"
+    if not (os.path.exists(prog_p) and os.path.exists(twin_p)):
+        pt.skip("no third-party progressive JPEG on this host")
+    with open(prog_p, "rb") as f:
+        g2 = multimodal.decode_jpeg_pixels(f.read())[:, :, 0].astype(float)
+    with open(twin_p, "rb") as f:
+        c = multimodal.decode_jpeg_pixels(f.read()).astype(float)
+    luma = 0.299 * c[:, :, 0] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 2]
+    assert float(np.corrcoef(g2.ravel(), luma.ravel())[0, 1]) > 0.99
 
 
 def test_jpeg_decodes_third_party_file():
