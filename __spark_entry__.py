@@ -2061,6 +2061,90 @@ def q143_rolling_spearman(spark, sf_dir):
     return _out(out)
 
 
+def q144_video_frames(spark, sf_dir):
+    """REAL video frame sampling (round-5; closed the frame_sample stub's
+    decode boundary): per doc a deterministic 3-frame MJPEG AVI is packed
+    executor-side (constant 16x16 frames, base = doc_id%200, +10/frame),
+    then every frame is FULLY decoded — RIFF chunk walk + baseline JPEG
+    huffman/IDCT — via the Arrow-batched mapInPandas stage.  The oracle
+    states the closed-form ground truth of each decoded frame's mean.
+    Beyond-reference multimodal item."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from polars_ruby_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")._sdf.filter("doc_id < 32") \
+        .select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 200
+                frames = [multimodal.encode_jpeg_baseline(
+                    np.full((16, 16), base + 10 * f, np.uint8), quant=1)
+                    for f in range(3)]
+                blobs.append(multimodal.encode_avi_mjpeg(frames, fps=5))
+            pdf = pdf.copy()
+            pdf["data"] = blobs
+            yield pdf
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("data", T.BinaryType())])
+    with_avi = d.mapInPandas(gen, schema)
+    packed = multimodal.pack_media(with_avi, "data", mime="video/x-msvideo")
+    out = multimodal.video_frame_features(
+        packed, every_n=1, target_partition_mb=None)
+    return out.select("doc_id", "frame_no", "width", "height",
+                      F.round("mean_px", 4).alias("mean_px"))
+
+
+def q145_audio_features(spark, sf_dir):
+    """REAL audio decode (round-5): per doc a deterministic 16-bit PCM WAV
+    (constant amplitude (doc_id%90+5)/100, 200 samples, 8 kHz) is packed
+    executor-side, then FULLY decoded — RIFF/fmt/data chunk walk + PCM
+    scaling — via the Arrow-batched mapInPandas stage; features =
+    [sample_rate, n_samples, channels, RMS].  Constant signal -> RMS =
+    amplitude exactly (16-bit quantization at 4dp).  Beyond-reference
+    multimodal item."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from polars_ruby_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")._sdf.filter("doc_id < 64") \
+        .select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                amp = (int(did) % 90 + 5) / 100.0
+                blobs.append(multimodal.encode_wav(
+                    np.full(200, amp), sample_rate=8000))
+            pdf = pdf.copy()
+            pdf["data"] = blobs
+            yield pdf
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("data", T.BinaryType())])
+    with_wav = d.mapInPandas(gen, schema)
+    packed = multimodal.pack_media(with_wav, "data", mime="audio/wav")
+    feats = multimodal.decode_features(
+        packed, real_decoder=multimodal.audio_feature_decoder,
+        target_partition_mb=None)
+    return feats.select(
+        "doc_id",
+        F.col("feat")[0].alias("rate"), F.col("feat")[1].alias("n"),
+        F.col("feat")[2].alias("ch"),
+        F.round(F.col("feat")[3], 4).alias("rms"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2217,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_datapoint_calendar": q141_datapoint_calendar,
         "q142_dynamic_spearman": q142_dynamic_spearman,
         "q143_rolling_spearman": q143_rolling_spearman,
+        "q144_video_frames": q144_video_frames,
+        "q145_audio_features": q145_audio_features,
     }
 
 
@@ -2875,6 +2961,20 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_frac
             FROM g JOIN dp USING (gram)
             GROUP BY doc_id
+        """,
+        "q144_video_frames": """
+            SELECT doc_id, CAST(f AS INT) AS frame_no,
+                   16 AS width, 16 AS height,
+                   CAST(doc_id % 200 + 10 * f AS DOUBLE) AS mean_px
+            FROM documents, range(3) r(f)
+            WHERE doc_id < 32
+        """,
+        "q145_audio_features": """
+            SELECT doc_id,
+                   CAST(8000 AS DOUBLE) AS rate, CAST(200 AS DOUBLE) AS n,
+                   CAST(1 AS DOUBLE) AS ch,
+                   round((doc_id % 90 + 5) / 100.0, 4) AS rms
+            FROM documents WHERE doc_id < 64
         """,
         "q142_dynamic_spearman": """
             WITH r AS (SELECT event_type, date_trunc('day', ts) AS w,

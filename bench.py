@@ -62,6 +62,8 @@ HEADLINE = [
     "q141_datapoint_calendar",  # datapoint-anchored calendar grid
     "q142_dynamic_spearman",    # agg pre-stage inside dynamic windows
     "q143_rolling_spearman",    # band-join rolling pre-stage
+    "q144_video_frames",        # MJPEG AVI frame decode via mapInPandas
+    "q145_audio_features",      # WAV PCM decode via mapInPandas
 ]
 
 
@@ -112,7 +114,7 @@ def main():
     # round-over-round totals stay comparable while breadth grows
     r1_set = [n for n in HEADLINE if not n.startswith(
         ("q132", "q133", "q134", "q135", "q136", "q137", "q138",
-         "q139", "q140", "q141", "q142", "q143"))]
+         "q139", "q140", "q141", "q142", "q143", "q144", "q145"))]
     r1_total = round(sum(results[n] for n in r1_set if n in results), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({

@@ -113,10 +113,10 @@ def require_real_decoder(payload: bytes) -> dict:
 
 # -- real image header decode (round-3) ---------------------------------------
 #
-# Full pixel decode needs PIL/ffmpeg (absent here, still stubbed), but the
-# container HEADERS are plain struct reads: PNG IHDR, JPEG SOFn, GIF logical
-# screen, BMP info header.  This makes decode_features/decode_image_meta
-# REAL for the metadata axis (dimensions/channels/bit depth) with no deps.
+# Container HEADERS are plain struct reads: PNG IHDR, JPEG SOFn, GIF logical
+# screen, BMP info header.  Cheap metadata-only scans (dimensions/channels/
+# bit depth) never touch the entropy-coded payload; the FULL pixel decoders
+# below handle PNG/JPEG/GIF/BMP when pixels are actually needed.
 
 def parse_image_header(payload: bytes) -> dict | None:
     """Parse PNG/JPEG/GIF/BMP headers from raw bytes.
@@ -1212,3 +1212,193 @@ def frame_sample(sdf: DataFrame, media_col: str = "media", every_n: int = 10) ->
     n_frames = (F.col(f"{media_col}.meta.n_bytes") / 1000).cast("int")  # fake: 1 frame/KB
     grid = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return sdf.withColumn("frame_no", F.explode(grid))
+
+
+# -- real audio (WAV/PCM) + video (MJPEG-in-AVI) codecs (round-5) --------------
+#
+# Audio and video stop being pure stubs where the stdlib reaches: RIFF/WAVE
+# PCM decodes to a sample array (8/16/24/32-bit int + float32), and AVI
+# containers carrying MJPEG streams ('00dc' chunks = whole JPEG frames)
+# decode real frames through the baseline/progressive JPEG decoder above.
+# Compressed audio (mp3/aac/opus) and inter-frame video codecs (h264 &c)
+# remain the PIL/ffmpeg boundary.
+
+def decode_wav_samples(payload: bytes):
+    """Decode a RIFF/WAVE file to ``(samples(n, ch) float64 in [-1, 1],
+    sample_rate)``.  PCM 8/16/24/32-bit and IEEE float32 supported."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        body = b[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH",
+                                                          body[:16])
+            fmt = {"tag": tag, "ch": ch, "rate": rate, "bits": bits}
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, bits = fmt["tag"], fmt["ch"], fmt["bits"]
+    if tag == 3 and bits == 32:  # IEEE float
+        arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif tag == 1 and bits == 8:
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+               - 128.0) / 128.0
+    elif tag == 1 and bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif tag == 1 and bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[:len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.int64)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        arr = v.astype(np.float64) / float(1 << 23)
+    elif tag == 1 and bits == 32:
+        arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(1 << 31)
+    else:
+        raise NotImplementedError(
+            f"WAV format tag={tag} bits={bits} (PCM 8/16/24/32 + float32 "
+            "decode natively; compressed audio needs ffmpeg)")
+    n = len(arr) - len(arr) % ch
+    return arr[:n].reshape(-1, ch), fmt["rate"]
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode ``(n, ch)`` or ``(n,)`` float64 samples in [-1, 1] as 16-bit
+    PCM WAV (fixture/round-trip support)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * ch * 2, ch * 2, 16)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+def audio_feature_decoder(payload: bytes) -> dict:
+    """``real_decoder``-compatible WAV decode: feat = [sample_rate,
+    n_samples, channels, RMS] from actual decoded PCM."""
+    import numpy as np
+
+    samples, rate = decode_wav_samples(payload)
+    rms = float(np.sqrt((samples ** 2).mean())) if samples.size else 0.0
+    return {"n_bytes": len(payload or b""),
+            "feat": [float(rate), float(samples.shape[0]),
+                     float(samples.shape[1]), rms]}
+
+
+def extract_avi_mjpeg_frames(payload: bytes):
+    """Yield the raw JPEG bytes of each video frame in an AVI container
+    whose stream is MJPEG ('00dc'/'00db' chunks hold complete JPEGs) —
+    pure RIFF chunk walking; each frame then decodes through
+    ``decode_jpeg_pixels``."""
+    import struct
+
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    def walk(pos, end):
+        while pos + 8 <= end:
+            cid = b[pos:pos + 4]
+            (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
+            if cid == b"LIST":
+                yield from walk(pos + 12, pos + 8 + ln)
+            elif cid[2:4] in (b"dc", b"db") and ln >= 2 \
+                    and b[pos + 8:pos + 10] == b"\xff\xd8":
+                yield b[pos + 8:pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+
+    yield from walk(12, len(b))
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Pack pre-encoded JPEG frames into a minimal MJPEG AVI (fixture
+    support; headers carry dimensions from the first frame)."""
+    import struct
+
+    frames = [bytes(f) for f in frames]
+    hdr0 = parse_image_header(frames[0]) if frames else {"width": 0,
+                                                         "height": 0}
+    w, h = hdr0["width"], hdr0["height"]
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                            fps, 0, len(frames), 0, 0, 0, 0))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_frame_features(sdf: DataFrame, media_col: str = "media",
+                         id_col: str = "doc_id", every_n: int = 1,
+                         target_partition_mb: int | None = 64) -> DataFrame:
+    """REAL video frame sampling: decode every ``every_n``-th MJPEG frame
+    of each AVI payload through the JPEG decoder, emitting one row per
+    sampled frame (frame_no, width, height, mean_px) — Arrow-batched
+    ``mapInPandas``, size-aware partitioning, same plumbing as
+    decode_features."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[media_col]["data"] or b"")
+                for fno, jpg in enumerate(extract_avi_mjpeg_frames(payload)):
+                    if fno % every_n:
+                        continue
+                    px = decode_jpeg_pixels(jpg)
+                    recs.append((row[id_col], fno, px.shape[1], px.shape[0],
+                                 float(px.mean())))
+            yield pd.DataFrame(
+                recs, columns=[id_col, "frame_no", "width", "height",
+                               "mean_px"])
+
+    narrow = sdf.select(id_col, media_col)
+    if target_partition_mb is not None:
+        total = narrow.select(
+            F.sum(F.col(f"{media_col}.meta.n_bytes"))).first()[0] or 0
+        n_parts = max(1, int(total // (target_partition_mb * 1024 * 1024)) + 1)
+        if n_parts > narrow.rdd.getNumPartitions():
+            narrow = narrow.repartition(n_parts)
+    return narrow.mapInPandas(run, out_schema)
