@@ -580,8 +580,9 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         from .frame import LazyFrame
 
         if every.months or period.months:
-            raise NotImplementedError(
-                "start_by='datapoint' with calendar-unit durations")
+            # defensive: agg() dispatches calendar durations to
+            # _agg_datapoint_calendar before reaching here
+            return self._agg_datapoint_calendar(every, period, exprs, named)
         every_us = int(every.total_seconds() * 1_000_000)
         period_us = int(period.total_seconds() * 1_000_000)
         sdf, aggs, hooked = self._dyn_pre(exprs, named)

@@ -10,10 +10,14 @@ IDCT + chroma upsample, with a matching fixture encoder), GIF (variable-
 width LZW + interlace + palette, with a fixture encoder) and uncompressed
 BMP (``decode_image_pixels``), plus nearest-neighbor resize
 (``resize_nearest``).  JPEG covers BOTH baseline (SOF0/1) and
-progressive (SOF2, multi-scan successive approximation) streams; only
-lossless/arithmetic JPEG and audio/video stay behind a clearly-marked
-``NotImplementedError`` boundary until PIL/ffmpeg are available; a
-deterministic fake keeps those pipelines testable end-to-end.
+progressive (SOF2, multi-scan successive approximation) streams; PNG
+covers 8/16-bit and Adam7 interlace.  AUDIO decodes RIFF/WAVE PCM
+(8/16/24/32-bit + float32) and VIDEO decodes MJPEG-in-AVI frames through
+the JPEG decoder.  Only lossless/arithmetic JPEG, compressed audio
+(mp3/aac) and inter-frame video codecs (h264 &c) stay behind a
+clearly-marked ``NotImplementedError`` boundary until PIL/ffmpeg are
+available; a deterministic fake keeps those pipelines testable
+end-to-end.
 
 Batch sizing note for 100 TB: media rows are large — repartition by size
 (``target_partition_mb``) before ``mapInPandas`` so Arrow batches stay
@@ -186,56 +190,29 @@ def image_header_decoder(payload: bytes) -> dict:
 # -- real pixel decode (round-3) ----------------------------------------------
 #
 # PNG and uncompressed BMP decode fully with the stdlib: zlib inflate +
-# per-scanline unfilter (PNG filters 0-4) and padded-row BGR reads (BMP).
-# These are REAL codecs — bytes in, pixel array out — running inside the
-# same Arrow-batched ``mapInPandas`` stage.  JPEG (entropy-coded DCT) and
-# GIF (LZW) stay behind the NotImplementedError boundary.
+# per-scanline unfilter (PNG filters 0-4, byte-wise for 16-bit samples,
+# Adam7 pass re-gridding) and padded-row BGR reads (BMP).  These are REAL
+# codecs — bytes in, pixel array out — running inside the same
+# Arrow-batched ``mapInPandas`` stage; JPEG/GIF decode in their own
+# sections below.
 
-def decode_png_pixels(payload: bytes):
-    """Decode a non-interlaced 8-bit PNG to an ``(h, w, channels)`` uint8
-    numpy array.  Supports color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA); raises NotImplementedError for Adam7
-    interlace or 16-bit depth."""
-    import struct
-    import zlib
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
+
+def _png_unfilter(raw, offset, rows, stride, bpp):
+    """Undo per-scanline filters 0-4 over a ``rows x stride`` byte block
+    starting at ``raw[offset]`` (each row prefixed by its filter byte);
+    returns (uint8 array (rows, stride), bytes consumed)."""
     import numpy as np
 
-    b = bytes(payload or b"")
-    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    pos, idat, palette, trns = 8, [], None, None
-    w = h = bit_depth = color_type = interlace = None
-    while pos + 8 <= len(b):
-        (ln,), typ = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
-        data = b[pos + 8:pos + 8 + ln]
-        if typ == b"IHDR":
-            w, h = struct.unpack(">II", data[:8])
-            bit_depth, color_type, _, _, interlace = data[8:13]
-        elif typ == b"PLTE":
-            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln  # len + type + crc
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG IDAT truncated")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
-    for y in range(h):
-        row = np.frombuffer(raw, dtype=np.uint8,
-                            count=stride, offset=y * (stride + 1) + 1)
-        ftype = raw[y * (stride + 1)]
+    out = np.zeros((rows, stride), dtype=np.uint8)
+    for y in range(rows):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=base + 1)
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
         if ftype == 0:
             out[y] = row
@@ -263,7 +240,72 @@ def decode_png_pixels(payload: bytes):
                 cur[x] = (int(row[x]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter {ftype}")
-    px = out.reshape(h, w, channels)
+    return out, rows * (stride + 1)
+
+
+def decode_png_pixels(payload: bytes):
+    """Decode an 8- or 16-bit PNG (non-interlaced or Adam7) to an
+    ``(h, w, channels)`` uint8 numpy array (16-bit samples take their high
+    byte).  Color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA); sub-byte bit depths (1/2/4) raise NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, palette = 8, [], None
+    w = h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(b):
+        (ln,), typ = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            bit_depth, color_type, _, _, interlace = data[8:13]
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG bit depth {bit_depth} (8 and 16 decode natively)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    sb = bit_depth // 8  # bytes per sample; filtering is BYTE-wise
+    bpp = channels * sb
+    raw = zlib.decompress(b"".join(idat))
+
+    def to_px(block, rows, cols):
+        if sb == 2:
+            # big-endian 16-bit samples -> high byte (8-bit downsample)
+            return (block.reshape(rows, cols * channels, 2)[:, :, 0]
+                    .reshape(rows, cols, channels))
+        return block.reshape(rows, cols, channels)
+
+    if not interlace:
+        stride = w * bpp
+        if len(raw) < h * (stride + 1):
+            raise ValueError("PNG IDAT truncated")
+        block, _ = _png_unfilter(raw, 0, h, stride, bpp)
+        px = to_px(block, h, w)
+    else:  # Adam7: 7 independently-filtered sub-images, re-gridded
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            block, used = _png_unfilter(raw, off, ph, stride, bpp)
+            off += used
+            px[y0::dy, x0::dx] = to_px(block, ph, pw)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")

@@ -820,6 +820,55 @@ def test_png_pixel_decode_all_filters():
     assert np.array_equal(got, pal[idx[:, :, 0]])
 
 
+def test_png_adam7_and_16bit():
+    """Round-5: Adam7 interlace (7 independently-filtered sub-images) and
+    16-bit samples (byte-wise filtering, high-byte downsample) decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    # Adam7 RGB 13x11: each pass stored filter-0
+    px = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in multimodal._ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", 13, 11, 8, 2, 0, 0, 1)  # interlace=1
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(multimodal.decode_png_pixels(blob), px)
+
+    # 16-bit grayscale, filters 0 and 2 (Up) byte-wise
+    g16 = rng.integers(0, 65536, (7, 9), dtype=np.uint16)
+    rows16 = g16.astype(">u2").tobytes()
+    raw2 = bytearray()
+    prev = None
+    for y in range(7):
+        row = np.frombuffer(rows16, np.uint8, 18, y * 18)
+        if y % 2 == 0 or prev is None:
+            raw2 += b"\x00" + row.tobytes()
+        else:
+            raw2 += b"\x02" + (row - prev).tobytes()
+        prev = row
+    ihdr2 = struct.pack(">IIBBBBB", 9, 7, 16, 0, 0, 0, 0)
+    blob2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr2)
+             + chunk(b"IDAT", zlib.compress(bytes(raw2)))
+             + chunk(b"IEND", b""))
+    out = multimodal.decode_png_pixels(blob2)
+    assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+
 def test_bmp_pixel_decode():
     import struct
 
