@@ -11,7 +11,7 @@ width LZW + interlace + palette, with a fixture encoder) and uncompressed
 BMP (``decode_image_pixels``), plus nearest-neighbor resize
 (``resize_nearest``).  JPEG covers BOTH baseline (SOF0/1) and
 progressive (SOF2, multi-scan successive approximation) streams; PNG
-covers 8/16-bit and Adam7 interlace.  AUDIO decodes RIFF/WAVE PCM
+covers every legal bit depth (1/2/4/8/16) and Adam7 interlace.  AUDIO decodes RIFF/WAVE PCM
 (8/16/24/32-bit + float32) and VIDEO decodes MJPEG-in-AVI frames through
 the JPEG decoder.  Only lossless/arithmetic JPEG, compressed audio
 (mp3/aac) and inter-frame video codecs (h264 &c) stay behind a
@@ -244,10 +244,11 @@ def _png_unfilter(raw, offset, rows, stride, bpp):
 
 
 def decode_png_pixels(payload: bytes):
-    """Decode an 8- or 16-bit PNG (non-interlaced or Adam7) to an
+    """Decode a PNG (any bit depth, non-interlaced or Adam7) to an
     ``(h, w, channels)`` uint8 numpy array (16-bit samples take their high
-    byte).  Color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA); sub-byte bit depths (1/2/4) raise NotImplementedError."""
+    byte; 1/2/4-bit grays scale to 8-bit, palette indices resolve through
+    PLTE).  Color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA) — every legal PNG bit depth decodes."""
     import struct
     import zlib
 
@@ -273,23 +274,39 @@ def decode_png_pixels(payload: bytes):
         pos += 12 + ln  # len + type + crc
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if bit_depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {bit_depth} (8 and 16 decode natively)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    sb = bit_depth // 8  # bytes per sample; filtering is BYTE-wise
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {bit_depth}")
+    sub_byte = bit_depth < 8  # gray/palette only per spec; channels == 1
+    sb = max(bit_depth // 8, 1)  # bytes per sample; filtering is BYTE-wise
     bpp = channels * sb
     raw = zlib.decompress(b"".join(idat))
 
     def to_px(block, rows, cols):
+        if sub_byte:
+            # MSB-first packed samples -> one value per pixel; grayscale
+            # scales to 8-bit (255/(2^d-1) is exact for d in 1/2/4),
+            # palette keeps raw indices
+            bits = np.unpackbits(block, axis=1)[:, :cols * bit_depth]
+            weights = 1 << np.arange(bit_depth - 1, -1, -1)
+            vals = (bits.reshape(rows, cols, bit_depth)
+                    * weights[None, None, :]).sum(axis=2)
+            if color_type == 0:
+                vals = vals * (255 // ((1 << bit_depth) - 1))
+            return vals.astype(np.uint8)[:, :, None]
         if sb == 2:
             # big-endian 16-bit samples -> high byte (8-bit downsample)
             return (block.reshape(rows, cols * channels, 2)[:, :, 0]
                     .reshape(rows, cols, channels))
         return block.reshape(rows, cols, channels)
 
+    def row_stride(cols):
+        if sub_byte:
+            return (cols * bit_depth + 7) // 8
+        return cols * bpp
+
     if not interlace:
-        stride = w * bpp
+        stride = row_stride(w)
         if len(raw) < h * (stride + 1):
             raise ValueError("PNG IDAT truncated")
         block, _ = _png_unfilter(raw, 0, h, stride, bpp)
@@ -302,7 +319,7 @@ def decode_png_pixels(payload: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            stride = pw * bpp
+            stride = row_stride(pw)
             block, used = _png_unfilter(raw, off, ph, stride, bpp)
             off += used
             px[y0::dy, x0::dx] = to_px(block, ph, pw)

@@ -868,6 +868,50 @@ def test_png_adam7_and_16bit():
     out = multimodal.decode_png_pixels(blob2)
     assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
 
+    # sub-byte depths (1/2/4): MSB-first packed gray + palette, plain and
+    # Adam7 — every legal PNG bit depth decodes
+    def make_sub(vals, depth, color_type, palette=None, interlace=0):
+        hh, ww = vals.shape
+
+        def pack_rows(arr2d, cols):
+            out = bytearray()
+            for row in arr2d:
+                bits = np.zeros(cols * depth, np.uint8)
+                for i, v in enumerate(row):
+                    for bi in range(depth):
+                        bits[i * depth + bi] = (v >> (depth - 1 - bi)) & 1
+                out += b"\x00" + np.packbits(bits).tobytes()
+            return out
+
+        raw = bytearray()
+        if interlace:
+            for x0, y0, dx, dy in multimodal._ADAM7:
+                sub = vals[y0::dy, x0::dx]
+                if sub.size:
+                    raw += pack_rows(sub, sub.shape[1])
+        else:
+            raw += pack_rows(vals, ww)
+        ihdr = struct.pack(">IIBBBBB", ww, hh, depth, color_type, 0, 0,
+                           interlace)
+        parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+        if palette is not None:
+            parts.append(chunk(b"PLTE", palette.tobytes()))
+        parts += [chunk(b"IDAT", zlib.compress(bytes(raw))),
+                  chunk(b"IEND", b"")]
+        return b"".join(parts)
+
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        vals = rng.integers(0, mx + 1, (9, 13)).astype(np.uint8)
+        exp = (vals * (255 // mx)).astype(np.uint8)
+        assert np.array_equal(multimodal.decode_png_pixels(
+            make_sub(vals, depth, 0))[:, :, 0], exp)
+        pal = rng.integers(0, 256, (mx + 1, 3), np.uint8)
+        assert np.array_equal(multimodal.decode_png_pixels(
+            make_sub(vals, depth, 3, palette=pal)), pal[vals])
+        assert np.array_equal(multimodal.decode_png_pixels(
+            make_sub(vals, depth, 0, interlace=1))[:, :, 0], exp)
+
 
 def test_bmp_pixel_decode():
     import struct
