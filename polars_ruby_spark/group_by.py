@@ -728,6 +728,12 @@ class DynamicGroupBy(_TemporalGroupByMixin):
             # round-5: each group's first datapoint anchors the calendar
             # grid — epoch-anchored date_trunc does not apply
             return self._agg_datapoint_calendar(every, period, exprs, named)
+        if self._start_by in self._WEEKDAY_SHIFT:
+            # polars restricts weekday anchors to weekly (fixed-duration)
+            # windows; refuse loudly instead of silently using the epoch grid
+            raise ValueError(
+                f"start_by={self._start_by!r} requires a weekly every "
+                f"(got calendar {self._every!r})")
         mixed = bool(every.months) and bool(int(every.microseconds))
         hopping = (every.months, every.microseconds) != (period.months,
                                                          period.microseconds)

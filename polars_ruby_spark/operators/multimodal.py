@@ -330,9 +330,59 @@ def decode_png_pixels(payload: bytes):
     return px
 
 
+def _bmp_rle_decode(data, w, h, four_bit):
+    """BI_RLE8/BI_RLE4 -> (h, w) palette-index array (bottom-up rows).
+    Escapes: 00 00 = end of line, 00 01 = end of bitmap, 00 02 dx dy =
+    delta, 00 n>=3 = absolute run (word-aligned)."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            if four_bit:
+                pair = [(v >> 4) & 15, v & 15]
+                for k in range(c):
+                    if x < w:
+                        out[y, x] = pair[k & 1]
+                        x += 1
+            else:
+                end = min(x + c, w)
+                out[y, x:end] = v
+                x = end
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: v literal pixels, word-aligned
+            if four_bit:
+                nbytes = (v + 1) // 2
+                for k in range(v):
+                    byte = data[i + k // 2]
+                    px = (byte >> 4) & 15 if k % 2 == 0 else byte & 15
+                    if x < w:
+                        out[y, x] = px
+                        x += 1
+                i += nbytes + (nbytes & 1)
+            else:
+                end = min(x + v, w)
+                out[y, x:end] = np.frombuffer(
+                    data, np.uint8, end - x, i)
+                x = end
+                i += v + (v & 1)
+    return out
+
+
 def decode_bmp_pixels(payload: bytes):
-    """Decode an uncompressed (BI_RGB) 24/32-bit bottom-up BMP to an
-    ``(h, w, 3|4)`` uint8 RGB(A) numpy array."""
+    """Decode a BMP to an ``(h, w, 3|4)`` uint8 RGB(A) array: uncompressed
+    24/32-bit truecolor, palette 1/4/8-bit, and RLE4/RLE8 compression."""
     import struct
 
     import numpy as np
@@ -341,22 +391,52 @@ def decode_bmp_pixels(payload: bytes):
     if len(b) < 54 or b[:2] != b"BM":
         raise ValueError("not a BMP")
     (off,) = struct.unpack("<I", b[10:14])
+    (hdr_size,) = struct.unpack("<I", b[14:18])
     w, h = struct.unpack("<ii", b[18:26])
     bpp, comp = struct.unpack("<HI", b[28:34])
-    if comp != 0 or bpp not in (24, 32):
-        raise NotImplementedError(f"BMP compression={comp} bpp={bpp}")
-    nch = bpp // 8
-    stride = (w * nch + 3) & ~3
-    rows = []
-    for y in range(abs(h)):
-        row = np.frombuffer(b, dtype=np.uint8, count=w * nch,
-                            offset=off + y * stride).reshape(w, nch)
-        rows.append(row)
-    if h > 0:  # bottom-up storage
-        rows.reverse()
-    px = np.stack(rows)  # BGR(A) -> RGB(A)
-    order = [2, 1, 0] + ([3] if nch == 4 else [])
-    return px[:, :, order]
+    (clr_used,) = struct.unpack("<I", b[46:50])
+    hh = abs(h)
+    if bpp in (24, 32) and comp == 0:
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3
+        rows = []
+        for y in range(hh):
+            row = np.frombuffer(b, dtype=np.uint8, count=w * nch,
+                                offset=off + y * stride).reshape(w, nch)
+            rows.append(row)
+        if h > 0:  # bottom-up storage
+            rows.reverse()
+        px = np.stack(rows)  # BGR(A) -> RGB(A)
+        order = [2, 1, 0] + ([3] if nch == 4 else [])
+        return px[:, :, order]
+    if bpp not in (1, 4, 8) or comp not in (0, 1, 2):
+        raise NotImplementedError(
+            f"BMP compression={comp} bpp={bpp} (BI_RGB 1/4/8/24/32 and "
+            "RLE4/RLE8 decode natively)")
+    n_pal = clr_used or (1 << bpp)
+    pal_off = 14 + hdr_size
+    pal = np.frombuffer(b, np.uint8, n_pal * 4, pal_off).reshape(-1, 4)
+    palette = pal[:, [2, 1, 0]]  # BGRX -> RGB
+    if comp in (1, 2):  # RLE8 / RLE4 (bottom-up per spec)
+        idx = _bmp_rle_decode(b[off:], w, hh, four_bit=(comp == 2))
+        idx = idx[::-1] if h > 0 else idx
+    else:  # uncompressed palette rows, bit-packed MSB-first, 4-byte padded
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = []
+        for y in range(hh):
+            raw = np.frombuffer(b, np.uint8, stride, off + y * stride)
+            if bpp == 8:
+                rows.append(raw[:w])
+            else:
+                bits = np.unpackbits(raw)[:w * bpp]
+                weights = 1 << np.arange(bpp - 1, -1, -1)
+                rows.append((bits.reshape(w, bpp)
+                             * weights[None, :]).sum(axis=1)
+                            .astype(np.uint8))
+        if h > 0:
+            rows.reverse()
+        idx = np.stack(rows)
+    return palette[np.clip(idx, 0, n_pal - 1)]
 
 
 # -- baseline JPEG codec (round-5) --------------------------------------------

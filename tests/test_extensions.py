@@ -941,6 +941,72 @@ def test_bmp_pixel_decode():
     assert np.array_equal(multimodal.decode_bmp_pixels(hdr4 + body4), px4)
 
 
+def test_bmp_palette_and_rle():
+    """Round-5: palette BMPs (1/4/8-bit, bit-packed MSB-first rows) and
+    RLE4/RLE8 compression (runs, absolute mode, EOL/EOB escapes) decode."""
+    import struct
+
+    import numpy as np
+
+    def bmp(w, h, bpp, comp, pal, body):
+        pal_bytes = b"".join(bytes([p[2], p[1], p[0], 0]) for p in pal)
+        off = 54 + len(pal_bytes)
+        hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                             len(body), 0, 0, len(pal), 0))
+        return hdr + pal_bytes + body
+
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+
+    idx = rng.integers(0, 256, (4, 5), np.uint8)
+    body = b"".join(bytes(idx[y]) + b"\x00" * 3 for y in range(3, -1, -1))
+    assert np.array_equal(
+        multimodal.decode_bmp_pixels(bmp(5, 4, 8, 0, pal, body)), pal[idx])
+
+    pal16 = pal[:16]
+    idx4 = rng.integers(0, 16, (3, 5), np.uint8)
+    rows = []
+    for y in range(2, -1, -1):
+        byts = bytearray()
+        row = idx4[y]
+        for i in range(0, 5, 2):
+            hi = row[i] << 4
+            lo = row[i + 1] if i + 1 < 5 else 0
+            byts.append(hi | lo)
+        byts += b"\x00" * ((4 - len(byts) % 4) % 4)
+        rows.append(bytes(byts))
+    assert np.array_equal(multimodal.decode_bmp_pixels(
+        bmp(5, 3, 4, 0, pal16, b"".join(rows))), pal16[idx4])
+
+    pal2 = pal[:2]
+    idx1 = rng.integers(0, 2, (3, 10), np.uint8)
+    rows = []
+    for y in range(2, -1, -1):
+        bits = np.zeros(16, np.uint8)
+        bits[:10] = idx1[y]
+        packed = np.packbits(bits).tobytes()
+        packed += b"\x00" * ((4 - len(packed) % 4) % 4)
+        rows.append(packed)
+    assert np.array_equal(multimodal.decode_bmp_pixels(
+        bmp(10, 3, 1, 0, pal2, b"".join(rows))), pal2[idx1])
+
+    # RLE8: runs + EOL/EOB; absolute mode with word-align padding
+    rle = bytes([4, 7, 2, 9, 0, 0, 6, 1, 0, 1])
+    exp = np.array([[1] * 6, [7, 7, 7, 7, 9, 9]], np.uint8)
+    assert np.array_equal(
+        multimodal.decode_bmp_pixels(bmp(6, 2, 8, 1, pal, rle)), pal[exp])
+    rle2 = bytes([0, 3, 5, 6, 7, 0, 3, 2, 0, 0, 6, 0, 0, 1])
+    exp2 = np.array([[0] * 6, [5, 6, 7, 2, 2, 2]], np.uint8)
+    assert np.array_equal(
+        multimodal.decode_bmp_pixels(bmp(6, 2, 8, 1, pal, rle2)), pal[exp2])
+    # RLE4: nibble-pair runs
+    rle4 = bytes([5, 0x38, 1, 0xA0, 0, 0, 6, 0x11, 0, 1])
+    exp4 = np.array([[1] * 6, [3, 8, 3, 8, 3, 10]], np.uint8)
+    assert np.array_equal(multimodal.decode_bmp_pixels(
+        bmp(6, 2, 4, 2, pal16, rle4)), pal16[exp4])
+
+
 def test_pixel_decode_spark_pipeline(spark):
     """Full real-decode path through Spark: pack -> decode -> resize -> feat
     via the Arrow-batched mapInPandas stage; JPEG stays a loud boundary."""
