@@ -1945,9 +1945,21 @@ class Expr:
                 elif method == "average":
                     r = (before.cast("double") * 2
                          + ties.cast("double") + 1) / 2
+                elif method == "ordinal":
+                    # ties break by LIST POSITION: count non-null elements
+                    # strictly before by value, plus equal-valued elements
+                    # at earlier indexes (2-arg filter lambda gives j; the
+                    # current element's index rides _ELEMENT_IDX_STACK)
+                    i_cur = _ELEMENT_IDX_STACK[-1]
+                    mapped_i = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                    before_ord = F.size(F.filter(
+                        mapped_i,
+                        lambda y, j: y.isNotNull() & (
+                            ((y > c) if descending else (y < c))
+                            | ((y == c) & (j < i_cur)))))
+                    r = (before_ord + 1).cast("double")
                 else:
-                    raise NotImplementedError(
-                        f"rank method {method!r} inside list.eval")
+                    raise ValueError(f"unknown rank method {method!r}")
                 out = F.when(c.isNotNull(), r)
                 return out if method == "average" else out.cast("long")
             # polars leaves null values UNRANKED (null out); ordering nulls
@@ -3334,16 +3346,24 @@ _ELEMENT_STACK: list = []
 #: list-context: element.rank / col("").count) via nested HOFs, JVM-side.
 _EVAL_ARRAY_STACK: list = []
 
+#: Parallel stack of the current element's INDEX inside _eval_map's
+#: transform lambda (ordinal rank tie-breaking by list position).
+_ELEMENT_IDX_STACK: list = []
+
 
 def _eval_map(base: "Expr", arr, df):
-    """Map `base` over the eval array's elements (nested HOF)."""
+    """Map `base` over the eval array's elements (nested HOF).  The element
+    INDEX rides a parallel stack so order-aware consumers (rank('ordinal')
+    tie-breaking) can reach it."""
 
-    def lam(y):
+    def lam(y, i):
         _ELEMENT_STACK.append(y)
+        _ELEMENT_IDX_STACK.append(i)
         try:
             return base._fn(df, None)
         finally:
             _ELEMENT_STACK.pop()
+            _ELEMENT_IDX_STACK.pop()
 
     return F.transform(arr, lam)
 

@@ -778,16 +778,19 @@ class ListNameSpace(_NS):
         Compiles to ``F.transform`` (higher-order function, JVM-side — no
         Python UDF); ``element()`` leaves resolve to the lambda variable.
         """
-        from .exprs import _ELEMENT_STACK, _EVAL_ARRAY_STACK
+        from .exprs import (_ELEMENT_IDX_STACK, _ELEMENT_STACK,
+                            _EVAL_ARRAY_STACK)
 
         def f(c, df, part):
-            def lam(x):
+            def lam(x, i):
                 _ELEMENT_STACK.append(x)
+                _ELEMENT_IDX_STACK.append(i)
                 _EVAL_ARRAY_STACK.append(c)
                 try:
                     return expr._fn(df, part)
                 finally:
                     _ELEMENT_STACK.pop()
+                    _ELEMENT_IDX_STACK.pop()
                     _EVAL_ARRAY_STACK.pop()
 
             return F.transform(c, lam)

@@ -917,6 +917,16 @@ def test_reference_doctest_parity_batch20(spark):
     assert g[0]["gr"] == [1 / 3, 1.0, 2 / 3]
     assert g[1]["gr"] == [2 / 3, 1 / 3, 1.0]  # laura [5,6,4]
 
+    # round-5: rank('ordinal') inside list.eval — ties break by LIST
+    # POSITION via the element-index stack (2-arg transform lambda)
+    lr = pl.DataFrame({"l": [[3.0, 1.0, 3.0, None, 2.0], [5.0, 5.0]]})
+    ro = lr.select(pl.col("l").list.eval(
+        pl.element().rank("ordinal")).alias("r")).to_a()
+    assert [r["r"] for r in ro] == [[3, 1, 4, None, 2], [1, 2]]
+    rd = lr.select(pl.col("l").list.eval(
+        pl.element().rank("ordinal", descending=True)).alias("r")).to_a()
+    assert [r["r"] for r in rd] == [[1, 4, 2, None, 3], [1, 2]]
+
     assert df.select(pl.col(["A", "B"]).sum()).to_a() == \
         [{"A": 15, "B": 15}]
     sfx = df.select(pl.all(), pl.all().reverse().suffix("_rev"))
