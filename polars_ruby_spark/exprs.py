@@ -126,6 +126,26 @@ def _arr_reduce(label: str, arr: Column, df) -> Column:
         if label == "sum":
             return s
         return s.cast("double") / F.size(nn)
+    if label == "median":
+        nn = F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
+        n = F.size(nn)
+        lo = F.element_at(nn, F.floor((n + 1) / 2).cast("int") + F.lit(0))
+        hi = F.element_at(nn, F.floor(n / 2).cast("int") + F.lit(1))
+        return F.when(n > 0,
+                      (lo.cast("double") + hi.cast("double")) / 2)
+    if label in ("stddev_samp", "stddev_pop", "var_samp", "var_pop"):
+        nn = F.filter(arr, lambda x: x.isNotNull())
+        n = F.size(nn).cast("double")
+        s = F.aggregate(nn, F.lit(0.0),
+                        lambda a, x: a + x.cast("double"))
+        s2 = F.aggregate(nn, F.lit(0.0),
+                         lambda a, x: a + x.cast("double") * x.cast("double"))
+        varp = F.greatest(s2 / n - (s / n) * (s / n), F.lit(0.0))
+        if label.endswith("_samp"):
+            var = F.when(n > 1, varp * n / (n - F.lit(1.0)))
+        else:
+            var = F.when(n > 0, varp)
+        return F.sqrt(var) if label.startswith("stddev") else var
     raise NotImplementedError(
         f"aggregate {label!r} over an order-transformed expression "
         "inside group_by().agg")

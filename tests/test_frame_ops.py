@@ -917,6 +917,16 @@ def test_reference_doctest_parity_batch20(spark):
     assert g[0]["gr"] == [1 / 3, 1.0, 2 / 3]
     assert g[1]["gr"] == [2 / 3, 1 / 3, 1.0]  # laura [5,6,4]
 
+    # round-5: median/std/var over order-transformed values inside agg
+    # (array-reduce path: sorted-array midpoint / moment sums)
+    sv = pl.DataFrame({"g": ["a"] * 5, "v": [5.0, 1.0, 4.0, 2.0, 3.0]})
+    so = sv.group_by("g").agg(
+        pl.col("v").shift(1).median().alias("md"),
+        pl.col("v").shift(1).std().alias("sd"),
+        pl.col("v").shift(1).var(ddof=0).alias("vp")).to_a()[0]
+    assert so["md"] == 3.0 and abs(so["sd"] - 1.825742) < 1e-5
+    assert abs(so["vp"] - 2.5) < 1e-9
+
     # round-5: rank('ordinal') inside list.eval — ties break by LIST
     # POSITION via the element-index stack (2-arg transform lambda)
     lr = pl.DataFrame({"l": [[3.0, 1.0, 3.0, None, 2.0], [5.0, 5.0]]})
