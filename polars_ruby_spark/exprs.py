@@ -146,6 +146,23 @@ def _arr_reduce(label: str, arr: Column, df) -> Column:
         else:
             var = F.when(n > 0, varp)
         return F.sqrt(var) if label.startswith("stddev") else var
+    if label in ("skewness", "kurtosis"):
+        # biased central moments, matching Spark's skewness/kurtosis (the
+        # aggregates the direct agg path uses; polars' bias=True defaults)
+        nn = F.filter(arr, lambda x: x.isNotNull())
+        n = F.size(nn).cast("double")
+        mu = F.aggregate(nn, F.lit(0.0),
+                         lambda a, x: a + x.cast("double")) / n
+
+        def cm(p):
+            return F.aggregate(
+                nn, F.lit(0.0),
+                lambda a, x: a + F.pow(x.cast("double") - mu, p)) / n
+
+        m2 = cm(F.lit(2.0))
+        if label == "skewness":
+            return F.when(m2 > 0, cm(F.lit(3.0)) / F.pow(m2, 1.5))
+        return F.when(m2 > 0, cm(F.lit(4.0)) / (m2 * m2) - F.lit(3.0))
     raise NotImplementedError(
         f"aggregate {label!r} over an order-transformed expression "
         "inside group_by().agg")

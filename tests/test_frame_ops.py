@@ -926,6 +926,15 @@ def test_reference_doctest_parity_batch20(spark):
         pl.col("v").shift(1).var(ddof=0).alias("vp")).to_a()[0]
     assert so["md"] == 3.0 and abs(so["sd"] - 1.825742) < 1e-5
     assert abs(so["vp"] - 2.5) < 1e-9
+    # skew/kurtosis over the transformed array match the direct aggregates
+    sk = sv.group_by("g").agg(
+        pl.col("v").shift(1).skew().alias("sk"),
+        pl.col("v").shift(1).kurtosis().alias("ku")).to_a()[0]
+    dd = sv.filter(pl.col("v") != 3.0).select(
+        pl.col("v").skew().alias("sk"),
+        pl.col("v").kurtosis().alias("ku")).to_a()[0]
+    assert abs(sk["sk"] - dd["sk"]) < 1e-9
+    assert abs(sk["ku"] - dd["ku"]) < 1e-9
 
     # round-5: rank('ordinal') inside list.eval — ties break by LIST
     # POSITION via the element-index stack (2-arg transform lambda)
