@@ -416,15 +416,23 @@ class Expr:
             return Expr(multi_fn=lambda df: [e._agg(aggf) for e in mf(df)])
 
         label = _op_label(aggf, "agg")
+        # ops with parameters the label can't carry (quantile's q and
+        # interpolation, mode) attach their own array reducer
+        custom = getattr(aggf, "_arr_reduce_fn", None)
+
+        def reduce_arr(arr, df):
+            if custom is not None:
+                return custom(arr, df)
+            return _arr_reduce(label, arr, df)
 
         def fn(df, part):
             if _EVAL_ARRAY_STACK:
                 # inside list.eval: aggregate over the current list
                 mapped = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
-                return _arr_reduce(label, mapped, df)
+                return reduce_arr(mapped, df)
             if bind_context.grouped_agg and self._agg_list_fn is not None:
                 arr = self._agg_list_fn(_ordered_collect(self._agg_list_base, df))
-                return _arr_reduce(label, arr, df)
+                return reduce_arr(arr, df)
             if self._is_agg:
                 from pyspark.sql import types as T
 
@@ -436,7 +444,7 @@ class Expr:
                 if isinstance(t, T.ArrayType):
                     # agg-of-agg (unique().count(), implode().sum()…):
                     # reduce over the inner aggregate's array
-                    r = _arr_reduce(label, inner_c, df)
+                    r = reduce_arr(inner_c, df)
                     return r.over(_part_window(part)) if part is not None else r
             c = aggf(self._fn(df, None))
             if part is not None:
@@ -1359,28 +1367,46 @@ class Expr:
     def quantile(self, q: float, interpolation: str = "nearest"):
         """Parity: expr.rb:2473. linear → percentile_cont; nearest is polars'
         default (exact inverted-CDF with rounding to the nearer rank)."""
-        if interpolation == "linear":
-            return self._agg(lambda c: F.percentile(c, F.lit(q)))
-        if interpolation in ("lower", "higher", "midpoint", "nearest"):
-            # exact variants via sorted-array indexing
-            def aggf(c):
-                arr = F.array_sort(F.collect_list(c))
-                n = F.size(arr)
-                pos = F.lit(q) * (n.cast("double") - 1)
-                lo = F.floor(pos).cast("int")
-                hi = F.ceil(pos).cast("int")
-                if interpolation == "lower":
-                    return F.element_at(arr, lo + 1)
-                if interpolation == "higher":
-                    return F.element_at(arr, hi + 1)
-                if interpolation == "midpoint":
-                    return (F.element_at(arr, lo + 1) + F.element_at(arr, hi + 1)) / 2
-                # nearest: round half away from zero like polars
-                near = F.when(pos - lo.cast("double") < 0.5, lo).otherwise(hi)
-                return F.element_at(arr, near + 1)
+        if interpolation not in ("linear", "lower", "higher", "midpoint",
+                                 "nearest"):
+            raise ValueError(f"unknown interpolation {interpolation!r}")
 
-            return self._agg(aggf)
-        raise ValueError(f"unknown interpolation {interpolation!r}")
+        def _from_sorted(arr):
+            # shared indexing over a SORTED non-null array (round-5: also
+            # the reducer for transformed-array/agg-of-agg contexts)
+            n = F.size(arr)
+            pos = F.lit(q) * (n.cast("double") - 1)
+            lo = F.floor(pos).cast("int")
+            hi = F.ceil(pos).cast("int")
+            if interpolation == "lower":
+                return F.element_at(arr, lo + 1)
+            if interpolation == "higher":
+                return F.element_at(arr, hi + 1)
+            if interpolation == "midpoint":
+                return (F.element_at(arr, lo + 1)
+                        + F.element_at(arr, hi + 1)) / 2
+            if interpolation == "linear":
+                frac = pos - lo.cast("double")
+                lov = F.element_at(arr, lo + 1).cast("double")
+                hiv = F.element_at(arr, hi + 1).cast("double")
+                return lov + frac * (hiv - lov)
+            # nearest: round half away from zero like polars
+            near = F.when(pos - lo.cast("double") < 0.5, lo).otherwise(hi)
+            return F.element_at(arr, near + 1)
+
+        def _arr_q(arr, df):
+            nn = F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
+            return F.when(F.size(nn) > 0, _from_sorted(nn))
+
+        if interpolation == "linear":
+            def aggf(c):
+                return F.percentile(c, F.lit(q))
+        else:
+            def aggf(c):
+                return _from_sorted(F.array_sort(F.collect_list(c)))
+
+        aggf._arr_reduce_fn = _arr_q
+        return self._agg(aggf)
 
     def mode(self):
         """expr.rb:1178 — ALL most-occurring values (can be several).

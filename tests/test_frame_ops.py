@@ -926,6 +926,14 @@ def test_reference_doctest_parity_batch20(spark):
         pl.col("v").shift(1).var(ddof=0).alias("vp")).to_a()[0]
     assert so["md"] == 3.0 and abs(so["sd"] - 1.825742) < 1e-5
     assert abs(so["vp"] - 2.5) < 1e-9
+    # quantile (all 5 interpolations) over the transformed array matches
+    # the direct aggregate (custom _arr_reduce_fn carries q/interpolation)
+    for interp in ("nearest", "linear", "lower", "higher", "midpoint"):
+        qa = sv.group_by("g").agg(pl.col("v").shift(1).quantile(
+            0.4, interpolation=interp).alias("q")).to_a()[0]["q"]
+        qd = sv.filter(pl.col("v") != 3.0).select(pl.col("v").quantile(
+            0.4, interpolation=interp).alias("q")).to_a()[0]["q"]
+        assert abs(qa - qd) < 1e-9, interp
     # skew/kurtosis over the transformed array match the direct aggregates
     sk = sv.group_by("g").agg(
         pl.col("v").shift(1).skew().alias("sk"),
