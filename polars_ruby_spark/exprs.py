@@ -1417,8 +1417,7 @@ class Expr:
         groupBy-count → filter max → one row per mode (no collect)."""
         inner = self
 
-        def aggf(c):
-            arr = F.collect_list(c)
+        def _modes_of(arr):
             dis = F.array_distinct(arr)
             cnts = F.transform(dis, lambda x: F.size(F.filter(arr, lambda y: y == x)))
             mx = F.array_max(cnts)
@@ -1426,6 +1425,12 @@ class Expr:
                 F.zip_with(dis, cnts, lambda v, n: F.when(n == mx, v)),
                 lambda v: v.isNotNull()))
 
+        def aggf(c):
+            return _modes_of(F.collect_list(c))
+
+        # transformed-array/agg-of-agg contexts reduce the array directly
+        aggf._arr_reduce_fn = lambda arr, df: _modes_of(
+            F.filter(arr, lambda x: x.isNotNull()))
         e = self._agg(aggf)
 
         def frame_fn(lf, out_name):

@@ -934,6 +934,13 @@ def test_reference_doctest_parity_batch20(spark):
         qd = sv.filter(pl.col("v") != 3.0).select(pl.col("v").quantile(
             0.4, interpolation=interp).alias("q")).to_a()[0]["q"]
         assert abs(qa - qd) < 1e-9, interp
+    # mode over the transformed array (all tied values, sorted)
+    mv = pl.DataFrame({"g": ["a"] * 6,
+                       "v": [5.0, 1.0, 5.0, 1.0, 9.0, 3.0]})
+    mo = mv.group_by("g").agg(
+        pl.col("v").shift(1).mode().alias("m")).to_a()[0]["m"]
+    assert mo == [1.0, 5.0]
+
     # skew/kurtosis over the transformed array match the direct aggregates
     sk = sv.group_by("g").agg(
         pl.col("v").shift(1).skew().alias("sk"),
