@@ -352,6 +352,14 @@ class Expr:
                 return sdf2, _f(c)
 
             out._agg_pre_fn = pfn
+        if self._agg_list_fn is not None:
+            # elementwise composition keeps the ordered-array agg route:
+            # agg((shift(1).abs()).sum()) transforms the per-group array
+            slf, base = self._agg_list_fn, self._agg_list_base
+            out._agg_list_fn = (
+                lambda arr, _slf=slf, _f=f: F.transform(
+                    _slf(arr), lambda x: _f(x)))
+            out._agg_list_base = base
         return out
 
     def _lift_ctx(self, f: Callable[[Column, DataFrame, Any], Column],
@@ -386,6 +394,28 @@ class Expr:
         out._order_only = self._order_safe and o._order_safe
         out._needs_global_index = (self._needs_global_index
                                    or o._needs_global_index)
+        # elementwise binary composition with a SCALAR LITERAL keeps the
+        # ordered-array agg route: agg((shift(1) > 2).any()) transforms the
+        # per-group array (round-5)
+        for lhs, rhs, flip in ((self, o, False), (o, self, True)):
+            if lhs._agg_list_fn is None or not (
+                    rhs._meta and rhs._meta[0] == "lit"):
+                continue
+            try:
+                oc = rhs._fn(None, None)
+            except Exception:
+                break  # non-scalar literal (Series literal raises)
+            slf, base = lhs._agg_list_fn, lhs._agg_list_base
+            if flip:
+                out._agg_list_fn = (
+                    lambda arr, _slf=slf, _f=f, _oc=oc: F.transform(
+                        _slf(arr), lambda x: _f(_oc, x)))
+            else:
+                out._agg_list_fn = (
+                    lambda arr, _slf=slf, _f=f, _oc=oc: F.transform(
+                        _slf(arr), lambda x: _f(x, _oc)))
+            out._agg_list_base = base
+            break
         if self._agg_pre_fn is not None or o._agg_pre_fn is not None:
             # compose binary ops over agg pre-stage hooks too (ADVICE r4:
             # spearman(...) * 2 / + other_agg inside group_by().agg keeps
@@ -471,14 +501,21 @@ class Expr:
             return Expr(multi_fn=lambda df: [e._agg_ctx(aggf, label, post=post)
                                              for e in mf(df)])
 
+        custom = getattr(aggf, "_arr_reduce_fn", None)
+
+        def reduce_arr(arr, df):
+            if custom is not None:
+                return custom(arr, df)
+            return _arr_reduce(label, arr, df)
+
         def fn(df, part):
             if _EVAL_ARRAY_STACK:
                 # inside list.eval: aggregate over the current list
                 mapped = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
-                return _arr_reduce(label, mapped, df)
+                return reduce_arr(mapped, df)
             if bind_context.grouped_agg and self._agg_list_fn is not None:
                 arr = self._agg_list_fn(_ordered_collect(self._agg_list_base, df))
-                return _arr_reduce(label, arr, df)
+                return reduce_arr(arr, df)
             if self._is_agg:
                 from pyspark.sql import types as T
 
@@ -490,7 +527,7 @@ class Expr:
                 if isinstance(t, T.ArrayType):
                     # agg-of-agg (unique().count(), implode().sum()…):
                     # reduce over the inner aggregate's array
-                    r = _arr_reduce(label, inner_c, df)
+                    r = reduce_arr(inner_c, df)
                     return r.over(_part_window(part)) if part is not None else r
             c = aggf(self._fn(df, None), df)
             if part is not None:
@@ -1306,8 +1343,20 @@ class Expr:
 
         def post(c):
             out = F.coalesce(c, F.lit(1.0))
-            return out.cast("long") if self._prod_int else out
+            return out.cast("long") if getattr(self, "_prod_int", False) \
+                else out
 
+        def arr_red(arr, df):
+            from pyspark.sql import types as T
+
+            self._prod_int = isinstance(
+                _probe_type(df, arr).elementType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+            nn = F.filter(arr, lambda x: x.isNotNull())
+            return F.aggregate(nn, F.lit(1.0),
+                               lambda a, x: a * x.cast("double"))
+
+        aggf._arr_reduce_fn = arr_red
         return self._agg_ctx(aggf, "product", post=post)
 
     def std(self, ddof: int = 1):
@@ -1324,6 +1373,15 @@ class Expr:
 
     def n_unique(self):
         def fn(df, part):
+            if _EVAL_ARRAY_STACK or (bind_context.grouped_agg
+                                     and self._agg_list_fn is not None):
+                # transformed-array context: distinct size over the array
+                # (array_distinct keeps one null — polars counts it)
+                arr = (_eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                       if _EVAL_ARRAY_STACK
+                       else self._agg_list_fn(
+                           _ordered_collect(self._agg_list_base, df)))
+                return F.size(F.array_distinct(arr)).cast("long")
             # polars counts null as a distinct value; countDistinct /
             # collect_set exclude it — add a has-null flag
             c = self._fn(df, None)
@@ -1336,13 +1394,19 @@ class Expr:
                         + nullflag.over(w))
             return F.countDistinct(c) + nullflag
 
-        return Expr(fn, name=self._name, is_agg=True)
+        return Expr(fn, name=self._name, is_agg=True,
+                    needs_order=self._needs_order)
 
     def approx_n_unique(self):
         return self._agg(F.approx_count_distinct)
 
     def null_count(self):
-        return self._agg(lambda c: F.count(F.when(c.isNull(), 1)))
+        def aggf(c):
+            return F.count(F.when(c.isNull(), 1))
+
+        aggf._arr_reduce_fn = lambda arr, df: F.size(
+            F.filter(arr, lambda x: x.isNull())).cast("long")
+        return self._agg(aggf)
 
     def first(self):
         # NOT F.first(c): Spark's First merges partial buffers in shuffle-
@@ -1513,10 +1577,24 @@ class Expr:
         return Expr(fn, name=self._name, is_agg=True)
 
     def any(self, drop_nulls: bool = True):
-        return self._agg(lambda c: F.max(F.coalesce(c, F.lit(False))) if drop_nulls else F.max(c))
+        def aggf(c):
+            return (F.max(F.coalesce(c, F.lit(False))) if drop_nulls
+                    else F.max(c))
+
+        aggf._arr_reduce_fn = lambda arr, df: F.array_max(
+            F.transform(arr, lambda x: F.coalesce(x, F.lit(False)))
+            if drop_nulls else arr)
+        return self._agg(aggf)
 
     def all(self, drop_nulls: bool = True):
-        return self._agg(lambda c: F.min(F.coalesce(c, F.lit(True))) if drop_nulls else F.min(c))
+        def aggf(c):
+            return (F.min(F.coalesce(c, F.lit(True))) if drop_nulls
+                    else F.min(c))
+
+        aggf._arr_reduce_fn = lambda arr, df: F.array_min(
+            F.transform(arr, lambda x: F.coalesce(x, F.lit(True)))
+            if drop_nulls else arr)
+        return self._agg(aggf)
 
     def nan_max(self):
         return self._agg(lambda c: F.when(

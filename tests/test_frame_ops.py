@@ -934,6 +934,25 @@ def test_reference_doctest_parity_batch20(spark):
         qd = sv.filter(pl.col("v") != 3.0).select(pl.col("v").quantile(
             0.4, interpolation=interp).alias("q")).to_a()[0]["q"]
         assert abs(qa - qd) < 1e-9, interp
+    # round-5: full aggregate family over transformed values inside agg —
+    # n_unique (null counts as distinct), null_count, product, any/all
+    # over an elementwise composition (the ordered-array route survives
+    # _lift/_lift2 with literal operands), and the bare composed list
+    fv = pl.DataFrame({"g": ["a"] * 6,
+                       "v": [5.0, 1.0, 5.0, 1.0, 9.0, 3.0]})
+    fo = fv.group_by("g").agg(
+        pl.col("v").shift(1).n_unique().alias("nu"),
+        pl.col("v").shift(1).null_count().alias("nc"),
+        pl.col("v").shift(1).product().alias("pr"),
+        (pl.col("v").shift(1) > 2).any().alias("an"),
+        (pl.col("v").shift(1) > 0).all().alias("al"),
+        (pl.col("v").shift(1) * 2).sum().alias("s2"),
+        (pl.col("v").shift(1) > 2).alias("bl"),
+    ).to_a()[0]
+    assert fo["nu"] == 4 and fo["nc"] == 1 and fo["pr"] == 225.0
+    assert fo["an"] is True and fo["al"] is True and fo["s2"] == 42.0
+    assert fo["bl"] == [None, True, False, True, False, True]
+
     # mode over the transformed array (all tied values, sorted)
     mv = pl.DataFrame({"g": ["a"] * 6,
                        "v": [5.0, 1.0, 5.0, 1.0, 9.0, 3.0]})
