@@ -2145,6 +2145,60 @@ def q145_audio_features(spark, sf_dir):
         F.round(F.col("feat")[3], 4).alias("rms"))
 
 
+def q146_windowed_in_agg(spark, sf_dir):
+    """Order-dependent windowables INSIDE group_by().agg (round-5;
+    lazy_frame.rb:1317 — any expression is legal under agg): bare
+    rank/cum_sum/diff bind as a pre-stage window over the SAME keys the
+    groupBy hashes on (one logical exchange, group_by.py sub), then
+    implicitly implode; arg_max/arg_min/arg_sort yield GROUP-LOCAL
+    positions (first occurrence wins ties deterministically)."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort(["o_orderdate", "o_orderkey"])
+    g = o.group_by("o_custkey").agg(
+        pl.col("o_orderkey").alias("ok"),
+        pl.col("o_totalprice").rank().alias("rk"),
+        pl.col("o_totalprice").cum_sum().alias("cs"),
+        pl.col("o_totalprice").diff().alias("dfv"),
+        pl.col("o_totalprice").arg_sort().alias("asr"),
+        pl.col("o_totalprice").arg_max().alias("amx"),
+        pl.col("o_totalprice").arg_min().alias("amn"),
+    )
+    out = g.explode("ok", "rk", "cs", "dfv", "asr").select(
+        pl.col("o_custkey"), pl.col("ok").alias("o_orderkey"),
+        pl.col("rk").round(4).alias("rk"),
+        pl.col("cs").round(4).alias("cs"),
+        pl.col("dfv").round(4).alias("dfv"),
+        pl.col("asr"), pl.col("amx"), pl.col("amn"))
+    return _out(out)
+
+
+def q147_distinct_flags_agg(spark, sf_dir):
+    """Uniqueness flags + order-transformed compositions inside agg
+    (round-5): is_unique/is_first/is_last_distinct partition by the agg
+    keys TOO (within-group uniqueness, expr.rb:2301); shift(1).cum_sum()
+    and shift(1).n_unique() ride the composed ordered-array route; the
+    any() reduction collapses a composed flag list per group."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort(["o_orderdate", "o_orderkey"])
+    g = o.group_by("o_custkey").agg(
+        pl.col("o_orderkey").alias("ok"),
+        pl.col("o_orderpriority").is_unique().alias("iu"),
+        pl.col("o_orderpriority").is_first_distinct().alias("fd"),
+        pl.col("o_orderpriority").is_last_distinct().alias("ld"),
+        pl.col("o_totalprice").shift(1).cum_sum().alias("scs"),
+        pl.col("o_totalprice").shift(1).n_unique().alias("snu"),
+        pl.col("o_orderpriority").shift(1).is_unique().any().alias("ian"),
+    )
+    out = g.explode("ok", "iu", "fd", "ld", "scs").select(
+        pl.col("o_custkey"), pl.col("ok").alias("o_orderkey"),
+        pl.col("iu"), pl.col("fd"), pl.col("ld"),
+        pl.col("scs").round(4).alias("scs"),
+        pl.col("snu"), pl.col("ian"))
+    return _out(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2303,6 +2357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_rolling_spearman": q143_rolling_spearman,
         "q144_video_frames": q144_video_frames,
         "q145_audio_features": q145_audio_features,
+        "q146_windowed_in_agg": q146_windowed_in_agg,
+        "q147_distinct_flags_agg": q147_distinct_flags_agg,
     }
 
 
@@ -3044,6 +3100,92 @@ def oracle_sql() -> dict[str, str]:
              AND CAST(o.o_orderdate AS TIMESTAMP) >= g.s
              AND CAST(o.o_orderdate AS TIMESTAMP) < g.e
             GROUP BY g.s, g.o_orderstatus
+        """,
+        "q146_windowed_in_agg": """
+            WITH s AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                              row_number() OVER (ORDER BY o_orderdate,
+                                                 o_orderkey) AS rid
+                       FROM orders),
+                 w AS (SELECT o_custkey, o_orderkey, o_totalprice, rid,
+                              rank() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice) AS rmin,
+                              count(*) OVER (PARTITION BY o_custkey,
+                                             o_totalprice) AS tie,
+                              sum(o_totalprice) OVER (
+                                  PARTITION BY o_custkey ORDER BY rid
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cs,
+                              lag(o_totalprice) OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY rid) AS lv,
+                              row_number() OVER (PARTITION BY o_custkey
+                                                 ORDER BY rid) - 1 AS pos,
+                              row_number() OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY o_totalprice, rid) AS sortpos,
+                              max(o_totalprice) OVER (
+                                  PARTITION BY o_custkey) AS gmax,
+                              min(o_totalprice) OVER (
+                                  PARTITION BY o_custkey) AS gmin
+                       FROM s),
+                 e AS (SELECT w.*,
+                              min(CASE WHEN o_totalprice = gmax
+                                  THEN pos END) OVER (
+                                  PARTITION BY o_custkey) AS amx,
+                              min(CASE WHEN o_totalprice = gmin
+                                  THEN pos END) OVER (
+                                  PARTITION BY o_custkey) AS amn
+                       FROM w)
+            SELECT e.o_custkey, e.o_orderkey,
+                   round(e.rmin + (e.tie - 1) / 2.0, 4) AS rk,
+                   round(e.cs, 4) AS cs,
+                   round(e.o_totalprice - e.lv, 4) AS dfv,
+                   p.pos AS asr, e.amx, e.amn
+            FROM e JOIN e p ON p.o_custkey = e.o_custkey
+                           AND p.sortpos = e.pos + 1
+        """,
+        "q147_distinct_flags_agg": """
+            WITH s AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+                              o_totalprice,
+                              row_number() OVER (ORDER BY o_orderdate,
+                                                 o_orderkey) AS rid
+                       FROM orders),
+                 w AS (SELECT s.*,
+                              count(*) OVER (PARTITION BY o_custkey,
+                                             o_orderpriority) AS pc,
+                              row_number() OVER (
+                                  PARTITION BY o_custkey, o_orderpriority
+                                  ORDER BY rid) AS pfirst,
+                              row_number() OVER (
+                                  PARTITION BY o_custkey, o_orderpriority
+                                  ORDER BY rid DESC) AS plast,
+                              lag(o_totalprice) OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY rid) AS lv,
+                              lag(o_orderpriority) OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY rid) AS lp
+                       FROM s),
+                 gsc AS (SELECT o_custkey,
+                                count(DISTINCT lv)
+                                + max(CASE WHEN lv IS NULL
+                                      THEN 1 ELSE 0 END) AS snu
+                         FROM w GROUP BY o_custkey),
+                 gan AS (SELECT o_custkey,
+                                bool_or(c = 1) AS ian
+                         FROM (SELECT o_custkey, lp, count(*) AS c
+                               FROM w GROUP BY o_custkey, lp)
+                         GROUP BY o_custkey)
+            SELECT w.o_custkey, w.o_orderkey,
+                   w.pc = 1 AS iu,
+                   w.pfirst = 1 AS fd,
+                   w.plast = 1 AS ld,
+                   round(sum(w.lv) OVER (PARTITION BY w.o_custkey
+                         ORDER BY w.rid ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW), 4) AS scs,
+                   gsc.snu, gan.ian
+            FROM w JOIN gsc USING (o_custkey)
+                   JOIN gan USING (o_custkey)
         """,
         "q139_jpeg_decode": """
             SELECT doc_id,

@@ -168,6 +168,50 @@ def _arr_reduce(label: str, arr: Column, df) -> Column:
         "inside group_by().agg")
 
 
+def _sort_cmp(descending: bool, nulls_last: bool):
+    """``array_sort`` comparator over ``(v, i)`` structs: value order with
+    explicit null placement, ties stable by original position."""
+    nullrank = F.lit(2 if nulls_last else 0)
+    less, more = ((F.lit(1), F.lit(-1)) if descending
+                  else (F.lit(-1), F.lit(1)))
+
+    def cmp(l, r):
+        lv, rv = l["v"], r["v"]
+        ln = F.when(lv.isNull(), nullrank).otherwise(F.lit(1))
+        rn = F.when(rv.isNull(), nullrank).otherwise(F.lit(1))
+        return (F.when(ln != rn, ln - rn)
+                .when(lv < rv, less)
+                .when(lv > rv, more)
+                .otherwise((l["i"] - r["i"]).cast("int"))).cast("int")
+
+    return cmp
+
+
+def _arr_indexed(arr: Column) -> Column:
+    """``(v, i)`` structs carrying 0-based array positions."""
+    return F.transform(
+        arr, lambda x, i: F.struct(x.alias("v"), i.alias("i")))
+
+
+def _arr_arg_extreme(arr: Column, kind: str) -> Column:
+    """Group-local position of the min/max value (first occurrence wins
+    ties, nulls excluded) — polars arg_min/arg_max over a sub-series."""
+    structs = F.filter(_arr_indexed(arr), lambda s: s["v"].isNotNull())
+    if kind == "min":
+        pos = F.array_min(structs)["i"]        # (min v, first i)
+    else:
+        negs = F.transform(structs, lambda s: F.struct(
+            s["v"].alias("v"), (-s["i"]).alias("ni")))
+        pos = -F.array_max(negs)["ni"]         # (max v, first i)
+    return F.when(F.size(structs) > 0, pos.cast("long"))
+
+
+def _arr_arg_sort(arr: Column, descending: bool, nulls_last: bool) -> Column:
+    """Permutation indices (group-local, 0-based) that sort the array."""
+    s = F.array_sort(_arr_indexed(arr), _sort_cmp(descending, nulls_last))
+    return F.transform(s, lambda p: p["i"].cast("long"))
+
+
 #: active sort-key ordering stack (frame.LazyFrame._bind_all installs it):
 #: when the frame's row order came from an explicit sort(keys) and every
 #: order-consuming expr in the bind is _order_safe, ordered windows sort by
@@ -439,6 +483,36 @@ class Expr:
             out._agg_pre_fn = pfn
         return out
 
+    def _compose_arr_route(self, e: "Expr", arr_transform) -> "Expr":
+        """Wire ``e``'s ordered-array agg route as ``arr_transform`` over
+        THIS expr's per-group array, composing any route this expr already
+        carries (``shift(1).sort()`` inside agg transforms the shifted
+        array, not the raw one)."""
+        if self._agg_list_fn is not None:
+            slf, base = self._agg_list_fn, self._agg_list_base
+            e._agg_list_fn = lambda arr, _s=slf, _t=arr_transform: _t(_s(arr))
+            e._agg_list_base = base
+            e._needs_order = True  # the route collects by ROW_IDX
+        else:
+            e._agg_list_fn = arr_transform
+            e._agg_list_base = self
+        return e
+
+    def _route_arr(self, df, bare: bool = True):
+        """Per-group value array of this expr in agg / list.eval contexts
+        (composing any ordered-array route the expr carries), else None.
+        ``bare=False`` skips the untransformed grouped collect — for order-
+        INSENSITIVE consumers whose plain agg path is cheaper (entropy)."""
+        if _EVAL_ARRAY_STACK:
+            return _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+        if bind_context.grouped_agg:
+            if self._agg_list_fn is not None:
+                return self._agg_list_fn(
+                    _ordered_collect(self._agg_list_base, df))
+            if bare:
+                return _ordered_collect(self, df)
+        return None
+
     def _agg(self, aggf: Callable[[Column], Column], name: str | None = None) -> "Expr":
         """Aggregate; in a windowed context, broadcast over the partition."""
         if self._multi_fn is not None:
@@ -482,7 +556,8 @@ class Expr:
             return c
 
         return Expr(fn, name=name if name is not None else self._name, is_agg=True,
-                    needs_order=self._needs_order)._set_meta(
+                    needs_order=(self._needs_order
+                                 or self._agg_list_fn is not None))._set_meta(
                         label, (self,))
 
     def _agg_ctx(self, aggf: Callable[[Column, DataFrame], Column],
@@ -537,7 +612,9 @@ class Expr:
             return c
 
         return Expr(fn, name=name if name is not None else self._name,
-                    is_agg=True, needs_order=self._needs_order)._set_meta(
+                    is_agg=True,
+                    needs_order=(self._needs_order
+                                 or self._agg_list_fn is not None))._set_meta(
                         label, (self,))
 
     def _probe_dtype(self, df: DataFrame, c: Column):
@@ -1064,8 +1141,7 @@ class Expr:
                 sdf, lambda df: inner._fn(df, None), seed, tmp), tmp
 
         e._global_ordinal_fn = gfn
-        e._agg_list_fn = F.shuffle
-        e._agg_list_base = inner
+        inner._compose_arr_route(e, F.shuffle)
 
         def remap(sdf, key_exprs):
             from .operators.row_index import attach_grouped_rank_zip
@@ -1398,7 +1474,13 @@ class Expr:
                     needs_order=self._needs_order)
 
     def approx_n_unique(self):
-        return self._agg(F.approx_count_distinct)
+        def approx_count_distinct(c):
+            return F.approx_count_distinct(c)
+
+        approx_count_distinct._arr_reduce_fn = lambda arr, df: F.size(
+            F.array_distinct(F.filter(arr, lambda x: x.isNotNull()))
+        ).cast("long")
+        return self._agg(approx_count_distinct)
 
     def null_count(self):
         def aggf(c):
@@ -1536,12 +1618,20 @@ class Expr:
         # expr.rb:6637 defaults (base: 2, normalize: true); the Series form
         # overrides with (Math::E, false) — series.rb:1144
         def fn(df, part):
-            c = self._fn(df, None)
-            # two-pass inside one agg: -sum(p*ln p) with p = x/sum(x)
             nan = F.lit(float("nan"))
-            if part is None:
-                # use collect-based computation to stay a single aggregate
-                arr = F.collect_list(c.cast("double"))
+            routed = self._route_arr(df, bare=False)
+            if routed is not None or part is None:
+                # two-pass inside one agg: -sum(p*ln p) with p = x/sum(x);
+                # collect-based to stay a single aggregate.  A routed array
+                # (order-transformed inner / list.eval) drops nulls to
+                # mirror collect_list.
+                if routed is not None:
+                    arr = F.transform(
+                        F.filter(routed, lambda x: x.isNotNull()),
+                        lambda x: x.cast("double"))
+                else:
+                    c = self._fn(df, None)
+                    arr = F.collect_list(c.cast("double"))
                 s = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
                 # negative x: ln(p) is NaN in polars — propagate, don't drop
                 ent = F.aggregate(
@@ -1562,7 +1652,7 @@ class Expr:
             # windowed sums combined arithmetically OUTSIDE the windows
             # (round-3; expr.rb:6637 allows any agg under over)
             w = Window.partitionBy(*part)
-            cd = c.cast("double")
+            cd = self._fn(df, None).cast("double")
             s = F.sum(cd).over(w)
             # cd < 0 → NaN (polars: ln of a negative p is NaN and the sum
             # propagates it); only cd == 0 zero-fills (0·ln 0 = 0)
@@ -1574,7 +1664,9 @@ class Expr:
                 ent = ent / math.log(base)
             return ent
 
-        return Expr(fn, name=self._name, is_agg=True)
+        return Expr(fn, name=self._name, is_agg=True,
+                    needs_order=(self._needs_order
+                                 or self._agg_list_fn is not None))
 
     def any(self, drop_nulls: bool = True):
         def aggf(c):
@@ -1597,36 +1689,94 @@ class Expr:
         return self._agg(aggf)
 
     def nan_max(self):
-        return self._agg(lambda c: F.when(
-            F.max(F.when(F.isnan(c), 1).otherwise(0)) == 1, F.lit(float("nan"))
-        ).otherwise(F.max(c)))
+        def aggf(c):
+            return F.when(
+                F.max(F.when(F.isnan(c), 1).otherwise(0)) == 1,
+                F.lit(float("nan"))).otherwise(F.max(c))
+
+        def arr_red(arr, df):
+            nn = F.filter(arr, lambda x: x.isNotNull())
+            return F.when(
+                F.exists(nn, lambda x: F.isnan(x)), F.lit(float("nan"))
+            ).otherwise(F.array_max(nn))
+
+        aggf._arr_reduce_fn = arr_red
+        return self._agg(aggf)
 
     def nan_min(self):
-        return self._agg(lambda c: F.when(
-            F.max(F.when(F.isnan(c), 1).otherwise(0)) == 1, F.lit(float("nan"))
-        ).otherwise(F.min(c)))
+        def aggf(c):
+            return F.when(
+                F.max(F.when(F.isnan(c), 1).otherwise(0)) == 1,
+                F.lit(float("nan"))).otherwise(F.min(c))
+
+        def arr_red(arr, df):
+            nn = F.filter(arr, lambda x: x.isNotNull())
+            return F.when(
+                F.exists(nn, lambda x: F.isnan(x)), F.lit(float("nan"))
+            ).otherwise(F.array_min(nn))
+
+        aggf._arr_reduce_fn = arr_red
+        return self._agg(aggf)
 
     def arg_min(self):
-        def fn(df, part):
-            c = self._fn(df, None)
-            idx = F.col(ROW_IDX)
-            out = F.min_by(idx, c)
-            if part is not None:
-                out = out.over(_part_window(part))
-            return out
-
-        return Expr(fn, name=self._name, is_agg=True, needs_order=True)
+        return self._arg_extreme("min")
 
     def arg_max(self):
-        def fn(df, part):
-            c = self._fn(df, None)
-            idx = F.col(ROW_IDX)
-            out = F.max_by(idx, c)
-            if part is not None:
-                out = out.over(_part_window(part))
-            return out
+        return self._arg_extreme("max")
 
-        return Expr(fn, name=self._name, is_agg=True, needs_order=True)
+    def _arg_extreme(self, kind: str):
+        """Position of the extreme value (expr.rb:1443 arg_max / arg_min).
+
+        Positions are frame-local ungrouped and GROUP-LOCAL under over()/
+        agg (polars evaluates per sub-series); first occurrence wins ties
+        deterministically.  Ungrouped = one min/max over a (v, i) struct
+        (no array); over() = one collected window + HOF; bare inside agg =
+        a row_number pre-stage sharing the groupBy exchange."""
+        inner = self
+
+        def fn(df, part):
+            arr = inner._route_arr(df)
+            if arr is not None:
+                return _arr_arg_extreme(arr, kind)
+            c = inner._fn(df, None)
+            if part is not None:
+                # over(): group-local position — ONE collected window + HOF
+                pairs = F.array_sort(F.collect_list(
+                    F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))).over(
+                        _part_window(part)))
+                return _arr_arg_extreme(
+                    F.transform(pairs, lambda p: p["v"]), kind)
+            i = F.col(ROW_IDX)
+            if kind == "min":
+                vs = F.when(c.isNotNull(),
+                            F.struct(c.alias("v"), i.alias("i")))
+                return F.min(vs)["i"].cast("long")
+            vs = F.when(c.isNotNull(),
+                        F.struct(c.alias("v"), (-i).alias("ni")))
+            return (-F.max(vs)["ni"]).cast("long")
+
+        e = Expr(fn, name=self._name, is_agg=True, needs_order=True)
+        if self._agg_list_fn is None and not self._needs_order \
+                and not self._scrambles_order:
+            # bare inside group_by().agg(): group-local ordinal pre-stage
+            # (row_number over the SAME keys — one logical exchange), then
+            # a plain min/max struct aggregate — no per-group arrays
+            def pre(sdf, key_cols):
+                pos = _next_gord_name()
+                w = Window.partitionBy(*key_cols).orderBy(ROW_IDX)
+                sdf2 = sdf.withColumn(pos, F.row_number().over(w) - 1)
+                c = inner._fn(sdf2, None)
+                p = F.col(pos)
+                if kind == "min":
+                    vs = F.when(c.isNotNull(),
+                                F.struct(c.alias("v"), p.alias("i")))
+                    return sdf2, F.min(vs)["i"].cast("long")
+                vs = F.when(c.isNotNull(),
+                            F.struct(c.alias("v"), (-p).alias("ni")))
+                return sdf2, (-F.max(vs)["ni"]).cast("long")
+
+            e._agg_pre_fn = pre
+        return e
 
     def implode(self):
         # NOT bare F.collect_list: it drops nulls (polars implode keeps
@@ -1638,6 +1788,9 @@ class Expr:
                 F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
             return F.transform(pairs, lambda p: p["v"])
 
+        # transformed-array route: wrap the per-group array one level
+        # (agg(col.shift(1).implode()) → list-of-list, polars semantics)
+        implode._arr_reduce_fn = lambda arr, df: F.array(arr)
         e = self._agg(implode)
         e._needs_order = True
         return e
@@ -1660,49 +1813,72 @@ class Expr:
         return self._lift2(o, lambda a, b: a * b)._agg(F.sum)
 
     # -- uniqueness flags (expr.rb:2301-2352) -------------------------------------
-    def is_unique(self):
-        def fn(df, part):
-            c = self._fn(df, part)
-            return F.count(F.lit(1)).over(Window.partitionBy(c)) == 1
+    def _distinct_flag(self, window_fn, arr_elem_fn,
+                       needs_order: bool = False):
+        """Uniqueness-flag family: value-partitioned window ungrouped; the
+        window ALSO partitions by the over()/agg keys (polars evaluates per
+        sub-series — uniqueness is WITHIN the group, not global).  Composed
+        over an order-transformed inner (shift(1).is_unique()) it becomes a
+        null-safe-count HOF over the per-group array."""
+        inner = self
 
-        e = Expr(fn, name=self._name)
+        def fn(df, part):
+            c = inner._fn(df, part)
+            return window_fn(c, list(part) if part is not None else [])
+
+        e = Expr(fn, name=self._name, needs_order=needs_order)
         e._scrambles_order = True  # value-partitioned WindowExec output
+        if self._agg_list_fn is not None:
+            slf, base = self._agg_list_fn, self._agg_list_base
+            e._agg_list_fn = lambda arr, _s=slf: arr_elem_fn(_s(arr))
+            e._agg_list_base = base
+            e._needs_order = True  # the route collects by ROW_IDX
         return e
+
+    def is_unique(self):
+        return self._distinct_flag(
+            lambda c, part: F.count(F.lit(1)).over(
+                Window.partitionBy(*part, c)) == 1,
+            lambda arr: F.transform(arr, lambda x: F.size(
+                F.filter(arr, lambda y: y.eqNullSafe(x))) == 1))
 
     def is_duplicated(self):
-        def fn(df, part):
-            c = self._fn(df, part)
-            return F.count(F.lit(1)).over(Window.partitionBy(c)) > 1
-
-        e = Expr(fn, name=self._name)
-        e._scrambles_order = True  # value-partitioned WindowExec output
-        return e
+        return self._distinct_flag(
+            lambda c, part: F.count(F.lit(1)).over(
+                Window.partitionBy(*part, c)) > 1,
+            lambda arr: F.transform(arr, lambda x: F.size(
+                F.filter(arr, lambda y: y.eqNullSafe(x))) > 1))
 
     def is_first_distinct(self):
-        def fn(df, part):
-            c = self._fn(df, part)
-            w = Window.partitionBy(c).orderBy(ROW_IDX)
-            return F.row_number().over(w) == 1
-
-        e = Expr(fn, name=self._name, needs_order=True)
-        e._scrambles_order = True
-        return e
+        return self._distinct_flag(
+            lambda c, part: F.row_number().over(
+                Window.partitionBy(*part, c).orderBy(ROW_IDX)) == 1,
+            lambda arr: F.transform(arr, lambda x, i: F.size(
+                F.filter(F.slice(arr, 1, i),
+                         lambda y: y.eqNullSafe(x))) == 0),
+            needs_order=True)
 
     def is_last_distinct(self):
-        def fn(df, part):
-            c = self._fn(df, part)
-            w = Window.partitionBy(c).orderBy(F.col(ROW_IDX).desc())
-            return F.row_number().over(w) == 1
-
-        e = Expr(fn, name=self._name, needs_order=True)
-        e._scrambles_order = True
-        return e
+        return self._distinct_flag(
+            lambda c, part: F.row_number().over(
+                Window.partitionBy(*part, c).orderBy(
+                    F.col(ROW_IDX).desc())) == 1,
+            lambda arr: F.transform(arr, lambda x, i: F.size(
+                F.filter(F.slice(arr, i + 2, F.size(arr)),
+                         lambda y: y.eqNullSafe(x))) == 0),
+            needs_order=True)
 
     is_first = is_first_distinct
     is_last = is_last_distinct
 
     def unique(self, maintain_order: bool = False):
-        return self._agg(F.collect_set)
+        def collect_set(c):
+            return F.collect_set(c)
+
+        # transformed-array route: distinct in first-appearance order
+        # (keeps the one null a shift introduces — polars unique keeps null)
+        collect_set._arr_reduce_fn = lambda arr, df: F.array_distinct(arr)
+        return self._agg(collect_set)
 
     def unique_counts(self):
         """Count per unique value, in order of first appearance
@@ -1728,7 +1904,19 @@ class Expr:
                              F.col("__first__"))
             return LazyFrame(out).sort("__first__").drop("__first__")
 
-        e = Expr(None, name=inner._name)
+        def fn(df, part):
+            # agg / list.eval: per-group count list via null-safe HOFs over
+            # the (possibly order-transformed) collected array
+            arr = inner._route_arr(df)
+            if arr is None:
+                raise InvalidOperationError(
+                    "unique_counts is row-count-changing: use it as the "
+                    "sole select expression or inside group_by().agg()")
+            dis = F.array_distinct(arr)
+            return F.transform(dis, lambda d: F.size(
+                F.filter(arr, lambda x: x.eqNullSafe(d))).cast("long"))
+
+        e = Expr(fn, name=inner._name, is_agg=True, needs_order=True)
         e._frame_fn = frame_fn
         return e
 
@@ -1755,8 +1943,7 @@ class Expr:
 
             return F.transform(arr, elem)
 
-        e._agg_list_fn = arr_fn
-        e._agg_list_base = self
+        self._compose_arr_route(e, arr_fn)
         return e
 
     def shift_and_fill(self, periods, fill_value):
@@ -2049,8 +2236,7 @@ class Expr:
                 sdf, lambda df: inner._fn(df, None), tmp), tmp
 
         e._global_ordinal_fn = gfn
-        e._agg_list_fn = F.reverse
-        e._agg_list_base = inner
+        inner._compose_arr_route(e, F.reverse)
 
         def remap(sdf, key_exprs):
             from .operators.row_index import attach_grouped_rank_zip
@@ -2149,19 +2335,28 @@ class Expr:
         inner = self
 
         def fn(df, part):
-            c = inner._fn(df, part)
-            # mirror the frame path's explicit null placement (advice r2)
-            if reverse:
-                order = c.desc_nulls_last() if nulls_last else c.desc_nulls_first()
-            else:
-                order = c.asc_nulls_last() if nulls_last else c.asc_nulls_first()
-            w = Window.partitionBy(*(part or [])).orderBy(order, ROW_IDX)
-            arr = F.collect_list(F.col(ROW_IDX)).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-            pos = F.row_number().over(Window.partitionBy(*(part or [])).orderBy(ROW_IDX))
-            return F.element_at(arr, pos)
+            arr = inner._route_arr(df)
+            if arr is not None:
+                # agg / list.eval: permutation over the (possibly order-
+                # transformed) per-group array — indices are group-local
+                return _arr_arg_sort(arr, reverse, nulls_last)
+            c = inner._fn(df, None)
+            # over(): polars evaluates per sub-series, so indices are
+            # GROUP-LOCAL 0-based positions.  One collected window + HOF
+            # permutation; a sibling row_number window maps rows to slots.
+            pw = Window.partitionBy(*(part or []))
+            pairs = F.collect_list(
+                F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))).over(pw)
+            sorted_pairs = F.array_sort(
+                pairs, _sort_cmp(reverse, nulls_last))
+            my_pos = F.row_number().over(pw.orderBy(ROW_IDX))
+            target_i = F.element_at(sorted_pairs, my_pos)["i"]
+            idxs_sorted = F.array_sort(F.transform(pairs, lambda p: p["i"]))
+            return (F.array_position(idxs_sorted, target_i) - 1).cast("long")
 
         e = Expr(fn, name=self._name, needs_order=True)
+        self._compose_arr_route(
+            e, lambda arr: _arr_arg_sort(arr, reverse, nulls_last))
 
         def frame_fn(lf, out_name):
             from .frame import LazyFrame
@@ -2335,8 +2530,7 @@ class Expr:
                        else F.concat(nulls, nn))
             return out
 
-        e._agg_list_fn = arr_fn
-        e._agg_list_base = inner
+        self._compose_arr_route(e, arr_fn)
         return e
 
     def sort_by(self, by, *more_by, descending=False, nulls_last: bool = False):
@@ -3125,7 +3319,36 @@ class Expr:
                                descending=True)
             return lfo
 
-        e = Expr(None, name=inner._name)
+        def fn(df, part):
+            # agg / list.eval: per-group list of {value, count} structs in
+            # first-appearance order (sort: true → by count descending)
+            arr = inner._route_arr(df)
+            if arr is None:
+                raise InvalidOperationError(
+                    "value_counts is row-count-changing: use it as the "
+                    "sole select expression or inside group_by().agg()")
+            field_name = inner._name or "value_counts"
+            dis = F.array_distinct(arr)
+            if normalize:
+                total = F.size(arr)
+                structs = F.transform(dis, lambda d: F.struct(
+                    d.alias(field_name),
+                    (F.size(F.filter(arr, lambda x: x.eqNullSafe(d)))
+                     / total).alias(cname)))
+            else:
+                structs = F.transform(dis, lambda d: F.struct(
+                    d.alias(field_name),
+                    F.size(F.filter(arr, lambda x: x.eqNullSafe(d)))
+                    .cast("long").alias(cname)))
+            if sort:
+                structs = F.array_sort(
+                    structs,
+                    lambda l, r: F.when(l[cname] < r[cname], F.lit(1))
+                    .when(l[cname] > r[cname], F.lit(-1))
+                    .otherwise(F.lit(0)))
+            return structs
+
+        e = Expr(fn, name=inner._name, is_agg=True, needs_order=True)
         e._frame_fn = frame_fn
         return e
 

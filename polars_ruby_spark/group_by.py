@@ -29,7 +29,8 @@ def _agg_columns(sdf, exprs, named):
     for name, e in named.items():
         all_exprs.append((name, wrap_expr(e)))
     for name, e in all_exprs:
-        if e._needs_order and ROW_IDX not in sdf.columns:
+        if (e._needs_order or e._scrambles_order) \
+                and ROW_IDX not in sdf.columns:
             # order-dependent expr before the hidden index exists: defer —
             # agg() re-runs this compile on the row-indexed frame (eager
             # dtype probes inside the bind would otherwise fail analysis)
@@ -65,9 +66,22 @@ def _agg_columns(sdf, exprs, named):
     return out, needs_order
 
 
+def _windowable_in_agg(ew) -> bool:
+    """Non-agg order-dependent expr (rank/cum_*/diff/fill/rolling/ewm…)
+    whose per-group agg semantics equal its ``over(keys)`` semantics: inside
+    ``agg`` it binds as a windowed helper column over the SAME keys the
+    groupBy hashes on (one logical exchange), then implicitly implodes —
+    reference: any expression is legal under agg (lazy_frame.rb:1317)."""
+    return (not ew._is_agg and ew._agg_list_fn is None
+            and ew._frame_fn is None and ew._multi_fn is None
+            and ew._agg_pre_fn is None
+            and (ew._needs_order or ew._scrambles_order))
+
+
 def _has_agg_prestages(exprs, named) -> bool:
-    return any(getattr(wrap_expr(e), "_agg_pre_fn", None) is not None
-               for e in list(exprs) + list(named.values()))
+    return any(ew._agg_pre_fn is not None or _windowable_in_agg(ew)
+               for e in list(exprs) + list(named.values())
+               for ew in (wrap_expr(e),))
 
 
 def _apply_agg_prestages_cols(sdf, exprs, named, key_cols):
@@ -85,12 +99,30 @@ def _apply_agg_prestages_cols(sdf, exprs, named, key_cols):
     def sub(e, name):
         nonlocal sdf
         ew = wrap_expr(e)
-        if ew._agg_pre_fn is None:
-            return e
-        sdf, c = ew._agg_pre_fn(sdf, key_cols)
-        out = Expr(lambda df, part, _c=c: _c, name=name or ew._name,
-                   is_agg=True, needs_order=ew._needs_order)
-        return out
+        if ew._agg_pre_fn is not None:
+            if ew._needs_order and ROW_IDX not in sdf.columns:
+                return e  # deferred: agg() re-runs on the indexed frame
+            sdf, c = ew._agg_pre_fn(sdf, key_cols)
+            out = Expr(lambda df, part, _c=c: _c, name=name or ew._name,
+                       is_agg=True, needs_order=ew._needs_order)
+            return out
+        if _windowable_in_agg(ew):
+            if ROW_IDX not in sdf.columns:
+                return e  # deferred: agg() re-runs on the indexed frame
+            from .exprs import _next_gord_name
+
+            helper = _next_gord_name()
+            try:
+                sdf2 = sdf.withColumn(helper, ew._fn(sdf, list(key_cols)))
+            except Exception:
+                # un-windowable composition (e.g. a window keyed on another
+                # window's output) — leave on the original path, which
+                # raises loudly rather than computing a global window
+                return e
+            sdf = sdf2
+            return Expr(lambda df, part, _h=helper: F.col(_h),
+                        name=name or ew._name, needs_order=True)
+        return e
 
     exprs2 = [sub(e, None) for e in exprs]
     named2 = {k: sub(v, k) for k, v in named.items()}
