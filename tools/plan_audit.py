@@ -108,9 +108,21 @@ def has_bad_nested_loop(plan: str) -> bool:
             continue
         sanctioned = False
         for j in range(i + 1, min(i + 60, len(lines) - 1)):
-            if "BroadcastExchange IdentityBroadcastMode" in lines[j] \
-                    and "HashAggregate(keys=[]" in lines[j + 1]:
-                sanctioned = True
+            if "BroadcastExchange IdentityBroadcastMode" not in lines[j]:
+                continue
+            # the keyless aggregate may sit under a scalar Project
+            # (e.g. getField/cast over min(struct) — still one row)
+            for k in range(j + 1, min(j + 4, len(lines))):
+                # SortAggregate appears when the aggregate buffers structs
+                # (deterministic-tie arg_min/arg_max) — still one row
+                if "HashAggregate(keys=[]" in lines[k] \
+                        or "SortAggregate(key=[]" in lines[k]:
+                    sanctioned = True
+                    break
+                if not lines[k].lstrip(" +-*:").startswith(
+                        ("Project", "ColumnarToRow", "WholeStageCodegen")):
+                    break
+            if sanctioned:
                 break
         if not sanctioned:
             return True
