@@ -14,8 +14,11 @@ import traceback
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--json")]
+JSON_OUT = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--json=")), None)
+SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.01"
+ONLY = set(ARGS[1].split(",")) if len(ARGS) > 1 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -77,20 +80,31 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     ok = fail = 0
+    results: dict = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        rec = results[name] = {
+            "rows_match": False, "schema_match": False,
+            "hash_match": False, "spark_rows": None,
+            "oracle_rows": None, "err": None}
         try:
             sdf = fn(spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
+            rec["spark_rows"] = len(srows)
             if name not in oracles:
                 print(f"  {name}: rows-only ({len(srows)} rows) — no oracle")
+                rec.update(rows_match=len(srows) > 0, schema_match=None,
+                           hash_match=None, err="rows-only (no oracle)")
                 ok += 1
                 continue
             orel = con.execute(oracles[name])
             ocols = [d[0] for d in orel.description]
             orows = orel.fetchall()
+            rec["oracle_rows"] = len(orows)
+            rec["rows_match"] = len(srows) == len(orows)
+            rec["schema_match"] = sorted(scols) == sorted(ocols)
             problems = []
             if sorted(scols) != sorted(ocols):
                 problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
@@ -99,6 +113,7 @@ def main():
             if not problems:
                 sh = table_hash(scols, srows)
                 oh = table_hash(ocols, orows)
+                rec["hash_match"] = sh == oh
                 if sh != oh:
                     problems.append(f"hash: {sh} != {oh}")
                     # show first diffs
@@ -118,9 +133,16 @@ def main():
                 print(f"✓ {name} ({len(srows)} rows)")
         except Exception as e:
             fail += 1
+            rec["err"] = f"{type(e).__name__}: {e}"
             print(f"✗ {name}: EXCEPTION {type(e).__name__}: {e}")
             traceback.print_exc(limit=3)
     print(f"\n{ok} ok, {fail} failed")
+    if JSON_OUT:
+        import json
+
+        with open(JSON_OUT, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {JSON_OUT}")
     return 1 if fail else 0
 
 

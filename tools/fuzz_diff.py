@@ -655,6 +655,43 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
            "FROM t WHERE hts IS NOT NULL AND h IS NOT NULL GROUP BY 1, 2")
     compare(f"skew_dynamic_{every2}", hq2.collect().to_spark(), sql)
 
+    # 21. windowed ops INSIDE group_by().agg (round-5 key-shared pre-stage):
+    # agg(rank/cum/diff/flags) per group == the same window over the keys;
+    # exploded lockstep with idx.  Alternates the uniform and hot keys.
+    k21 = rng.choice(["g", "h"])
+    w21 = (f"OVER (PARTITION BY {k21} ORDER BY idx "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    wa_pool = [
+        lambda: (pl.col("x").cum_sum().round(6), f"round(sum(x) {w21}, 6)"),
+        lambda: (pl.col("a").cum_max(), f"max(a) {w21}"),
+        lambda: (pl.col("x").shift(1),
+                 f"lag(x, 1) OVER (PARTITION BY {k21} ORDER BY idx)"),
+        lambda: (pl.col("x").diff().round(6),
+                 f"round(x - lag(x, 1) OVER (PARTITION BY {k21} "
+                 "ORDER BY idx), 6)"),
+        lambda: (pl.col("y").rank("min").cast(pl.Int64),
+                 "CASE WHEN y IS NOT NULL THEN CAST(rank() OVER "
+                 f"(PARTITION BY {k21} ORDER BY y NULLS LAST) AS BIGINT) "
+                 "END"),
+        lambda: (pl.col("x").forward_fill(),
+                 f"last_value(x IGNORE NULLS) {w21}"),
+        lambda: (pl.col("y").is_unique(),
+                 f"count(*) OVER (PARTITION BY {k21}, y) = 1"),
+        lambda: (pl.col("y").is_first_distinct(),
+                 f"row_number() OVER (PARTITION BY {k21}, y "
+                 "ORDER BY idx) = 1"),
+    ]
+    wa = [(f"wa{i}",) + mk() for i, mk in enumerate(rng.sample(wa_pool, 4))]
+    base21 = df.lazy().filter(pl.col(k21).is_not_null()).sort("idx")
+    gq21 = (base21.group_by(k21).agg(
+        pl.col("idx").alias("ii"),
+        *[e.alias(nm) for nm, e, _ in wa])
+        .explode("ii", *[nm for nm, _, _ in wa]))
+    sql = (f"SELECT {k21}, idx AS ii, " + ", ".join(
+        f"{s} AS {nm}" for nm, _, s in wa)
+        + f" FROM t WHERE {k21} IS NOT NULL")
+    compare(f"winagg_{k21}", gq21.collect().to_spark(), sql)
+
     duck.unregister("t")
     return diffs
 
