@@ -2199,6 +2199,30 @@ def q147_distinct_flags_agg(spark, sf_dir):
     return _out(out)
 
 
+def q148_gapped_index_positions(spark, sf_dir):
+    """Positional ops AFTER a row-subset of an index-carrying frame
+    (round-5): a windowed with_columns materializes the hidden row index,
+    filter keeps it (gapped) for ORDER — positional consumers (reverse,
+    arg_min/arg_max over the CURRENT frame, group-local arg positions)
+    re-rank to a dense index first instead of reading stale values."""
+    import polars_ruby_spark as pl
+
+    o = (_t(spark, sf_dir, "orders").sort(["o_orderdate", "o_orderkey"])
+         .with_columns(pl.col("o_totalprice").shift(1).over("o_orderstatus")
+                       .round(4).alias("prev"))
+         .filter(pl.col("o_totalprice") > 50000.0))
+    g = o.group_by("o_custkey").agg(
+        pl.col("o_orderkey").alias("ok"),
+        pl.col("o_totalprice").reverse().round(4).alias("rv"),
+        pl.col("prev").alias("pv"),
+        pl.col("o_totalprice").arg_max().alias("amx"),
+    )
+    out = g.explode("ok", "rv", "pv").select(
+        pl.col("o_custkey"), pl.col("ok").alias("o_orderkey"),
+        pl.col("rv"), pl.col("pv"), pl.col("amx"))
+    return _out(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2359,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_audio_features": q145_audio_features,
         "q146_windowed_in_agg": q146_windowed_in_agg,
         "q147_distinct_flags_agg": q147_distinct_flags_agg,
+        "q148_gapped_index_positions": q148_gapped_index_positions,
     }
 
 
@@ -3186,6 +3211,35 @@ def oracle_sql() -> dict[str, str]:
                    gsc.snu, gan.ian
             FROM w JOIN gsc USING (o_custkey)
                    JOIN gan USING (o_custkey)
+        """,
+        "q148_gapped_index_positions": """
+            WITH s AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                              o_orderstatus,
+                              row_number() OVER (ORDER BY o_orderdate,
+                                                 o_orderkey) AS rid,
+                              round(lag(o_totalprice) OVER (
+                                  PARTITION BY o_orderstatus
+                                  ORDER BY o_orderdate, o_orderkey),
+                                  4) AS pv
+                       FROM orders),
+                 f AS (SELECT o_custkey, o_orderkey, rid, pv, o_totalprice,
+                              row_number() OVER (PARTITION BY o_custkey
+                                                 ORDER BY rid) - 1 AS pos,
+                              count(*) OVER (PARTITION BY o_custkey)
+                                  AS gn,
+                              max(o_totalprice) OVER (
+                                  PARTITION BY o_custkey) AS gmax
+                       FROM s WHERE o_totalprice > 50000.0),
+                 e AS (SELECT f.*,
+                              min(CASE WHEN o_totalprice = gmax
+                                  THEN pos END) OVER (
+                                  PARTITION BY o_custkey) AS amx
+                       FROM f)
+            SELECT e.o_custkey, e.o_orderkey,
+                   round(r.o_totalprice, 4) AS rv,
+                   e.pv, e.amx
+            FROM e JOIN e r ON r.o_custkey = e.o_custkey
+                           AND r.pos = e.gn - 1 - e.pos
         """,
         "q139_jpeg_decode": """
             SELECT doc_id,

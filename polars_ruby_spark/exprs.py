@@ -276,6 +276,13 @@ class Expr:
     #: (agg_groups) — group-local ordinal substitutes are not equivalent.
     _needs_global_index = False
 
+    #: True when the expr treats ROW_IDX values as CURRENT-FRAME positions
+    #: (arg_min/arg_max ungrouped, reverse/shuffle index maps, agg_groups):
+    #: a row-subset op upstream leaves the kept index gapped — harmless for
+    #: order, stale for positions — so binds re-rank it first (round-5;
+    #: LazyFrame._ensure_dense_index).
+    _needs_dense_index = False
+
     #: True when this expr consumes row order ONLY through _ordered_window
     #: (never F.col(ROW_IDX) values): shift/diff/cum_*/rolling/fills/
     #: interpolate.  Such binds can order windows by the frame's sort KEYS
@@ -362,6 +369,7 @@ class Expr:
         out._scrambles_order = self._scrambles_order
         out._order_only = self._order_only
         out._needs_global_index = self._needs_global_index
+        out._needs_dense_index = self._needs_dense_index
         if self._global_ordinal_fn is not None:
             # compose the pure Column fn on top of the attached hook column
             # so e.g. cum_sum().round(2) / sort().over(k).round(2) keep the
@@ -438,6 +446,8 @@ class Expr:
         out._order_only = self._order_safe and o._order_safe
         out._needs_global_index = (self._needs_global_index
                                    or o._needs_global_index)
+        out._needs_dense_index = (self._needs_dense_index
+                                  or o._needs_dense_index)
         # elementwise binary composition with a SCALAR LITERAL keeps the
         # ordered-array agg route: agg((shift(1) > 2).any()) transforms the
         # per-group array (round-5)
@@ -1141,6 +1151,7 @@ class Expr:
                 sdf, lambda df: inner._fn(df, None), seed, tmp), tmp
 
         e._global_ordinal_fn = gfn
+        e._needs_dense_index = True  # hash-permutes ROW_IDX values 0..n-1
         inner._compose_arr_route(e, F.shuffle)
 
         def remap(sdf, key_exprs):
@@ -1756,6 +1767,8 @@ class Expr:
             return (-F.max(vs)["ni"]).cast("long")
 
         e = Expr(fn, name=self._name, is_agg=True, needs_order=True)
+        # the ungrouped path reads ROW_IDX values as frame positions
+        e._needs_dense_index = True
         if self._agg_list_fn is None and not self._needs_order \
                 and not self._scrambles_order:
             # bare inside group_by().agg(): group-local ordinal pre-stage
@@ -1797,15 +1810,19 @@ class Expr:
 
     def agg_groups(self):
         def fn(df, part):
-            out = F.collect_list(F.col(ROW_IDX))
+            # array_sort: collect_list order is shuffle-fetch order on a
+            # cluster; polars yields indices in group row order
+            out = F.array_sort(F.collect_list(F.col(ROW_IDX)))
             if part is not None:
                 out = out.over(_part_window(part))
             return out
 
         e = Expr(fn, name=self._name, is_agg=True, needs_order=True)
         # collects the index VALUES as global frame positions — the
-        # group-local ordinal substitute is not equivalent here
+        # group-local ordinal substitute is not equivalent, and a gapped
+        # kept index is stale (round-5: dense re-rank)
         e._needs_global_index = True
+        e._needs_dense_index = True
         return e
 
     def dot(self, other):
@@ -1965,8 +1982,17 @@ class Expr:
                 out_name = out_name or inner._name or "diff"
                 return lf.select(inner.diff(n, "ignore").alias(out_name)).slice(n)
 
-            fe = Expr(None, name=self._name)
+            fe = Expr(None, name=self._name, needs_order=True)
             fe._frame_fn = frame_fn
+
+            def arr_fn(arr):
+                # agg context: per-group diff with the first n slots dropped
+                sz = F.size(arr)
+                d = F.transform(arr, lambda x, i: F.when(
+                    i >= n, x - F.element_at(arr, i - n + 1)))
+                return F.slice(d, n + 1, F.greatest(sz - n, F.lit(0)))
+
+            inner._compose_arr_route(fe, arr_fn)
             return fe
         return e
 
@@ -2236,6 +2262,7 @@ class Expr:
                 sdf, lambda df: inner._fn(df, None), tmp), tmp
 
         e._global_ordinal_fn = gfn
+        e._needs_dense_index = True  # maps position i -> n-1-i by VALUE
         inner._compose_arr_route(e, F.reverse)
 
         def remap(sdf, key_exprs):
@@ -2362,7 +2389,7 @@ class Expr:
             from .frame import LazyFrame
 
             out_name = out_name or inner._name or "arg_sort"
-            df = lf._ensure_row_index()._sdf
+            df = lf._ensure_dense_index()._sdf  # values-as-positions
             c = inner._fn(df, None)
             if reverse:
                 order = c.desc_nulls_last() if nulls_last else c.desc_nulls_first()
@@ -2391,8 +2418,12 @@ class Expr:
 
         return make
 
-    def _agg_listop(self, f):
+    def _agg_listop(self, f, frame_apply=None):
+        """Positional slice family.  Agg/over context → LIST per group; a
+        SOLE SELECT flattens to rows (expr.rb head/gather_every doctests
+        show fewer rows out) via ``frame_apply(projected_lazyframe)``."""
         make = self._ordered_vals()
+        inner = self
 
         def fn(df, part):
             c = f(make(df, part))
@@ -2400,17 +2431,26 @@ class Expr:
                 c = c.over(_part_window(part))
             return c
 
-        return Expr(fn, name=self._name, is_agg=True, needs_order=True)
+        e = Expr(fn, name=self._name, is_agg=True, needs_order=True)
+        if frame_apply is not None:
+            def frame_fn(lf, out_name):
+                out_name = out_name or inner._name or "slice"
+                return frame_apply(lf.select(inner.alias(out_name)))
+
+            e._frame_fn = frame_fn
+        return e
 
     def head(self, n: int = 10) -> "Expr":
-        return self._agg_listop(lambda vals: F.slice(vals, 1, n))
+        return self._agg_listop(lambda vals: F.slice(vals, 1, n),
+                                frame_apply=lambda lf: lf.head(n))
 
     limit = head
 
     def tail(self, n: int = 10) -> "Expr":
         return self._agg_listop(lambda vals: F.slice(
             vals, F.greatest(F.size(vals) - F.lit(n) + 1, F.lit(1)),
-            F.least(F.size(vals), F.lit(n))))
+            F.least(F.size(vals), F.lit(n))),
+            frame_apply=lambda lf: lf.tail(n))
 
     def slice(self, offset: int, length: int | None = None) -> "Expr":
         def op(vals):
@@ -2419,13 +2459,53 @@ class Expr:
             n = F.lit(length) if length is not None else F.size(vals)
             return F.slice(vals, start, n)
 
-        return self._agg_listop(op)
+        return self._agg_listop(
+            op, frame_apply=lambda lf: lf.slice(offset, length))
 
     def gather(self, indices) -> "Expr":
         idx = list(indices) if isinstance(indices, (list, tuple)) else [indices]
-        return self._agg_listop(lambda vals: F.array(
-            *[F.element_at(vals, int(i) + 1 if int(i) >= 0 else int(i))
-              for i in idx]))
+
+        def frame_apply(lf):
+            # sole select: polars flattens to len(indices) rows.  Non-
+            # negative indices = a broadcast position join (scalable, keeps
+            # duplicates/reorder); negatives resolve against the end via
+            # the single-aggregate explode (bounded output by |indices|).
+            from .frame import LazyFrame
+
+            out_name = lf.columns[0]
+            if all(int(i) >= 0 for i in idx):
+                dfd = lf._ensure_dense_index()._sdf_raw
+                spark = dfd.sparkSession
+                pairs = spark.createDataFrame(
+                    [(int(i), p) for p, i in enumerate(idx)],
+                    f"{ROW_IDX} long, __gp__ long")
+                out = dfd.join(F.broadcast(pairs), ROW_IDX).select(
+                    out_name, "__gp__")
+                return LazyFrame(out).sort("__gp__").drop("__gp__")
+            df = lf._ensure_row_index()._sdf
+            vals = F.array_sort(F.collect_list(F.struct(
+                F.col(ROW_IDX).alias("i"), F.col(out_name).alias("v"))))
+            arr = F.array(*[F.element_at(
+                F.transform(vals, lambda s: s["v"]),
+                int(i) + 1 if int(i) >= 0 else int(i)) for i in idx])
+            one = df.agg(arr.alias(out_name))
+            ex = one.select(F.posexplode(out_name).alias("__gp__", out_name))
+            return LazyFrame(ex).sort("__gp__").drop("__gp__")
+
+        def op(vals):
+            return F.array(
+                *[F.element_at(vals, int(i) + 1 if int(i) >= 0 else int(i))
+                  for i in idx])
+
+        e = self._agg_listop(op)
+        inner = self
+
+        def frame_fn(lf, out_name):
+            return frame_apply(lf.select(inner.alias(out_name or
+                                                     inner._name or "gather")))
+
+        e._frame_fn = frame_fn
+        return e
 
     take = gather  # deprecated reference alias
 
@@ -2621,9 +2701,12 @@ class Expr:
 
     def gather_every(self, n: int, offset: int = 0):
         # agg-context list semantics like head/tail (expr.rb:2974): every
-        # n-th element of the ordered group, starting at ``offset``
-        return self._agg_listop(lambda vals: F.filter(
-            vals, lambda x, i: (i >= offset) & ((i - offset) % n == 0)))
+        # n-th element of the ordered group, starting at ``offset``;
+        # sole select flattens to rows (expr.rb:2960 doctest)
+        return self._agg_listop(
+            lambda vals: F.filter(
+                vals, lambda x, i: (i >= offset) & ((i - offset) % n == 0)),
+            frame_apply=lambda lf: lf.gather_every(n, offset))
 
     def search_sorted(self, element, side: str = "any"):
         v = wrap_expr(element)

@@ -110,6 +110,14 @@ class LazyFrame:
     # reorders); the polars-semantics exports go through ``_ordered_spark``.
     _order_dirty = False
 
+    #: DENSE-index provenance (round-5): True only when this frame's
+    #: ROW_IDX is known to be 0..n-1 (freshly attached, or row-preserving
+    #: descendant of such a frame).  Row-subset ops (filter/unique/sample)
+    #: keep the index for ORDER — where gaps are harmless — but leave it
+    #: STALE for positional consumers (arg_*, reverse/shuffle index maps,
+    #: slice, agg_groups), which must re-rank via _ensure_dense_index.
+    _idx_dense = False
+
     #: sort-key row-order provenance: ``((name, desc, nulls_last), ...)``
     #: set by an explicit sort(string_keys).  When present (and ROW_IDX is
     #: not), order-consuming binds may window by THESE KEYS directly
@@ -197,7 +205,27 @@ class LazyFrame:
     def _ensure_row_index(self) -> "LazyFrame":
         if ROW_IDX in self._sdf.columns:
             return self
-        return LazyFrame(with_row_index(self._sdf, ROW_IDX))
+        out = LazyFrame(with_row_index(self._sdf, ROW_IDX))
+        out._idx_dense = True  # freshly attached: 0..n-1 by construction
+        return out
+
+    def _ensure_dense_index(self) -> "LazyFrame":
+        """Frame whose ROW_IDX is DENSE 0..n-1 — required by positional
+        consumers (arg_min/arg_max/arg_sort, reverse/shuffle index maps,
+        slice, agg_groups).  An index of unknown provenance may be gapped
+        (a row-subset op upstream kept it for order), so it is re-ranked
+        unless the frame is flagged `_idx_dense`."""
+        if ROW_IDX not in self._sdf_raw.columns:
+            return self._ensure_row_index()
+        if self._idx_dense:
+            return self
+        base = self._sdf_raw
+        if self._order_dirty:
+            base = base.orderBy(ROW_IDX)
+        out = LazyFrame(with_row_index(base.drop(ROW_IDX), ROW_IDX))
+        out._order_cols = self._order_cols
+        out._idx_dense = True
+        return out
 
     def _bind_all(self, parsed, context: str):
         """Bind parsed (name, Expr) pairs → Spark Columns.
@@ -239,6 +267,11 @@ class LazyFrame:
             fast_cols = self._spec_cols(spec)
         if needs_order and ROW_IDX not in sdf.columns and fast_cols is None:
             sdf = self._ensure_row_index()._sdf
+        if (ROW_IDX in self._sdf_raw.columns and not self._idx_dense
+                and any(e._needs_dense_index for _, e in expanded)):
+            # positional consumer over an index of unknown provenance (a
+            # row-subset op upstream may have gapped it): re-rank first
+            sdf = self._ensure_dense_index()._sdf_raw
         from .exprs import _ORDER_CTX
 
         _ORDER_CTX.append(fast_cols)
@@ -360,6 +393,9 @@ class LazyFrame:
             # order-observing consumer reads the frame
             out = LazyFrame(sdf.select(*[c for _, c in cols], F.col(ROW_IDX)))
             out._order_dirty = True
+            # row-preserving: density survives (fresh attach = dense)
+            out._idx_dense = (self._idx_dense
+                              or ROW_IDX not in self._sdf_raw.columns)
             return out
         # sort-key row-order provenance: survives when every key column is
         # an identity projection of this select; otherwise hidden __ord_i__
@@ -422,9 +458,12 @@ class LazyFrame:
         if scrambled and ROW_IDX in out.columns:
             lf = LazyFrame(out)     # keep the (still valid) hidden index
             lf._order_dirty = True  # deferred restore (see select)
+            lf._idx_dense = (self._idx_dense
+                             or ROW_IDX not in self._sdf_raw.columns)
             return lf
         lf = LazyFrame(strip_row_index(out)
                        if ROW_IDX not in self._sdf_raw.columns else out)
+        lf._idx_dense = self._idx_dense and ROW_IDX in lf._sdf_raw.columns
         if spec and ROW_IDX not in out.columns:
             if hid is not None:
                 lf._order_cols = hid
@@ -584,8 +623,9 @@ class LazyFrame:
     def _with_total(self):
         """Attach the max row index as a broadcast scalar column (no global
         window — a single-row aggregate cross-joined back, so the big side
-        never funnels through one task)."""
-        lf = self._ensure_row_index()
+        never funnels through one task).  DENSE index: the arithmetic
+        treats ROW_IDX values as positions (round-5)."""
+        lf = self._ensure_dense_index()
         total = lf._sdf.select(F.max(ROW_IDX).alias("__total__"))
         return lf._sdf.crossJoin(F.broadcast(total))
 
@@ -598,7 +638,7 @@ class LazyFrame:
 
     def slice(self, offset: int, length: int | None = None) -> "LazyFrame":
         if offset >= 0:
-            lf = self._ensure_row_index()
+            lf = self._ensure_dense_index()  # values-as-positions
             c = F.col(ROW_IDX)
             cond = c >= offset
             if length is not None:
@@ -612,7 +652,7 @@ class LazyFrame:
         return LazyFrame(strip_row_index(out.filter(cond).drop("__total__")))
 
     def gather_every(self, n: int, offset: int = 0) -> "LazyFrame":
-        lf = self._ensure_row_index()
+        lf = self._ensure_dense_index()  # values-as-positions
         out = lf._sdf.filter((F.col(ROW_IDX) - offset) % n == 0).filter(
             F.col(ROW_IDX) >= offset)
         return LazyFrame(strip_row_index(out))

@@ -645,10 +645,16 @@ def arg_where(condition, eager: bool = False):
     e = wrap_expr(condition)
 
     def fn(df, part):
+        # agg context: polars evaluates per sub-series → GROUP-LOCAL
+        # 0-based positions (round-5; was global ROW_IDX values).  Collect
+        # (i, cond) in row order, then positions where cond holds.
         c = e._fn(df, part)
-        arr = F.sort_array(F.collect_list(
-            F.when(c, F.struct(F.col(ROW_IDX).alias("i")))))
-        return F.transform(arr, lambda s: s["i"].cast("long"))
+        pairs = F.array_sort(F.collect_list(
+            F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
+        flags = F.transform(pairs, lambda p: p["v"])
+        idx = F.transform(
+            flags, lambda x, i: F.when(x, i.cast("long")))
+        return F.filter(idx, lambda x: x.isNotNull())
 
     out = Expr(fn, is_agg=True, needs_order=True, name=e._name or "arg_where")
 
@@ -656,7 +662,7 @@ def arg_where(condition, eager: bool = False):
         from ..frame import LazyFrame
 
         out_name = out_name or e._name or "arg_where"
-        df = lf._ensure_row_index()._sdf
+        df = lf._ensure_dense_index()._sdf  # values-as-positions
         sel = (df.filter(e._fn(df, None))
                .select(F.col(ROW_IDX).cast("long").alias(out_name),
                        F.col(ROW_IDX).alias("__aw_ord__")))

@@ -185,6 +185,11 @@ class LazyGroupBy:
         from .frame import LazyFrame
 
         lf = self._lf
+        if any(wrap_expr(e)._needs_global_index
+               for e in list(exprs) + list(named.values())):
+            # agg_groups reads ROW_IDX values as frame positions — a kept
+            # gapped index is stale (round-5): re-rank to dense first
+            lf = self._lf = lf._ensure_dense_index()
         sdf = lf._sdf
         if self._grouping == "groupBy":
             psdf, pexprs, pnamed = _apply_agg_prestages(
@@ -430,7 +435,8 @@ class _TemporalGroupByMixin:
         sdf = self._lf._sdf
         if _has_agg_prestages(exprs, named):
             alls = [wrap_expr(e) for e in list(exprs) + list(named.values())]
-            if any(e._needs_order for e in alls) and ROW_IDX not in sdf.columns:
+            if any(e._needs_order or e._scrambles_order for e in alls) \
+                    and ROW_IDX not in sdf.columns:
                 sdf = self._lf._ensure_row_index()._sdf
             return sdf, None, True
         aggs, needs_order = _agg_columns(sdf, exprs, named)

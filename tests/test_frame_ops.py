@@ -1567,3 +1567,73 @@ def test_reducers_over_transformed_agg(spark):
     assert r["uc"] == [1, 2, 2, 1]
     assert r["ub"] == [2, 2, 1, 1]
     assert r["vc"][0] == {"v": 5.0, "count": 2}
+
+
+def test_gapped_index_positional_consumers(spark):
+    """Round-5: a row-subset op (filter) on a frame whose hidden ROW_IDX was
+    materialized by a windowed with_columns leaves the kept index GAPPED —
+    harmless for order, stale for positions.  Positional consumers
+    (arg_min/arg_max/arg_sort, reverse/shuffle index maps, slice,
+    agg_groups, arg_where) re-rank to a dense index first."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark import functions as plf
+
+    df = pl.DataFrame({"g": ["a", "a", "b", "b", "a"],
+                       "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    d2 = (df.with_columns(pl.col("v").shift(1).over("g").alias("s"))
+          .filter(pl.col("v") > 15))          # rows: v = [20, 30, 40, 50]
+    r = d2.select(pl.col("v").arg_max().alias("x"),
+                  pl.col("v").arg_min().alias("n")).to_a()[0]
+    assert (r["x"], r["n"]) == (3, 0)
+    assert [q["v"] for q in d2.select(pl.col("v").arg_sort()).to_a()] \
+        == [0, 1, 2, 3]
+    assert [q["r"] for q in d2.with_columns(
+        pl.col("v").reverse().alias("r")).to_a()] == [50.0, 40.0, 30.0, 20.0]
+    assert sorted(q["r"] for q in d2.with_columns(
+        pl.col("v").shuffle(seed=1).alias("r")).to_a()) \
+        == [20.0, 30.0, 40.0, 50.0]
+    assert [q["v"] for q in d2.slice(1, 2).to_a()] == [30.0, 40.0]
+    ag = d2.group_by("g").agg(pl.col("v").agg_groups().alias("x")) \
+        .sort("g").to_a()
+    assert [q["x"] for q in ag] == [[0, 3], [1, 2]]
+    aw = d2.select(plf.arg_where(pl.col("v") > 25).alias("i")).to_a()
+    assert [q["i"] for q in aw] == [1, 2, 3]
+    # arg_where INSIDE agg: group-local positions (polars sub-series)
+    aw2 = df.group_by("g", maintain_order=True).agg(
+        plf.arg_where(pl.col("v") > 15).alias("i")).to_a()
+    assert [q["i"] for q in aw2] == [[1, 2], [0, 1]]
+
+
+def test_listops_sole_select_flatten(spark):
+    """Expr head/tail/slice/gather/gather_every as the sole select
+    expression flatten to rows (expr.rb:2960 gather_every doctest), while
+    agg context keeps list semantics; diff(null_behavior: drop) and rank
+    now work inside agg (incl. dynamic group-bys)."""
+    import datetime as dt
+
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"v": [10.0, 20.0, 30.0, 40.0]})
+    assert [r["v"] for r in df.select(pl.col("v").head(2)).to_a()] \
+        == [10.0, 20.0]
+    assert [r["v"] for r in df.select(pl.col("v").tail(2)).to_a()] \
+        == [30.0, 40.0]
+    assert [r["v"] for r in df.select(pl.col("v").slice(1, 2)).to_a()] \
+        == [20.0, 30.0]
+    assert [r["v"] for r in df.select(pl.col("v").gather([2, 0])).to_a()] \
+        == [30.0, 10.0]
+    assert [r["v"] for r in df.select(pl.col("v").gather([-1, 0])).to_a()] \
+        == [40.0, 10.0]
+    assert [r["v"] for r in df.select(pl.col("v").gather_every(2)).to_a()] \
+        == [10.0, 30.0]
+    g = pl.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    assert g.group_by("g", maintain_order=True).agg(
+        pl.col("v").head(1).alias("h")).to_a()[0]["h"] == [1.0]
+    dd = g.group_by("g", maintain_order=True).agg(
+        pl.col("v").diff(null_behavior="drop").alias("d")).to_a()
+    assert [r["d"] for r in dd] == [[1.0], []]
+    ts = [dt.datetime(2024, 1, 1, 0, m) for m in (0, 10, 20, 40, 50)]
+    dyn = pl.DataFrame({"ts": ts, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = dyn.sort("ts").group_by_dynamic("ts", every="30m").agg(
+        pl.col("v").rank().alias("rk")).to_a()
+    assert [r["rk"] for r in out] == [[1.0, 2.0, 3.0], [1.0, 2.0]]
