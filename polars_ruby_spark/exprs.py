@@ -1895,7 +1895,19 @@ class Expr:
         # transformed-array route: distinct in first-appearance order
         # (keeps the one null a shift introduces — polars unique keeps null)
         collect_set._arr_reduce_fn = lambda arr, df: F.array_distinct(arr)
-        return self._agg(collect_set)
+        e = self._agg(collect_set)
+        inner = self
+
+        def frame_fn(lf, out_name):
+            # sole select flattens to distinct ROWS (expr.rb:2158 doctest)
+            # — one hash distinct, null kept; maintain_order = first
+            # appearance (dense-ranked min index, no global window)
+            out_name = out_name or inner._name or "unique"
+            proj = lf.select(inner.alias(out_name))
+            return proj.unique(maintain_order=maintain_order)
+
+        e._frame_fn = frame_fn
+        return e
 
     def unique_counts(self):
         """Count per unique value, in order of first appearance
@@ -2694,10 +2706,27 @@ class Expr:
                 arr = arr  # bound at agg layer
             return arr
 
-        return Expr(lambda df, part: fn(df, part), name=self._name, is_agg=True)
+        e = Expr(lambda df, part: fn(df, part), name=self._name, is_agg=True)
+        return self._topk_frame(e, k, descending=True)
 
     def bottom_k(self, k: int = 5):
-        return self._agg(lambda c: F.slice(F.array_sort(F.collect_list(c)), 1, k))
+        e = self._agg(
+            lambda c: F.slice(F.array_sort(F.collect_list(c)), 1, k))
+        return self._topk_frame(e, k, descending=False)
+
+    def _topk_frame(self, e: "Expr", k: int, descending: bool) -> "Expr":
+        """Sole-select top_k/bottom_k flatten to k ROWS (expr.rb:2058
+        doctest) — a null-dropping TakeOrdered projection, no collect."""
+        inner = self
+
+        def frame_fn(lf, out_name):
+            out_name = out_name or inner._name or "top_k"
+            proj = lf.select(inner.alias(out_name))
+            proj = proj.filter(col(out_name).is_not_null())
+            return proj.sort(out_name, descending=descending).head(k)
+
+        e._frame_fn = frame_fn
+        return e
 
     def gather_every(self, n: int, offset: int = 0):
         # agg-context list semantics like head/tail (expr.rb:2974): every
@@ -3080,14 +3109,24 @@ class Expr:
             return LazyFrame(out)
 
         def fn(df, part):
-            c = self._fn(df, part)
-            try:
-                vt = _probe_type(df, c).simpleString()
-            except Exception:
-                vt = "string"
-            arr = F.sort_array(F.collect_list(
-                F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
-            vals = F.transform(arr, lambda s: s["v"])
+            # agg / list.eval: per-group LIST of (len, value) structs over
+            # the (possibly order-transformed) collected array (round-5)
+            routed = self._route_arr(df)
+            if routed is not None:
+                vals = routed
+                try:
+                    vt = _probe_type(df, routed).elementType.simpleString()
+                except Exception:
+                    vt = "string"
+            else:
+                c = self._fn(df, part)
+                try:
+                    vt = _probe_type(df, c).simpleString()
+                except Exception:
+                    vt = "string"
+                arr = F.sort_array(F.collect_list(
+                    F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
+                vals = F.transform(arr, lambda s: s["v"])
             init = F.array().cast(f"array<struct<len:bigint,value:{vt}>>")
 
             def merge(acc, v):
@@ -3101,9 +3140,10 @@ class Expr:
                 return F.when((F.size(acc) == 0) | ~last["value"].eqNullSafe(v),
                               start).otherwise(extend)
 
-            return F.explode(F.aggregate(vals, init, merge))
+            runs = F.aggregate(vals, init, merge)
+            return runs if routed is not None else F.explode(runs)
 
-        e = Expr(fn, name=self._name, needs_order=True)
+        e = Expr(fn, name=self._name, needs_order=True, is_agg=True)
         e._frame_fn = frame_fn
         return e
 

@@ -1637,3 +1637,27 @@ def test_listops_sole_select_flatten(spark):
     out = dyn.sort("ts").group_by_dynamic("ts", every="30m").agg(
         pl.col("v").rank().alias("rk")).to_a()
     assert [r["rk"] for r in out] == [[1.0, 2.0, 3.0], [1.0, 2.0]]
+
+
+def test_unique_topk_rle_select_and_agg_shapes(spark):
+    """unique/top_k/bottom_k as the sole select flatten to ROWS
+    (expr.rb:2158/2058 doctests — one hash distinct / TakeOrdered, no
+    collect); rle inside group_by().agg yields a LIST of (len,value)
+    structs per group (no nested generator)."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"v": [10.0, 20.0, 10.0, 40.0]})
+    u = sorted(r["v"] for r in df.select(pl.col("v").unique()).to_a())
+    assert u == [10.0, 20.0, 40.0]
+    um = [r["v"] for r in df.select(
+        pl.col("v").unique(maintain_order=True)).to_a()]
+    assert um == [10.0, 20.0, 40.0]
+    assert [r["v"] for r in df.select(pl.col("v").top_k(2)).to_a()] \
+        == [40.0, 20.0]
+    assert [r["v"] for r in df.select(pl.col("v").bottom_k(2)).to_a()] \
+        == [10.0, 10.0]
+    g = pl.DataFrame({"g": ["a", "a", "a", "b"], "v": [1.0, 1.0, 2.0, 3.0]})
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.col("v").rle().alias("r")).to_a()
+    assert r[0]["r"] == [{"len": 2, "value": 1.0}, {"len": 1, "value": 2.0}]
+    assert r[1]["r"] == [{"len": 1, "value": 3.0}]
