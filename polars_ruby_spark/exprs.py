@@ -514,7 +514,7 @@ class Expr:
         ``bare=False`` skips the untransformed grouped collect — for order-
         INSENSITIVE consumers whose plain agg path is cheaper (entropy)."""
         if _EVAL_ARRAY_STACK:
-            return _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+            return _eval_vals(self, _EVAL_ARRAY_STACK[-1], df)
         if bind_context.grouped_agg:
             if self._agg_list_fn is not None:
                 return self._agg_list_fn(
@@ -542,7 +542,7 @@ class Expr:
         def fn(df, part):
             if _EVAL_ARRAY_STACK:
                 # inside list.eval: aggregate over the current list
-                mapped = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                mapped = _eval_vals(self, _EVAL_ARRAY_STACK[-1], df)
                 return reduce_arr(mapped, df)
             if bind_context.grouped_agg and self._agg_list_fn is not None:
                 arr = self._agg_list_fn(_ordered_collect(self._agg_list_base, df))
@@ -565,10 +565,33 @@ class Expr:
                 c = c.over(_part_window(part))
             return c
 
-        return Expr(fn, name=name if name is not None else self._name, is_agg=True,
-                    needs_order=(self._needs_order
-                                 or self._agg_list_fn is not None))._set_meta(
-                        label, (self,))
+        out = Expr(fn, name=name if name is not None else self._name,
+                   is_agg=True,
+                   needs_order=(self._needs_order
+                                or self._agg_list_fn is not None))._set_meta(
+                       label, (self,))
+        self._attach_windowable_pre(out, lambda c, df: aggf(c))
+        return out
+
+    def _attach_windowable_pre(self, out: "Expr", apply_agg) -> None:
+        """Aggregate OVER a windowed inner (rank().mean(), cum_sum().max(),
+        diff().sum() inside group_by().agg): hook an ``_agg_pre_fn`` that
+        materializes the inner as a helper column windowed over the SAME
+        keys the groupBy hashes on (one logical exchange), then aggregates
+        the helper (round-5; lazy_frame.rb:1317 any expression)."""
+        if (self._is_agg or self._agg_list_fn is not None
+                or self._frame_fn is not None or self._multi_fn is not None
+                or self._agg_pre_fn is not None
+                or not (self._needs_order or self._scrambles_order)):
+            return
+        inner = self
+
+        def pre(sdf, key_cols):
+            helper = _next_gord_name()
+            sdf2 = sdf.withColumn(helper, inner._fn(sdf, list(key_cols)))
+            return sdf2, apply_agg(F.col(helper), sdf2)
+
+        out._agg_pre_fn = pre
 
     def _agg_ctx(self, aggf: Callable[[Column, DataFrame], Column],
                  label: str = "agg", name: str | None = None,
@@ -596,7 +619,7 @@ class Expr:
         def fn(df, part):
             if _EVAL_ARRAY_STACK:
                 # inside list.eval: aggregate over the current list
-                mapped = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                mapped = _eval_vals(self, _EVAL_ARRAY_STACK[-1], df)
                 return reduce_arr(mapped, df)
             if bind_context.grouped_agg and self._agg_list_fn is not None:
                 arr = self._agg_list_fn(_ordered_collect(self._agg_list_base, df))
@@ -621,11 +644,18 @@ class Expr:
                 c = post(c)
             return c
 
-        return Expr(fn, name=name if name is not None else self._name,
-                    is_agg=True,
-                    needs_order=(self._needs_order
-                                 or self._agg_list_fn is not None))._set_meta(
-                        label, (self,))
+        out = Expr(fn, name=name if name is not None else self._name,
+                   is_agg=True,
+                   needs_order=(self._needs_order
+                                or self._agg_list_fn is not None))._set_meta(
+                       label, (self,))
+
+        def apply_agg(c, df):
+            r = aggf(c, df)
+            return post(r) if post is not None else r
+
+        self._attach_windowable_pre(out, apply_agg)
+        return out
 
     def _probe_dtype(self, df: DataFrame, c: Column):
         """Data type of this expression bound against ``df`` — reads the
@@ -646,11 +676,21 @@ class Expr:
             mf = self._multi_fn
             return Expr(multi_fn=lambda df: [e._ordered(f, order_only)
                                              for e in mf(df)])
-        out = Expr(
-            lambda df, part: f(self._fn(df, part), _ordered_window(part)),
-            name=self._name,
-            needs_order=True,
-        )._set_meta("window", (self,))
+
+        def bound(df, part):
+            if _EVAL_ARRAY_STACK and _ELEMENT_STACK:
+                # per-element window inside list.eval cannot bind — raise
+                # with the workable shape instead of a cryptic analysis
+                # error on the hidden row index
+                raise NotImplementedError(
+                    "this order-dependent expression is not supported "
+                    "per-element inside list.eval: apply it directly to "
+                    "the element (element().shift(...).…) or explode the "
+                    "list and use group_by/over instead")
+            return f(self._fn(df, part), _ordered_window(part))
+
+        out = Expr(bound, name=self._name,
+                   needs_order=True)._set_meta("window", (self,))
         out._order_only = order_only and self._order_safe
         return out
 
@@ -1464,7 +1504,7 @@ class Expr:
                                      and self._agg_list_fn is not None):
                 # transformed-array context: distinct size over the array
                 # (array_distinct keeps one null — polars counts it)
-                arr = (_eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                arr = (_eval_vals(self, _EVAL_ARRAY_STACK[-1], df)
                        if _EVAL_ARRAY_STACK
                        else self._agg_list_fn(
                            _ordered_collect(self._agg_list_base, df)))
@@ -1840,6 +1880,11 @@ class Expr:
         inner = self
 
         def fn(df, part):
+            if _EVAL_ARRAY_STACK and _ELEMENT_IDX_STACK:
+                # list.eval: per-element pick from the full-array transform
+                mapped = _eval_vals(inner, _EVAL_ARRAY_STACK[-1], df)
+                return F.element_at(
+                    arr_elem_fn(mapped), _ELEMENT_IDX_STACK[-1] + 1)
             c = inner._fn(df, part)
             return window_fn(c, list(part) if part is not None else [])
 
@@ -2296,11 +2341,16 @@ class Expr:
         descending = descending or reverse
 
         def fn(df, part):
-            c = self._fn(df, part)
             if _EVAL_ARRAY_STACK:
                 # inside list.eval: rank of this element within its list
                 # (guide_test.rb list-context) — nested HOF counts, no window
-                mapped = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                mapped = _eval_vals(self, _EVAL_ARRAY_STACK[-1], df)
+                if self._agg_list_fn is not None:
+                    # routed inner (element().shift(1).rank()): the current
+                    # element's value comes from the transformed array
+                    c = F.element_at(mapped, _ELEMENT_IDX_STACK[-1] + 1)
+                else:
+                    c = self._fn(df, None)
                 nn = F.filter(mapped, lambda y: y.isNotNull())
                 before = F.size(F.filter(
                     nn, lambda y: (y > c) if descending else (y < c)))
@@ -2322,7 +2372,7 @@ class Expr:
                     # at earlier indexes (2-arg filter lambda gives j; the
                     # current element's index rides _ELEMENT_IDX_STACK)
                     i_cur = _ELEMENT_IDX_STACK[-1]
-                    mapped_i = _eval_map(self, _EVAL_ARRAY_STACK[-1], df)
+                    mapped_i = _eval_vals(self, _EVAL_ARRAY_STACK[-1], df)
                     before_ord = F.size(F.filter(
                         mapped_i,
                         lambda y, j: y.isNotNull() & (
@@ -2333,6 +2383,7 @@ class Expr:
                     raise ValueError(f"unknown rank method {method!r}")
                 out = F.when(c.isNotNull(), r)
                 return out if method == "average" else out.cast("long")
+            c = self._fn(df, part)
             # polars leaves null values UNRANKED (null out); ordering nulls
             # last keeps the non-null ranks identical to ranking them alone
             w = Window.partitionBy(*(part or [])).orderBy(
@@ -2354,10 +2405,11 @@ class Expr:
                 raise ValueError(f"unknown rank method {method!r}")
             return F.when(c.isNotNull(), r)
 
-        e = Expr(fn, name=self._name)
+        e = Expr(fn, name=self._name, needs_order=self._needs_order)
         e._scrambles_order = True   # WindowExec leaves rows value-sorted
         # ranks over VALUES only — never reads ROW_IDX, so the sort-key
-        # restore path suffices (same as _rolling_by)
+        # restore path suffices (same as _rolling_by); a windowed INNER
+        # (shift(1).rank()) propagates its row-order need
         e._order_only = self._order_safe
         return e
 
@@ -2844,7 +2896,7 @@ class Expr:
                 lo, hi = -span + 1, -1
             return aggf(c).over(w.rangeBetween(lo, hi))
 
-        e = Expr(fn, name=self._name)
+        e = Expr(fn, name=self._name, needs_order=self._needs_order)
         e._scrambles_order = True   # WindowExec leaves rows sorted by `by`
         # orders by the `by` column itself — never touches ROW_IDX
         e._order_only = self._order_safe and by_e._order_safe
@@ -3858,6 +3910,15 @@ def _eval_map(base: "Expr", arr, df):
             _ELEMENT_IDX_STACK.pop()
 
     return F.transform(arr, lam)
+
+
+def _eval_vals(base: "Expr", arr, df):
+    """Element values of ``base`` over the eval array, riding any full-
+    array route the base carries (element().shift(1), .sort(), …) instead
+    of mapping a window per element (round-5)."""
+    if base._agg_list_fn is not None:
+        return base._agg_list_fn(_eval_map(base._agg_list_base, arr, df))
+    return _eval_map(base, arr, df)
 
 
 def element() -> Expr:

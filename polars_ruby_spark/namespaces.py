@@ -777,11 +777,41 @@ class ListNameSpace(_NS):
 
         Compiles to ``F.transform`` (higher-order function, JVM-side — no
         Python UDF); ``element()`` leaves resolve to the lambda variable.
-        """
+
+        The output list length follows polars' series semantics (round-5):
+        a PURE AGGREGATE yields a one-element list ([sum]); an aggregate
+        returning a series (unique/rle/mode) yields that series as the
+        list; full-array order ops (shift/sort/arg_sort/diff) transform
+        the list; anything touching ``element()`` per row broadcasts
+        per element."""
         from .exprs import (_ELEMENT_IDX_STACK, _ELEMENT_STACK,
-                            _EVAL_ARRAY_STACK)
+                            _EVAL_ARRAY_STACK, _eval_map, _probe_type)
 
         def f(c, df, part):
+            if expr._is_agg:
+                # pure aggregate: one evaluation per list.  A MIXED
+                # agg+element composition (rank/count normalizations)
+                # raises on the bare element() and falls through to the
+                # per-element broadcast.
+                _EVAL_ARRAY_STACK.append(c)
+                try:
+                    r = expr._fn(df, part)
+                    from pyspark.sql import types as T
+
+                    try:
+                        t = _probe_type(df, r)
+                    except Exception:
+                        t = None
+                    return r if isinstance(t, T.ArrayType) else F.array(r)
+                except RuntimeError:
+                    pass  # element() outside an aggregate → broadcast
+                finally:
+                    _EVAL_ARRAY_STACK.pop()
+            if expr._agg_list_fn is not None:
+                # length-preserving full-array op: transform the list
+                mapped = _eval_map(expr._agg_list_base, c, df)
+                return expr._agg_list_fn(mapped)
+
             def lam(x, i):
                 _ELEMENT_STACK.append(x)
                 _ELEMENT_IDX_STACK.append(i)

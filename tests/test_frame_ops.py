@@ -1661,3 +1661,43 @@ def test_unique_topk_rle_select_and_agg_shapes(spark):
         pl.col("v").rle().alias("r")).to_a()
     assert r[0]["r"] == [{"len": 2, "value": 1.0}, {"len": 1, "value": 2.0}]
     assert r[1]["r"] == [{"len": 1, "value": 3.0}]
+
+
+def test_agg_over_windowable_and_eval_shapes(spark):
+    """Round-5: aggregates OVER windowed inners inside agg (rank().mean(),
+    cum_sum().max()) bind via a key-shared pre-stage helper; list.eval
+    follows polars' series-length semantics — pure aggregates yield a
+    ONE-element list, array-returning aggregates yield that array, full-
+    array order ops transform the list, element() shapes broadcast."""
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b", "b", "a"],
+                      "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.col("v").rank().mean().alias("rm"),
+        pl.col("v").cum_sum().max().alias("cm"),
+        pl.col("v").diff().sum().alias("ds"),
+        pl.col("v").shift(1).rank().sum().alias("sr")).to_a()
+    assert [x["rm"] for x in r] == [2.0, 1.5]
+    assert [x["cm"] for x in r] == [80.0, 70.0]
+    assert [x["ds"] for x in r] == [40.0, 10.0]
+    assert [x["sr"] for x in r] == [3.0, 1.0]
+
+    df = pl.DataFrame({"l": [[3.0, 1.0, 3.0, None], [5.0, 2.0]]})
+
+    def ev(ex):
+        return [q["x"] for q in df.select(
+            pl.col("l").list.eval(ex).alias("x")).to_a()]
+
+    assert ev(pl.element().max()) == [[3.0], [5.0]]          # [agg]
+    assert ev(pl.element().arg_max()) == [[0], [0]]
+    assert ev(pl.element().unique_counts()) == [[2, 1, 1], [1, 1]]
+    assert ev(pl.element().shift(1).sum()) == [[7.0], [5.0]]
+    assert ev(pl.element().sort()) == [[None, 1.0, 3.0, 3.0], [2.0, 5.0]]
+    assert ev(pl.element().is_unique()) \
+        == [[False, True, False, True], [True, True]]
+    assert ev(pl.element().shift(1).rank()) \
+        == [[None, 2.5, 1.0, 2.5], [None, 1.0]]
+    # mixed agg+element still broadcasts per element
+    assert ev(pl.element() * 2 - pl.element().min()) \
+        == [[5.0, 1.0, 5.0, None], [8.0, 2.0]]
