@@ -2791,9 +2791,15 @@ class Expr:
 
     def search_sorted(self, element, side: str = "any"):
         v = wrap_expr(element)
-        if side == "right":
-            return self._agg(lambda c: F.count(F.when(c <= v._fn(None, None), 1)))
-        return self._agg(lambda c: F.count(F.when(c < v._fn(None, None), 1)))
+
+        def aggf(c):
+            vv = v._fn(None, None)
+            return F.count(F.when(c <= vv if side == "right" else c < vv, 1))
+
+        aggf._arr_reduce_fn = lambda arr, df: F.size(F.filter(
+            arr, lambda x: (x <= v._fn(None, None)) if side == "right"
+            else (x < v._fn(None, None)))).cast("long")
+        return self._agg(aggf)
 
     # -- rolling windows (expr.rb:4936-5480) ----------------------------------------
     def _rolling(self, aggf, window_size: int, min_periods: int | None, center: bool):
@@ -3247,10 +3253,11 @@ class Expr:
                 labs = list(labels)
             else:
                 labs = []
+                op, cl = ("[", ")") if left_closed else ("(", "]")
                 for i in range(len(edges) - 1):
                     lo = "-inf" if edges[i] == float("-inf") else _fmt_num(edges[i])
                     hi = "inf" if edges[i + 1] == float("inf") else _fmt_num(edges[i + 1])
-                    labs.append(f"({lo}, {hi}]")
+                    labs.append(f"{op}{lo}, {hi}{cl}")
             out = None
             for i, b in enumerate(brs):
                 cond = (c < b) if left_closed else (c <= b)
@@ -3273,13 +3280,46 @@ class Expr:
             qs = ([i / quantiles for i in range(1, quantiles)]
                   if isinstance(quantiles, int) else list(quantiles))
             c = self._fn(df, part)
+            if part is not None:
+                # grouped (over() / agg pre-stage): polars evaluates per
+                # sub-series — quantile breaks are PER GROUP.  One windowed
+                # exact percentile (shares the keys' exchange), then a
+                # JVM-side bin lookup + label build — no driver action.
+                w = Window.partitionBy(*part)
+                brs = F.percentile(c.cast("double"), F.lit(qs)).over(w)
+                if allow_duplicates:
+                    brs = F.array_distinct(brs)  # percentile is sorted
+                idx = F.size(F.filter(
+                    brs, lambda b: (c >= b) if left_closed else (c > b)))
+                if labels is not None:
+                    return F.when(c.isNotNull(), F.element_at(
+                        F.array(*[F.lit(x) for x in labels]), idx + 1))
+
+                def fmt(d):
+                    return F.when(
+                        d == F.floor(d),
+                        d.cast("bigint").cast("string")
+                    ).otherwise(d.cast("string"))
+
+                lo = F.when(idx == 0, F.lit("-inf")).otherwise(
+                    fmt(F.element_at(brs, idx)))
+                hi = F.when(idx == F.size(brs), F.lit("inf")).otherwise(
+                    fmt(F.element_at(brs, idx + 1)))
+                br = "[" if left_closed else "("
+                kt = ")" if left_closed else "]"
+                return F.when(c.isNotNull(), F.concat(
+                    F.lit(br), lo, F.lit(", "), hi, F.lit(kt)))
             row = df.select(F.percentile(c, F.lit(qs)).alias("b")).first()
             breaks = [float(b) for b in row["b"]]
             if allow_duplicates:
                 breaks = sorted(set(breaks))
             return self.cut(breaks, labels=labels, left_closed=left_closed)._fn(df, part)
 
-        return Expr(fn, name=self._name)
+        e = Expr(fn, name=self._name, needs_order=self._needs_order)
+        # grouped binds need the windowed-percentile pre-stage (agg) and
+        # the partition-only window scrambles physical order
+        e._scrambles_order = True
+        return e
 
     def replace(self, old, new=None, default=None):
         """Value mapping, unmatched pass through (expr.rb:6915, feature replace)."""

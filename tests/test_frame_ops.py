@@ -1701,3 +1701,24 @@ def test_agg_over_windowable_and_eval_shapes(spark):
     # mixed agg+element still broadcasts per element
     assert ev(pl.element() * 2 - pl.element().min()) \
         == [[5.0, 1.0, 5.0, None], [8.0, 2.0]]
+
+
+def test_qcut_per_group_and_search_sorted_transformed(spark):
+    """qcut under over()/agg computes quantile breaks PER GROUP (polars
+    sub-series evaluation; was silently global) via one windowed exact
+    percentile sharing the keys' exchange; search_sorted reduces an
+    order-transformed array; cut honors left_closed bracket notation."""
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b", "b", "a"],
+                      "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.col("v").qcut(2).alias("q"),
+        pl.col("v").shift(1).search_sorted(15.0).alias("s")).to_a()
+    assert r[0]["q"] == ["(-inf, 20]", "(-inf, 20]", "(20, inf]"]
+    assert r[1]["q"] == ["(-inf, 35]", "(35, inf]"]
+    assert [x["s"] for x in r] == [1, 0]
+    lc = [x["x"] for x in g.select(
+        pl.col("v").cut([25.0], left_closed=True).alias("x")).to_a()]
+    assert lc == ["[-inf, 25)", "[-inf, 25)", "[25, inf)",
+                  "[25, inf)", "[25, inf)"]
