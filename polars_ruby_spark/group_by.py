@@ -29,7 +29,10 @@ def _agg_columns(sdf, exprs, named):
     for name, e in named.items():
         all_exprs.append((name, wrap_expr(e)))
     for name, e in all_exprs:
-        if (e._needs_order or e._scrambles_order) \
+        # scrambles-only deferral applies to NON-agg windowables (they
+        # substitute into a ROW_IDX-imploded helper); aggregates with a
+        # value-ordered window (spearman pre-stage) never read the index
+        if (e._needs_order or (e._scrambles_order and not e._is_agg)) \
                 and ROW_IDX not in sdf.columns:
             # order-dependent expr before the hidden index exists: defer —
             # agg() re-runs this compile on the row-indexed frame (eager
@@ -435,8 +438,9 @@ class _TemporalGroupByMixin:
         sdf = self._lf._sdf
         if _has_agg_prestages(exprs, named):
             alls = [wrap_expr(e) for e in list(exprs) + list(named.values())]
-            if any(e._needs_order or e._scrambles_order for e in alls) \
-                    and ROW_IDX not in sdf.columns:
+            if any(e._needs_order
+                   or (e._scrambles_order and not e._is_agg)
+                   for e in alls) and ROW_IDX not in sdf.columns:
                 sdf = self._lf._ensure_row_index()._sdf
             return sdf, None, True
         aggs, needs_order = _agg_columns(sdf, exprs, named)
