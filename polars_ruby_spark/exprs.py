@@ -428,6 +428,7 @@ class Expr:
         out._scrambles_order = self._scrambles_order
         out._order_only = self._order_only and not needs_order
         out._needs_global_index = self._needs_global_index
+        out._needs_dense_index = self._needs_dense_index
         return out
 
     def _lift2(self, other, f: Callable[[Column, Column], Column],
