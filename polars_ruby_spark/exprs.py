@@ -228,10 +228,12 @@ def _ordered_window(part) -> WindowSpec:
 
 
 def _visible_cols(df) -> list:
-    """User-visible columns: hides the internal row index and the hidden
-    ``__ord_i__`` sort-key copies that keep deferred restores possible."""
+    """User-visible columns: hides the internal row index, the hidden
+    ``__ord_i__`` sort-key copies that keep deferred restores possible,
+    and ``__gord_i__`` pre-stage helper columns."""
     return [c for c in df.columns
-            if c != ROW_IDX and not c.startswith("__ord_")]
+            if c != ROW_IDX and c != "__w__"
+            and not c.startswith(("__ord_", "__gord_", "__ra_", "__rc_"))]
 
 
 _GORD_COUNTER = [0]
@@ -1784,6 +1786,10 @@ class Expr:
         deterministically.  Ungrouped = one min/max over a (v, i) struct
         (no array); over() = one collected window + HOF; bare inside agg =
         a row_number pre-stage sharing the groupBy exchange."""
+        if self._multi_fn is not None:
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [e._arg_extreme(kind)
+                                             for e in mf(df)])
         inner = self
 
         def fn(df, part):
@@ -1878,6 +1884,11 @@ class Expr:
         sub-series — uniqueness is WITHIN the group, not global).  Composed
         over an order-transformed inner (shift(1).is_unique()) it becomes a
         null-safe-count HOF over the per-group array."""
+        if self._multi_fn is not None:
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [
+                e._distinct_flag(window_fn, arr_elem_fn, needs_order)
+                for e in mf(df)])
         inner = self
 
         def fn(df, part):
@@ -2340,6 +2351,11 @@ class Expr:
         """Parity: expr.rb:5691 — rank over VALUES (not row order);
         ``reverse:`` is the reference's older name for descending."""
         descending = descending or reverse
+        if self._multi_fn is not None:
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [
+                e.rank(method, descending=descending, seed=seed)
+                for e in mf(df)])
 
         def fn(df, part):
             if _EVAL_ARRAY_STACK:
@@ -2424,6 +2440,11 @@ class Expr:
         materialize an n-element array per row — rejected by the
         sole-expression rule instead of silently OOMing.
         """
+        if self._multi_fn is not None:
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [
+                e.arg_sort(reverse=reverse, nulls_last=nulls_last)
+                for e in mf(df)])
         inner = self
 
         def fn(df, part):
@@ -3276,6 +3297,12 @@ class Expr:
         pass (one tiny scalar result to the driver — swap to
         ``percentile_approx`` at extreme scale), then lowers to :meth:`cut`.
         """
+        if self._multi_fn is not None:
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [
+                e.qcut(quantiles, labels=labels, left_closed=left_closed,
+                       allow_duplicates=allow_duplicates)
+                for e in mf(df)])
 
         def fn(df, part):
             qs = ([i / quantiles for i in range(1, quantiles)]

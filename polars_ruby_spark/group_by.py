@@ -81,8 +81,29 @@ def _windowable_in_agg(ew) -> bool:
             and (ew._needs_order or ew._scrambles_order))
 
 
+def _exclude_keys_from_multi(exprs, named, key_names):
+    """polars: ``pl.all()`` (any selector) inside a group-by agg excludes
+    the grouping keys from its expansion."""
+    keys = {k for k in key_names if k}
+    if not keys:
+        return list(exprs), dict(named)
+
+    def drop(e):
+        ew = wrap_expr(e)
+        if ew._multi_fn is None:
+            return ew
+        mf = ew._multi_fn
+        return Expr(multi_fn=lambda df, _mf=mf: [
+            x for x in _mf(df) if x._name not in keys])
+
+    return [drop(e) for e in exprs], {k: drop(v) for k, v in named.items()}
+
+
 def _has_agg_prestages(exprs, named) -> bool:
+    # multi (selector) exprs may expand to windowables — the substitution
+    # pass expands them first and decides per expanded expr
     return any(ew._agg_pre_fn is not None or _windowable_in_agg(ew)
+               or ew._multi_fn is not None
                for e in list(exprs) + list(named.values())
                for ew in (wrap_expr(e),))
 
@@ -127,7 +148,17 @@ def _apply_agg_prestages_cols(sdf, exprs, named, key_cols):
                         name=name or ew._name, needs_order=True)
         return e
 
-    exprs2 = [sub(e, None) for e in exprs]
+    # expand selector (multi) exprs BEFORE substitution so each expanded
+    # single can take the windowable pre-stage, and before any helper
+    # columns land on the frame (pl.all() must not pick helpers up)
+    flat = []
+    for e in exprs:
+        ew = wrap_expr(e)
+        if ew._multi_fn is not None:
+            flat.extend(ew._expand(sdf))
+        else:
+            flat.append(ew)
+    exprs2 = [sub(e, None) for e in flat]
     named2 = {k: sub(v, k) for k, v in named.items()}
     return sdf, exprs2, named2
 
@@ -187,6 +218,8 @@ class LazyGroupBy:
     def agg(self, *exprs, **named):
         from .frame import LazyFrame
 
+        exprs, named = _exclude_keys_from_multi(
+            exprs, named, [name or e._name for name, e in self._keys])
         lf = self._lf
         if any(wrap_expr(e)._needs_global_index
                for e in list(exprs) + list(named.values())):
@@ -492,6 +525,10 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         from .functions.duration import parse_duration
         from .frame import LazyFrame
 
+        exprs, named = _exclude_keys_from_multi(
+            exprs, named,
+            [self._index] + [b if isinstance(b, str) else b._name
+                             for b in self._by])
         every = parse_duration(self._every)
         period = parse_duration(self._period)
         if every.is_calendar or period.is_calendar:
@@ -1085,6 +1122,10 @@ class RollingGroupBy(_TemporalGroupByMixin):
         from .functions.duration import parse_duration
         from .frame import LazyFrame
 
+        exprs, named = _exclude_keys_from_multi(
+            exprs, named,
+            [self._index] + [b if isinstance(b, str) else b._name
+                             for b in self._by])
         dur = parse_duration(self._period)
         if _has_agg_prestages(exprs, named):
             # per-window pre-stage aggs (spearman corr, cumulative_eval)

@@ -1722,3 +1722,32 @@ def test_qcut_per_group_and_search_sorted_transformed(spark):
         pl.col("v").cut([25.0], left_closed=True).alias("x")).to_a()]
     assert lc == ["[-inf, 25)", "[-inf, 25)", "[25, inf)",
                   "[25, inf)", "[25, inf)"]
+
+
+def test_selector_expansion_in_agg(spark):
+    """pl.all() (any selector) inside group-by aggs: expands BEFORE the
+    pre-stage pass (each expanded single can take the windowable route),
+    EXCLUDES the grouping keys (polars), and never picks up internal
+    helper columns in dynamic/rolling paths."""
+    import datetime as dt
+
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0],
+                      "w": [4.0, 5.0, 6.0]})
+    r = g.group_by("g", maintain_order=True).agg(pl.all().sum()).to_a()
+    assert set(r[0].keys()) == {"g", "v", "w"}   # key NOT re-aggregated
+    assert r[0]["v"] == 3.0 and r[0]["w"] == 9.0
+    r = g.group_by("g", maintain_order=True).agg(pl.all().cum_sum()).to_a()
+    assert r[0]["v"] == [1.0, 3.0] and r[0]["w"] == [4.0, 9.0]
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.all().exclude("w").arg_max()).to_a()
+    assert [x["v"] for x in r] == [1, 0]
+    ts = [dt.datetime(2024, 1, 1, 0, m) for m in (0, 10, 40)]
+    dd = pl.DataFrame({"ts": ts, "v": [1.0, 2.0, 3.0]})
+    r = dd.sort("ts").group_by_dynamic("ts", every="30m").agg(
+        pl.all().sum()).to_a()
+    assert set(r[0].keys()) == {"ts", "v"}
+    r = dd.sort("ts").rolling("ts", period="30m").agg(pl.all().sum()).to_a()
+    assert set(r[0].keys()) == {"ts", "v"} and [x["v"] for x in r] \
+        == [1.0, 3.0, 3.0]
