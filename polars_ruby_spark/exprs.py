@@ -563,6 +563,10 @@ class Expr:
                     # reduce over the inner aggregate's array
                     r = reduce_arr(inner_c, df)
                     return r.over(_part_window(part)) if part is not None else r
+            if part is not None:
+                ri = self._reduce_over_route(df, part, reduce_arr)
+                if ri is not None:
+                    return ri
             c = aggf(self._fn(df, None))
             if part is not None:
                 c = c.over(_part_window(part))
@@ -575,6 +579,27 @@ class Expr:
                        label, (self,))
         self._attach_windowable_pre(out, lambda c, df: aggf(c))
         return out
+
+    def _reduce_over_route(self, df, part, reduce_arr):
+        """Aggregate over an ORDER-DEPENDENT inner under ``over(keys)``:
+        the inner cannot bind globally (polars evaluates per sub-series —
+        a global shift/rank would be silently wrong).  An inner carrying
+        an ordered-array route reduces its transformed per-group array
+        from ONE collected window; other windowed inners raise with the
+        with_columns rewrite (round-5)."""
+        if self._agg_list_fn is not None:
+            pairs = F.array_sort(F.collect_list(F.struct(
+                F.col(ROW_IDX).alias("i"),
+                self._agg_list_base._fn(df, None).alias("v"))).over(
+                    _part_window(part)))
+            arr = self._agg_list_fn(F.transform(pairs, lambda p: p["v"]))
+            return reduce_arr(arr, df)
+        if self._needs_order or self._scrambles_order:
+            raise NotImplementedError(
+                "aggregating a windowed expression under over(keys): "
+                "pre-compute the windowed column with with_columns("
+                "expr.over(keys)) and aggregate that column instead")
+        return None
 
     def _attach_windowable_pre(self, out: "Expr", apply_agg) -> None:
         """Aggregate OVER a windowed inner (rank().mean(), cum_sum().max(),
@@ -640,6 +665,10 @@ class Expr:
                     # reduce over the inner aggregate's array
                     r = reduce_arr(inner_c, df)
                     return r.over(_part_window(part)) if part is not None else r
+            if part is not None:
+                ri = self._reduce_over_route(df, part, reduce_arr)
+                if ri is not None:
+                    return post(ri) if post is not None else ri
             c = aggf(self._fn(df, None), df)
             if part is not None:
                 c = c.over(_part_window(part))
@@ -1434,7 +1463,10 @@ class Expr:
             return F.sum(c)
 
         def post(c):
-            return F.coalesce(c, F.lit(0)) if self._sum_numeric else c
+            # routed reductions skip aggf (no probe ran): the array sum
+            # already yields 0 on empty, so the coalesce is a no-op there
+            return (F.coalesce(c, F.lit(0))
+                    if getattr(self, "_sum_numeric", True) else c)
 
         return self._agg_ctx(aggf, "sum", post=post)
 

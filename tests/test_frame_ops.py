@@ -1751,3 +1751,26 @@ def test_selector_expansion_in_agg(spark):
     r = dd.sort("ts").rolling("ts", period="30m").agg(pl.all().sum()).to_a()
     assert set(r[0].keys()) == {"ts", "v"} and [x["v"] for x in r] \
         == [1.0, 3.0, 3.0]
+
+
+def test_agg_over_transformed_inner_under_over(spark):
+    """Aggregate of an order-transformed inner UNDER over(keys) reduces
+    the per-group transformed array from ONE collected window (polars
+    per-sub-series semantics; a global shift would be silently wrong);
+    windowed inners with no array route raise with the rewrite."""
+    import pytest
+
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b", "b", "a"],
+                      "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    out = g.with_columns(
+        pl.col("v").shift(1).sum().over("g").alias("s"),
+        pl.col("v").shift(1).mean().over("g").alias("m"),
+        pl.col("v").shift(1).n_unique().over("g").alias("n")).to_a()
+    assert [r["s"] for r in out] == [30.0, 30.0, 30.0, 30.0, 30.0]
+    assert [r["m"] for r in out] == [15.0, 15.0, 30.0, 30.0, 15.0]
+    assert [r["n"] for r in out] == [3, 3, 2, 2, 3]
+    with pytest.raises(NotImplementedError):
+        g.with_columns(pl.col("v").rank().mean().over("g").alias("x")) \
+            .to_a()
