@@ -260,7 +260,15 @@ def struct(*exprs, **named):
         cols += [v._fn(df, part).alias(k) for k, v in named_es]
         return F.struct(*cols)
 
-    return Expr(fn, name="struct")
+    # a struct of AGGREGATES is itself an aggregate (polars:
+    # agg(struct(sum, mean)) — otherwise the agg compiler would wrap it
+    # in an implicit implode and nest aggregates)
+    parts = list(es) + [v for _, v in named_es]
+    out = Expr(fn, name="struct",
+               is_agg=bool(parts) and all(e._is_agg for e in parts),
+               needs_order=any(e._needs_order for e in parts))
+    out._scrambles_order = any(e._scrambles_order for e in parts)
+    return out
 
 
 # correlations (functions/lazy.rb:679,730)

@@ -335,6 +335,9 @@ class StringNameSpace(_NS):
                             lambda x: x.isNotNull())
             return F.array_join(vals, delimiter)
 
+        # order-transformed route (shift(1).str.join()): join the array
+        join._arr_reduce_fn = lambda arr, df: F.array_join(
+            F.filter(arr, lambda x: x.isNotNull()), delimiter)
         e = self._e._agg(join)
         e._needs_order = True
         return e

@@ -1774,3 +1774,21 @@ def test_agg_over_transformed_inner_under_over(spark):
     with pytest.raises(NotImplementedError):
         g.with_columns(pl.col("v").rank().mean().over("g").alias("x")) \
             .to_a()
+
+
+def test_struct_of_aggs_and_join_route(spark):
+    """pl.struct of aggregates is itself an aggregate inside agg (polars;
+    was implicitly imploded into a nested-aggregate error); str.join rides
+    the order-transformed array route."""
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.struct(s=pl.col("v").sum(), m=pl.col("v").mean()).alias("x")).to_a()
+    assert r[0]["x"] == {"s": 3.0, "m": 1.5}
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.struct(c=pl.col("v").cum_sum()).alias("x")).to_a()
+    assert r[0]["x"] == [{"c": 1.0}, {"c": 3.0}]
+    j = pl.DataFrame({"g": ["a", "a"], "s": ["p", "q"]}).group_by("g").agg(
+        pl.col("s").shift(1).str.join("-").alias("x")).to_a()
+    assert j[0]["x"] == "p"
