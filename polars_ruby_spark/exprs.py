@@ -4056,11 +4056,26 @@ def _merge_order_flags(e: Expr, parts: list) -> Expr:
     return e
 
 
+def _merge_agg_flags(e: Expr, parts: list) -> Expr:
+    """n-ary constructor flag merge (round-5): a combination whose every
+    non-literal input aggregates is ITSELF an aggregate — struct(sum,
+    mean), concat_str(first, last), when(sum > 2).then(max) — otherwise
+    the agg compiler would implode it and nest aggregate functions.
+    Mixed per-row × aggregate combinations stay non-agg (implicit implode
+    keeps the group's row count, like polars' broadcast)."""
+    real = [p for p in parts
+            if not (p._meta is not None and p._meta[0] == "lit")]
+    e._is_agg = bool(real) and all(p._is_agg for p in real)
+    _merge_order_flags(e, parts)
+    e._needs_global_index = any(p._needs_global_index for p in parts)
+    return e
+
+
 class Then(Expr):
     def __init__(self, pairs):
         self._pairs = pairs
         super().__init__(self._make_fn(None), name=None)
-        _merge_order_flags(self, [x for p in pairs for x in p])
+        _merge_agg_flags(self, [x for p in pairs for x in p])
 
     def _make_fn(self, otherwise):
         pairs = self._pairs
@@ -4085,7 +4100,7 @@ class Then(Expr):
     def otherwise(self, value) -> Expr:
         v = wrap_expr(value)
         e = Expr(self._make_fn(v))
-        return _merge_order_flags(
+        return _merge_agg_flags(
             e, [x for p in self._pairs for x in p] + [v])
 
 

@@ -12,7 +12,8 @@ import functools
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..exprs import Expr, _probe_type, col, lit, when, wrap_expr
+from ..exprs import (Expr, _merge_agg_flags, _probe_type, col, lit, when,
+                     wrap_expr)
 from .chrono import chrono_to_java
 from .duration import Duration, parse_duration
 
@@ -97,7 +98,7 @@ def min_horizontal(*exprs):
     def fn(df, part):
         return F.least(*[e._fn(df, part) for e in es])
 
-    return Expr(fn, name="min")
+    return _merge_agg_flags(Expr(fn, name="min"), es)
 
 
 def max_horizontal(*exprs):
@@ -106,7 +107,7 @@ def max_horizontal(*exprs):
     def fn(df, part):
         return F.greatest(*[e._fn(df, part) for e in es])
 
-    return Expr(fn, name="max")
+    return _merge_agg_flags(Expr(fn, name="max"), es)
 
 
 def mean_horizontal(*exprs):
@@ -120,7 +121,7 @@ def mean_horizontal(*exprs):
                                F.lit(0))
         return total / cnt
 
-    return Expr(fn, name="mean")
+    return _merge_agg_flags(Expr(fn, name="mean"), es)
 
 
 def any_horizontal(*exprs):
@@ -129,7 +130,7 @@ def any_horizontal(*exprs):
     def fn(df, part):
         return functools.reduce(lambda a, b: a | b, [e._fn(df, part) for e in es])
 
-    return Expr(fn, name="any")
+    return _merge_agg_flags(Expr(fn, name="any"), es)
 
 
 def all_horizontal(*exprs):
@@ -138,7 +139,7 @@ def all_horizontal(*exprs):
     def fn(df, part):
         return functools.reduce(lambda a, b: a & b, [e._fn(df, part) for e in es])
 
-    return Expr(fn, name="all")
+    return _merge_agg_flags(Expr(fn, name="all"), es)
 
 
 def cum_sum_horizontal(*exprs):
@@ -200,7 +201,7 @@ def concat_str(exprs, *more_exprs, separator: str = "",
         anynull = functools.reduce(lambda a, b: a | b.isNull(), cols, F.lit(False))
         return F.when(anynull, F.lit(None)).otherwise(out)
 
-    return Expr(fn, name=es[0]._name if es else None)
+    return _merge_agg_flags(Expr(fn, name=es[0]._name if es else None), es)
 
 
 def format(fstring: str, *args):
@@ -219,7 +220,7 @@ def format(fstring: str, *args):
                 cols.append(es[i]._fn(df, part).cast("string"))
         return F.concat(*cols)
 
-    return Expr(fn, name="format")
+    return _merge_agg_flags(Expr(fn, name="format"), es)
 
 
 def concat_list(exprs):
@@ -241,7 +242,7 @@ def concat_list(exprs):
                 cols.append(c if isinstance(dt, T.ArrayType) else F.array(c))
         return F.concat(*cols)
 
-    return Expr(fn, name=es[0]._name if es else None)
+    return _merge_agg_flags(Expr(fn, name=es[0]._name if es else None), es)
 
 
 def struct(*exprs, **named):
@@ -383,7 +384,7 @@ def coalesce(*exprs):
     def fn(df, part):
         return F.coalesce(*[e._fn(df, part) for e in es])
 
-    return Expr(fn, name=es[0]._name if es else None)
+    return _merge_agg_flags(Expr(fn, name=es[0]._name if es else None), es)
 
 
 # ranges (functions/range/*.rb) — frame producers

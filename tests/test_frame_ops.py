@@ -1792,3 +1792,38 @@ def test_struct_of_aggs_and_join_route(spark):
     j = pl.DataFrame({"g": ["a", "a"], "s": ["p", "q"]}).group_by("g").agg(
         pl.col("s").shift(1).str.join("-").alias("x")).to_a()
     assert j[0]["x"] == "p"
+
+
+def test_nary_constructors_of_aggregates(spark):
+    """n-ary constructors whose every non-literal input aggregates are
+    themselves aggregates inside agg (round-5 _merge_agg_flags):
+    when/then/otherwise, concat_str, format, coalesce, concat_list,
+    min/max_horizontal — mixed per-row forms keep list semantics."""
+    import polars_ruby_spark as pl
+    from polars_ruby_spark import functions as plf
+
+    g = pl.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0],
+                      "s": ["p", "q", "r"]})
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.when(pl.col("v").sum() > 2).then(pl.col("v").max())
+          .otherwise(pl.lit(0.0)).alias("w"),
+        plf.concat_str([pl.col("s").first(), pl.col("s").last()],
+                       separator="|").alias("c"),
+        plf.coalesce([pl.col("v").filter(pl.col("v") > 5).max(),
+                      pl.col("v").min()]).alias("co"),
+        plf.concat_list([pl.col("v").min(), pl.col("v").max()]).alias("cl"),
+        plf.min_horizontal([pl.col("v").min(), pl.col("v").mean()])
+           .alias("mh"),
+        plf.format("{}-{}", pl.col("v").min(), pl.col("v").max())
+           .alias("f"),
+        pl.when(pl.col("v") > 1).then(pl.col("v")).otherwise(pl.lit(0.0))
+          .alias("mixed"),
+    ).to_a()
+    a, b = r[0], r[1]
+    assert (a["w"], b["w"]) == (2.0, 3.0)
+    assert (a["c"], b["c"]) == ("p|q", "r|r")
+    assert (a["co"], b["co"]) == (1.0, 3.0)
+    assert a["cl"] == [1.0, 2.0] and b["cl"] == [3.0, 3.0]
+    assert (a["mh"], b["mh"]) == (1.0, 3.0)
+    assert (a["f"], b["f"]) == ("1.0-2.0", "3.0-3.0")
+    assert a["mixed"] == [0.0, 2.0] and b["mixed"] == [3.0]
