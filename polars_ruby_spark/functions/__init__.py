@@ -154,7 +154,7 @@ def cum_sum_horizontal(*exprs):
             fields.append(acc.alias(e._name or "x"))
         return F.struct(*fields)
 
-    return Expr(fn, name="cum_sum")
+    return _merge_agg_flags(Expr(fn, name="cum_sum"), es)
 
 
 # folds (functions/lazy.rb:745-778): the lambda runs at plan-build time over
@@ -181,7 +181,7 @@ def cum_fold(acc, function, exprs):
             fields.append(a._fn(df, part).alias(e._name or "x"))
         return F.struct(*fields)
 
-    return Expr(fn, name="cum_fold")
+    return _merge_agg_flags(Expr(fn, name="cum_fold"), es)
 
 
 # string builders (functions/as_datatype.rb:213,251)
