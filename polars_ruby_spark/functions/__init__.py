@@ -552,7 +552,7 @@ def _nary(f, *parts):
     def fn(df, part):
         return f(*[e._fn(df, part) for e in es])
 
-    return Expr(fn)
+    return _merge_agg_flags(Expr(fn), es)
 
 
 def any(*names):
