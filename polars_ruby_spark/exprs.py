@@ -558,10 +558,15 @@ class Expr:
                     t = _probe_type(df, inner_c)
                 except Exception:
                     t = None
-                if isinstance(t, T.ArrayType):
-                    # agg-of-agg (unique().count(), implode().sum()…):
-                    # reduce over the inner aggregate's array
-                    r = reduce_arr(inner_c, df)
+                if t is not None:
+                    # agg-of-agg: reduce over the inner aggregate's array
+                    # (unique().count(), implode().sum()…); a SCALAR
+                    # aggregate inner (min().implode(), sum().sum()) is its
+                    # one-element series (round-5 — was a nested-aggregate
+                    # analysis error)
+                    arr_in = (inner_c if isinstance(t, T.ArrayType)
+                              else F.array(inner_c))
+                    r = reduce_arr(arr_in, df)
                     return r.over(_part_window(part)) if part is not None else r
             if part is not None:
                 ri = self._reduce_over_route(df, part, reduce_arr)
@@ -660,11 +665,15 @@ class Expr:
                     t = _probe_type(df, inner_c)
                 except Exception:
                     t = None
-                if isinstance(t, T.ArrayType):
-                    # agg-of-agg (unique().count(), implode().sum()…):
-                    # reduce over the inner aggregate's array
-                    r = reduce_arr(inner_c, df)
-                    return r.over(_part_window(part)) if part is not None else r
+                if t is not None:
+                    # agg-of-agg: reduce over the inner aggregate's array;
+                    # a scalar aggregate inner is its one-element series
+                    arr_in = (inner_c if isinstance(t, T.ArrayType)
+                              else F.array(inner_c))
+                    r = reduce_arr(arr_in, df)
+                    if part is not None:
+                        r = r.over(_part_window(part))
+                    return post(r) if post is not None else r
             if part is not None:
                 ri = self._reduce_over_route(df, part, reduce_arr)
                 if ri is not None:
