@@ -1540,7 +1540,13 @@ class Expr:
         return self._agg(F.count)
 
     def len(self):
-        return self._agg(lambda c: F.count(F.lit(1)), name=self._name or "len")
+        def len_(c):
+            return F.count(F.lit(1))
+
+        # route: polars len counts ALL elements (incl. nulls) of the
+        # possibly filtered/transformed series
+        len_._arr_reduce_fn = lambda arr, df: F.size(arr).cast("long")
+        return self._agg(len_, name=self._name or "len")
 
     def n_unique(self):
         def fn(df, part):
@@ -3465,9 +3471,46 @@ class Expr:
 
     # -- misc ---------------------------------------------------------------------------
     def filter(self, predicate):
-        """Filter *inside agg context* (expr.rb:2713): conditional aggregation."""
+        """Filter *inside agg context* (expr.rb:2713): conditional
+        aggregation.  Null-skipping aggregates see non-matching elements
+        nulled (cheap codegen'd conditional agg); the ordered-array route
+        REMOVES them (polars drops elements), so bare lists / len /
+        implode over a filter come out element-exact (round-5)."""
         p = wrap_expr(predicate)
-        return self._lift2(p, lambda c, cond: F.when(cond, c), name=self._name)
+        e = self._lift2(p, lambda c, cond: F.when(cond, c), name=self._name)
+        base_inner = (self._agg_list_base if self._agg_list_fn is not None
+                      else self)
+        slf = self._agg_list_fn
+        pair = base_inner._lift2(
+            p, lambda v, c: F.struct(v.alias("v"), c.alias("c")))
+
+        def arr_fn(arr):
+            vs = F.transform(arr, lambda s: s["v"])
+            if slf is not None:
+                vs = slf(vs)  # order-transform applies BEFORE the mask
+            keep = F.transform(arr, lambda s: s["c"])
+            z = F.zip_with(vs, keep, lambda v, c: F.struct(
+                v.alias("v"), F.coalesce(c, F.lit(False)).alias("c")))
+            return F.transform(F.filter(z, lambda s: s["c"]),
+                               lambda s: s["v"])
+
+        e._agg_list_fn = arr_fn
+        e._agg_list_base = pair
+        e._needs_order = True
+        inner = self
+
+        def frame_fn(lf, out_name):
+            # sole select: polars REMOVES non-matching rows.  Evaluate the
+            # expression and mask on the FULL frame first (windowed inners
+            # see every row), then filter and project.
+            out_name = out_name or inner._name or "filter"
+            lf2 = lf.with_columns(inner.alias(out_name),
+                                  p.alias("__flt_mask__"))
+            return (lf2.filter(col("__flt_mask__"))
+                    .select(col(out_name)))
+
+        e._frame_fn = frame_fn
+        return e
 
     where = filter  # expr.rb:2748 alias
 
@@ -3687,8 +3730,26 @@ class Expr:
                 out = out.orderBy("__i__")
             return LazyFrame(out.select(out_name))
 
-        e = Expr(None, name=inner._name)
+        e = Expr(None, name=inner._name, needs_order=True)
         e._frame_fn = frame_fn
+        if not with_replacement:
+            # agg / list.eval: deterministic per-group pick (same seeded
+            # hash-order convention as list.sample — the reference's docs
+            # skip-list seeded ops from bit-compat)
+            s = 0 if seed is None else int(seed)
+
+            def arr_fn(arr):
+                keyed = F.transform(arr, lambda v, i: F.struct(
+                    F.xxhash64(v.cast("string"), i, F.lit(s)).alias("h"),
+                    v.alias("v")))
+                if n is not None:
+                    k = F.lit(int(n))
+                else:
+                    k = F.ceil(F.size(arr) * F.lit(float(frac))).cast("int")
+                return F.transform(F.slice(F.array_sort(keyed), 1, k),
+                                   lambda st: st["v"])
+
+            self._compose_arr_route(e, arr_fn)
         return e
 
     def append(self, other, upcast: bool = True):

@@ -1827,3 +1827,32 @@ def test_nary_constructors_of_aggregates(spark):
     assert (a["mh"], b["mh"]) == (1.0, 3.0)
     assert (a["f"], b["f"]) == ("1.0-2.0", "3.0-3.0")
     assert a["mixed"] == [0.0, 2.0] and b["mixed"] == [3.0]
+
+
+def test_filter_and_sample_element_semantics(spark):
+    """Expr.filter REMOVES non-matching elements in agg/list contexts
+    (polars; the null-mask stays only inside null-skipping aggregates) and
+    removes rows as a sole select; Expr.sample works inside agg with the
+    deterministic seeded pick."""
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b", "b", "a"],
+                      "v": [10.0, 20.0, 30.0, 40.0, 50.0],
+                      "w": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.col("v").filter(pl.col("w") > 1).alias("lst"),
+        pl.col("v").shift(1).filter(pl.col("w") > 1).alias("tl"),
+        pl.col("v").filter(pl.col("w") > 1).len().alias("ln"),
+        pl.col("v").filter(pl.col("w") > 1).sum().alias("s"),
+        pl.col("v").filter(pl.col("w") > 1).first().alias("f"),
+        pl.col("v").sample(n=1, seed=7).alias("sm")).to_a()
+    a, b = r[0], r[1]
+    assert a["lst"] == [20.0, 50.0] and b["lst"] == [30.0, 40.0]
+    assert a["tl"] == [10.0, 20.0] and b["tl"] == [None, 30.0]
+    assert (a["ln"], b["ln"]) == (2, 2)
+    assert (a["s"], b["s"]) == (70.0, 70.0)
+    assert (a["f"], b["f"]) == (20.0, 30.0)
+    assert len(a["sm"]) == 1 and len(b["sm"]) == 1
+    sel = [x["v"] for x in g.select(
+        pl.col("v").filter(pl.col("w") > 2)).to_a()]
+    assert sel == [30.0, 40.0, 50.0]
