@@ -2541,10 +2541,13 @@ class Expr:
     # row order inside the group follows the frame's row order (ROW_IDX).
     def _ordered_vals(self, keep_nulls: bool = True):
         def make(df, part):
-            c = self._fn(df, part)
-            arr = F.sort_array(F.collect_list(
-                F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
-            vals = F.transform(arr, lambda s: s["v"])
+            # order-transformed inner (shift(1).head(2)): ride its route
+            vals = self._route_arr(df, bare=False)
+            if vals is None:
+                c = self._fn(df, part)
+                arr = F.sort_array(F.collect_list(
+                    F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
+                vals = F.transform(arr, lambda s: s["v"])
             if not keep_nulls:
                 vals = F.filter(vals, lambda v: v.isNotNull())
             return vals
@@ -2821,18 +2824,28 @@ class Expr:
 
     def top_k(self, k: int = 5):
         def fn(df, part):
+            routed = self._route_arr(df, bare=False)
+            if routed is not None:
+                nn = F.filter(routed, lambda x: x.isNotNull())
+                return F.slice(F.reverse(F.array_sort(nn)), 1, k)
             c = self._fn(df, None)
             arr = F.slice(F.reverse(F.array_sort(F.collect_list(c))), 1, k)
             if part is not None:
                 arr = arr  # bound at agg layer
             return arr
 
-        e = Expr(lambda df, part: fn(df, part), name=self._name, is_agg=True)
+        e = Expr(lambda df, part: fn(df, part), name=self._name, is_agg=True,
+                 needs_order=(self._needs_order
+                              or self._agg_list_fn is not None))
         return self._topk_frame(e, k, descending=True)
 
     def bottom_k(self, k: int = 5):
-        e = self._agg(
-            lambda c: F.slice(F.array_sort(F.collect_list(c)), 1, k))
+        def aggf(c):
+            return F.slice(F.array_sort(F.collect_list(c)), 1, k)
+
+        aggf._arr_reduce_fn = lambda arr, df: F.slice(F.array_sort(
+            F.filter(arr, lambda x: x.isNotNull())), 1, k)
+        e = self._agg(aggf)
         return self._topk_frame(e, k, descending=False)
 
     def _topk_frame(self, e: "Expr", k: int, descending: bool) -> "Expr":

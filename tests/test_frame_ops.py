@@ -1856,3 +1856,24 @@ def test_filter_and_sample_element_semantics(spark):
     sel = [x["v"] for x in g.select(
         pl.col("v").filter(pl.col("w") > 2)).to_a()]
     assert sel == [30.0, 40.0, 50.0]
+
+
+def test_listops_over_transformed_inner(spark):
+    """head/tail/slice/gather/drop_nulls/top_k/bottom_k over an order-
+    transformed inner inside agg ride the composed array route."""
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b", "b", "a"],
+                      "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.col("v").shift(1).drop_nulls().alias("dn"),
+        pl.col("v").shift(1).head(2).alias("hd"),
+        pl.col("v").shift(1).top_k(2).alias("tk"),
+        pl.col("v").shift(1).bottom_k(1).alias("bk"),
+        pl.col("v").shift(1).gather([1]).alias("gt")).to_a()
+    a, b = r[0], r[1]
+    assert a["dn"] == [10.0, 20.0] and b["dn"] == [30.0]
+    assert a["hd"] == [None, 10.0] and b["hd"] == [None, 30.0]
+    assert a["tk"] == [20.0, 10.0] and b["tk"] == [30.0]
+    assert a["bk"] == [10.0] and b["bk"] == [30.0]
+    assert a["gt"] == [10.0] and b["gt"] == [30.0]
