@@ -2223,6 +2223,30 @@ def q148_gapped_index_positions(spark, sf_dir):
     return _out(out)
 
 
+def q149_filter_elements_agg(spark, sf_dir):
+    """Expr.filter inside agg REMOVES non-matching elements (expr.rb:2713
+    — round-5; the null-mask survives only inside null-skipping
+    aggregates): bare filtered list, len() of the filtered series,
+    first/last of the filtered series, and a filter over an
+    order-transformed inner, each vs the row-subquery oracle."""
+    import polars_ruby_spark as pl
+
+    o = _t(spark, sf_dir, "orders").sort(["o_orderdate", "o_orderkey"])
+    hi = pl.col("o_totalprice") > 150000.0
+    g = o.group_by("o_custkey").agg(
+        pl.col("o_orderkey").filter(hi).alias("ks"),
+        pl.col("o_totalprice").filter(hi).len().alias("n"),
+        pl.col("o_totalprice").filter(hi).first().round(4).alias("f"),
+        pl.col("o_totalprice").filter(hi).last().round(4).alias("l"),
+        pl.col("o_totalprice").shift(1).filter(hi).sum().round(4)
+          .alias("ts"),
+    )
+    out = g.explode("ks").select(
+        pl.col("o_custkey"), pl.col("ks"), pl.col("n"),
+        pl.col("f"), pl.col("l"), pl.col("ts"))
+    return _out(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2384,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_windowed_in_agg": q146_windowed_in_agg,
         "q147_distinct_flags_agg": q147_distinct_flags_agg,
         "q148_gapped_index_positions": q148_gapped_index_positions,
+        "q149_filter_elements_agg": q149_filter_elements_agg,
     }
 
 
@@ -3211,6 +3236,32 @@ def oracle_sql() -> dict[str, str]:
                    gsc.snu, gan.ian
             FROM w JOIN gsc USING (o_custkey)
                    JOIN gan USING (o_custkey)
+        """,
+        "q149_filter_elements_agg": """
+            WITH s AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                              row_number() OVER (ORDER BY o_orderdate,
+                                                 o_orderkey) AS rid
+                       FROM orders),
+                 w AS (SELECT s.*,
+                              lag(o_totalprice) OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY rid) AS lv
+                       FROM s),
+                 a AS (SELECT o_custkey,
+                              count(*) FILTER (
+                                  WHERE o_totalprice > 150000.0) AS n,
+                              round(arg_min(o_totalprice, rid) FILTER (
+                                  WHERE o_totalprice > 150000.0), 4) AS f,
+                              round(arg_max(o_totalprice, rid) FILTER (
+                                  WHERE o_totalprice > 150000.0), 4) AS l,
+                              round(coalesce(sum(lv) FILTER (
+                                  WHERE o_totalprice > 150000.0), 0),
+                                  4) AS ts
+                       FROM w GROUP BY o_custkey)
+            SELECT a.o_custkey, m.o_orderkey AS ks, a.n, a.f, a.l, a.ts
+            FROM a LEFT JOIN (SELECT o_custkey, o_orderkey FROM s
+                              WHERE o_totalprice > 150000.0) m
+                 USING (o_custkey)
         """,
         "q148_gapped_index_positions": """
             WITH s AS (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -66,6 +66,8 @@ HEADLINE = [
     "q145_audio_features",      # WAV PCM decode via mapInPandas
     "q146_windowed_in_agg",     # key-shared pre-stage windowables in agg
     "q147_distinct_flags_agg",  # group-local flags + composed arr routes
+    "q148_gapped_index_positions",  # dense re-rank for positional consumers
+    "q149_filter_elements_agg",     # element-removing filter in agg
 ]
 
 
@@ -117,7 +119,7 @@ def main():
     r1_set = [n for n in HEADLINE if not n.startswith(
         ("q132", "q133", "q134", "q135", "q136", "q137", "q138",
          "q139", "q140", "q141", "q142", "q143", "q144", "q145",
-         "q146", "q147"))]
+         "q146", "q147", "q148", "q149"))]
     r1_total = round(sum(results[n] for n in r1_set if n in results), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
