@@ -3291,7 +3291,10 @@ class Expr:
         """Run ids (expr.rb:2674): gaps-and-islands cumsum of change points."""
 
         def f(c, w):
-            change = F.when(~c.eqNullSafe(F.lag(c, 1).over(w)), 1).otherwise(0)
+            # the FIRST row must register explicitly: a null first value
+            # null-safe-equals the missing lag and would start ids at -1
+            change = F.when(F.row_number().over(w) == 1, 1).otherwise(
+                F.when(~c.eqNullSafe(F.lag(c, 1).over(w)), 1).otherwise(0))
             cum = F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0))
             # first row registers as a change → ids start at 1; polars starts at 0
             return (cum - 1).cast("long")

@@ -221,11 +221,19 @@ def attach_global_rle_id(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
     wp = Window.partitionBy(_PID).orderBy(F.col(ROW_IDX).asc())
     bnd = base.groupBy(_PID).agg(F.max_by(c, F.col(ROW_IDX)).alias("__gr_lastv__"))
     prevb = bnd.select(
-        _PID, F.lag("__gr_lastv__").over(Window.orderBy(_PID)).alias("__gr_prev__"))
+        _PID,
+        F.lag("__gr_lastv__").over(Window.orderBy(_PID)).alias("__gr_prev__"),
+        # distinguishes "no predecessor partition" from a genuinely-null
+        # last value (a null FIRST row null-safe-equals the missing prev
+        # and would start run ids at -1)
+        F.lag(F.lit(1)).over(Window.orderBy(_PID)).isNotNull()
+        .alias("__gr_hasp__"))
     joined = base.join(F.broadcast(prevb), _PID, "left")
-    prev = F.when(F.row_number().over(wp) == 1,
-                  F.col("__gr_prev__")).otherwise(F.lag(c, 1).over(wp))
-    change = F.when(~c.eqNullSafe(prev), 1).otherwise(0)
+    change = F.when(
+        F.row_number().over(wp) == 1,
+        F.when(F.col("__gr_hasp__") & c.eqNullSafe(F.col("__gr_prev__")),
+               0).otherwise(1),
+    ).otherwise(F.when(~c.eqNullSafe(F.lag(c, 1).over(wp)), 1).otherwise(0))
     flagged = joined.withColumn("__gr_chg__", change)
     local = F.sum("__gr_chg__").over(wp.rowsBetween(Window.unboundedPreceding, 0))
     totals = flagged.groupBy(_PID).agg(F.sum("__gr_chg__").alias("__gr_tot__"))
@@ -238,7 +246,7 @@ def attach_global_rle_id(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
            .withColumn(out_name,
                        (local + F.coalesce(F.col(_OFF), F.lit(0)) - 1)
                        .cast("long"))
-           .drop(_PID, _OFF, "__gr_prev__", "__gr_chg__"))
+           .drop(_PID, _OFF, "__gr_prev__", "__gr_hasp__", "__gr_chg__"))
     return out.sortWithinPartitions(ROW_IDX)
 
 

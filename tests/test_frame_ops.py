@@ -1877,3 +1877,20 @@ def test_listops_over_transformed_inner(spark):
     assert a["tk"] == [20.0, 10.0] and b["tk"] == [30.0]
     assert a["bk"] == [10.0] and b["bk"] == [30.0]
     assert a["gt"] == [10.0] and b["gt"] == [30.0]
+
+
+def test_rle_id_null_first_value(spark):
+    """rle_id starts at 0 when the FIRST value is null (the missing lag
+    null-safe-equals a null first value and started run ids at -1 — both
+    the windowed and the distributed two-pass variants)."""
+    import polars_ruby_spark as pl
+
+    d = pl.DataFrame({"v": [None, 1.0, 1.0, 2.0]})
+    assert [r["x"] for r in d.with_columns(
+        pl.col("v").rle_id().alias("x")).to_a()] == [0, 1, 1, 2]
+    g = pl.DataFrame({"g": ["a", "a", "b"], "v": [None, 1.0, 2.0]})
+    assert [r["x"] for r in g.with_columns(
+        pl.col("v").rle_id().over("g").alias("x")).to_a()] == [0, 1, 0]
+    s = pl.DataFrame({"g": ["a"] * 3, "v": [10.0, 20.0, 30.0]})
+    assert s.group_by("g").agg(pl.col("v").shift(1).rle_id().alias("x")) \
+        .to_a()[0]["x"] == [0, 1, 2]
