@@ -3348,9 +3348,9 @@ class Expr:
                 cond = (c < b) if left_closed else (c <= b)
                 out = F.when(cond, F.lit(labs[i])) if out is None else out.when(cond, F.lit(labs[i]))
             out = out.otherwise(F.lit(labs[len(brs)])) if out is not None else F.lit(labs[0])
-            return out
+            return F.when(c.isNotNull(), out)  # null stays UNBINNED
 
-        return Expr(fn, name=self._name)
+        return _merge_agg_flags(Expr(fn, name=self._name), [self])
 
     def qcut(self, quantiles, labels: list[str] | None = None,
              left_closed: bool = False, allow_duplicates: bool = False):
@@ -3428,7 +3428,7 @@ class Expr:
                 fallback = default._fn(df, part) if isinstance(default, Expr) else F.lit(default)
             return out.otherwise(fallback) if out is not None else fallback
 
-        return Expr(fn, name=self._name)
+        return _merge_agg_flags(Expr(fn, name=self._name), [self])
 
     def replace_strict(self, old, new=None, default=_NO_DEFAULT):
         """Value mapping (expr.rb:7071): unmatched → ``default`` when given,
@@ -3455,7 +3455,7 @@ class Expr:
                 fallback = default._fn(df, part) if isinstance(default, Expr) else F.lit(default)
             return out.otherwise(fallback) if out is not None else fallback
 
-        return Expr(fn, name=self._name)
+        return _merge_agg_flags(Expr(fn, name=self._name), [self])
 
     # -- over ------------------------------------------------------------------------
     def over(self, *keys):

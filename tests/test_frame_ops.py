@@ -1894,3 +1894,21 @@ def test_rle_id_null_first_value(spark):
     s = pl.DataFrame({"g": ["a"] * 3, "v": [10.0, 20.0, 30.0]})
     assert s.group_by("g").agg(pl.col("v").shift(1).rle_id().alias("x")) \
         .to_a()[0]["x"] == [0, 1, 2]
+
+
+def test_replace_cut_over_transformed_and_null_bins(spark):
+    """replace/replace_strict/cut propagate order flags (work over
+    shift(1) inside agg via the pre-stage); cut leaves nulls UNBINNED."""
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.col("v").shift(1).replace({1.0: 9.0}).alias("rp"),
+        pl.col("v").shift(1).replace_strict({1.0: 9.0}, default=0.0)
+          .alias("rs"),
+        pl.col("v").shift(1).cut([1.5]).alias("ct")).to_a()
+    assert r[0]["rp"] == [None, 9.0] and r[1]["rp"] == [None]
+    assert r[0]["rs"] == [0.0, 9.0]
+    assert r[0]["ct"] == [None, "(-inf, 1.5]"]
+    assert [x["x"] for x in pl.DataFrame({"v": [None, 1.0]}).select(
+        pl.col("v").cut([1.5]).alias("x")).to_a()] == [None, "(-inf, 1.5]"]
