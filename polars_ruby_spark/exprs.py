@@ -3787,7 +3787,21 @@ class Expr:
             b = df.select(o._fn(df, None).alias(out_name))
             return LazyFrame(a.unionByName(b))
 
-        e = Expr(None, name=inner._name)
+        def fn(df, part):
+            # agg / list.eval: per-group concatenation (polars appends the
+            # other series below this one's group values)
+            a = inner._route_arr(df)
+            if a is None:
+                raise InvalidOperationError(
+                    "append is row-count-changing: use it as the sole "
+                    "select expression or inside group_by().agg()")
+            if o._is_agg:
+                b = F.array(o._fn(df, part))  # scalar agg → one element
+            else:
+                b = o._route_arr(df)
+            return F.concat(a, b)
+
+        e = Expr(fn, name=inner._name, is_agg=True, needs_order=True)
         e._frame_fn = frame_fn
         return e
 
