@@ -3824,7 +3824,17 @@ class Expr:
                 F.lit(value).cast(t).alias(out_name))
             return LazyFrame(head.unionByName(tail))
 
-        e = Expr(None, name=inner._name)
+        def fn(df, part):
+            # agg / list.eval: per-group list with n constant tail copies
+            arr = inner._route_arr(df)
+            if arr is None:
+                raise InvalidOperationError(
+                    "extend_constant is row-count-changing: use it as the "
+                    "sole select expression or inside group_by().agg()")
+            return F.concat(
+                arr, F.array_repeat(F.lit(value), int(n)))
+
+        e = Expr(fn, name=inner._name, is_agg=True, needs_order=True)
         e._frame_fn = frame_fn
         return e
 

@@ -1912,3 +1912,18 @@ def test_replace_cut_over_transformed_and_null_bins(spark):
     assert r[0]["ct"] == [None, "(-inf, 1.5]"]
     assert [x["x"] for x in pl.DataFrame({"v": [None, 1.0]}).select(
         pl.col("v").cut([1.5]).alias("x")).to_a()] == [None, "(-inf, 1.5]"]
+
+
+def test_append_extend_constant_in_agg(spark):
+    """append / extend_constant inside agg concatenate per-group series
+    (were frame-only); the sole-select paths keep flattened rows."""
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    r = g.group_by("g", maintain_order=True).agg(
+        pl.col("v").append(pl.col("v").max()).alias("ap"),
+        pl.col("v").extend_constant(9.0, 2).alias("ec")).to_a()
+    assert r[0]["ap"] == [1.0, 2.0, 2.0] and r[1]["ap"] == [3.0, 3.0]
+    assert r[0]["ec"] == [1.0, 2.0, 9.0, 9.0]
+    assert [x["v"] for x in g.select(
+        pl.col("v").extend_constant(9.0, 1)).to_a()] == [1.0, 2.0, 3.0, 9.0]
