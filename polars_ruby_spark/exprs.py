@@ -278,6 +278,12 @@ class Expr:
     #: (agg_groups) — group-local ordinal substitutes are not equivalent.
     _needs_global_index = False
 
+    #: list.eval hook: ``(arr, df) -> Column`` computing the op over the
+    #: eval list (cum_*/diff/pct_change — prefix HOFs, no window);
+    #: ``_eval_arr_base`` is the inner whose mapped values feed it.
+    _eval_arr_fn = None
+    _eval_arr_base = None
+
     #: True when the expr treats ROW_IDX values as CURRENT-FRAME positions
     #: (arg_min/arg_max ungrouped, reverse/shuffle index maps, agg_groups):
     #: a row-subset op upstream leaves the kept index gapped — harmless for
@@ -2088,6 +2094,14 @@ class Expr:
             return c - F.lag(c, n).over(w)
 
         e = self._ordered(f, order_only=True)
+
+        def ev(arr, df):
+            return F.transform(arr, lambda x, i: F.when(
+                (i - F.lit(n) >= 0) & (i - F.lit(n) < F.size(arr)),
+                x - F.element_at(arr, i - F.lit(n) + 1)))
+
+        e._eval_arr_fn = ev
+        e._eval_arr_base = self
         if null_behavior == "drop":
             # polars drops the first n slots entirely (row-count-changing)
             # → sole-select-expression rule: compute the ordinary diff
@@ -2117,7 +2131,20 @@ class Expr:
             prev = F.lag(c, n).over(w)
             return (c - prev) / prev
 
-        return self._ordered(f, order_only=True)
+        e = self._ordered(f, order_only=True)
+
+        def ev(arr, df):
+            def elem(x, i):
+                prev = F.element_at(arr, i - F.lit(n) + 1)
+                return F.when(
+                    (i - F.lit(n) >= 0) & (i - F.lit(n) < F.size(arr)),
+                    (x - prev) / prev)
+
+            return F.transform(arr, elem)
+
+        e._eval_arr_fn = ev
+        e._eval_arr_base = self
+        return e
 
     def cum_sum(self, reverse: bool = False):
         return self._cum("sum", reverse)
@@ -2198,6 +2225,48 @@ class Expr:
                 return out, tmp
 
             e._global_ordinal_fn = gfn
+
+        def ev(arr, df):
+            # list.eval: prefix reductions over the eval list (no window)
+            from pyspark.sql import types as T
+
+            sz = F.size(arr)
+
+            def pre(i):
+                return (F.slice(arr, i + 1, sz - i) if reverse
+                        else F.slice(arr, 1, i + 1))
+
+            def nn(p):
+                return F.filter(p, lambda y: y.isNotNull())
+
+            if kind == "count":
+                return F.transform(arr, lambda x, i: F.size(
+                    nn(pre(i))).cast("long"))
+            if kind in ("min", "max"):
+                fmm = F.array_min if kind == "min" else F.array_max
+                return F.transform(arr, lambda x, i: F.when(
+                    x.isNotNull(), fmm(nn(pre(i)))))
+            t = _probe_type(df, arr).elementType
+            boolish = isinstance(t, T.BooleanType)
+            if boolish:
+                t = T.LongType()
+
+            def val(y):
+                return y.cast("long") if boolish else y
+
+            if kind == "sum":
+                red = (lambda p: F.aggregate(
+                    nn(p), F.lit(0).cast(t), lambda a, y: a + val(y)))
+            else:  # product: polars keeps integral dtypes integral
+                red = (lambda p: F.aggregate(
+                    nn(p), F.lit(1).cast(t), lambda a, y: a * val(y)))
+            return F.transform(arr, lambda x, i: F.when(
+                x.isNotNull(), red(pre(i))))
+
+        e._eval_arr_fn = ev
+        # the PRE-widen inner: the widen wrapper (_lift_ctx) drops any
+        # ordered-array route, and ev handles booleans itself
+        e._eval_arr_base = (base if kind in ("sum", "product") else self)
         return e
 
     def cumulative_eval(self, expr=None, min_periods: int = 1,

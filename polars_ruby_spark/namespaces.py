@@ -814,6 +814,12 @@ class ListNameSpace(_NS):
                 # length-preserving full-array op: transform the list
                 mapped = _eval_map(expr._agg_list_base, c, df)
                 return expr._agg_list_fn(mapped)
+            if expr._eval_arr_fn is not None:
+                # prefix/positional ops (cum_*/diff/pct_change): list HOF
+                from .exprs import _eval_vals
+
+                mapped = _eval_vals(expr._eval_arr_base, c, df)
+                return expr._eval_arr_fn(mapped, df)
 
             def lam(x, i):
                 _ELEMENT_STACK.append(x)

@@ -1927,3 +1927,28 @@ def test_append_extend_constant_in_agg(spark):
     assert r[0]["ec"] == [1.0, 2.0, 9.0, 9.0]
     assert [x["v"] for x in g.select(
         pl.col("v").extend_constant(9.0, 1)).to_a()] == [1.0, 2.0, 3.0, 9.0]
+
+
+def test_cum_diff_inside_list_eval(spark):
+    """cum_*/diff/pct_change inside list.eval compile to prefix HOFs over
+    the eval list (no window), composing over routed inners (shift) and
+    counting booleans like polars cum_sum."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"l": [[3.0, 1.0, 3.0, None], [5.0, 2.0]],
+                       "lb": [[True, False, True], [False, False]]})
+
+    def ev(c, ex):
+        return [r["x"] for r in df.select(
+            pl.col(c).list.eval(ex).alias("x")).to_a()]
+
+    assert ev("l", pl.element().cum_sum()) \
+        == [[3.0, 4.0, 7.0, None], [5.0, 7.0]]
+    assert ev("l", pl.element().cum_max()) \
+        == [[3.0, 3.0, 3.0, None], [5.0, 5.0]]
+    assert ev("l", pl.element().cum_count()) == [[1, 2, 3, 3], [1, 2]]
+    assert ev("lb", pl.element().cum_sum()) == [[1, 1, 2], [0, 0]]
+    assert ev("l", pl.element().diff()) \
+        == [[None, -2.0, 2.0, None], [None, -3.0]]
+    assert ev("l", pl.element().shift(1).cum_sum()) \
+        == [[None, 3.0, 4.0, 7.0], [None, 5.0]]
