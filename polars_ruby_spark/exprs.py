@@ -575,7 +575,8 @@ class Expr:
                     r = reduce_arr(arr_in, df)
                     return r.over(_part_window(part)) if part is not None else r
             if part is not None:
-                ri = self._reduce_over_route(df, part, reduce_arr)
+                ri = self._reduce_over_route(df, part, reduce_arr,
+                                             force=custom is not None)
                 if ri is not None:
                     return ri
             c = aggf(self._fn(df, None))
@@ -591,13 +592,15 @@ class Expr:
         self._attach_windowable_pre(out, lambda c, df: aggf(c))
         return out
 
-    def _reduce_over_route(self, df, part, reduce_arr):
+    def _reduce_over_route(self, df, part, reduce_arr, force: bool = False):
         """Aggregate over an ORDER-DEPENDENT inner under ``over(keys)``:
         the inner cannot bind globally (polars evaluates per sub-series —
         a global shift/rank would be silently wrong).  An inner carrying
         an ordered-array route reduces its transformed per-group array
         from ONE collected window; other windowed inners raise with the
-        with_columns rewrite (round-5)."""
+        with_columns rewrite.  ``force`` collects even a PLAIN inner —
+        for collect-based reducers (quantile/mode) whose HOF cannot wrap
+        ``.over`` around an inner collect_list (round-5)."""
         if self._agg_list_fn is not None:
             pairs = F.array_sort(F.collect_list(F.struct(
                 F.col(ROW_IDX).alias("i"),
@@ -610,6 +613,16 @@ class Expr:
                 "aggregating a windowed expression under over(keys): "
                 "pre-compute the windowed column with with_columns("
                 "expr.over(keys)) and aggregate that column instead")
+        if force:
+            if ROW_IDX in df.columns:  # order-preserving when available
+                pairs = F.array_sort(F.collect_list(F.struct(
+                    F.col(ROW_IDX).alias("i"),
+                    self._fn(df, None).alias("v"))).over(_part_window(part)))
+                arr = F.transform(pairs, lambda p: p["v"])
+            else:
+                arr = F.collect_list(
+                    self._fn(df, None)).over(_part_window(part))
+            return reduce_arr(arr, df)
         return None
 
     def _attach_windowable_pre(self, out: "Expr", apply_agg) -> None:
@@ -681,7 +694,8 @@ class Expr:
                         r = r.over(_part_window(part))
                     return post(r) if post is not None else r
             if part is not None:
-                ri = self._reduce_over_route(df, part, reduce_arr)
+                ri = self._reduce_over_route(df, part, reduce_arr,
+                                             force=custom is not None)
                 if ri is not None:
                     return post(ri) if post is not None else ri
             c = aggf(self._fn(df, None), df)

@@ -1952,3 +1952,20 @@ def test_cum_diff_inside_list_eval(spark):
         == [[None, -2.0, 2.0, None], [None, -3.0]]
     assert ev("l", pl.element().shift(1).cum_sum()) \
         == [[None, 3.0, 4.0, 7.0], [None, 5.0]]
+
+
+def test_collect_based_aggs_under_over(spark):
+    """quantile/mode/unique/implode under over(keys): collect-based
+    reducers can't wrap .over around an inner collect_list — they reduce
+    ONE windowed collect instead (broadcast per group, polars scalar/list
+    semantics)."""
+    import polars_ruby_spark as pl
+
+    g = pl.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    out = g.with_columns(
+        pl.col("v").quantile(0.5).over("g").alias("q"),
+        pl.col("v").mode().over("g").alias("m"),
+        pl.col("v").unique().over("g").alias("u")).to_a()
+    assert [r["q"] for r in out] == [2.0, 2.0, 3.0]
+    assert [r["m"] for r in out] == [[1.0, 2.0], [1.0, 2.0], [3.0]]
+    assert [r["u"] for r in out] == [[1.0, 2.0], [1.0, 2.0], [3.0]]
