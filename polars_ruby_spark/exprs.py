@@ -168,6 +168,55 @@ def _arr_reduce(label: str, arr: Column, df) -> Column:
         "inside group_by().agg")
 
 
+def _arr_avg_ranks(vs: Column, materialize=None) -> Column:
+    """Average-tie ranks among the array's non-null values (polars
+    rank('average'); nulls keep null ranks).
+
+    Sort once, then each element's average rank is derived from its FIRST
+    and LAST occurrence positions in the sorted array — located with the
+    NATIVE ``array_position`` scan (no per-comparison lambda: interpreted
+    HOF lambdas made filter-count 4× and aggregate-count 10× slower).
+    avg rank = (first_pos + last_pos) / 2 reproduces tie-run averages.
+    O(w²) native comparisons per array, bounded by window occupancy w and
+    task-local; ``materialize`` pins the sorted arrays as attributes so
+    they compute once per row, not once per element."""
+    mat = materialize or (lambda c: c)
+    sv = mat(F.array_sort(F.filter(vs, lambda u: u.isNotNull())))
+    rsv = mat(F.reverse(sv))
+    n = F.size(sv)
+    return F.transform(vs, lambda v: F.when(
+        v.isNotNull(),
+        (F.array_position(sv, v).cast("double")
+         + (n + 1 - F.array_position(rsv, v)).cast("double")) / F.lit(2.0)))
+
+
+def _arr_pearson(xa: Column, xb: Column, materialize=None) -> Column:
+    """Pearson correlation of two aligned value arrays, skipping pairs with
+    a null on either side (F.corr semantics).  Sum-formula over one
+    zip_with pass; zero variance divides by zero → SQL NULL (the shape
+    F.corr's NaN becomes after fill_nan(None)).  ``materialize`` pins the
+    pair array as an attribute so the six sums don't re-evaluate it
+    (interpreted HOFs have no CSE)."""
+    ps = F.filter(
+        F.zip_with(xa, xb, lambda a, b: F.struct(
+            a.cast("double").alias("a"), b.cast("double").alias("b"))),
+        lambda p: p["a"].isNotNull() & p["b"].isNotNull())
+    if materialize is not None:
+        ps = materialize(ps)
+    n = F.size(ps).cast("double")
+
+    def s(f):
+        return F.aggregate(ps, F.lit(0.0), lambda acc, p: acc + f(p))
+
+    sa, sb = s(lambda p: p["a"]), s(lambda p: p["b"])
+    sab = s(lambda p: p["a"] * p["b"])
+    saa = s(lambda p: p["a"] * p["a"])
+    sbb = s(lambda p: p["b"] * p["b"])
+    cov = sab - sa * sb / n
+    den = F.sqrt((saa - sa * sa / n) * (sbb - sb * sb / n))
+    return F.when(n > 0, cov / den)
+
+
 def _sort_cmp(descending: bool, nulls_last: bool):
     """``array_sort`` comparator over ``(v, i)`` structs: value order with
     explicit null placement, ties stable by original position."""
@@ -225,6 +274,28 @@ def _ordered_window(part) -> WindowSpec:
     if _ORDER_CTX and _ORDER_CTX[-1] is not None:
         return Window.partitionBy(*(part or [])).orderBy(*_ORDER_CTX[-1])
     return Window.partitionBy(*(part or [])).orderBy(ROW_IDX)
+
+
+def _staged_input_fn(base: "Expr"):
+    """``(sdf, key_cols) -> (sdf2, Column)`` yielding the windowed-
+    equivalent SOURCE of ``base`` for staged window sequencing: its own
+    staged helper when it carries one, its direct binding when it is
+    order-free per-row; None when neither is provable (giant-group gate
+    only reroutes provably-equivalent compositions)."""
+    if base._staged_win_fn is not None:
+        ssw = base._staged_win_fn
+
+        def fn(sdf, key_cols):
+            sdf2, h = ssw(sdf, key_cols)
+            return sdf2, F.col(h)
+
+        return fn
+    if (not base._needs_order and not base._scrambles_order
+            and not base._is_agg and base._agg_list_fn is None
+            and base._multi_fn is None and base._frame_fn is None
+            and base._agg_pre_fn is None):
+        return lambda sdf, key_cols: (sdf, base._fn(sdf, list(key_cols)))
+    return None
 
 
 def _visible_cols(df) -> list:
@@ -321,6 +392,21 @@ class Expr:
     #: so the plan stays one exchange (AQE reuses it).
     _agg_pre_fn = None
 
+    #: STAGED windowed binding: ``(sdf, key_cols) -> (sdf2, helper_name)``
+    #: materializing this expr's per-group value as a sequence of helper
+    #: window columns (shift → is_unique staged as lag THEN a value-
+    #: partitioned count — windows cannot nest in one Column).  Set only
+    #: where the windowed semantics PROVABLY equal the ordered-array route
+    #: (_ordered ops, the _distinct_flag family, pure lifts).  The giant-
+    #: group gate (round-6) reroutes array-route exprs through it when a
+    #: hot group would make the O(g²) per-group HOF a single-task hazard.
+    _staged_win_fn = None
+
+    #: companion for REDUCED array-route aggs (shift(1).is_unique().any()):
+    #: ``(sdf, key_cols) -> (sdf2, Column)`` — stage the inner windowed,
+    #: then apply the expr's own plain aggregate to the helper column.
+    _staged_agg_fn = None
+
     #: lightweight AST breadcrumb ``(op, children_exprs, payload)`` attached
     #: by the central combinators (col/lit/_lift/_lift2/_agg/_ordered/alias/
     #: over) — powers meta.root_names/pop/tree_format/eq (meta_expr.rb)
@@ -412,6 +498,16 @@ class Expr:
                 return sdf2, _f(c)
 
             out._agg_pre_fn = pfn
+        if self._staged_agg_fn is not None:
+            # ... and over the staged giant-group reroute of reduced
+            # array-route aggs (shift(1).n_unique().cast(...))
+            ssa = self._staged_agg_fn
+
+            def pfa(sdf, key_cols, _f=f):
+                sdf2, c = ssa(sdf, key_cols)
+                return sdf2, _f(c)
+
+            out._staged_agg_fn = pfa
         if self._agg_list_fn is not None:
             # elementwise composition keeps the ordered-array agg route:
             # agg((shift(1).abs()).sum()) transforms the per-group array
@@ -420,6 +516,16 @@ class Expr:
                 lambda arr, _slf=slf, _f=f: F.transform(
                     _slf(arr), lambda x: _f(x)))
             out._agg_list_base = base
+        if self._staged_win_fn is not None:
+            # pure Column fns compose over the staged windowed binding too
+            ssw = self._staged_win_fn
+
+            def swf(sdf, key_cols, _f=f):
+                sdf2, h = ssw(sdf, key_cols)
+                tmp = _next_gord_name()
+                return sdf2.withColumn(tmp, _f(F.col(h))), tmp
+
+            out._staged_win_fn = swf
         return out
 
     def _lift_ctx(self, f: Callable[[Column, DataFrame, Any], Column],
@@ -478,6 +584,16 @@ class Expr:
                     lambda arr, _slf=slf, _f=f, _oc=oc: F.transform(
                         _slf(arr), lambda x: _f(x, _oc)))
             out._agg_list_base = base
+            if lhs._staged_win_fn is not None:
+                ssw = lhs._staged_win_fn
+
+                def swf(sdf, key_cols, _f=f, _oc=oc, _ssw=ssw, _flip=flip):
+                    sdf2, h = _ssw(sdf, key_cols)
+                    tmp = _next_gord_name()
+                    c = (_f(_oc, F.col(h)) if _flip else _f(F.col(h), _oc))
+                    return sdf2.withColumn(tmp, c), tmp
+
+                out._staged_win_fn = swf
             break
         if self._agg_pre_fn is not None or o._agg_pre_fn is not None:
             # compose binary ops over agg pre-stage hooks too (ADVICE r4:
@@ -590,6 +706,16 @@ class Expr:
                                 or self._agg_list_fn is not None))._set_meta(
                        label, (self,))
         self._attach_windowable_pre(out, lambda c, df: aggf(c))
+        if self._agg_list_fn is not None and self._staged_win_fn is not None:
+            # giant-group reroute: stage the inner windowed, aggregate the
+            # helper with the expr's own plain aggregate
+            ssw = self._staged_win_fn
+
+            def sagg(sdf, key_cols, _aggf=aggf):
+                sdf2, h = ssw(sdf, key_cols)
+                return sdf2, _aggf(F.col(h))
+
+            out._staged_agg_fn = sagg
         return out
 
     def _reduce_over_route(self, df, part, reduce_arr, force: bool = False):
@@ -716,6 +842,14 @@ class Expr:
             return post(r) if post is not None else r
 
         self._attach_windowable_pre(out, apply_agg)
+        if self._agg_list_fn is not None and self._staged_win_fn is not None:
+            ssw = self._staged_win_fn
+
+            def sagg(sdf, key_cols):
+                sdf2, h = ssw(sdf, key_cols)
+                return sdf2, apply_agg(F.col(h), sdf2)
+
+            out._staged_agg_fn = sagg
         return out
 
     def _probe_dtype(self, df: DataFrame, c: Column):
@@ -753,6 +887,18 @@ class Expr:
         out = Expr(bound, name=self._name,
                    needs_order=True)._set_meta("window", (self,))
         out._order_only = order_only and self._order_safe
+        src = _staged_input_fn(self)
+        if src is not None:
+            # staged windowed binding: materialize the input helper first,
+            # then ONE window over it (windows cannot nest in a Column) —
+            # powers the giant-group reroute of composed array routes
+            def staged(sdf, key_cols, _src=src, _f=f):
+                sdf2, c = _src(sdf, key_cols)
+                tmp = _next_gord_name()
+                return sdf2.withColumn(
+                    tmp, _f(c, _ordered_window(list(key_cols)))), tmp
+
+            out._staged_win_fn = staged
         return out
 
     # -- identity / naming --------------------------------------------------
@@ -765,6 +911,8 @@ class Expr:
         e._agg_list_fn = self._agg_list_fn
         e._agg_list_base = self._agg_list_base
         e._agg_pre_fn = self._agg_pre_fn
+        e._staged_win_fn = self._staged_win_fn
+        e._staged_agg_fn = self._staged_agg_fn
         return e._set_meta("alias", (self,), name)
 
     def suffix(self, s: str) -> "Expr":
@@ -1591,8 +1739,22 @@ class Expr:
                         + nullflag.over(w))
             return F.countDistinct(c) + nullflag
 
-        return Expr(fn, name=self._name, is_agg=True,
-                    needs_order=self._needs_order)
+        out = Expr(fn, name=self._name, is_agg=True,
+                   needs_order=self._needs_order)
+        if self._agg_list_fn is not None and self._staged_win_fn is not None:
+            # giant-group reroute (round-6): array_distinct over a hot
+            # group's array is O(g²) in one task — stage the inner
+            # windowed, countDistinct the helper
+            ssw = self._staged_win_fn
+
+            def sagg(sdf, key_cols):
+                sdf2, h = ssw(sdf, key_cols)
+                c = F.col(h)
+                return sdf2, (F.countDistinct(c)
+                              + F.max(F.when(c.isNull(), 1).otherwise(0)))
+
+            out._staged_agg_fn = sagg
+        return out
 
     def approx_n_unique(self):
         def approx_count_distinct(c):
@@ -1974,6 +2136,18 @@ class Expr:
             e._agg_list_fn = lambda arr, _s=slf: arr_elem_fn(_s(arr))
             e._agg_list_base = base
             e._needs_order = True  # the route collects by ROW_IDX
+        src = _staged_input_fn(inner)
+        if src is not None:
+            # staged windowed binding (giant-group reroute): materialize
+            # the inner helper, then the value-partitioned flag window
+            # over it — O(g log g) per group instead of the O(g²) HOF
+            def staged(sdf, key_cols, _src=src):
+                sdf2, c = _src(sdf, key_cols)
+                tmp = _next_gord_name()
+                return sdf2.withColumn(
+                    tmp, window_fn(c, list(key_cols))), tmp
+
+            e._staged_win_fn = staged
         return e
 
     def is_unique(self):
@@ -4092,6 +4266,11 @@ def col(name, *more_names) -> Expr:
                 # inside list.eval, col("") refers to the element
                 # (list_expr_test.rb: element.rank / col("").count)
                 return _ELEMENT_STACK[-1]
+            if (_ELEMENT_STACK and _EVAL_STRUCT_COLS
+                    and name in _EVAL_STRUCT_COLS[-1]):
+                # struct-element eval frame (rolling collect-window): the
+                # column resolves to the current window element's field
+                return _ELEMENT_STACK[-1][name]
             return F.col(name)
 
         e = Expr(colfn, name=name)
@@ -4186,6 +4365,33 @@ _EVAL_ARRAY_STACK: list = []
 #: Parallel stack of the current element's INDEX inside _eval_map's
 #: transform lambda (ordinal rank tie-breaking by list position).
 _ELEMENT_IDX_STACK: list = []
+
+#: STRUCT-element eval frames (rolling collect-window path): when the eval
+#: array's elements are structs of source-column fields, ``col(name)``
+#: inside the element lambda resolves to the element's FIELD instead of the
+#: outer frame column.  Pushed/popped ONLY by binders whose eval array has
+#: struct elements (RollingGroupBy._agg_collect_win); plain list.eval never
+#: pushes, so ordinary element() binding is unaffected.
+_EVAL_STRUCT_COLS: list = []
+
+#: Eval-context MATERIALIZER stack: ``(Column) -> Column`` callbacks that
+#: pin an intermediate array as a helper COLUMN on the binder's frame and
+#: return the attribute reference.  Interpreted HOFs get no common-
+#: subexpression elimination — a multi-referenced array subtree (spearman's
+#: ranks referencing the value array per element, pearson referencing the
+#: pair array per sum) re-evaluates MULTIPLICATIVELY unless each hop is an
+#: attribute.  Pushed only by binders whose eval array is lambda-var-free
+#: (rolling collect-window); plain list.eval leaves it empty and exprs
+#: fall back to inline composition.
+_EVAL_MATERIALIZE_STACK: list = []
+
+
+def _eval_materialize(c: Column) -> Column:
+    """Pin ``c`` as a frame column via the active materializer (identity
+    inline fallback when none is active)."""
+    if _EVAL_MATERIALIZE_STACK:
+        return _EVAL_MATERIALIZE_STACK[-1](c)
+    return c
 
 
 def _eval_map(base: "Expr", arr, df):

@@ -1198,8 +1198,13 @@ class DataFrame(LazyFrame):
     to_dicts = to_a
 
     def to_h(self) -> dict[str, list]:
-        pdf = self.to_pandas()
-        return {c: pdf[c].tolist() for c in pdf.columns}
+        """Column-name → value-list dict (data_frame.rb:478).  Built from
+        collected Rows, NOT pandas: the pandas route coerces float nulls to
+        NaN, losing the null/NaN distinction polars' to_h keeps (round-6)."""
+        sdf = self.to_spark()
+        rows = sdf.collect()
+        return {c: [r[i] for r in rows]
+                for i, c in enumerate(sdf.columns)}
 
     to_dict = to_h
 

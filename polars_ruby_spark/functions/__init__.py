@@ -80,8 +80,17 @@ def count(name=None):
 
 
 def len():
-    return Expr(lambda df, part: F.count(F.lit(1)), name="len",
-                is_agg=True)._set_meta("len", ())
+    def fn(df, part):
+        from ..exprs import _EVAL_ARRAY_STACK
+
+        if _EVAL_ARRAY_STACK:
+            # inside an eval-array context (list.eval / rolling
+            # collect-window): the series length is the array size
+            return F.size(_EVAL_ARRAY_STACK[-1]).cast("long")
+        c = F.count(F.lit(1))
+        return c if part is None else c.over(Window.partitionBy(*part))
+
+    return Expr(fn, name="len", is_agg=True)._set_meta("len", ())
 
 
 # horizontal (row-wise) aggregations (functions/aggregation/horizontal.rb:34-235)
@@ -273,14 +282,50 @@ def struct(*exprs, **named):
 
 
 # correlations (functions/lazy.rb:679,730)
+def _corr_eval_arrays(ea, eb, df, method):
+    """corr over the active eval array (list.eval / rolling collect-window):
+    element values of both operands, ranked for spearman, sum-formula
+    pearson — all JVM HOFs, no window, no join."""
+    from ..exprs import (_ELEMENT_STACK, _EVAL_ARRAY_STACK, _arr_avg_ranks,
+                         _arr_pearson, _eval_materialize, _eval_vals)
+
+    arr = _EVAL_ARRAY_STACK[-1]
+    # every intermediate array is pinned as a column (attribute): without
+    # CSE in interpreted HOFs, inline multi-referenced subtrees re-evaluate
+    # multiplicatively (the round-6 65s-vs-2s q143 lesson)
+    xa = _eval_materialize(_eval_vals(ea, arr, df))
+    xb = _eval_materialize(_eval_vals(eb, arr, df))
+    if method == "spearman":
+        if not _ELEMENT_STACK:
+            # top-level in the eval context (rolling collect-window): the
+            # per-window rank math runs in the vectorized Arrow kernel —
+            # interpreted HOF ranks were 9s vs ~1s at sf0.1, and the
+            # kernel's lexsort is the O(w log w) polars' native rank pays
+            from .._udf_helpers import spearman_arrays_udf
+
+            to_d = [F.transform(c, lambda v: v.cast("double"))
+                    for c in (xa, xb)]
+            return spearman_arrays_udf()(*to_d)
+        # nested under another HOF lambda (a Python UDF cannot reference
+        # lambda variables) — exact JVM formula, attribute-pinned hops
+        xa = _eval_materialize(_arr_avg_ranks(xa, _eval_materialize))
+        xb = _eval_materialize(_arr_avg_ranks(xb, _eval_materialize))
+    return _arr_pearson(xa, xb, materialize=_eval_materialize)
+
+
 def corr(a, b, method: str = "pearson", ddof: int = 1):
     ea, eb = _exprs([a])[0], _exprs([b])[0]
     if method == "pearson":
         def fn(df, part):
+            from ..exprs import _EVAL_ARRAY_STACK
+
+            if _EVAL_ARRAY_STACK:
+                return _corr_eval_arrays(ea, eb, df, "pearson")
             c = F.corr(ea._fn(df, None), eb._fn(df, None))
             return c if part is None else c.over(Window.partitionBy(*part))
 
-        return Expr(fn, name="corr", is_agg=True)
+        return Expr(fn, name="corr",
+                    is_agg=True)._set_meta("corr", (ea, eb))
     if method == "spearman":
         # Spark disallows a window (rank) inside an aggregate (corr), so
         # spearman pre-projects average ranks in a sub-plan and aggregates
@@ -288,8 +333,10 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
         ra, rb = ea.rank("average"), eb.rank("average")
 
         def fn(df, part):
-            from ..exprs import bind_context
+            from ..exprs import _EVAL_ARRAY_STACK, bind_context
 
+            if _EVAL_ARRAY_STACK:
+                return _corr_eval_arrays(ea, eb, df, "spearman")
             if part is not None or bind_context.grouped_agg:
                 # every grouped context routes through a hook now: over()
                 # via _grouped_remap_fn (round-3), group_by().agg() via
@@ -312,7 +359,8 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
             # as reshape's -1 inference)
             return F.lit(sub.collect()[0][0])
 
-        out = Expr(fn, name="corr", is_agg=True)
+        out = Expr(fn, name="corr",
+                   is_agg=True)._set_meta("corr", (ea, eb))
 
         def remap(sdf, key_exprs):
             # over(keys): materialize per-group average ranks as columns

@@ -108,7 +108,55 @@ def _has_agg_prestages(exprs, named) -> bool:
                for ew in (wrap_expr(e),))
 
 
-def _apply_agg_prestages_cols(sdf, exprs, named, key_cols):
+def _staged_reroutable(ew) -> bool:
+    """Array-route expr with a provably-equivalent staged windowed binding
+    (the giant-group gate's candidates)."""
+    # _staged_agg_fn is only ever attached when the reduced inner carried
+    # an array route, so it encodes the route condition by construction
+    return ((ew._is_agg and ew._staged_agg_fn is not None)
+            or (not ew._is_agg and ew._agg_list_fn is not None
+                and ew._staged_win_fn is not None))
+
+
+def _giant_group_gate(sdf, key_exprs, exprs, named) -> bool:
+    """Count-based reroute decision (round-6; SCALE.md O(g²) HOF hazard).
+
+    The ordered-array agg route is ONE exchange but O(g²) per-group HOF
+    time for composed uniqueness flags — a 50%-mass hot key funnels that
+    into a single task.  The staged windowed pre-stage pays extra window
+    sorts but is O(g log g) and task-parallel per window.  Gate: reroute
+    when a group exceeds ``SPARK_GRAFT_GIANT_GROUP_ROWS`` (default 100k),
+    probed by ONE count job — skipped entirely for inputs under
+    ``SPARK_GRAFT_GIANT_GROUP_BYTES`` (default 256 MiB, plan-stats only,
+    no job) where the array route always wins.  Force on/off with
+    ``SPARK_GRAFT_GIANT_GROUP_FORCE=1/0`` (stress/test hook)."""
+    import os
+
+    if not any(_staged_reroutable(ew)
+               for e in list(exprs) + list(named.values())
+               for ew in (wrap_expr(e),)):
+        return False
+    force = os.environ.get("SPARK_GRAFT_GIANT_GROUP_FORCE", "")
+    if force in ("0", "1"):
+        return force == "1"
+    try:
+        byte_floor = int(os.environ.get(
+            "SPARK_GRAFT_GIANT_GROUP_BYTES", str(256 << 20)))
+        size = int(sdf._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        if size < byte_floor:
+            return False
+        limit = int(os.environ.get("SPARK_GRAFT_GIANT_GROUP_ROWS",
+                                   "100000"))
+        keys = [e._fn(sdf, None) for _, e in key_exprs]
+        mx = (sdf.groupBy(*keys).count()
+              .agg(F.max("count")).collect()[0][0])
+        return (mx or 0) > limit
+    except Exception:
+        return False
+
+
+def _apply_agg_prestages_cols(sdf, exprs, named, key_cols, giant=False):
     """Substitute exprs carrying an ``_agg_pre_fn`` hook (spearman corr,
     cumulative_eval) against explicit grouping key Columns.
 
@@ -116,13 +164,25 @@ def _apply_agg_prestages_cols(sdf, exprs, named, key_cols):
     ranks over a window partitioned by the SAME keys the groupBy hashes on —
     one logical exchange) and yields the aggregate Column to run on top.
     Returns ``(sdf2, exprs2, named2)`` with hooked exprs replaced by plain
-    aggregates over the helpers."""
-    if not _has_agg_prestages(exprs, named):
+    aggregates over the helpers.  ``giant=True`` additionally reroutes
+    array-route exprs with staged windowed bindings (giant-group gate)."""
+    if not _has_agg_prestages(exprs, named) and not giant:
         return sdf, exprs, named
 
     def sub(e, name):
         nonlocal sdf
         ew = wrap_expr(e)
+        if giant and _staged_reroutable(ew):
+            if ROW_IDX not in sdf.columns:
+                return e  # deferred: agg() re-runs on the indexed frame
+            if ew._is_agg:
+                sdf, c = ew._staged_agg_fn(sdf, key_cols)
+                return Expr(lambda df, part, _c=c: _c,
+                            name=name or ew._name, is_agg=True,
+                            needs_order=True)
+            sdf, h = ew._staged_win_fn(sdf, key_cols)
+            return Expr(lambda df, part, _h=h: F.col(_h),
+                        name=name or ew._name, needs_order=True)
         if ew._agg_pre_fn is not None:
             if ew._needs_order and ROW_IDX not in sdf.columns:
                 return e  # deferred: agg() re-runs on the indexed frame
@@ -163,12 +223,13 @@ def _apply_agg_prestages_cols(sdf, exprs, named, key_cols):
     return sdf, exprs2, named2
 
 
-def _apply_agg_prestages(sdf, exprs, named, key_exprs):
+def _apply_agg_prestages(sdf, exprs, named, key_exprs, giant=False):
     """`_apply_agg_prestages_cols` over (name, Expr) key pairs."""
-    if not _has_agg_prestages(exprs, named):
+    if not _has_agg_prestages(exprs, named) and not giant:
         return sdf, exprs, named
     return _apply_agg_prestages_cols(
-        sdf, exprs, named, [ke._fn(sdf, None) for _, ke in key_exprs])
+        sdf, exprs, named, [ke._fn(sdf, None) for _, ke in key_exprs],
+        giant=giant)
 
 
 class LazyGroupBy:
@@ -228,8 +289,9 @@ class LazyGroupBy:
             lf = self._lf = lf._ensure_dense_index()
         sdf = lf._sdf
         if self._grouping == "groupBy":
+            giant = _giant_group_gate(sdf, self._keys, exprs, named)
             psdf, pexprs, pnamed = _apply_agg_prestages(
-                sdf, exprs, named, self._keys)
+                sdf, exprs, named, self._keys, giant=giant)
         elif _has_agg_prestages(exprs, named):
             # cube/rollup with pre-stage aggs (spearman, cumulative_eval):
             # the single-shuffle plan cannot host per-SUBTOTAL-group
@@ -252,7 +314,7 @@ class LazyGroupBy:
                 sdf = self._order_base(sdf, exprs, named)
             if self._grouping == "groupBy":
                 psdf, pexprs, pnamed = _apply_agg_prestages(
-                    sdf, exprs, named, self._keys)
+                    sdf, exprs, named, self._keys, giant=giant)
             else:
                 psdf, pexprs, pnamed = sdf, exprs, named
             aggs, _ = _agg_columns(psdf, pexprs, pnamed)
@@ -1128,9 +1190,15 @@ class RollingGroupBy(_TemporalGroupByMixin):
                              for b in self._by])
         dur = parse_duration(self._period)
         if _has_agg_prestages(exprs, named):
-            # per-window pre-stage aggs (spearman corr, cumulative_eval)
-            # need materialized window membership — band-join path
-            return self._agg_band(dur, exprs, named)
+            # per-window pre-stage aggs (spearman corr, windowed inners)
+            # need materialized window membership: the collect-window path
+            # builds it task-locally (one shuffle, no pair expansion); the
+            # band join remains the fallback for exprs the eval-array
+            # binder cannot reach (cumulative_eval's probe machinery)
+            try:
+                return self._agg_collect_win(dur, exprs, named)
+            except Exception:
+                return self._agg_band(dur, exprs, named)
         if dur.is_calendar:
             return self._agg_calendar(dur, exprs, named)
         span_us = int(dur.total_seconds() * 1_000_000)
@@ -1158,6 +1226,153 @@ class RollingGroupBy(_TemporalGroupByMixin):
             cols.append(c.alias(e._name) if e._name else c)
         keep = [F.col(b) for b in self._by] + [F.col(self._index)]
         return self._wrap_out(LazyFrame(out.select(*keep, *cols)))
+
+    def _agg_collect_win(self, dur, exprs, named):
+        """Rolling agg via a COLLECTED range-frame window — the scale-safe
+        replacement for the band join (round-6; SCALE.md pair-expansion
+        hazard).
+
+        One window ``partitionBy(by…, time-chunk).orderBy(ts).rangeBetween(
+        -upper_bound, 0)`` collects each anchor's window membership as a
+        struct array TASK-LOCALLY: shuffle volume is O(n) rows (each row
+        moves once, plus ≤1/8 boundary duplication), not the band join's
+        anchors × window-rows pair expansion.  Calendar periods use a
+        31-days-per-month over-approximate frame; the exact interval
+        predicate then filters the collected elements per anchor.  Rows
+        near a chunk's upper boundary duplicate into the next chunk so
+        every anchor's look-back is complete within its own partition —
+        task size stays bounded under key skew AND with no ``by`` keys at
+        all (the old paths degraded to a single global window there).
+
+        Aggregates are bound against the per-anchor array through the
+        list.eval machinery (``_EVAL_ARRAY_STACK`` + struct-field column
+        resolution): plain aggregates reduce via ``_arr_reduce``, spearman/
+        pearson corr via the array sum-formula, order-dependent inners
+        (diff/shift/rank compositions) via their ordered-array routes.
+        Per-anchor compute is O(w)–O(w²) in the window occupancy w —
+        bounded by window size, task-parallel, zero extra exchanges.
+        Parity: ``lazy_frame.rb:1161-1181`` (rolling accepts any agg expr).
+        """
+        from pyspark.sql import Window
+
+        from .exprs import (_EVAL_ARRAY_STACK, _EVAL_MATERIALIZE_STACK,
+                            _EVAL_STRUCT_COLS, _next_gord_name)
+        from .frame import LazyFrame
+
+        all_exprs = [wrap_expr(e) for e in exprs] + [
+            wrap_expr(e).alias(k) for k, e in named.items()]
+        for e in all_exprs:
+            if not e._is_agg:
+                raise ValueError("rolling().agg takes aggregate expressions")
+            if e._multi_fn is not None or e._frame_fn is not None:
+                raise NotImplementedError("multi/frame expr in collect-win")
+
+        # source columns the exprs actually read (struct stays narrow);
+        # untracked meta nodes → carry every visible column
+        try:
+            needed: set[str] = set()
+            for e in all_exprs:
+                needed.update(e.meta.root_names())
+        except NotImplementedError:
+            from .exprs import _visible_cols
+
+            needed = set(_visible_cols(self._lf._sdf))
+        needed.discard(self._index)
+        needed -= {b for b in self._by if isinstance(b, str)}
+        if not needed:  # pl.len()-only aggs still need a field to collect
+            needed = {self._index}
+
+        pm, pus = dur.months, int(dur.microseconds)
+        lf = self._lf._ensure_row_index()
+        sdf = lf._sdf
+        t = F.col(self._index).cast("timestamp")
+        ts_us = F.unix_micros(t)
+        # upper bound on the look-back span: 31 days covers any month
+        span_ub = max(pm * 31 * 86400 * 1_000_000 + pus, 1)
+        # exact per-anchor lower bound (true calendar arithmetic)
+        lo = t
+        if pm:
+            lo = lo - F.make_interval(F.lit(0), F.lit(pm))
+        lo_us = F.unix_micros(lo) - F.lit(pus)
+        chunk_w = span_ub * 8
+        c0 = F.floor(ts_us / F.lit(chunk_w)).cast("long")
+        near_hi = ts_us >= (c0 + 1) * F.lit(chunk_w) - F.lit(span_ub)
+        work = (sdf
+                .withColumn("__rw_ts__", ts_us)
+                .withColumn("__rw_lo__", lo_us)
+                .withColumn("__rw_c0__", c0)
+                .withColumn("__rw_ch__", F.explode(
+                    F.when(near_hi, F.array(c0, c0 + F.lit(1)))
+                    .otherwise(F.array(c0)))))
+        w = (Window.partitionBy(*[F.col(b) for b in self._by],
+                                F.col("__rw_ch__"))
+             .orderBy(F.col("__rw_ts__"))
+             .rangeBetween(-span_ub, 0))
+        # order-insensitive aggs (corr/sum/min/len…) skip the per-anchor
+        # identity sort — the comparator lambda is interpreted per compare
+        # and was ~30% of q143's wall-clock; the frame is already ts-ASC,
+        # only equal-ts tie order needs the hidden index
+        needs_sort = any(e._needs_order or e._agg_list_fn is not None
+                         for e in all_exprs)
+        elem = F.struct(
+            *([F.col(ROW_IDX).alias("__i__")] if needs_sort else []),
+            F.col("__rw_ts__").alias("__t__"),
+            *[F.col(c) for c in sorted(needed)])
+        collected = F.collect_list(elem).over(w)
+        ats, alo = F.col("__rw_ts__"), F.col("__rw_lo__")
+        pred = {
+            "right": lambda et: (et > alo) & (et <= ats),
+            "left": lambda et: (et >= alo) & (et < ats),
+            "both": lambda et: (et >= alo) & (et <= ats),
+            "none": lambda et: (et > alo) & (et < ats),
+        }.get(self._closed)
+        if pred is None:
+            raise ValueError(f"invalid closed: {self._closed!r}")
+        win = F.filter(collected, lambda s: pred(s["__t__"]))
+        if needs_sort:
+            win = F.array_sort(
+                win,
+                lambda l, r: F.when(l["__i__"] < r["__i__"], -1)
+                .when(l["__i__"] > r["__i__"], 1).otherwise(0).cast("int"))
+        work = (work.withColumn("__rw_win__", win)
+                .filter(F.col("__rw_ch__") == F.col("__rw_c0__")))
+
+        def materialize(c):
+            # pin multi-referenced intermediate arrays as attributes —
+            # interpreted HOFs have no CSE, so inline subtrees re-evaluate
+            # multiplicatively (spearman's ranks/pairs)
+            nonlocal work
+            tmp = _next_gord_name()
+            work = work.withColumn(tmp, c)
+            return F.col(tmp)
+
+        _EVAL_ARRAY_STACK.append(F.col("__rw_win__"))
+        _EVAL_STRUCT_COLS.append(needed)
+        _EVAL_MATERIALIZE_STACK.append(materialize)
+        try:
+            names = []
+            for i, e in enumerate(all_exprs):
+                c = e._fn(work, None)
+                nm = e._name
+                if not nm:  # Spark's auto-derived name (analysis only)
+                    try:
+                        nm = work.select(c).columns[0]
+                    except Exception:
+                        nm = f"col_{i}"
+                # evaluate BEFORE the order-restoring range sort so the
+                # fat helper arrays prune away instead of riding the
+                # exchange (they dominated the shuffle bytes otherwise)
+                work = work.withColumn(nm, c)
+                names.append(nm)
+        finally:
+            _EVAL_ARRAY_STACK.pop()
+            _EVAL_STRUCT_COLS.pop()
+            _EVAL_MATERIALIZE_STACK.pop()
+        keep = ([F.col(b) for b in self._by] + [F.col(self._index)]
+                + [F.col(n) for n in names])
+        out = (work.select(F.col(ROW_IDX), *keep)
+               .orderBy(ROW_IDX).drop(ROW_IDX))
+        return self._wrap_out(LazyFrame(out))
 
     def _agg_band(self, dur, exprs, named):
         """Rolling agg via an explicit window-membership band join — the
@@ -1373,6 +1588,13 @@ class RollingGroupBy(_TemporalGroupByMixin):
         plan = self._prefix_plan(all_pre)
         if plan is not None:
             return self._agg_calendar_prefix(dur, all_pre, plan)
+        # non-algebraic calendar aggs (min/max/median/quantile…): the
+        # collect-window path avoids the month-bucket pair expansion
+        # entirely (round-6); band join stays as the binder fallback
+        try:
+            return self._agg_collect_win(dur, exprs, named)
+        except Exception:
+            pass
 
         pm, pus = dur.months, int(dur.microseconds)
         _28D_US = 28 * 86400 * 1_000_000

@@ -153,13 +153,14 @@ def _decayed_sums(sdf: DataFrame, x_name: str, keys: list, lam: float,
     return sdf.drop(*drops), [s[0] for s in series]
 
 
-def _combine(kind: str, bias: bool, min_periods: int):
-    """Final expression over the attached ``__ewm_*__`` sum columns."""
-    m = F.col("__ewm_m__")
-    s0, s1 = F.col("__ewm_s0__"), F.col("__ewm_s1__")
+def _combine(kind: str, bias: bool, min_periods: int, sfx: str = ""):
+    """Final expression over the attached ``__ewm_*__`` sum columns
+    (``sfx`` names one binding's columns in the batched multi-attach)."""
+    m = F.col(f"__ewm_m{sfx}__")
+    s0, s1 = F.col(f"__ewm_s0{sfx}__"), F.col(f"__ewm_s1{sfx}__")
     if kind == "mean":
         return F.when(m >= max(min_periods, 1), s1 / s0)
-    s2, sq = F.col("__ewm_s2__"), F.col("__ewm_sq__")
+    s2, sq = F.col(f"__ewm_s2{sfx}__"), F.col(f"__ewm_sq{sfx}__")
     mean = s1 / s0
     # a single observation's variance is exactly 0 (guard the catastrophic
     # cancellation in s2/s0 - mean^2, and polars' 0.0-at-first-row
@@ -279,16 +280,17 @@ def _varying_inputs(sdf: DataFrame, x_name: str, keys: list, lam: float,
     return sdf, series
 
 
-def _combine_varying(kind: str, bias: bool, min_periods: int):
+def _combine_varying(kind: str, bias: bool, min_periods: int,
+                     sfx: str = ""):
     """Final expression for the reset-normalized scan: weights sum to 1,
     so the mean IS s1; the reliability correction uses sq = sum(u_i^2)."""
-    m = F.col("__ewm_m__")
-    mean = F.col("__ewm_s1__")
+    m = F.col(f"__ewm_m{sfx}__")
+    mean = F.col(f"__ewm_s1{sfx}__")
     if kind == "mean":
         return F.when(m >= max(min_periods, 1), mean)
-    var = F.greatest(F.col("__ewm_s2__") - mean * mean, F.lit(0.0))
+    var = F.greatest(F.col(f"__ewm_s2{sfx}__") - mean * mean, F.lit(0.0))
     if not bias:
-        denom = F.lit(1.0) - F.col("__ewm_sq__")
+        denom = F.lit(1.0) - F.col(f"__ewm_sq{sfx}__")
         var = F.when(denom > 0, var / denom).otherwise(F.lit(0.0))
     var = F.when(m == 1, F.lit(0.0)).otherwise(var)
     out = F.when(m >= max(min_periods, 1), var)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 import polars_ruby_spark as pl
 
@@ -105,6 +106,17 @@ def test_eager_exports(spark, orders):
     assert len(df.rows()) == 3
     h = df.to_h()
     assert set(h.keys()) == set(df.columns)
+
+
+def test_to_h_null_not_nan(spark):
+    """to_h keeps float nulls as None (data_frame.rb:478) — the pandas
+    export coerced them to NaN (round-6 fix)."""
+    df = pl.DataFrame({"a": [1.0, None, float("nan")]})
+    vals = df.to_h()["a"]
+    assert vals[0] == 1.0
+    assert vals[1] is None
+    assert math.isnan(vals[2])
+    assert df.to_dict()["a"][1] is None
 
 
 def test_when_chain(spark):

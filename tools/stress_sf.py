@@ -40,6 +40,7 @@ SKEW_SET = [
     "q134_calendar_rolling", "q143_rolling_spearman",
     "q40_dedup_exact", "q41_minhash_pairs", "q42_ngram_jaccard",
     "q49_simhash", "q80_dedup_clusters", "q68_topk_salted",
+    "q147_distinct_flags_agg",  # giant-group gate (one hot customer)
 ]
 
 
@@ -69,6 +70,16 @@ def make_skew_dir(sf_dir: str) -> str:
     dc = dc.set_column(ti, "text", pc.if_else(
         hd, pa.scalar(hot_text, dc.schema.field("text").type), dc["text"]))
     pq.write_table(dc, os.path.join(out, "documents.parquet"))
+
+    # one customer owns 50% of orders (giant-group gate: q147's composed
+    # full-array flag routes must reroute to staged windows, round-6)
+    od = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    ho = pc.equal(pc.bit_wise_and(od["o_orderkey"], 1), 0)
+    ci = od.schema.get_field_index("o_custkey")
+    od = od.set_column(ci, "o_custkey", pc.if_else(
+        ho, pa.scalar(1, od.schema.field("o_custkey").type),
+        od["o_custkey"]))
+    pq.write_table(od, os.path.join(out, "orders.parquet"))
 
     for f in os.listdir(sf_dir):
         dst = os.path.join(out, f)
@@ -100,6 +111,12 @@ def main():
     if SKEW:
         SF_DIR = make_skew_dir(SF_DIR)
         print(f"skew variant at {SF_DIR}", flush=True)
+        # sf0.1-scale inputs sit under the gate's production byte floor;
+        # scale the thresholds down so the skew run exercises the same
+        # probe → reroute path a 100 TB hot key would take
+        import os as _os
+        _os.environ.setdefault("SPARK_GRAFT_GIANT_GROUP_BYTES", "0")
+        _os.environ.setdefault("SPARK_GRAFT_GIANT_GROUP_ROWS", "20000")
         names = ONLY or [n for n in SKEW_SET if n in qs]
     else:
         names = ONLY or list(qs)
