@@ -2247,6 +2247,112 @@ def q149_filter_elements_agg(spark, sf_dir):
     return _out(out)
 
 
+def q150_list_eval_positional(spark, sf_dir):
+    """Per-element ORDER-DEPENDENT exprs inside list.eval (round-6;
+    list_expr.rb:787 supports arbitrary nesting): element() composed with
+    its own shift/diff — the _ordered op's full-array route computes the
+    whole transformed series over the eval list and each element picks its
+    position (element_at by the HOF index).  Pure JVM HOFs, no window, no
+    explode Spark-side."""
+    import polars_ruby_spark as pl
+
+    em = _t(spark, sf_dir, "embeddings")
+    d = pl.element() - pl.element().shift(1)
+    z = pl.element() * 2 + pl.element().diff(1)
+    out = (em.select(
+        pl.col("vec_id"),
+        pl.col("embedding").list.eval(d).alias("d"),
+        pl.col("embedding").list.eval(z).alias("z"))
+        .explode("d", "z")
+        .select(pl.col("vec_id"), pl.col("d").round(6).alias("d"),
+                pl.col("z").round(6).alias("z")))
+    return _out(out)
+
+
+def _stage_events_stream(spark, sf_dir, n_files=1):
+    """Stage a µs-timestamp copy of events for a file-source stream (the
+    raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
+    return (stage_dir, unique_name)."""
+    import os
+    import tempfile
+    import uuid
+
+    import polars_ruby_spark as pl
+
+    ev = pl.scan_parquet(os.path.join(sf_dir, "events.parquet"),
+                         spark=spark)
+    root = tempfile.mkdtemp(prefix="plsq_stream_")
+    stage = os.path.join(root, "stage")
+    sdf = ev.to_spark().select("ts", "event_type", "user_id", "value")
+    if n_files > 1:
+        sdf = sdf.repartition(n_files)
+    sdf.write.parquet(stage)
+    return stage, f"plsq_mem_{uuid.uuid4().hex[:12]}"
+
+
+def _replay_to_memory(lf, name, mode):
+    """Run a streaming frame to completion (availableNow) into an
+    in-memory sink and return the result table."""
+    sdf = lf._sdf
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def q151_stream_windowed_agg(spark, sf_dir):
+    """Structured-Streaming tumbling-window aggregation REPLAYED to
+    completion vs the plain batch SQL oracle (round-6; the streaming ops
+    were pytest-only before): file-source stream → watermark → 1h windows
+    per event_type → complete-mode memory sink.  Batch and streaming share
+    the window grammar (SURVEY §2.10), so equality with the batch oracle
+    is the semantics contract."""
+    from pyspark.sql import functions as F
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.streaming import stream as st
+
+    stage, name = _stage_events_stream(spark, sf_dir)
+    lf = st.scan_stream(stage, spark=spark)
+    win = st.windowed_agg(lf, "ts", every="1h", by=["event_type"],
+                          aggs={"sv": pl.col("value").sum(),
+                                "n": pl.len()})
+    tab = _replay_to_memory(win, name, "complete")
+    return tab.select("ts", "event_type",
+                      F.round("sv", 4).alias("sv"), "n")
+
+
+def q152_stream_dedup_replay(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) replayed to
+    completion: the surviving key set equals batch DISTINCT (which
+    physical duplicate survives is arrival-order dependent, so the oracle
+    contract is the key set)."""
+    from polars_ruby_spark.streaming import stream as st
+
+    stage, name = _stage_events_stream(spark, sf_dir)
+    lf = st.scan_stream(stage, spark=spark)
+    dd = st.dedup_stream(lf, ["user_id", "event_type"], "ts",
+                         watermark="10m")
+    tab = _replay_to_memory(dd, name, "append")
+    return tab.select("user_id", "event_type")
+
+
+def q153_stream_running_count(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) across
+    MULTIPLE micro-batches: per-key running counts kept in the state store
+    (maxFilesPerTrigger=1 over a 4-file stage forces ≥4 batches); the max
+    update per key equals the batch COUNT regardless of the batch split."""
+    from pyspark.sql import functions as F
+
+    from polars_ruby_spark.streaming import stream as st
+
+    stage, name = _stage_events_stream(spark, sf_dir, n_files=4)
+    lf = st.scan_stream(stage, spark=spark, max_files_per_trigger=1)
+    rc = st.stateful_running_count(lf, "event_type", out_name="n")
+    tab = _replay_to_memory(rc, name, "update")
+    return tab.groupBy("event_type").agg(F.max("n").alias("n"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2409,6 +2515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_distinct_flags_agg": q147_distinct_flags_agg,
         "q148_gapped_index_positions": q148_gapped_index_positions,
         "q149_filter_elements_agg": q149_filter_elements_agg,
+        "q150_list_eval_positional": q150_list_eval_positional,
+        "q151_stream_windowed_agg": q151_stream_windowed_agg,
+        "q152_stream_dedup_replay": q152_stream_dedup_replay,
+        "q153_stream_running_count": q153_stream_running_count,
     }
 
 
@@ -3236,6 +3346,26 @@ def oracle_sql() -> dict[str, str]:
                    gsc.snu, gan.ian
             FROM w JOIN gsc USING (o_custkey)
                    JOIN gan USING (o_custkey)
+        """,
+        "q151_stream_windowed_agg": """
+            SELECT date_trunc('hour', ts) AS ts, event_type,
+                   round(sum(value), 4) AS sv, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "q152_stream_dedup_replay": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q153_stream_running_count": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        """,
+        "q150_list_eval_positional": """
+            SELECT vec_id,
+                   round(unnest(list_transform(range(1, len(embedding) + 1),
+                         i -> embedding[i] - embedding[i - 1])), 6) AS d,
+                   round(unnest(list_transform(range(1, len(embedding) + 1),
+                         i -> embedding[i] * 2
+                              + (embedding[i] - embedding[i - 1]))), 6) AS z
+            FROM embeddings
         """,
         "q149_filter_elements_agg": """
             WITH s AS (SELECT o_custkey, o_orderkey, o_totalprice,

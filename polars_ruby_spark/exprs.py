@@ -475,6 +475,9 @@ class Expr:
                 tmp2 = _next_gord_name()
                 return sdf2.withColumn(tmp2, _f(F.col(tmp))).drop(tmp), tmp2
 
+            b = getattr(sgfn, "_ewm_batch", None)
+            if b is not None:  # keep the batch metadata, queue the lift
+                gfn._ewm_batch = {**b, "post": b["post"] + [f]}
             out._global_ordinal_fn = gfn
         if self._grouped_remap_fn is not None:
             # compose pure Column fns over the grouped frame-attach hook too,
@@ -872,11 +875,28 @@ class Expr:
             return Expr(multi_fn=lambda df: [e._ordered(f, order_only)
                                              for e in mf(df)])
 
+        holder: list = []
+
         def bound(df, part):
             if _EVAL_ARRAY_STACK and _ELEMENT_STACK:
-                # per-element window inside list.eval cannot bind — raise
-                # with the workable shape instead of a cryptic analysis
-                # error on the hidden row index
+                # per-element positional binding inside list.eval
+                # (round-6; list_expr.rb:787 supports arbitrary nesting):
+                # the op's full-array route computes the WHOLE transformed
+                # series over the eval list, and this element picks its
+                # own position — element() - element().shift(1) works.
+                e_self = holder[0] if holder else None
+                if (e_self is not None and _ELEMENT_IDX_STACK
+                        and e_self._agg_list_fn is not None):
+                    arr = e_self._agg_list_fn(_eval_map(
+                        e_self._agg_list_base, _EVAL_ARRAY_STACK[-1], df))
+                    return F.element_at(arr, _ELEMENT_IDX_STACK[-1] + 1)
+                if (e_self is not None and _ELEMENT_IDX_STACK
+                        and e_self._eval_arr_fn is not None):
+                    mapped = _eval_vals(
+                        e_self._eval_arr_base, _EVAL_ARRAY_STACK[-1], df)
+                    return F.element_at(
+                        e_self._eval_arr_fn(mapped, df),
+                        _ELEMENT_IDX_STACK[-1] + 1)
                 raise NotImplementedError(
                     "this order-dependent expression is not supported "
                     "per-element inside list.eval: apply it directly to "
@@ -886,6 +906,7 @@ class Expr:
 
         out = Expr(bound, name=self._name,
                    needs_order=True)._set_meta("window", (self,))
+        holder.append(out)
         out._order_only = order_only and self._order_safe
         src = _staged_input_fn(self)
         if src is not None:
@@ -3441,6 +3462,11 @@ class Expr:
             return attach_ewm_global(
                 sdf, lambda df: inner._fn(df, None), spec, tmp), tmp
 
+        # batch metadata: the frame binder coalesces SAME-FRAME ewm
+        # bindings into one attach_ewm_global_multi call (one range pin,
+        # one checkpoint, two collects for all bindings — round-6)
+        gfn._ewm_batch = {"value": (lambda df: inner._fn(df, None)),
+                          "spec": spec, "post": []}
         e._global_ordinal_fn = gfn
 
         def remap(sdf, key_exprs):

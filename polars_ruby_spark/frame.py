@@ -326,8 +326,34 @@ class LazyFrame:
             # pruned one-row broadcast through their plans
             hook_cols: dict[int, str] = {}
             if not (context == "select" and all_agg) and not unplanned_agg:
+                # SAME-FRAME ewm bindings batch into ONE attach: one range
+                # pin + checkpoint + two O(partitions) collects for all of
+                # them (each binding paid all four on its own before)
+                ewm_ks = [
+                    (k, e._global_ordinal_fn._ewm_batch)
+                    for k, (name, e) in enumerate(expanded)
+                    if not e._is_agg and e._global_ordinal_fn is not None
+                    and getattr(e._global_ordinal_fn, "_ewm_batch", None)]
+                if len(ewm_ks) >= 2:
+                    from .exprs import _next_gord_name
+                    from .operators.ewm import attach_ewm_global_multi
+
+                    tmps = [_next_gord_name() for _ in ewm_ks]
+                    sdf = attach_ewm_global_multi(
+                        sdf, [(b["value"], b["spec"], tmp)
+                              for (_k, b), tmp in zip(ewm_ks, tmps)])
+                    for (k, b), tmp in zip(ewm_ks, tmps):
+                        cur = tmp
+                        helpers.append(cur)
+                        for fpost in b["post"]:
+                            nxt = _next_gord_name()
+                            sdf = sdf.withColumn(nxt, fpost(F.col(cur)))
+                            cur = nxt
+                            helpers.append(cur)
+                        hook_cols[k] = cur
                 for k, (name, e) in enumerate(expanded):
-                    if e._is_agg or e._global_ordinal_fn is None:
+                    if (e._is_agg or e._global_ordinal_fn is None
+                            or k in hook_cols):
                         continue
                     sdf, tmp = e._global_ordinal_fn(sdf)
                     hook_cols[k] = tmp

@@ -338,6 +338,153 @@ def attach_ewm_grouped(sdf: DataFrame, value_fn, key_fns, spec: dict,
     return out.drop(*drops).orderBy(ROW_IDX)
 
 
+def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
+    """Batched ungrouped ewm: ALL bindings share ONE range-partition pin,
+    ONE lazy checkpoint, and TWO O(partitions) driver collects (round-6;
+    the per-binding shape paid the partitioning pass and both collects N
+    times — q132's two bindings halve their fixed cost here.  A round-5
+    attempt that shared only the partitioning between separate attaches
+    was SLOWER because the second attach's collects re-executed the first
+    attach's plan past the checkpoint; batching inside one attach avoids
+    that entirely).
+
+    ``items``: ``[(value_fn, spec, out_name), ...]``.  Per-binding scan
+    columns are suffixed ``_{i}`` after each scan so the fixed-name helper
+    machinery (`_decayed_sums` / `_varying_scan`) stays untouched.
+    """
+    assert ROW_IDX in sdf.columns
+    from pyspark.sql import types as T
+
+    base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
+            .localCheckpoint(eager=False)
+            .withColumn(_PID, F.spark_partition_id()))
+    xs = [f"__ewm_x_{i}__" for i in range(len(items))]
+    base = base.withColumns(
+        {xn: vf(base) for xn, (vf, _s, _o) in zip(xs, items)})
+    # pass 1 (one job, O(partitions) rows): per-pid per-binding counted
+    # lengths -> exclusive prefix non-null counts + previous last-obs index
+    aggs1 = []
+    for i, xn in enumerate(xs):
+        aggs1 += [F.count(xn).alias(f"__n_nn_{i}__"),
+                  F.max(F.when(F.col(xn).isNotNull(),
+                               F.col(ROW_IDX))).alias(f"__lo_{i}__")]
+    counts = sorted(base.groupBy(_PID).agg(*aggs1).collect(),
+                    key=lambda row: row[_PID])
+    run_nn = [0] * len(items)
+    run_last: list = [None] * len(items)
+    prior_rows = []
+    for row in counts:
+        vals = [row[_PID]]
+        for i in range(len(items)):
+            vals += [run_nn[i], run_last[i]]
+        prior_rows.append(tuple(vals))
+        for i in range(len(items)):
+            run_nn[i] += row[f"__n_nn_{i}__"]
+            if row[f"__lo_{i}__"] is not None:
+                run_last[i] = row[f"__lo_{i}__"]
+    fields = [T.StructField(_PID, T.IntegerType())]
+    for i in range(len(items)):
+        fields += [T.StructField(f"__ewm_prior_{i}__", T.LongType()),
+                   T.StructField(f"__ewm_prevbnd_{i}__", T.LongType())]
+    spark = base.sparkSession
+    base = base.join(
+        F.broadcast(spark.createDataFrame(
+            prior_rows, schema=T.StructType(fields))), _PID, "left")
+
+    # per-binding scans, outputs renamed to _{i}-suffixed columns
+    per_item = []  # (sfx, [(col, power)], reset_form, spec, out_name)
+    scanned = base
+    for i, (vf, spec, out_name) in enumerate(items):
+        need_var = spec["kind"] in ("var", "std")
+        lam, alpha = spec["lam"], spec["alpha"]
+        prior_empty = F.col(f"__ewm_prior_{i}__") == 0
+        reset_form = _is_reset_form(spec)
+        if reset_form:
+            prepped, series = _varying_inputs(
+                scanned, xs[i], [F.col(_PID)], lam, alpha, need_var,
+                prior_empty=prior_empty,
+                prev_idx_boundary=f"__ewm_prevbnd_{i}__")
+            out = _varying_scan(prepped, series, "__ewm_d__",
+                                [F.col(_PID)])
+            cols_p = [(s[0], s[2]) for s in series]
+        else:
+            out, sfxs = _decayed_sums(
+                scanned, xs[i], [F.col(_PID)], lam, alpha,
+                spec["adjust"], spec["ignore_nulls"], need_var,
+                prior_empty=prior_empty)
+            powers = {"s0": 1, "s1": 1, "s2": 1, "sq": 2}
+            cols_p = [(f"__ewm_{s}__", powers[s]) for s in sfxs]
+        # min_periods / first-row masks need the GLOBAL non-null count
+        out = out.withColumn(
+            "__ewm_m__", F.col("__ewm_m__") + F.col(f"__ewm_prior_{i}__"))
+        ren = {c: c[:-2] + f"_{i}__" for c in _EWM_DROPS
+               if c in out.columns}
+        out = out.withColumnsRenamed(ren)
+        per_item.append((f"_{i}", [(ren.get(c, c), p) for c, p in cols_p],
+                         reset_form, spec, out_name))
+        scanned = out
+
+    # pass 2 (one job): every binding's per-pid last-row decayed totals
+    aggs2 = [F.count(F.lit(1)).alias("__n_rows__")]
+    for i, (sfx, cols_p, reset_form, spec, _o) in enumerate(per_item):
+        aggs2.append(F.count(xs[i]).alias(f"__n_nn_{i}__"))
+        if reset_form:
+            aggs2.append(F.max(f"__ewm_L{sfx}__").alias(f"__dL_{i}__"))
+        for c, _p in cols_p:
+            aggs2.append(F.max_by(F.col(c), F.col(ROW_IDX)).alias(f"__q_{c}"))
+    bounds = sorted(scanned.groupBy(_PID).agg(*aggs2).collect(),
+                    key=lambda row: row[_PID])
+    carry_fields = [T.StructField(_PID, T.IntegerType())]
+    for sfx, cols_p, _r, _s, _o in per_item:
+        carry_fields += [T.StructField(f"__c_{c}", T.DoubleType())
+                         for c, _p in cols_p]
+    states = [{c: 0.0 for c, _p in cols_p}
+              for _sfx, cols_p, _r, _s, _o in per_item]
+    carry_rows = []
+    for row in bounds:
+        vals = [row[_PID]]
+        for i, (sfx, cols_p, reset_form, spec, _o) in enumerate(per_item):
+            vals += [states[i][c] for c, _p in cols_p]
+            if reset_form:
+                d_l = row[f"__dL_{i}__"] or 0.0
+                decays = {c: math.exp(-p * d_l) for c, p in cols_p}
+            else:
+                length = (row[f"__n_nn_{i}__"] if spec["ignore_nulls"]
+                          else row["__n_rows__"])
+                decays = {c: spec["lam"] ** (p * length) for c, p in cols_p}
+            for c, _p in cols_p:
+                q = row[f"__q_{c}"]
+                states[i][c] = (decays[c] * states[i][c]
+                                + (q if q is not None else 0.0))
+        carry_rows.append(tuple(vals))
+    joined = scanned.join(
+        F.broadcast(spark.createDataFrame(
+            carry_rows, schema=T.StructType(carry_fields))), _PID, "left")
+
+    out_frame = joined
+    drops = [_PID] + xs
+    for i, (sfx, cols_p, reset_form, spec, out_name) in enumerate(per_item):
+        if reset_form:
+            decay_of = {c: F.exp(-F.col(f"__ewm_L{sfx}__") * p)
+                        for c, p in cols_p}
+        else:
+            j1 = (F.col(f"__ewm_j{sfx}__") + 1).cast("double")
+            decay_of = {c: F.pow(F.lit(spec["lam"]), j1 * p)
+                        for c, p in cols_p}
+        out_frame = out_frame.withColumns({
+            c: F.col(c) + decay_of[c] * F.coalesce(F.col(f"__c_{c}"),
+                                                   F.lit(0.0))
+            for c, _p in cols_p})
+        comb = (_combine_varying if reset_form else _combine)(
+            spec["kind"], spec["bias"], spec["min_periods"], sfx)
+        out_frame = out_frame.withColumn(out_name, comb)
+        drops += [f"__c_{c}" for c, _p in cols_p]
+        drops += [c[:-2] + f"{sfx}__" for c in _EWM_DROPS]
+        drops += [f"__ewm_prior_{i}__", f"__ewm_prevbnd_{i}__"]
+    drops = [c for c in drops if c in out_frame.columns]
+    return out_frame.drop(*drops).sortWithinPartitions(ROW_IDX)
+
+
 def attach_ewm_global(sdf: DataFrame, value_fn, spec: dict,
                       out_name: str) -> DataFrame:
     """Ungrouped ewm over global row order, multi-task.

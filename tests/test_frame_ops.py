@@ -1954,6 +1954,27 @@ def test_cum_diff_inside_list_eval(spark):
         == [[None, 3.0, 4.0, 7.0], [None, 5.0]]
 
 
+def test_list_eval_positional_composition(spark):
+    """Per-element ORDER-DEPENDENT exprs composed with element() inside
+    list.eval bind positionally (round-6; list_expr.rb:787 arbitrary
+    nesting): the order op's full-array route computes the transformed
+    series over the eval list and each element picks its own index."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"l": [[1.0, 2.0, 5.0], [7.0, 7.0], []]})
+
+    def ev(ex):
+        return [r["x"] for r in df.select(
+            pl.col("l").list.eval(ex).alias("x")).to_a()]
+
+    assert ev(pl.element() - pl.element().shift(1)) \
+        == [[None, 1.0, 3.0], [None, 0.0], []]
+    assert ev(pl.element() * 2 + pl.element().diff(1)) \
+        == [[None, 5.0, 13.0], [None, 14.0], []]
+    assert ev(pl.element() - pl.element().cum_sum()) \
+        == [[0.0, -1.0, -3.0], [0.0, -7.0], []]
+
+
 def test_collect_based_aggs_under_over(spark):
     """quantile/mode/unique/implode under over(keys): collect-based
     reducers can't wrap .over around an inner collect_list — they reduce
