@@ -709,9 +709,13 @@ class Expr:
                                 or self._agg_list_fn is not None))._set_meta(
                        label, (self,))
         self._attach_windowable_pre(out, lambda c, df: aggf(c))
-        if self._agg_list_fn is not None and self._staged_win_fn is not None:
+        if (self._agg_list_fn is not None
+                and self._staged_win_fn is not None
+                and not getattr(aggf, "_staged_unsafe", False)):
             # giant-group reroute: stage the inner windowed, aggregate the
-            # helper with the expr's own plain aggregate
+            # helper with the expr's own plain aggregate.  _staged_unsafe
+            # marks aggfs whose plain form diverges from the array route
+            # (unique: collect_set loses first-appearance order + null)
             ssw = self._staged_win_fn
 
             def sagg(sdf, key_cols, _aggf=aggf):
@@ -845,7 +849,9 @@ class Expr:
             return post(r) if post is not None else r
 
         self._attach_windowable_pre(out, apply_agg)
-        if self._agg_list_fn is not None and self._staged_win_fn is not None:
+        if (self._agg_list_fn is not None
+                and self._staged_win_fn is not None
+                and not getattr(aggf, "_staged_unsafe", False)):
             ssw = self._staged_win_fn
 
             def sagg(sdf, key_cols):
@@ -1784,6 +1790,9 @@ class Expr:
         approx_count_distinct._arr_reduce_fn = lambda arr, df: F.size(
             F.array_distinct(F.filter(arr, lambda x: x.isNotNull()))
         ).cast("long")
+        # the array route is EXACT, the plain form is HLL-approximate —
+        # a staged reroute would change composed-inner results
+        approx_count_distinct._staged_unsafe = True
         return self._agg(approx_count_distinct)
 
     def null_count(self):
@@ -2101,6 +2110,9 @@ class Expr:
         # transformed-array route: wrap the per-group array one level
         # (agg(col.shift(1).implode()) → list-of-list, polars semantics)
         implode._arr_reduce_fn = lambda arr, df: F.array(arr)
+        # the plain form returns a FLAT list — staged reroute would lose
+        # the extra nesting the array route adds for transformed inners
+        implode._staged_unsafe = True
         e = self._agg(implode)
         e._needs_order = True
         return e
@@ -2214,6 +2226,9 @@ class Expr:
         # transformed-array route: distinct in first-appearance order
         # (keeps the one null a shift introduces — polars unique keeps null)
         collect_set._arr_reduce_fn = lambda arr, df: F.array_distinct(arr)
+        # plain collect_set is unordered AND null-dropping — the staged
+        # reroute must not substitute it for the ordered array route
+        collect_set._staged_unsafe = True
         e = self._agg(collect_set)
         inner = self
 

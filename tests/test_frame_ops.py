@@ -1168,6 +1168,37 @@ def test_calendar_hopping_rolling_datapoint(spark):
                   "2024-03-25": 48.0, "2024-05-04": 32.0}
 
 
+def test_calendar_rolling_collect_window(spark):
+    """Calendar rolling with NON-algebraic aggs takes the collect-window
+    path (round-6): one chunked range-frame window collects membership —
+    no month-bucket pair join.  min/max/median + empty left-closed windows
+    against hand-computed (t-1mo, t] truths."""
+    ts = [f"2024-{m:02d}-{d:02d} 0{h}:00:00"
+          for m, d, h in [(1, 5, 1), (1, 20, 2), (2, 10, 3), (3, 3, 1),
+                          (4, 18, 2), (6, 1, 3)]]
+    df = pl.DataFrame({"ts": ts, "v": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]}) \
+        .with_columns(pl.col("ts").cast(pl.Datetime)).sort("ts")
+    r = (df.rolling(index_column="ts", period="1mo")
+         .agg(pl.col("v").max().alias("mx"),
+              pl.col("v").min().alias("mn"),
+              pl.col("v").median().alias("md")))
+    rows = r.to_a()
+    assert [x["mx"] for x in rows] == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    assert [x["mn"] for x in rows] == [1.0, 1.0, 2.0, 4.0, 16.0, 32.0]
+    assert [x["md"] for x in rows] == [1.0, 1.5, 3.0, 6.0, 16.0, 32.0]
+    # left-closed [t-1mo, t): the first window is EMPTY → null min, len 0
+    r2 = (df.rolling(index_column="ts", period="1mo", closed="left")
+          .agg(pl.col("v").min().alias("mn"), pl.len().alias("n")))
+    rows2 = r2.to_a()
+    assert rows2[0]["mn"] is None and rows2[0]["n"] == 0
+    assert rows2[1]["mn"] == 1.0 and rows2[1]["n"] == 1
+    # plan shape: membership via window collect, not a pair join
+    plan = r._lf._sdf._jdf.queryExecution().optimizedPlan().toString() \
+        if hasattr(r, "_lf") else \
+        r.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan
+
+
 def test_mixed_every_and_datapoint_calendar(spark):
     """Round-5 dynamic-window closures (lazy_frame.rb:1416-1458, any
     every/start_by combination): MIXED calendar+fixed every ("1mo10d") and

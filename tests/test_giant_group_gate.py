@@ -61,19 +61,18 @@ def test_reroute_triggers_staged_windows(frame, monkeypatch):
     assert "lag(" not in plan2  # array route: no window at all
 
 
-def test_count_probe_gate(frame, monkeypatch):
-    """With the bytes floor at 0 and a tiny rows limit, the ONE-row count
-    probe sees the 6-row 'a' group and flips the gate on; a huge limit
-    keeps it off."""
+def test_gate_default_on(frame, monkeypatch):
+    """The staged reroute is the DEFAULT (measured 5× faster than the
+    array route at sf0.1 even on uniform keys); FORCE=0 opts back into
+    the array route; plain aggregates never reroute."""
     monkeypatch.delenv("SPARK_GRAFT_GIANT_GROUP_FORCE", raising=False)
-    monkeypatch.setenv("SPARK_GRAFT_GIANT_GROUP_BYTES", "0")
-    monkeypatch.setenv("SPARK_GRAFT_GIANT_GROUP_ROWS", "3")
     sdf = frame.lazy()._sdf
     keys = [(None, pl.col("k"))]
     exprs = [pl.col("p").shift(1).is_unique().any().alias("ian")]
     assert _giant_group_gate(sdf, keys, exprs, {}) is True
-    monkeypatch.setenv("SPARK_GRAFT_GIANT_GROUP_ROWS", "1000000")
+    monkeypatch.setenv("SPARK_GRAFT_GIANT_GROUP_FORCE", "0")
     assert _giant_group_gate(sdf, keys, exprs, {}) is False
-    # plain aggregates (no array route) never probe
+    # plain aggregates (no array route) never reroute
+    monkeypatch.delenv("SPARK_GRAFT_GIANT_GROUP_FORCE", raising=False)
     assert _giant_group_gate(
         sdf, keys, [pl.col("v").sum()], {}) is False

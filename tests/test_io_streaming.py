@@ -41,6 +41,35 @@ def test_parquet_roundtrip_with_row_index(spark, tmp_path):
     assert sorted(r["idx"] for r in rows) == [0, 1, 2]
 
 
+def test_read_database_jdbc_roundtrip(spark, tmp_path):
+    """read_database over a REAL JDBC database (round-6; mirrors the
+    reference's own test strategy — test/database_test.rb runs against a
+    live DB): Spark writes a table into an embedded Derby database (the
+    Derby driver ships with Spark), read_database queries it back.  Derby
+    uppercases unquoted identifiers, so the query quotes the lowercase
+    column names the JDBC writer created."""
+    db = str(tmp_path / "derbydb")
+    url = f"jdbc:derby:{db};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)],
+                                "id int, s string")
+    (src.write.format("jdbc").option("url", url)
+        .option("dbtable", "T").option("driver", drv).save())
+    out = pl.read_database('SELECT "id", "s" FROM T', url=url, driver=drv)
+    assert sorted(out.rows()) == [(1, "a"), (2, "b"), (3, None)]
+
+
+@pytest.mark.skip(reason="spark-avro connector jar is not bundled with "
+                         "this Spark distribution and the environment is "
+                         "offline (no --packages resolution); read_avro/"
+                         "write_avro delegate to the standard avro format "
+                         "source and need only the jar at runtime")
+def test_avro_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "data_avro")
+    pl.DataFrame({"a": [1, 2]}).write_avro(p)
+    assert sorted(pl.read_avro(p).rows()) == [(1,), (2,)]
+
+
 def test_read_ipc_roundtrip(spark, tmp_path):
     pa = pytest.importorskip("pyarrow")
     import pyarrow.feather as feather

@@ -290,7 +290,13 @@ def window_exprs(pl, rng, key="g"):
 # -- runner -------------------------------------------------------------------
 
 def run_seed(pl, spark, duck, seed: int) -> list[str]:
+    import os
+
     rng = random.Random(seed)
+    # alternate the staged-vs-array agg route per seed so BOTH compilation
+    # paths of the composed-reducer templates stay fuzz-covered (round-6)
+    os.environ["SPARK_GRAFT_GIANT_GROUP_FORCE"] = \
+        "1" if seed % 2 == 0 else "0"
     data = make_frame(rng)
     import pandas as pd
 
@@ -691,6 +697,128 @@ def run_seed(pl, spark, duck, seed: int) -> list[str]:
         f"{s} AS {nm}" for nm, _, s in wa)
         + f" FROM t WHERE {k21} IS NOT NULL")
     compare(f"winagg_{k21}", gq21.collect().to_spark(), sql)
+
+    # -- round-6 agg-context-compiler templates (q146–q149 shape space):
+    # random inner transform × random reducer × optional filter, in agg /
+    # dynamic / gapped-index contexts — the newest compiler surface --------
+
+    # 22. composed order-transformed reducers in agg (q147 shape):
+    # shift(n) under sum / n_unique / is_unique().any()
+    k22 = rng.choice(["g", "h"])
+    n22 = rng.randint(1, 3)
+    v22 = rng.choice(["x", "a"])
+    b22 = df.lazy().filter(pl.col(k22).is_not_null()).sort("idx")
+    g22 = b22.group_by(k22).agg(
+        pl.col(v22).shift(n22).sum().round(6).alias("ss"),
+        pl.col(v22).shift(n22).n_unique().cast(pl.Int64).alias("nu"),
+        pl.col(v22).shift(n22).is_unique().any().alias("iu"),
+    )
+    sql = (f"WITH w AS (SELECT {k22} AS k, idx, lag({v22}, {n22}) OVER "
+           f"(PARTITION BY {k22} ORDER BY idx) AS lv FROM t "
+           f"WHERE {k22} IS NOT NULL), "
+           "c AS (SELECT k, lv, count(*) OVER (PARTITION BY k, lv) AS cc "
+           "FROM w) "
+           f"SELECT k AS {k22}, round(coalesce(sum(lv), 0), 6) AS ss, "
+           "CAST(count(DISTINCT lv) + max(CASE WHEN lv IS NULL THEN 1 "
+           "ELSE 0 END) AS BIGINT) AS nu, "
+           "bool_or(cc = 1) AS iu FROM c GROUP BY k")
+    compare(f"agg_shift_reducers_{k22}", g22.collect().to_spark(), sql)
+
+    # 23. Expr.filter inside agg over plain AND windowed inners (q149):
+    # the filter REMOVES elements; null predicates exclude
+    k23 = rng.choice(["g", "h"])
+    n23 = rng.randint(1, 2)
+    b23 = df.lazy().filter(pl.col(k23).is_not_null()).sort("idx")
+    g23 = b23.group_by(k23).agg(
+        pl.col("x").shift(n23).filter(pl.col("p")).sum().round(6)
+        .alias("fs"),
+        pl.col("x").filter(pl.col("p")).len().alias("fn"),
+        pl.col("a").filter(pl.col("p").not_()).max().alias("fm"),
+    )
+    sql = (f"WITH w AS (SELECT {k23} AS k, p, x, a, lag(x, {n23}) OVER "
+           f"(PARTITION BY {k23} ORDER BY idx) AS lx FROM t "
+           f"WHERE {k23} IS NOT NULL) "
+           f"SELECT k AS {k23}, "
+           "round(coalesce(sum(CASE WHEN p THEN lx END), 0), 6) AS fs, "
+           "CAST(count(CASE WHEN p THEN 1 END) AS BIGINT) AS fn, "
+           "max(CASE WHEN NOT p THEN a END) AS fm FROM w GROUP BY k")
+    compare(f"agg_filter_{k23}", g23.collect().to_spark(), sql)
+
+    # 24. spearman corr + diff().sum() INSIDE group_by_dynamic (q142):
+    # pre-stage windows keyed by the dynamic bucket; rank ties averaged,
+    # pairs with a null skipped
+    ev24 = rng.choice(["30m", "1h", "2h"])
+    d24 = {"30m": "30 MINUTES", "1h": "1 HOUR", "2h": "2 HOURS"}[ev24]
+    q24 = (df.lazy().filter(pl.col("ts").is_not_null())
+           .sort("ts", "idx")
+           .group_by_dynamic("ts", every=ev24)
+           .agg(pl.corr("x", "y", method="spearman").fill_nan(None)
+                .round(6).alias("sp"),
+                pl.col("x").diff().sum().round(6).alias("ds"),
+                pl.len().alias("n")))
+    sql = (f"WITH b AS (SELECT time_bucket(INTERVAL {d24}, ts) AS w, ts, "
+           "idx, x, y FROM t WHERE ts IS NOT NULL), "
+           "r AS (SELECT w, "
+           "CASE WHEN x IS NOT NULL THEN rank() OVER (PARTITION BY w "
+           "ORDER BY x NULLS LAST) + (count(*) OVER (PARTITION BY w, x) "
+           "- 1) / 2.0 END AS rx, "
+           "CASE WHEN y IS NOT NULL THEN rank() OVER (PARTITION BY w "
+           "ORDER BY y NULLS LAST) + (count(*) OVER (PARTITION BY w, y) "
+           "- 1) / 2.0 END AS ry, "
+           "x - lag(x) OVER (PARTITION BY w ORDER BY ts, idx) AS dx "
+           "FROM b) "
+           "SELECT w AS ts, round(corr(rx, ry), 6) AS sp, "
+           "round(coalesce(sum(dx), 0), 6) AS ds, count(*) AS n "
+           "FROM r GROUP BY w")
+    compare(f"dynamic_spearman_{ev24}", q24.collect().to_spark(), sql)
+
+    # 25. GAPPED-INDEX positional ops in agg (q148): windowed with_columns
+    # materializes the hidden index, filter leaves it gapped — reverse /
+    # arg_max / pre-computed helper sums must re-rank dense
+    k25 = rng.choice(["g", "h"])
+    thr = round(rng.uniform(-40, 40), 3)
+    q25 = (df.lazy().sort("idx")
+           .with_columns(pl.col("x").shift(1).over(k25).alias("pv"))
+           .filter(pl.col("x") > thr)
+           .group_by(k25).agg(
+               pl.col("a").reverse().alias("rv"),
+               pl.col("x").arg_max().cast(pl.Int64).alias("am"),
+               pl.col("pv").sum().round(6).alias("ps"))
+           .explode("rv"))
+    sql = (f"WITH s AS (SELECT idx, {k25} AS k, a, x, lag(x) OVER "
+           f"(PARTITION BY {k25} ORDER BY idx) AS pv FROM t), "
+           f"f AS (SELECT *, row_number() OVER (PARTITION BY k "
+           f"ORDER BY idx) - 1 AS rn0 FROM s WHERE x > {thr}), "
+           "m AS (SELECT k, max(x) AS mx FROM f GROUP BY k), "
+           "g AS (SELECT f.k, list(a ORDER BY rn0 DESC) AS rv, "
+           "CAST(min(rn0) FILTER (WHERE x = mx) AS BIGINT) AS am, "
+           "round(coalesce(sum(pv), 0), 6) AS ps "
+           "FROM f LEFT JOIN m ON f.k IS NOT DISTINCT FROM m.k "
+           "GROUP BY f.k) "
+           f"SELECT k AS {k25}, unnest(rv) AS rv, am, ps FROM g")
+    compare(f"gapped_positional_{k25}", q25.collect().to_spark(), sql)
+
+    # 26. cumulative_eval inside agg (q138): running reducer over each
+    # group's prefix, exploded lockstep with idx
+    k26 = rng.choice(["g", "h"])
+    red26, red_sql = rng.choice([
+        ("max", "max(x) OVER wpre"),
+        ("min", "min(x) OVER wpre"),
+        ("mean", "round(avg(x) OVER wpre, 6)"),
+    ])
+    inner26 = getattr(pl.element(), red26)()
+    if red26 == "mean":
+        inner26 = inner26.round(6)
+    b26 = df.lazy().filter(pl.col(k26).is_not_null()).sort("idx")
+    g26 = (b26.group_by(k26).agg(
+        pl.col("idx").alias("ii"),
+        pl.col("x").cumulative_eval(inner26).alias("cv"))
+        .explode("ii", "cv"))
+    sql = (f"SELECT {k26}, idx AS ii, {red_sql} AS cv FROM t "
+           f"WHERE {k26} IS NOT NULL WINDOW wpre AS "
+           f"(PARTITION BY {k26} ORDER BY idx "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    compare(f"cumeval_{red26}_{k26}", g26.collect().to_spark(), sql)
 
     duck.unregister("t")
     return diffs

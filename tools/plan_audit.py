@@ -30,7 +30,9 @@ ALLOWED_NESTED_LOOP = {
 }
 # documented inherently-sequential parity ops (full-column collect)
 ALLOWED_SEQUENTIAL = {"q73_rle"}
-SKIP = {"q51_streaming_window", "q71_stream_dedup"}  # execute streams
+SKIP = {"q51_streaming_window", "q71_stream_dedup",
+        "q151_stream_windowed_agg", "q152_stream_dedup_replay",
+        "q153_stream_running_count"}  # execute streams
 
 
 def single_partition_violations(plan: str) -> int:
@@ -66,33 +68,70 @@ def single_partition_violations(plan: str) -> int:
     return bad
 
 
-def empty_partition_window_violations(plan: str) -> int:
-    """``Window`` nodes planned over a single partition funnel the whole
-    input through one task (round-2 rule: ungrouped cum_*/reverse/shuffle/
-    rle must route via the two-pass partition-prefix attach instead).  The
-    reliable physical signal is an ``Exchange SinglePartition`` directly
-    under the Window (a partitioned window exchanges by hash instead).
-    Sanctioned: windows over the O(partitions)-row ``__rix_pid__`` offset
-    aggregate and windows whose input is limit-bounded
-    (TakeOrderedAndProject / LocalLimit).
-    """
+def _window_spec_groups(stripped: str) -> list[str]:
+    """Top-level ``[...]`` groups of a ``Window`` plan node line:
+    ``Window [fns], [partSpec], [orderSpec]`` (3 groups when partitioned
+    AND ordered, 2 when one spec is absent, 1 when both are)."""
+    groups, depth, cur = [], 0, None
+    for ch in stripped:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                cur = None
+                continue
+        if cur is not None:
+            cur += ch
+    return groups
+
+
+def unpartitioned_window_violations(plan: str) -> int:
+    """``Window`` nodes with NO partition spec funnel the whole input
+    through one task (round-6 tightening: the old rule only caught an
+    ``Exchange SinglePartition`` printed DIRECTLY under the Window, so a
+    global window behind a Sort/Project wrapper passed silently).
+
+    Detection is on the node itself: a partitioned window prints
+    ``Window [fns], [partSpec], [orderSpec]``; unpartitioned ones lack the
+    plain-column middle group (an order spec always carries ASC/DESC).
+    Sanctioned ONLY when the window provably sits over a BOUNDED frame:
+    the O(partitions)-row ``__rix_pid__`` offset table, a keyless (scalar)
+    aggregate, or a limit-bounded input — searched through Sort/Project/
+    codegen wrappers, not just the next line."""
     lines = plan.splitlines()
     bad = 0
     for i, line in enumerate(lines):
         stripped = line.lstrip(" +-:*")
         if not stripped.startswith("Window "):
             continue
-        child = "\n".join(lines[i + 1:i + 5])
-        if "Exchange SinglePartition" not in child:
+        groups = _window_spec_groups(stripped)
+        has_part = len(groups) >= 3 or (
+            len(groups) == 2 and " ASC" not in groups[1]
+            and " DESC" not in groups[1])
+        if has_part:
             continue
-        if any(("Aggregate(" in ln and "__rix_pid__" in ln)
-               or "TakeOrderedAndProject" in ln or "LocalLimit" in ln
-               for ln in lines[i + 1:i + 7]):
-            # Hash/Sort/ObjectHashAggregate keyed on the partition id: the
-            # O(partitions)-row offset/boundary tables
-            continue
-        bad += 1
+        bounded = False
+        for ln in lines[i + 1:i + 10]:
+            s = ln.lstrip(" +-:*")
+            if ("__rix_pid__" in s or "HashAggregate(keys=[]" in s
+                    or "SortAggregate(key=[]" in s
+                    or "TakeOrderedAndProject" in s or "LocalLimit" in s):
+                bounded = True
+                break
+            if s.startswith("Window "):  # another full-data window below
+                break
+        if not bounded:
+            bad += 1
     return bad
+
+
+# legacy name kept for callers/tests
+empty_partition_window_violations = unpartitioned_window_violations
 
 
 def has_bad_nested_loop(plan: str) -> bool:

@@ -111,12 +111,6 @@ def main():
     if SKEW:
         SF_DIR = make_skew_dir(SF_DIR)
         print(f"skew variant at {SF_DIR}", flush=True)
-        # sf0.1-scale inputs sit under the gate's production byte floor;
-        # scale the thresholds down so the skew run exercises the same
-        # probe → reroute path a 100 TB hot key would take
-        import os as _os
-        _os.environ.setdefault("SPARK_GRAFT_GIANT_GROUP_BYTES", "0")
-        _os.environ.setdefault("SPARK_GRAFT_GIANT_GROUP_ROWS", "20000")
         names = ONLY or [n for n in SKEW_SET if n in qs]
     else:
         names = ONLY or list(qs)
