@@ -2337,6 +2337,28 @@ def q152_stream_dedup_replay(spark, sf_dir):
     return tab.select("user_id", "event_type")
 
 
+def q154_stream_session_replay(spark, sf_dir):
+    """Session windows on a STREAM replayed to completion (round-6): the
+    same F.session_window the batch q55 uses, but over readStream with a
+    watermark, complete-mode memory sink — streaming and batch share one
+    session semantics, proven against the gaps-and-islands SQL oracle."""
+    from pyspark.sql import functions as F
+
+    import polars_ruby_spark as pl
+    from polars_ruby_spark.frame import LazyFrame
+    from polars_ruby_spark.streaming import stream as st
+
+    stage, name = _stage_events_stream(spark, sf_dir)
+    lf = st.scan_stream(stage, spark=spark)
+    wm, _ntz = st._watermarked(lf._sdf, "ts", st.parse_duration("10m"))
+    sess = st.session_window_agg(
+        LazyFrame(wm), "ts", gap="30m", by=["user_id"],
+        aggs={"n": pl.len(), "sv": pl.col("value").sum().round(4)})
+    tab = _replay_to_memory(sess, name, "complete")
+    return tab.select(F.col("session_start").cast("timestamp_ntz")
+                      .alias("session_start"), "user_id", "n", "sv")
+
+
 def q153_stream_running_count(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState) across
     MULTIPLE micro-batches: per-key running counts kept in the state store
@@ -2519,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_stream_windowed_agg": q151_stream_windowed_agg,
         "q152_stream_dedup_replay": q152_stream_dedup_replay,
         "q153_stream_running_count": q153_stream_running_count,
+        "q154_stream_session_replay": q154_stream_session_replay,
     }
 
 
@@ -3354,6 +3377,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q152_stream_dedup_replay": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q154_stream_session_replay": """
+            WITH s AS (SELECT user_id, ts, value,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                 g AS (SELECT user_id, ts, value,
+                              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+            SELECT min(ts) AS session_start, user_id,
+                   count(*) AS n, round(sum(value), 4) AS sv
+            FROM g GROUP BY user_id, sid
         """,
         "q153_stream_running_count": """
             SELECT event_type, count(*) AS n FROM events GROUP BY 1

@@ -32,7 +32,8 @@ ALLOWED_NESTED_LOOP = {
 ALLOWED_SEQUENTIAL = {"q73_rle"}
 SKIP = {"q51_streaming_window", "q71_stream_dedup",
         "q151_stream_windowed_agg", "q152_stream_dedup_replay",
-        "q153_stream_running_count"}  # execute streams
+        "q153_stream_running_count",
+        "q154_stream_session_replay"}  # execute streams
 
 
 def single_partition_violations(plan: str) -> int:
