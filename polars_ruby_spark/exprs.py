@@ -475,9 +475,10 @@ class Expr:
                 tmp2 = _next_gord_name()
                 return sdf2.withColumn(tmp2, _f(F.col(tmp))).drop(tmp), tmp2
 
-            b = getattr(sgfn, "_ewm_batch", None)
-            if b is not None:  # keep the batch metadata, queue the lift
-                gfn._ewm_batch = {**b, "post": b["post"] + [f]}
+            for attr in ("_ewm_batch", "_cum_batch"):
+                b = getattr(sgfn, attr, None)
+                if b is not None:  # keep batch metadata, queue the lift
+                    setattr(gfn, attr, {**b, "post": b["post"] + [f]})
             out._global_ordinal_fn = gfn
         if self._grouped_remap_fn is not None:
             # compose pure Column fns over the grouped frame-attach hook too,
@@ -2448,6 +2449,24 @@ class Expr:
                         out = out.withColumn(tmp, F.col(tmp).cast(t))
                 return out, tmp
 
+            def _cum_finish(sdf2, tmp, _inner=inner,
+                            _ip=int_preserving):
+                if _ip:
+                    from pyspark.sql import types as T
+
+                    t = _inner._probe_dtype(sdf2, _inner._fn(sdf2, None))
+                    if isinstance(t, (T.ByteType, T.ShortType,
+                                      T.IntegerType, T.LongType)):
+                        return sdf2.withColumn(tmp, F.col(tmp).cast(t))
+                return sdf2
+
+            # batch metadata: the frame binder coalesces same-frame cum_*
+            # bindings into ONE attach_global_cum_multi (one range pin,
+            # one checkpoint, one offsets broadcast — round-6)
+            gfn._cum_batch = {
+                "value": (lambda df, _i=inner: _i._fn(df, None)),
+                "kind": kind, "reverse": reverse,
+                "finish": _cum_finish, "post": []}
             e._global_ordinal_fn = gfn
 
         def ev(arr, df):

@@ -351,6 +351,31 @@ class LazyFrame:
                             cur = nxt
                             helpers.append(cur)
                         hook_cols[k] = cur
+                # same for cum_* bindings: one pin + one offsets broadcast
+                cum_ks = [
+                    (k, e._global_ordinal_fn._cum_batch)
+                    for k, (name, e) in enumerate(expanded)
+                    if not e._is_agg and k not in hook_cols
+                    and e._global_ordinal_fn is not None
+                    and getattr(e._global_ordinal_fn, "_cum_batch", None)]
+                if len(cum_ks) >= 2:
+                    from .exprs import _next_gord_name
+                    from .operators.row_index import attach_global_cum_multi
+
+                    tmps = [_next_gord_name() for _ in cum_ks]
+                    sdf = attach_global_cum_multi(
+                        sdf, [(b["value"], b["kind"], b["reverse"], tmp)
+                              for (_k, b), tmp in zip(cum_ks, tmps)])
+                    for (k, b), tmp in zip(cum_ks, tmps):
+                        sdf = b["finish"](sdf, tmp)
+                        cur = tmp
+                        helpers.append(cur)
+                        for fpost in b["post"]:
+                            nxt = _next_gord_name()
+                            sdf = sdf.withColumn(nxt, fpost(F.col(cur)))
+                            cur = nxt
+                            helpers.append(cur)
+                        hook_cols[k] = cur
                 for k, (name, e) in enumerate(expanded):
                     if (e._is_agg or e._global_ordinal_fn is None
                             or k in hook_cols):

@@ -171,6 +171,59 @@ def attach_global_cum(sdf: DataFrame, value_fn, kind: str, reverse: bool,
             .sortWithinPartitions(ROW_IDX))
 
 
+def attach_global_cum_multi(sdf: DataFrame, items: list) -> DataFrame:
+    """Batched ungrouped cumulative attaches (round-6): ALL same-frame
+    cum_* bindings share ONE range-partition pin, ONE checkpoint, ONE
+    per-partition totals aggregate and ONE broadcast offsets join —
+    each binding paid all four on its own before (q107: three chained
+    attaches → one).  ``items``: ``[(value_fn, kind, reverse, out), …]``.
+    """
+    assert ROW_IDX in sdf.columns
+    base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
+            .localCheckpoint(eager=False)
+            .withColumn(_PID, F.spark_partition_id()))
+    tot_aggs, off_cols = [], []
+    locals_ = {}
+    for i, (value_fn, kind, reverse, out_name) in enumerate(items):
+        aggf, comb = _CUM_AGG[kind], _CUM_COMBINE[kind]
+        c = value_fn(base)
+        dirn = F.col(ROW_IDX).desc() if reverse else F.col(ROW_IDX).asc()
+        locals_[f"__gc_loc_{i}__"] = aggf(c).over(
+            Window.partitionBy(_PID).orderBy(dirn)
+            .rowsBetween(Window.unboundedPreceding, 0))
+        tot_aggs.append(aggf(c).alias(f"__gc_tot_{i}__"))
+        pdir = F.col(_PID).desc() if reverse else F.col(_PID).asc()
+        off_cols.append(comb(F.col(f"__gc_tot_{i}__")).over(
+            Window.orderBy(pdir).rowsBetween(
+                Window.unboundedPreceding, -1)).alias(f"__gc_off_{i}__"))
+    base = base.withColumns(locals_)
+    offsets = base.groupBy(_PID).agg(*tot_aggs).select(_PID, *off_cols)
+    joined = base.join(F.broadcast(offsets), _PID, "left")
+    res_cols = {}
+    for i, (_vf, kind, _rev, out_name) in enumerate(items):
+        local = F.col(f"__gc_loc_{i}__")
+        off = F.col(f"__gc_off_{i}__")
+        if kind == "min":
+            res = F.least(local, off)
+        elif kind == "max":
+            res = F.greatest(local, off)
+        elif kind == "count":
+            res = (local + F.coalesce(off, F.lit(0))).cast("long")
+        elif kind == "product":
+            res = F.when(local.isNull() & off.isNull(),
+                         F.lit(None)).otherwise(
+                F.coalesce(local, F.lit(1.0)) * F.coalesce(off, F.lit(1.0)))
+        else:  # sum
+            res = F.when(local.isNull() & off.isNull(),
+                         F.lit(None)).otherwise(
+                F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0)))
+        res_cols[out_name] = res
+    drops = ([_PID] + [f"__gc_loc_{i}__" for i in range(len(items))]
+             + [f"__gc_off_{i}__" for i in range(len(items))])
+    return (joined.withColumns(res_cols).drop(*drops)
+            .sortWithinPartitions(ROW_IDX))
+
+
 def attach_global_reverse(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
     """Attach the column reversed over global row order: row j takes the
     value of row n-1-j via an equi-join on the remapped index (one shuffle
