@@ -68,6 +68,10 @@ HEADLINE = [
     "q147_distinct_flags_agg",  # group-local flags + composed arr routes
     "q148_gapped_index_positions",  # dense re-rank for positional consumers
     "q149_filter_elements_agg",     # element-removing filter in agg
+    # round-6 additions
+    "q107_global_ordinals",         # batched two-pass cum attaches
+    "q150_list_eval_positional",    # positional order ops in list.eval
+    "q151_stream_windowed_agg",     # streaming replay (stage+run per rep)
 ]
 
 
@@ -119,7 +123,7 @@ def main():
     r1_set = [n for n in HEADLINE if not n.startswith(
         ("q132", "q133", "q134", "q135", "q136", "q137", "q138",
          "q139", "q140", "q141", "q142", "q143", "q144", "q145",
-         "q146", "q147", "q148", "q149"))]
+         "q146", "q147", "q148", "q149", "q107", "q150", "q151"))]
     r1_total = round(sum(results[n] for n in r1_set if n in results), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({

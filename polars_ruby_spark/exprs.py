@@ -127,14 +127,18 @@ def _arr_reduce(label: str, arr: Column, df) -> Column:
             return s
         return s.cast("double") / F.size(nn)
     if label == "median":
-        nn = F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
+        # materialize the sorted array when a binder frame is active
+        # (rolling collect-window): interpreted HOFs have no CSE, so the
+        # three references below would re-sort per anchor otherwise
+        nn = _eval_materialize(
+            F.array_sort(F.filter(arr, lambda x: x.isNotNull())))
         n = F.size(nn)
         lo = F.element_at(nn, F.floor((n + 1) / 2).cast("int") + F.lit(0))
         hi = F.element_at(nn, F.floor(n / 2).cast("int") + F.lit(1))
         return F.when(n > 0,
                       (lo.cast("double") + hi.cast("double")) / 2)
     if label in ("stddev_samp", "stddev_pop", "var_samp", "var_pop"):
-        nn = F.filter(arr, lambda x: x.isNotNull())
+        nn = _eval_materialize(F.filter(arr, lambda x: x.isNotNull()))
         n = F.size(nn).cast("double")
         s = F.aggregate(nn, F.lit(0.0),
                         lambda a, x: a + x.cast("double"))
@@ -149,7 +153,7 @@ def _arr_reduce(label: str, arr: Column, df) -> Column:
     if label in ("skewness", "kurtosis"):
         # biased central moments, matching Spark's skewness/kurtosis (the
         # aggregates the direct agg path uses; polars' bias=True defaults)
-        nn = F.filter(arr, lambda x: x.isNotNull())
+        nn = _eval_materialize(F.filter(arr, lambda x: x.isNotNull()))
         n = F.size(nn).cast("double")
         mu = F.aggregate(nn, F.lit(0.0),
                          lambda a, x: a + x.cast("double")) / n
@@ -4448,8 +4452,10 @@ _EVAL_MATERIALIZE_STACK: list = []
 
 def _eval_materialize(c: Column) -> Column:
     """Pin ``c`` as a frame column via the active materializer (identity
-    inline fallback when none is active)."""
-    if _EVAL_MATERIALIZE_STACK:
+    inline fallback when none is active, or when binding inside a HOF
+    lambda — a lambda-variable-dependent expression cannot become a frame
+    column)."""
+    if _EVAL_MATERIALIZE_STACK and not _ELEMENT_STACK:
         return _EVAL_MATERIALIZE_STACK[-1](c)
     return c
 

@@ -1199,6 +1199,52 @@ def test_calendar_rolling_collect_window(spark):
     assert "collect_list" in plan
 
 
+def test_ungrouped_rolling_spearman_collect_window(spark):
+    """Rolling spearman WITHOUT by-keys (round-6): the collect-window path
+    partitions by the time chunk alone, so even an ungrouped per-row
+    look-back stays multi-task; values vs a brute-force python oracle."""
+    import datetime as dt
+    import math
+
+    rnd = __import__("random").Random(7)
+    n = 60
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=7 * i)
+          for i in range(n)]
+    xs = [round(rnd.uniform(0, 100), 3) for _ in range(n)]
+    ys = [rnd.randint(0, 9) for _ in range(n)]
+    df = pl.DataFrame({"ts": ts, "x": xs, "y": ys})
+    out = (df.rolling(index_column="ts", period="30m")
+           .agg(pl.corr("x", "y", method="spearman").fill_nan(None)
+                .round(6).alias("s"), pl.len().alias("n")))
+    rows = out.to_a()
+
+    def ranks(vals):
+        return [(sum(1 for u in vals if u < v)
+                 + sum(1 for u in vals if u <= v) + 1) / 2 for v in vals]
+
+    def pearson(a, b):
+        m = len(a)
+        sa, sb = sum(a), sum(b)
+        cov = sum(p * q for p, q in zip(a, b)) - sa * sb / m
+        va = sum(p * p for p in a) - sa * sa / m
+        vb = sum(q * q for q in b) - sb * sb / m
+        if va <= 0 or vb <= 0:
+            return None
+        return cov / math.sqrt(va * vb)
+
+    for i, r in enumerate(rows):
+        lo = ts[i] - dt.timedelta(minutes=30)
+        member = [j for j in range(n) if lo < ts[j] <= ts[i]]
+        assert r["n"] == len(member)
+        exp = pearson(ranks([xs[j] for j in member]),
+                      ranks([ys[j] for j in member]))
+        got = r["s"]
+        if exp is None:
+            assert got is None
+        else:
+            assert got is not None and abs(got - exp) < 1e-6
+
+
 def test_mixed_every_and_datapoint_calendar(spark):
     """Round-5 dynamic-window closures (lazy_frame.rb:1416-1458, any
     every/start_by combination): MIXED calendar+fixed every ("1mo10d") and
