@@ -47,6 +47,11 @@ class _BindContext:
 
     def __init__(self):
         self.grouped_agg = 0
+        #: WindowSpec the rolling direct path injects so post-wrapped
+        #: aggregates (sum's empty-group coalesce) wrap the window around
+        #: the AGGREGATE, not around the post transform (round-6 —
+        #: coalesce(sum(v)).over(w) is an analysis error)
+        self.rolling_window = None
 
 
 bind_context = _BindContext()
@@ -706,6 +711,8 @@ class Expr:
             c = aggf(self._fn(df, None))
             if part is not None:
                 c = c.over(_part_window(part))
+            elif bind_context.rolling_window is not None:
+                c = c.over(bind_context.rolling_window)
             return c
 
         out = Expr(fn, name=name if name is not None else self._name,
@@ -839,6 +846,8 @@ class Expr:
             c = aggf(self._fn(df, None), df)
             if part is not None:
                 c = c.over(_part_window(part))
+            elif bind_context.rolling_window is not None:
+                c = c.over(bind_context.rolling_window)
             if post is not None:
                 c = post(c)
             return c
@@ -1763,6 +1772,10 @@ class Expr:
             # collect_set exclude it — add a has-null flag
             c = self._fn(df, None)
             nullflag = F.max(F.when(c.isNull(), 1).otherwise(0))
+            if part is None and bind_context.rolling_window is not None:
+                w = bind_context.rolling_window
+                return (F.size(F.collect_set(c).over(w))
+                        + nullflag.over(w))
             if part is not None:
                 # Spark rejects count(DISTINCT) over a window — size of the
                 # per-partition collect_set is the same count

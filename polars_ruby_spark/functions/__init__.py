@@ -87,8 +87,14 @@ def len():
             # inside an eval-array context (list.eval / rolling
             # collect-window): the series length is the array size
             return F.size(_EVAL_ARRAY_STACK[-1]).cast("long")
+        from ..exprs import bind_context
+
         c = F.count(F.lit(1))
-        return c if part is None else c.over(Window.partitionBy(*part))
+        if part is not None:
+            return c.over(Window.partitionBy(*part))
+        if bind_context.rolling_window is not None:
+            return c.over(bind_context.rolling_window)
+        return c
 
     return Expr(fn, name="len", is_agg=True)._set_meta("len", ())
 
@@ -321,8 +327,14 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
 
             if _EVAL_ARRAY_STACK:
                 return _corr_eval_arrays(ea, eb, df, "pearson")
+            from ..exprs import bind_context
+
             c = F.corr(ea._fn(df, None), eb._fn(df, None))
-            return c if part is None else c.over(Window.partitionBy(*part))
+            if part is not None:
+                return c.over(Window.partitionBy(*part))
+            if bind_context.rolling_window is not None:
+                return c.over(bind_context.rolling_window)
+            return c
 
         return Expr(fn, name="corr",
                     is_agg=True)._set_meta("corr", (ea, eb))
@@ -416,7 +428,14 @@ def cov(a, b, ddof: int = 1):
     aggf = F.covar_samp if ddof == 1 else F.covar_pop
 
     def fn(df, part):
-        return aggf(ea._fn(df, None), eb._fn(df, None))
+        from ..exprs import bind_context
+
+        c = aggf(ea._fn(df, None), eb._fn(df, None))
+        if part is not None:
+            return c.over(Window.partitionBy(*part))
+        if bind_context.rolling_window is not None:
+            return c.over(bind_context.rolling_window)
+        return c
 
     return Expr(fn, name="cov", is_agg=True)
 

@@ -1196,20 +1196,68 @@ class RollingGroupBy(_TemporalGroupByMixin):
             lo, hi = -span_us, -1
         elif self._closed == "none":
             lo, hi = -span_us + 1, -1
+        work, own = sdf, None
+        if not self._by:
+            # UNGROUPED rolling: a keyless window funnels everything into
+            # one task — partition by a TIME CHUNK instead, duplicating
+            # rows near a chunk's upper edge into the next chunk so every
+            # anchor's look-back frame is complete in-partition (round-6;
+            # the same trick the collect-window path uses).  The range
+            # frame is exact, so no element filtering is needed.
+            span_ub = max(span_us, 1)
+            chunk_w = span_ub * 8
+            c0 = F.floor(ts_us / F.lit(chunk_w)).cast("long")
+            near_hi = ts_us >= (c0 + 1) * F.lit(chunk_w) - F.lit(span_ub)
+            work = (sdf
+                    .withColumn("__rw_c0__", c0)
+                    .withColumn("__rw_ch__", F.explode(
+                        F.when(near_hi, F.array(c0, c0 + F.lit(1)))
+                        .otherwise(F.array(c0)))))
+            by_cols = [F.col("__rw_ch__")]
+            own = F.col("__rw_ch__") == F.col("__rw_c0__")
         w = Window.partitionBy(*by_cols).orderBy(ts_us).rangeBetween(lo, hi)
 
-        out = sdf
-        names = []
         all_exprs = [wrap_expr(e) for e in exprs] + [
             wrap_expr(e).alias(k) for k, e in named.items()]
         cols = []
-        for e in all_exprs:
-            if not e._is_agg:
-                raise ValueError("rolling().agg takes aggregate expressions")
-            c = e._fn(sdf, None).over(w)
-            cols.append(c.alias(e._name) if e._name else c)
-        keep = [F.col(b) for b in self._by] + [F.col(self._index)]
-        return self._wrap_out(LazyFrame(out.select(*keep, *cols)))
+        # aggregates wrap THEMSELVES in the injected rolling window (post-
+        # carrying aggs like sum's empty-group coalesce must window the
+        # aggregate, not the post transform); exprs the context doesn't
+        # reach raise at analysis → collect-window fallback handles any agg
+        bind_context.rolling_window = w
+        try:
+            names = []
+            for i, e in enumerate(all_exprs):
+                if not e._is_agg:
+                    raise ValueError(
+                        "rolling().agg takes aggregate expressions")
+                c = e._fn(work, None)
+                nm = e._name
+                if not nm:
+                    try:
+                        nm = work.select(c).columns[0]
+                    except Exception:
+                        nm = f"col_{i}"
+                # materialize BEFORE the own-chunk filter: the duplicated
+                # boundary rows must still be in the window's frame when
+                # the aggregate evaluates
+                work = work.withColumn(nm, c)
+                names.append(nm)
+            keep = ([F.col(b) for b in self._by] + [F.col(self._index)]
+                    + [F.col(n) for n in names])
+            out = work if own is None else work.filter(own)
+            out = out.select(*keep)
+            out.schema  # force analysis while the fallback is reachable
+        except ValueError:
+            raise
+        except Exception:
+            try:
+                return self._agg_collect_win(dur, exprs, named)
+            except Exception:
+                return self._agg_band(dur, exprs, named)
+        finally:
+            bind_context.rolling_window = None
+        return self._wrap_out(LazyFrame(out))
 
     def _agg_collect_win(self, dur, exprs, named):
         """Rolling agg via a COLLECTED range-frame window — the scale-safe
@@ -1570,7 +1618,11 @@ class RollingGroupBy(_TemporalGroupByMixin):
         all_pre = [wrap_expr(e) for e in exprs] + [
             wrap_expr(e).alias(k) for k, e in named.items()]
         plan = self._prefix_plan(all_pre)
-        if plan is not None:
+        if plan is not None and self._by:
+            # the prefix path's running-cum + union-merge lookups window
+            # over the by keys; WITHOUT keys they are global single-task
+            # windows — the chunked collect-window path below stays
+            # multi-task (round-6)
             return self._agg_calendar_prefix(dur, all_pre, plan)
         # non-algebraic calendar aggs (min/max/median/quantile…): the
         # collect-window path avoids the month-bucket pair expansion

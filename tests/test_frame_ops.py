@@ -1199,6 +1199,33 @@ def test_calendar_rolling_collect_window(spark):
     assert "collect_list" in plan
 
 
+def test_ungrouped_plain_rolling_chunked(spark):
+    """Ungrouped fixed-duration rolling with plain aggs partitions by the
+    time chunk (round-6): multi-task instead of one keyless global window;
+    values identical to the naive definition across chunk boundaries."""
+    import datetime as dt
+
+    from tools.plan_audit import unpartitioned_window_violations
+
+    n = 50
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=13 * i)
+          for i in range(n)]
+    vs = [float((i * 37) % 11) for i in range(n)]
+    df = pl.DataFrame({"ts": ts, "v": vs})
+    out = (df.rolling(index_column="ts", period="30m")
+           .agg(pl.col("v").sum().alias("sv"), pl.len().alias("cnt")))
+    rows = sorted(out.to_a(), key=lambda r: r["ts"])
+    for i, r in enumerate(rows):
+        lo = ts[i] - dt.timedelta(minutes=30)
+        member = [j for j in range(n) if lo < ts[j] <= ts[i]]
+        assert r["cnt"] == len(member)
+        assert abs(r["sv"] - sum(vs[j] for j in member)) < 1e-9
+    plan = (df.rolling(index_column="ts", period="30m")
+            .agg(pl.col("v").sum().alias("sv"))
+            .lazy()._sdf._jdf.queryExecution().executedPlan().toString())
+    assert unpartitioned_window_violations(plan) == 0
+
+
 def test_ungrouped_rolling_spearman_collect_window(spark):
     """Rolling spearman WITHOUT by-keys (round-6): the collect-window path
     partitions by the time chunk alone, so even an ungrouped per-row
