@@ -2314,15 +2314,22 @@ class Expr:
         e = self._ordered(f, order_only=True)
 
         def arr_fn(arr):
-            sz = F.size(arr)
             vacated = (F.lit(None) if fv is None else fv._fn(None, None))
 
-            def elem(x, i):
-                src_pos = i - F.lit(n)
-                return F.when((src_pos >= 0) & (src_pos < sz),
-                              F.element_at(arr, src_pos + 1)).otherwise(vacated)
+            def shifted(a):
+                sz = F.size(a)
 
-            return F.transform(arr, elem)
+                def elem(x, i):
+                    src_pos = i - F.lit(n)
+                    return F.when(
+                        (src_pos >= 0) & (src_pos < sz),
+                        F.element_at(a, src_pos + 1)).otherwise(vacated)
+
+                return F.transform(a, elem)
+
+            # let-bind arr: element_at references it per position, and the
+            # inline subtree would re-evaluate per element (no HOF CSE)
+            return _hof_let(arr, shifted)
 
         self._compose_arr_route(e, arr_fn)
         return e
@@ -2338,9 +2345,10 @@ class Expr:
         e = self._ordered(f, order_only=True)
 
         def ev(arr, df):
-            return F.transform(arr, lambda x, i: F.when(
-                (i - F.lit(n) >= 0) & (i - F.lit(n) < F.size(arr)),
-                x - F.element_at(arr, i - F.lit(n) + 1)))
+            return _hof_let(arr, lambda a: F.transform(
+                a, lambda x, i: F.when(
+                    (i - F.lit(n) >= 0) & (i - F.lit(n) < F.size(a)),
+                    x - F.element_at(a, i - F.lit(n) + 1))))
 
         e._eval_arr_fn = ev
         e._eval_arr_base = self
@@ -2376,13 +2384,16 @@ class Expr:
         e = self._ordered(f, order_only=True)
 
         def ev(arr, df):
-            def elem(x, i):
-                prev = F.element_at(arr, i - F.lit(n) + 1)
-                return F.when(
-                    (i - F.lit(n) >= 0) & (i - F.lit(n) < F.size(arr)),
-                    (x - prev) / prev)
+            def body(a):
+                def elem(x, i):
+                    prev = F.element_at(a, i - F.lit(n) + 1)
+                    return F.when(
+                        (i - F.lit(n) >= 0) & (i - F.lit(n) < F.size(a)),
+                        (x - prev) / prev)
 
-            return F.transform(arr, elem)
+                return F.transform(a, elem)
+
+            return _hof_let(arr, body)
 
         e._eval_arr_fn = ev
         e._eval_arr_base = self
@@ -4461,6 +4472,16 @@ _EVAL_STRUCT_COLS: list = []
 #: (rolling collect-window); plain list.eval leaves it empty and exprs
 #: fall back to inline composition.
 _EVAL_MATERIALIZE_STACK: list = []
+
+
+def _hof_let(val: Column, body) -> Column:
+    """let-bind a loop-invariant expression as a HOF lambda VARIABLE:
+    ``transform(array(val), v -> body(v))[0]``.  Interpreted HOFs have no
+    CSE, so an array expression referenced inside a per-element lambda
+    re-evaluates per element (O(d²)), and nested under another eval lambda
+    per outer element (O(d³) — q150's 36 s at 2000×64).  A lambda variable
+    evaluates once per binding."""
+    return F.element_at(F.transform(F.array(val), body), 1)
 
 
 def _eval_materialize(c: Column) -> Column:

@@ -361,35 +361,42 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
     xs = [f"__ewm_x_{i}__" for i in range(len(items))]
     base = base.withColumns(
         {xn: vf(base) for xn, (vf, _s, _o) in zip(xs, items)})
-    # pass 1 (one job, O(partitions) rows): per-pid per-binding counted
-    # lengths -> exclusive prefix non-null counts + previous last-obs index
-    aggs1 = []
-    for i, xn in enumerate(xs):
-        aggs1 += [F.count(xn).alias(f"__n_nn_{i}__"),
-                  F.max(F.when(F.col(xn).isNotNull(),
-                               F.col(ROW_IDX))).alias(f"__lo_{i}__")]
-    counts = sorted(base.groupBy(_PID).agg(*aggs1).collect(),
-                    key=lambda row: row[_PID])
-    run_nn = [0] * len(items)
-    run_last: list = [None] * len(items)
-    prior_rows = []
-    for row in counts:
-        vals = [row[_PID]]
-        for i in range(len(items)):
-            vals += [run_nn[i], run_last[i]]
-        prior_rows.append(tuple(vals))
-        for i in range(len(items)):
-            run_nn[i] += row[f"__n_nn_{i}__"]
-            if row[f"__lo_{i}__"] is not None:
-                run_last[i] = row[f"__lo_{i}__"]
-    fields = [T.StructField(_PID, T.IntegerType())]
-    for i in range(len(items)):
-        fields += [T.StructField(f"__ewm_prior_{i}__", T.LongType()),
-                   T.StructField(f"__ewm_prevbnd_{i}__", T.LongType())]
     spark = base.sparkSession
-    base = base.join(
-        F.broadcast(spark.createDataFrame(
-            prior_rows, schema=T.StructType(fields))), _PID, "left")
+    # adjust=True scans don't consume the prior flags (base weight is 1
+    # regardless of `first`), so the pass-1 collect can MERGE into the
+    # bounds collect — ONE driver job per construction instead of two;
+    # only the m-offset is applied post-join then
+    one_pass = all(spec["adjust"] and not _is_reset_form(spec)
+                   for _vf, spec, _o in items)
+    if not one_pass:
+        # pass 1 (one job, O(partitions) rows): per-pid per-binding counted
+        # lengths -> exclusive prefix non-null counts + prev last-obs index
+        aggs1 = []
+        for i, xn in enumerate(xs):
+            aggs1 += [F.count(xn).alias(f"__n_nn_{i}__"),
+                      F.max(F.when(F.col(xn).isNotNull(),
+                                   F.col(ROW_IDX))).alias(f"__lo_{i}__")]
+        counts = sorted(base.groupBy(_PID).agg(*aggs1).collect(),
+                        key=lambda row: row[_PID])
+        run_nn = [0] * len(items)
+        run_last: list = [None] * len(items)
+        prior_rows = []
+        for row in counts:
+            vals = [row[_PID]]
+            for i in range(len(items)):
+                vals += [run_nn[i], run_last[i]]
+            prior_rows.append(tuple(vals))
+            for i in range(len(items)):
+                run_nn[i] += row[f"__n_nn_{i}__"]
+                if row[f"__lo_{i}__"] is not None:
+                    run_last[i] = row[f"__lo_{i}__"]
+        fields = [T.StructField(_PID, T.IntegerType())]
+        for i in range(len(items)):
+            fields += [T.StructField(f"__ewm_prior_{i}__", T.LongType()),
+                       T.StructField(f"__ewm_prevbnd_{i}__", T.LongType())]
+        base = base.join(
+            F.broadcast(spark.createDataFrame(
+                prior_rows, schema=T.StructType(fields))), _PID, "left")
 
     # per-binding scans, outputs renamed to _{i}-suffixed columns
     per_item = []  # (sfx, [(col, power)], reset_form, spec, out_name)
@@ -397,8 +404,9 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
     for i, (vf, spec, out_name) in enumerate(items):
         need_var = spec["kind"] in ("var", "std")
         lam, alpha = spec["lam"], spec["alpha"]
-        prior_empty = F.col(f"__ewm_prior_{i}__") == 0
         reset_form = _is_reset_form(spec)
+        prior_empty = (None if one_pass
+                       else F.col(f"__ewm_prior_{i}__") == 0)
         if reset_form:
             prepped, series = _varying_inputs(
                 scanned, xs[i], [F.col(_PID)], lam, alpha, need_var,
@@ -414,9 +422,11 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
                 prior_empty=prior_empty)
             powers = {"s0": 1, "s1": 1, "s2": 1, "sq": 2}
             cols_p = [(f"__ewm_{s}__", powers[s]) for s in sfxs]
-        # min_periods / first-row masks need the GLOBAL non-null count
-        out = out.withColumn(
-            "__ewm_m__", F.col("__ewm_m__") + F.col(f"__ewm_prior_{i}__"))
+        if not one_pass:
+            # min_periods / first-row masks need the GLOBAL non-null count
+            out = out.withColumn(
+                "__ewm_m__",
+                F.col("__ewm_m__") + F.col(f"__ewm_prior_{i}__"))
         ren = {c: c[:-2] + f"_{i}__" for c in _EWM_DROPS
                if c in out.columns}
         out = out.withColumnsRenamed(ren)
@@ -424,7 +434,8 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
                          reset_form, spec, out_name))
         scanned = out
 
-    # pass 2 (one job): every binding's per-pid last-row decayed totals
+    # bounds pass: every binding's per-pid last-row decayed totals
+    # (+ the counts when the prior pass was merged away)
     aggs2 = [F.count(F.lit(1)).alias("__n_rows__")]
     for i, (sfx, cols_p, reset_form, spec, _o) in enumerate(per_item):
         aggs2.append(F.count(xs[i]).alias(f"__n_nn_{i}__"))
@@ -432,37 +443,105 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
             aggs2.append(F.max(f"__ewm_L{sfx}__").alias(f"__dL_{i}__"))
         for c, _p in cols_p:
             aggs2.append(F.max_by(F.col(c), F.col(ROW_IDX)).alias(f"__q_{c}"))
-    bounds = sorted(scanned.groupBy(_PID).agg(*aggs2).collect(),
-                    key=lambda row: row[_PID])
-    carry_fields = [T.StructField(_PID, T.IntegerType())]
-    for sfx, cols_p, _r, _s, _o in per_item:
-        carry_fields += [T.StructField(f"__c_{c}", T.DoubleType())
-                         for c, _p in cols_p]
-    states = [{c: 0.0 for c, _p in cols_p}
-              for _sfx, cols_p, _r, _s, _o in per_item]
-    carry_rows = []
-    for row in bounds:
-        vals = [row[_PID]]
-        for i, (sfx, cols_p, reset_form, spec, _o) in enumerate(per_item):
-            vals += [states[i][c] for c, _p in cols_p]
-            if reset_form:
-                d_l = row[f"__dL_{i}__"] or 0.0
-                decays = {c: math.exp(-p * d_l) for c, p in cols_p}
-            else:
-                length = (row[f"__n_nn_{i}__"] if spec["ignore_nulls"]
-                          else row["__n_rows__"])
-                decays = {c: spec["lam"] ** (p * length) for c, p in cols_p}
-            for c, _p in cols_p:
-                q = row[f"__q_{c}"]
-                states[i][c] = (decays[c] * states[i][c]
-                                + (q if q is not None else 0.0))
-        carry_rows.append(tuple(vals))
-    joined = scanned.join(
-        F.broadcast(spark.createDataFrame(
-            carry_rows, schema=T.StructType(carry_fields))), _PID, "left")
+    if one_pass:
+        # LAZY carry composition (round-6): the per-partition affine maps
+        # compose in a sequential JVM `aggregate` fold over the pid-sorted
+        # O(partitions) totals array — arithmetic identical to the former
+        # driver loop, but NO job runs at plan-construction time (bench
+        # constructs per rep; the two collects dominated q132's cost)
+        all_cols = [(i, c, p, spec)
+                    for i, (sfx, cols_p, _r, spec, _o) in enumerate(per_item)
+                    for c, p in cols_p]
+        sf_list = ([F.col(_PID).alias("pid"),
+                    F.col("__n_rows__").alias("nr")]
+                   + [F.col(f"__n_nn_{i}__").alias(f"nn{i}")
+                      for i in range(len(items))]
+                   + [F.col(f"__q_{c}").alias(f"q_{j}")
+                      for j, (_i, c, _p, _s) in enumerate(all_cols)])
+        onerow = (scanned.groupBy(_PID).agg(*aggs2)
+                  .agg(F.array_sort(F.collect_list(F.struct(*sf_list)))
+                       .alias("__arr__")))
+        row_t = ("struct<pid:int"
+                 + "".join(f",c{j}:double" for j in range(len(all_cols)))
+                 + "".join(f",p{i}:bigint" for i in range(len(items)))
+                 + ">")
+        zero = F.struct(
+            *[F.lit(0.0).alias(f"s{j}") for j in range(len(all_cols))],
+            *[F.lit(0).cast("bigint").alias(f"n{i}")
+              for i in range(len(items))],
+            F.expr("array()").cast(f"array<{row_t}>").alias("rows"))
+
+        def step(acc, x):
+            emitted = F.struct(
+                x["pid"].alias("pid"),
+                *[acc[f"s{j}"].alias(f"c{j}")
+                  for j in range(len(all_cols))],
+                *[acc[f"n{i}"].alias(f"p{i}")
+                  for i in range(len(items))])
+            new_fields = []
+            for j, (i, c, p, spec) in enumerate(all_cols):
+                length = (x[f"nn{i}"] if spec["ignore_nulls"]
+                          else x["nr"])
+                decay = F.pow(F.lit(spec["lam"]),
+                              length.cast("double") * F.lit(float(p)))
+                new_fields.append(
+                    (decay * acc[f"s{j}"]
+                     + F.coalesce(x[f"q_{j}"], F.lit(0.0))).alias(f"s{j}"))
+            for i in range(len(items)):
+                new_fields.append((acc[f"n{i}"] + x[f"nn{i}"]).alias(f"n{i}"))
+            new_fields.append(
+                F.concat(acc["rows"], F.array(emitted)).alias("rows"))
+            return F.struct(*new_fields)
+
+        carry_tab = (onerow.select(
+            F.explode(F.aggregate(F.col("__arr__"), zero, step)["rows"])
+            .alias("r"))
+            .select(F.col("r.pid").alias(_PID),
+                    *[F.col(f"r.c{j}").alias(f"__c_{c}")
+                      for j, (_i, c, _p, _s) in enumerate(all_cols)],
+                    *[F.col(f"r.p{i}").alias(f"__p_{i}__")
+                      for i in range(len(items))]))
+        joined = scanned.join(F.broadcast(carry_tab), _PID, "left")
+        joined = joined.withColumns({
+            f"__ewm_m_{i}__": F.col(f"__ewm_m_{i}__")
+            + F.coalesce(F.col(f"__p_{i}__"), F.lit(0))
+            for i in range(len(items))})
+    else:
+        bounds = sorted(scanned.groupBy(_PID).agg(*aggs2).collect(),
+                        key=lambda row: row[_PID])
+        carry_fields = [T.StructField(_PID, T.IntegerType())]
+        for sfx, cols_p, _r, _s, _o in per_item:
+            carry_fields += [T.StructField(f"__c_{c}", T.DoubleType())
+                             for c, _p in cols_p]
+        states = [{c: 0.0 for c, _p in cols_p}
+                  for _sfx, cols_p, _r, _s, _o in per_item]
+        carry_rows = []
+        for row in bounds:
+            vals = [row[_PID]]
+            for i, (sfx, cols_p, reset_form, spec, _o) in enumerate(
+                    per_item):
+                vals += [states[i][c] for c, _p in cols_p]
+                if reset_form:
+                    d_l = row[f"__dL_{i}__"] or 0.0
+                    decays = {c: math.exp(-p * d_l) for c, p in cols_p}
+                else:
+                    length = (row[f"__n_nn_{i}__"] if spec["ignore_nulls"]
+                              else row["__n_rows__"])
+                    decays = {c: spec["lam"] ** (p * length)
+                              for c, p in cols_p}
+                for c, _p in cols_p:
+                    q = row[f"__q_{c}"]
+                    states[i][c] = (decays[c] * states[i][c]
+                                    + (q if q is not None else 0.0))
+            carry_rows.append(tuple(vals))
+        joined = scanned.join(
+            F.broadcast(spark.createDataFrame(
+                carry_rows, schema=T.StructType(carry_fields))),
+            _PID, "left")
 
     out_frame = joined
-    drops = [_PID] + xs
+    drops = [_PID] + xs + ([f"__p_{i}__" for i in range(len(items))]
+                           if one_pass else [])
     for i, (sfx, cols_p, reset_form, spec, out_name) in enumerate(per_item):
         if reset_form:
             decay_of = {c: F.exp(-F.col(f"__ewm_L{sfx}__") * p)
