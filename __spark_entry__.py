@@ -2269,6 +2269,39 @@ def q150_list_eval_positional(spark, sf_dir):
     return _out(out)
 
 
+def q155_rolling_unaliased_names(spark, sf_dir):
+    """Round-7 regression (ADVICE r6 #1): an UN-ALIASED rolling aggregate
+    keeps its source column's name (polars semantics, lazy_frame.rb:1161);
+    the direct range-frame path must bind every aggregate against the
+    pre-loop columns so the later mean reads the source value, not the
+    just-materialized rolling sum."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.rolling(index_column="ts", period="2h", group_by="event_type")
+        .agg(pl.col("value").sum(), pl.col("value").mean().alias("m"))
+        .with_columns(pl.col("value").round(4), pl.col("m").round(6))
+    )
+    return _out(out)
+
+
+def q156_rolling_index_agg(spark, sf_dir):
+    """Round-7 regression (ADVICE r6 #2): a collect-window aggregate that
+    READS THE INDEX COLUMN must see the per-window element values (the
+    window's min ts), not the outer anchor's scalar.  Calendar period +
+    median forces the collect-window path."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.rolling(index_column="ts", period="1mo", group_by="event_type")
+        .agg(pl.col("ts").min().alias("w_start"),
+             pl.col("value").median().round(6).alias("md"))
+    )
+    return _out(out)
+
+
 def _stage_events_stream(spark, sf_dir, n_files=1):
     """Stage a µs-timestamp copy of events for a file-source stream (the
     raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
@@ -2542,6 +2575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_stream_dedup_replay": q152_stream_dedup_replay,
         "q153_stream_running_count": q153_stream_running_count,
         "q154_stream_session_replay": q154_stream_session_replay,
+        "q155_rolling_unaliased_names": q155_rolling_unaliased_names,
+        "q156_rolling_index_agg": q156_rolling_index_agg,
     }
 
 
@@ -3393,6 +3428,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q153_stream_running_count": """
             SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        """,
+        "q155_rolling_unaliased_names": """
+            SELECT a.event_type, a.ts,
+                   round(sum(b.value), 4) AS value,
+                   round(avg(b.value), 6) AS m
+            FROM events a LEFT JOIN events b
+              ON a.event_type = b.event_type
+             AND b.ts > a.ts - INTERVAL 2 HOUR AND b.ts <= a.ts
+            GROUP BY a.event_type, a.ts, a.event_id
+        """,
+        "q156_rolling_index_agg": """
+            SELECT a.event_type, a.ts,
+                   min(b.ts) AS w_start,
+                   round(median(b.value), 6) AS md
+            FROM events a LEFT JOIN events b
+              ON a.event_type = b.event_type
+             AND b.ts > a.ts - INTERVAL 1 MONTH AND b.ts <= a.ts
+            GROUP BY a.event_type, a.ts, a.event_id
         """,
         "q150_list_eval_positional": """
             SELECT vec_id,

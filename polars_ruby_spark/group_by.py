@@ -1224,27 +1224,36 @@ class RollingGroupBy(_TemporalGroupByMixin):
         # carrying aggs like sum's empty-group coalesce must window the
         # aggregate, not the post transform); exprs the context doesn't
         # reach raise at analysis → collect-window fallback handles any agg
+        from .exprs import _next_gord_name
+
         bind_context.rolling_window = w
         try:
-            names = []
+            # bind EVERY aggregate against the pre-loop frame and land each
+            # in a unique temp column: an un-aliased agg keeps its source
+            # column's name (polars semantics), and materializing that name
+            # in-place would make later aggregates silently read the earlier
+            # rolling result instead of the source column
+            work0 = work
+            pairs = []  # (temp col, user-facing name)
             for i, e in enumerate(all_exprs):
                 if not e._is_agg:
                     raise ValueError(
                         "rolling().agg takes aggregate expressions")
-                c = e._fn(work, None)
+                c = e._fn(work0, None)
                 nm = e._name
                 if not nm:
                     try:
-                        nm = work.select(c).columns[0]
+                        nm = work0.select(c).columns[0]
                     except Exception:
                         nm = f"col_{i}"
                 # materialize BEFORE the own-chunk filter: the duplicated
                 # boundary rows must still be in the window's frame when
                 # the aggregate evaluates
-                work = work.withColumn(nm, c)
-                names.append(nm)
+                tmp = _next_gord_name()
+                work = work.withColumn(tmp, c)
+                pairs.append((tmp, nm))
             keep = ([F.col(b) for b in self._by] + [F.col(self._index)]
-                    + [F.col(n) for n in names])
+                    + [F.col(t).alias(n) for t, n in pairs])
             out = work if own is None else work.filter(own)
             out = out.select(*keep)
             out.schema  # force analysis while the fallback is reachable
@@ -1309,7 +1318,11 @@ class RollingGroupBy(_TemporalGroupByMixin):
             from .exprs import _visible_cols
 
             needed = set(_visible_cols(self._lf._sdf))
-        needed.discard(self._index)
+        # the index column STAYS in the struct when an aggregate reads it:
+        # its per-element value differs from the anchor's scalar (__t__ only
+        # carries the µs projection used by the interval filter); by-keys
+        # are constant within a window partition, so the outer column is
+        # the correct resolution for those
         needed -= {b for b in self._by if isinstance(b, str)}
         if not needed:  # pl.len()-only aggs still need a field to collect
             needed = {self._index}
@@ -1382,7 +1395,11 @@ class RollingGroupBy(_TemporalGroupByMixin):
         _EVAL_STRUCT_COLS.append(needed)
         _EVAL_MATERIALIZE_STACK.append(materialize)
         try:
-            names = []
+            # unique temp columns per aggregate (same collision hazard as
+            # the direct path: an un-aliased agg keeps its source column's
+            # name, which must not shadow a by/index column that a later
+            # binding or the final keep-list still reads)
+            pairs = []  # (temp col, user-facing name)
             for i, e in enumerate(all_exprs):
                 c = e._fn(work, None)
                 nm = e._name
@@ -1394,14 +1411,15 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 # evaluate BEFORE the order-restoring range sort so the
                 # fat helper arrays prune away instead of riding the
                 # exchange (they dominated the shuffle bytes otherwise)
-                work = work.withColumn(nm, c)
-                names.append(nm)
+                tmp = _next_gord_name()
+                work = work.withColumn(tmp, c)
+                pairs.append((tmp, nm))
         finally:
             _EVAL_ARRAY_STACK.pop()
             _EVAL_STRUCT_COLS.pop()
             _EVAL_MATERIALIZE_STACK.pop()
         keep = ([F.col(b) for b in self._by] + [F.col(self._index)]
-                + [F.col(n) for n in names])
+                + [F.col(t).alias(n) for t, n in pairs])
         out = (work.select(F.col(ROW_IDX), *keep)
                .orderBy(ROW_IDX).drop(ROW_IDX))
         return self._wrap_out(LazyFrame(out))

@@ -1199,6 +1199,67 @@ def test_calendar_rolling_collect_window(spark):
     assert "collect_list" in plan
 
 
+def test_rolling_unaliased_name_collision(spark):
+    """Round-7 regression (ADVICE r6 #1): an un-aliased rolling aggregate
+    keeps its source column's name; materializing it in-place made LATER
+    aggregates read the earlier rolling result instead of the source
+    column (mean-of-rolling-sums instead of mean-of-v).  Both the direct
+    range-frame path and the collect-window path must bind every aggregate
+    against the pre-loop columns."""
+    import datetime as dt
+
+    ts = [dt.datetime(2024, 1, 1, 0, 0, i) for i in range(8)]
+    vs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    df = pl.DataFrame({"ts": ts, "v": vs})
+    # direct path (plain aggs, fixed duration, ungrouped)
+    out = (df.rolling(index_column="ts", period="3s")
+           .agg(pl.col("v").sum(), pl.col("v").mean().alias("m")))
+    rows = sorted(out.to_a(), key=lambda r: r["ts"])
+    for i, r in enumerate(rows):
+        member = [j for j in range(8)
+                  if ts[i] - dt.timedelta(seconds=3) < ts[j] <= ts[i]]
+        assert abs(r["v"] - sum(vs[j] for j in member)) < 1e-9
+        assert abs(r["m"] - sum(vs[j] for j in member) / len(member)) < 1e-9
+    # grouped direct path
+    df2 = pl.DataFrame({"ts": ts, "k": ["a", "b"] * 4, "v": vs})
+    out2 = (df2.rolling(index_column="ts", period="4s", by="k")
+            .agg(pl.col("v").sum(), pl.col("v").mean().alias("m")))
+    for r in out2.to_a():
+        i = ts.index(r["ts"])
+        member = [j for j in range(8)
+                  if df2.to_a()[j]["k"] == r["k"]
+                  and ts[i] - dt.timedelta(seconds=4) < ts[j] <= ts[i]]
+        assert abs(r["v"] - sum(vs[j] for j in member)) < 1e-9
+        assert abs(r["m"] - sum(vs[j] for j in member) / len(member)) < 1e-9
+    # collect-window path (spearman pre-stage forces it) with an un-aliased
+    # first agg whose name shadows the source column
+    out3 = (df.rolling(index_column="ts", period="3s")
+            .agg(pl.col("v").sum(),
+                 pl.corr("v", "v", method="spearman").alias("sp")))
+    rows3 = sorted(out3.to_a(), key=lambda r: r["ts"])
+    assert [r["v"] for r in rows3] == [1.0, 3.0, 6.0, 9.0, 12.0, 15.0,
+                                       18.0, 21.0]
+
+
+def test_rolling_agg_references_index_column(spark):
+    """Round-7 regression (ADVICE r6 #2): a collect-window aggregate that
+    reads the INDEX column must see the per-window element values, not the
+    outer anchor's scalar (rolling('ts','3s').agg(col('ts').min()) is the
+    window start, not the anchor ts)."""
+    import datetime as dt
+
+    ts = [dt.datetime(2024, 1, 1, 0, 0, i) for i in range(8)]
+    df = pl.DataFrame({"ts": ts, "v": [float(i) for i in range(8)]})
+    out = (df.rolling(index_column="ts", period="3s")
+           .agg(pl.col("ts").min().alias("w_start"),
+                pl.corr("v", "v", method="spearman").alias("sp")))
+    rows = sorted(out.to_a(), key=lambda r: r["ts"])
+    for i, r in enumerate(rows):
+        member = [ts[j] for j in range(8)
+                  if ts[i] - dt.timedelta(seconds=3) < ts[j] <= ts[i]]
+        assert r["w_start"] == min(member)
+
+
 def test_ungrouped_plain_rolling_chunked(spark):
     """Ungrouped fixed-duration rolling with plain aggs partitions by the
     time chunk (round-6): multi-task instead of one keyless global window;

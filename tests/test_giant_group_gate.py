@@ -1,9 +1,12 @@
 """Giant-group gate (round-6): composed full-array agg routes (the q147
 shape — shift→is_unique→any etc.) are O(g²) per-group HOF time; a hot key
 funnels that into one task.  The gate reroutes them to STAGED windowed
-pre-stages (O(g log g), task-parallel) when a group exceeds the count
-threshold.  These tests assert (a) the reroute triggers, (b) results are
-bit-identical either way, (c) the count-probe path works.
+pre-stages (O(g log g), task-parallel) UNCONDITIONALLY whenever a staged
+binding exists — the staged route won on uniform keys too, so the count
+probe became moot (see _giant_group_gate's docstring); the
+``SPARK_GRAFT_GIANT_GROUP_FORCE`` env var (0/1) forces either route for
+testing.  These tests assert (a) the reroute is on by default, (b) results
+are bit-identical on both routes, (c) the env override selects each route.
 """
 
 from __future__ import annotations

@@ -292,11 +292,24 @@ def window_exprs(pl, rng, key="g"):
 def run_seed(pl, spark, duck, seed: int) -> list[str]:
     import os
 
-    rng = random.Random(seed)
     # alternate the staged-vs-array agg route per seed so BOTH compilation
-    # paths of the composed-reducer templates stay fuzz-covered (round-6)
+    # paths of the composed-reducer templates stay fuzz-covered (round-6);
+    # restore the caller's value afterwards so the route choice does not
+    # leak into the host process
+    prior = os.environ.get("SPARK_GRAFT_GIANT_GROUP_FORCE")
     os.environ["SPARK_GRAFT_GIANT_GROUP_FORCE"] = \
         "1" if seed % 2 == 0 else "0"
+    try:
+        return _run_seed_inner(pl, spark, duck, seed)
+    finally:
+        if prior is None:
+            os.environ.pop("SPARK_GRAFT_GIANT_GROUP_FORCE", None)
+        else:
+            os.environ["SPARK_GRAFT_GIANT_GROUP_FORCE"] = prior
+
+
+def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
+    rng = random.Random(seed)
     data = make_frame(rng)
     import pandas as pd
 
