@@ -408,11 +408,13 @@ class LazyFrame:
             # ROW_IDX-ordered ones (shift/cum_*/rolling/… under over()) by
             # (keys, ROW_IDX): both scramble physical row order, so callers must
             # restore frame row order (polars preserves it).  Hook-bound exprs
-            # (k in hook_cols) are exempt: the two-pass attachments re-sort to
-            # global order by construction (row_index.attach_global_cum).
+            # (k in hook_cols) scramble too (round-7): the two-pass attachments
+            # leave the chunk/join layout in place and rely on this deferred
+            # restore instead of paying an eager re-sort inside every attach
+            # (driver/bench handoffs skip the restore legitimately).
             self._last_bind_scrambled = any(
-                (e._scrambles_order or e._needs_order)
-                and not e._is_agg and k not in hook_cols
+                (e._scrambles_order or e._needs_order or k in hook_cols)
+                and not e._is_agg
                 for k, (_, e) in enumerate(expanded))
             self._last_bind_fast = fast_cols is not None
             self._last_bind_identities = {

@@ -355,6 +355,19 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
     assert ROW_IDX in sdf.columns
     from pyspark.sql import types as T
 
+    # adjust=True scans don't consume the prior flags (base weight is 1
+    # regardless of `first`), so the pass-1 collect can MERGE into the
+    # bounds collect — ONE driver job per construction instead of two;
+    # only the m-offset is applied post-join then
+    one_pass = all(spec["adjust"] and not _is_reset_form(spec)
+                   for _vf, spec, _o in items)
+    # the checkpoint stays here (round-7 note): a deterministic-chunk key
+    # (row_index.chunked_by_index) was measured — it cut the ~0.5 s of
+    # eager physical planning the lazy checkpoint pays at construction but
+    # the ewm base (scan + row-index attach + value projections) is deep
+    # enough that recomputing it in the totals/fold branch cost MORE
+    # (q132 execute 2.9 s → 4.1 s); the checkpoint also pins the sampled
+    # range layout the non-one-pass prior collects key on
     base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
             .localCheckpoint(eager=False)
             .withColumn(_PID, F.spark_partition_id()))
@@ -362,12 +375,6 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
     base = base.withColumns(
         {xn: vf(base) for xn, (vf, _s, _o) in zip(xs, items)})
     spark = base.sparkSession
-    # adjust=True scans don't consume the prior flags (base weight is 1
-    # regardless of `first`), so the pass-1 collect can MERGE into the
-    # bounds collect — ONE driver job per construction instead of two;
-    # only the m-offset is applied post-join then
-    one_pass = all(spec["adjust"] and not _is_reset_form(spec)
-                   for _vf, spec, _o in items)
     if not one_pass:
         # pass 1 (one job, O(partitions) rows): per-pid per-binding counted
         # lengths -> exclusive prefix non-null counts + prev last-obs index

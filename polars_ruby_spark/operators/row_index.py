@@ -116,6 +116,55 @@ _CUM_AGG = {"sum": F.sum, "min": F.min, "max": F.max,
 _CUM_COMBINE = {"sum": F.sum, "min": F.min, "max": F.max,
                 "count": F.sum, "product": F.product}
 
+_CHK = "__rix_chk__"
+_CHK_STATS = ("__rix_mn__", "__rix_mx__")
+
+
+def chunked_by_index(sdf: DataFrame, n_chunks: int | None = None):
+    """Attach a DETERMINISTIC contiguous-range chunk id over ROW_IDX.
+
+    ``chunk = floor((idx - min) * C / (max - min + 1))`` with min/max
+    attached as a broadcast one-row aggregate: a pure row function of the
+    data, so every consumer branch computes IDENTICAL chunk values with no
+    shared physical layout — this replaces the repartitionByRange +
+    localCheckpoint pin (round-7).  The checkpoint existed because the
+    range exchange SAMPLES boundaries per execution and two consuming
+    subtrees diverged; it cost ~0.5-1 s of physical planning at every plan
+    construction and a full materialization at execution.  Chunk ids are
+    sampling-free, so the two-branch prefix constructions below are
+    layout-independent by construction.
+
+    Balance caveat (documented trade): chunks are equal INDEX-WIDTH, not
+    equal row count — on a frame whose surviving rows concentrate in a
+    narrow index range after filtering, occupancy skews (worst case one
+    chunk = one task, i.e. the naive global-window shape, never wrong).
+    Dense or uniformly-gapped indexes — every with_row_index output and
+    all slice/head/tail forms — stay balanced within ±1 row.
+
+    The two consuming branches each recompute the (column-pruned) input —
+    measured cheaper here than either a lazy localCheckpoint (~0.5-1 s of
+    eager physical planning per plan CONSTRUCTION plus a full-width
+    materialization) or a persist(MEMORY_ONLY) hint (caches the full
+    width; the pruned totals branch reads 2 columns).
+    """
+    if n_chunks is None:
+        try:
+            n_chunks = int(sdf.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+        except Exception:
+            n_chunks = 200
+    mn, mx = _CHK_STATS
+    stats = sdf.groupBy().agg(F.min(ROW_IDX).alias(mn),
+                              F.max(ROW_IDX).alias(mx))
+    base = sdf.crossJoin(F.broadcast(stats))
+    span = F.col(mx) - F.col(mn) + F.lit(1)
+    # integer-exact at any scale: chunk WIDTH (≤ span/C + 1 ≤ 2^53 for any
+    # real index range) divides the offset, rather than multiplying the
+    # offset by C (which would exceed double exactness near 10^16)
+    width = F.greatest(F.ceil(span / F.lit(int(n_chunks))), F.lit(1))
+    chunk = F.floor((F.col(ROW_IDX) - F.col(mn)) / width).cast("long")
+    return base.withColumn(_CHK, chunk).drop(mn, mx)
+
 
 def attach_global_cum(sdf: DataFrame, value_fn, kind: str, reverse: bool,
                       out_name: str) -> DataFrame:
@@ -129,28 +178,26 @@ def attach_global_cum(sdf: DataFrame, value_fn, kind: str, reverse: bool,
     """
     assert ROW_IDX in sdf.columns
     aggf, comb = _CUM_AGG[kind], _CUM_COMBINE[kind]
-    # the range exchange SAMPLES its boundaries per execution; the data
-    # branch and the column-pruned totals branch are different subtrees, so
-    # ReuseExchange does not fire and each would sample its own boundaries —
-    # divergent pid→range mappings corrupt the offsets (nondeterministic
-    # wrong prefixes, surfaced at sf0.1).  The lazy localCheckpoint pins ONE
-    # layout that both branches read.
-    base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
-            .localCheckpoint(eager=False)
-            .withColumn(_PID, F.spark_partition_id()))
+    # DETERMINISTIC chunk ids (round-7): the former repartitionByRange +
+    # localCheckpoint pinned one SAMPLED layout for both branches (divergent
+    # boundaries corrupted the offsets, surfaced at sf0.1) but paid ~1 s of
+    # physical planning at every plan construction plus a materialization.
+    # Chunk ids are a pure row function, so the data branch and the
+    # column-pruned totals branch agree by construction — no pin needed.
+    base = chunked_by_index(sdf)
     c = value_fn(base)
     dirn = F.col(ROW_IDX).desc() if reverse else F.col(ROW_IDX).asc()
     local = aggf(c).over(
-        Window.partitionBy(_PID).orderBy(dirn)
+        Window.partitionBy(_CHK).orderBy(dirn)
         .rowsBetween(Window.unboundedPreceding, 0))
-    totals = base.groupBy(_PID).agg(aggf(c).alias("__gc_tot__"))
-    pdir = F.col(_PID).desc() if reverse else F.col(_PID).asc()
+    totals = base.groupBy(_CHK).agg(aggf(c).alias("__gc_tot__"))
+    pdir = F.col(_CHK).desc() if reverse else F.col(_CHK).asc()
     offsets = totals.select(
-        _PID,
+        _CHK,
         comb(F.col("__gc_tot__")).over(
             Window.orderBy(pdir).rowsBetween(Window.unboundedPreceding, -1)
         ).alias(_OFF))
-    joined = base.join(F.broadcast(offsets), _PID, "left")
+    joined = base.join(F.broadcast(offsets), _CHK, "left")
     off = F.col(_OFF)
     if kind == "min":
         res = F.least(local, off)          # least/greatest skip nulls
@@ -164,11 +211,10 @@ def attach_global_cum(sdf: DataFrame, value_fn, kind: str, reverse: bool,
     else:  # sum
         res = F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
             F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0)))
-    # partitions hold contiguous ROW_IDX ranges in pid order, so a local
-    # within-partition sort restores global physical row order (the reverse-
-    # direction window may have left partitions sorted desc) — no shuffle
-    return (joined.withColumn(out_name, res).drop(_PID, _OFF)
-            .sortWithinPartitions(ROW_IDX))
+    # the chunk window's hash exchange scrambles physical row order; the
+    # caller marks the frame order-dirty and the deferred restore sorts at
+    # polars-semantics exports (driver handoffs legitimately skip it)
+    return joined.withColumn(out_name, res).drop(_CHK, _OFF)
 
 
 def attach_global_cum_multi(sdf: DataFrame, items: list) -> DataFrame:
@@ -179,9 +225,9 @@ def attach_global_cum_multi(sdf: DataFrame, items: list) -> DataFrame:
     attaches → one).  ``items``: ``[(value_fn, kind, reverse, out), …]``.
     """
     assert ROW_IDX in sdf.columns
-    base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
-            .localCheckpoint(eager=False)
-            .withColumn(_PID, F.spark_partition_id()))
+    # deterministic chunk ids replace the range pin + checkpoint (round-7;
+    # see attach_global_cum / chunked_by_index)
+    base = chunked_by_index(sdf)
     tot_aggs, off_cols = [], []
     locals_ = {}
     for i, (value_fn, kind, reverse, out_name) in enumerate(items):
@@ -189,16 +235,16 @@ def attach_global_cum_multi(sdf: DataFrame, items: list) -> DataFrame:
         c = value_fn(base)
         dirn = F.col(ROW_IDX).desc() if reverse else F.col(ROW_IDX).asc()
         locals_[f"__gc_loc_{i}__"] = aggf(c).over(
-            Window.partitionBy(_PID).orderBy(dirn)
+            Window.partitionBy(_CHK).orderBy(dirn)
             .rowsBetween(Window.unboundedPreceding, 0))
         tot_aggs.append(aggf(c).alias(f"__gc_tot_{i}__"))
-        pdir = F.col(_PID).desc() if reverse else F.col(_PID).asc()
+        pdir = F.col(_CHK).desc() if reverse else F.col(_CHK).asc()
         off_cols.append(comb(F.col(f"__gc_tot_{i}__")).over(
             Window.orderBy(pdir).rowsBetween(
                 Window.unboundedPreceding, -1)).alias(f"__gc_off_{i}__"))
     base = base.withColumns(locals_)
-    offsets = base.groupBy(_PID).agg(*tot_aggs).select(_PID, *off_cols)
-    joined = base.join(F.broadcast(offsets), _PID, "left")
+    offsets = base.groupBy(_CHK).agg(*tot_aggs).select(_CHK, *off_cols)
+    joined = base.join(F.broadcast(offsets), _CHK, "left")
     res_cols = {}
     for i, (_vf, kind, _rev, out_name) in enumerate(items):
         local = F.col(f"__gc_loc_{i}__")
@@ -218,26 +264,32 @@ def attach_global_cum_multi(sdf: DataFrame, items: list) -> DataFrame:
                          F.lit(None)).otherwise(
                 F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0)))
         res_cols[out_name] = res
-    drops = ([_PID] + [f"__gc_loc_{i}__" for i in range(len(items))]
+    drops = ([_CHK] + [f"__gc_loc_{i}__" for i in range(len(items))]
              + [f"__gc_off_{i}__" for i in range(len(items))])
-    return (joined.withColumns(res_cols).drop(*drops)
-            .sortWithinPartitions(ROW_IDX))
+    # order left dirty for the caller's deferred restore (round-7)
+    return joined.withColumns(res_cols).drop(*drops)
 
 
 def attach_global_reverse(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
     """Attach the column reversed over global row order: row j takes the
-    value of row n-1-j via an equi-join on the remapped index (one shuffle
-    hash join on a unique long key — no per-row O(n) arrays, no single-task
-    window).  ``n`` is one scalar action at plan time (the sanctioned
-    reshape/-1 trade)."""
+    value of row max+min-j via an equi-join on the remapped index (one
+    shuffle hash join on a unique long key — no per-row O(n) arrays, no
+    single-task window).  The index bounds attach as a broadcast one-row
+    aggregate (round-7: the former driver-side ``count()`` ran a job at
+    every plan construction, and count is wrong on gapped indexes anyway —
+    reflection around (min+max) is the exact remap for any contiguous
+    index; gapped indexes never reach this hook, reverse consumers
+    re-rank dense first)."""
     assert ROW_IDX in sdf.columns
     c = value_fn(sdf)
-    n = sdf.count()
-    rev = sdf.select((F.lit(n - 1) - F.col(ROW_IDX)).alias(ROW_IDX),
-                     c.alias(out_name))
-    # the hash join scatters physical row order — restore it with a range
-    # sort (range exchange + local sort, never a single task)
-    return sdf.join(rev, ROW_IDX, "left").orderBy(ROW_IDX)
+    mn, mx = _CHK_STATS
+    stats = sdf.groupBy().agg(F.min(ROW_IDX).alias(mn),
+                              F.max(ROW_IDX).alias(mx))
+    rev = (sdf.crossJoin(F.broadcast(stats))
+           .select((F.col(mn) + F.col(mx) - F.col(ROW_IDX)).alias(ROW_IDX),
+                   c.alias(out_name)))
+    # order left dirty for the caller's deferred restore (round-7)
+    return sdf.join(rev, ROW_IDX, "left")
 
 
 def attach_global_shuffle(sdf: DataFrame, value_fn, seed, out_name: str) -> DataFrame:
@@ -266,22 +318,22 @@ def attach_global_rle_id(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
     through the same two-pass partition-offset construction as
     attach_global_cum."""
     assert ROW_IDX in sdf.columns
-    # same sampled-boundary hazard as attach_global_cum: pin one layout
-    base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
-            .localCheckpoint(eager=False)
-            .withColumn(_PID, F.spark_partition_id()))
+    # deterministic chunk ids replace the range pin + checkpoint (round-7;
+    # see attach_global_cum / chunked_by_index): the change-flag and totals
+    # branches agree on chunk membership as a pure row function
+    base = chunked_by_index(sdf)
     c = value_fn(base)
-    wp = Window.partitionBy(_PID).orderBy(F.col(ROW_IDX).asc())
-    bnd = base.groupBy(_PID).agg(F.max_by(c, F.col(ROW_IDX)).alias("__gr_lastv__"))
+    wp = Window.partitionBy(_CHK).orderBy(F.col(ROW_IDX).asc())
+    bnd = base.groupBy(_CHK).agg(F.max_by(c, F.col(ROW_IDX)).alias("__gr_lastv__"))
     prevb = bnd.select(
-        _PID,
-        F.lag("__gr_lastv__").over(Window.orderBy(_PID)).alias("__gr_prev__"),
-        # distinguishes "no predecessor partition" from a genuinely-null
+        _CHK,
+        F.lag("__gr_lastv__").over(Window.orderBy(_CHK)).alias("__gr_prev__"),
+        # distinguishes "no predecessor chunk" from a genuinely-null
         # last value (a null FIRST row null-safe-equals the missing prev
         # and would start run ids at -1)
-        F.lag(F.lit(1)).over(Window.orderBy(_PID)).isNotNull()
+        F.lag(F.lit(1)).over(Window.orderBy(_CHK)).isNotNull()
         .alias("__gr_hasp__"))
-    joined = base.join(F.broadcast(prevb), _PID, "left")
+    joined = base.join(F.broadcast(prevb), _CHK, "left")
     change = F.when(
         F.row_number().over(wp) == 1,
         F.when(F.col("__gr_hasp__") & c.eqNullSafe(F.col("__gr_prev__")),
@@ -289,18 +341,19 @@ def attach_global_rle_id(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
     ).otherwise(F.when(~c.eqNullSafe(F.lag(c, 1).over(wp)), 1).otherwise(0))
     flagged = joined.withColumn("__gr_chg__", change)
     local = F.sum("__gr_chg__").over(wp.rowsBetween(Window.unboundedPreceding, 0))
-    totals = flagged.groupBy(_PID).agg(F.sum("__gr_chg__").alias("__gr_tot__"))
+    totals = flagged.groupBy(_CHK).agg(F.sum("__gr_chg__").alias("__gr_tot__"))
     offsets = totals.select(
-        _PID,
+        _CHK,
         F.sum("__gr_tot__").over(
-            Window.orderBy(F.col(_PID).asc())
+            Window.orderBy(F.col(_CHK).asc())
             .rowsBetween(Window.unboundedPreceding, -1)).alias(_OFF))
-    out = (flagged.join(F.broadcast(offsets), _PID, "left")
+    out = (flagged.join(F.broadcast(offsets), _CHK, "left")
            .withColumn(out_name,
                        (local + F.coalesce(F.col(_OFF), F.lit(0)) - 1)
                        .cast("long"))
-           .drop(_PID, _OFF, "__gr_prev__", "__gr_hasp__", "__gr_chg__"))
-    return out.sortWithinPartitions(ROW_IDX)
+           .drop(_CHK, _OFF, "__gr_prev__", "__gr_hasp__", "__gr_chg__"))
+    # order left dirty for the caller's deferred restore (round-7)
+    return out
 
 
 def attach_grouped_rank_zip(sdf: DataFrame, value_fn, key_fns, out_name: str,

@@ -54,9 +54,20 @@ def single_partition_violations(plan: str) -> int:
             # full-data exchange that merely sits above the row-index join
             # (that leak previously sanctioned q27's single-task rle window)
             continue
-        if ("keys=[]" in child or "key=[]" in child) \
-                and ("merge_" in child or "partial_" in child) \
+        if ("Aggregate(keys=[__rix_chk__" in child
+                or "Aggregate(key=[__rix_chk__" in child):
+            # the O(chunks)-row deterministic-chunk totals table (round-7
+            # attach_global_cum/rle_id shape) — chunk count is bounded by
+            # the configured chunk target, same class as __rix_pid__; the
+            # AGGREGATE is required so a full-data exchange that merely
+            # carries the chunk column stays flagged
+            continue
+        if ("Aggregate(keys=[]" in child or "Aggregate(key=[]" in child) \
                 and "partial_collect_list(struct(i" not in child:
+            # a KEYLESS aggregate directly under the exchange emits at most
+            # one row per task (two-phase global agg / scalar stats; also
+            # the empty pruned form functions=[]) — the single-task
+            # anti-pattern puts the aggregate ABOVE the exchange instead
             continue
         if "TakeOrderedAndProject" in child:
             # post-limit exchange: carries at most the limit's k rows
@@ -121,7 +132,13 @@ def unpartitioned_window_violations(plan: str) -> int:
             s = ln.lstrip(" +-:*")
             if ("__rix_pid__" in s or "HashAggregate(keys=[]" in s
                     or "SortAggregate(key=[]" in s
-                    or "TakeOrderedAndProject" in s or "LocalLimit" in s):
+                    or "TakeOrderedAndProject" in s or "LocalLimit" in s
+                    # O(chunks)-row deterministic-chunk totals (round-7);
+                    # the AGGREGATE keyed on the chunk id is required — a
+                    # window over the full chunked base (whose Project also
+                    # prints __rix_chk__) stays flagged
+                    or "Aggregate(keys=[__rix_chk__" in s
+                    or "Aggregate(key=[__rix_chk__" in s):
                 bounded = True
                 break
             if s.startswith("Window "):  # another full-data window below
