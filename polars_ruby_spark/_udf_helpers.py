@@ -109,6 +109,158 @@ def spearman_arrays_udf():
     return _udf
 
 
+_NP_EVAL_CACHE = {}
+
+
+def np_eval_arrays_udf(prog, in_t: str, out_t: str):
+    """Vectorized evaluator for POSITIONAL list.eval programs (round-7).
+
+    ``prog`` is the small tuple AST ``Expr._np_prog`` tracks for
+    numpy-expressible eval expressions — element(), numeric literals,
+    +,-,*,/ (Spark coercions: ``/`` always double + null-on-zero-divisor,
+    a double/float-literal operand promotes float32), neg/abs, and
+    per-segment shift (vacated slots null or a literal fill).  The JVM HOF
+    route computes the identical numbers but interpreted per element with
+    no codegen/CSE (q150: ~10× a codegen projection); this kernel flattens
+    all lists of an Arrow batch into one values array + null mask, runs
+    the program as whole-array numpy ops (upcasting per node exactly where
+    Spark's type coercion does, so float32 arithmetic stays float32-exact),
+    and rebuilds the list column with explicit Arrow validity (an
+    arrow_udf end to end: the pandas transfer path conflates null and NaN
+    in BOTH directions; pyarrow keeps them distinct).
+    """
+    key = (repr(prog), in_t, out_t)
+    cached = _NP_EVAL_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    import numpy as np
+    import pyarrow as pa
+
+    np_in = np.float32 if in_t == "float" else np.float64
+    pa_out = pa.float32() if out_t == "float" else pa.float64()
+    np_out = {"float": np.float32, "double": np.float64}[out_t]
+
+    def _run(prog, vals, nulls, pos, lens, starts, total):
+        """Evaluate a node → (values, null-mask, type-tag); scalars allowed
+        for literal subtrees, broadcast by consumers that need arrays."""
+
+        def to_arr(v, m):
+            if not isinstance(v, np.ndarray):
+                v = np.full(total, v, dtype=np.float64)
+            if not isinstance(m, np.ndarray):
+                m = np.full(total, bool(m))
+            return v, m
+
+        op = prog[0]
+        if op == "elem":
+            return vals, nulls, in_t
+        if op == "lit":
+            v = prog[1]
+            if v is None:
+                return np.nan, True, "double"
+            return v, False, ("int" if isinstance(v, int) else "double")
+        if op == "un":
+            v, m, t = _run(prog[2], vals, nulls, pos, lens, starts, total)
+            out = np.abs(v) if prog[1] == "abs" else -v
+            return out, m, t
+        if op == "bin":
+            o = prog[1]
+            lv, ln, lt = _run(prog[2], vals, nulls, pos, lens, starts, total)
+            rv, rn, rt = _run(prog[3], vals, nulls, pos, lens, starts, total)
+            if o == "/":
+                # Spark divide: always double; null on a zero divisor
+                lv = _cast(lv, np.float64)
+                rv = _cast(rv, np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out = lv / rv
+                nn = _mor(_mor(ln, rn), rv == 0.0)
+                return out, nn, "double"
+            t = "double" if "double" in (lt, rt) else "float"
+            dt = np.float64 if t == "double" else np.float32
+            lv, rv = _cast(lv, dt), _cast(rv, dt)
+            with np.errstate(over="ignore", invalid="ignore"):
+                if o == "+":
+                    out = lv + rv
+                elif o == "-":
+                    out = lv - rv
+                else:
+                    out = lv * rv
+            return out, _mor(ln, rn), t
+        if op == "shift":
+            n_, fill, bp = prog[1], prog[2], prog[3]
+            bv, bn, bt = _run(bp, vals, nulls, pos, lens, starts, total)
+            bv, bn = to_arr(bv, bn)
+            seglen = np.repeat(lens, lens)
+            valid = (pos >= n_) if n_ >= 0 else (pos < seglen + n_)
+            t = bt
+            if isinstance(fill, float):  # float literal promotes (coalesce)
+                t = "double"
+            dt = np.float64 if t == "double" else np.float32
+            bv = _cast(bv, dt)
+            out = np.full(total, np.nan, dtype=dt)
+            on = np.ones(total, dtype=bool)
+            src = np.arange(total) - n_
+            sv = src[valid]
+            out[valid] = bv[sv]
+            on[valid] = bn[sv]
+            if fill is not None:
+                out[~valid] = fill
+                on[~valid] = False
+            return out, on, t
+        raise ValueError(f"unsupported np-eval node {op!r}")
+
+    def _cast(v, dt):
+        if isinstance(v, np.ndarray):
+            return v.astype(dt, copy=False)
+        return dt(v)
+
+    def _mor(a, b):
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            return np.logical_or(a, b)
+        return bool(a) or bool(b)
+
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+    spark_out = ArrayType(FloatType() if out_t == "float" else DoubleType())
+
+    @arrow_udf(spark_out)
+    def _udf(xa: pa.Array) -> pa.Array:
+        if isinstance(xa, pa.ChunkedArray):
+            xa = xa.combine_chunks()
+        n = len(xa)
+        offs = xa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = offs[0]
+        offs = offs - lo
+        lens = np.diff(offs)
+        total = int(offs[-1]) if n else 0
+        child = xa.values[lo:lo + total]
+        # Arrow keeps element validity separate from value bits: a null
+        # slot is a NULL, a NaN slot stays NaN (the pandas transfer path
+        # conflated them in both directions)
+        vals = child.to_numpy(zero_copy_only=False).astype(np_in,
+                                                           copy=False)
+        nulls = child.is_null().to_numpy(zero_copy_only=False)
+        starts = offs[:-1]
+        pos = (np.arange(total) - np.repeat(starts, lens)
+               if total else np.empty(0, dtype=np.int64))
+        rv, rn, _t = _run(prog, vals, nulls, pos, lens, starts, total)
+        if not isinstance(rv, np.ndarray):
+            rv = np.full(total, rv, dtype=np.float64)
+        if not isinstance(rn, np.ndarray):
+            rn = np.full(total, bool(rn))
+        rv = np.ascontiguousarray(rv.astype(np_out, copy=False))
+        out_vals = pa.array(rv, type=pa_out, from_pandas=False,
+                            mask=np.ascontiguousarray(rn))
+        return pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), out_vals,
+            mask=xa.is_null())
+
+    _NP_EVAL_CACHE[key] = _udf
+    return _udf
+
+
 def make_grouped_agg_udf(function, return_type):
     """GROUPED_AGG pandas UDF (SURVEY §2.4 'UDAF available as extension'):
     pd.Series per group -> scalar, Arrow-batched, usable under group_by.agg

@@ -423,6 +423,13 @@ class Expr:
     #: meta queries raise only when they actually hit one.
     _meta = None
 
+    #: numpy-program breadcrumb for POSITIONAL list.eval fast paths
+    #: (round-7): a tuple AST over ("elem",) / ("lit", v) / ("bin", op, l,
+    #: r) / ("un", op, x) / ("shift", n, fill, x), set only by the tracked
+    #: constructors below.  None = not numpy-expressible; list.eval falls
+    #: back to the JVM HOF route (bit-identical, interpreted).
+    _np_prog = None
+
     def _set_meta(self, op: str, children=(), payload=None) -> "Expr":
         self._meta = (op, tuple(children), payload)
         return self
@@ -984,29 +991,37 @@ class Expr:
 
     # -- arithmetic (parity: expr.rb / ext/polars/src/expr/general.rs:16-41) --
     def __add__(self, o):
-        return self._lift2(o, lambda a, b: a + b, op="+")
+        return _np_bin(self._lift2(o, lambda a, b: a + b, op="+"),
+                       "+", self, o)
 
     def __radd__(self, o):
-        return wrap_expr(o)._lift2(self, lambda a, b: a + b)
+        return _np_bin(wrap_expr(o)._lift2(self, lambda a, b: a + b),
+                       "+", o, self)
 
     def __sub__(self, o):
-        return self._lift2(o, lambda a, b: a - b, op="-")
+        return _np_bin(self._lift2(o, lambda a, b: a - b, op="-"),
+                       "-", self, o)
 
     def __rsub__(self, o):
-        return wrap_expr(o)._lift2(self, lambda a, b: a - b)
+        return _np_bin(wrap_expr(o)._lift2(self, lambda a, b: a - b),
+                       "-", o, self)
 
     def __mul__(self, o):
-        return self._lift2(o, lambda a, b: a * b, op="*")
+        return _np_bin(self._lift2(o, lambda a, b: a * b, op="*"),
+                       "*", self, o)
 
     def __rmul__(self, o):
-        return wrap_expr(o)._lift2(self, lambda a, b: a * b)
+        return _np_bin(wrap_expr(o)._lift2(self, lambda a, b: a * b),
+                       "*", o, self)
 
     def __truediv__(self, o):
         # Polars truediv is always float (expr.rb:3531); Spark `/` matches.
-        return self._lift2(o, lambda a, b: a / b, op="/")
+        return _np_bin(self._lift2(o, lambda a, b: a / b, op="/"),
+                       "/", self, o)
 
     def __rtruediv__(self, o):
-        return wrap_expr(o)._lift2(self, lambda a, b: a / b)
+        return _np_bin(wrap_expr(o)._lift2(self, lambda a, b: a / b),
+                       "/", o, self)
 
     def __floordiv__(self, o):
         return self._lift2(o, lambda a, b: F.floor(a / b), op="//")
@@ -1070,7 +1085,10 @@ class Expr:
         return wrap_expr(o).__pow__(self)
 
     def __neg__(self):
-        return self._lift(lambda c: -c)
+        out = self._lift(lambda c: -c)
+        if self._np_prog is not None:
+            out._np_prog = ("un", "neg", self._np_prog)
+        return out
 
     def __abs__(self):
         return self.abs()
@@ -1488,7 +1506,10 @@ class Expr:
 
     # -- math (expr.rb — line refs in SURVEY §2.8) ------------------------------
     def abs(self):
-        return self._lift(F.abs)
+        out = self._lift(F.abs)
+        if self._np_prog is not None:
+            out._np_prog = ("un", "abs", self._np_prog)
+        return out
 
     def sqrt(self):
         return self._lift(F.sqrt)
@@ -2332,6 +2353,11 @@ class Expr:
             return _hof_let(arr, shifted)
 
         self._compose_arr_route(e, arr_fn)
+        if self._np_prog is not None and (
+                fill_value is None
+                or (isinstance(fill_value, (int, float))
+                    and not isinstance(fill_value, bool))):
+            e._np_prog = ("shift", int(n), fill_value, self._np_prog)
         return e
 
     def shift_and_fill(self, periods, fill_value):
@@ -2352,6 +2378,10 @@ class Expr:
 
         e._eval_arr_fn = ev
         e._eval_arr_base = self
+        if self._np_prog is not None:
+            # x - shift(n, x): vacated slots null via the shift null ✓
+            e._np_prog = ("bin", "-", self._np_prog,
+                          ("shift", int(n), None, self._np_prog))
         if null_behavior == "drop":
             # polars drops the first n slots entirely (row-count-changing)
             # → sole-select-expression rule: compute the ordinary diff
@@ -2397,6 +2427,12 @@ class Expr:
 
         e._eval_arr_fn = ev
         e._eval_arr_base = self
+        if self._np_prog is not None:
+            sh = ("shift", int(n), None, self._np_prog)
+            # (x - prev) / prev — Spark `/` nulls a zero divisor, which the
+            # kernel mirrors
+            e._np_prog = ("bin", "/",
+                          ("bin", "-", self._np_prog, sh), sh)
         return e
 
     def cum_sum(self, reverse: bool = False):
@@ -4474,6 +4510,99 @@ _EVAL_STRUCT_COLS: list = []
 _EVAL_MATERIALIZE_STACK: list = []
 
 
+def _np_prog_type(p, in_t: str):
+    """Spark result type of a numpy-program node over ``in_t`` list
+    elements, mirroring Catalyst's coercions ("/" always double + null on
+    zero divisor; a double operand — incl. any float literal — promotes;
+    int literals adopt the float side).  Returns "float"/"double" or a
+    transient "int" for literal subtrees; None = not expressible (gate to
+    the HOF fallback)."""
+    op = p[0]
+    if op == "elem":
+        return in_t
+    if op == "lit":
+        return "int" if isinstance(p[1], int) else "double"
+    if op == "un":
+        t = _np_prog_type(p[2], in_t)
+        return t if t in ("float", "double") else None
+    if op == "bin":
+        lt, rt = _np_prog_type(p[2], in_t), _np_prog_type(p[3], in_t)
+        if lt is None or rt is None:
+            return None
+        if p[1] == "/":
+            return "double"
+        if lt == "int" and rt == "int":
+            return None
+        return "double" if "double" in (lt, rt) else "float"
+    if op == "shift":
+        bt = _np_prog_type(p[3], in_t)
+        if bt not in ("float", "double"):
+            return None
+        if isinstance(p[2], float):  # float fill promotes via coalesce
+            return "double"
+        return bt
+    return None
+
+
+def _np_eval_column(arr: Column, prog, df) -> Column | None:
+    """Compile a tracked positional list.eval program to the vectorized
+    Arrow kernel (``_udf_helpers.np_eval_arrays_udf``); None when the
+    input/output types fall outside the kernel's float32/float64 contract
+    (the caller keeps the bit-identical JVM HOF route)."""
+    from pyspark.sql import types as T
+
+    try:
+        t_in = _probe_type(df, arr)
+    except Exception:
+        return None
+    if not isinstance(t_in, T.ArrayType):
+        return None
+    if isinstance(t_in.elementType, T.FloatType):
+        in_t = "float"
+    elif isinstance(t_in.elementType, T.DoubleType):
+        in_t = "double"
+    else:
+        return None
+    out_t = _np_prog_type(prog, in_t)
+    if out_t not in ("float", "double"):
+        return None
+    from ._udf_helpers import np_eval_arrays_udf
+
+    udf = np_eval_arrays_udf(prog, in_t, out_t)
+    return udf(arr)
+
+
+def _np_operand(x):
+    """numpy-program operand for a binary composition: a tracked Expr
+    program, or a plain numeric literal (int/float, bools excluded — Spark
+    treats them as booleans)."""
+    if isinstance(x, Expr):
+        if x._np_prog is not None:
+            return x._np_prog
+        if (x._meta and x._meta[0] == "lit"
+                and isinstance(x._meta[2], (int, float))
+                and not isinstance(x._meta[2], bool)):
+            return ("lit", x._meta[2])
+        return None
+    if isinstance(x, bool):
+        return None
+    if isinstance(x, (int, float)):
+        return ("lit", x)
+    return None
+
+
+def _np_bin(out: "Expr", op: str, l, r) -> "Expr":
+    """Attach the numpy-program breadcrumb to a binary arithmetic result
+    when both operands are tracked (round-7 positional list.eval kernel);
+    a literal-only program is dropped (no element dependency to vectorize
+    over, and Spark's int-literal arithmetic would need integer rules)."""
+    lp, rp = _np_operand(l), _np_operand(r)
+    if lp is not None and rp is not None and not (
+            lp[0] == "lit" and rp[0] == "lit"):
+        out._np_prog = ("bin", op, lp, rp)
+    return out
+
+
 def _hof_let(val: Column, body) -> Column:
     """let-bind a loop-invariant expression as a HOF lambda VARIABLE:
     ``transform(array(val), v -> body(v))[0]``.  Interpreted HOFs have no
@@ -4528,7 +4657,9 @@ def element() -> Expr:
             raise RuntimeError("Polars.element() used outside list.eval")
         return _ELEMENT_STACK[-1]
 
-    return Expr(fn, name="element")
+    e = Expr(fn, name="element")
+    e._np_prog = ("elem",)
+    return e
 
 
 def int_range_expr(start, end, step: int = 1) -> Expr:

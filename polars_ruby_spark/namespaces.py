@@ -791,6 +791,16 @@ class ListNameSpace(_NS):
                             _EVAL_ARRAY_STACK, _eval_map, _probe_type)
 
         def f(c, df, part):
+            if expr._np_prog is not None and not expr._is_agg:
+                # numpy-expressible positional program (round-7): one
+                # vectorized Arrow kernel call replaces the interpreted
+                # per-element HOF (~10× on q150-class projections); type
+                # gate falls back to the bit-identical HOF route
+                from .exprs import _np_eval_column
+
+                kern = _np_eval_column(c, expr._np_prog, df)
+                if kern is not None:
+                    return kern
             if expr._is_agg:
                 # pure aggregate: one evaluation per list.  A MIXED
                 # agg+element composition (rank/count normalizations)

@@ -2140,6 +2140,56 @@ def test_list_eval_positional_composition(spark):
         == [[0.0, -1.0, -3.0], [0.0, -7.0], []]
 
 
+def test_list_eval_np_kernel_matches_hof(spark):
+    """Round-7: numpy-expressible positional eval programs route through
+    the vectorized Arrow kernel (exprs._np_eval_column); results must be
+    BIT-identical to the interpreted JVM HOF route on both float widths,
+    including null-vs-NaN separation, Spark's `/`-nulls-zero-divisor rule,
+    and float32 staying float32 under int literals but promoting under
+    float literals."""
+    import math
+
+    import polars_ruby_spark as pl
+    import polars_ruby_spark.exprs as EX
+
+    df = pl.DataFrame(
+        {"a": [[1.0, 2.5, None, 7.0], [4.0], [], None, [float("nan"), 3.0]]})
+    frames = [df, df.with_columns(pl.col("a").cast(pl.List(pl.Float32)))]
+
+    def cases():
+        return {
+            "d": pl.element() - pl.element().shift(1),
+            "z": pl.element() * 2 + pl.element().diff(1),
+            "p": pl.element().pct_change(1),
+            "neg": -abs(pl.element()) * 2.5,
+            "sh_fill": pl.element().shift(-1, fill_value=0),
+            "divzero": pl.element() / (pl.element() - pl.element()),
+            "rsub": 10 - pl.element(),
+        }
+
+    def norm(x):
+        if x is None:
+            return None
+        return [("nan" if isinstance(v, float) and math.isnan(v) else v)
+                for v in x]
+
+    orig = EX._np_eval_column
+    try:
+        for frame in frames:
+            for name in cases():
+                EX._np_eval_column = orig
+                e = cases()[name]
+                assert e._np_prog is not None, name  # kernel actually engaged
+                got = [norm(r["x"]) for r in frame.select(
+                    pl.col("a").list.eval(e).alias("x")).to_a()]
+                EX._np_eval_column = lambda *a, **k: None
+                want = [norm(r["x"]) for r in frame.select(
+                    pl.col("a").list.eval(cases()[name]).alias("x")).to_a()]
+                assert got == want, (name, got, want)
+    finally:
+        EX._np_eval_column = orig
+
+
 def test_collect_based_aggs_under_over(spark):
     """quantile/mode/unique/implode under over(keys): collect-based
     reducers can't wrap .over around an inner collect_list — they reduce
