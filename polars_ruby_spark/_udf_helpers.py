@@ -261,6 +261,232 @@ def np_eval_arrays_udf(prog, in_t: str, out_t: str):
     return _udf
 
 
+_NP_CUMEVAL_CACHE = {}
+
+_NP_T = {"int": "int32", "bigint": "int64",
+         "float": "float32", "double": "float64"}
+
+
+def np_cumeval_arrays_udf(prog, elem_t: str, out_t: str, min_p: int):
+    """Vectorized expanding-prefix evaluator for cumulative_eval (round-7).
+
+    Input: ONE row per group carrying the ordered ``(i, v)`` pairs array
+    the cumulative_eval plan already collects; output the matching
+    ``(i, r)`` structs where ``r[k]`` = the sub-expression over the prefix
+    of length k+1.  The JVM route re-folds every prefix inside an indexed
+    HOF — O(g²) interpreted time per group; prefix aggregates are
+    cumulative scans, so this kernel computes each group's whole result
+    array in O(g) numpy (np.*.accumulate is strictly sequential, i.e.
+    bit-identical to the HOF's left fold).
+
+    ``prog`` nodes: ("cagg", label) prefix aggregates mirroring
+    ``_arr_reduce`` exactly (sum folds in the ELEMENT dtype from 0 — an
+    all-null prefix is 0, not null; mean/var divide a double cast, null on
+    a zero count; min/max skip nulls via ±∞/int sentinels with Spark's
+    NaN-greatest ordering; first/last = element_at ±1 with nulls kept),
+    plus the same lit/bin/un algebra as the positional eval kernel
+    (Catalyst coercions: "/" → double + null-on-zero-divisor).
+    """
+    key = (repr(prog), elem_t, out_t, min_p)
+    cached = _NP_CUMEVAL_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    import numpy as np
+    import pyarrow as pa
+
+    np_elem = np.dtype(_NP_T[elem_t])
+    np_out = np.dtype(_NP_T[out_t])
+    elem_t_np = _NP_T[elem_t]
+    pa_out = {"int": pa.int32(), "bigint": pa.int64(),
+              "float": pa.float32(), "double": pa.float64()}[out_t]
+    is_int_elem = np_elem.kind == "i"
+
+    def _cast(v, dt):
+        if isinstance(v, np.ndarray):
+            return v.astype(dt, copy=False)
+        return np.dtype(dt).type(v)
+
+    def _mor(a, b):
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            return np.logical_or(a, b)
+        return bool(a) or bool(b)
+
+    def _np_bin_t(lt, rt, op):
+        if op == "/":
+            return "float64"
+        order = ["int32", "int64", "float32", "float64"]
+        lt2 = lt if lt != "intlit" else "int32"
+        rt2 = rt if rt != "intlit" else "int32"
+        if lt == "fltlit" or rt == "fltlit":
+            return "float64"
+        return order[max(order.index(lt2), order.index(rt2))]
+
+    def _run_group(prog, v, nl, np_module=None):
+        """Evaluate over ONE group's (values, nulls); returns
+        (vals, nulls) arrays of the prefix results."""
+        g = len(v)
+        op = prog[0]
+        if op == "lit":
+            x = prog[1]
+            if x is None:
+                return (np.full(g, np.nan), np.ones(g, bool),
+                        "fltlit")
+            t = "intlit" if isinstance(x, int) else "fltlit"
+            return x, False, t
+        if op == "un":
+            ov, on, t = _run_group(prog[2], v, nl)
+            return (np.abs(ov) if prog[1] == "abs" else -ov), on, t
+        if op == "bin":
+            o = prog[1]
+            lv, ln, lt = _run_group(prog[2], v, nl)
+            rv, rn, rt = _run_group(prog[3], v, nl)
+            if o == "/":
+                lv = _cast(lv, np.float64)
+                rv = _cast(rv, np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out = lv / rv
+                return out, _mor(_mor(ln, rn), rv == 0), "float64"
+            t = _np_bin_t(lt, rt, o)
+            dt = np.dtype(t)
+            lv, rv = _cast(lv, dt), _cast(rv, dt)
+            with np.errstate(over="ignore", invalid="ignore"):
+                if o == "+":
+                    out = lv + rv
+                elif o == "-":
+                    out = lv - rv
+                else:
+                    out = lv * rv
+            return out, _mor(ln, rn), t
+        if op == "cagg":
+            label = prog[1]
+            nn = ~nl
+            nncnt = np.cumsum(nn)
+            if label == "count":
+                return nncnt.astype(np.int32), np.zeros(g, bool), "int32"
+            if label == "len":
+                # mirrors len's CUSTOM reducer size().cast(long) — int64,
+                # unlike _arr_reduce's int32 count
+                return (np.arange(1, g + 1, dtype=np.int64),
+                        np.zeros(g, bool), "int64")
+            if label == "first":
+                fv = v[0] if g else 0
+                fn_ = nl[0] if g else True
+                return (np.full(g, fv, dtype=np_elem),
+                        np.full(g, bool(fn_)), elem_t_np)
+            if label == "last":
+                return v.copy(), nl.copy(), elem_t_np
+            if label == "sum":
+                x = np.where(nl, np.dtype(np_elem).type(0), v)
+                return np.cumsum(x, dtype=np_elem), np.zeros(g, bool), \
+                    elem_t_np
+            if label == "mean":
+                x = np.where(nl, np.dtype(np_elem).type(0), v)
+                s = np.cumsum(x, dtype=np_elem).astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = s / nncnt
+                return out, nncnt == 0, "float64"
+            if label in ("min", "max"):
+                if is_int_elem:
+                    sent = (np.iinfo(np_elem).max if label == "min"
+                            else np.iinfo(np_elem).min)
+                    x = np.where(nl, sent, v)
+                    acc = (np.minimum if label == "min"
+                           else np.maximum).accumulate(x)
+                    return acc, nncnt == 0, elem_t_np
+                sent = np.inf if label == "min" else -np.inf
+                x = np.where(nl, np_elem.type(sent), v)
+                if label == "max":
+                    # Spark ordering: NaN greatest → any NaN wins max
+                    acc = np.maximum.accumulate(x)
+                    return acc, nncnt == 0, elem_t_np
+                # min skips NaN (NaN greatest) unless only NaN seen
+                acc = np.fmin.accumulate(x)
+                finite_cnt = np.cumsum(nn & ~np.isnan(v))
+                acc = np.where((nncnt > 0) & (finite_cnt == 0),
+                               np_elem.type(np.nan), acc)
+                return acc, nncnt == 0, elem_t_np
+            if label in ("stddev_samp", "stddev_pop",
+                         "var_samp", "var_pop"):
+                xd = np.where(nl, 0.0, v.astype(np.float64))
+                s = np.cumsum(xd)
+                s2 = np.cumsum(xd * xd)
+                n = nncnt.astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    varp = np.maximum(s2 / n - (s / n) * (s / n), 0.0)
+                    if label.endswith("_samp"):
+                        out = varp * n / (n - 1.0)
+                        bad = nncnt <= 1
+                    else:
+                        out = varp
+                        bad = nncnt == 0
+                    if label.startswith("stddev"):
+                        out = np.sqrt(out)
+                return out, bad, "float64"
+        raise ValueError(f"unsupported cum-eval node {prog!r}")
+
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql import types as T
+
+    spark_elem = {"int": T.IntegerType(), "bigint": T.LongType(),
+                  "float": T.FloatType(), "double": T.DoubleType()}
+    spark_out = T.ArrayType(T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("r", spark_elem[out_t])]))
+
+    @arrow_udf(spark_out)
+    def _udf(xa: pa.Array) -> pa.Array:
+        if isinstance(xa, pa.ChunkedArray):
+            xa = xa.combine_chunks()
+        n = len(xa)
+        offs = xa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = offs[0]
+        offs = offs - lo
+        total = int(offs[-1]) if n else 0
+        structs = xa.values[lo:lo + total]
+        vv = structs.field("v")
+        nulls = vv.is_null().to_numpy(zero_copy_only=False)
+        if np_elem.kind == "i":
+            vals = vv.fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype(np_elem, copy=False)
+        else:
+            vals = vv.to_numpy(zero_copy_only=False).astype(np_elem,
+                                                            copy=False)
+        rv = np.empty(total, dtype=np_out)
+        rn = np.empty(total, dtype=bool)
+        for r in range(n):
+            a, b = int(offs[r]), int(offs[r + 1])
+            if a == b:
+                continue
+            gv, gn = vals[a:b], nulls[a:b]
+            ov, on, _t = _run_group(prog, gv, gn)
+            if not isinstance(ov, np.ndarray):
+                ov = np.full(b - a, ov)
+            if not isinstance(on, np.ndarray):
+                on = np.full(b - a, bool(on))
+            if np_out.kind == "i":
+                safe = np.where(on, 0, ov)
+                rv[a:b] = safe.astype(np_out, copy=False)
+            else:
+                rv[a:b] = ov.astype(np_out, copy=False)
+            rn[a:b] = on
+            if min_p > 1:
+                few = np.cumsum(~gn) < min_p
+                rn[a:b] = rn[a:b] | few
+        out_r = pa.array(np.ascontiguousarray(rv), type=pa_out,
+                         from_pandas=False,
+                         mask=np.ascontiguousarray(rn))
+        out_structs = pa.StructArray.from_arrays(
+            [structs.field("i").cast(pa.int64()), out_r],
+            names=["i", "r"])
+        return pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), out_structs,
+            mask=xa.is_null())
+
+    _NP_CUMEVAL_CACHE[key] = _udf
+    return _udf
+
+
 def make_grouped_agg_udf(function, return_type):
     """GROUPED_AGG pandas UDF (SURVEY §2.4 'UDAF available as extension'):
     pd.Series per group -> scalar, Arrow-batched, usable under group_by.agg

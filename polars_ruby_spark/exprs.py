@@ -109,6 +109,14 @@ def _ordered_collect(base: "Expr", df) -> Column:
     return F.transform(pairs, lambda p: p["v"])
 
 
+#: _arr_reduce labels the cumulative_eval Arrow kernel can run as O(g)
+#: cumulative scans with bit-identical fold semantics (round-7)
+_CAGG_KERNEL_LABELS = {
+    "count", "len", "min", "max", "first", "last", "sum", "mean",
+    "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+}
+
+
 def _arr_reduce(label: str, arr: Column, df) -> Column:
     """Aggregate an order-transformed per-group array (guide_test.rb:
     shift_and_fill(1, 0).sum() under agg)."""
@@ -727,6 +735,12 @@ class Expr:
                    needs_order=(self._needs_order
                                 or self._agg_list_fn is not None))._set_meta(
                        label, (self,))
+        if (custom is None and self._np_prog == ("elem",)
+                and label in _CAGG_KERNEL_LABELS):
+            # prefix-aggregate breadcrumb for the cumulative_eval Arrow
+            # kernel (round-7): aggregates of the bare element() compose
+            # arithmetically via _np_bin like any tracked node
+            out._np_prog = ("cagg", label)
         self._attach_windowable_pre(out, lambda c, df: aggf(c))
         if (self._agg_list_fn is not None
                 and self._staged_win_fn is not None
@@ -864,6 +878,12 @@ class Expr:
                    needs_order=(self._needs_order
                                 or self._agg_list_fn is not None))._set_meta(
                        label, (self,))
+        if (custom is None and self._np_prog == ("elem",)
+                and label in _CAGG_KERNEL_LABELS):
+            # prefix-aggregate breadcrumb (round-7; see _agg) — the eval
+            # branch reduces via _arr_reduce(label), which the kernel
+            # mirrors (post transforms are not applied on that branch)
+            out._np_prog = ("cagg", label)
 
         def apply_agg(c, df):
             r = aggf(c, df)
@@ -1776,7 +1796,12 @@ class Expr:
         # route: polars len counts ALL elements (incl. nulls) of the
         # possibly filtered/transformed series
         len_._arr_reduce_fn = lambda arr, df: F.size(arr).cast("long")
-        return self._agg(len_, name=self._name or "len")
+        e = self._agg(len_, name=self._name or "len")
+        if self._np_prog == ("elem",):
+            # the custom reducer is size().cast(long) — the kernel's "len"
+            # emits int64 to match (unlike _arr_reduce's int32 "count")
+            e._np_prog = ("cagg", "len")
+        return e
 
     def n_unique(self):
         def fn(df, part):
@@ -2621,7 +2646,7 @@ class Expr:
                     c)
             return c
 
-        def _result_pairs(base_df, pairs_arr):
+        def _result_pairs(base_df, pairs_arr, kernel_ok=True):
             """Full per-group result array via ONE indexed transform over
             the group's ordered (i, v) pairs array: result[k] =
             sub(prefix of length k+1).  O(g) storage — one array per group
@@ -2631,11 +2656,24 @@ class Expr:
             keyed by the ORIGINAL hidden index, so gapped indexes (post-
             filter frames) round-trip exactly.
 
+            Round-7: prefix-aggregate sub-expressions the numpy tracker
+            reaches (sum/mean/min/max/first/last/count/len/var/std
+            compositions) route to the O(g) cumulative Arrow kernel
+            instead — same fold semantics, no O(g²) interpreted HOF time.
+            ``kernel_ok=False`` for bindings where the pairs array is
+            itself an aggregate expression (a UDF cannot wrap an agg
+            inside groupBy().agg).
+
             Dtype probes inside ``sub`` (pow int-guard, cast sources, …)
             cannot analyze an expression embedding the position lambda
             variable, so bind once over the lambda-free FULL values array
             (identical element dtypes to every prefix slice) recording each
             probe, then replay the captured types in the real pass."""
+            if kernel_ok:
+                kern = _np_cumeval_pairs(pairs_arr, sub._np_prog,
+                                         base_df, min_p)
+                if kern is not None:
+                    return kern
             global _PROBE_RECORD, _PROBE_REPLAY
             pre_full = F.transform(pairs_arr, lambda q: q["v"])
             rec: list = []
@@ -2684,9 +2722,9 @@ class Expr:
         def remap(sdf, key_exprs):
             out, tmp = _collect_eval(
                 sdf, [ke._fn(sdf, None) for ke in key_exprs])
-            # hook contract: output physically in global row order (the
-            # join-back leaves rows key-clustered)
-            return out.orderBy(ROW_IDX), tmp
+            # round-7: hook binds mark the frame order-dirty; the deferred
+            # restore sorts at polars-semantics exports (no eager orderBy)
+            return out, tmp
 
         e._grouped_remap_fn = remap
 
@@ -2698,8 +2736,9 @@ class Expr:
                 return sdf, F.lit(None)
             # consumer is a hash agg on the SAME keys: compute the ordered
             # result array directly inside the aggregate — one exchange,
-            # no join-back
-            res = _result_pairs(sdf, _pairs_agg(sdf))
+            # no join-back (kernel_ok=False: the pairs array IS an
+            # aggregate expression here; a UDF cannot wrap it)
+            res = _result_pairs(sdf, _pairs_agg(sdf), kernel_ok=False)
             return sdf, F.transform(res, lambda z: z["r"])
 
         e._agg_pre_fn = agg_pre
@@ -2707,10 +2746,10 @@ class Expr:
         def gfn(sdf):
             # ungrouped with_columns/filter: single global group; join-back
             # on the real hidden index tolerates gapped indexes (post-
-            # filter / scrambled frames)
+            # filter / scrambled frames).  Round-7: order left dirty for
+            # the caller's deferred restore.
             out, tmp = _collect_eval(sdf, [])
-            # hook contract: output physically in global row order
-            return out.orderBy(ROW_IDX), tmp
+            return out, tmp
 
         e._global_ordinal_fn = gfn
 
@@ -4570,6 +4609,101 @@ def _np_eval_column(arr: Column, prog, df) -> Column | None:
 
     udf = np_eval_arrays_udf(prog, in_t, out_t)
     return udf(arr)
+
+
+def _np_cagg_valid(p) -> bool:
+    """True when a program is a pure PREFIX-AGGREGATE composition —
+    cagg leaves (+ literals) under bin/un only; a bare elem or shift has
+    no per-prefix meaning in cumulative_eval."""
+    op = p[0]
+    if op == "cagg":
+        return True
+    if op == "lit":
+        return True
+    if op == "un":
+        return _np_cagg_valid(p[2])
+    if op == "bin":
+        return _np_cagg_valid(p[2]) and _np_cagg_valid(p[3])
+    return False
+
+
+def _np_cagg_has_agg(p) -> bool:
+    op = p[0]
+    if op == "cagg":
+        return True
+    if op == "un":
+        return _np_cagg_has_agg(p[2])
+    if op == "bin":
+        return _np_cagg_has_agg(p[2]) or _np_cagg_has_agg(p[3])
+    return False
+
+
+_NP_NUM_ORDER = ["int", "bigint", "float", "double"]
+
+
+def _np_cagg_type(p, elem_t: str):
+    """Spark result type of a prefix-aggregate program (mirrors both
+    Catalyst coercion and the kernel's per-node casts)."""
+    op = p[0]
+    if op == "cagg":
+        label = p[1]
+        if label == "count":
+            return "int"
+        if label == "len":  # custom reducer casts to long
+            return "bigint"
+        if label in ("mean", "stddev_samp", "stddev_pop",
+                     "var_samp", "var_pop"):
+            return "double"
+        return elem_t
+    if op == "lit":
+        return "intlit" if isinstance(p[1], int) else "fltlit"
+    if op == "un":
+        t = _np_cagg_type(p[2], elem_t)
+        return t if t in _NP_NUM_ORDER else None
+    if op == "bin":
+        lt, rt = _np_cagg_type(p[2], elem_t), _np_cagg_type(p[3], elem_t)
+        if lt is None or rt is None:
+            return None
+        if p[1] == "/":
+            return "double"
+        if lt == "fltlit" or rt == "fltlit":
+            return "double"
+        lt2 = "int" if lt == "intlit" else lt
+        rt2 = "int" if rt == "intlit" else rt
+        if lt == "intlit" and rt == "intlit":
+            return None
+        return _NP_NUM_ORDER[max(_NP_NUM_ORDER.index(lt2),
+                                 _NP_NUM_ORDER.index(rt2))]
+    return None
+
+
+def _np_cumeval_pairs(pairs_arr: Column, prog, df, min_p: int):
+    """Compile a prefix-aggregate program over a collected ``(i, v)``
+    pairs array to the O(g) cumulative Arrow kernel; None keeps the
+    bit-identical indexed-HOF route."""
+    from pyspark.sql import types as T
+
+    if prog is None or not (_np_cagg_valid(prog)
+                            and _np_cagg_has_agg(prog)):
+        return None
+    try:
+        t = _probe_type(df, pairs_arr)
+    except Exception:
+        return None
+    if not (isinstance(t, T.ArrayType)
+            and isinstance(t.elementType, T.StructType)):
+        return None
+    vt = {f.name: f.dataType for f in t.elementType.fields}.get("v")
+    elem_t = {T.IntegerType: "int", T.LongType: "bigint",
+              T.FloatType: "float", T.DoubleType: "double"}.get(type(vt))
+    if elem_t is None:
+        return None
+    out_t = _np_cagg_type(prog, elem_t)
+    if out_t not in ("int", "bigint", "float", "double"):
+        return None
+    from ._udf_helpers import np_cumeval_arrays_udf
+
+    return np_cumeval_arrays_udf(prog, elem_t, out_t, min_p)(pairs_arr)
 
 
 def _np_operand(x):

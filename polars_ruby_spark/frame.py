@@ -1779,8 +1779,26 @@ class DataFrame(LazyFrame):
             f.write(s)
         return None
 
-    def write_avro(self, path: str, mode: str = "overwrite", **kw):
-        self.to_spark().write.mode(mode).format("avro").save(path)
+    def write_avro(self, path: str, compression: str = "uncompressed",
+                   **kw):
+        """data_frame.rb write_avro(file, compression:) — ONE Avro Object
+        Container File via the pure-Python codec (round-7; no spark-avro
+        jar in this distribution).  Eager single-file write like the
+        reference; rows stream through ``toLocalIterator`` so driver
+        memory stays one partition deep."""
+        from .sources.avro_codec import spark_schema_to_avro, write_container
+
+        codec = {"uncompressed": "null", "deflate": "deflate",
+                 None: "null"}.get(compression)
+        if codec is None:
+            raise ValueError(
+                f"write_avro: unsupported compression {compression!r} "
+                "(supported: 'uncompressed', 'deflate')")
+        sdf = self.to_spark()
+        av = spark_schema_to_avro(sdf.schema)
+        names = sdf.columns
+        rows = ([row[n] for n in names] for row in sdf.toLocalIterator())
+        write_container(str(path), av, rows, codec=codec)
 
     def to_csv(self, path=None, **kw):
         # deprecated reference alias (data_frame.rb to_csv)

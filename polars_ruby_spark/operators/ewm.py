@@ -312,8 +312,9 @@ def attach_ewm_grouped(sdf: DataFrame, value_fn, key_fns, spec: dict,
                        out_name: str) -> DataFrame:
     """ewm under ``over(keys)``: block-segmented scan within each group.
 
-    Ends with a range sort on ROW_IDX to restore frame row order (the
-    keys/blk exchanges scatter it) — same trade as attach_grouped_rank_zip.
+    Round-7: order left dirty (the keys/blk exchanges scatter it) — hook
+    binds mark the frame scrambled and the deferred restore sorts at
+    polars-semantics exports, same contract as attach_grouped_rank_zip.
     """
     assert ROW_IDX in sdf.columns
     keys = key_fns(sdf)
@@ -335,7 +336,7 @@ def attach_ewm_grouped(sdf: DataFrame, value_fn, key_fns, spec: dict,
         comb = _combine(spec["kind"], spec["bias"], spec["min_periods"])
     out = scanned.withColumn(out_name, comb)
     drops = kn + ["__ewm_x__"] + [c for c in _EWM_DROPS if c in out.columns]
-    return out.drop(*drops).orderBy(ROW_IDX)
+    return out.drop(*drops)
 
 
 def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:

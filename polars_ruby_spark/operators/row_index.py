@@ -305,8 +305,8 @@ def attach_global_shuffle(sdf: DataFrame, value_fn, seed, out_name: str) -> Data
                       key.alias("__gs_key__"))
     shuffled = vals.orderBy(F.col("__gs_key__"), F.col("__gs_src__")).select(out_name)
     indexed = with_row_index(shuffled, ROW_IDX)
-    # restore physical row order after the hash join (range sort, multi-task)
-    return sdf.join(indexed, ROW_IDX, "left").orderBy(ROW_IDX)
+    # round-7: order left dirty for the caller's deferred restore
+    return sdf.join(indexed, ROW_IDX, "left")
 
 
 def attach_global_rle_id(sdf: DataFrame, value_fn, out_name: str) -> DataFrame:
@@ -398,5 +398,6 @@ def attach_grouped_rank_zip(sdf: DataFrame, value_fn, key_fns, out_name: str,
         cond = cond & F.col(f"__gz_k{i}__").eqNullSafe(F.col(f"__gz_r{i}__"))
     joined = left.join(ranked, cond, "left")
     drop = kn + ["__gz_pos__", "__gz_rnk__"] + [f"__gz_r{i}__" for i in range(len(kn))]
-    # hash join scatters physical row order — restore with a range sort
-    return joined.drop(*drop).orderBy(ROW_IDX)
+    # round-7: order left dirty for the caller's deferred restore (hook
+    # binds mark the frame scrambled; exports sort, driver handoffs skip)
+    return joined.drop(*drop)

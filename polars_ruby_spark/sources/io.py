@@ -271,11 +271,54 @@ def read_ndjson(source, **kw):
 
 
 def read_avro(source, spark=None, **kw):
-    """io/avro.rb:14 — requires spark-avro package at runtime."""
-    from ..frame import DataFrame
+    """io/avro.rb:14 — Avro Object Container Files via the pure-Python
+    codec (``sources/avro_codec.py``; this distribution bundles no
+    spark-avro connector jar and the environment is offline).
 
-    return DataFrame(_spark(spark).read.format("avro").load(
-        _materialize_source(source, ".avro")))
+    Distributed per FILE: the driver parses only the first header for the
+    schema; each container decodes inside an executor (binaryFile scan →
+    ``mapInPandas``), so a directory of containers scales with file count
+    (one huge single container is one task — the same bound the eager
+    reference reader has).
+    """
+    import glob as _glob
+    import os
+
+    import pandas as _pd
+
+    from ..frame import DataFrame
+    from .avro_codec import avro_schema_to_spark, read_container, read_header
+
+    sp = _spark(spark)
+    src = _materialize_source(source, ".avro")
+    paths = sorted(_glob.glob(src)) if any(ch in src for ch in "*?[") \
+        else [src]
+    first = paths[0]
+    if os.path.isdir(first):
+        cand = sorted(os.path.join(first, f) for f in os.listdir(first)
+                      if not f.startswith(("_", ".")))
+        first = cand[0]
+    with open(first, "rb") as fh:
+        head = fh.read()
+    avro_schema, _codec, _sync, _pos = read_header(head)
+    st = avro_schema_to_spark(avro_schema)
+    names = [f.name for f in st.fields]
+    bin_df = sp.read.format("binaryFile").load(src)
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                _schema, rows = read_container(bytes(content))
+                if rows:
+                    cols = list(zip(*rows))
+                    yield _pd.DataFrame(
+                        {n: _pd.Series(c, dtype="object")
+                         for n, c in zip(names, cols)})
+                else:
+                    yield _pd.DataFrame({n: _pd.Series([], dtype="object")
+                                         for n in names})
+
+    return DataFrame(bin_df.select("content").mapInPandas(decode, st))
 
 
 def read_ipc(source, spark=None, **kw):

@@ -2190,6 +2190,59 @@ def test_list_eval_np_kernel_matches_hof(spark):
         EX._np_eval_column = orig
 
 
+def test_cumulative_eval_np_kernel_matches_hof(spark):
+    """Round-7: prefix-aggregate cumulative_eval programs route through
+    the O(g) cumulative Arrow kernel; results must match the indexed-HOF
+    route bit-for-bit across float NaN/null edges and int64 columns, in
+    grouped and ungrouped contexts."""
+    import math
+
+    import polars_ruby_spark as pl
+    import polars_ruby_spark.exprs as EX
+
+    df = pl.DataFrame({
+        "g": ["a", "a", "a", "b", "b", "a", "b", "b"],
+        "x": [3.0, None, 1.0, 5.0, float("nan"), 2.0, None, 4.0],
+        "k": [7, None, 3, 9, 2, None, 5, 1],
+    }).with_columns(pl.col("k").cast(pl.Int64))
+
+    def cases():
+        return {
+            "mean": pl.element().mean(),
+            "spread": pl.element().max() - pl.element().min(),
+            "maxfirst": pl.element().max() - pl.element().first(),
+            "cnt_ratio": pl.element().count() / pl.element().len(),
+            "std": pl.element().std(),
+        }
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else round(v, 9)
+        return v
+
+    orig = EX._np_cumeval_pairs
+    try:
+        for col in ("x", "k"):
+            for name in cases():
+                for grouped in (False, True):
+                    EX._np_cumeval_pairs = orig
+                    e = pl.col(col).cumulative_eval(cases()[name])
+                    assert cases()[name]._np_prog is not None, name
+                    if grouped:
+                        e = e.over("g")
+                    got = [norm(r["r"]) for r in
+                           df.with_columns(e.alias("r")).to_a()]
+                    EX._np_cumeval_pairs = lambda *a, **k: None
+                    e2 = pl.col(col).cumulative_eval(cases()[name])
+                    if grouped:
+                        e2 = e2.over("g")
+                    want = [norm(r["r"]) for r in
+                            df.with_columns(e2.alias("r")).to_a()]
+                    assert got == want, (col, name, grouped, got, want)
+    finally:
+        EX._np_cumeval_pairs = orig
+
+
 def test_collect_based_aggs_under_over(spark):
     """quantile/mode/unique/implode under over(keys): collect-based
     reducers can't wrap .over around an inner collect_list — they reduce
