@@ -2289,13 +2289,15 @@ def q155_rolling_unaliased_names(spark, sf_dir):
 def q156_rolling_index_agg(spark, sf_dir):
     """Round-7 regression (ADVICE r6 #2): a collect-window aggregate that
     READS THE INDEX COLUMN must see the per-window element values (the
-    window's min ts), not the outer anchor's scalar.  Calendar period +
-    median forces the collect-window path."""
+    window's min ts), not the outer anchor's scalar.  Median forces the
+    collect-window path; the 4-hour period keeps window occupancy bounded
+    on the dense events series (a month-wide dense window is the
+    documented O(n·w) collect-volume hazard — SCALE.md rolling row)."""
     import polars_ruby_spark as pl
 
     ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
     out = (
-        ev.rolling(index_column="ts", period="1mo", group_by="event_type")
+        ev.rolling(index_column="ts", period="4h", group_by="event_type")
         .agg(pl.col("ts").min().alias("w_start"),
              pl.col("value").median().round(6).alias("md"))
     )
@@ -3444,7 +3446,7 @@ def oracle_sql() -> dict[str, str]:
                    round(median(b.value), 6) AS md
             FROM events a LEFT JOIN events b
               ON a.event_type = b.event_type
-             AND b.ts > a.ts - INTERVAL 1 MONTH AND b.ts <= a.ts
+             AND b.ts > a.ts - INTERVAL 4 HOUR AND b.ts <= a.ts
             GROUP BY a.event_type, a.ts, a.event_id
         """,
         "q150_list_eval_positional": """

