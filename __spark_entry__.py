@@ -2307,13 +2307,20 @@ def q156_rolling_index_agg(spark, sf_dir):
 def _stage_events_stream(spark, sf_dir, n_files=1):
     """Stage a µs-timestamp copy of events for a file-source stream (the
     raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
-    return (stage_dir, unique_name)."""
+    return (stage_dir, unique_name).
+
+    ``SPARK_GRAFT_STREAM_FILES`` (round-7): minimum stage file count —
+    the determinism sweep forces different micro-batch widths with it
+    (results must be batch-count invariant, the streaming analogue of
+    the partition-count axis)."""
     import os
     import tempfile
     import uuid
 
     import polars_ruby_spark as pl
 
+    n_files = max(n_files,
+                  int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "1")))
     ev = pl.scan_parquet(os.path.join(sf_dir, "events.parquet"),
                          spark=spark)
     root = tempfile.mkdtemp(prefix="plsq_stream_")

@@ -23,10 +23,29 @@ from check_correctness import table_hash  # noqa: E402  (same canonicalizer)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
-PARTS = (32, 5)
+# (shuffle partitions, giant-group route override, min stream stage files):
+# the second config simultaneously narrows the cluster width, forces the
+# ARRAY agg route (default is the staged reroute — both must be
+# bit-identical) and widens the streaming replays' micro-batch count
+# (round-7; the three axes are all "cluster shape" knobs results must not
+# see, so divergence on any of them fails the sweep)
+CONFIGS = ((32, None, None), (5, "0", "3"))
 
 
-def run_config(nparts, names):
+def run_config(cfg, names):
+    import os
+
+    nparts, force, stream_files = cfg
+    for var, val in (("SPARK_GRAFT_GIANT_GROUP_FORCE", force),
+                     ("SPARK_GRAFT_STREAM_FILES", stream_files)):
+        if val is None:
+            os.environ.pop(var, None)
+        else:
+            os.environ[var] = val
+    return _run_config_inner(nparts, names)
+
+
+def _run_config_inner(nparts, names):
     import importlib.util
 
     from pyspark.sql import SparkSession
@@ -68,15 +87,16 @@ def main():
     spec.loader.exec_module(mod)
     names = [n for n in mod.queries() if ONLY is None or n in ONLY]
 
-    results = [run_config(p, names) for p in PARTS]
+    results = [run_config(cfg, names) for cfg in CONFIGS]
     bad = 0
     for n in names:
         vals = [r[n] for r in results]
         if len(set(vals)) == 1 and vals[0][0] != "ERROR":
-            print(f"✓ {n}")
+            print(f"✓ {n}", flush=True)
         else:
             bad += 1
-            print(f"✗ {n}: " + " vs ".join(f"parts={p}:{v}" for p, v in zip(PARTS, vals)))
+            print(f"✗ {n}: " + " vs ".join(
+                f"cfg={c}:{v}" for c, v in zip(CONFIGS, vals)), flush=True)
     print(f"\n{len(names) - bad} invariant, {bad} partition-dependent")
     sys.exit(1 if bad else 0)
 

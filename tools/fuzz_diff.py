@@ -833,6 +833,106 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     compare(f"cumeval_{red26}_{k26}", g26.collect().to_spark(), sql)
 
+    # 27. rolling COLLECT-WINDOW path (round-7): non-algebraic aggs
+    # (median) + spearman pre-stage + len over a per-row look-back, with
+    # and without by-keys, fixed and day periods, uniform and hot-hour
+    # timestamps — vs the band-join SQL oracle
+    per27, d27 = rng.choice([("30m", "30 MINUTES"), ("2h", "2 HOURS"),
+                             ("1d", "1 DAY")])
+    k27 = rng.choice([None, "g", "h"])
+    t27 = rng.choice(["ts", "hts"])
+    b27 = df.lazy().filter(pl.col(t27).is_not_null())
+    kf = ""
+    if k27 is not None:
+        b27 = b27.filter(pl.col(k27).is_not_null())
+        kf = f"AND {k27} IS NOT NULL"
+    b27 = b27.sort(t27, "idx")
+    q27 = (b27.rolling(index_column=t27, period=per27, group_by=k27)
+           .agg(pl.col("x").median().round(6).alias("md"),
+                pl.col("y").min().round(6).alias("mn"),
+                pl.corr("x", "y", method="spearman").fill_nan(None)
+                .round(6).alias("sp"),
+                pl.len().alias("n")))
+    ksel = f"a.{k27} AS ak," if k27 else ""
+    kjoin = f"a.{k27} = b.{k27} AND" if k27 else ""
+    kout = f"ak AS {k27}," if k27 else ""
+    kgrp = ", ak" if k27 else ""
+    sql = (f"WITH s AS (SELECT idx, {t27} AS ats, g, h, x, y FROM t "
+           f"WHERE {t27} IS NOT NULL {kf}), "
+           f"j AS (SELECT a.idx AS ai, a.ats, {ksel} b.x AS bx, "
+           f"b.y AS byy FROM s a JOIN s b ON {kjoin} "
+           f"b.ats > a.ats - INTERVAL {d27} AND b.ats <= a.ats), "
+           "r AS (SELECT *, "
+           "CASE WHEN bx IS NOT NULL THEN rank() OVER (PARTITION BY ai "
+           "ORDER BY bx NULLS LAST) + (count(*) OVER (PARTITION BY ai, bx)"
+           " - 1) / 2.0 END AS rx, "
+           "CASE WHEN byy IS NOT NULL THEN rank() OVER (PARTITION BY ai "
+           "ORDER BY byy NULLS LAST) + (count(*) OVER (PARTITION BY ai, "
+           "byy) - 1) / 2.0 END AS ry FROM j) "
+           f"SELECT {kout} ats AS {t27}, round(median(bx), 6) AS md, "
+           "round(min(byy), 6) AS mn, round(corr(rx, ry), 6) AS sp, "
+           f"count(*) AS n FROM r GROUP BY ai, ats{kgrp}")
+    compare(f"rolling_collectwin_{per27}_{k27}_{t27}",
+            q27.collect().to_spark(), sql)
+
+    # 28. positional list.eval programs (round-7 numpy kernel): per-group
+    # x lists, element() arithmetic with shift/diff/pct_change — kernel
+    # and DuckDB list_transform must agree on null slots and zero
+    # divisors; the kernel alternates with the HOF route on type gates
+    fill28 = rng.choice([None, 0, 2])
+    fs = "NULL" if fill28 is None else str(fill28)
+    progs = {
+        "diff": (pl.element().diff(1),
+                 "lx[i] - lx[i-1]"),
+        "mix": (pl.element() * 2 + pl.element().shift(1, fill_value=fill28),
+                f"lx[i] * 2 + (CASE WHEN i - 1 >= 1 THEN lx[i-1] "
+                f"ELSE {fs} END)"),
+        "pct": (pl.element().pct_change(1),
+                "CASE WHEN lx[i-1] = 0 THEN NULL "
+                "ELSE (lx[i] - lx[i-1]) / lx[i-1] END"),
+        "rsub": (10 - pl.element().shift(-1),
+                 "10 - (CASE WHEN i + 1 <= len(lx) THEN lx[i+1] END)"),
+        "div": (pl.element() / pl.element().shift(1),
+                "CASE WHEN lx[i-1] = 0 THEN NULL ELSE lx[i] / lx[i-1] END"),
+    }
+    p28 = rng.choice(sorted(progs))
+    e28, s28 = progs[p28]
+    q28 = (df.lazy().sort("idx").group_by("g")
+           .agg(pl.col("x").alias("lx"))
+           .select(pl.col("g"),
+                   pl.col("lx").list.eval(e28).alias("ev"))
+           .explode("ev")
+           .select(pl.col("g"), pl.col("ev").round(6).alias("ev")))
+    sql = ("WITH l AS (SELECT g, list(x ORDER BY idx) AS lx FROM t "
+           "GROUP BY g) "
+           "SELECT g, round(unnest(list_transform("
+           f"range(1, len(lx) + 1), i -> {s28})), 6) AS ev FROM l")
+    compare(f"list_eval_np_{p28}", q28.collect().to_spark(), sql)
+
+    # 29. composed / ungrouped cumulative_eval (round-7 cumulative Arrow
+    # kernel): arithmetic over prefix aggregates, whole-frame prefix
+    comp29, sql29 = rng.choice([
+        ("spread", None),
+        ("meanr", None),
+        ("cntlen", None),
+    ])
+    if comp29 == "spread":
+        inner29 = (pl.element().max() - pl.element().min()).round(6)
+        s29 = ("round(max(x) OVER wpre - min(x) OVER wpre, 6)")
+    elif comp29 == "meanr":
+        inner29 = pl.element().mean().round(6)
+        s29 = "round(avg(x) OVER wpre, 6)"
+    else:
+        inner29 = (pl.element().count() / pl.element().len()).round(6)
+        s29 = "round(count(x) OVER wpre * 1.0 / count(*) OVER wpre, 6)"
+    q29 = (df.lazy().sort("idx")
+           .with_columns(pl.col("x").cumulative_eval(inner29).alias("cv"))
+           .select("idx", "cv"))
+    sql = (f"SELECT idx, {s29} AS cv FROM t WINDOW wpre AS "
+           "(ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND "
+           "CURRENT ROW)")
+    compare(f"cumeval_composed_{comp29}", q29.collect().to_spark(), sql)
+
     duck.unregister("t")
     return diffs
 
