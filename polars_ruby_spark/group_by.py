@@ -1363,10 +1363,30 @@ class RollingGroupBy(_TemporalGroupByMixin):
             n_tasks = 200
         work = work.repartition(n_tasks, *[F.col(b) for b in self._by],
                                 F.col("__rw_ch__"))
+        # FIXED durations (round-7): the exact closed-mode bounds go into
+        # the range frame ITSELF (µs resolution, like the direct path) —
+        # the per-element interval filter becomes the identity and is
+        # SKIPPED: one whole interpreted pass over the n·w collected
+        # elements gone, and no second membership array allocated per
+        # anchor (q143 at sf1.0 sat at the watchdog edge on exactly this).
+        # Calendar periods keep the over-approximate frame + exact filter.
+        fixed = pm == 0
+        if fixed:
+            f_lo, f_hi = -span_ub, 0
+            if self._closed == "right":
+                f_lo = -span_ub + 1
+            elif self._closed == "left":
+                f_lo, f_hi = -span_ub, -1
+            elif self._closed == "none":
+                f_lo, f_hi = -span_ub + 1, -1
+            elif self._closed != "both":
+                raise ValueError(f"invalid closed: {self._closed!r}")
+        else:
+            f_lo, f_hi = -span_ub, 0
         w = (Window.partitionBy(*[F.col(b) for b in self._by],
                                 F.col("__rw_ch__"))
              .orderBy(F.col("__rw_ts__"))
-             .rangeBetween(-span_ub, 0))
+             .rangeBetween(f_lo, f_hi))
         # order-insensitive aggs (corr/sum/min/len…) skip the per-anchor
         # identity sort — the comparator lambda is interpreted per compare
         # and was ~30% of q143's wall-clock; the frame is already ts-ASC,
@@ -1387,7 +1407,17 @@ class RollingGroupBy(_TemporalGroupByMixin):
         }.get(self._closed)
         if pred is None:
             raise ValueError(f"invalid closed: {self._closed!r}")
-        win = F.filter(collected, lambda s: pred(s["__t__"]))
+        if fixed:
+            win = collected
+            if self._closed in ("left", "none"):
+                # the exact frame EXCLUDES the anchor: an empty frame's
+                # collect_list is NULL, but polars sees an empty window
+                # (len 0, null aggregates) — coalesce to a typed empty
+                # array (slice of a one-element array keeps the struct
+                # type without naming it)
+                win = F.coalesce(collected, F.slice(F.array(elem), 1, 0))
+        else:
+            win = F.filter(collected, lambda s: pred(s["__t__"]))
         if needs_sort:
             win = F.array_sort(
                 win,

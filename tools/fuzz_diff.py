@@ -841,13 +841,17 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
                              ("1d", "1 DAY")])
     k27 = rng.choice([None, "g", "h"])
     t27 = rng.choice(["ts", "hts"])
+    cl27 = rng.choice(["right", "left", "both", "none"])
+    cmp_lo = ">" if cl27 in ("right", "none") else ">="
+    cmp_hi = "<" if cl27 in ("left", "none") else "<="
     b27 = df.lazy().filter(pl.col(t27).is_not_null())
     kf = ""
     if k27 is not None:
         b27 = b27.filter(pl.col(k27).is_not_null())
         kf = f"AND {k27} IS NOT NULL"
     b27 = b27.sort(t27, "idx")
-    q27 = (b27.rolling(index_column=t27, period=per27, group_by=k27)
+    q27 = (b27.rolling(index_column=t27, period=per27, group_by=k27,
+                       closed=cl27)
            .agg(pl.col("x").median().round(6).alias("md"),
                 pl.col("y").min().round(6).alias("mn"),
                 pl.corr("x", "y", method="spearman").fill_nan(None)
@@ -859,9 +863,10 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
     kgrp = ", ak" if k27 else ""
     sql = (f"WITH s AS (SELECT idx, {t27} AS ats, g, h, x, y FROM t "
            f"WHERE {t27} IS NOT NULL {kf}), "
-           f"j AS (SELECT a.idx AS ai, a.ats, {ksel} b.x AS bx, "
-           f"b.y AS byy FROM s a JOIN s b ON {kjoin} "
-           f"b.ats > a.ats - INTERVAL {d27} AND b.ats <= a.ats), "
+           f"j AS (SELECT a.idx AS ai, a.ats, {ksel} b.idx AS bi, "
+           f"b.x AS bx, b.y AS byy FROM s a LEFT JOIN s b ON {kjoin} "
+           f"b.ats {cmp_lo} a.ats - INTERVAL {d27} "
+           f"AND b.ats {cmp_hi} a.ats), "
            "r AS (SELECT *, "
            "CASE WHEN bx IS NOT NULL THEN rank() OVER (PARTITION BY ai "
            "ORDER BY bx NULLS LAST) + (count(*) OVER (PARTITION BY ai, bx)"
@@ -871,7 +876,7 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
            "byy) - 1) / 2.0 END AS ry FROM j) "
            f"SELECT {kout} ats AS {t27}, round(median(bx), 6) AS md, "
            "round(min(byy), 6) AS mn, round(corr(rx, ry), 6) AS sp, "
-           f"count(*) AS n FROM r GROUP BY ai, ats{kgrp}")
+           f"count(bi) AS n FROM r GROUP BY ai, ats{kgrp}")
     compare(f"rolling_collectwin_{per27}_{k27}_{t27}",
             q27.collect().to_spark(), sql)
 
