@@ -1219,6 +1219,25 @@ class RollingGroupBy(_TemporalGroupByMixin):
 
         all_exprs = [wrap_expr(e) for e in exprs] + [
             wrap_expr(e).alias(k) for k, e in named.items()]
+        # reducers Spark cannot window (median/mode/quantile buffers) go
+        # straight to the collect-window path — the analysis-failure
+        # fallback below still catches anything this pre-check misses,
+        # but skipping the doomed attempt avoids the loud JVM error log
+        # Spark 4 emits even for caught AnalysisExceptions (round-7)
+        def _has_unwindowable(e, depth=0):
+            if depth > 20 or not getattr(e, "_meta", None):
+                return False
+            op, children, _p = e._meta
+            if op in ("median", "mode", "quantile"):
+                return True
+            return any(_has_unwindowable(c, depth + 1) for c in children
+                       if c is not None)
+
+        if any(_has_unwindowable(e) for e in all_exprs):
+            try:
+                return self._agg_collect_win(dur, exprs, named)
+            except Exception:
+                return self._agg_band(dur, exprs, named)
         cols = []
         # aggregates wrap THEMSELVES in the injected rolling window (post-
         # carrying aggs like sum's empty-group coalesce must window the
