@@ -1936,12 +1936,17 @@ def q138_cumulative_eval_grouped(spark, sf_dir):
     # IEEE division in both engines (double prefix-sums differ by fold
     # order at round() boundaries)
     cents = (pl.col("o_totalprice") * 100).round(0).cast(pl.Int64)
+    # UNROUNDED outputs (round-7): integer-cent sums divide to the same
+    # double in both engines, and max/first select identical stored
+    # values, so the comparator's 9dp normalizer sees equal doubles —
+    # a 4dp round here hit an EXACT decimal tie at sf0.1 where Spark
+    # (BigDecimal.valueOf shortest-repr HALF_UP) and DuckDB disagree
     out = o.with_columns(
         cents.cumulative_eval(pl.element().mean())
-        .over("o_orderstatus").round(4).alias("cmean"),
+        .over("o_orderstatus").alias("cmean"),
         pl.col("o_totalprice").cumulative_eval(
             pl.element().max() - pl.element().first())
-        .over("o_orderstatus").round(2).alias("cspread"),
+        .over("o_orderstatus").alias("cspread"),
     ).select("o_orderkey", "o_orderstatus", "cmean", "cspread")
     return _out(out)
 
@@ -2273,15 +2278,18 @@ def q155_rolling_unaliased_names(spark, sf_dir):
     """Round-7 regression (ADVICE r6 #1): an UN-ALIASED rolling aggregate
     keeps its source column's name (polars semantics, lazy_frame.rb:1161);
     the direct range-frame path must bind every aggregate against the
-    pre-loop columns so the later mean reads the source value, not the
-    just-materialized rolling sum."""
+    pre-loop columns so the later max reads the source value, not the
+    just-materialized rolling sum (max also keeps the oracle tie-free:
+    2dp data sums never tie at 4dp, and max selects stored values
+    exactly — a windowed MEAN hit an exact 6dp tie at sf0.1 where Spark
+    and DuckDB round modes disagree)."""
     import polars_ruby_spark as pl
 
     ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
     out = (
         ev.rolling(index_column="ts", period="2h", group_by="event_type")
-        .agg(pl.col("value").sum(), pl.col("value").mean().alias("m"))
-        .with_columns(pl.col("value").round(4), pl.col("m").round(6))
+        .agg(pl.col("value").sum(), pl.col("value").max().alias("m"))
+        .with_columns(pl.col("value").round(4))
     )
     return _out(out)
 
@@ -3441,7 +3449,7 @@ def oracle_sql() -> dict[str, str]:
         "q155_rolling_unaliased_names": """
             SELECT a.event_type, a.ts,
                    round(sum(b.value), 4) AS value,
-                   round(avg(b.value), 6) AS m
+                   max(b.value) AS m
             FROM events a LEFT JOIN events b
               ON a.event_type = b.event_type
              AND b.ts > a.ts - INTERVAL 2 HOUR AND b.ts <= a.ts
@@ -3528,13 +3536,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 64
         """,
         "q138_cumulative_eval_grouped": """
+            -- UNROUNDED: integer-cent sums divide to the same double in
+            -- both engines (a 4dp round hit an exact decimal tie at
+            -- sf0.1 where Spark and DuckDB round modes disagree)
             WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                        FROM orders ORDER BY o_orderkey LIMIT 3000)
             SELECT o_orderkey, o_orderstatus,
-                   round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                         OVER w, 4) AS cmean,
-                   round(max(o_totalprice) OVER w
-                         - first_value(o_totalprice) OVER w, 2) AS cspread
+                   avg(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       OVER w AS cmean,
+                   max(o_totalprice) OVER w
+                       - first_value(o_totalprice) OVER w AS cspread
             FROM o
             WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
