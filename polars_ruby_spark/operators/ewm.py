@@ -452,11 +452,16 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
         for c, _p in cols_p:
             aggs2.append(F.max_by(F.col(c), F.col(ROW_IDX)).alias(f"__q_{c}"))
     if one_pass:
-        # LAZY carry composition (round-6): the per-partition affine maps
-        # compose in a sequential JVM `aggregate` fold over the pid-sorted
-        # O(partitions) totals array — arithmetic identical to the former
-        # driver loop, but NO job runs at plan-construction time (bench
-        # constructs per rep; the two collects dominated q132's cost)
+        # LAZY carry composition (round-6), Arrow-folded (round-7): the
+        # per-partition affine maps compose sequentially over the
+        # pid-sorted O(partitions) totals array.  The round-6 JVM
+        # `F.aggregate` fold ran no job at construction but its
+        # struct-rebuilding lambda made Catalyst ANALYSIS the dominant
+        # per-construction cost (~2.2 s of q132's bench median); a tiny
+        # arrow_udf does the same python-pow arithmetic the non-one-pass
+        # driver loop uses, with a flat plan.
+        from .._udf_helpers import ewm_carry_arrays_udf
+
         all_cols = [(i, c, p, spec)
                     for i, (sfx, cols_p, _r, spec, _o) in enumerate(per_item)
                     for c, p in cols_p]
@@ -469,41 +474,12 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
         onerow = (scanned.groupBy(_PID).agg(*aggs2)
                   .agg(F.array_sort(F.collect_list(F.struct(*sf_list)))
                        .alias("__arr__")))
-        row_t = ("struct<pid:int"
-                 + "".join(f",c{j}:double" for j in range(len(all_cols)))
-                 + "".join(f",p{i}:bigint" for i in range(len(items)))
-                 + ">")
-        zero = F.struct(
-            *[F.lit(0.0).alias(f"s{j}") for j in range(len(all_cols))],
-            *[F.lit(0).cast("bigint").alias(f"n{i}")
-              for i in range(len(items))],
-            F.expr("array()").cast(f"array<{row_t}>").alias("rows"))
-
-        def step(acc, x):
-            emitted = F.struct(
-                x["pid"].alias("pid"),
-                *[acc[f"s{j}"].alias(f"c{j}")
-                  for j in range(len(all_cols))],
-                *[acc[f"n{i}"].alias(f"p{i}")
-                  for i in range(len(items))])
-            new_fields = []
-            for j, (i, c, p, spec) in enumerate(all_cols):
-                length = (x[f"nn{i}"] if spec["ignore_nulls"]
-                          else x["nr"])
-                decay = F.pow(F.lit(spec["lam"]),
-                              length.cast("double") * F.lit(float(p)))
-                new_fields.append(
-                    (decay * acc[f"s{j}"]
-                     + F.coalesce(x[f"q_{j}"], F.lit(0.0))).alias(f"s{j}"))
-            for i in range(len(items)):
-                new_fields.append((acc[f"n{i}"] + x[f"nn{i}"]).alias(f"n{i}"))
-            new_fields.append(
-                F.concat(acc["rows"], F.array(emitted)).alias("rows"))
-            return F.struct(*new_fields)
-
+        fold = ewm_carry_arrays_udf(
+            len(items),
+            tuple((i, p, spec["lam"], bool(spec["ignore_nulls"]))
+                  for (i, _c, p, spec) in all_cols))
         carry_tab = (onerow.select(
-            F.explode(F.aggregate(F.col("__arr__"), zero, step)["rows"])
-            .alias("r"))
+            F.explode(fold(F.col("__arr__"))).alias("r"))
             .select(F.col("r.pid").alias(_PID),
                     *[F.col(f"r.c{j}").alias(f"__c_{c}")
                       for j, (_i, c, _p, _s) in enumerate(all_cols)],
