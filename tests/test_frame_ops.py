@@ -429,6 +429,53 @@ def test_global_ordinal_plans_are_multi_task(spark):
     assert single_partition_violations(plan) == 0, plan
 
 
+def test_chunked_ordinals_on_gapped_concentrated_index(spark):
+    """Round-7: the deterministic-chunk attaches (cum_*/rle_id/reverse)
+    key on floor((idx-min)/width) — correctness must hold when a filter
+    leaves the surviving rows CONCENTRATED in a narrow index range
+    (worst-case chunk occupancy skew, the documented parallelism-only
+    caveat) and when the frame was sliced (index starts high)."""
+    import polars_ruby_spark as pl
+
+    n = 4000
+    df = pl.DataFrame({"i": list(range(n)),
+                       "v": [float((i * 7) % 13) for i in range(n)]})
+    # windowed bind materializes the index, then a filter keeps only a
+    # narrow band near the end — gapped AND concentrated
+    out = (df.lazy().sort("i")
+           .with_columns(pl.col("v").shift(1).alias("pv"))
+           .filter((pl.col("i") >= 3900) | (pl.col("i") < 25))
+           .with_columns(pl.col("v").cum_sum().alias("cs"),
+                         pl.col("v").rle_id().alias("rid"))
+           .collect().to_a())
+    kept = [i for i in range(n) if i >= 3900 or i < 25]
+    run = 0.0
+    rid = 0
+    prev = None
+    for r, i in zip(out, kept):
+        run += (i * 7) % 13
+        assert r["cs"] == run, (i, r["cs"], run)
+        v = float((i * 7) % 13)
+        if prev is not None and v != prev:
+            rid += 1
+        assert r["rid"] == rid, (i, r["rid"], rid)
+        prev = v
+    # sliced frame: index starts at 1000 — reverse reflects around
+    # min+max, cum starts fresh
+    sl = (df.lazy().sort("i").slice(1000, 50)
+          .with_columns(pl.col("v").reverse().alias("rv"),
+                        pl.col("v").cum_max().alias("cm"))
+          .collect().to_a())
+    vs = [float((i * 7) % 13) for i in range(1000, 1050)]
+    assert [r["rv"] for r in sl] == vs[::-1]
+    mx = []
+    cur = float("-inf")
+    for v in vs:
+        cur = max(cur, v)
+        mx.append(cur)
+    assert [r["cm"] for r in sl] == mx
+
+
 def test_ewm_fallback_all_modes(spark):
     """Round-5: the composed-aggregate O(n^2) fallback (reached when ewm is
     combined with another expression in one binding, warns) now supports
