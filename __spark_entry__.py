@@ -1301,13 +1301,16 @@ def q98_label_centroids(spark, sf_dir):
 
 def q99_semantic_dedup(spark, sf_dir):
     """SemDeDup (cluster-confined exact cosine near-dup → components →
-    canonical survivor).  n_clusters=1 degenerates to the exact pipeline,
-    which is what makes it oracle-able (recursive-CTE component minima);
-    the scale path raises n_clusters to bound each O(n²) task."""
+    canonical survivor).  Uses the AUTO cluster default (r8):
+    ceil(n / 2048) — at the oracle scales (≤2048 embeddings) it resolves
+    to ONE cluster, i.e. the exact pipeline the recursive-CTE oracle
+    computes; at sf1.0 (~20k rows) it gives ~10 clusters so per-task BLAS
+    cost stays flat instead of the measured 69× blow-up of a fixed count.
+    ``n_clusters=1`` stays available as the always-exact override."""
     from polars_ruby_spark.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")._sdf
-    return similarity.semantic_dedup(e, threshold=0.4, n_clusters=1)
+    return similarity.semantic_dedup(e, threshold=0.4)
 
 
 def q100_shard_assign(spark, sf_dir):

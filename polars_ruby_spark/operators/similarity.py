@@ -359,10 +359,23 @@ def label_centroids(sdf: DataFrame, vec_col: str = "embedding",
         "label", "n", "centroid", "mean_norm")
 
 
+def _auto_n_clusters(n_rows: int, target_cluster_rows: int = 2048,
+                     floor: int = 1) -> int:
+    """SemDeDup cluster-count default: ``ceil(n / target_cluster_rows)``,
+    floored.  A FIXED cluster count is a measured scale hazard (sf1.0
+    sweep: 69× wall on 10× data) because per-cluster BLAS pair cost grows
+    as (n/C)²; holding cluster OCCUPANCY constant instead keeps per-task
+    cost flat (≤ target² cosine entries ≈ 32 MB float64 at 2048) and total
+    cost linear in n."""
+    import math
+
+    return max(int(floor), math.ceil(max(int(n_rows), 1) / float(target_cluster_rows)))
+
+
 def semantic_dedup(sdf: DataFrame, threshold: float = 0.92,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   n_clusters: int = 64, sample_size: int = 20_000,
-                   seed: int = 42) -> DataFrame:
+                   n_clusters: int | None = None, sample_size: int = 20_000,
+                   seed: int = 42, target_cluster_rows: int = 2048) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 pattern):
     k-means coarse clusters → EXACT within-cluster cosine near-dup pairs →
     connected components → canonical survivor = component-min id.  Returns
@@ -371,14 +384,20 @@ def semantic_dedup(sdf: DataFrame, threshold: float = 0.92,
     Scale shape: the O(n²) comparison is confined to each cluster — one
     applyInPandas task per centroid_id with a single float64 BLAS matmul
     over ~n/C rows (the SemDeDup trade: cross-cluster near-dups are missed
-    by design; raise ``n_clusters`` for speed, use ``n_clusters=1`` or
-    ``cosine_neardup_pairs`` for full recall).  The pair graph is corpus-≪
-    so component labeling is the scale-adaptive ``connected_components``.
+    by design; use ``n_clusters=1`` or ``cosine_neardup_pairs`` for full
+    recall).  ``n_clusters=None`` (the default) AUTO-SCALES the cluster
+    count with corpus size — ``ceil(n / target_cluster_rows)`` from one
+    cheap count — so 10× data means 10× clusters at constant per-task
+    cost, not 100× per-cluster pairs; an explicit ``n_clusters`` is always
+    honored.  The pair graph is corpus-≪ so component labeling is the
+    scale-adaptive ``connected_components``.
     """
     import numpy as np
 
     from .dedup import connected_components
 
+    if n_clusters is None:
+        n_clusters = _auto_n_clusters(sdf.count(), target_cluster_rows)
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in
                        sdf.select(vec_col).limit(sample_size).collect()])
     cent = _kmeans_centroids(sample, n_clusters, seed)

@@ -1371,3 +1371,32 @@ def test_jpeg_decodes_third_party_file():
     hdr = multimodal.parse_image_header(blob)
     assert px.shape == (hdr["height"], hdr["width"], 3)
     assert 0 < float(px.mean()) < 255  # non-degenerate content
+
+
+def test_semantic_dedup_autoscale(spark, embeddings):
+    """r8 (VERDICT r7 #1): the SemDeDup cluster-count default must scale
+    with corpus size — ceil(n / target_cluster_rows), floored at 1 — so
+    per-cluster pair cost stays flat instead of growing quadratically."""
+    from polars_ruby_spark.operators.similarity import (_auto_n_clusters,
+                                                        semantic_dedup)
+
+    # the formula itself, pinned
+    assert _auto_n_clusters(1, 2048) == 1
+    assert _auto_n_clusters(500, 2048) == 1
+    assert _auto_n_clusters(2048, 2048) == 1
+    assert _auto_n_clusters(2049, 2048) == 2
+    assert _auto_n_clusters(20_000, 2048) == 10
+    assert _auto_n_clusters(5_000_000, 2048) == 2442
+    assert _auto_n_clusters(10, 2048, floor=4) == 4
+
+    # auto default == explicit n_clusters=1 at oracle scale (n <= target)
+    e = embeddings._sdf
+    auto = semantic_dedup(e, threshold=0.4).orderBy("vec_id").collect()
+    exact = semantic_dedup(e, threshold=0.4, n_clusters=1).orderBy("vec_id").collect()
+    assert auto == exact
+
+    # an explicit override is honored: >1 clusters => >1 distinct cluster_id
+    import pyspark.sql.functions as F
+
+    multi = semantic_dedup(e, threshold=0.4, n_clusters=4)
+    assert multi.select(F.countDistinct("cluster_id")).first()[0] > 1
