@@ -93,6 +93,10 @@ def main():
 
     qs = entry.queries()
     names = [n for n in HEADLINE if n in qs]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # iteration aid: comma-separated query subset
+        keep = set(only.split(","))
+        names = [n for n in names if n in keep] or names
     # warm the JVM + parquet footers once (excluded from timing)
     qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     # pre-fork the Python/Arrow workers (reused across queries afterwards)
@@ -104,18 +108,30 @@ def main():
     # (steady-state engine cost; first run additionally pays one-time JIT /
     # codegen-cache compilation that a long-lived cluster amortizes away).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    results = {}
+    results, split = {}, {}
     for name in names:
         # per-query untimed warm run: heavy expression trees (minhash, ANN)
         # pay multi-second one-time codegen that a long-lived cluster
         # amortizes; without this the median of 3 can still catch it
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times = []
+        times, cons, exes = [], [], []
         for _ in range(reps):
             t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            times.append(round(time.perf_counter() - t0, 3))
-        results[name] = sorted(times)[len(times) // 2]
+            df = qs[name](spark, SF_DIR)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            times.append(round(t2 - t0, 3))
+            cons.append(round(t1 - t0, 3))
+            exes.append(round(t2 - t1, 3))
+        # construct = python-side plan building incl. any eager driver work
+        # the operator does (carry collects, pivot-value discovery);
+        # execute = the noop sink (Catalyst analysis of the final plan +
+        # the jobs).  Split comes from the SAME rep as the reported median
+        # so construct + execute == the headline number.
+        mid = sorted(range(reps), key=lambda i: times[i])[reps // 2]
+        results[name] = times[mid]
+        split[name] = {"construct": cons[mid], "execute": exes[mid]}
 
     total = round(sum(results.values()), 3)
     # r1-anchor subtotal: the original 28-query set BENCH_r01 measured —
@@ -132,6 +148,7 @@ def main():
         "value_r1_set": r1_total,
         "unit": "sec",
         "queries": results,
+        "split": split,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

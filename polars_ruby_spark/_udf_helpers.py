@@ -559,6 +559,72 @@ def ewm_carry_arrays_udf(n_items: int, cols):
     return _udf
 
 
+def ewm_kernel_fold_udf(n_items: int, cols):
+    """Carry composition for the round-8 Arrow-kernel ungrouped ewm: folds
+    the pid-sorted O(partitions) summary array (one mapInArrow row per
+    partition) into each partition's INCOMING per-series carry + prior
+    non-null counts.
+
+    ``cols``: tuple of ``(item_idx, power, lam, ignore_nulls)`` per series
+    in global ``q{j}`` order.  Each summary row carries TWO totals per
+    series — ``q{j}`` computed as if no observation precedes the partition
+    and ``qa{j}`` otherwise; they differ only for adjust=false, where the
+    GLOBAL first non-null keeps weight 1 — and the fold picks by the
+    running prior count, mirroring the JVM path's driver loop exactly.
+    """
+    key = ("kernel", n_items, tuple(cols))
+    cached = _EWM_CARRY_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql import types as T
+
+    out_struct = T.StructType(
+        [T.StructField("pid", T.IntegerType())]
+        + [T.StructField(f"c{j}", T.DoubleType())
+           for j in range(len(cols))]
+        + [T.StructField(f"p{i}", T.LongType()) for i in range(n_items)])
+    pa_struct = pa.struct(
+        [("pid", pa.int32())]
+        + [(f"c{j}", pa.float64()) for j in range(len(cols))]
+        + [(f"p{i}", pa.int64()) for i in range(n_items)])
+
+    @arrow_udf(T.ArrayType(out_struct))
+    def _udf(xa: pa.Array) -> pa.Array:
+        if isinstance(xa, pa.ChunkedArray):
+            xa = xa.combine_chunks()
+        out = []
+        for row in xa.to_pylist():
+            if row is None:
+                out.append(None)
+                continue
+            entries = sorted(row, key=lambda e: e["pid"])
+            s = [0.0] * len(cols)
+            n = [0] * n_items
+            rows = []
+            for e in entries:
+                rec = {"pid": e["pid"]}
+                for j in range(len(cols)):
+                    rec[f"c{j}"] = s[j]
+                for i in range(n_items):
+                    rec[f"p{i}"] = n[i]
+                rows.append(rec)
+                for j, (i, p, lam, ign) in enumerate(cols):
+                    length = e[f"nn{i}"] if ign else e["nr"]
+                    q = e[f"q{j}"] if n[i] == 0 else e[f"qa{j}"]
+                    s[j] = (lam ** (p * length)) * s[j] \
+                        + (q if q is not None else 0.0)
+                for i in range(n_items):
+                    n[i] += e[f"nn{i}"]
+            out.append(rows)
+        return pa.array(out, type=pa.list_(pa_struct))
+
+    _EWM_CARRY_CACHE[key] = _udf
+    return _udf
+
+
 def make_grouped_agg_udf(function, return_type):
     """GROUPED_AGG pandas UDF (SURVEY §2.4 'UDAF available as extension'):
     pd.Series per group -> scalar, Arrow-batched, usable under group_by.agg

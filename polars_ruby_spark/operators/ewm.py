@@ -308,6 +308,292 @@ def _is_reset_form(spec: dict) -> bool:
     return not spec["adjust"] and not spec["ignore_nulls"]
 
 
+# -- Arrow-kernel ungrouped path (round-8) -----------------------------------
+#
+# The JVM window formulation of the UNGROUPED scan partitions every window
+# by ``spark_partition_id()`` — a column Catalyst knows nothing about, so
+# each consuming branch paid one full-data hash EXCHANGE plus a stack of
+# Window+Sort pairs (q132: 2 branches × ~6 sorts over data that is already
+# partition-contiguous in ROW_IDX order).  Since the scan is strictly
+# per-partition (the carry fold composes boundaries), the right shape is a
+# per-partition Arrow kernel: ONE ``mapInArrow`` pass computes every
+# binding's decayed sums with vectorized numpy — zero shuffles, zero sorts,
+# O(n/P) per task — and a second tiny pass emits one summary row per
+# partition for the existing lazy O(partitions) carry fold.  The numpy
+# block scan mirrors ``_decayed_sums``'s arithmetic exactly (same prescale,
+# same sequential accumulation order), so values agree to the ulp.
+#
+# The reset form (adjust=false & ignore_nulls=false) keeps the JVM window
+# path: its DATA-DEPENDENT log-decay makes block widths variable, which
+# defeats the equal-width reshape the kernel vectorizes with.
+
+
+def _item_series(spec: dict) -> list:
+    """Flattened (suffix, decay-power) list for one binding."""
+    out = [("s0", 1), ("s1", 1)]
+    if spec["kind"] in ("var", "std"):
+        out += [("s2", 1), ("sq", 2)]
+    return out
+
+
+def _series_coefs_np(xs, vm, spec: dict, prior_empty: bool):
+    """numpy mirror of ``_series_coefs`` on the dense scan axis."""
+    import numpy as np
+
+    alpha, adjust = spec["alpha"], spec["adjust"]
+    if adjust:
+        base = vm.astype("float64")
+        base_sq = base
+    else:
+        base = np.where(vm, float(alpha), 0.0)
+        if prior_empty:
+            nzi = np.flatnonzero(vm)
+            if len(nzi):
+                base[nzi[0]] = 1.0  # global first non-null keeps weight 1
+        base_sq = base * base
+    x0 = np.where(vm, xs, 0.0)          # coalesce(xd, 0); NaN values stay
+    series = [base, base * x0]
+    if spec["kind"] in ("var", "std"):
+        series += [base * x0 * x0, base_sq]
+    return series
+
+
+def _block_scan_np(c, p: int, lam: float, B: int, carry: float):
+    """Dense block-segmented prescaled scan — numpy mirror of the JVM
+    windows in ``_decayed_sums`` (same prescale bounds, same sequential
+    accumulation order via ``np.cumsum``), merged with the incoming carry
+    at decay ``lam^(p*(j+1))``."""
+    import numpy as np
+
+    n = len(c)
+    if n == 0:
+        return c
+    j = np.arange(n, dtype="float64")
+    if B >= n:                           # single block — no padding arrays
+        pre = c * lam ** (-(j * p))
+        s = lam ** (j * p) * np.cumsum(pre)
+    else:
+        nblk = (n + B - 1) // B
+        r = j % B
+        pre = c * lam ** (-(r * p))
+        pad = nblk * B - n
+        if pad:
+            pre = np.concatenate([pre, np.zeros(pad)])
+        lc = np.cumsum(pre.reshape(nblk, B), axis=1)
+        t = lc[:, -1]
+        cb = np.zeros(nblk)
+        # carry from the previous one/two (complete) blocks — same
+        # truncation as the JVM range frames (>=3 back: < lam^(3B))
+        t2 = np.concatenate([[0.0], t[:-2]]) if nblk > 2 else \
+            np.zeros(nblk - 1)
+        cb[1:] = lam ** ((B - 1) * p) * (t[:-1] + (lam ** (B * p)) * t2)
+        s = (lam ** (r * p) * lc.reshape(-1)[:n]
+             + lam ** ((r + 1) * p) * np.repeat(cb, B)[:n])
+    if carry:
+        s = s + lam ** ((j + 1) * p) * carry
+    return s
+
+
+def _scan_item_np(x, valid, spec: dict, prior_nn: int, carries: list):
+    """Per-row merged decayed sums for one binding over one partition.
+
+    ``x``: float64 (nulls NaN-filled), ``valid``: null mask (NaN VALUES are
+    valid, matching ``isNotNull``).  ``carries``: incoming per-series carry
+    (same order as ``_item_series``).  Returns (m_rows, [s_rows...]).
+    """
+    import numpy as np
+
+    mloc = np.cumsum(valid.astype("int64"))
+    lam, B = spec["lam"], _block_size(spec["lam"])
+    if spec["ignore_nulls"]:
+        xs, vm = x[valid], np.ones(int(valid.sum()), dtype=bool)
+    else:
+        xs, vm = x, valid
+    coefs = _series_coefs_np(xs, vm, spec, prior_nn == 0)
+    out = []
+    for (sfx, p), c, carry in zip(_item_series(spec), coefs, carries):
+        s = _block_scan_np(c, p, lam, B, carry)
+        if spec["ignore_nulls"]:
+            # expand the non-null-axis scan back to rows: null rows share
+            # the previous observation's value (same j, same block); rows
+            # before any observation carry the incoming state undecayed
+            # (j = -1 → lam^0) — both exactly the JVM per-row semantics
+            idx = mloc - 1
+            if len(s):
+                sr = s[np.clip(idx, 0, None)]
+                if idx[0] < 0:
+                    sr = np.where(idx < 0, carry, sr)
+            else:
+                sr = np.full(len(x), float(carry))
+            out.append(sr)
+        else:
+            out.append(s)
+    return mloc + int(prior_nn), out
+
+
+def _sorted_table(batches):
+    """Concatenate a partition's Arrow batches and sort by ROW_IDX."""
+    import numpy as np
+    import pyarrow as pa
+
+    bl = list(batches)
+    if not bl:
+        return None
+    tbl = pa.Table.from_batches(bl).combine_chunks()
+    ridx = tbl.column(ROW_IDX).to_numpy(zero_copy_only=False)
+    order = np.argsort(ridx, kind="stable")
+    if not np.array_equal(order, np.arange(len(order))):
+        tbl = tbl.take(pa.array(order))
+    return tbl
+
+
+def _col_np(tbl, name):
+    import pyarrow.compute as pc
+
+    col = tbl.column(name)
+    valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+    return col.to_numpy(zero_copy_only=False), valid
+
+
+def _make_summary_kernel(specs: list, xs: list, schema):
+    """One row per partition: counts + each series' decayed total at the
+    partition's last row, under BOTH prior-empty variants (they differ only
+    when adjust=false: the global first non-null keeps weight 1)."""
+    def gen(batches):
+        import pyarrow as pa
+
+        tbl = _sorted_table(batches)
+        if tbl is None or tbl.num_rows == 0:
+            return
+        row = {"pid": int(tbl.column(_PID)[0].as_py()),
+               "nr": tbl.num_rows}
+        jglob = 0
+        for i, spec in enumerate(specs):
+            x, valid = _col_np(tbl, xs[i])
+            row[f"nn{i}"] = int(valid.sum())
+            nseries = len(_item_series(spec))
+            zero = [0.0] * nseries
+            _m, s_rows = _scan_item_np(x, valid, spec, 0, zero)
+            if spec["adjust"]:
+                alts = s_rows
+            else:
+                _m, alts = _scan_item_np(x, valid, spec, 1, zero)
+            for k in range(nseries):
+                row[f"q{jglob + k}"] = float(s_rows[k][-1])
+                row[f"qa{jglob + k}"] = float(alts[k][-1])
+            jglob += nseries
+        yield pa.RecordBatch.from_pylist([row], schema=schema)
+    return gen
+
+
+def _make_scan_kernel(specs: list, xs: list, out_names: list):
+    """Full per-partition pass: appends per-binding ``__ewm_m_{i}__`` and
+    merged ``__ewm_{sfx}_{i}__`` columns; emits rows ROW_IDX-sorted."""
+    def gen(batches):
+        import pyarrow as pa
+
+        tbl = _sorted_table(batches)
+        if tbl is None or tbl.num_rows == 0:
+            return
+        cols = {n: tbl.column(n) for n in tbl.schema.names}
+        jglob = 0
+        for i, spec in enumerate(specs):
+            prior = cols[f"__p_{i}__"][0].as_py() or 0
+            nseries = len(_item_series(spec))
+            carries = [cols[f"__c_{jglob + k}__"][0].as_py() or 0.0
+                       for k in range(nseries)]
+            x, valid = _col_np(tbl, xs[i])
+            m_rows, s_rows = _scan_item_np(x, valid, spec, prior, carries)
+            cols[f"__ewm_m_{i}__"] = pa.array(m_rows, type=pa.int64())
+            for k, (sfx, _p) in enumerate(_item_series(spec)):
+                cols[f"__ewm_{sfx}_{i}__"] = pa.array(
+                    s_rows[k], type=pa.float64())
+            jglob += nseries
+        yield from pa.table({n: cols[n] for n in out_names}).to_batches()
+    return gen
+
+
+def _attach_ewm_global_kernel(sdf: DataFrame, items: list) -> DataFrame:
+    """Arrow-kernel ungrouped ewm (standard forms; see module note)."""
+    from pyspark.sql import types as T
+
+    from .._udf_helpers import ewm_kernel_fold_udf
+
+    if getattr(sdf, "_plsq_idx_pinned", False):
+        # fresh pinned with_row_index output: partitions are ALREADY
+        # contiguous ROW_IDX ranges on a pinned layout — no extra shuffle,
+        # no second checkpoint (round-8)
+        base = sdf.withColumn(_PID, F.spark_partition_id())
+    else:
+        base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
+                .localCheckpoint(eager=False)
+                .withColumn(_PID, F.spark_partition_id()))
+    xs = [f"__ewm_x_{i}__" for i in range(len(items))]
+    specs = [spec for _vf, spec, _o in items]
+    base = base.withColumns(
+        {xn: vf(base).cast("double")
+         for xn, (vf, _s, _o) in zip(xs, items)})
+
+    series_flat = [(i, sfx, p, specs[i]["lam"], specs[i]["ignore_nulls"],
+                    specs[i]["adjust"])
+                   for i, spec in enumerate(specs)
+                   for sfx, p in _item_series(spec)]
+    ns = len(series_flat)
+
+    sum_fields = ([T.StructField("pid", T.IntegerType()),
+                   T.StructField("nr", T.LongType())]
+                  + [T.StructField(f"nn{i}", T.LongType())
+                     for i in range(len(items))]
+                  + [T.StructField(f"q{j}", T.DoubleType())
+                     for j in range(ns)]
+                  + [T.StructField(f"qa{j}", T.DoubleType())
+                     for j in range(ns)])
+    sum_schema = T.StructType(sum_fields)
+    import pyarrow as pa
+
+    pa_sum_schema = pa.schema(
+        [("pid", pa.int32()), ("nr", pa.int64())]
+        + [(f"nn{i}", pa.int64()) for i in range(len(items))]
+        + [(f"q{j}", pa.float64()) for j in range(ns)]
+        + [(f"qa{j}", pa.float64()) for j in range(ns)])
+    summary = base.select(_PID, ROW_IDX, *xs).mapInArrow(
+        _make_summary_kernel(specs, xs, pa_sum_schema), sum_schema)
+    onerow = summary.agg(F.array_sort(F.collect_list(F.struct(
+        *[F.col(f.name) for f in sum_fields]))).alias("__arr__"))
+    fold = ewm_kernel_fold_udf(
+        len(items), tuple((i, p, lam, ign) for i, _s, p, lam, ign, _a
+                          in series_flat))
+    carry_tab = (onerow.select(F.explode(fold(F.col("__arr__"))).alias("r"))
+                 .select(F.col("r.pid").alias(_PID),
+                         *[F.col(f"r.c{j}").alias(f"__c_{j}__")
+                           for j in range(ns)],
+                         *[F.col(f"r.p{i}").alias(f"__p_{i}__")
+                           for i in range(len(items))]))
+    joined = base.join(F.broadcast(carry_tab), _PID, "left")
+
+    out_fields = list(joined.schema.fields)
+    for i, spec in enumerate(specs):
+        out_fields.append(T.StructField(f"__ewm_m_{i}__", T.LongType()))
+        for sfx, _p in _item_series(spec):
+            out_fields.append(
+                T.StructField(f"__ewm_{sfx}_{i}__", T.DoubleType()))
+    out_schema = T.StructType(out_fields)
+    scanned = joined.mapInArrow(
+        _make_scan_kernel(specs, xs, [f.name for f in out_fields]),
+        out_schema)
+
+    out_frame = scanned
+    drops = [_PID] + xs + [f"__c_{j}__" for j in range(ns)] \
+        + [f"__p_{i}__" for i in range(len(items))]
+    for i, (_vf, spec, out_name) in enumerate(items):
+        comb = _combine(spec["kind"], spec["bias"], spec["min_periods"],
+                        f"_{i}")
+        out_frame = out_frame.withColumn(out_name, comb)
+        drops.append(f"__ewm_m_{i}__")
+        drops += [f"__ewm_{sfx}_{i}__" for sfx, _p in _item_series(spec)]
+    return out_frame.drop(*drops)
+
+
 def attach_ewm_grouped(sdf: DataFrame, value_fn, key_fns, spec: dict,
                        out_name: str) -> DataFrame:
     """ewm under ``over(keys)``: block-segmented scan within each group.
@@ -354,12 +640,18 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
     machinery (`_decayed_sums` / `_varying_scan`) stays untouched.
     """
     assert ROW_IDX in sdf.columns
+    if all(not _is_reset_form(spec) for _vf, spec, _o in items):
+        # round-8: every standard-form batch takes the Arrow kernel —
+        # zero shuffles, zero window sorts (see module note)
+        return _attach_ewm_global_kernel(sdf, items)
     from pyspark.sql import types as T
 
     # adjust=True scans don't consume the prior flags (base weight is 1
     # regardless of `first`), so the pass-1 collect can MERGE into the
     # bounds collect — ONE driver job per construction instead of two;
-    # only the m-offset is applied post-join then
+    # only the m-offset is applied post-join then.  (Reachable only with a
+    # reset-form binding in the batch now, so one_pass is always False —
+    # kept for the shape of the code below.)
     one_pass = all(spec["adjust"] and not _is_reset_form(spec)
                    for _vf, spec, _o in items)
     # the checkpoint stays here (round-7 note): a deterministic-chunk key
@@ -368,10 +660,20 @@ def attach_ewm_global_multi(sdf: DataFrame, items: list) -> DataFrame:
     # the ewm base (scan + row-index attach + value projections) is deep
     # enough that recomputing it in the totals/fold branch cost MORE
     # (q132 execute 2.9 s → 4.1 s); the checkpoint also pins the sampled
-    # range layout the non-one-pass prior collects key on
-    base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
-            .localCheckpoint(eager=False)
-            .withColumn(_PID, F.spark_partition_id()))
+    # range layout the non-one-pass prior collects key on.
+    # Round-8: when the input IS a fresh pinned with_row_index output
+    # (``_plsq_idx_pinned`` — sorted input, checkpointed inside
+    # with_row_index), its partitions are ALREADY contiguous ROW_IDX
+    # ranges on a pinned layout, so the range repartition + second
+    # checkpoint here were pure overhead: one sampling job, one full
+    # shuffle, one materialization per execution and ~0.4 s of eager
+    # physical planning per construction.
+    if getattr(sdf, "_plsq_idx_pinned", False):
+        base = sdf.withColumn(_PID, F.spark_partition_id())
+    else:
+        base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
+                .localCheckpoint(eager=False)
+                .withColumn(_PID, F.spark_partition_id()))
     xs = [f"__ewm_x_{i}__" for i in range(len(items))]
     base = base.withColumns(
         {xn: vf(base) for xn, (vf, _s, _o) in zip(xs, items)})
@@ -559,12 +861,21 @@ def attach_ewm_global(sdf: DataFrame, value_fn, spec: dict,
     driver and broadcast the incoming carry per partition back.
     """
     assert ROW_IDX in sdf.columns
+    if not _is_reset_form(spec):
+        # round-8: standard forms take the Arrow kernel via the batched
+        # entry point (zero shuffles / window sorts; see module note)
+        return attach_ewm_global_multi(sdf, [(value_fn, spec, out_name)])
     lam, alpha = spec["lam"], spec["alpha"]
     need_var = spec["kind"] in ("var", "std")
     reset_form = _is_reset_form(spec)
-    base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
-            .localCheckpoint(eager=False)
-            .withColumn(_PID, F.spark_partition_id()))
+    if getattr(sdf, "_plsq_idx_pinned", False):
+        # fresh pinned with_row_index output: already contiguous ROW_IDX
+        # ranges on a pinned layout (see attach_ewm_global_multi, round-8)
+        base = sdf.withColumn(_PID, F.spark_partition_id())
+    else:
+        base = (sdf.repartitionByRange(F.col(ROW_IDX).asc())
+                .localCheckpoint(eager=False)
+                .withColumn(_PID, F.spark_partition_id()))
     base = base.withColumn("__ewm_x__", value_fn(base))
     # pass 1 (O(partitions) rows): per-pid counted lengths -> exclusive
     # prefix counts (global non-null offset) and, for the reset form, the

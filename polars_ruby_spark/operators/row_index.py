@@ -56,7 +56,8 @@ def with_row_index(sdf: DataFrame, name: str = ROW_IDX, offset: int = 0) -> Data
     """
     if name in sdf.columns:
         sdf = sdf.drop(name)
-    if _has_global_sort(sdf):
+    pinned = _has_global_sort(sdf)
+    if pinned:
         # The two passes below (per-partition counts + the data path) would
         # each recompute the upstream sort: column pruning narrows the counts
         # branch's scan, so Catalyst's ReuseExchange never fires and a sorted
@@ -84,7 +85,19 @@ def with_row_index(sdf: DataFrame, name: str = ROW_IDX, offset: int = 0) -> Data
     )
     # Keep the new index first like the reference does.
     cols = [name] + [c for c in sdf.columns]
-    return out.select(*cols)
+    out = out.select(*cols)
+    if name == ROW_IDX:
+        # Plan-level provenance tag (round-8): this exact DataFrame's
+        # partitions are contiguous ROW_IDX ranges in ascending
+        # spark_partition_id order BY CONSTRUCTION (index = pid offset +
+        # local position), and — when the input was checkpointed above —
+        # the physical layout is PINNED (no sampled range boundaries).
+        # Downstream partition-prefix consumers (attach_ewm_global*) read
+        # the tag to skip their own repartitionByRange + localCheckpoint:
+        # a redundant sampling job, full shuffle and materialization on
+        # top of an input that already has the layout they build.
+        out._plsq_idx_pinned = pinned
+    return out
 
 
 def ensure_row_index(sdf: DataFrame) -> DataFrame:

@@ -2305,3 +2305,62 @@ def test_collect_based_aggs_under_over(spark):
     assert [r["q"] for r in out] == [2.0, 2.0, 3.0]
     assert [r["m"] for r in out] == [[1.0, 2.0], [1.0, 2.0], [3.0]]
     assert [r["u"] for r in out] == [[1.0, 2.0], [1.0, 2.0], [3.0]]
+
+
+def test_ewm_kernel_multipartition_carry(spark):
+    """Round-8 Arrow-kernel ungrouped ewm: the per-partition numpy block
+    scan + carry fold must agree with the single-partition result across
+    a REAL multi-partition pinned layout (the local suites otherwise run
+    one partition, leaving the cross-partition composition unexercised).
+    Covers the three kernel forms (adjust x ignore_nulls minus reset),
+    mean and std, with nulls straddling partition boundaries."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_ruby_spark.operators.ewm import attach_ewm_global_multi
+    from polars_ruby_spark.session import ROW_IDX
+
+    rng = np.random.RandomState(7)
+    vals = [None if rng.rand() < 0.25 else round(float(rng.randn()), 3)
+            for _ in range(403)]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(rows, f"{ROW_IDX} long, x double")
+    multi = sdf.repartitionByRange(5, F.col(ROW_IDX).asc()) \
+        .localCheckpoint(eager=False)
+    multi._plsq_idx_pinned = True       # exercise the pinned fast path
+    single = sdf.coalesce(1).localCheckpoint(eager=False)
+    single._plsq_idx_pinned = True
+
+    for adjust, ign in [(True, True), (True, False), (False, True)]:
+        spec_m = {"kind": "mean", "alpha": 0.4, "lam": 0.6, "adjust": adjust,
+                  "ignore_nulls": ign, "bias": False, "min_periods": 1}
+        spec_s = dict(spec_m, kind="std")
+        items = [(lambda df: F.col("x"), spec_m, "em"),
+                 (lambda df: F.col("x"), spec_s, "es")]
+        got_m = attach_ewm_global_multi(multi, items) \
+            .orderBy(ROW_IDX).select("em", "es").collect()
+        got_1 = attach_ewm_global_multi(single, items) \
+            .orderBy(ROW_IDX).select("em", "es").collect()
+        gm = [(None if r["em"] is None else round(r["em"], 9),
+               None if r["es"] is None else round(r["es"], 9)) for r in got_m]
+        g1 = [(None if r["em"] is None else round(r["em"], 9),
+               None if r["es"] is None else round(r["es"], 9)) for r in got_1]
+        assert gm == g1, f"adjust={adjust} ign={ign}"
+        # and both match pandas
+        s = pd.Series([np.nan if v is None else v for v in vals])
+        ew = s.ewm(alpha=0.4, adjust=adjust, ignore_na=ign, min_periods=1)
+        exp_m = ew.mean()
+        exp_s = np.sqrt(ew.var(bias=False))
+        cnt = 0
+        for i, v in enumerate(vals):
+            cnt += v is not None
+            em, es = gm[i]
+            if cnt == 0:
+                assert em is None and es is None
+            else:
+                assert abs(em - float(exp_m.iloc[i])) < 1e-6
+                if cnt == 1:
+                    assert es == 0.0
+                else:
+                    assert abs(es - float(exp_s.iloc[i])) < 1e-6
