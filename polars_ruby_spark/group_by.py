@@ -1183,6 +1183,20 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 return self._agg_collect_win(dur, exprs, named)
             except Exception:
                 return self._agg_band(dur, exprs, named)
+        all_pre = [wrap_expr(e) for e in exprs] + [
+            wrap_expr(e).alias(k) for k, e in named.items()]
+        plan_k = self._sliding_plan(all_pre)
+        if plan_k is not None and any(k in ("min", "max")
+                                      for k, _c in plan_k):
+            # round-8: simple-agg batches containing min/max take the
+            # sliding Arrow kernel — the JVM range frame re-evaluates
+            # every window (O(n·w), the q143-class density wall) and the
+            # calendar paths have no min/max prefix form; the kernel is
+            # ≲linear for all six simple aggregates
+            try:
+                return self._agg_sliding_kernel(dur, all_pre, plan_k)
+            except ValueError:
+                pass  # unsupported dtype/index → existing routes
         if dur.is_calendar:
             return self._agg_calendar(dur, exprs, named)
         span_us = int(dur.total_seconds() * 1_000_000)
@@ -1563,6 +1577,143 @@ class RollingGroupBy(_TemporalGroupByMixin):
             *[F.col(n).alias(b) for b, n in zip(self._by, kn)],
             F.col("__ra_ts__").alias(self._index),
             *keep)
+        return self._wrap_out(LazyFrame(out))
+
+    @staticmethod
+    def _sliding_plan(all_exprs):
+        """Classify rolling aggregates for the sliding Arrow kernel
+        (operators/rolling_kernel.py): every aggregate must be
+        min/max/sum/mean/count/len over a plain row-level expression.
+        Returns ``[(kind, value_expr|None), ...]`` or None."""
+        plan = []
+        for e in all_exprs:
+            while e._meta and e._meta[0] == "alias" and e._meta[1]:
+                e = e._meta[1][0]
+            label = e._meta[0] if e._meta else None
+            if label == "len":
+                plan.append(("len", None))
+            elif label in ("sum", "mean", "count", "min", "max") \
+                    and e._meta[1]:
+                child = e._meta[1][0]
+                if getattr(child, "_is_agg", False) or \
+                        getattr(child, "_needs_order", False):
+                    return None
+                plan.append((label, child))
+            else:
+                return None
+        return plan
+
+    def _agg_sliding_kernel(self, dur, all_exprs, plan):
+        """Rolling min/max/sum/mean/count/len via the sliding Arrow kernel
+        — the ≲linear replacement for both the JVM range-frame path (whose
+        SlidingWindowFunctionFrame re-evaluates every frame: O(n·w)) and,
+        for min/max, the collect-window path (O(n·w) membership arrays).
+        See operators/rolling_kernel.py for the plan shape.  Raises
+        ValueError for unsupported index/value dtypes (callers fall back).
+        """
+        from pyspark.sql import types as T
+
+        from .frame import LazyFrame
+        from .operators.rolling_kernel import make_sliding_kernel
+
+        sdf = self._lf._sdf
+        idx_t = sdf.schema[self._index].dataType
+        if not isinstance(idx_t, (T.TimestampType, T.TimestampNTZType,
+                                  T.DateType)):
+            raise ValueError("sliding kernel needs a temporal index")
+        t = F.col(self._index).cast("timestamp")
+        ts_us = F.unix_micros(t)
+        # exact integer window bounds (lo_excl, hi_incl] in µs — calendar
+        # month arithmetic stays in Catalyst, same exprs as the prefix path
+        if dur.is_calendar:
+            pm, pus = dur.months, int(dur.microseconds)
+            lo_base = F.unix_micros(
+                t - F.make_interval(F.lit(0), F.lit(pm))) - F.lit(pus)
+            span_ub = pm * 31 * 86400 * 1_000_000 + pus
+        else:
+            span_us = int(dur.total_seconds() * 1_000_000)
+            lo_base = ts_us - F.lit(span_us)
+            span_ub = span_us
+        hi = ts_us if self._closed in ("right", "both") else ts_us - F.lit(1)
+        lo = lo_base if self._closed in ("right", "none") \
+            else lo_base - F.lit(1)
+
+        # value columns: bind each child once; sums over float accumulate
+        # in double like Spark's sum(float) -> double
+        val_cols, kplan, out_types, out_stypes, names = {}, [], [], [], []
+        fields = {f.name: f.dataType for f in sdf.schema.fields}
+        num_t = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType)
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        for i, ((kind, child), e) in enumerate(zip(plan, all_exprs)):
+            nm = e._name
+            if kind == "len":
+                kplan.append(("len", None, False))
+                out_types.append(pa.int64())
+                out_stypes.append(T.LongType())
+                names.append(nm or "len")
+                continue
+            c = child._fn(sdf, None)
+            probe = sdf.select(c)
+            dt = probe.schema[0].dataType
+            if not nm:
+                nm = probe.columns[0]
+            ok_minmax = isinstance(dt, num_t + (T.TimestampType,
+                                                T.TimestampNTZType,
+                                                T.DateType))
+            if (kind in ("min", "max") and not ok_minmax) or \
+                    (kind in ("sum", "mean") and not isinstance(dt, num_t)):
+                raise ValueError(f"sliding kernel: unsupported dtype {dt}")
+            vc = f"__rkv{i}__"
+            val_cols[vc] = c
+            is_float = isinstance(dt, (T.FloatType, T.DoubleType))
+            kplan.append((kind, vc, is_float))
+            if kind == "count":
+                out_types.append(pa.int64())
+                out_stypes.append(T.LongType())
+            elif kind == "mean":
+                out_types.append(pa.float64())
+                out_stypes.append(T.DoubleType())
+            elif kind == "sum":
+                out_types.append(pa.float64() if is_float else pa.int64())
+                out_stypes.append(T.DoubleType() if is_float
+                                  else T.LongType())
+            else:
+                out_types.append(to_arrow_type(dt))
+                out_stypes.append(dt)
+            names.append(nm)
+
+        kn = list(self._by)
+        chunk_w = max(span_ub, 1) * 8
+        c0 = F.floor(ts_us / F.lit(chunk_w)).cast("long")
+        near_hi = ts_us >= (c0 + 1) * F.lit(chunk_w) - F.lit(span_ub)
+        work = (sdf.select(
+            *kn, ts_us.alias("__rk_t__"), lo.alias("__rk_lo__"),
+            hi.alias("__rk_hi__"), c0.alias("__rk_c0__"),
+            *[c.alias(n) for n, c in val_cols.items()])
+            .withColumn("__rk_ch__", F.explode(
+                F.when(near_hi, F.array(F.col("__rk_c0__"),
+                                        F.col("__rk_c0__") + F.lit(1)))
+                .otherwise(F.array(F.col("__rk_c0__")))))
+            .withColumn("__rk_own__",
+                        F.col("__rk_ch__") == F.col("__rk_c0__")))
+        out_names = kn + ["__rk_t__"] + names
+        pa_types = ([to_arrow_type(fields[k]) for k in kn]
+                    + [pa.int64()] + out_types)
+        spark_out = T.StructType(
+            [T.StructField(k, fields[k]) for k in kn]
+            + [T.StructField("__rk_t__", T.LongType())]
+            + [T.StructField(n, st) for n, st in zip(names, out_stypes)])
+        kern = make_sliding_kernel(kplan, kn, out_names, pa_types)
+        grouped = work.groupBy(*kn, "__rk_ch__").applyInArrow(
+            kern, spark_out)
+        out = grouped.select(
+            *kn,
+            F.timestamp_micros(F.col("__rk_t__")).cast(idx_t)
+            .alias(self._index),
+            *names)
         return self._wrap_out(LazyFrame(out))
 
     @staticmethod
