@@ -2315,6 +2315,51 @@ def q156_rolling_index_agg(spark, sf_dir):
     return _out(out)
 
 
+def q157_rolling_minmax_kernel(spark, sf_dir):
+    """Round-9: the sliding Arrow-kernel rolling route (an ALL-SIMPLE agg
+    batch containing min/max — operators/rolling_kernel.py) on a FIXED
+    period, grouped, closed='both'.  Covers min/max over doubles AND over
+    the timestamp index, sum + count + len, through per-chunk prefix sums
+    and sparse argmin/argmax tables (the r8 route that shipped without
+    ever executing; lazy_frame.rb:1161)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.rolling(index_column="ts", period="3h", group_by="event_type",
+                   closed="both")
+        .agg(pl.col("value").min().alias("mn"),
+             pl.col("value").max().alias("mx"),
+             pl.col("value").sum().alias("sm"),
+             pl.col("ts").min().alias("w_start"),
+             pl.col("value").count().alias("c"),
+             pl.len().alias("n"))
+        .with_columns(pl.col("sm").round(4))
+    )
+    return _out(out)
+
+
+def q158_rolling_calendar_kernel(spark, sf_dir):
+    """Round-9: the sliding kernel's CALENDAR arm — month arithmetic stays
+    in Catalyst (make_interval month subtraction feeds exact per-anchor µs
+    bounds); windows here span up to a full month of the dense events
+    series (~2000 rows/group), exactly the O(n·w) density that kills both
+    the JVM range frame and collect-window membership at 10× — the kernel
+    answers each anchor in O(log w)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.rolling(index_column="ts", period="1mo", group_by="event_type")
+        .agg(pl.col("value").min().alias("mn"),
+             pl.col("value").max().alias("mx"),
+             pl.col("value").sum().alias("sm"),
+             pl.len().alias("n"))
+        .with_columns(pl.col("sm").round(4))
+    )
+    return _out(out)
+
+
 def _stage_events_stream(spark, sf_dir, n_files=1):
     """Stage a µs-timestamp copy of events for a file-source stream (the
     raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
@@ -2597,6 +2642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_stream_session_replay": q154_stream_session_replay,
         "q155_rolling_unaliased_names": q155_rolling_unaliased_names,
         "q156_rolling_index_agg": q156_rolling_index_agg,
+        "q157_rolling_minmax_kernel": q157_rolling_minmax_kernel,
+        "q158_rolling_calendar_kernel": q158_rolling_calendar_kernel,
     }
 
 
@@ -3465,6 +3512,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events a LEFT JOIN events b
               ON a.event_type = b.event_type
              AND b.ts > a.ts - INTERVAL 4 HOUR AND b.ts <= a.ts
+            GROUP BY a.event_type, a.ts, a.event_id
+        """,
+        "q157_rolling_minmax_kernel": """
+            SELECT a.event_type, a.ts,
+                   min(b.value) AS mn, max(b.value) AS mx,
+                   round(sum(b.value), 4) AS sm,
+                   min(b.ts) AS w_start,
+                   count(b.value) AS c, count(b.event_id) AS n
+            FROM events a LEFT JOIN events b
+              ON a.event_type = b.event_type
+             AND b.ts >= a.ts - INTERVAL 3 HOUR AND b.ts <= a.ts
+            GROUP BY a.event_type, a.ts, a.event_id
+        """,
+        "q158_rolling_calendar_kernel": """
+            SELECT a.event_type, a.ts,
+                   min(b.value) AS mn, max(b.value) AS mx,
+                   round(sum(b.value), 4) AS sm,
+                   count(b.event_id) AS n
+            FROM events a LEFT JOIN events b
+              ON a.event_type = b.event_type
+             AND b.ts > a.ts - INTERVAL 1 MONTH AND b.ts <= a.ts
             GROUP BY a.event_type, a.ts, a.event_id
         """,
         "q150_list_eval_positional": """

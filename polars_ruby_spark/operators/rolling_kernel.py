@@ -64,7 +64,11 @@ def _argbest_table(v, invalid, max_len: int, want_min: bool):
     tables = [idx]
     span = 1
     while span * 2 <= n and span < max_len:
-        a = tables[-1][:n - span]
+        # slice against the PREVIOUS level's length, not the original n —
+        # level k has n - 2^k + 1 entries (round-9 fix: the n-based slice
+        # misaligned every level ≥ 2, shapes (m-span-1,) vs (m-span,))
+        m = len(tables[-1])
+        a = tables[-1][:m - span]
         b = tables[-1][span:]
         av, bv = v[a], v[b]
         ainv, binv = invalid[a], invalid[b]
@@ -173,9 +177,16 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
                 cols[name] = pa.array(cnt, type=pa.int64())
                 continue
             if kind in ("sum", "mean"):
-                filled = np.where(valid & ~nanm, vnp, 0)
-                if is_float or kind == "mean":
-                    filled = filled.astype("float64")
+                if is_float:
+                    filled = np.where(valid & ~nanm, vnp,
+                                      0.0).astype("float64")
+                else:
+                    # accumulate in int64 — prefix sums in the source's
+                    # narrow dtype (int8/16/32) silently wrap; Arrow-side
+                    # fill_null keeps int64 sources exact (a numpy round
+                    # trip through float64 would round above 2^53)
+                    filled = pc.fill_null(col, 0).cast(
+                        pa.int64()).to_numpy(zero_copy_only=False)
                 ps = _prefix(filled)
                 sv = ps[ends] - ps[starts]
                 if is_float:
@@ -188,10 +199,13 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
                     cols[name] = pa.array(res, type=pa.float64(),
                                           mask=cnt == 0)
                 else:
+                    # sum over zero observations is 0, not null (polars
+                    # semantics; matches the collect-window/prefix routes);
+                    # sv is already 0 there by prefix-difference identity
                     out_t = pa.float64() if is_float else pa.int64()
                     cols[name] = pa.array(
                         sv.astype("float64" if is_float else "int64"),
-                        type=out_t, mask=cnt == 0)
+                        type=out_t)
                 continue
             # min / max — Spark ordering: nulls skipped; NaN greatest
             want_min = kind == "min"

@@ -1,0 +1,240 @@
+"""Sliding rolling-kernel differential tests (round 9).
+
+The kernel (``operators/rolling_kernel.py``) answers rolling
+min/max/sum/mean/count/len batches via per-chunk prefix sums + sparse
+tables.  Round 8 shipped it without ever executing it; these tests pin
+
+- ROUTING: an all-simple batch containing min/max must actually reach the
+  kernel (FlatMapGroupsInArrow in the plan) — the broad routing fallback
+  must not silently paper over a broken kernel;
+- VALUES: differential vs a row-by-row brute force under polars semantics
+  (null skipping, NaN-greatest min/max, sum-over-empty = 0) across all 4
+  closed modes × grouped/ungrouped × fixed/calendar periods, with windows
+  deep enough to exercise sparse-table levels ≥ 3;
+- DTYPES: narrow-int sums accumulate in int64 (no int8 wrap);
+- ORDER: exports restore polars' anchor order after the kernel's shuffle.
+
+Parity: /root/reference/lib/polars/lazy_frame.rb:1161 (rolling).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+import polars_ruby_spark as pl
+
+CLOSED = ["right", "left", "both", "none"]
+
+
+def _brute(ts, vals, groups, period_us, months, closed):
+    """Row-by-row rolling truth under polars semantics.
+
+    Returns per-anchor dicts of min/max/sum/mean/count/len over the
+    look-back window ending at the anchor.  ``vals[i]`` is None (null) or
+    float (possibly NaN).
+    """
+    out = []
+    for i, t in enumerate(ts):
+        if months:
+            m = t.month - 1 - months
+            y, m = t.year + m // 12, m % 12 + 1
+            import calendar
+
+            d = min(t.day, calendar.monthrange(y, m)[1])
+            lo = t.replace(year=y, month=m, day=d) - dt.timedelta(
+                microseconds=period_us)
+        else:
+            lo = t - dt.timedelta(microseconds=period_us)
+        win = []
+        for j, tj in enumerate(ts):
+            if groups is not None and groups[j] != groups[i]:
+                continue
+            inside = {
+                "right": lo < tj <= t,
+                "left": lo <= tj < t,
+                "both": lo <= tj <= t,
+                "none": lo < tj < t,
+            }[closed]
+            if inside:
+                win.append(vals[j])
+        valid = [v for v in win if v is not None]
+        real = [v for v in valid if not math.isnan(v)]
+        has_nan = len(real) < len(valid)
+        if not valid:
+            mn = mx = None
+        else:
+            # Spark/polars float ordering: NaN is GREATEST
+            mx = float("nan") if has_nan else max(real)
+            mn = min(real) if real else float("nan")
+        s = float("nan") if has_nan else float(sum(real))
+        out.append({
+            "mn": mn, "mx": mx,
+            "sm": s if valid else 0.0,
+            "me": None if not valid else (
+                float("nan") if has_nan else s / len(valid)),
+            "ct": len(valid), "ln": len(win),
+        })
+    return out
+
+
+def _mkframe(ts, vals, groups):
+    data = {"ts": [t.strftime("%Y-%m-%d %H:%M:%S.%f") for t in ts],
+            "v": vals}
+    if groups is not None:
+        data["g"] = groups
+    return (pl.DataFrame(data)
+            .with_columns(pl.col("ts").cast(pl.Datetime)))
+
+
+def _agg_all(df, period, closed, by):
+    return (df.rolling(index_column="ts", period=period, closed=closed,
+                       group_by=by)
+            .agg(pl.col("v").min().alias("mn"),
+                 pl.col("v").max().alias("mx"),
+                 pl.col("v").sum().alias("sm"),
+                 pl.col("v").mean().alias("me"),
+                 pl.col("v").count().alias("ct"),
+                 pl.len().alias("ln")))
+
+
+def _close(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and math.isnan(a):
+        return isinstance(b, float) and math.isnan(b)
+    return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-12)
+
+
+def _check(rows, ts, expected, groups):
+    # result rows arrive in anchor order (deferred ROW_IDX restore)
+    assert len(rows) == len(expected)
+    for i, (r, e) in enumerate(zip(rows, expected)):
+        assert r["ts"] == ts[i], f"anchor order broken at {i}"
+        for k in ("mn", "mx", "sm", "me"):
+            assert _close(r[k], e[k]), (i, k, r[k], e[k])
+        assert r["ct"] == e["ct"] and r["ln"] == e["ln"], (i, r, e)
+
+
+def _routed_to_kernel(res):
+    plan = res.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    return "FlatMapGroupsInArrow" in plan and "collect_list" not in plan
+
+
+@pytest.mark.parametrize("closed", CLOSED)
+@pytest.mark.parametrize("grouped", [False, True])
+def test_sliding_kernel_fixed_differential(spark, closed, grouped):
+    """Fixed 45-minute window, dense data (windows span ~45 rows →
+    sparse-table levels ≥ 5), nulls + NaNs, vs brute force."""
+    rng = np.random.RandomState(42)
+    n = 300
+    base = dt.datetime(2024, 3, 1)
+    offs = np.sort(rng.randint(0, 300 * 60, size=n))
+    ts = [base + dt.timedelta(seconds=int(o), microseconds=int(i % 7))
+          for i, o in enumerate(offs)]
+    vals = []
+    for i in range(n):
+        r = rng.rand()
+        vals.append(None if r < 0.12
+                    else float("nan") if r < 0.2
+                    else round(float(rng.randn() * 50), 3))
+    groups = [f"g{i % 3}" for i in range(n)] if grouped else None
+    df = _mkframe(ts, vals, groups).sort("ts")
+    # sort is stable; brute force must see the same (sorted) anchor order
+    order = sorted(range(n), key=lambda i: ts[i])
+    ts_s = [ts[i] for i in order]
+    vals_s = [vals[i] for i in order]
+    groups_s = [groups[i] for i in order] if grouped else None
+    res = _agg_all(df, "45m", closed, "g" if grouped else None)
+    assert _routed_to_kernel(res)
+    exp = _brute(ts_s, vals_s, groups_s, 45 * 60 * 1_000_000, 0, closed)
+    _check(res.to_a(), ts_s, exp, groups_s)
+
+
+@pytest.mark.parametrize("closed", ["right", "left"])
+def test_sliding_kernel_calendar_differential(spark, closed):
+    """Calendar 1mo window (month arithmetic stays in Catalyst), grouped,
+    sparse data with month-boundary edge days, vs brute force."""
+    rng = np.random.RandomState(7)
+    ts, vals, groups = [], [], []
+    for m, d, h in [(1, 5, 1), (1, 20, 2), (1, 31, 5), (2, 10, 3),
+                    (2, 29, 23), (3, 3, 1), (3, 29, 4), (3, 31, 9),
+                    (4, 18, 2), (4, 30, 12), (5, 31, 7), (6, 1, 3)]:
+        for g in ("a", "b"):
+            ts.append(dt.datetime(2024, m, d, h))
+            r = rng.rand()
+            vals.append(None if r < 0.15 else round(float(rng.randn()), 4))
+            groups.append(g)
+    order = sorted(range(len(ts)), key=lambda i: (ts[i], i))
+    ts = [ts[i] for i in order]
+    vals = [vals[i] for i in order]
+    groups = [groups[i] for i in order]
+    df = _mkframe(ts, vals, groups).sort("ts")
+    res = _agg_all(df, "1mo", closed, "g")
+    assert _routed_to_kernel(res)
+    exp = _brute(ts, vals, groups, 0, 1, closed)
+    _check(res.to_a(), ts, exp, groups)
+
+
+def test_sliding_kernel_narrow_int_sum(spark):
+    """int8 source, 100-wide windows: sums reach 10k — far past int8 —
+    and must come back exact int64 (ADVICE r8: prefix sums wrapped in the
+    source dtype)."""
+    n = 200
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+          for i in range(n)]
+    df = (_mkframe(ts, [100] * n, None)
+          .with_columns(pl.col("v").cast(pl.Int8)))
+    res = (df.rolling(index_column="ts", period="100s")
+           .agg(pl.col("v").sum().alias("s"),
+                pl.col("v").max().alias("m")))
+    assert _routed_to_kernel(res)
+    rows = res.to_a()
+    # window (t-100s, t] holds min(i+1, 100) rows of value 100
+    assert [r["s"] for r in rows] == [100 * min(i + 1, 100)
+                                      for i in range(n)]
+    assert all(r["m"] == 100 for r in rows)
+
+
+def test_sliding_kernel_empty_window_semantics(spark):
+    """closed='left' first window is empty: sum → 0 (polars), min/mean →
+    null, count/len → 0."""
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(hours=i) for i in range(4)]
+    df = _mkframe(ts, [1.5, 2.5, None, 4.5], None)
+    res = (df.rolling(index_column="ts", period="1h", closed="left")
+           .agg(pl.col("v").sum().alias("s"),
+                pl.col("v").min().alias("mn"),
+                pl.col("v").mean().alias("me"),
+                pl.col("v").count().alias("ct"),
+                pl.len().alias("ln")))
+    assert _routed_to_kernel(res)
+    rows = res.to_a()
+    assert rows[0] == {"ts": ts[0], "s": 0.0, "mn": None, "me": None,
+                      "ct": 0, "ln": 0}
+    assert rows[1]["s"] == 1.5 and rows[1]["mn"] == 1.5
+    # window 2 = [ts1, ts2) = {v=2.5}; window 3 = {null} → sum 0, min null
+    assert rows[2]["s"] == 2.5
+    assert rows[3] == {"ts": ts[3], "s": 0.0, "mn": None, "me": None,
+                      "ct": 0, "ln": 1}
+
+
+def test_sliding_kernel_anchor_order_export(spark):
+    """The kernel's applyInArrow shuffle scrambles physical order; the
+    hidden ROW_IDX + deferred _order_dirty restore must bring exports back
+    to anchor order (ADVICE r8 low)."""
+    n = 500
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+          for i in range(n)]
+    groups = [f"g{i % 5}" for i in range(n)]
+    df = _mkframe(ts, [float(i) for i in range(n)], groups).sort("ts")
+    res = (df.rolling(index_column="ts", period="30m", group_by="g")
+           .agg(pl.col("v").max().alias("m")))
+    assert _routed_to_kernel(res)
+    out_ts = [r["ts"] for r in res.to_a()]
+    assert out_ts == ts
+    # and the same contract survives a to_pandas export
+    pdf = res.to_pandas()
+    assert list(pdf["m"])[:3] == [0.0, 1.0, 2.0]

@@ -994,6 +994,52 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
             _os.remove(avp)
             _os.rmdir(_os.path.dirname(avp))
 
+    # 32. rolling SLIDING-KERNEL route (round-9): an ALL-SIMPLE agg batch
+    # containing min/max routes to the per-chunk Arrow kernel
+    # (operators/rolling_kernel.py) — the blind spot template 27 could
+    # never reach (its median/spearman always force the collect-window
+    # path; the r8 kernel crash shipped exactly in that shadow).  Pins
+    # null skipping, sum-over-empty-window = 0, int64 sum accumulation,
+    # all 4 closed modes, grouped/ungrouped, both timestamp shapes.
+    per32, d32 = rng.choice([("45m", "45 MINUTES"), ("3h", "3 HOURS"),
+                             ("1d", "1 DAY")])
+    k32 = rng.choice([None, "g", "h"])
+    t32 = rng.choice(["ts", "hts"])
+    cl32 = rng.choice(["right", "left", "both", "none"])
+    cmp_lo = ">" if cl32 in ("right", "none") else ">="
+    cmp_hi = "<" if cl32 in ("left", "none") else "<="
+    b32 = df.lazy().filter(pl.col(t32).is_not_null())
+    kf = ""
+    if k32 is not None:
+        b32 = b32.filter(pl.col(k32).is_not_null())
+        kf = f"AND {k32} IS NOT NULL"
+    b32 = b32.sort(t32, "idx")
+    q32 = (b32.rolling(index_column=t32, period=per32, group_by=k32,
+                       closed=cl32)
+           .agg(pl.col("x").min().alias("mn"),
+                pl.col("y").max().alias("mx"),
+                pl.col("x").sum().alias("sm"),
+                pl.col("a").sum().alias("sa"),
+                pl.col("y").mean().alias("me"),
+                pl.col("x").count().alias("c"),
+                pl.len().alias("n")))
+    ksel = f"a.{k32} AS ak," if k32 else ""
+    kjoin = f"a.{k32} = b.{k32} AND" if k32 else ""
+    kout = f"ak AS {k32}," if k32 else ""
+    kgrp = ", ak" if k32 else ""
+    sql = (f"WITH s AS (SELECT idx, {t32} AS ats, g, h, a, x, y FROM t "
+           f"WHERE {t32} IS NOT NULL {kf}), "
+           f"j AS (SELECT a.idx AS ai, a.ats, {ksel} b.idx AS bi, "
+           f"b.x AS bx, b.y AS byy, b.a AS ba FROM s a LEFT JOIN s b "
+           f"ON {kjoin} b.ats {cmp_lo} a.ats - INTERVAL {d32} "
+           f"AND b.ats {cmp_hi} a.ats) "
+           f"SELECT {kout} ats AS {t32}, min(bx) AS mn, max(byy) AS mx, "
+           "COALESCE(sum(bx), 0) AS sm, COALESCE(sum(ba), 0) AS sa, "
+           "avg(byy) AS me, count(bx) AS c, count(bi) AS n "
+           f"FROM j GROUP BY ai, ats{kgrp}")
+    compare(f"rolling_kernel_{per32}_{k32}_{cl32}",
+            q32.collect().to_spark(), sql)
+
     duck.unregister("t")
     return diffs
 

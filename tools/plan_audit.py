@@ -196,7 +196,13 @@ def audit(sf_dir: str) -> int:
     for name, fn in entry.queries().items():
         if name in SKIP:
             continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution() \
+                .executedPlan().toString()
+        except Exception as e:  # a broken query is a VIOLATION, not an abort
+            failures += 1
+            print(f"✗ {name}: EXCEPTION {type(e).__name__}: {e}")
+            continue
         problems = []
         n = single_partition_violations(plan)
         if n and name not in ALLOWED_SEQUENTIAL:
