@@ -72,6 +72,9 @@ HEADLINE = [
     "q107_global_ordinals",         # batched two-pass cum attaches
     "q150_list_eval_positional",    # positional order ops in list.eval
     "q151_stream_windowed_agg",     # streaming replay (stage+run per rep)
+    # round-9 additions
+    "q157_rolling_minmax_kernel",   # sliding Arrow kernel, fixed period
+    "q158_rolling_calendar_kernel",  # sliding kernel, month-wide windows
 ]
 
 
@@ -139,17 +142,32 @@ def main():
     r1_set = [n for n in HEADLINE if not n.startswith(
         ("q132", "q133", "q134", "q135", "q136", "q137", "q138",
          "q139", "q140", "q141", "q142", "q143", "q144", "q145",
-         "q146", "q147", "q148", "q149", "q107", "q150", "q151"))]
+         "q146", "q147", "q148", "q149", "q107", "q150", "q151",
+         "q157", "q158"))]
     r1_total = round(sum(results[n] for n in r1_set if n in results), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # the construct/execute split goes on its OWN line (plus a sidecar
+    # file) BEFORE the headline: the driver captures only the tail of
+    # stdout, and r8's single fat line pushed the headline head past the
+    # capture window ("parsed": null in BENCH_r08.json).  The LAST line
+    # must be the compact headline JSON.
+    split_doc = {"metric": "construct_execute_split", "split": split,
+                 "sf": sf_val}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SPLIT.json"), "w") as f:
+            json.dump(split_doc, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(split_doc))
     print(json.dumps({
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "value_r1_set": r1_total,
         "unit": "sec",
         "queries": results,
-        "split": split,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }))
 
 

@@ -396,10 +396,21 @@ def semantic_dedup(sdf: DataFrame, threshold: float = 0.92,
 
     from .dedup import connected_components
 
+    # one cheap columnar count feeds BOTH the cluster autoscale and the
+    # sample fraction below
+    n_rows = sdf.count()
     if n_clusters is None:
-        n_clusters = _auto_n_clusters(sdf.count(), target_cluster_rows)
+        n_clusters = _auto_n_clusters(n_rows, target_cluster_rows)
+    # seeded RANDOM sample for the k-means fit — limit() reads only the
+    # first partitions, which biases centroids on sorted/partitioned
+    # corpora (round-9, VERDICT r8 #8); oversample 25% so the Bernoulli
+    # draw almost surely reaches sample_size, then cap exactly
+    frac = (sample_size * 1.25) / max(n_rows, 1)
+    samp = sdf.select(vec_col)
+    if frac < 1.0:
+        samp = samp.sample(fraction=frac, seed=seed)
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in
-                       sdf.select(vec_col).limit(sample_size).collect()])
+                       samp.limit(sample_size).collect()])
     cent = _kmeans_centroids(sample, n_clusters, seed)
     assigned = ivf_assign(sdf.select(id_col, vec_col), cent, vec_col)
     tau = float(threshold)

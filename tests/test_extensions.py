@@ -1400,3 +1400,29 @@ def test_semantic_dedup_autoscale(spark, embeddings):
 
     multi = semantic_dedup(e, threshold=0.4, n_clusters=4)
     assert multi.select(F.countDistinct("cluster_id")).first()[0] > 1
+
+
+def test_semantic_dedup_random_sample(spark):
+    """r9 (VERDICT r8 #8): the k-means fit sample is a seeded RANDOM draw,
+    not limit() — on a corpus whose FIRST rows are all one identical
+    vector (the sorted/partitioned-corpus shape), first-partition sampling
+    fits every centroid on the same point and the assignment collapses to
+    a single cluster; the random sample must see the diverse tail."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from polars_ruby_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    rows = [Row(vec_id=i, embedding=[1.0, 0.0, 0.0, 0.0])
+            for i in range(200)]
+    for i in range(200, 1000):
+        v = rng.randn(4)
+        rows.append(Row(vec_id=i, embedding=(v / np.linalg.norm(v)).tolist()))
+    sdf = spark.createDataFrame(rows)
+    # sample_size < the degenerate head: a limit() draw would fit 6
+    # identical centroids and put every row in one cluster
+    out = semantic_dedup(sdf, threshold=0.99, n_clusters=6,
+                         sample_size=150)
+    assert out.select(F.countDistinct("cluster_id")).first()[0] > 1
