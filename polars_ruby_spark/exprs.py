@@ -1929,7 +1929,12 @@ class Expr:
                 return _from_sorted(F.array_sort(F.collect_list(c)))
 
         aggf._arr_reduce_fn = _arr_q
-        return self._agg(aggf)
+        out = self._agg(aggf)
+        # rolling-kernel breadcrumb (round-9): the meta label is the
+        # closure's name, so the sliding-kernel classifier reads the
+        # parameters from here (group_by.RollingGroupBy._sliding_plan)
+        out._rolling_kernel_spec = ("quantile", float(q), interpolation)
+        return out
 
     def mode(self):
         """expr.rb:1178 — ALL most-occurring values (can be several).

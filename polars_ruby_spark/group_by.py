@@ -1186,13 +1186,18 @@ class RollingGroupBy(_TemporalGroupByMixin):
         all_pre = [wrap_expr(e) for e in exprs] + [
             wrap_expr(e).alias(k) for k, e in named.items()]
         plan_k = self._sliding_plan(all_pre)
-        if plan_k is not None and any(k in ("min", "max")
-                                      for k, _c in plan_k):
-            # round-8: simple-agg batches containing min/max take the
-            # sliding Arrow kernel — the JVM range frame re-evaluates
-            # every window (O(n·w), the q143-class density wall) and the
-            # calendar paths have no min/max prefix form; the kernel is
-            # ≲linear for all six simple aggregates
+        if plan_k is not None and any(
+                k in ("min", "max", "median") or isinstance(k, tuple)
+                for k, _c in plan_k):
+            # round-8/9: simple-agg batches containing min/max (sparse
+            # argbest tables) or median/quantile (wavelet-tree range
+            # order statistics, round-9) take the sliding Arrow kernel —
+            # the JVM range frame re-evaluates every window (O(n·w), the
+            # q143-class density wall), the calendar paths have no
+            # min/max/median prefix form, and the collect-window path
+            # materializes O(n·w) membership; the kernel is ≲linear for
+            # all of them.  Batches of ONLY sum/mean/count/len keep the
+            # cheaper prefix/range-frame forms.
             try:
                 return self._agg_sliding_kernel(dur, all_pre, plan_k)
             except Exception:
@@ -1587,24 +1592,33 @@ class RollingGroupBy(_TemporalGroupByMixin):
     def _sliding_plan(all_exprs):
         """Classify rolling aggregates for the sliding Arrow kernel
         (operators/rolling_kernel.py): every aggregate must be
-        min/max/sum/mean/count/len over a plain row-level expression.
-        Returns ``[(kind, value_expr|None), ...]`` or None."""
+        min/max/sum/mean/count/len/median/quantile over a plain row-level
+        expression.  Returns ``[(kind, value_expr|None), ...]`` or None;
+        ``kind`` is the label string, or ``("quantile", q, interpolation)``
+        (the q/interp parameters ride an ``_rolling_kernel_spec``
+        breadcrumb — quantile's meta label is its closure name)."""
         plan = []
         for e in all_exprs:
             while e._meta and e._meta[0] == "alias" and e._meta[1]:
                 e = e._meta[1][0]
             label = e._meta[0] if e._meta else None
+            spec = getattr(e, "_rolling_kernel_spec", None)
             if label == "len":
                 plan.append(("len", None))
-            elif label in ("sum", "mean", "count", "min", "max") \
-                    and e._meta[1]:
-                child = e._meta[1][0]
-                if getattr(child, "_is_agg", False) or \
-                        getattr(child, "_needs_order", False):
-                    return None
-                plan.append((label, child))
+                continue
+            if label in ("sum", "mean", "count", "min", "max", "median"):
+                kind = label
+            elif spec is not None:
+                kind = spec
             else:
                 return None
+            if not e._meta[1]:
+                return None
+            child = e._meta[1][0]
+            if getattr(child, "_is_agg", False) or \
+                    getattr(child, "_needs_order", False):
+                return None
+            plan.append((kind, child))
         return plan
 
     def _agg_sliding_kernel(self, dur, all_exprs, plan):
@@ -1670,8 +1684,10 @@ class RollingGroupBy(_TemporalGroupByMixin):
             ok_minmax = isinstance(dt, num_t + (T.TimestampType,
                                                 T.TimestampNTZType,
                                                 T.DateType))
+            is_q = isinstance(kind, tuple)
             if (kind in ("min", "max") and not ok_minmax) or \
-                    (kind in ("sum", "mean") and not isinstance(dt, num_t)):
+                    ((kind in ("sum", "mean", "median") or is_q)
+                     and not isinstance(dt, num_t)):
                 raise ValueError(f"sliding kernel: unsupported dtype {dt}")
             vc = f"__rkv{i}__"
             val_cols[vc] = c
@@ -1680,7 +1696,8 @@ class RollingGroupBy(_TemporalGroupByMixin):
             if kind == "count":
                 out_types.append(pa.int64())
                 out_stypes.append(T.LongType())
-            elif kind == "mean":
+            elif kind in ("mean", "median") or (
+                    is_q and kind[2] in ("midpoint", "linear")):
                 out_types.append(pa.float64())
                 out_stypes.append(T.DoubleType())
             elif kind == "sum":
@@ -1688,6 +1705,8 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 out_stypes.append(T.DoubleType() if is_float
                                   else T.LongType())
             else:
+                # min/max and quantile lower/higher/nearest return the
+                # element dtype (exact Arrow gather, no float round trip)
                 out_types.append(to_arrow_type(dt))
                 out_stypes.append(dt)
             names.append(nm)

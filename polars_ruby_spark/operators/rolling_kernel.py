@@ -30,11 +30,22 @@ This kernel makes every simple rolling aggregate ≲ linear:
      value-exact for any dtype (int/float/decimal-free/timestamp/date)
      because it only ever COMPARES and then gathers the original Arrow
      values; Spark's NaN-ordering (NaN greatest) and null-skipping are
-     reproduced from explicit masks.
+     reproduced from explicit masks, and
+   - median/quantile (round-9) with a WAVELET TREE over value ranks:
+     the k-th-smallest-in-range descent runs for every anchor at once
+     (two prefix gathers per bit level), O((n + anchors) log n) per
+     chunk instead of the collect-window path's O(n·w) membership
+     arrays.  Rank order = lexsort(null-last, NaN greatest among
+     non-null) — the exact total order Spark's array_sort gives the
+     engine's validated collect-window reducer, so selected VALUES are
+     identical; interpolation arithmetic mirrors exprs._arr_reduce
+     ("median": (lo+hi)/2 as double) and Expr.quantile._from_sorted
+     (pos = q·(n−1), 5 interpolation modes).
 
-Per-task memory is O(rows · log₂(max window rows)) int32 indices; no
-per-anchor membership arrays are materialized (unlike the collect-window
-path, which stays for non-algebraic aggs like median/spearman).
+Per-task memory is O(rows · log₂(max window rows)) int32/int64 indices;
+no per-anchor membership arrays are materialized (unlike the
+collect-window path, which stays for non-decomposable aggs like
+spearman/std/skew).
 """
 
 from __future__ import annotations
@@ -116,6 +127,49 @@ def _range_argbest(tables, v, invalid, starts, ends, want_min: bool):
         else:
             pick2 = (i1inv & ~i2inv) | (~i1inv & ~i2inv & (v2 > v1))
     return np.where(nz, np.where(pick2, c2, c1), -1)
+
+
+def _wavelet_build(ranks, nbits):
+    """Wavelet tree over the rank sequence (time order): per bit level,
+    a zero-count prefix array + the level's zero total.  Build is O(n log n)
+    numpy (stable partition per level); queries descend all anchors at
+    once.
+    """
+    import numpy as np
+
+    seq = ranks
+    levels = []
+    for b in range(nbits - 1, -1, -1):
+        bit = (seq >> b) & 1
+        p0 = np.zeros(len(seq) + 1, dtype="int64")
+        np.cumsum(bit == 0, out=p0[1:])
+        levels.append((p0, int(p0[-1])))
+        seq = np.concatenate((seq[bit == 0], seq[bit == 1]))
+    return levels
+
+
+def _wavelet_kth(levels, starts, ends, ks):
+    """Vectorized k-th (0-indexed) smallest RANK within each ``[s, e)``
+    range — the classic wavelet-tree range-quantile descent, run for every
+    anchor simultaneously: per level two prefix gathers + arithmetic.
+    Caller guarantees 0 <= k < e - s for live anchors; dead anchors
+    (empty range) produce garbage the caller masks out.
+    """
+    import numpy as np
+
+    s = starts.astype("int64").copy()
+    e = ends.astype("int64").copy()
+    k = ks.astype("int64").copy()
+    ans = np.zeros(len(s), dtype="int64")
+    for p0, z in levels:
+        c0s = p0[s]
+        c0e = p0[e]
+        go_right = k >= (c0e - c0s)
+        ans = (ans << 1) | go_right
+        k = np.where(go_right, k - (c0e - c0s), k)
+        s = np.where(go_right, z + (s - c0s), c0s)
+        e = np.where(go_right, z + (e - c0e), c0e)
+    return ans
 
 
 def make_sliding_kernel(plan, key_names, out_names, out_types):
@@ -206,6 +260,75 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
                     cols[name] = pa.array(
                         sv.astype("float64" if is_float else "int64"),
                         type=out_t)
+                continue
+            if kind == "median" or isinstance(kind, tuple):
+                # median / quantile — order statistics via the wavelet
+                # tree: ranks = lexsort(nulls last, NaN greatest among
+                # non-null — the same total order Spark's array_sort
+                # gives the collect-window reducer), then the k-th
+                # smallest rank per window in O(log n) vectorized across
+                # all anchors.  k < cnt never reaches a null slot.
+                wkey = (vc, "wavelet")
+                if wkey not in cache:
+                    order = np.lexsort((vnp, nullm)).astype("int64")
+                    ranks = np.empty(len(order), dtype="int64")
+                    ranks[order] = np.arange(len(order), dtype="int64")
+                    nbits = max(1, int(np.ceil(np.log2(max(len(order),
+                                                           2)))))
+                    cache[wkey] = (order, _wavelet_build(ranks, nbits))
+                order, levels = cache[wkey]
+                live = cnt > 0
+                top = len(order) - 1
+
+                def _gather(r):
+                    # dead anchors (cnt==0) accumulate garbage descent
+                    # bits that can exceed n-1 — clamp; callers mask them
+                    return order[np.clip(r, 0, top)]
+                if kind == "median":
+                    # engine reducer (exprs._arr_reduce "median"): lo =
+                    # floor((n+1)/2), hi = floor(n/2)+1 (1-indexed) over
+                    # the sorted non-null array, (lo + hi) / 2 as double
+                    k_lo = np.clip((cnt + 1) // 2 - 1, 0, None)
+                    k_hi = np.clip(cnt // 2, 0, None)
+                    r_lo = _wavelet_kth(levels, starts, ends, k_lo)
+                    r_hi = _wavelet_kth(levels, starts, ends, k_hi)
+                    lov = vnp[_gather(r_lo)].astype("float64")
+                    hiv = vnp[_gather(r_hi)].astype("float64")
+                    cols[name] = pa.array((lov + hiv) / 2.0,
+                                          type=pa.float64(), mask=~live)
+                    continue
+                _, qq, interp = kind
+                # engine reducer (exprs.Expr.quantile _from_sorted):
+                # pos = q*(n-1) double, lo/hi = floor/ceil
+                with np.errstate(invalid="ignore"):
+                    pos = qq * (cnt.astype("float64") - 1.0)
+                k_lo = np.clip(np.floor(pos), 0, None).astype("int64")
+                k_hi = np.clip(np.ceil(pos), 0, None).astype("int64")
+                if interp == "lower":
+                    sel = k_lo
+                elif interp == "higher":
+                    sel = k_hi
+                elif interp == "nearest":
+                    # round half away from zero like polars
+                    sel = np.where(pos - k_lo < 0.5, k_lo, k_hi)
+                else:
+                    sel = None
+                if sel is not None:
+                    r = _wavelet_kth(levels, starts, ends, sel)
+                    ti = _gather(r)
+                    idx_arr = pa.array(np.where(live, ti, -1), mask=~live)
+                    cols[name] = pc.take(col, idx_arr)
+                    continue
+                r_lo = _wavelet_kth(levels, starts, ends, k_lo)
+                r_hi = _wavelet_kth(levels, starts, ends, k_hi)
+                lov = vnp[_gather(r_lo)].astype("float64")
+                hiv = vnp[_gather(r_hi)].astype("float64")
+                if interp == "midpoint":
+                    res = (lov + hiv) / 2.0
+                else:  # linear
+                    frac = pos - k_lo.astype("float64")
+                    res = lov + frac * (hiv - lov)
+                cols[name] = pa.array(res, type=pa.float64(), mask=~live)
                 continue
             # min / max — Spark ordering: nulls skipped; NaN greatest
             want_min = kind == "min"

@@ -238,3 +238,118 @@ def test_sliding_kernel_anchor_order_export(spark):
     # and the same contract survives a to_pandas export
     pdf = res.to_pandas()
     assert list(pdf["m"])[:3] == [0.0, 1.0, 2.0]
+
+
+def _brute_quantile(win_vals, q, interp):
+    """Engine quantile truth over one window (exprs._from_sorted): sorted
+    non-null ascending with NaN greatest, pos = q*(n-1)."""
+    valid = [v for v in win_vals if v is not None]
+    valid.sort(key=lambda v: (math.isnan(v), v))
+    n = len(valid)
+    if n == 0:
+        return None
+    pos = q * (n - 1)
+    lo, hi = math.floor(pos), math.ceil(pos)
+    if interp == "lower":
+        return valid[lo]
+    if interp == "higher":
+        return valid[hi]
+    if interp == "nearest":
+        return valid[lo] if pos - lo < 0.5 else valid[hi]
+    if interp == "midpoint":
+        return (valid[lo] + valid[hi]) / 2.0
+    frac = pos - lo
+    return valid[lo] + frac * (valid[hi] - valid[lo])
+
+
+@pytest.mark.parametrize("closed", CLOSED)
+@pytest.mark.parametrize("grouped", [False, True])
+def test_sliding_kernel_median_quantile_differential(spark, closed,
+                                                     grouped):
+    """Round-9 wavelet order statistics: rolling median + all five
+    quantile interpolations through the sliding kernel vs brute force,
+    dense data with nulls and NaNs (NaN-greatest selection order)."""
+    rng = np.random.RandomState(11)
+    n = 240
+    base = dt.datetime(2024, 5, 1)
+    offs = np.sort(rng.randint(0, 240 * 60, size=n))
+    ts = [base + dt.timedelta(seconds=int(o), microseconds=i % 5)
+          for i, o in enumerate(offs)]
+    vals = []
+    for i in range(n):
+        r = rng.rand()
+        vals.append(None if r < 0.1
+                    else float("nan") if r < 0.16
+                    else round(float(rng.randn() * 20), 3))
+    groups = [f"g{i % 3}" for i in range(n)] if grouped else None
+    order = sorted(range(n), key=lambda i: ts[i])
+    ts_s = [ts[i] for i in order]
+    vals_s = [vals[i] for i in order]
+    groups_s = [groups[i] for i in order] if grouped else None
+    df = _mkframe(ts, vals, groups).sort("ts")
+    res = (df.rolling(index_column="ts", period="50m", closed=closed,
+                      group_by="g" if grouped else None)
+           .agg(pl.col("v").median().alias("md"),
+                pl.col("v").quantile(0.25, "linear").alias("ql"),
+                pl.col("v").quantile(0.8, "lower").alias("qlo"),
+                pl.col("v").quantile(0.8, "higher").alias("qhi"),
+                pl.col("v").quantile(0.5, "midpoint").alias("qm"),
+                pl.col("v").quantile(0.33, "nearest").alias("qn"),
+                pl.col("v").min().alias("mn")))
+    assert _routed_to_kernel(res)
+    rows = res.to_a()
+    assert len(rows) == n
+    span_us = 50 * 60 * 1_000_000
+    for i, r in enumerate(rows):
+        assert r["ts"] == ts_s[i], f"anchor order broken at {i}"
+        t = ts_s[i]
+        lo_t = t - dt.timedelta(microseconds=span_us)
+        win = []
+        for j, tj in enumerate(ts_s):
+            if grouped and groups_s[j] != groups_s[i]:
+                continue
+            inside = {"right": lo_t < tj <= t, "left": lo_t <= tj < t,
+                      "both": lo_t <= tj <= t, "none": lo_t < tj < t}[closed]
+            if inside:
+                win.append(vals_s[j])
+        valid = [v for v in win if v is not None]
+        sv = sorted(valid, key=lambda v: (math.isnan(v), v))
+        k = len(sv)
+        exp_md = None if k == 0 else (sv[(k + 1) // 2 - 1] + sv[k // 2]) / 2
+        assert _close(r["md"], exp_md), (i, "md", r["md"], exp_md)
+        for key, q, interp in (("ql", 0.25, "linear"),
+                               ("qlo", 0.8, "lower"),
+                               ("qhi", 0.8, "higher"),
+                               ("qm", 0.5, "midpoint"),
+                               ("qn", 0.33, "nearest")):
+            exp = _brute_quantile(win, q, interp)
+            assert _close(r[key], exp), (i, key, r[key], exp)
+
+
+def test_sliding_kernel_median_matches_collect_window_route(spark):
+    """The kernel's median must be bit-identical to the validated
+    collect-window reducer: run the same rolling median twice, once
+    forced onto the collect-window path (std() in the batch blocks the
+    kernel), once through the kernel, and compare exports."""
+    rng = np.random.RandomState(5)
+    n = 160
+    ts = [dt.datetime(2024, 2, 1) + dt.timedelta(minutes=int(m))
+          for m in np.sort(rng.randint(0, 3000, size=n))]
+    vals = [None if rng.rand() < 0.15 else round(float(rng.randn()), 4)
+            for _ in range(n)]
+    groups = [f"g{i % 2}" for i in range(n)]
+    df = _mkframe(ts, vals, groups).sort("ts")
+    kern = (df.rolling(index_column="ts", period="3h", group_by="g")
+            .agg(pl.col("v").median().alias("md"),
+                 pl.col("v").quantile(0.75, "nearest").alias("q75")))
+    assert _routed_to_kernel(kern)
+    ref = (df.rolling(index_column="ts", period="3h", group_by="g")
+           .agg(pl.col("v").median().alias("md"),
+                pl.col("v").quantile(0.75, "nearest").alias("q75"),
+                pl.col("v").std().alias("sd")))
+    assert not _routed_to_kernel(ref)
+    a = kern.to_a()
+    b = [{k: r[k] for k in ("g", "ts", "md", "q75")} for r in ref.to_a()]
+    for x, y in zip(a, b):
+        assert x["ts"] == y["ts"] and x["g"] == y["g"]
+        assert _close(x["md"], y["md"]) and _close(x["q75"], y["q75"])

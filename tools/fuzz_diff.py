@@ -1021,6 +1021,9 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
                 pl.col("x").sum().alias("sm"),
                 pl.col("a").sum().alias("sa"),
                 pl.col("y").mean().alias("me"),
+                # round-9 wavelet order statistics ride the same kernel
+                pl.col("x").median().alias("md"),
+                pl.col("y").quantile(0.25, "linear").alias("q25"),
                 pl.col("x").count().alias("c"),
                 pl.len().alias("n")))
     ksel = f"a.{k32} AS ak," if k32 else ""
@@ -1035,7 +1038,9 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
            f"AND b.ats {cmp_hi} a.ats) "
            f"SELECT {kout} ats AS {t32}, min(bx) AS mn, max(byy) AS mx, "
            "COALESCE(sum(bx), 0) AS sm, COALESCE(sum(ba), 0) AS sa, "
-           "avg(byy) AS me, count(bx) AS c, count(bi) AS n "
+           "avg(byy) AS me, median(bx) AS md, "
+           "quantile_cont(byy, 0.25) AS q25, "
+           "count(bx) AS c, count(bi) AS n "
            f"FROM j GROUP BY ai, ats{kgrp}")
     compare(f"rolling_kernel_{per32}_{k32}_{cl32}",
             q32.collect().to_spark(), sql)
