@@ -2383,6 +2383,60 @@ def q159_rolling_median_kernel(spark, sf_dir):
     return _out(out)
 
 
+def q160_rolling_moments_kernel(spark, sf_dir):
+    """Round-9: the sliding kernel's CENTRAL-MOMENT arm — rolling std
+    (ddof 1/0), var, skew, kurtosis answered by chunk-shifted prefix
+    moments (operators/rolling_kernel.py), O(n) per chunk where both the
+    JVM range frame and the collect-window reducer pay O(n·w) per window.
+    DuckDB natives cover std/var; its skewness/kurtosis are the
+    bias-CORRECTED sample forms, so the oracle hand-rolls the biased
+    moments Spark's skewness/kurtosis (and the engine's _arr_reduce)
+    compute (lazy_frame.rb:1161; expr.rb rolling_std/var/skew).
+
+    The RATIONAL-valued quantities (var, kurtosis — no square root in
+    their algebra) are compared through sqrt(x + c): 2-decimal source
+    values make raw variances land EXACTLY on .5 rounding boundaries
+    where Spark (HALF_UP) and DuckDB disagree; the sqrt makes ties
+    measure-zero while any var/kurt error still perturbs the hash."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.rolling(index_column="ts", period="3h", group_by="event_type")
+        .agg(pl.col("value").std().alias("sd"),
+             pl.col("value").var(ddof=0).alias("vp"),
+             pl.col("value").skew().alias("sk"),
+             pl.col("value").kurtosis().alias("ku"),
+             pl.col("value").min().alias("mn"))
+        .with_columns(pl.col("sd").round(5),
+                      (pl.col("vp") + 1).sqrt().round(5).alias("vp"),
+                      pl.col("sk").round(5),
+                      (pl.col("ku") + 3).sqrt().round(5).alias("ku"))
+    )
+    return _out(out)
+
+
+def q161_rolling_wrapped_kernel(spark, sf_dir):
+    """Round-9: POST-TRANSFORMED kernelable batches — elementwise wrappers
+    (max−min range, quantile·2+1, rounded sum) over kernel leaves bind
+    over the kernel output instead of forcing the O(n·w) collect-window
+    walk (group_by._sliding_wrapper_plan / _agg_sliding_kernel_wrapped;
+    the q156 density pin's 80 s at sf1.0 collapses to the kernel's ~2.6 s
+    for the same windows)."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.rolling(index_column="ts", period="2h", group_by="event_type")
+        .agg((pl.col("value").max() - pl.col("value").min()).alias("rng"),
+             (pl.col("value").quantile(0.9, "linear") * 2 + 1)
+             .round(6).alias("q2"),
+             pl.col("value").sum().round(4).alias("sm"),
+             pl.len().alias("n"))
+    )
+    return _out(out)
+
+
 def _stage_events_stream(spark, sf_dir, n_files=1):
     """Stage a µs-timestamp copy of events for a file-source stream (the
     raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
@@ -2668,6 +2722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_rolling_minmax_kernel": q157_rolling_minmax_kernel,
         "q158_rolling_calendar_kernel": q158_rolling_calendar_kernel,
         "q159_rolling_median_kernel": q159_rolling_median_kernel,
+        "q160_rolling_moments_kernel": q160_rolling_moments_kernel,
+        "q161_rolling_wrapped_kernel": q161_rolling_wrapped_kernel,
     }
 
 
@@ -3568,6 +3624,52 @@ def oracle_sql() -> dict[str, str]:
             FROM events a LEFT JOIN events b
               ON a.event_type = b.event_type
              AND b.ts > a.ts - INTERVAL 4 HOUR AND b.ts <= a.ts
+            GROUP BY a.event_type, a.ts, a.event_id
+        """,
+        "q160_rolling_moments_kernel": """
+            WITH w AS (
+                SELECT a.event_type, a.ts, a.event_id,
+                       count(b.value) AS n,
+                       sum(b.value) AS s1, sum(b.value * b.value) AS s2,
+                       sum(b.value * b.value * b.value) AS s3,
+                       sum(b.value * b.value * b.value * b.value) AS s4,
+                       stddev_samp(b.value) AS sd_n,
+                       var_pop(b.value) AS vp_n,
+                       min(b.value) AS mn
+                FROM events a LEFT JOIN events b
+                  ON a.event_type = b.event_type
+                 AND b.ts > a.ts - INTERVAL 3 HOUR AND b.ts <= a.ts
+                GROUP BY a.event_type, a.ts, a.event_id
+            ), m AS (
+                SELECT event_type, ts, n, sd_n, vp_n, mn,
+                       s1 / n AS mu,
+                       s2 / n - (s1 / n) * (s1 / n) AS m2,
+                       s3 / n - 3 * (s1 / n) * s2 / n
+                           + 2 * (s1 / n) ^ 3 AS m3,
+                       s4 / n - 4 * (s1 / n) * s3 / n
+                           + 6 * (s1 / n) ^ 2 * s2 / n
+                           - 3 * (s1 / n) ^ 4 AS m4
+                FROM w
+            )
+            SELECT event_type, ts,
+                   round(sd_n, 5) AS sd,
+                   round(sqrt(vp_n + 1), 5) AS vp,
+                   round(CASE WHEN m2 > 1e-9 THEN m3 / m2 ^ 1.5 END, 5)
+                       AS sk,
+                   round(CASE WHEN m2 > 1e-9
+                              THEN sqrt(m4 / (m2 * m2)) END, 5) AS ku,
+                   mn
+            FROM m
+        """,
+        "q161_rolling_wrapped_kernel": """
+            SELECT a.event_type, a.ts,
+                   max(b.value) - min(b.value) AS rng,
+                   round(quantile_cont(b.value, 0.9) * 2 + 1, 6) AS q2,
+                   round(sum(b.value), 4) AS sm,
+                   count(a.event_id) AS n
+            FROM events a LEFT JOIN events b
+              ON a.event_type = b.event_type
+             AND b.ts > a.ts - INTERVAL 2 HOUR AND b.ts <= a.ts
             GROUP BY a.event_type, a.ts, a.event_id
         """,
         "q150_list_eval_positional": """

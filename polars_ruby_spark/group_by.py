@@ -17,6 +17,27 @@ from pyspark.sql import functions as F
 from .exprs import Expr, bind_context, col, wrap_expr
 from .session import ROW_IDX
 
+#: rolling sliding-kernel kinds for the central-moment aggregate family —
+#: meta labels are the Spark aggregate names Expr.std/var/skew map to
+#: (exprs.py std/var: samp for ddof=1 else pop)
+_MOMENT_KINDS = {
+    "stddev_samp": ("std", 1), "stddev_pop": ("std", 0),
+    "var_samp": ("var", 1), "var_pop": ("var", 0),
+    "skewness": ("skew",), "kurtosis": ("kurt",),
+}
+
+#: aggregate meta labels that must never be mistaken for an elementwise
+#: wrapper above another aggregate (_sliding_wrapper_plan): the kernelable
+#: set, every _arr_reduce label, and the label _op_label gives unnamed
+#: aggregate closures
+_AGG_OP_LABELS = frozenset(_MOMENT_KINDS) | {
+    "sum", "mean", "count", "len", "len_", "min", "max", "median", "agg",
+    "first", "last", "product", "mode", "implode", "n_unique", "corr",
+    "cov", "entropy", "quantile", "unique", "any", "all", "arg_min",
+    "arg_max", "nan_min", "nan_max", "null_count", "approx_n_unique",
+    "value_counts", "unique_counts", "agg_groups",
+}
+
 
 def _agg_columns(sdf, exprs, named):
     """Compile agg-context expressions to Spark aggregate Columns."""
@@ -1206,6 +1227,23 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 # on purpose (VERDICT r8): a routing change that pre-empts
                 # green paths must never turn a fallback into a throw.
                 pass
+        elif plan_k is None:
+            # round-9: post-transformed kernelable batches — elementwise
+            # wrappers over kernelable leaves (median(x).round(2),
+            # max(x)-min(x)) run the kernel once for the leaves, then bind
+            # the wrappers over its output; previously any post transform
+            # above a median/quantile forced the O(n·w) collect-window
+            # membership walk (the q156 density pin: 80 s at sf1.0 where
+            # the kernel answers the same windows in ~2.6 s)
+            wleaves = self._sliding_wrapper_plan(all_pre)
+            if wleaves is not None and any(
+                    k in ("min", "max", "median") or isinstance(k, tuple)
+                    for _n, (k, _c) in wleaves):
+                try:
+                    return self._agg_sliding_kernel_wrapped(
+                        dur, all_pre, wleaves)
+                except Exception:
+                    pass
         if dur.is_calendar:
             return self._agg_calendar(dur, exprs, named)
         span_us = int(dur.total_seconds() * 1_000_000)
@@ -1601,34 +1639,174 @@ class RollingGroupBy(_TemporalGroupByMixin):
         for e in all_exprs:
             while e._meta and e._meta[0] == "alias" and e._meta[1]:
                 e = e._meta[1][0]
-            label = e._meta[0] if e._meta else None
-            spec = getattr(e, "_rolling_kernel_spec", None)
-            if label == "len":
-                plan.append(("len", None))
-                continue
-            if label in ("sum", "mean", "count", "min", "max", "median"):
-                kind = label
-            elif spec is not None:
-                kind = spec
-            else:
+            lk = RollingGroupBy._leaf_kind(e)
+            if lk is None:
                 return None
-            if not e._meta[1]:
-                return None
-            child = e._meta[1][0]
-            if getattr(child, "_is_agg", False) or \
-                    getattr(child, "_needs_order", False):
-                return None
-            plan.append((kind, child))
+            plan.append(lk)
         return plan
 
+    @staticmethod
+    def _leaf_kind(e):
+        """``(kind, child|None)`` when ``e`` is a single kernelable
+        aggregate node — min/max/sum/mean/count/len/median/quantile or the
+        central-moment family (std/var by ddof, biased skew/kurtosis) —
+        over a plain row-level child; else None."""
+        label = e._meta[0] if e._meta else None
+        spec = getattr(e, "_rolling_kernel_spec", None)
+        if label == "len":
+            return ("len", None)
+        if label == "len_" and e._meta[1] \
+                and not getattr(e._meta[1][0], "_is_agg", False):
+            # Expr.len() counts ALL window rows incl. nulls; any row-level
+            # child keeps the row count
+            return ("len", None)
+        if label in ("sum", "mean", "count", "min", "max", "median"):
+            kind = label
+        elif label in _MOMENT_KINDS:
+            # std/var (ddof 1=samp / 0=pop) and biased skew/kurtosis — the
+            # kernel mirrors _arr_reduce's float64 arithmetic over
+            # chunk-shifted prefix moments (round-9)
+            kind = _MOMENT_KINDS[label]
+        elif spec is not None:
+            kind = spec
+        else:
+            return None
+        if not e._meta or not e._meta[1]:
+            return None
+        child = e._meta[1][0]
+        if getattr(child, "_is_agg", False) or \
+                getattr(child, "_needs_order", False):
+            return None
+        return (kind, child)
+
+    def _sliding_wrapper_plan(self, all_exprs):
+        """Round-9: classify POST-TRANSFORMED kernelable batches — each
+        aggregate expr is an elementwise composition (round/cast/
+        arithmetic/comparison …) of kernelable aggregate leaves and
+        literals (``median(x).round(2)``, ``max(x) - min(x)``).  Returns
+        the leaf list ``[(node, (kind, child)), ...]`` or None.
+
+        Safety over reach: any node that cannot be PROVEN to be either a
+        kernelable leaf, a literal, or a pure elementwise wrapper whose
+        agg-ness is inherited from its children sends the whole batch to
+        the validated collect-window/direct routes (and the caller's broad
+        fallback still catches anything that binds with an error)."""
+        leaves = []
+
+        def walk(e, depth=0):
+            if depth > 40 or not isinstance(e, Expr):
+                return False
+            if getattr(e, "_is_agg", False):
+                lk = self._leaf_kind(e)
+                if lk is not None:
+                    leaves.append((e, lk))
+                    return True
+            m = getattr(e, "_meta", None)
+            if m is None:
+                return False
+            op, children, _p = m
+            if op == "lit":
+                return True
+            kids = [c for c in children if isinstance(c, Expr)]
+            if not kids:
+                return False
+            if not e._is_agg:
+                # a non-agg, non-literal subtree would need per-window
+                # list semantics the kernel does not provide
+                return False
+            if not any(getattr(c, "_is_agg", False) for c in kids):
+                # an aggregate op we did not recognize as a kernel leaf
+                # (n_unique, corr, product, first …) — not a wrapper
+                return False
+            if op in _AGG_OP_LABELS:
+                # a known aggregate op OVER another aggregate (agg-of-agg:
+                # median().sum()) — not an elementwise wrapper
+                return False
+            if (e._needs_order or e._scrambles_order
+                    or e._agg_list_fn is not None
+                    or e._agg_pre_fn is not None
+                    or e._frame_fn is not None or e._multi_fn is not None):
+                return False
+            return all(walk(c, depth + 1) for c in kids)
+
+        wrapped = False
+        for e in all_exprs:
+            base = e
+            while base._meta and base._meta[0] == "alias" and base._meta[1]:
+                base = base._meta[1][0]
+            if self._leaf_kind(base) is None:
+                wrapped = True
+            if not walk(e):
+                return None
+        if not wrapped or not leaves:
+            return None  # bare batches already classify via _sliding_plan
+        return leaves
+
     def _agg_sliding_kernel(self, dur, all_exprs, plan):
-        """Rolling min/max/sum/mean/count/len via the sliding Arrow kernel
-        — the ≲linear replacement for both the JVM range-frame path (whose
-        SlidingWindowFunctionFrame re-evaluates every frame: O(n·w)) and,
-        for min/max, the collect-window path (O(n·w) membership arrays).
+        """Rolling simple/moment/order-statistic aggregates via the sliding
+        Arrow kernel — the ≲linear replacement for both the JVM range-frame
+        path (whose SlidingWindowFunctionFrame re-evaluates every frame:
+        O(n·w)) and the collect-window path (O(n·w) membership arrays).
         See operators/rolling_kernel.py for the plan shape.  Raises
         ValueError for unsupported index/value dtypes (callers fall back).
         """
+        from .frame import LazyFrame
+
+        out = self._sliding_kernel_sdf(dur, all_exprs, plan)
+        res = LazyFrame(out)
+        res._order_dirty = True
+        return self._wrap_out(res)
+
+    def _agg_sliding_kernel_wrapped(self, dur, all_exprs, leaves):
+        """Round-9: POST-TRANSFORMED kernelable batches (median(x).round(2),
+        max(x) - min(x)) — run the kernel once over the deduplicated
+        aggregate LEAVES, then bind each full expression over the kernel
+        output with every leaf's ``_fn`` temporarily swapped for a
+        reference to its computed column (wrapper closures late-bind
+        ``child._fn``, so the elementwise post-transform applies to the
+        per-anchor aggregate values — the same semantics the direct path
+        gets by self-wrapping aggregates in the injected WindowSpec while
+        post transforms stay outside)."""
+        from .frame import LazyFrame
+
+        uniq = {}
+        for node, lk in leaves:
+            uniq.setdefault(id(node), (node, lk))
+        items = list(uniq.values())
+        pseudo = [n.alias(f"__rkw{j}__") for j, (n, _lk) in
+                  enumerate(items)]
+        ksdf = self._sliding_kernel_sdf(
+            dur, pseudo, [lk for _n, lk in items])
+        saved = []
+        try:
+            for j, (n, _lk) in enumerate(items):
+                saved.append((n, n._fn))
+                n._fn = (lambda df, part, _t=f"__rkw{j}__": F.col(_t))
+            outs = []
+            for i, e in enumerate(all_exprs):
+                c = e._fn(ksdf, None)
+                nm = e._name
+                if not nm:
+                    try:
+                        nm = ksdf.select(c).columns[0]
+                    except Exception:
+                        nm = f"col_{i}"
+                outs.append(c.alias(nm))
+            keep = ([F.col(ROW_IDX)] + [F.col(b) for b in self._by]
+                    + [F.col(self._index)] + outs)
+            out = ksdf.select(*keep)
+            out.schema  # force analysis while the fallback is reachable
+        finally:
+            for n, fn in saved:
+                n._fn = fn
+        res = LazyFrame(out)
+        res._order_dirty = True
+        return self._wrap_out(res)
+
+    def _sliding_kernel_sdf(self, dur, all_exprs, plan):
+        """Build the kernel's Spark plan; returns the output DataFrame
+        carrying the hidden ROW_IDX, the by-keys, the index column, and one
+        result column per ``plan`` entry (named from ``all_exprs``)."""
         from pyspark.sql import types as T
 
         from .frame import LazyFrame
@@ -1684,9 +1862,11 @@ class RollingGroupBy(_TemporalGroupByMixin):
             ok_minmax = isinstance(dt, num_t + (T.TimestampType,
                                                 T.TimestampNTZType,
                                                 T.DateType))
-            is_q = isinstance(kind, tuple)
+            is_q = isinstance(kind, tuple) and kind[0] == "quantile"
+            is_mom = isinstance(kind, tuple) and kind[0] in (
+                "std", "var", "skew", "kurt")
             if (kind in ("min", "max") and not ok_minmax) or \
-                    ((kind in ("sum", "mean", "median") or is_q)
+                    ((kind in ("sum", "mean", "median") or is_q or is_mom)
                      and not isinstance(dt, num_t)):
                 raise ValueError(f"sliding kernel: unsupported dtype {dt}")
             vc = f"__rkv{i}__"
@@ -1696,7 +1876,7 @@ class RollingGroupBy(_TemporalGroupByMixin):
             if kind == "count":
                 out_types.append(pa.int64())
                 out_stypes.append(T.LongType())
-            elif kind in ("mean", "median") or (
+            elif kind in ("mean", "median") or is_mom or (
                     is_q and kind[2] in ("midpoint", "linear")):
                 out_types.append(pa.float64())
                 out_stypes.append(T.DoubleType())
@@ -1750,14 +1930,11 @@ class RollingGroupBy(_TemporalGroupByMixin):
         kern = make_sliding_kernel(kplan, pass_names, out_names, pa_types)
         grouped = work.groupBy(*kn, "__rk_ch__").applyInArrow(
             kern, spark_out)
-        out = grouped.select(
+        return grouped.select(
             F.col(ROW_IDX), *kn,
             F.timestamp_micros(F.col("__rk_t__")).cast(idx_t)
             .alias(self._index),
             *names)
-        res = LazyFrame(out)
-        res._order_dirty = True
-        return self._wrap_out(res)
 
     @staticmethod
     def _prefix_plan(all_exprs):

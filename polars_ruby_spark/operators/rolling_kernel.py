@@ -261,6 +261,79 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
                         sv.astype("float64" if is_float else "int64"),
                         type=out_t)
                 continue
+            if isinstance(kind, tuple) and kind[0] in ("std", "var",
+                                                       "skew", "kurt"):
+                # central-moment family (round-9) — mirrors the engine's
+                # validated collect-window reducer arithmetic
+                # (exprs._arr_reduce "stddev_samp"… naive raw-moment
+                # formula in float64, "skewness"/"kurtosis" biased central
+                # moments) but over CHUNK-SHIFTED values: central moments
+                # are shift-invariant, and subtracting the chunk mean
+                # keeps the raw-moment cancellation benign (window mean −
+                # chunk mean is small), so prefix-difference sums stay
+                # accurate where raw x² prefixes would cancel
+                # catastrophically.  NaN contributions propagate to NaN
+                # like the reducer's unfiltered fold.
+                real = valid & ~nanm
+                nreal = int(real.sum())
+                shift = (float(vnp[real].astype("float64").sum()) / nreal
+                         if nreal else 0.0)
+                # longdouble (80-bit on x86) prefix accumulation: a chunk's
+                # running float64 prefix drifts ~ eps·Σ|d²| ≈ 1e-9 absolute
+                # on realistic chunks, which lands rolling var right on
+                # round-to-5-decimals boundaries vs an exact oracle;
+                # extended precision pushes the drift below 1e-12
+                d = np.where(real, vnp.astype("float64") - shift,
+                             0.0).astype(np.longdouble)
+                s1 = _prefix(d)
+                s2 = _prefix(d * d)
+                pn = _prefix(nanm.astype("int64"))
+                has_nan = (pn[ends] - pn[starts]) > 0
+                n = cnt.astype("float64")
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    mu = (s1[ends] - s1[starts]) / np.maximum(n, 1.0)
+                    msq = (s2[ends] - s2[starts]) / np.maximum(n, 1.0)
+                    m2 = np.maximum(msq - mu * mu, 0.0)
+                    # an all-identical window has m2 EXACTLY 0 in the
+                    # reducer's central-sum form (x - mu == 0), but the
+                    # prefix-difference form leaves a ~ulp(msq) residue
+                    # that would feed skew/kurt garbage — snap it to 0
+                    m2 = np.where(m2 <= 32 * np.finfo("float64").eps * msq,
+                                  0.0, m2)
+                    if kind[0] in ("std", "var"):
+                        if kind[1] == 1:            # ddof=1 (samp)
+                            res = m2 * n / np.maximum(n - 1.0, 1.0)
+                            dead = cnt <= 1
+                        else:                        # ddof=0 (pop)
+                            res = m2
+                            dead = cnt == 0
+                        if kind[0] == "std":
+                            res = np.sqrt(res)
+                        res = np.where(has_nan, np.nan, res)
+                    else:
+                        s3 = _prefix(d * d * d)
+                        m3 = ((s3[ends] - s3[starts]) / np.maximum(n, 1.0)
+                              - 3.0 * mu * (s2[ends] - s2[starts])
+                              / np.maximum(n, 1.0) + 2.0 * mu ** 3)
+                        if kind[0] == "skew":
+                            res = m3 / np.power(m2, 1.5)
+                        else:
+                            s4 = _prefix(d * d * d * d)
+                            m4 = ((s4[ends] - s4[starts])
+                                  / np.maximum(n, 1.0)
+                                  - 4.0 * mu * (s3[ends] - s3[starts])
+                                  / np.maximum(n, 1.0)
+                                  + 6.0 * mu * mu
+                                  * (s2[ends] - s2[starts])
+                                  / np.maximum(n, 1.0) - 3.0 * mu ** 4)
+                            res = m4 / (m2 * m2) - 3.0
+                        # reducer: F.when(m2 > 0, …) → null at zero
+                        # variance; NaN windows stay NaN values
+                        dead = (m2 <= 0) & ~has_nan
+                        res = np.where(has_nan, np.nan, res)
+                cols[name] = pa.array(np.asarray(res, dtype="float64"),
+                                      type=pa.float64(), mask=dead)
+                continue
             if kind == "median" or isinstance(kind, tuple):
                 # median / quantile — order statistics via the wavelet
                 # tree: ranks = lexsort(nulls last, NaN greatest among

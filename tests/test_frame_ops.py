@@ -1219,10 +1219,10 @@ def test_calendar_rolling_collect_window(spark):
     """Calendar rolling with NON-decomposable aggs takes the collect-window
     path (round-6): one chunked range-frame window collects membership —
     no month-bucket pair join.  min/max/median + empty left-closed windows
-    against hand-computed (t-1mo, t] truths.  (Round-9: a batch of ONLY
-    min/max/median routes to the sliding Arrow kernel now — the std() in
-    the first batch keeps this test on the collect-window path, and the
-    values must be identical either way.)"""
+    against hand-computed (t-1mo, t] truths.  (Round-9: min/max/median AND
+    std are all kernelable now — the first() in the first batch keeps this
+    test on the collect-window path, and the values must be identical
+    either way.)"""
     ts = [f"2024-{m:02d}-{d:02d} 0{h}:00:00"
           for m, d, h in [(1, 5, 1), (1, 20, 2), (2, 10, 3), (3, 3, 1),
                           (4, 18, 2), (6, 1, 3)]]
@@ -1232,7 +1232,7 @@ def test_calendar_rolling_collect_window(spark):
          .agg(pl.col("v").max().alias("mx"),
               pl.col("v").min().alias("mn"),
               pl.col("v").median().alias("md"),
-              pl.col("v").std().alias("sd")))
+              pl.col("v").first().alias("_f")))
     rows = r.to_a()
     assert [x["mx"] for x in rows] == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
     assert [x["mn"] for x in rows] == [1.0, 1.0, 2.0, 4.0, 16.0, 32.0]

@@ -346,10 +346,131 @@ def test_sliding_kernel_median_matches_collect_window_route(spark):
     ref = (df.rolling(index_column="ts", period="3h", group_by="g")
            .agg(pl.col("v").median().alias("md"),
                 pl.col("v").quantile(0.75, "nearest").alias("q75"),
-                pl.col("v").std().alias("sd")))
+                pl.col("v").first().alias("_f")))
     assert not _routed_to_kernel(ref)
     a = kern.to_a()
     b = [{k: r[k] for k in ("g", "ts", "md", "q75")} for r in ref.to_a()]
     for x, y in zip(a, b):
         assert x["ts"] == y["ts"] and x["g"] == y["g"]
         assert _close(x["md"], y["md"]) and _close(x["q75"], y["q75"])
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+@pytest.mark.parametrize("period", ["2h", "1mo"])
+def test_sliding_kernel_moments_match_collect_window(spark, grouped, period):
+    """Round-9 central-moment family: kernel std/var(ddof 0|1)/skew/
+    kurtosis must match the validated collect-window reducer
+    (exprs._arr_reduce stddev_*/var_*/skewness/kurtosis) — the kernel uses
+    chunk-shifted prefix moments, so agreement is to float tolerance, not
+    bit-exact.  Values with a large mean (1000 ± 5) stress the raw-moment
+    cancellation the chunk shift neutralizes; nulls + NaNs + constant and
+    singleton windows cover the reducer's null/NaN edges."""
+    rng = np.random.RandomState(17)
+    n = 220
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=int(m))
+          for m in np.sort(rng.randint(0, 4000, size=n))]
+    base = 1000.0 + 5.0 * rng.randn(n)
+    vals = []
+    for i in range(n):
+        if rng.rand() < 0.12:
+            vals.append(None)
+        elif rng.rand() < 0.05:
+            vals.append(float("nan"))
+        elif i % 23 == 0:
+            vals.append(1000.0)   # runs of a constant → zero-variance wins
+        else:
+            vals.append(round(float(base[i]), 4))
+    groups = [f"g{i % 3}" for i in range(n)] if grouped else None
+    df = _mkframe(ts, vals, groups).sort("ts")
+    by = "g" if grouped else None
+    aggs = [pl.col("v").std().alias("sd1"),
+            pl.col("v").std(ddof=0).alias("sd0"),
+            pl.col("v").var().alias("va1"),
+            pl.col("v").var(ddof=0).alias("va0"),
+            pl.col("v").skew().alias("sk"),
+            pl.col("v").kurtosis().alias("ku"),
+            pl.col("v").min().alias("mn")]
+    kern = df.rolling(index_column="ts", period=period, group_by=by) \
+        .agg(*aggs)
+    assert _routed_to_kernel(kern)
+    ref = df.rolling(index_column="ts", period=period, group_by=by) \
+        .agg(*aggs, pl.col("v").first().alias("_f"))
+    assert not _routed_to_kernel(ref)
+    a, b = kern.to_a(), ref.to_a()
+    assert len(a) == len(b) == n
+    for x, y in zip(a, b):
+        assert x["ts"] == y["ts"]
+        for k in ("sd1", "sd0", "va1", "va0", "sk", "ku", "mn"):
+            xv, yv = x[k], y[k]
+            if xv is None or yv is None:
+                assert xv is None and yv is None, (k, x["ts"], xv, yv)
+            elif math.isnan(xv) or math.isnan(yv):
+                assert math.isnan(xv) and math.isnan(yv), (k, x["ts"])
+            else:
+                assert abs(xv - yv) <= 1e-7 + 1e-7 * abs(yv), \
+                    (k, x["ts"], xv, yv)
+
+
+def test_sliding_kernel_wrapped_post_transforms(spark):
+    """Round-9 wrapper route: elementwise post-transforms over kernelable
+    leaves (median().round, max()-min(), quantile()*2+1, std().round)
+    reach the kernel — previously any post transform above a median forced
+    the O(n·w) collect-window walk — and match the collect-window truth.
+    Also pins that the leaves' ``_fn`` patch is RESTORED (the same expr
+    objects bind correctly on a later non-kernel route)."""
+    rng = np.random.RandomState(23)
+    n = 180
+    ts = [dt.datetime(2024, 3, 1) + dt.timedelta(minutes=int(m))
+          for m in np.sort(rng.randint(0, 3000, size=n))]
+    vals = [None if rng.rand() < 0.1 else round(float(rng.randn()) * 10, 4)
+            for _ in range(n)]
+    groups = [f"g{i % 2}" for i in range(n)]
+    df = _mkframe(ts, vals, groups).sort("ts")
+    aggs = [pl.col("v").median().round(2).alias("md_r"),
+            (pl.col("v").max() - pl.col("v").min()).alias("rng"),
+            (pl.col("v").quantile(0.9, "linear") * 2 + 1).alias("q2"),
+            pl.col("v").std().round(4).alias("sd_r"),
+            pl.len().alias("n")]
+    kern = df.rolling(index_column="ts", period="2h", group_by="g") \
+        .agg(*aggs)
+    assert _routed_to_kernel(kern)
+    assert kern.columns == ["g", "ts", "md_r", "rng", "q2", "sd_r", "n"]
+    ref = df.rolling(index_column="ts", period="2h", group_by="g") \
+        .agg(*aggs, pl.col("v").first().alias("_f"))
+    assert not _routed_to_kernel(ref)
+    a, b = kern.to_a(), ref.to_a()
+    assert len(a) == len(b) == n
+    # export order: anchor (input) order, same as every other rolling path
+    in_order = [(g, t) for g, t in zip(groups, ts)]
+    assert [(r["g"], r["ts"]) for r in a] == in_order
+    for x, y in zip(a, b):
+        for k in ("md_r", "rng", "q2", "sd_r", "n"):
+            assert _close(x[k], y[k]), (k, x["ts"], x[k], y[k])
+    # the SAME expr objects must still bind on a non-kernel route after
+    # the wrapper pass restored their _fn (patch leak would break this)
+    again = df.rolling(index_column="ts", period="2h", group_by="g") \
+        .agg(*aggs, pl.col("v").first().alias("_f"))
+    assert not _routed_to_kernel(again)
+    assert [r["md_r"] for r in again.to_a()] == [r["md_r"] for r in b]
+
+
+def test_sliding_kernel_wrapper_bails_safely(spark):
+    """Wrapper-route misfits stay on the validated routes: a batch whose
+    wrapper mixes a NON-kernelable aggregate (first) or a bare column
+    (per-window list semantics) must not reach the kernel and must still
+    compute correctly via collect-window."""
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(hours=i) for i in range(6)]
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    df = _mkframe(ts, vals, None).sort("ts")
+    # non-kernelable leaf under the wrapper
+    r1 = df.rolling(index_column="ts", period="3h") \
+        .agg((pl.col("v").first() + pl.col("v").median()).alias("x"))
+    assert not _routed_to_kernel(r1)
+    assert [r["x"] for r in r1.to_a()] == [2.0, 2.5, 3.0, 6.0, 12.0, 24.0]
+    # median-with-post forces the wrapper path; min stays a bare leaf
+    r2 = df.rolling(index_column="ts", period="3h") \
+        .agg(pl.col("v").median().round(1).alias("m"),
+             pl.col("v").min().alias("mn"))
+    assert _routed_to_kernel(r2)
+    assert [r["m"] for r in r2.to_a()] == [1.0, 1.5, 2.0, 4.0, 8.0, 16.0]
+    assert [r["mn"] for r in r2.to_a()] == [1.0, 1.0, 1.0, 2.0, 4.0, 8.0]

@@ -1014,18 +1014,29 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
         b32 = b32.filter(pl.col(k32).is_not_null())
         kf = f"AND {k32} IS NOT NULL"
     b32 = b32.sort(t32, "idx")
+    aggs32 = [pl.col("x").min().alias("mn"),
+              pl.col("y").max().alias("mx"),
+              pl.col("x").sum().alias("sm"),
+              pl.col("a").sum().alias("sa"),
+              pl.col("y").mean().alias("me"),
+              # round-9 wavelet order statistics ride the same kernel
+              pl.col("x").median().alias("md"),
+              pl.col("y").quantile(0.25, "linear").alias("q25"),
+              pl.col("x").count().alias("c"),
+              pl.len().alias("n"),
+              # round-9 central-moment arm (chunk-shifted prefix moments)
+              pl.col("x").std().alias("sd"),
+              pl.col("y").var(ddof=0).alias("vp")]
+    sql32_extra = ""
+    wrap32 = rng.random() < 0.5
+    if wrap32:
+        # round-9 WRAPPED route: one elementwise post-transform flips the
+        # whole batch onto _agg_sliding_kernel_wrapped (leaf substitution)
+        aggs32.append(
+            (pl.col("y").max() - pl.col("y").min()).alias("rg"))
+        sql32_extra = ", max(byy) - min(byy) AS rg"
     q32 = (b32.rolling(index_column=t32, period=per32, group_by=k32,
-                       closed=cl32)
-           .agg(pl.col("x").min().alias("mn"),
-                pl.col("y").max().alias("mx"),
-                pl.col("x").sum().alias("sm"),
-                pl.col("a").sum().alias("sa"),
-                pl.col("y").mean().alias("me"),
-                # round-9 wavelet order statistics ride the same kernel
-                pl.col("x").median().alias("md"),
-                pl.col("y").quantile(0.25, "linear").alias("q25"),
-                pl.col("x").count().alias("c"),
-                pl.len().alias("n")))
+                       closed=cl32).agg(*aggs32))
     ksel = f"a.{k32} AS ak," if k32 else ""
     kjoin = f"a.{k32} = b.{k32} AND" if k32 else ""
     kout = f"ak AS {k32}," if k32 else ""
@@ -1040,9 +1051,11 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
            "COALESCE(sum(bx), 0) AS sm, COALESCE(sum(ba), 0) AS sa, "
            "avg(byy) AS me, median(bx) AS md, "
            "quantile_cont(byy, 0.25) AS q25, "
-           "count(bx) AS c, count(bi) AS n "
+           "count(bx) AS c, count(bi) AS n, "
+           "stddev_samp(bx) AS sd, var_pop(byy) AS vp"
+           f"{sql32_extra} "
            f"FROM j GROUP BY ai, ats{kgrp}")
-    compare(f"rolling_kernel_{per32}_{k32}_{cl32}",
+    compare(f"rolling_kernel_{per32}_{k32}_{cl32}_w{int(wrap32)}",
             q32.collect().to_spark(), sql)
 
     duck.unregister("t")
