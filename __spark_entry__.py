@@ -2437,6 +2437,35 @@ def q161_rolling_wrapped_kernel(spark, sf_dir):
     return _out(out)
 
 
+def q162_rolling_corr_cov_kernel(spark, sf_dir):
+    """Round-9: the sliding kernel's PAIR arm — rolling pearson corr and
+    covariance (ddof 1/0) via chunk-shifted prefix sums of a, b, ab (+ a²,
+    b² for corr), replacing the O(n·w) JVM range-frame re-evaluation those
+    aggregates took before (group_by._leaf_kind pair kinds;
+    functions/lazy.rb:679 corr, cov).  Spark's zero-variance corr is NaN
+    where DuckDB's is NULL → fill_nan(None) normalizes; both return NULL
+    for n<2 corr/covar_samp and 0.0 for n=1 covar_pop (measured).  The
+    covariances are RATIONAL-valued on this 2-decimal data (tie-prone at
+    any fixed rounding — the q160 lesson), so they are compared through
+    the strictly-monotone asinh x = ln(x + sqrt(x²+1)): ties become
+    measure-zero while any covariance error still perturbs the hash."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    asinh = [
+        ((pl.col(c) + (pl.col(c) * pl.col(c) + 1).sqrt()).log()
+         .round(6).alias(c)) for c in ("cs", "cp")]
+    out = (
+        ev.rolling(index_column="ts", period="2h", group_by="event_type")
+        .agg(pl.corr("value", "user_id").alias("c"),
+             pl.cov("value", "user_id").alias("cs"),
+             pl.cov("value", "user_id", ddof=0).alias("cp"),
+             pl.len().alias("n"))
+        .with_columns(pl.col("c").fill_nan(None).round(6), *asinh)
+    )
+    return _out(out)
+
+
 def _stage_events_stream(spark, sf_dir, n_files=1):
     """Stage a µs-timestamp copy of events for a file-source stream (the
     raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
@@ -2724,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_rolling_median_kernel": q159_rolling_median_kernel,
         "q160_rolling_moments_kernel": q160_rolling_moments_kernel,
         "q161_rolling_wrapped_kernel": q161_rolling_wrapped_kernel,
+        "q162_rolling_corr_cov_kernel": q162_rolling_corr_cov_kernel,
     }
 
 
@@ -3660,6 +3690,24 @@ def oracle_sql() -> dict[str, str]:
                               THEN sqrt(m4 / (m2 * m2)) END, 5) AS ku,
                    mn
             FROM m
+        """,
+        "q162_rolling_corr_cov_kernel": """
+            WITH w AS (
+                SELECT a.event_type, a.ts,
+                       corr(b.value, b.user_id) AS c,
+                       covar_samp(b.value, b.user_id) AS cs0,
+                       covar_pop(b.value, b.user_id) AS cp0,
+                       count(b.event_id) AS n
+                FROM events a LEFT JOIN events b
+                  ON a.event_type = b.event_type
+                 AND b.ts > a.ts - INTERVAL 2 HOUR AND b.ts <= a.ts
+                GROUP BY a.event_type, a.ts, a.event_id
+            )
+            SELECT event_type, ts, round(c, 6) AS c,
+                   round(ln(cs0 + sqrt(cs0 * cs0 + 1)), 6) AS cs,
+                   round(ln(cp0 + sqrt(cp0 * cp0 + 1)), 6) AS cp,
+                   n
+            FROM w
         """,
         "q161_rolling_wrapped_kernel": """
             SELECT a.event_type, a.ts,

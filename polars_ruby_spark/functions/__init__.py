@@ -437,7 +437,10 @@ def cov(a, b, ddof: int = 1):
             return c.over(bind_context.rolling_window)
         return c
 
-    return Expr(fn, name="cov", is_agg=True)
+    # meta breadcrumb (round-9): the rolling sliding kernel recognizes
+    # cov leaves by label + the ddof payload
+    return Expr(fn, name="cov", is_agg=True)._set_meta(
+        "cov", (ea, eb), ddof)
 
 
 def arctan2(y, x):

@@ -1660,6 +1660,22 @@ class RollingGroupBy(_TemporalGroupByMixin):
             # Expr.len() counts ALL window rows incl. nulls; any row-level
             # child keeps the row count
             return ("len", None)
+        if label in ("corr", "cov") and e._meta[1] and len(e._meta[1]) == 2:
+            # PAIR kinds (round-9): pearson corr / cov over two plain
+            # children — prefix sums of a, b, ab with pair-null masking
+            # (F.corr/covar_* skip pairs with a null on either side).
+            # Spearman corr carries an _agg_pre_fn (rank pre-stage) and is
+            # excluded — its per-window ranks need the collect-window walk.
+            if getattr(e, "_agg_pre_fn", None) is not None:
+                return None
+            ca, cb = e._meta[1]
+            for c in (ca, cb):
+                if getattr(c, "_is_agg", False) or \
+                        getattr(c, "_needs_order", False):
+                    return None
+            if label == "corr":
+                return (("corr2",), (ca, cb))
+            return (("cov2", 1 if e._meta[2] == 1 else 0), (ca, cb))
         if label in ("sum", "mean", "count", "min", "max", "median"):
             kind = label
         elif label in _MOMENT_KINDS:
@@ -1853,6 +1869,26 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 out_types.append(pa.int64())
                 out_stypes.append(T.LongType())
                 names.append(nm or "len")
+                continue
+            if isinstance(kind, tuple) and kind[0] in ("corr2", "cov2"):
+                # pair kinds bind TWO value columns
+                pair_vc, pair_f = [], []
+                for side, ce in zip("ab", child):
+                    cc = ce._fn(sdf, None)
+                    dt = sdf.select(cc).schema[0].dataType
+                    if not isinstance(dt, num_t):
+                        raise ValueError(
+                            f"sliding kernel: unsupported dtype {dt}")
+                    vc = f"__rkv{i}{side}__"
+                    val_cols[vc] = cc
+                    pair_vc.append(vc)
+                    pair_f.append(isinstance(dt, (T.FloatType,
+                                                  T.DoubleType)))
+                kplan.append((kind, tuple(pair_vc), tuple(pair_f)))
+                out_types.append(pa.float64())
+                out_stypes.append(T.DoubleType())
+                names.append(nm or ("corr" if kind[0] == "corr2"
+                                    else "cov"))
                 continue
             c = child._fn(sdf, None)
             probe = sdf.select(c)

@@ -216,6 +216,83 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
             if kind == "len":
                 cols[name] = pa.array(L, type=pa.int64())
                 continue
+            if isinstance(kind, tuple) and kind[0] in ("corr2", "cov2"):
+                # PAIR kinds (round-9): pearson corr / covariance via
+                # chunk-shifted prefix sums of a, b, ab (+ a², b² for
+                # corr).  Pair-null masking mirrors F.corr/covar_*: a
+                # pair with a null on EITHER side is skipped; a NaN on
+                # either side poisons the window to NaN.  Zero variance
+                # on either side → NaN (F.corr's shape; the engine's
+                # queries normalize with fill_nan(None) where needed).
+                def _loadp(vcx, isf):
+                    if vcx not in cache:
+                        colx = tbl.column(vcx)
+                        nux = pc.is_null(colx).to_numpy(
+                            zero_copy_only=False)
+                        vx = colx.to_numpy(zero_copy_only=False)
+                        nnx = (np.isnan(np.where(nux, 0.0, vx)) if isf
+                               else np.zeros(len(nux), dtype=bool))
+                        cache[vcx] = (colx, vx, nux, nnx)
+                    return cache[vcx]
+
+                _, va, nulla, nana = _loadp(vc[0], is_float[0])
+                _, vb, nullb, nanb = _loadp(vc[1], is_float[1])
+                pairv = (~nulla) & (~nullb)
+                pnan = pairv & (nana | nanb)
+                clean = pairv & ~pnan
+                ncl = int(clean.sum())
+                sha = (float(va[clean].astype("float64").sum()) / ncl
+                       if ncl else 0.0)
+                shb = (float(vb[clean].astype("float64").sum()) / ncl
+                       if ncl else 0.0)
+                da = np.where(clean, va.astype("float64") - sha,
+                              0.0).astype(np.longdouble)
+                db = np.where(clean, vb.astype("float64") - shb,
+                              0.0).astype(np.longdouble)
+                p_n = _prefix(pairv.astype("int64"))
+                p_x = _prefix(pnan.astype("int64"))
+                p_a, p_b = _prefix(da), _prefix(db)
+                p_ab = _prefix(da * db)
+                n = (p_n[ends] - p_n[starts]).astype("float64")
+                has_nan = (p_x[ends] - p_x[starts]) > 0
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    nn = np.maximum(n, 1.0)
+                    mua = (p_a[ends] - p_a[starts]) / nn
+                    mub = (p_b[ends] - p_b[starts]) / nn
+                    cab = (p_ab[ends] - p_ab[starts]) / nn - mua * mub
+                    if kind[0] == "cov2":
+                        if kind[1] == 1:        # ddof=1 (covar_samp)
+                            res = cab * n / np.maximum(n - 1.0, 1.0)
+                            dead = n <= 1
+                        else:                    # ddof=0 (covar_pop)
+                            res = cab
+                            dead = n == 0
+                    else:
+                        p_aa = _prefix(da * da)
+                        p_bb = _prefix(db * db)
+                        maa = (p_aa[ends] - p_aa[starts]) / nn
+                        mbb = (p_bb[ends] - p_bb[starts]) / nn
+                        m2a = np.maximum(maa - mua * mua, 0.0)
+                        m2b = np.maximum(mbb - mub * mub, 0.0)
+                        eps = 32 * np.finfo("float64").eps
+                        m2a = np.where(m2a <= eps * maa, 0.0, m2a)
+                        m2b = np.where(m2b <= eps * mbb, 0.0, m2b)
+                        den = np.sqrt(m2a * m2b)
+                        res = cab / den
+                        res = np.where(den == 0, np.nan, res)
+                        # F.corr: fewer than 2 pairs → NULL (measured —
+                        # not the NaN the 0/0 algebra would give), even
+                        # when the single pair carries a NaN
+                        dead = n <= 1
+                    res = np.where(has_nan, np.nan, res)
+                    if kind[0] == "corr2":
+                        mask = dead
+                    else:
+                        mask = dead & ~has_nan
+                cols[name] = pa.array(
+                    np.asarray(res, dtype="float64"), type=pa.float64(),
+                    mask=mask)
+                continue
             if vc not in cache:
                 col = tbl.column(vc)
                 nullm = pc.is_null(col).to_numpy(zero_copy_only=False)

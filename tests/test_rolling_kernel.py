@@ -474,3 +474,69 @@ def test_sliding_kernel_wrapper_bails_safely(spark):
     assert _routed_to_kernel(r2)
     assert [r["m"] for r in r2.to_a()] == [1.0, 1.5, 2.0, 4.0, 8.0, 16.0]
     assert [r["mn"] for r in r2.to_a()] == [1.0, 1.0, 1.0, 2.0, 4.0, 8.0]
+
+
+def test_sliding_kernel_corr_cov_match_window_semantics(spark):
+    """Round-9 pair kinds: kernel pearson corr / covar(ddof 1|0) must
+    reproduce Spark's F.corr/F.covar_* window semantics EXACTLY by
+    value class — pair-null skipping, NaN poisoning, zero-variance → NaN,
+    and corr's measured n<2 → NULL (not the 0/0 NaN) — since the kernel
+    replaces the direct range-frame route those functions used to take."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(29)
+    n = 260
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=int(m))
+          for m in np.sort(rng.randint(0, 4000, size=n))]
+    a = 100.0 + 7.0 * rng.randn(n)
+    b = 0.4 * a + 3.0 * rng.randn(n)
+    A = [None if i % 11 == 0 else round(float(a[i]), 4) for i in range(n)]
+    B = [None if i % 17 == 3 else round(float(b[i]), 4) for i in range(n)]
+    for i in range(40, 46):
+        A[i] = 5.0              # zero-variance stretch
+    B[50] = float("nan")
+    groups = [f"g{i % 2}" for i in range(n)]
+    data = {"ts": [t.strftime("%Y-%m-%d %H:%M:%S.%f") for t in ts],
+            "g": groups, "a": A, "b": B}
+    df = (pl.DataFrame(data)
+          .with_columns(pl.col("ts").cast(pl.Datetime)).sort("ts"))
+    res = (df.rolling(index_column="ts", period="90m", group_by="g")
+           .agg(pl.corr("a", "b").alias("c"),
+                pl.cov("a", "b").alias("cs"),
+                pl.cov("a", "b", ddof=0).alias("cp"),
+                pl.col("a").min().alias("mn")))
+    assert _routed_to_kernel(res)
+    got = sorted(res.to_a(), key=lambda r: (r["g"], r["ts"]))
+    sdf = df.lazy()._sdf
+    tsus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("g").orderBy(tsus)
+         .rangeBetween(-90 * 60 * 1_000_000 + 1, 0))
+    ref = sorted([r.asDict() for r in
+                  sdf.select("g", "ts",
+                             F.corr("a", "b").over(w).alias("c"),
+                             F.covar_samp("a", "b").over(w).alias("cs"),
+                             F.covar_pop("a", "b").over(w).alias("cp"),
+                             F.min("a").over(w).alias("mn")).collect()],
+                 key=lambda r: (r["g"], r["ts"]))
+    assert len(got) == len(ref) == n
+
+    def cls(v):
+        if v is None:
+            return "null"
+        if isinstance(v, float) and math.isnan(v):
+            return "nan"
+        return "val"
+
+    for x, y in zip(got, ref):
+        assert x["ts"] == y["ts"] and x["g"] == y["g"]
+        for k in ("c", "cs", "cp", "mn"):
+            assert cls(x[k]) == cls(y[k]), (k, x["ts"], x[k], y[k])
+            if cls(x[k]) == "val":
+                assert abs(x[k] - y[k]) <= 1e-7 + 1e-7 * abs(y[k]), \
+                    (k, x["ts"], x[k], y[k])
+    # spearman corr must NOT classify as a pair leaf (rank pre-stage)
+    sp = (df.rolling(index_column="ts", period="90m", group_by="g")
+          .agg(pl.corr("a", "b", method="spearman").alias("s"),
+               pl.len().alias("n")))
+    assert not _routed_to_kernel(sp)

@@ -1026,15 +1026,21 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
               pl.len().alias("n"),
               # round-9 central-moment arm (chunk-shifted prefix moments)
               pl.col("x").std().alias("sd"),
-              pl.col("y").var(ddof=0).alias("vp")]
+              pl.col("y").var(ddof=0).alias("vp"),
+              # round-9 pair arm (prefix sums of a, b, ab)
+              pl.cov("x", "y").alias("cv")]
     sql32_extra = ""
     wrap32 = rng.random() < 0.5
     if wrap32:
-        # round-9 WRAPPED route: one elementwise post-transform flips the
-        # whole batch onto _agg_sliding_kernel_wrapped (leaf substitution)
+        # round-9 WRAPPED route: elementwise post-transforms flip the
+        # whole batch onto _agg_sliding_kernel_wrapped (leaf substitution);
+        # corr rides here because its zero-variance NaN (Spark) vs NULL
+        # (DuckDB) needs the fill_nan(None) wrapper to compare
         aggs32.append(
             (pl.col("y").max() - pl.col("y").min()).alias("rg"))
-        sql32_extra = ", max(byy) - min(byy) AS rg"
+        aggs32.append(pl.corr("x", "y").fill_nan(None).alias("cr"))
+        sql32_extra = (", max(byy) - min(byy) AS rg"
+                       ", corr(bx, byy) AS cr")
     q32 = (b32.rolling(index_column=t32, period=per32, group_by=k32,
                        closed=cl32).agg(*aggs32))
     ksel = f"a.{k32} AS ak," if k32 else ""
@@ -1052,7 +1058,8 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
            "avg(byy) AS me, median(bx) AS md, "
            "quantile_cont(byy, 0.25) AS q25, "
            "count(bx) AS c, count(bi) AS n, "
-           "stddev_samp(bx) AS sd, var_pop(byy) AS vp"
+           "stddev_samp(bx) AS sd, var_pop(byy) AS vp, "
+           "covar_samp(bx, byy) AS cv"
            f"{sql32_extra} "
            f"FROM j GROUP BY ai, ats{kgrp}")
     compare(f"rolling_kernel_{per32}_{k32}_{cl32}_w{int(wrap32)}",
