@@ -2298,12 +2298,14 @@ def q155_rolling_unaliased_names(spark, sf_dir):
 
 
 def q156_rolling_index_agg(spark, sf_dir):
-    """Round-7 regression (ADVICE r6 #2): a collect-window aggregate that
-    READS THE INDEX COLUMN must see the per-window element values (the
-    window's min ts), not the outer anchor's scalar.  Median forces the
-    collect-window path; the 4-hour period keeps window occupancy bounded
-    on the dense events series (a month-wide dense window is the
-    documented O(n·w) collect-volume hazard — SCALE.md rolling row)."""
+    """Round-7 regression (ADVICE r6 #2): a rolling aggregate that READS
+    THE INDEX COLUMN must see the per-window element values (the window's
+    min ts), not the outer anchor's scalar.  LATE ROUND-9: this batch
+    (ts.min() + median().round()) routes through the WRAPPED sliding
+    kernel now — it was the pinned O(n·w) collect-window density case
+    (80.2 s at sf1.0; 2.1 s through the kernel); the values are
+    oracle-identical either way, and collect-window index-reading
+    stays pinned by q143's spearman batch and the pytest suite."""
     import polars_ruby_spark as pl
 
     ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
@@ -2462,6 +2464,58 @@ def q162_rolling_corr_cov_kernel(spark, sf_dir):
              pl.cov("value", "user_id", ddof=0).alias("cp"),
              pl.len().alias("n"))
         .with_columns(pl.col("c").fill_nan(None).round(6), *asinh)
+    )
+    return _out(out)
+
+
+def q163_rolling_by_kernel_attach(spark, sf_dir):
+    """Round-9: EXPR-LEVEL time-based rolling (rolling_median/quantile/
+    std/min_by — expr.rb:3964-4848) through the sliding-kernel frame
+    attachment (operators/rolling_kernel.attach_rolling_by, hooked via
+    _global_ordinal_fn/_grouped_remap_fn like the ewm/cum attaches):
+    Spark's range frame COLLECTS AND SORTS the buffer per row for median/
+    percentile (O(n·w log w)), the q143-class density wall; the kernel
+    answers the same per-row look-backs in O(n log w) per chunk.
+    rolling_mean_by stays on the window route (prefix-cheap; q14 pins
+    it), so this query pins the four kernel-attached kinds."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.with_columns(
+            pl.col("value").rolling_median_by("ts", "2h")
+            .over("event_type").round(6).alias("md"),
+            pl.col("value").rolling_quantile_by("ts", "2h", quantile=0.75)
+            .over("event_type").round(6).alias("q75"),
+            pl.col("value").rolling_std_by("ts", "2h")
+            .over("event_type").round(5).alias("sd"),
+            pl.col("value").rolling_min_by("ts", "2h")
+            .over("event_type").alias("mn"))
+        .select("event_id", "event_type", "ts", "md", "q75", "sd", "mn")
+    )
+    return _out(out)
+
+
+def q164_rolling_rowcount_kernel(spark, sf_dir):
+    """Round-9: UNGROUPED row-count rolling (rolling_median/min/sum/std —
+    expr.rb:4210-4840) through the sliding kernel chunked by the dense
+    row index.  Before, these bound a KEYLESS Spark window — ONE task for
+    the whole frame (the worst scale shape; WindowExec even warns) with
+    per-row buffer re-aggregation on top; the kernel runs task-parallel
+    at O(n log w) per chunk.  min_periods mirrors the window route's
+    count>=mp null rule; center frames duplicate boundary rows both ways."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.with_columns(
+            pl.col("value").rolling_median(501).round(6).alias("md"),
+            pl.col("value").rolling_min(501).alias("mn"),
+            pl.col("value").rolling_sum(200, min_periods=50)
+            .round(4).alias("sm"),
+            pl.col("value").rolling_std(301, center=True)
+            .round(5).alias("sd"))
+        .select("event_id", "ts", "md", "mn", "sm", "sd")
     )
     return _out(out)
 
@@ -2754,6 +2808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_rolling_moments_kernel": q160_rolling_moments_kernel,
         "q161_rolling_wrapped_kernel": q161_rolling_wrapped_kernel,
         "q162_rolling_corr_cov_kernel": q162_rolling_corr_cov_kernel,
+        "q163_rolling_by_kernel_attach": q163_rolling_by_kernel_attach,
+        "q164_rolling_rowcount_kernel": q164_rolling_rowcount_kernel,
     }
 
 
@@ -3690,6 +3746,43 @@ def oracle_sql() -> dict[str, str]:
                               THEN sqrt(m4 / (m2 * m2)) END, 5) AS ku,
                    mn
             FROM m
+        """,
+        "q164_rolling_rowcount_kernel": """
+            WITH s AS (
+                SELECT event_id, ts, value,
+                       count(value) OVER w500 AS c500,
+                       median(value) OVER w500 AS md0,
+                       min(value) OVER w500 AS mn0,
+                       count(value) OVER w200 AS c200,
+                       sum(value) OVER w200 AS sm0,
+                       count(value) OVER wc AS cc,
+                       stddev_samp(value) OVER wc AS sd0
+                FROM events
+                WINDOW
+                  w500 AS (ORDER BY ts, event_id
+                           ROWS BETWEEN 500 PRECEDING AND CURRENT ROW),
+                  w200 AS (ORDER BY ts, event_id
+                           ROWS BETWEEN 199 PRECEDING AND CURRENT ROW),
+                  wc AS (ORDER BY ts, event_id
+                         ROWS BETWEEN 150 PRECEDING AND 150 FOLLOWING)
+            )
+            SELECT event_id, ts,
+                   round(CASE WHEN c500 >= 501 THEN md0 END, 6) AS md,
+                   CASE WHEN c500 >= 501 THEN mn0 END AS mn,
+                   round(CASE WHEN c200 >= 50 THEN sm0 END, 4) AS sm,
+                   round(CASE WHEN cc >= 301 THEN sd0 END, 5) AS sd
+            FROM s
+        """,
+        "q163_rolling_by_kernel_attach": """
+            SELECT a.event_id, a.event_type, a.ts,
+                   round(median(b.value), 6) AS md,
+                   round(quantile_cont(b.value, 0.75), 6) AS q75,
+                   round(stddev_samp(b.value), 5) AS sd,
+                   min(b.value) AS mn
+            FROM events a LEFT JOIN events b
+              ON a.event_type = b.event_type
+             AND b.ts > a.ts - INTERVAL 2 HOUR AND b.ts <= a.ts
+            GROUP BY a.event_type, a.ts, a.event_id
         """,
         "q162_rolling_corr_cov_kernel": """
             WITH w AS (

@@ -499,7 +499,7 @@ class Expr:
                 tmp2 = _next_gord_name()
                 return sdf2.withColumn(tmp2, _f(F.col(tmp))).drop(tmp), tmp2
 
-            for attr in ("_ewm_batch", "_cum_batch"):
+            for attr in ("_ewm_batch", "_cum_batch", "_rolling_by_batch"):
                 b = getattr(sgfn, attr, None)
                 if b is not None:  # keep batch metadata, queue the lift
                     setattr(gfn, attr, {**b, "post": b["post"] + [f]})
@@ -515,6 +515,9 @@ class Expr:
                 tmp2 = _next_gord_name()
                 return sdf2.withColumn(tmp2, _f(F.col(tmp))).drop(tmp), tmp2
 
+            b = getattr(srfn, "_rolling_by_batch", None)
+            if b is not None:  # keep batch metadata, queue the lift
+                rfn._rolling_by_batch = {**b, "post": b["post"] + [f]}
             out._grouped_remap_fn = rfn
         if self._agg_pre_fn is not None:
             # compose pure Column fns over the agg pre-stage hook too
@@ -2363,6 +2366,44 @@ class Expr:
             return out
 
         e = self._ordered(f, order_only=True)
+        if (n != 0 and not self._needs_order and not self._scrambles_order
+                and self._agg_list_fn is None and self._multi_fn is None
+                and self._frame_fn is None and self._agg_pre_fn is None):
+            # round-9: UNGROUPED shift/lead otherwise bind a KEYLESS lag
+            # window — one task for the whole frame.  The value at
+            # position i-n is the min over the single-row frame
+            # [i-n, i-n] (null source → empty window → null; NaN source →
+            # NaN via the kernel's NaN masks), so the sliding kernel
+            # hosts it chunked by the dense row index, task-parallel.
+            # Non-numeric dtypes fall back to the window route; grouped
+            # over(keys) keeps the partitioned streaming lag.
+            inner = self
+
+            def gfn(sdf):
+                from .operators.rolling_kernel import \
+                    attach_rolling_by_multi
+                from .session import ROW_IDX as _RI
+
+                tmp = _next_gord_name()
+                try:
+                    if _RI not in sdf.columns:
+                        raise ValueError("shift kernel: no row index")
+                    sdf2 = attach_rolling_by_multi(
+                        sdf, col(_RI), (), 0, "both",
+                        [(inner, "min", tmp)], row_frame=(n, -n))
+                except ValueError:
+                    t2 = _next_gord_name()
+                    return sdf.withColumn(
+                        t2, f(inner._fn(sdf, None),
+                              _ordered_window(None))), t2
+                if fv is not None:
+                    fin = _next_gord_name()
+                    return sdf2.withColumn(fin, F.coalesce(
+                        F.col(tmp), fv._fn(None, None))).drop(tmp), fin
+                return sdf2, tmp
+
+            e._global_ordinal_fn = gfn
+            e._needs_dense_index = True
 
         def arr_fn(arr):
             vacated = (F.lit(None) if fv is None else fv._fn(None, None))
@@ -3304,7 +3345,8 @@ class Expr:
         return self._agg(aggf)
 
     # -- rolling windows (expr.rb:4936-5480) ----------------------------------------
-    def _rolling(self, aggf, window_size: int, min_periods: int | None, center: bool):
+    def _rolling(self, aggf, window_size: int, min_periods: int | None,
+                 center: bool, kernel_kind=None):
         if min_periods is None:
             min_periods = window_size
 
@@ -3319,7 +3361,91 @@ class Expr:
             cnt = F.count(c).over(wf)
             return F.when(cnt >= min_periods, val)
 
-        return self._ordered(f, order_only=True)
+        out = self._ordered(f, order_only=True)
+        if (kernel_kind is not None and not self._needs_order
+                and not self._scrambles_order and self._agg_list_fn is None
+                and self._multi_fn is None and self._frame_fn is None
+                and self._agg_pre_fn is None):
+            # round-9: UNGROUPED row-count rolling otherwise binds a
+            # KEYLESS window — one task for the whole frame, the worst
+            # scale shape there is.  The sliding kernel chunks by the
+            # dense row index (boundary rows duplicate both ways for
+            # center frames) and answers every window task-parallel.
+            # Grouped over(keys) keeps the partitioned window (parallel
+            # across keys; no _grouped_remap_fn on purpose).
+            inner = self
+            before = (window_size - 1) // 2 if center else window_size - 1
+            after = (window_size - 1 - before) if center else 0
+
+            def _finish(sdf2, tmp, cnt_t, fin):
+                return sdf2.withColumn(fin, F.when(
+                    F.col(cnt_t) >= F.lit(min_periods),
+                    F.col(tmp))).drop(tmp, cnt_t), fin
+
+            def gfn(sdf):
+                from .operators.rolling_kernel import \
+                    attach_rolling_by_multi
+                from .session import ROW_IDX as _RI
+
+                tmp, cnt_t, fin = (_next_gord_name(), _next_gord_name(),
+                                   _next_gord_name())
+                try:
+                    if _RI not in sdf.columns:
+                        raise ValueError("rolling kernel: no row index")
+                    sdf2 = attach_rolling_by_multi(
+                        sdf, col(_RI), (), 0, "both",
+                        [(inner, kernel_kind, tmp),
+                         (inner, "count", cnt_t)],
+                        row_frame=(before, after))
+                except ValueError:
+                    return sdf.withColumn(
+                        fin, f(inner._fn(sdf, None),
+                               _ordered_window(None))), fin
+                return _finish(sdf2, tmp, cnt_t, fin)
+
+            out._global_ordinal_fn = gfn
+            out._needs_dense_index = True
+            if kernel_kind == "median" or (
+                    isinstance(kernel_kind, tuple)
+                    and kernel_kind[0] == "quantile"):
+                # GROUPED over(keys): median/percentile are
+                # TypedImperativeAggregates — Spark REFUSES them in any
+                # window frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC),
+                # so there is no window route to keep; a group-local
+                # ordinal (streaming row_number, O(1)/row) feeds the
+                # kernel as the integer index so chunking by
+                # (keys, ordinal block) keeps every anchor's row frame
+                # complete in-task.  min/max/std/sum keep the partitioned
+                # JVM window (parallel across keys, one exchange).
+                def rfn(sdf, key_exprs):
+                    from pyspark.sql import Window as _W
+
+                    from .operators.rolling_kernel import \
+                        attach_rolling_by_multi
+                    from .session import ROW_IDX as _RI
+
+                    tmp, cnt_t, fin = (_next_gord_name(),
+                                       _next_gord_name(),
+                                       _next_gord_name())
+                    keys = [ke._fn(sdf, None) for ke in key_exprs]
+                    if _RI not in sdf.columns:
+                        raise NotImplementedError(
+                            "grouped rolling median/quantile need the "
+                            "hidden row index")
+                    o_t = _next_gord_name()
+                    sdf1 = sdf.withColumn(o_t, F.row_number().over(
+                        _W.partitionBy(*keys).orderBy(F.col(_RI)))
+                        .cast("long"))
+                    sdf2 = attach_rolling_by_multi(
+                        sdf1, col(o_t), key_exprs, 0, "both",
+                        [(inner, kernel_kind, tmp),
+                         (inner, "count", cnt_t)],
+                        row_frame=(before, after))
+                    sdf3, fin = _finish(sdf2, tmp, cnt_t, fin)
+                    return sdf3.drop(o_t), fin
+
+                out._grouped_remap_fn = rfn
+        return out
 
     def _rolling_weighted(self, window_size: int, weights, center: bool, mean: bool):
         """Weighted row-frame rolling: collect the window, dot with the
@@ -3348,41 +3474,63 @@ class Expr:
                     min_periods: int | None = None, center: bool = False):
         if weights is not None:
             return self._rolling_weighted(window_size, weights, center, mean=False)
-        return self._rolling(F.sum, window_size, min_periods, center)
+        return self._rolling(F.sum, window_size, min_periods, center,
+                             kernel_kind="sum")
 
     def rolling_mean(self, window_size: int, weights=None,
                      min_periods: int | None = None, center: bool = False):
         if weights is not None:
             return self._rolling_weighted(window_size, weights, center, mean=True)
-        return self._rolling(F.avg, window_size, min_periods, center)
+        return self._rolling(F.avg, window_size, min_periods, center,
+                             kernel_kind="mean")
 
     def rolling_min(self, window_size: int, min_periods: int | None = None, center: bool = False):
-        return self._rolling(F.min, window_size, min_periods, center)
+        return self._rolling(F.min, window_size, min_periods, center,
+                             kernel_kind="min")
 
     def rolling_max(self, window_size: int, min_periods: int | None = None, center: bool = False):
-        return self._rolling(F.max, window_size, min_periods, center)
+        return self._rolling(F.max, window_size, min_periods, center,
+                             kernel_kind="max")
 
     def rolling_std(self, window_size: int, min_periods: int | None = None, center: bool = False, ddof: int = 1):
         return self._rolling(F.stddev_samp if ddof == 1 else F.stddev_pop,
-                             window_size, min_periods, center)
+                             window_size, min_periods, center,
+                             kernel_kind=("std", 1 if ddof == 1 else 0))
 
     def rolling_var(self, window_size: int, min_periods: int | None = None, center: bool = False, ddof: int = 1):
         return self._rolling(F.var_samp if ddof == 1 else F.var_pop,
-                             window_size, min_periods, center)
+                             window_size, min_periods, center,
+                             kernel_kind=("var", 1 if ddof == 1 else 0))
 
     def rolling_median(self, window_size: int, min_periods: int | None = None, center: bool = False):
-        return self._rolling(F.median, window_size, min_periods, center)
+        return self._rolling(F.median, window_size, min_periods, center,
+                             kernel_kind="median")
 
     def rolling_quantile(self, q: float, window_size: int, min_periods: int | None = None,
                          center: bool = False, interpolation: str = "nearest"):
         def aggf(c):
             return F.percentile(c, F.lit(q))
 
-        return self._rolling(aggf, window_size, min_periods, center)
+        # F.percentile interpolates linearly at pos = q*(n-1) regardless
+        # of the requested mode (documented deviation) — mirror it
+        return self._rolling(aggf, window_size, min_periods, center,
+                             kernel_kind=("quantile", float(q), "linear"))
 
-    def _rolling_by(self, aggf, by, window_size: str, closed: str = "right"):
+    def _rolling_by(self, aggf, by, window_size: str, closed: str = "right",
+                    kernel_kind=None):
         """Time-based rolling (expr.rb:3964-4848): range frame over the `by`
-        timestamp column. Calendar units rejected (no fixed span)."""
+        timestamp column. Calendar units rejected (no fixed span).
+
+        Round-9: the NON-PREFIX aggregates (min/max/median/quantile/std/
+        var — ``kernel_kind``) additionally carry the sliding-kernel frame
+        attachments: Spark's SlidingWindowFunctionFrame re-aggregates the
+        whole buffer per row (median/percentile even collect + sort it —
+        O(n·w log w)), the q143-class density wall; the kernel answers the
+        same windows in O(n log w) per chunk (operators/rolling_kernel.
+        attach_rolling_by).  sum/mean/count keep the plain window binding —
+        cheap per-row JVM re-aggregation AND the sort-key fast path, which
+        hook-bearing exprs forgo.  Any attach-time failure (exotic frame
+        dtype, unsupported value dtype) falls back to the window route."""
         from .functions.duration import parse_duration
 
         dur = parse_duration(window_size)
@@ -3408,6 +3556,47 @@ class Expr:
         e._scrambles_order = True   # WindowExec leaves rows sorted by `by`
         # orders by the `by` column itself — never touches ROW_IDX
         e._order_only = self._order_safe and by_e._order_safe
+        if (kernel_kind is not None and not dur.is_calendar
+                and not self._needs_order and not self._scrambles_order
+                and self._agg_list_fn is None and self._multi_fn is None
+                and self._frame_fn is None and self._agg_pre_fn is None
+                and not by_e._needs_order and by_e._multi_fn is None):
+            inner = self
+
+            def attach(sdf, key_exprs):
+                from .operators.rolling_kernel import attach_rolling_by
+
+                return attach_rolling_by(sdf, inner, by_e, list(key_exprs),
+                                         span, closed, kernel_kind)
+
+            def gfn(sdf):
+                try:
+                    return attach(sdf, ())
+                except ValueError:
+                    tmp = _next_gord_name()
+                    return sdf.withColumn(tmp, fn(sdf, [])), tmp
+
+            def rfn(sdf, key_exprs):
+                try:
+                    return attach(sdf, key_exprs)
+                except ValueError:
+                    keys = [ke._fn(sdf, None) for ke in key_exprs]
+                    tmp = _next_gord_name()
+                    return sdf.withColumn(tmp, fn(sdf, keys)), tmp
+
+            # batch metadata: SAME-FRAME rolling_by bindings sharing
+            # (by, span, closed, keys) run through ONE kernel shuffle
+            # (frame._bind_all consumer; the ewm/cum batching lesson) —
+            # the signature needs a comparable by-identity, so only plain
+            # string `by` columns batch; over() appends the key names
+            if isinstance(by, str):
+                batch = {"sig": (by, span, closed), "inner": inner,
+                         "by_e": by_e, "span": span, "closed": closed,
+                         "kind": kernel_kind, "keys": (), "post": []}
+                gfn._rolling_by_batch = batch
+                rfn._rolling_by_batch = batch
+            e._global_ordinal_fn = gfn
+            e._grouped_remap_fn = rfn
         return e
 
     def rolling_sum_by(self, by, window_size: str, closed: str = "right"):
@@ -3417,10 +3606,12 @@ class Expr:
         return self._rolling_by(F.avg, by, window_size, closed)
 
     def rolling_min_by(self, by, window_size: str, closed: str = "right"):
-        return self._rolling_by(F.min, by, window_size, closed)
+        return self._rolling_by(F.min, by, window_size, closed,
+                                kernel_kind="min")
 
     def rolling_max_by(self, by, window_size: str, closed: str = "right"):
-        return self._rolling_by(F.max, by, window_size, closed)
+        return self._rolling_by(F.max, by, window_size, closed,
+                                kernel_kind="max")
 
     def rolling_skew(self, window_size: int, bias: bool = True,
                      min_periods: int | None = None):
@@ -3447,19 +3638,26 @@ class Expr:
 
     def rolling_std_by(self, by, window_size: str, closed: str = "right", ddof: int = 1):
         f = F.stddev_samp if ddof == 1 else F.stddev_pop
-        return self._rolling_by(f, by, window_size, closed)
+        return self._rolling_by(f, by, window_size, closed,
+                                kernel_kind=("std", 1 if ddof == 1 else 0))
 
     def rolling_var_by(self, by, window_size: str, closed: str = "right", ddof: int = 1):
         f = F.var_samp if ddof == 1 else F.var_pop
-        return self._rolling_by(f, by, window_size, closed)
+        return self._rolling_by(f, by, window_size, closed,
+                                kernel_kind=("var", 1 if ddof == 1 else 0))
 
     def rolling_median_by(self, by, window_size: str, closed: str = "right"):
-        return self._rolling_by(F.median, by, window_size, closed)
+        return self._rolling_by(F.median, by, window_size, closed,
+                                kernel_kind="median")
 
     def rolling_quantile_by(self, by, window_size: str, quantile: float = 0.5,
                             closed: str = "right"):
+        # F.percentile interpolates linearly at pos = q*(n-1) — the
+        # kernel's "linear" wavelet descent computes the same statistic
         return self._rolling_by(lambda c: F.percentile(c, F.lit(quantile)),
-                                by, window_size, closed)
+                                by, window_size, closed,
+                                kernel_kind=("quantile", float(quantile),
+                                             "linear"))
 
     def rolling_count_by(self, by, window_size: str, closed: str = "right"):
         return self._rolling_by(F.count, by, window_size, closed)
@@ -3908,6 +4106,14 @@ class Expr:
             remap = self._grouped_remap_fn
             out._global_ordinal_fn = lambda sdf: remap(sdf, key_exprs)
             out._needs_order = True
+            b = getattr(remap, "_rolling_by_batch", None)
+            if b is not None and all(
+                    k._meta and k._meta[0] == "col" for k in key_exprs):
+                # plain-column keys extend the batch signature; expr keys
+                # have no comparable identity → the binding attaches solo
+                out._global_ordinal_fn._rolling_by_batch = {
+                    **b, "keys": tuple(key_exprs),
+                    "sig": b["sig"] + tuple(k._meta[2] for k in key_exprs)}
         return out
 
     # -- misc ---------------------------------------------------------------------------

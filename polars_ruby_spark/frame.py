@@ -376,6 +376,46 @@ class LazyFrame:
                             cur = nxt
                             helpers.append(cur)
                         hook_cols[k] = cur
+                # same for rolling_by kernel attaches: bindings sharing
+                # (by, span, closed, keys) run ONE kernel shuffle for all
+                # their aggregates instead of one per stat (round-9)
+                rb_ks = [
+                    (k, e._global_ordinal_fn._rolling_by_batch)
+                    for k, (name, e) in enumerate(expanded)
+                    if not e._is_agg and k not in hook_cols
+                    and e._global_ordinal_fn is not None
+                    and getattr(e._global_ordinal_fn, "_rolling_by_batch",
+                                None)]
+                by_sig: dict = {}
+                for k, b in rb_ks:
+                    by_sig.setdefault(b["sig"], []).append((k, b))
+                for sig, grp in by_sig.items():
+                    if len(grp) < 2:
+                        continue
+                    from .exprs import _next_gord_name
+                    from .operators.rolling_kernel import \
+                        attach_rolling_by_multi
+
+                    tmps = [_next_gord_name() for _ in grp]
+                    b0 = grp[0][1]
+                    try:
+                        sdf2 = attach_rolling_by_multi(
+                            sdf, b0["by_e"], list(b0["keys"]), b0["span"],
+                            b0["closed"],
+                            [(b["inner"], b["kind"], tmp)
+                             for (_k, b), tmp in zip(grp, tmps)])
+                    except ValueError:
+                        continue    # solo hooks below handle fallback
+                    sdf = sdf2
+                    for (k, b), tmp in zip(grp, tmps):
+                        cur = tmp
+                        helpers.append(cur)
+                        for fpost in b["post"]:
+                            nxt = _next_gord_name()
+                            sdf = sdf.withColumn(nxt, fpost(F.col(cur)))
+                            cur = nxt
+                            helpers.append(cur)
+                        hook_cols[k] = cur
                 for k, (name, e) in enumerate(expanded):
                     if (e._is_agg or e._global_ordinal_fn is None
                             or k in hook_cols):

@@ -204,9 +204,23 @@ def _apply_agg_prestages_cols(sdf, exprs, named, key_cols, giant=False):
             try:
                 sdf2 = sdf.withColumn(helper, ew._fn(sdf, list(key_cols)))
             except Exception:
-                # un-windowable composition (e.g. a window keyed on another
-                # window's output) — leave on the original path, which
-                # raises loudly rather than computing a global window
+                # the direct windowed binding failed — a grouped-remap
+                # hook can still host it (round-9: rolling_median/quantile
+                # are TypedImperativeAggregates Spark refuses in ANY
+                # window frame; their sliding-kernel remap is the only
+                # grouped route).  Otherwise leave on the original path,
+                # which raises loudly rather than computing a global
+                # window.
+                if ew._grouped_remap_fn is not None:
+                    try:
+                        kes = [Expr(lambda df, part, _c=c: _c)
+                               for c in key_cols]
+                        sdf, h = ew._grouped_remap_fn(sdf, kes)
+                        return Expr(lambda df, part, _h=h: F.col(_h),
+                                    name=name or ew._name,
+                                    needs_order=True)
+                    except Exception:
+                        return e
                 return e
             sdf = sdf2
             return Expr(lambda df, part, _h=helper: F.col(_h),

@@ -527,3 +527,159 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
             arrays.append(a)
         return pa.Table.from_arrays(arrays, schema=schema)
     return kern
+
+
+def attach_rolling_by(sdf, inner, by_e, key_exprs, span_us: int,
+                      closed: str, kind):
+    """Single-aggregate convenience wrapper over
+    :func:`attach_rolling_by_multi` — see there."""
+    from ..exprs import _next_gord_name
+
+    helper = _next_gord_name()
+    out = attach_rolling_by_multi(sdf, by_e, key_exprs, span_us, closed,
+                                  [(inner, kind, helper)])
+    return out, helper
+
+
+def attach_rolling_by_multi(sdf, by_e, key_exprs, span_us: int,
+                            closed: str, entries, row_frame=None):
+    """Frame-attachment for expr-level time-based rolling (rolling_min/
+    max/median/quantile/std/var_by — expr.rb:3964-4848): compute the
+    per-row look-back aggregates through ONE sliding-kernel pass and hand
+    back the frame with every entry's helper column appended, per the
+    ``_global_ordinal_fn`` / ``_grouped_remap_fn`` hook contract (all
+    original columns preserved; row order scrambles — callers rely on the
+    deferred order-dirty restore exactly like the other hook attachments).
+    ``entries`` is ``[(inner_expr, kind, helper_name), ...]`` — SAME-FRAME
+    bindings sharing (by, span, closed, keys) batch here so k rolling
+    stats cost one shuffle, not k (the ewm/cum batching lesson, round-6).
+
+    Replaces the JVM range-frame binding for the aggregates Spark cannot
+    slide: min/max re-aggregate the whole buffer per row, median/
+    percentile COLLECT AND SORT the buffer per row (O(w log w) each), and
+    stddev/var re-fold — all O(n·w) at window density w, the measured
+    q143-class wall.  The kernel pays O(n log w) per chunk total.
+
+    Raises ValueError when any column dtype cannot cross the Arrow
+    boundary or the index/value dtypes are unsupported — callers keep the
+    validated window route.  A null index value is undefined here like in
+    the reference (polars panics); rows with a null index produce null.
+
+    ``row_frame=(before, after)`` switches to ROW-COUNT windows: ``by_e``
+    must bind to DENSE int64 positions (the hidden row index), the window
+    is positions ``[i-before, i+after]``, and rows near a chunk's LOWER
+    edge additionally duplicate into the previous chunk when ``after > 0``
+    (center windows look forward) — this is how ungrouped rolling_min/
+    median/… escape Spark's keyless single-partition window.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from ..exprs import _next_gord_name
+
+    num_t = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType)
+    ok_minmax_t = num_t + (T.TimestampType, T.TimestampNTZType, T.DateType)
+
+    # every original column rides through the kernel — probe arrow
+    # convertibility up front so unsupported frames fall back cleanly
+    pass_names = list(sdf.columns)
+    pass_types = []
+    for f_ in sdf.schema.fields:
+        try:
+            pass_types.append(to_arrow_type(f_.dataType))
+        except Exception as exc:                     # exotic dtype
+            raise ValueError(f"rolling_by kernel: {exc}")
+
+    if row_frame is not None:
+        ts_us = by_e._fn(sdf, None).cast("long")
+    else:
+        ts_us = F.unix_micros(by_e._fn(sdf, None).cast("timestamp"))
+    kplan, val_aliases, helper_fields, helper_pas = [], {}, [], []
+    for j, (inner, kind, helper) in enumerate(entries):
+        val_c = inner._fn(sdf, None)
+        vdt = sdf.select(val_c).schema[0].dataType
+        is_q = isinstance(kind, tuple) and kind[0] == "quantile"
+        if kind in ("min", "max"):
+            if not isinstance(vdt, ok_minmax_t):
+                raise ValueError(
+                    f"rolling_by kernel: unsupported dtype {vdt}")
+        elif not isinstance(vdt, num_t):
+            raise ValueError(f"rolling_by kernel: unsupported dtype {vdt}")
+        is_float = isinstance(vdt, (T.FloatType, T.DoubleType))
+        if kind in ("min", "max") or (
+                is_q and kind[2] in ("lower", "higher", "nearest")):
+            helper_t, helper_pa = vdt, to_arrow_type(vdt)
+        else:
+            helper_t, helper_pa = T.DoubleType(), pa.float64()
+        vc = f"__rbv{j}__"
+        val_aliases[vc] = val_c
+        kplan.append((kind, vc, is_float))
+        helper_fields.append(T.StructField(helper, helper_t))
+        helper_pas.append(helper_pa)
+
+    if row_frame is not None:
+        before, after = row_frame
+        # negative before/after = a frame strictly ahead/behind the anchor
+        # (shift/lead express as a single-row frame [i-n, i-n]) — the
+        # duplication distances clamp at 0, the bounds stay exact
+        back_ub = max(int(before), 1)
+        fwd_ub = max(int(after), 0)
+        # window = positions [i-before, i+after] = (lo, hi] with
+        # lo = i-before-1 (searchsorted-right exclusive lower bound)
+        lo = ts_us - F.lit(int(before) + 1)
+        hi = ts_us + F.lit(int(after))
+    else:
+        back_ub, fwd_ub = max(int(span_us), 1), 0
+        lo_base = ts_us - F.lit(back_ub)
+        hi = ts_us if closed in ("right", "both") else ts_us - F.lit(1)
+        lo = lo_base if closed in ("right", "none") else lo_base - F.lit(1)
+    chunk_w = (back_ub + fwd_ub) * 8
+    c0 = F.floor(ts_us / F.lit(chunk_w)).cast("long")
+
+    kn = [f"__rbk{i}__" for i, _ in enumerate(key_exprs)]
+    key_cols = [ke._fn(sdf, None) for ke in key_exprs]
+    for k in key_cols:      # grouping cols cross Arrow on the way in too
+        try:
+            to_arrow_type(sdf.select(k).schema[0].dataType)
+        except Exception as exc:
+            raise ValueError(f"rolling_by kernel: {exc}")
+    work = sdf.select(
+        "*", *[k.alias(n) for k, n in zip(key_cols, kn)],
+        ts_us.alias("__rk_t__"), lo.alias("__rk_lo__"),
+        hi.alias("__rk_hi__"), c0.alias("__rk_c0__"),
+        *[c.alias(n) for n, c in val_aliases.items()])
+    near_hi = (F.col("__rk_t__") >=
+               (F.col("__rk_c0__") + F.lit(1)) * F.lit(chunk_w)
+               - F.lit(back_ub))
+    dups = F.when(near_hi, F.array(F.col("__rk_c0__"),
+                                   F.col("__rk_c0__") + F.lit(1))) \
+        .otherwise(F.array(F.col("__rk_c0__")))
+    if fwd_ub > 0:
+        # look-FORWARD windows (center row frames): rows near a chunk's
+        # lower edge also serve the PREVIOUS chunk's anchors
+        near_lo = (F.col("__rk_t__") <=
+                   F.col("__rk_c0__") * F.lit(chunk_w) + F.lit(fwd_ub))
+        dups = F.when(near_lo & near_hi, F.array(
+                   F.col("__rk_c0__") - F.lit(1), F.col("__rk_c0__"),
+                   F.col("__rk_c0__") + F.lit(1))) \
+            .when(near_lo, F.array(F.col("__rk_c0__") - F.lit(1),
+                                   F.col("__rk_c0__"))) \
+            .otherwise(dups)
+    work = (work
+            .withColumn("__rk_ch__", F.explode(dups))
+            .withColumn("__rk_own__",
+                        F.col("__rk_ch__") == F.col("__rk_c0__")))
+    helpers = [h for _i, _k, h in entries]
+    out_names = pass_names + ["__rk_t__"] + helpers
+    pa_types = pass_types + [pa.int64()] + helper_pas
+    spark_out = T.StructType(
+        list(sdf.schema.fields)
+        + [T.StructField("__rk_t__", T.LongType())] + helper_fields)
+    kern = make_sliding_kernel(kplan, pass_names, out_names, pa_types)
+    grouped = work.groupBy(*kn, "__rk_ch__").applyInArrow(kern, spark_out)
+    out = grouped.select(*pass_names, *helpers)
+    out.schema  # force analysis while the caller's fallback is reachable
+    return out

@@ -540,3 +540,223 @@ def test_sliding_kernel_corr_cov_match_window_semantics(spark):
           .agg(pl.corr("a", "b", method="spearman").alias("s"),
                pl.len().alias("n")))
     assert not _routed_to_kernel(sp)
+
+
+def test_collect_window_index_reading_agg_still_pinned(spark):
+    """The round-7 regression q156 used to pin — a COLLECT-WINDOW
+    aggregate reading the INDEX column must see the per-window element
+    values, not the anchor's scalar — stays covered on that route now
+    that q156 itself rides the wrapped kernel (first() forces
+    collect-window; the kernel result is the cross-check)."""
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(hours=i) for i in range(5)]
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    df = _mkframe(ts, vals, None).sort("ts")
+    cw = (df.rolling(index_column="ts", period="2h")
+          .agg(pl.col("ts").min().alias("w0"),
+               pl.col("v").first().alias("_f")))
+    assert not _routed_to_kernel(cw)
+    kr = (df.rolling(index_column="ts", period="2h")
+          .agg(pl.col("ts").min().alias("w0"),
+               pl.col("v").max().alias("_m")))
+    assert _routed_to_kernel(kr)
+    want = [ts[0], ts[0], ts[1], ts[2], ts[3]]   # (t-2h, t] window starts
+    assert [r["w0"] for r in cw.to_a()] == want
+    assert [r["w0"] for r in kr.to_a()] == want
+
+
+@pytest.mark.parametrize("closed", CLOSED)
+def test_rolling_by_kernel_attach_differential(spark, closed):
+    """Round-9 expr-level attach: rolling_{min,median,quantile,std}_by
+    bind through the sliding kernel (attach_rolling_by) instead of the
+    O(n·w) JVM range frame.  Differential vs the plain window route
+    (rolling_mean_by keeps it — same WindowSpec semantics) and vs brute
+    force, grouped via over() and ungrouped, all 4 closed modes; export
+    row order must stay the input order (the hook relies on the deferred
+    order-dirty restore)."""
+    rng = np.random.RandomState(31)
+    n = 150
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=int(m))
+          for m in np.sort(rng.randint(0, 2500, size=n))]
+    vals = [None if rng.rand() < 0.12 else round(float(rng.randn()) * 5, 3)
+            for _ in range(n)]
+    groups = [f"g{i % 2}" for i in range(n)]
+    data = {"ts": [t.strftime("%Y-%m-%d %H:%M:%S.%f") for t in ts],
+            "v": vals, "g": groups, "tag": list(range(n))}
+    df = (pl.DataFrame(data)
+          .with_columns(pl.col("ts").cast(pl.Datetime)).sort("ts"))
+    out = df.with_columns(
+        pl.col("v").rolling_min_by("ts", "1h", closed=closed)
+        .over("g").alias("mn"),
+        pl.col("v").rolling_median_by("ts", "1h", closed=closed)
+        .over("g").alias("md"),
+        pl.col("v").rolling_quantile_by("ts", "1h", quantile=0.25,
+                                        closed=closed).over("g").alias("q"),
+        pl.col("v").rolling_std_by("ts", "1h", closed=closed)
+        .over("g").alias("sd"))
+    plan = out.lazy()._sdf.queryExecution().optimizedPlan().toString() \
+        if hasattr(out.lazy()._sdf, "queryExecution") else \
+        out.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInArrow" in plan
+    rows = out.to_a()
+    assert [r["tag"] for r in rows] == list(range(n))  # input order kept
+    span = dt.timedelta(hours=1)
+    for i, r in enumerate(rows):
+        win = []
+        for j in range(n):
+            if groups[j] != groups[i] or vals[j] is None:
+                continue
+            d = ts[i] - ts[j]
+            inside = {
+                "right": dt.timedelta(0) <= d < span,
+                "left": dt.timedelta(0) < d <= span,
+                "both": dt.timedelta(0) <= d <= span,
+                "none": dt.timedelta(0) < d < span,
+            }[closed]
+            if inside:
+                win.append(vals[j])
+        if not win:
+            assert r["mn"] is None and r["md"] is None and r["q"] is None
+            continue
+        assert _close(r["mn"], min(win)), (i, r["mn"], min(win))
+        sw = sorted(win)
+        k = len(sw)
+        md = (sw[(k - 1) // 2] + sw[k // 2]) / 2
+        assert _close(r["md"], md), (i, r["md"], md)
+        pos = 0.25 * (k - 1)
+        lo_, hi_ = sw[int(math.floor(pos))], sw[int(math.ceil(pos))]
+        assert _close(r["q"], lo_ + (pos - math.floor(pos)) * (hi_ - lo_))
+        if k > 1:
+            m = sum(sw) / k
+            sd = math.sqrt(sum((x - m) ** 2 for x in sw) / (k - 1))
+            assert _close(r["sd"], sd), (i, r["sd"], sd)
+        else:
+            assert r["sd"] is None
+
+
+def test_rolling_by_kernel_composes_and_falls_back(spark):
+    """The attach composes with elementwise post-transforms (round
+    composes over the hook) and with further with_columns; a value dtype
+    the kernel rejects (string min) falls back to the window route
+    without error."""
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(hours=i) for i in range(6)]
+    df = _mkframe(ts, [3.0, 1.0, 2.0, 5.0, 4.0, 6.0], None).sort("ts") \
+        .with_columns(pl.col("v").cast(pl.String).alias("s"))
+    out = df.with_columns(
+        pl.col("v").rolling_median_by("ts", "2h").round(1).alias("mr"))
+    assert [r["mr"] for r in out.to_a()] == [3.0, 2.0, 1.5, 3.5, 4.5, 5.0]
+    # min over strings: ValueError inside the attach → window route
+    out2 = df.with_columns(
+        pl.col("s").rolling_min_by("ts", "2h").alias("smn"))
+    assert [r["smn"] for r in out2.to_a()] == \
+        ["3.0", "1.0", "1.0", "2.0", "4.0", "4.0"]
+
+
+@pytest.mark.parametrize("center", [False, True])
+def test_rolling_rowcount_kernel_attach(spark, center):
+    """Round-9: UNGROUPED row-count rolling_{min,median,sum,std,quantile}
+    previously bound a KEYLESS window — one task for the whole frame.
+    They now ride the sliding kernel chunked by the dense row index
+    (boundary rows duplicate both ways for center frames).  Brute-force
+    differential incl. min_periods nulls and export order; grouped
+    over(k) keeps the partitioned window route."""
+    rng = np.random.RandomState(37)
+    n = 160
+    vals = [None if rng.rand() < 0.15 else round(float(rng.randn()) * 4, 3)
+            for _ in range(n)]
+    df = pl.DataFrame({"v": vals, "tag": list(range(n))})
+    out = df.with_columns(
+        pl.col("v").rolling_min(6, center=center).alias("mn"),
+        pl.col("v").rolling_median(6, center=center).alias("md"),
+        pl.col("v").rolling_sum(6, min_periods=2, center=center)
+        .alias("sm"),
+        pl.col("v").rolling_std(6, center=center).alias("sd"))
+    plan = out.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInArrow" in plan
+    rows = out.to_a()
+    assert [r["tag"] for r in rows] == list(range(n))
+    w = 6
+    before = (w - 1) // 2 if center else w - 1
+    after = (w - 1 - before) if center else 0
+    for i, r in enumerate(rows):
+        win = [vals[j] for j in range(max(0, i - before),
+                                      min(n, i + after + 1))
+               if vals[j] is not None]
+        k = len(win)
+        if k >= w:
+            sw = sorted(win)
+            assert _close(r["mn"], sw[0])
+            assert _close(r["md"], (sw[(k - 1) // 2] + sw[k // 2]) / 2)
+            m = sum(sw) / k
+            assert _close(r["sd"],
+                          math.sqrt(sum((x - m) ** 2 for x in sw)
+                                    / (k - 1)))
+        else:
+            assert r["mn"] is None and r["md"] is None and r["sd"] is None
+        assert (_close(r["sm"], sum(win)) if k >= 2 else r["sm"] is None)
+    # grouped: stays on the partitioned JVM window (parallel across keys)
+    g = pl.DataFrame({"v": vals, "g": [f"g{i % 3}" for i in range(n)]})
+    gro = g.with_columns(
+        pl.col("v").rolling_min(4).over("g").alias("gm"))
+    gplan = gro.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInArrow" not in gplan
+
+
+def test_rolling_median_quantile_rowcount_everywhere(spark):
+    """Spark refuses TypedImperativeAggregates (median/percentile) in ANY
+    window frame — before round-9 expr-level rolling_median/rolling_
+    quantile THREW at bind (ungrouped, over(keys), and inside
+    group_by().agg).  All three now route through the sliding kernel
+    (ungrouped attach; group-local-ordinal remap; agg prestage falls back
+    to the remap when the direct window binding fails)."""
+    df = pl.DataFrame({"v": [1.0, 3.0, 2.0, 5.0, 4.0, 6.0],
+                       "g": ["a", "a", "a", "b", "b", "b"]})
+    # ungrouped
+    u = df.with_columns(pl.col("v").rolling_median(3).alias("m"))
+    assert [r["m"] for r in u.to_a()] == [None, None, 2.0, 3.0, 4.0, 5.0]
+    # grouped over()
+    o = df.with_columns(
+        pl.col("v").rolling_median(2).over("g").alias("m"),
+        pl.col("v").rolling_quantile(0.5, 2, min_periods=1)
+        .over("g").alias("q"))
+    assert [r["m"] for r in o.to_a()] == [None, 2.0, 2.5, None, 4.5, 5.0]
+    assert [r["q"] for r in o.to_a()] == [1.0, 2.0, 2.5, 5.0, 4.5, 5.0]
+    # inside group_by().agg (implicit implode of the per-group series)
+    a = df.group_by("g").agg(
+        pl.col("v").rolling_median(2).alias("m")).sort("g").to_a()
+    assert a[0]["m"] == [None, 2.0, 2.5] and a[1]["m"] == [None, 4.5, 5.0]
+
+
+def test_shift_ungrouped_kernel_attach(spark):
+    """Round-9: ungrouped shift/lead bound a KEYLESS lag window (one
+    task).  They now ride the kernel as the min over the single-row frame
+    [i-n, i-n] — null source → null, NaN source → NaN, fill_value
+    coalesces exactly like the window route (including its interior-null
+    fill), lead via negative n; strings fall back to the window route."""
+    v = [1.0, None, 3.0, float("nan"), 5.0, 6.0]
+    df = pl.DataFrame({"v": v, "tag": list(range(6))})
+    out = df.with_columns(
+        pl.col("v").shift(2).alias("s2"),
+        pl.col("v").shift(-1).alias("l1"),
+        pl.col("v").shift(1, fill_value=-9.0).alias("sf"))
+    plan = out.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInArrow" in plan
+    rows = out.to_a()
+    assert [r["tag"] for r in rows] == list(range(6))
+
+    def norm(k):
+        return [None if r[k] is None else
+                ("nan" if math.isnan(r[k]) else r[k]) for r in rows]
+
+    assert norm("s2") == [None, None, 1.0, None, 3.0, "nan"]
+    assert norm("l1") == [None, 3.0, "nan", 5.0, 6.0, None]
+    assert norm("sf") == [-9.0, 1.0, -9.0, 3.0, "nan", 5.0]
+    # grouped: stays on the partitioned streaming lag
+    g = pl.DataFrame({"v": [1.0, 2.0, 3.0, 4.0], "g": ["a", "a", "b", "b"]})
+    gro = g.with_columns(pl.col("v").shift(1).over("g").alias("p"))
+    gplan = gro.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInArrow" not in gplan
+    assert [r["p"] for r in gro.to_a()] == [None, 1.0, None, 3.0]
+    # strings fall back but still compute
+    s = pl.DataFrame({"s": ["a", "b", None, "d"]})
+    so = s.with_columns(pl.col("s").shift(1).alias("p"))
+    assert [r["p"] for r in so.to_a()] == [None, "a", "b", None]

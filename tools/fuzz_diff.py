@@ -476,12 +476,21 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
                   pl.col("x").rolling_sum_by("ts", "45m", closed="both")
                   .round(6).alias("rs"),
                   pl.col("y").rolling_min_by("ts", "3h", closed="both")
-                  .alias("rm")))
+                  .alias("rm"),
+                  # round-9: median/std_by ride the sliding-kernel attach
+                  pl.col("x").rolling_median_by("ts", "3h", closed="both")
+                  .round(6).alias("rmd"),
+                  pl.col("y").rolling_std_by("ts", "3h", closed="both")
+                  .round(5).alias("rsd")))
     sql = ("SELECT idx, round(sum(x) OVER "
            "(ORDER BY ts RANGE BETWEEN INTERVAL 45 MINUTES PRECEDING "
            "AND CURRENT ROW), 6) AS rs, "
            "min(y) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 3 HOURS "
-           "PRECEDING AND CURRENT ROW) AS rm "
+           "PRECEDING AND CURRENT ROW) AS rm, "
+           "round(median(x) OVER (ORDER BY ts RANGE BETWEEN INTERVAL "
+           "3 HOURS PRECEDING AND CURRENT ROW), 6) AS rmd, "
+           "round(stddev_samp(y) OVER (ORDER BY ts RANGE BETWEEN INTERVAL "
+           "3 HOURS PRECEDING AND CURRENT ROW), 5) AS rsd "
            "FROM t WHERE ts IS NOT NULL")
     compare("rolling_by", rq.collect().to_spark(), sql)
 
@@ -520,14 +529,26 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
         pl.col("idx"),
         pl.col("x").rolling_sum(n_roll, min_periods=minp).round(6)
         .alias("rs"),
-        pl.col("y").rolling_max(n_roll, center=True).alias("rm")))
+        pl.col("y").rolling_max(n_roll, center=True).alias("rm"),
+        # round-9: median/std ride the row-count sliding-kernel attach
+        pl.col("x").rolling_median(n_roll, min_periods=minp).round(6)
+        .alias("rmd"),
+        pl.col("y").rolling_std(n_roll, min_periods=minp).round(5)
+        .alias("rsd")))
     before = (n_roll - 1) // 2
     after = n_roll - 1 - before
     sql = (f"SELECT idx, CASE WHEN count(x) OVER w1 >= {minp} THEN "
            "round(sum(x) OVER w1, 6) END AS rs, "
            f"CASE WHEN count(y) OVER w2 >= {n_roll} THEN max(y) OVER w2 "
-           "END AS rm FROM t WINDOW "
+           "END AS rm, "
+           f"CASE WHEN count(x) OVER w1 >= {minp} THEN "
+           "round(median(x) OVER w1, 6) END AS rmd, "
+           f"CASE WHEN count(y) OVER w1y >= {minp} THEN "
+           "round(stddev_samp(y) OVER w1y, 5) END AS rsd "
+           "FROM t WINDOW "
            f"w1 AS (ORDER BY idx ROWS BETWEEN {n_roll - 1} PRECEDING "
+           "AND CURRENT ROW), "
+           f"w1y AS (ORDER BY idx ROWS BETWEEN {n_roll - 1} PRECEDING "
            "AND CURRENT ROW), "
            f"w2 AS (ORDER BY idx ROWS BETWEEN {before} PRECEDING AND "
            f"{after} FOLLOWING)")
