@@ -2454,9 +2454,15 @@ def q162_rolling_corr_cov_kernel(spark, sf_dir):
     import polars_ruby_spark as pl
 
     ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    # 3 decimals: the kernel's chunk-shifted longdouble pair sums and
+    # DuckDB's streaming covariance agree to ~1e-10 RELATIVE, which at
+    # sf0.1's 3e5 values lands ~27 of them on a 1e-6 rounding grid's
+    # half-boundaries (measured) — 1e-3 asinh granularity keeps the gate
+    # (any pair-masking/shift/ddof bug is orders of magnitude larger)
+    # while making grid collisions ~1-in-10^7 per value
     asinh = [
         ((pl.col(c) + (pl.col(c) * pl.col(c) + 1).sqrt()).log()
-         .round(6).alias(c)) for c in ("cs", "cp")]
+         .round(3).alias(c)) for c in ("cs", "cp")]
     out = (
         ev.rolling(index_column="ts", period="2h", group_by="event_type")
         .agg(pl.corr("value", "user_id").alias("c"),
@@ -3797,8 +3803,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY a.event_type, a.ts, a.event_id
             )
             SELECT event_type, ts, round(c, 6) AS c,
-                   round(ln(cs0 + sqrt(cs0 * cs0 + 1)), 6) AS cs,
-                   round(ln(cp0 + sqrt(cp0 * cp0 + 1)), 6) AS cp,
+                   round(ln(cs0 + sqrt(cs0 * cs0 + 1)), 3) AS cs,
+                   round(ln(cp0 + sqrt(cp0 * cp0 + 1)), 3) AS cp,
                    n
             FROM w
         """,

@@ -77,6 +77,8 @@ HEADLINE = [
     "q158_rolling_calendar_kernel",  # sliding kernel, month-wide windows
     "q160_rolling_moments_kernel",   # std/var/skew/kurt prefix moments
     "q162_rolling_corr_cov_kernel",  # pearson corr/cov pair prefix sums
+    "q163_rolling_by_kernel_attach",  # expr-level batched kernel attach
+    "q164_rolling_rowcount_kernel",   # row-count frames, ex-keyless window
 ]
 
 
@@ -145,7 +147,7 @@ def main():
         ("q132", "q133", "q134", "q135", "q136", "q137", "q138",
          "q139", "q140", "q141", "q142", "q143", "q144", "q145",
          "q146", "q147", "q148", "q149", "q107", "q150", "q151",
-         "q157", "q158", "q160", "q162"))]
+         "q157", "q158", "q160", "q162", "q163", "q164"))]
     r1_total = round(sum(results[n] for n in r1_set if n in results), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
