@@ -2526,6 +2526,30 @@ def q164_rolling_rowcount_kernel(spark, sf_dir):
     return _out(out)
 
 
+def q165_ungrouped_rank_attach(spark, sf_dir):
+    """Round-9: UNGROUPED rank() (all five methods + descending) through
+    the distinct-value prefix attach (operators/row_index.
+    attach_global_rank) — it previously compiled to a window with NO
+    partitionBy, one task for the whole frame (expr.rb:5691).  Heavy ties
+    via round(value): ~49k distinct values over 10k rows at sf0.01."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.with_columns(pl.col("value").round(0).alias("vb"))
+        .with_columns(
+            pl.col("vb").rank("average").alias("r_avg"),
+            pl.col("vb").rank("min").alias("r_min"),
+            pl.col("vb").rank("max").alias("r_max"),
+            pl.col("vb").rank("dense").alias("r_dn"),
+            pl.col("vb").rank("ordinal").alias("r_od"),
+            pl.col("vb").rank("average", descending=True).alias("r_dv"))
+        .select("event_id", "vb", "r_avg", "r_min", "r_max", "r_dn",
+                "r_od", "r_dv")
+    )
+    return _out(out)
+
+
 def _stage_events_stream(spark, sf_dir, n_files=1):
     """Stage a µs-timestamp copy of events for a file-source stream (the
     raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
@@ -2816,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_rolling_corr_cov_kernel": q162_rolling_corr_cov_kernel,
         "q163_rolling_by_kernel_attach": q163_rolling_by_kernel_attach,
         "q164_rolling_rowcount_kernel": q164_rolling_rowcount_kernel,
+        "q165_ungrouped_rank_attach": q165_ungrouped_rank_attach,
     }
 
 
@@ -3752,6 +3777,34 @@ def oracle_sql() -> dict[str, str]:
                               THEN sqrt(m4 / (m2 * m2)) END, 5) AS ku,
                    mn
             FROM m
+        """,
+        "q165_ungrouped_rank_attach": """
+            WITH s AS (
+                SELECT event_id, ts, round(value, 0) AS vb
+                FROM events
+            )
+            SELECT event_id, vb,
+                   CASE WHEN vb IS NOT NULL THEN
+                     (rank() OVER wa * 2 + count(*) OVER pv - 1) / 2.0
+                   END AS r_avg,
+                   CASE WHEN vb IS NOT NULL THEN rank() OVER wa
+                   END AS r_min,
+                   CASE WHEN vb IS NOT NULL THEN
+                     rank() OVER wa + count(*) OVER pv - 1
+                   END AS r_max,
+                   CASE WHEN vb IS NOT NULL THEN dense_rank() OVER wa
+                   END AS r_dn,
+                   CASE WHEN vb IS NOT NULL THEN row_number() OVER wo
+                   END AS r_od,
+                   CASE WHEN vb IS NOT NULL THEN
+                     (rank() OVER wd * 2 + count(*) OVER pv - 1) / 2.0
+                   END AS r_dv
+            FROM s
+            WINDOW
+              wa AS (ORDER BY vb ASC NULLS LAST),
+              wd AS (ORDER BY vb DESC NULLS LAST),
+              wo AS (ORDER BY vb ASC NULLS LAST, ts ASC, event_id ASC),
+              pv AS (PARTITION BY vb)
         """,
         "q164_rolling_rowcount_kernel": """
             WITH s AS (

@@ -2936,6 +2936,26 @@ class Expr:
         # restore path suffices (same as _rolling_by); a windowed INNER
         # (shift(1).rank()) propagates its row-order need
         e._order_only = self._order_safe
+        if (method in ("average", "min", "max", "dense", "ordinal")
+                and not self._needs_order and not self._scrambles_order
+                and self._agg_list_fn is None and self._multi_fn is None
+                and self._frame_fn is None and self._agg_pre_fn is None):
+            # round-9: UNGROUPED rank otherwise compiles to a window with
+            # NO partitionBy — one task for the whole frame.  The attach
+            # builds it from a distinct-value prefix table, every stage
+            # multi-task (operators/row_index.attach_global_rank);
+            # grouped over(keys) keeps the partitioned rank windows.
+            inner = self
+
+            def gfn(sdf):
+                from .operators.row_index import attach_global_rank
+
+                tmp = _next_gord_name()
+                return attach_global_rank(
+                    sdf, lambda d: inner._fn(d, None), method,
+                    descending, tmp), tmp
+
+            e._global_ordinal_fn = gfn
         return e
 
     def arg_sort(self, reverse: bool = False, nulls_last: bool = False):

@@ -414,3 +414,78 @@ def attach_grouped_rank_zip(sdf: DataFrame, value_fn, key_fns, out_name: str,
     # round-7: order left dirty for the caller's deferred restore (hook
     # binds mark the frame scrambled; exports sort, driver handoffs skip)
     return joined.drop(*drop)
+
+
+def attach_global_rank(sdf: DataFrame, value_fn, method: str,
+                       descending: bool, out_name: str) -> DataFrame:
+    """UNGROUPED value rank without the keyless window (round-9).
+
+    ``rank()`` with no ``over`` keys previously compiled to
+    ``F.rank().over(Window.orderBy(v))`` — a window with NO partitionBy,
+    which funnels the whole frame into ONE task.  This attach builds the
+    rank from a DISTINCT-VALUE PREFIX TABLE instead, every stage
+    multi-task:
+
+    1. ``counts = groupBy(v).count()`` over the non-null values (hash
+       agg, parallel);
+    2. sort the counts by value (range exchange over the much smaller
+       distinct table) and compute, with the same two-pass
+       partition-offset pattern ``with_row_index`` uses, each distinct
+       value's ``before`` (rows with strictly-lesser value — exclusive
+       prefix sum of the counts) and ``dense`` ordinal;
+    3. join back on the value (AQE picks broadcast when the distinct
+       table is small) and derive every method locally:
+       min = before+1, max = before+cnt, dense = ordinal+1,
+       average = (2·before + cnt + 1)/2, ordinal = before + row_number
+       over a window PARTITIONED BY the value (tie-break by frame row
+       order — requires the hidden ROW_IDX, which hook-bearing binds pin).
+
+    Null values rank null (the left join never matches them); NaN groups,
+    orders and joins as a single greatest value in Spark, matching the
+    keyless window's ordering exactly.
+    """
+    v = value_fn(sdf)
+    base = sdf.withColumn("__gr_v__", v)
+    counts = (base.where(F.col("__gr_v__").isNotNull())
+              .groupBy("__gr_v__")
+              .agg(F.count(F.lit(1)).alias("__gr_c__")))
+    order = (F.col("__gr_v__").desc() if descending
+             else F.col("__gr_v__").asc())
+    sc = with_row_index(counts.orderBy(order), "__gr_d__")
+    scp = sc.withColumn(_PID, F.spark_partition_id())
+    per = scp.groupBy(_PID).agg(F.sum("__gr_c__").alias("__gr_s__"))
+    off = per.select(
+        _PID, F.coalesce(
+            F.sum("__gr_s__").over(
+                Window.orderBy(_PID).rowsBetween(
+                    Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("__gr_off__"))
+    within = F.coalesce(
+        F.sum("__gr_c__").over(
+            Window.partitionBy(_PID).orderBy(F.col("__gr_d__"))
+            .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    tab = (scp.join(F.broadcast(off), _PID, "left")
+           .withColumn("__gr_b__", (F.col("__gr_off__") + within)
+                       .cast("long"))
+           .select("__gr_v__", "__gr_c__", "__gr_d__", "__gr_b__"))
+    joined = base.join(tab, "__gr_v__", "left")
+    b, c = F.col("__gr_b__"), F.col("__gr_c__")
+    if method == "min":
+        r = (b + 1).cast("long")
+    elif method == "max":
+        r = (b + c).cast("long")
+    elif method == "dense":
+        r = (F.col("__gr_d__") + 1).cast("long")
+    elif method == "average":
+        r = (b.cast("double") * 2 + c.cast("double") + 1) / 2
+    elif method == "ordinal":
+        assert ROW_IDX in sdf.columns
+        rn = F.row_number().over(
+            Window.partitionBy("__gr_v__").orderBy(F.col(ROW_IDX).asc()))
+        r = (b + rn).cast("long")
+    else:
+        raise ValueError(f"unknown rank method {method!r}")
+    out = joined.withColumn(
+        out_name, F.when(F.col("__gr_v__").isNotNull(), r)).drop(
+        "__gr_v__", "__gr_c__", "__gr_d__", "__gr_b__")
+    return out.select(*sdf.columns, out_name)

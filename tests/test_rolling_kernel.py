@@ -760,3 +760,69 @@ def test_shift_ungrouped_kernel_attach(spark):
     s = pl.DataFrame({"s": ["a", "b", None, "d"]})
     so = s.with_columns(pl.col("s").shift(1).alias("p"))
     assert [r["p"] for r in so.to_a()] == [None, "a", "b", None]
+
+
+def test_ungrouped_rank_distinct_prefix_attach(spark):
+    """Round-9: ungrouped rank() compiled to a window with NO partitionBy
+    (one task for the frame).  The distinct-value prefix attach
+    (row_index.attach_global_rank) must reproduce every method exactly —
+    heavy ties, nulls unranked, descending — with no keyless data window
+    in the plan, and grouped over(keys) must keep the partitioned rank."""
+    rng = np.random.RandomState(41)
+    n = 300
+    vals = [None if rng.rand() < 0.1 else float(rng.randint(0, 40))
+            for _ in range(n)]
+    df = pl.DataFrame({"v": vals, "tag": list(range(n))})
+    out = df.with_columns(
+        pl.col("v").rank("average").alias("avg"),
+        pl.col("v").rank("min").alias("mn"),
+        pl.col("v").rank("max").alias("mx"),
+        pl.col("v").rank("dense").alias("dn"),
+        pl.col("v").rank("ordinal").alias("od"),
+        pl.col("v").rank("average", descending=True).alias("davg"))
+    rows = out.to_a()
+    assert [r["tag"] for r in rows] == list(range(n))
+    nn = [(i, x) for i, x in enumerate(vals) if x is not None]
+    sv = sorted(x for _, x in nn)
+
+    def brute(x, i, method, desc=False):
+        import bisect
+        vs = sorted((-y for _, y in nn)) if desc else sv
+        key = -x if desc else x
+        lo = bisect.bisect_left(vs, key)
+        hi = bisect.bisect_right(vs, key)
+        if method == "min":
+            return lo + 1
+        if method == "max":
+            return hi
+        if method == "average":
+            return (lo + hi + 1) / 2
+        if method == "dense":
+            return len(set(y for y in vs if y < key)) + 1
+        # ordinal: strictly-before + earlier equal rows (frame order)
+        eq_before = sum(1 for j, y in nn if y == x and j < i)
+        return lo + eq_before + 1
+
+    for i, r in enumerate(rows):
+        if vals[i] is None:
+            for k in ("avg", "mn", "mx", "dn", "od", "davg"):
+                assert r[k] is None, (k, i)
+            continue
+        assert r["avg"] == brute(vals[i], i, "average")
+        assert r["mn"] == brute(vals[i], i, "min")
+        assert r["mx"] == brute(vals[i], i, "max")
+        assert r["dn"] == brute(vals[i], i, "dense")
+        assert r["od"] == brute(vals[i], i, "ordinal")
+        assert r["davg"] == brute(vals[i], i, "average", desc=True)
+    # plan: no window ordered by the DATA column without partition keys
+    plan = out.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    for line in plan.splitlines():
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", line)
+        if m and "__rix_pid__" not in m.group(1) \
+                and "__gr_v__" not in m.group(1):
+            raise AssertionError(f"keyless data window: {line.strip()}")
+    # grouped keeps the partitioned rank windows (no attach)
+    g = pl.DataFrame({"v": [3.0, 1.0, 2.0, 2.0], "g": ["a", "a", "b", "b"]})
+    go = g.with_columns(pl.col("v").rank().over("g").alias("r"))
+    assert [r["r"] for r in go.to_a()] == [2.0, 1.0, 1.5, 1.5]

@@ -279,6 +279,19 @@ def window_exprs(pl, rng, key="g"):
                  "CURRENT ROW)"),
         lambda: ((pl.col("x").sum().over(k)).round(6),
                  f"round(coalesce(sum(x) OVER (PARTITION BY {k}), 0), 6)"),
+        # round-9 UNGROUPED forms: rank rides the distinct-value prefix
+        # attach, shift the single-row-frame kernel (no keyless windows)
+        lambda: (pl.col("y").rank("average"),
+                 "CASE WHEN y IS NOT NULL THEN (rank() OVER "
+                 "(ORDER BY y NULLS LAST) * 2 + count(*) OVER "
+                 "(PARTITION BY y) - 1) / 2.0 END"),
+        lambda: (pl.col("y").rank("min").cast(pl.Int64),
+                 "CASE WHEN y IS NOT NULL THEN CAST(rank() OVER "
+                 "(ORDER BY y NULLS LAST) AS BIGINT) END"),
+        lambda: (pl.col("x").shift(2),
+                 "lag(x, 2) OVER (ORDER BY idx)"),
+        lambda: (pl.col("x").shift(-1),
+                 "lead(x, 1) OVER (ORDER BY idx)"),
     ]
     out = []
     for i, mk in enumerate(rng.sample(pool, 4)):
