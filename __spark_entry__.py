@@ -2550,6 +2550,30 @@ def q165_ungrouped_rank_attach(spark, sf_dir):
     return _out(out)
 
 
+def q166_ungrouped_fills_lag_attach(spark, sf_dir):
+    """Round-9: UNGROUPED unbounded forward/backward fill (two-pass chunk
+    prefix + O(chunks) struct-extreme carry, row_index.attach_global_fill)
+    and ungrouped diff/pct_change (lag via the sliding kernel's single-row
+    frame) — each previously a window with NO partitionBy, one task for
+    the whole frame (expr.rb:1721 fills, :2501 diff, :2560 pct_change).
+    Nulls injected with a value predicate so the fills have real gaps."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.with_columns(
+            pl.when(pl.col("value") > 100).then(pl.col("value"))
+            .otherwise(None).alias("vn"))
+        .with_columns(
+            pl.col("vn").forward_fill().alias("ff"),
+            pl.col("vn").backward_fill().alias("bf"),
+            pl.col("vn").diff().round(4).alias("df"),
+            (pl.col("vn").pct_change() * 100).round(4).alias("pc"))
+        .select("event_id", "vn", "ff", "bf", "df", "pc")
+    )
+    return _out(out)
+
+
 def _stage_events_stream(spark, sf_dir, n_files=1):
     """Stage a µs-timestamp copy of events for a file-source stream (the
     raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
@@ -2841,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_rolling_by_kernel_attach": q163_rolling_by_kernel_attach,
         "q164_rolling_rowcount_kernel": q164_rolling_rowcount_kernel,
         "q165_ungrouped_rank_attach": q165_ungrouped_rank_attach,
+        "q166_ungrouped_fills_lag_attach": q166_ungrouped_fills_lag_attach,
     }
 
 
@@ -3777,6 +3802,25 @@ def oracle_sql() -> dict[str, str]:
                               THEN sqrt(m4 / (m2 * m2)) END, 5) AS ku,
                    mn
             FROM m
+        """,
+        "q166_ungrouped_fills_lag_attach": """
+            WITH s AS (
+                SELECT event_id, ts,
+                       CASE WHEN value > 100 THEN value END AS vn
+                FROM events
+            )
+            SELECT event_id, vn,
+                   last_value(vn IGNORE NULLS) OVER
+                     (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS ff,
+                   first_value(vn IGNORE NULLS) OVER
+                     (ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS bf,
+                   round(vn - lag(vn) OVER w, 4) AS df,
+                   round((vn - lag(vn) OVER w) / lag(vn) OVER w * 100, 4)
+                       AS pc
+            FROM s
+            WINDOW w AS (ORDER BY ts, event_id)
         """,
         "q165_ungrouped_rank_attach": """
             WITH s AS (

@@ -1431,25 +1431,46 @@ class Expr:
         v = wrap_expr(value)
         return self._lift2(v, lambda a, b: F.when(F.isnan(a), b).otherwise(a))
 
-    def forward_fill(self, limit: int | None = None):
+    def _fill_dir(self, limit, backward: bool):
         def f(c, w):
+            if backward:
+                if limit is not None:
+                    w = w.rowsBetween(0, limit)
+                else:
+                    w = w.rowsBetween(0, Window.unboundedFollowing)
+                return F.coalesce(c, F.first(c, ignorenulls=True).over(w))
             if limit is not None:
                 w = w.rowsBetween(-limit, 0)
             else:
                 w = w.rowsBetween(Window.unboundedPreceding, 0)
             return F.coalesce(c, F.last(c, ignorenulls=True).over(w))
 
-        return self._ordered(f, order_only=True)
+        e = self._ordered(f, order_only=True)
+        if (limit is None and not self._needs_order
+                and not self._scrambles_order and self._agg_list_fn is None
+                and self._multi_fn is None and self._frame_fn is None
+                and self._agg_pre_fn is None):
+            # round-9: UNGROUPED unbounded fills bound a KEYLESS window
+            # (one task).  Two-pass chunk prefix + O(chunks) carry instead
+            # (row_index.attach_global_fill); grouped over(keys) keeps the
+            # partitioned window, limited fills keep the bounded frame.
+            inner = self
+
+            def gfn(sdf):
+                from .operators.row_index import attach_global_fill
+
+                tmp = _next_gord_name()
+                return attach_global_fill(
+                    sdf, lambda d: inner._fn(d, None), backward, tmp), tmp
+
+            e._global_ordinal_fn = gfn
+        return e
+
+    def forward_fill(self, limit: int | None = None):
+        return self._fill_dir(limit, backward=False)
 
     def backward_fill(self, limit: int | None = None):
-        def f(c, w):
-            if limit is not None:
-                w = w.rowsBetween(0, limit)
-            else:
-                w = w.rowsBetween(0, Window.unboundedFollowing)
-            return F.coalesce(c, F.first(c, ignorenulls=True).over(w))
-
-        return self._ordered(f, order_only=True)
+        return self._fill_dir(limit, backward=True)
 
     def shuffle(self, seed: int | None = None):
         """expr.rb:6301 — deterministic-with-seed permutation via the ordered
@@ -2435,11 +2456,48 @@ class Expr:
         # expr.rb:1656 — (periods, fill_value), positional
         return self.shift(periods, fill_value=fill_value)
 
+    def _attach_lag_arith_kernel(self, e, n: int, arith) -> None:
+        """Hook an UNGROUPED lag-arithmetic binding (diff/pct_change) onto
+        the sliding kernel: the lagged value is the min over the
+        single-row frame [i-n, i-n] (same as shift's attach — round-9),
+        and ``arith(current, lagged)`` applies on top.  The plain path
+        bound a KEYLESS lag window, one task for the whole frame.
+        Grouped over(keys) keeps the partitioned streaming lag."""
+        if (n == 0 or self._needs_order or self._scrambles_order
+                or self._agg_list_fn is not None
+                or self._multi_fn is not None or self._frame_fn is not None
+                or self._agg_pre_fn is not None):
+            return
+        inner = self
+
+        def gfn(sdf):
+            from .operators.rolling_kernel import attach_rolling_by_multi
+            from .session import ROW_IDX as _RI
+
+            tmp, fin = _next_gord_name(), _next_gord_name()
+            try:
+                if _RI not in sdf.columns:
+                    raise ValueError("lag kernel: no row index")
+                sdf2 = attach_rolling_by_multi(
+                    sdf, col(_RI), (), 0, "both",
+                    [(inner, "min", tmp)], row_frame=(n, -n))
+            except ValueError:
+                return sdf.withColumn(
+                    fin, e._fn(sdf, None)), fin
+            return sdf2.withColumn(
+                fin, arith(inner._fn(sdf2, None),
+                           F.col(tmp))).drop(tmp), fin
+
+        e._global_ordinal_fn = gfn
+        e._needs_dense_index = True
+
     def diff(self, n: int = 1, null_behavior: str = "ignore"):
         def f(c, w):
             return c - F.lag(c, n).over(w)
 
         e = self._ordered(f, order_only=True)
+        self._attach_lag_arith_kernel(
+            e, n, lambda c, prev: c - prev)
 
         def ev(arr, df):
             return _hof_let(arr, lambda a: F.transform(
@@ -2483,6 +2541,8 @@ class Expr:
             return (c - prev) / prev
 
         e = self._ordered(f, order_only=True)
+        self._attach_lag_arith_kernel(
+            e, n, lambda c, prev: (c - prev) / prev)
 
         def ev(arr, df):
             def body(a):

@@ -637,6 +637,13 @@ def attach_rolling_by_multi(sdf, by_e, key_exprs, span_us: int,
         hi = ts_us if closed in ("right", "both") else ts_us - F.lit(1)
         lo = lo_base if closed in ("right", "none") else lo_base - F.lit(1)
     chunk_w = (back_ub + fwd_ub) * 8
+    if row_frame is not None:
+        # index units = ROWS here: a small frame (shift's single-row
+        # look-back) would otherwise make single-digit-row chunks —
+        # thousands of tiny applyInArrow groups (measured 5× wall on a
+        # 100k-row shift).  Floor the chunk so per-group overhead
+        # amortizes; duplication stays ≤ (back+fwd)/chunk_w.
+        chunk_w = max(chunk_w, 4096)
     c0 = F.floor(ts_us / F.lit(chunk_w)).cast("long")
 
     kn = [f"__rbk{i}__" for i, _ in enumerate(key_exprs)]

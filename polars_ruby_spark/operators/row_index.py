@@ -489,3 +489,42 @@ def attach_global_rank(sdf: DataFrame, value_fn, method: str,
         out_name, F.when(F.col("__gr_v__").isNotNull(), r)).drop(
         "__gr_v__", "__gr_c__", "__gr_d__", "__gr_b__")
     return out.select(*sdf.columns, out_name)
+
+
+def attach_global_fill(sdf: DataFrame, value_fn, backward: bool,
+                       out_name: str) -> DataFrame:
+    """UNGROUPED unbounded forward/backward fill without the keyless
+    window (round-9).
+
+    ``forward_fill()`` with no over-keys previously bound
+    ``last(c, ignorenulls).over(Window.orderBy(ROW_IDX))`` — no
+    partitionBy, one task.  Same two-pass chunk-prefix shape as
+    :func:`attach_global_cum`: per-chunk fill locally, then carry each
+    chunk's LAST (first, for backward) non-null value across chunks via
+    the O(chunks) totals table.  The per-chunk total uses
+    ``max(struct(ROW_IDX, v))`` over the non-null rows — unlike
+    ``F.last`` in a groupBy, the lexicographic struct extreme is
+    order-insensitive, so the carry is deterministic under any shuffle
+    layout.  Works for ANY dtype (no kernel, no numeric gate).
+    """
+    assert ROW_IDX in sdf.columns
+    base = chunked_by_index(sdf)
+    c = value_fn(base)
+    dirn = F.col(ROW_IDX).desc() if backward else F.col(ROW_IDX).asc()
+    fillf = (lambda col: F.last(col, ignorenulls=True))
+    local = fillf(c).over(
+        Window.partitionBy(_CHK).orderBy(dirn)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    pair = F.when(c.isNotNull(), F.struct(F.col(ROW_IDX).alias("i"),
+                                          c.alias("v")))
+    ext = F.min(pair) if backward else F.max(pair)
+    totals = base.groupBy(_CHK).agg(ext.alias("__gf_t__"))
+    pdir = F.col(_CHK).desc() if backward else F.col(_CHK).asc()
+    offsets = totals.select(
+        _CHK,
+        F.last(F.col("__gf_t__").getField("v"), ignorenulls=True).over(
+            Window.orderBy(pdir).rowsBetween(
+                Window.unboundedPreceding, -1)).alias(_OFF))
+    joined = base.join(F.broadcast(offsets), _CHK, "left")
+    res = F.coalesce(local, F.col(_OFF))
+    return joined.withColumn(out_name, res).drop(_CHK, _OFF)

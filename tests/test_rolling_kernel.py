@@ -826,3 +826,42 @@ def test_ungrouped_rank_distinct_prefix_attach(spark):
     g = pl.DataFrame({"v": [3.0, 1.0, 2.0, 2.0], "g": ["a", "a", "b", "b"]})
     go = g.with_columns(pl.col("v").rank().over("g").alias("r"))
     assert [r["r"] for r in go.to_a()] == [2.0, 1.0, 1.5, 1.5]
+
+
+def test_ungrouped_fills_diff_pct_change_attaches(spark):
+    """Round-9: ungrouped unbounded forward/backward fill (two-pass chunk
+    prefix + O(chunks) struct-extreme carry — any dtype) and ungrouped
+    diff/pct_change (lag via the kernel's single-row frame) replace their
+    keyless one-task windows; limited fills and grouped forms keep the
+    window routes."""
+    v = [None, 1.0, None, None, 4.0, None]
+    s = [None, "a", None, None, "d", None]
+    df = pl.DataFrame({"v": v, "s": s, "tag": list(range(6))})
+    out = df.with_columns(
+        pl.col("v").forward_fill().alias("ff"),
+        pl.col("v").backward_fill().alias("bf"),
+        pl.col("s").forward_fill().alias("sf"),
+        pl.col("v").forward_fill(limit=1).alias("fl"),
+        pl.col("v").diff().alias("d"),
+        pl.col("v").pct_change().alias("p"))
+    rows = out.to_a()
+    assert [r["tag"] for r in rows] == list(range(6))
+    assert [r["ff"] for r in rows] == [None, 1.0, 1.0, 1.0, 4.0, 4.0]
+    assert [r["bf"] for r in rows] == [1.0, 1.0, 4.0, 4.0, 4.0, None]
+    assert [r["sf"] for r in rows] == [None, "a", "a", "a", "d", "d"]
+    assert [r["fl"] for r in rows] == [None, 1.0, 1.0, None, 4.0, 4.0]
+    assert [r["d"] for r in rows] == [None, None, None, None, None, None]
+    # non-null-adjacent diff
+    d2 = pl.DataFrame({"v": [1.0, 3.0, 7.0]}).with_columns(
+        pl.col("v").diff().alias("d"), pl.col("v").pct_change().alias("p"))
+    assert [r["d"] for r in d2.to_a()] == [None, 2.0, 4.0]
+    assert [round(r["p"], 6) if r["p"] is not None else None
+            for r in d2.to_a()] == [None, 2.0, round(4.0 / 3, 6)]
+    # plan: no keyless ROW_IDX-ordered data window except the limited fill
+    plan = out.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    keyless = [l for l in plan.splitlines()
+               if re.search(
+                   r"windowspecdefinition\(__row_idx__#\d+L (ASC|DESC)",
+                   l)]
+    assert len(keyless) == 1, keyless  # forward_fill(limit=1) only

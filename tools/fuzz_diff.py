@@ -292,6 +292,14 @@ def window_exprs(pl, rng, key="g"):
                  "lag(x, 2) OVER (ORDER BY idx)"),
         lambda: (pl.col("x").shift(-1),
                  "lead(x, 1) OVER (ORDER BY idx)"),
+        lambda: (pl.col("x").forward_fill(),
+                 "last_value(x IGNORE NULLS) OVER (ORDER BY idx "
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+        lambda: (pl.col("y").backward_fill(),
+                 "first_value(y IGNORE NULLS) OVER (ORDER BY idx "
+                 "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"),
+        lambda: (pl.col("x").diff().round(6),
+                 "round(x - lag(x, 1) OVER (ORDER BY idx), 6)"),
     ]
     out = []
     for i, mk in enumerate(rng.sample(pool, 4)):
