@@ -2568,8 +2568,19 @@ def q166_ungrouped_fills_lag_attach(spark, sf_dir):
             pl.col("vn").forward_fill().alias("ff"),
             pl.col("vn").backward_fill().alias("bf"),
             pl.col("vn").diff().round(4).alias("df"),
-            (pl.col("vn").pct_change() * 100).round(4).alias("pc"))
-        .select("event_id", "vn", "ff", "bf", "df", "pc")
+            (pl.col("vn").pct_change() * 100).round(4).alias("pc"),
+            # BARE interpolate so the hook engages (a composition would
+            # lose it and fall back to the keyless window, whose
+            # UnboundedFollowing frame re-scans the remainder PER ROW)
+            pl.col("vn").interpolate().alias("li0"))
+        .with_columns(
+            # asinh comparator over the materialized column: interpolated
+            # values are RATIONAL (2-dec endpoints, rational gap
+            # fractions) and land on exact .5 rounding boundaries where
+            # Spark HALF_UP and DuckDB disagree (the q160/q162 lesson)
+            ((pl.col("li0") + (pl.col("li0") * pl.col("li0") + 1).sqrt())
+             .log().round(5)).alias("li"))
+        .select("event_id", "vn", "ff", "bf", "df", "pc", "li")
     )
     return _out(out)
 
@@ -3806,21 +3817,40 @@ def oracle_sql() -> dict[str, str]:
         "q166_ungrouped_fills_lag_attach": """
             WITH s AS (
                 SELECT event_id, ts,
-                       CASE WHEN value > 100 THEN value END AS vn
+                       CASE WHEN value > 100 THEN value END AS vn,
+                       CAST(row_number() OVER (ORDER BY ts, event_id)
+                            AS DOUBLE) AS rn
                 FROM events
+            ), f AS (
+                SELECT event_id, vn,
+                       last_value(vn IGNORE NULLS) OVER wp AS ff,
+                       first_value(vn IGNORE NULLS) OVER wf AS bf,
+                       vn - lag(vn) OVER w AS df0,
+                       (vn - lag(vn) OVER w) / lag(vn) OVER w * 100
+                           AS pc0,
+                       CASE WHEN vn IS NOT NULL THEN vn ELSE
+                         last_value(vn IGNORE NULLS) OVER wp
+                         + (first_value(vn IGNORE NULLS) OVER wf
+                            - last_value(vn IGNORE NULLS) OVER wp)
+                         * (rn - last_value(CASE WHEN vn IS NOT NULL
+                                            THEN rn END IGNORE NULLS)
+                                 OVER wp)
+                         / (first_value(CASE WHEN vn IS NOT NULL THEN rn
+                                        END IGNORE NULLS) OVER wf
+                            - last_value(CASE WHEN vn IS NOT NULL THEN rn
+                                         END IGNORE NULLS) OVER wp)
+                       END AS li0
+                FROM s
+                WINDOW w AS (ORDER BY ts, event_id),
+                       wp AS (ORDER BY ts, event_id ROWS BETWEEN
+                              UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (ORDER BY ts, event_id ROWS BETWEEN
+                              CURRENT ROW AND UNBOUNDED FOLLOWING)
             )
-            SELECT event_id, vn,
-                   last_value(vn IGNORE NULLS) OVER
-                     (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
-                      PRECEDING AND CURRENT ROW) AS ff,
-                   first_value(vn IGNORE NULLS) OVER
-                     (ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW
-                      AND UNBOUNDED FOLLOWING) AS bf,
-                   round(vn - lag(vn) OVER w, 4) AS df,
-                   round((vn - lag(vn) OVER w) / lag(vn) OVER w * 100, 4)
-                       AS pc
-            FROM s
-            WINDOW w AS (ORDER BY ts, event_id)
+            SELECT event_id, vn, ff, bf,
+                   round(df0, 4) AS df, round(pc0, 4) AS pc,
+                   round(ln(li0 + sqrt(li0 * li0 + 1)), 5) AS li
+            FROM f
         """,
         "q165_ungrouped_rank_attach": """
             WITH s AS (

@@ -1546,7 +1546,27 @@ class Expr:
             return F.when(c.isNotNull(), c.cast("double")).otherwise(
                 F.when(pv.isNotNull() & nv.isNotNull(), filled))
 
-        return self._ordered(f, order_only=True)
+        e = self._ordered(f, order_only=True)
+        if (method in ("linear", "nearest") and not self._needs_order
+                and not self._scrambles_order and self._agg_list_fn is None
+                and self._multi_fn is None and self._frame_fn is None
+                and self._agg_pre_fn is None):
+            # round-9: UNGROUPED interpolate bound a KEYLESS window (one
+            # task).  One chunk exchange + two O(chunks) struct-extreme
+            # carries instead (row_index.attach_global_interpolate);
+            # grouped over(keys) keeps the partitioned windows.
+            inner = self
+
+            def gfn(sdf):
+                from .operators.row_index import attach_global_interpolate
+
+                tmp = _next_gord_name()
+                return attach_global_interpolate(
+                    sdf, lambda d: inner._fn(d, None), method, tmp), tmp
+
+            e._global_ordinal_fn = gfn
+            e._needs_dense_index = True
+        return e
 
     # -- math (expr.rb — line refs in SURVEY §2.8) ------------------------------
     def abs(self):

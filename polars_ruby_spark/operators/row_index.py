@@ -528,3 +528,57 @@ def attach_global_fill(sdf: DataFrame, value_fn, backward: bool,
     joined = base.join(F.broadcast(offsets), _CHK, "left")
     res = F.coalesce(local, F.col(_OFF))
     return joined.withColumn(out_name, res).drop(_CHK, _OFF)
+
+
+def attach_global_interpolate(sdf: DataFrame, value_fn, method: str,
+                              out_name: str) -> DataFrame:
+    """UNGROUPED interpolate without the keyless window (round-9).
+
+    Same math as the window form (previous/next non-null value + their
+    GLOBAL row positions, linear or nearest), built over ONE deterministic
+    chunk exchange: both directional windows partition by the chunk and
+    sort ascending (one exchange, one sort), and the cross-chunk carries
+    ride two O(chunks) struct-extreme totals tables — ``max(struct(idx,
+    v, pos))`` forward, ``min`` backward — which are order-insensitive
+    where a groupBy first/last is not.  Positions are the dense hidden
+    row index itself, so gaps spanning chunk boundaries interpolate over
+    their true global distance.
+    """
+    assert ROW_IDX in sdf.columns
+    base = chunked_by_index(sdf)
+    c = value_fn(base)
+    rn = (F.col(ROW_IDX) + 1).cast("double")
+    cd = c.cast("double")
+    wp = (Window.partitionBy(_CHK).orderBy(F.col(ROW_IDX).asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(_CHK).orderBy(F.col(ROW_IDX).asc())
+          .rowsBetween(0, Window.unboundedFollowing))
+    l_pv = F.last(cd, ignorenulls=True).over(wp)
+    l_pr = F.last(F.when(c.isNotNull(), rn), ignorenulls=True).over(wp)
+    l_nv = F.first(cd, ignorenulls=True).over(wf)
+    l_nr = F.first(F.when(c.isNotNull(), rn), ignorenulls=True).over(wf)
+    pair = F.when(c.isNotNull(), F.struct(
+        F.col(ROW_IDX).alias("i"), cd.alias("v"), rn.alias("r")))
+    totals = base.groupBy(_CHK).agg(F.max(pair).alias("__gi_f__"),
+                                    F.min(pair).alias("__gi_b__"))
+    off_f = (F.last(F.col("__gi_f__"), ignorenulls=True).over(
+        Window.orderBy(F.col(_CHK).asc()).rowsBetween(
+            Window.unboundedPreceding, -1)))
+    off_b = (F.last(F.col("__gi_b__"), ignorenulls=True).over(
+        Window.orderBy(F.col(_CHK).desc()).rowsBetween(
+            Window.unboundedPreceding, -1)))
+    offs = totals.select(_CHK, off_f.alias("__gi_of__"),
+                         off_b.alias("__gi_ob__"))
+    j = base.join(F.broadcast(offs), _CHK, "left")
+    pv = F.coalesce(l_pv, F.col("__gi_of__").getField("v"))
+    pr = F.coalesce(l_pr, F.col("__gi_of__").getField("r"))
+    nv = F.coalesce(l_nv, F.col("__gi_ob__").getField("v"))
+    nr = F.coalesce(l_nr, F.col("__gi_ob__").getField("r"))
+    if method == "nearest":
+        filled = F.when((rn - pr) <= (nr - rn), pv).otherwise(nv)
+    else:
+        filled = pv + (nv - pv) * (rn - pr) / (nr - pr)
+    res = F.when(c.isNotNull(), cd).otherwise(
+        F.when(pv.isNotNull() & nv.isNotNull(), filled))
+    return (j.withColumn(out_name, res)
+            .drop(_CHK, "__gi_of__", "__gi_ob__"))

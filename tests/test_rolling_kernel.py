@@ -857,6 +857,19 @@ def test_ungrouped_fills_diff_pct_change_attaches(spark):
     assert [r["d"] for r in d2.to_a()] == [None, 2.0, 4.0]
     assert [round(r["p"], 6) if r["p"] is not None else None
             for r in d2.to_a()] == [None, 2.0, round(4.0 / 3, 6)]
+    # interpolate (linear + nearest) rides one chunk exchange + two
+    # O(chunks) struct-extreme carries; its old keyless form was O(n²)
+    # (UnboundedFollowing re-scans the remainder per row)
+    iv = [None, 1.0, None, None, 7.0, None, 4.0, None]
+    idf = pl.DataFrame({"v": iv}).with_columns(
+        pl.col("v").interpolate().alias("li"),
+        pl.col("v").interpolate("nearest").alias("ni"))
+    assert [r["li"] for r in idf.to_a()] == \
+        [None, 1.0, 3.0, 5.0, 7.0, 5.5, 4.0, None]
+    assert [r["ni"] for r in idf.to_a()] == \
+        [None, 1.0, 1.0, 7.0, 7.0, 7.0, 4.0, None]
+    iplan = idf.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(__row_idx__" not in iplan
     # plan: no keyless ROW_IDX-ordered data window except the limited fill
     plan = out.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
     import re
