@@ -4036,19 +4036,61 @@ class Expr:
             e._global_ordinal_fn = gfn
         return e
 
-    def peak_max(self):
-        def f(c, w):
-            return (c > F.coalesce(F.lag(c, 1).over(w), F.lit(float("-inf")))) & (
-                c > F.coalesce(F.lead(c, 1).over(w), F.lit(float("-inf"))))
+    def _peak(self, want_max: bool):
+        sent = float("-inf") if want_max else float("inf")
 
-        return self._ordered(f)
+        def cmp_(c, other):
+            o = F.coalesce(other, F.lit(sent))
+            return (c > o) if want_max else (c < o)
+
+        def f(c, w):
+            return cmp_(c, F.lag(c, 1).over(w)) & \
+                cmp_(c, F.lead(c, 1).over(w))
+
+        e = self._ordered(f)
+        if (not self._needs_order and not self._scrambles_order
+                and self._agg_list_fn is None and self._multi_fn is None
+                and self._frame_fn is None and self._agg_pre_fn is None):
+            # round-9: ungrouped peaks bound a KEYLESS lag+lead window
+            # (one task) — the kernel's single-row frames host both
+            # neighbours; grouped over(keys) keeps the partitioned lags
+            inner = self
+
+            def gfn(sdf):
+                from .operators.rolling_kernel import \
+                    attach_rolling_by_multi
+                from .session import ROW_IDX as _RI
+
+                tp, tn, fin = (_next_gord_name(), _next_gord_name(),
+                               _next_gord_name())
+                try:
+                    if _RI not in sdf.columns:
+                        raise ValueError("peak kernel: no row index")
+                    sdf1 = attach_rolling_by_multi(
+                        sdf, col(_RI), (), 0, "both",
+                        [(inner, "min", tp)], row_frame=(1, -1))
+                    sdf2 = attach_rolling_by_multi(
+                        sdf1, col(_RI), (), 0, "both",
+                        [(inner, "min", tn)], row_frame=(-1, 1))
+                except ValueError:
+                    t2 = _next_gord_name()
+                    return sdf.withColumn(
+                        t2, f(inner._fn(sdf, None),
+                              _ordered_window(None))), t2
+                c = inner._fn(sdf2, None)
+                return sdf2.withColumn(
+                    fin, cmp_(c, F.col(tp)) & cmp_(c, F.col(tn))
+                ).drop(tp, tn), fin
+
+            e._global_ordinal_fn = gfn
+            e._needs_dense_index = True
+        return e
+
+    def peak_max(self):
+        return self._peak(True)
 
     def peak_min(self):
-        def f(c, w):
-            return (c < F.coalesce(F.lag(c, 1).over(w), F.lit(float("inf")))) & (
-                c < F.coalesce(F.lead(c, 1).over(w), F.lit(float("inf"))))
-
-        return self._ordered(f)
+        return self._peak(False)
 
     def cut(self, breaks: list, labels: list[str] | None = None, left_closed: bool = False):
         """Bin continuous values (expr.rb:2530). Default right-closed like polars."""

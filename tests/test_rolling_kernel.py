@@ -878,3 +878,25 @@ def test_ungrouped_fills_diff_pct_change_attaches(spark):
                    r"windowspecdefinition\(__row_idx__#\d+L (ASC|DESC)",
                    l)]
     assert len(keyless) == 1, keyless  # forward_fill(limit=1) only
+
+
+def test_ungrouped_peaks_kernel_attach(spark):
+    """Round-9: ungrouped peak_max/peak_min bound a keyless lag+lead
+    window (one task); both neighbours now come from the kernel's
+    single-row frames.  Values must match the grouped (windowed) route
+    exactly, incl. null neighbours and boundary rows."""
+    v = [1.0, 3.0, 2.0, 5.0, 5.0, 4.0, None, 7.0]
+    df = pl.DataFrame({"v": v, "k": ["x"] * 8, "tag": list(range(8))})
+    a = df.with_columns(pl.col("v").peak_max().alias("p"),
+                        pl.col("v").peak_min().alias("q"))
+    plan = a.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInArrow" in plan
+    assert "windowspecdefinition(__row_idx__" not in plan
+    ar = a.to_a()
+    assert [r["tag"] for r in ar] == list(range(8))
+    br = df.with_columns(pl.col("v").peak_max().over("k").alias("p"),
+                         pl.col("v").peak_min().over("k").alias("q")).to_a()
+    assert [(r["p"], r["q"]) for r in ar] == \
+        [(r["p"], r["q"]) for r in br]
+    assert [r["p"] for r in ar] == \
+        [False, True, False, False, False, False, None, True]
