@@ -626,6 +626,52 @@ class Expr:
 
                 out._staged_win_fn = swf
             break
+        # binary composition with a SCALAR LITERAL keeps the global
+        # ordinal hooks too (round-9): pct_change() * 100 / rank() + 1
+        # otherwise DROP the attach and re-bind the keyless one-task
+        # window the hook exists to avoid (measured: q166's pct*100 put a
+        # full-frame SinglePartition lag back into an audited plan)
+        for lhs, rhs, flip in ((self, o, False), (o, self, True)):
+            if lhs._global_ordinal_fn is None or not (
+                    rhs._meta and rhs._meta[0] == "lit"):
+                continue
+            try:
+                oc = rhs._fn(None, None)
+            except Exception:
+                break  # non-scalar literal
+            sg = lhs._global_ordinal_fn
+
+            def g2(sdf, _sg=sg, _f=f, _oc=oc, _flip=flip):
+                sdf2, tmp = _sg(sdf)
+                t2 = _next_gord_name()
+                c = (_f(_oc, F.col(tmp)) if _flip
+                     else _f(F.col(tmp), _oc))
+                return sdf2.withColumn(t2, c).drop(tmp), t2
+
+            for attr in ("_ewm_batch", "_cum_batch", "_rolling_by_batch"):
+                b = getattr(sg, attr, None)
+                if b is not None:
+                    post = (lambda c, _f=f, _oc=oc, _flip=flip:
+                            _f(_oc, c) if _flip else _f(c, _oc))
+                    setattr(g2, attr, {**b, "post": b["post"] + [post]})
+            out._global_ordinal_fn = g2
+            if lhs._grouped_remap_fn is not None:
+                sr = lhs._grouped_remap_fn
+
+                def r2(sdf, key_exprs, _sr=sr, _f=f, _oc=oc, _flip=flip):
+                    sdf2, tmp = _sr(sdf, key_exprs)
+                    t2 = _next_gord_name()
+                    c = (_f(_oc, F.col(tmp)) if _flip
+                         else _f(F.col(tmp), _oc))
+                    return sdf2.withColumn(t2, c).drop(tmp), t2
+
+                b = getattr(sr, "_rolling_by_batch", None)
+                if b is not None:
+                    post = (lambda c, _f=f, _oc=oc, _flip=flip:
+                            _f(_oc, c) if _flip else _f(c, _oc))
+                    r2._rolling_by_batch = {**b, "post": b["post"] + [post]}
+                out._grouped_remap_fn = r2
+            break
         if self._agg_pre_fn is not None or o._agg_pre_fn is not None:
             # compose binary ops over agg pre-stage hooks too (ADVICE r4:
             # spearman(...) * 2 / + other_agg inside group_by().agg keeps

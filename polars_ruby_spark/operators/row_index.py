@@ -561,12 +561,15 @@ def attach_global_interpolate(sdf: DataFrame, value_fn, method: str,
         F.col(ROW_IDX).alias("i"), cd.alias("v"), rn.alias("r")))
     totals = base.groupBy(_CHK).agg(F.max(pair).alias("__gi_f__"),
                                     F.min(pair).alias("__gi_b__"))
+    # ONE shared (partition, order) spec so Spark hosts both carries in a
+    # single Window node over the O(chunks) totals — two opposed keyless
+    # windows would stack, and the audit (rightly) can only sanction a
+    # keyless window whose DIRECT input is the chunk-keyed aggregate
+    w_chk = Window.orderBy(F.col(_CHK).asc())
     off_f = (F.last(F.col("__gi_f__"), ignorenulls=True).over(
-        Window.orderBy(F.col(_CHK).asc()).rowsBetween(
-            Window.unboundedPreceding, -1)))
-    off_b = (F.last(F.col("__gi_b__"), ignorenulls=True).over(
-        Window.orderBy(F.col(_CHK).desc()).rowsBetween(
-            Window.unboundedPreceding, -1)))
+        w_chk.rowsBetween(Window.unboundedPreceding, -1)))
+    off_b = (F.first(F.col("__gi_b__"), ignorenulls=True).over(
+        w_chk.rowsBetween(1, Window.unboundedFollowing)))
     offs = totals.select(_CHK, off_f.alias("__gi_of__"),
                          off_b.alias("__gi_ob__"))
     j = base.join(F.broadcast(offs), _CHK, "left")
