@@ -416,13 +416,32 @@ class LazyFrame:
                             cur = nxt
                             helpers.append(cur)
                         hook_cols[k] = cur
+                hook_attached = bool(hook_cols)
                 for k, (name, e) in enumerate(expanded):
                     if (e._is_agg or e._global_ordinal_fn is None
                             or k in hook_cols):
                         continue
+                    if hook_attached:
+                        # CHAINED attaches (round-9): every attach's side
+                        # branches (chunk totals, kernel work frame)
+                        # re-execute their input — with k chained hooks
+                        # that multiplies into ~2^k re-runs of the whole
+                        # pipeline (measured: q166's six attaches hit 19 s
+                        # where one runs in ~0.5 s).  A LAZY localCheckpoint
+                        # between attaches materializes each stage once,
+                        # making chains linear (q166 execute 19.3 s →
+                        # 0.75 s); the ~1 s of physical planning it costs
+                        # per stage at construction is a local[*] constant
+                        # a long-lived cluster amortizes, and the measured
+                        # alternative (persist) saves construct but pays
+                        # it back with cache-write overhead at execute.
+                        # Paid only from the SECOND hook on, so
+                        # single-attach binds are untouched.
+                        sdf = sdf.localCheckpoint(eager=False)
                     sdf, tmp = e._global_ordinal_fn(sdf)
                     hook_cols[k] = tmp
                     helpers.append(tmp)
+                    hook_attached = True
             if one is not None:
                 sdf = sdf.crossJoin(F.broadcast(one))
             cols = []
