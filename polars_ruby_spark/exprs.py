@@ -499,7 +499,8 @@ class Expr:
                 tmp2 = _next_gord_name()
                 return sdf2.withColumn(tmp2, _f(F.col(tmp))).drop(tmp), tmp2
 
-            for attr in ("_ewm_batch", "_cum_batch", "_rolling_by_batch"):
+            for attr in ("_ewm_batch", "_cum_batch", "_rolling_by_batch",
+                         "_rank_batch"):
                 b = getattr(sgfn, attr, None)
                 if b is not None:  # keep batch metadata, queue the lift
                     setattr(gfn, attr, {**b, "post": b["post"] + [f]})
@@ -648,7 +649,8 @@ class Expr:
                      else _f(F.col(tmp), _oc))
                 return sdf2.withColumn(t2, c).drop(tmp), t2
 
-            for attr in ("_ewm_batch", "_cum_batch", "_rolling_by_batch"):
+            for attr in ("_ewm_batch", "_cum_batch", "_rolling_by_batch",
+                         "_rank_batch"):
                 b = getattr(sg, attr, None)
                 if b is not None:
                     post = (lambda c, _f=f, _oc=oc, _flip=flip:
@@ -3081,6 +3083,19 @@ class Expr:
                     sdf, lambda d: inner._fn(d, None), method,
                     descending, tmp), tmp
 
+            if getattr(inner, "_is_column", False) and inner._meta:
+                # round-10: SAME-COLUMN rank bindings batch into ONE
+                # distinct-prefix attach (attach_global_rank_multi) — all
+                # five methods and both directions derive from one
+                # ascending table, so q165-class multi-method binds pay
+                # one distinct aggregate + one join instead of six chained
+                # attaches with checkpoints between.  Only bare column
+                # references carry a collision-safe signature (lambda meta
+                # labels are not identities); everything else attaches solo.
+                gfn._rank_batch = {
+                    "value": lambda d: inner._fn(d, None),
+                    "method": method, "descending": descending,
+                    "sig": ("rank_col", inner._meta[2]), "post": []}
             e._global_ordinal_fn = gfn
         return e
 

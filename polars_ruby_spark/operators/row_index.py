@@ -422,14 +422,24 @@ def attach_global_rank(sdf: DataFrame, value_fn, method: str,
 
     ``rank()`` with no ``over`` keys previously compiled to
     ``F.rank().over(Window.orderBy(v))`` — a window with NO partitionBy,
-    which funnels the whole frame into ONE task.  This attach builds the
-    rank from a DISTINCT-VALUE PREFIX TABLE instead, every stage
-    multi-task:
+    which funnels the whole frame into ONE task.  Thin wrapper over
+    :func:`attach_global_rank_multi` (round-10 batching), which see.
+    """
+    return attach_global_rank_multi(sdf, value_fn,
+                                    [(method, descending, out_name)])
+
+
+def attach_global_rank_multi(sdf: DataFrame, value_fn, items: list) -> DataFrame:
+    """Batched UNGROUPED value ranks from ONE distinct-value prefix table
+    (round-10; the ewm/cum/rolling_by batching lesson applied to rank).
+
+    ``items``: ``[(method, descending, out_name), …]`` — every method and
+    BOTH directions over the same value column share one attach:
 
     1. ``counts = groupBy(v).count()`` over the non-null values (hash
        agg, parallel);
-    2. sort the counts by value (range exchange over the much smaller
-       distinct table) and compute, with the same two-pass
+    2. sort the counts ASCENDING by value (range exchange over the much
+       smaller distinct table) and compute, with the same two-pass
        partition-offset pattern ``with_row_index`` uses, each distinct
        value's ``before`` (rows with strictly-lesser value — exclusive
        prefix sum of the counts) and ``dense`` ordinal;
@@ -438,20 +448,24 @@ def attach_global_rank(sdf: DataFrame, value_fn, method: str,
        min = before+1, max = before+cnt, dense = ordinal+1,
        average = (2·before + cnt + 1)/2, ordinal = before + row_number
        over a window PARTITIONED BY the value (tie-break by frame row
-       order — requires the hidden ROW_IDX, which hook-bearing binds pin).
+       order — requires the hidden ROW_IDX, which hook-bearing binds
+       pin).  DESCENDING ranks are count-complement arithmetic on the
+       SAME ascending columns — ``before' = N − before − cnt`` rows rank
+       strictly greater, ``dense' = D − dense`` — so a mixed batch still
+       builds one table (N and D ride a broadcast one-row aggregate of
+       the counts, attached only when a descending item needs them).
 
-    Null values rank null (the left join never matches them); NaN groups,
-    orders and joins as a single greatest value in Spark, matching the
-    keyless window's ordering exactly.
+    Null values rank null (the left join never matches them); NaN
+    groups, orders and joins as a single greatest value in Spark,
+    matching the keyless window's ordering exactly — in BOTH directions
+    (desc_nulls_last puts NaN first; the complement does the same).
     """
     v = value_fn(sdf)
     base = sdf.withColumn("__gr_v__", v)
     counts = (base.where(F.col("__gr_v__").isNotNull())
               .groupBy("__gr_v__")
               .agg(F.count(F.lit(1)).alias("__gr_c__")))
-    order = (F.col("__gr_v__").desc() if descending
-             else F.col("__gr_v__").asc())
-    sc = with_row_index(counts.orderBy(order), "__gr_d__")
+    sc = with_row_index(counts.orderBy(F.col("__gr_v__").asc()), "__gr_d__")
     scp = sc.withColumn(_PID, F.spark_partition_id())
     per = scp.groupBy(_PID).agg(F.sum("__gr_c__").alias("__gr_s__"))
     off = per.select(
@@ -468,27 +482,43 @@ def attach_global_rank(sdf: DataFrame, value_fn, method: str,
            .withColumn("__gr_b__", (F.col("__gr_off__") + within)
                        .cast("long"))
            .select("__gr_v__", "__gr_c__", "__gr_d__", "__gr_b__"))
+    if any(desc for _m, desc, _o in items):
+        # complement terms: N = non-null rows, D = distinct values — a
+        # one-row aggregate of the O(distinct) counts table, broadcast
+        tot = counts.agg(F.sum("__gr_c__").alias("__gr_n__"),
+                         F.count(F.lit(1)).alias("__gr_nd__"))
+        tab = tab.crossJoin(F.broadcast(tot))
     joined = base.join(tab, "__gr_v__", "left")
-    b, c = F.col("__gr_b__"), F.col("__gr_c__")
-    if method == "min":
-        r = (b + 1).cast("long")
-    elif method == "max":
-        r = (b + c).cast("long")
-    elif method == "dense":
-        r = (F.col("__gr_d__") + 1).cast("long")
-    elif method == "average":
-        r = (b.cast("double") * 2 + c.cast("double") + 1) / 2
-    elif method == "ordinal":
+    c = F.col("__gr_c__")
+    rn = None
+    if any(m == "ordinal" for m, _d, _o in items):
         assert ROW_IDX in sdf.columns
+        # shared by both directions: ordinal ties break by FRAME row
+        # order, and the tie block's base offset is direction-specific
         rn = F.row_number().over(
             Window.partitionBy("__gr_v__").orderBy(F.col(ROW_IDX).asc()))
-        r = (b + rn).cast("long")
-    else:
-        raise ValueError(f"unknown rank method {method!r}")
-    out = joined.withColumn(
-        out_name, F.when(F.col("__gr_v__").isNotNull(), r)).drop(
-        "__gr_v__", "__gr_c__", "__gr_d__", "__gr_b__")
-    return out.select(*sdf.columns, out_name)
+    res_cols = {}
+    for method, descending, out_name in items:
+        if descending:
+            b = (F.col("__gr_n__") - F.col("__gr_b__") - c).cast("long")
+            d = (F.col("__gr_nd__") - F.col("__gr_d__") - 1).cast("long")
+        else:
+            b, d = F.col("__gr_b__"), F.col("__gr_d__")
+        if method == "min":
+            r = (b + 1).cast("long")
+        elif method == "max":
+            r = (b + c).cast("long")
+        elif method == "dense":
+            r = (d + 1).cast("long")
+        elif method == "average":
+            r = (b.cast("double") * 2 + c.cast("double") + 1) / 2
+        elif method == "ordinal":
+            r = (b + rn).cast("long")
+        else:
+            raise ValueError(f"unknown rank method {method!r}")
+        res_cols[out_name] = F.when(F.col("__gr_v__").isNotNull(), r)
+    out = joined.withColumns(res_cols)
+    return out.select(*sdf.columns, *[o for _m, _d, o in items])
 
 
 def attach_global_fill(sdf: DataFrame, value_fn, backward: bool,

@@ -828,6 +828,67 @@ def test_ungrouped_rank_distinct_prefix_attach(spark):
     assert [r["r"] for r in go.to_a()] == [2.0, 1.0, 1.5, 1.5]
 
 
+def test_ungrouped_rank_multi_batch_one_attach(spark):
+    """Round-10: SAME-COLUMN rank bindings batch into ONE distinct-prefix
+    attach (attach_global_rank_multi) — one distinct aggregate, one join,
+    and ZERO inter-stage checkpoints on the pure-rank chain (q165's six
+    chained attaches spent 4.2 s of 4.4 s in construct).  Descending
+    methods are count-complement arithmetic on the same ascending table."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from polars_ruby_spark.operators import row_index as ri
+
+    df = pl.DataFrame({"v": [3.0, 1.0, 3.0, None, 2.0, 3.0],
+                       "tag": list(range(6))})
+    multi_calls = []
+    orig_multi = ri.attach_global_rank_multi
+    orig_ckpt = DataFrame.localCheckpoint
+    ckpt_calls = []
+
+    def spy_multi(sdf, value_fn, items):
+        multi_calls.append(list(items))
+        return orig_multi(sdf, value_fn, items)
+
+    def spy_ckpt(self, eager=True):
+        ckpt_calls.append(eager)
+        return orig_ckpt(self, eager)
+
+    with mock.patch.object(ri, "attach_global_rank_multi", spy_multi), \
+            mock.patch.object(DataFrame, "localCheckpoint", spy_ckpt):
+        out = df.with_columns(
+            pl.col("v").rank("min").alias("mn"),
+            pl.col("v").rank("max", descending=True).alias("dmx"),
+            pl.col("v").rank("dense", descending=True).alias("ddn"),
+            pl.col("v").rank("ordinal", descending=True).alias("dod"),
+            (pl.col("v").rank("average") + 1).alias("avg1"))
+        rows = out.to_a()
+    # one batched attach carrying all five bindings, no checkpoints
+    assert len(multi_calls) == 1 and len(multi_calls[0]) == 5
+    assert ckpt_calls == []
+    assert [r["tag"] for r in rows] == list(range(6))
+    # v = [3,1,3,None,2,3]: asc min = [3,1,3,-,2,3]; desc complements
+    assert [r["mn"] for r in rows] == [3, 1, 3, None, 2, 3]
+    assert [r["dmx"] for r in rows] == [3, 5, 3, None, 4, 3]
+    assert [r["ddn"] for r in rows] == [1, 3, 1, None, 2, 1]
+    assert [r["dod"] for r in rows] == [1, 5, 2, None, 4, 3]
+    assert [r["avg1"] for r in rows] == [5.0, 2.0, 5.0, None, 3.0, 5.0]
+    # different columns do NOT share a table: two sigs → two attaches
+    multi_calls.clear()
+    df2 = pl.DataFrame({"a": [1.0, 2.0], "b": [2.0, 1.0]})
+    with mock.patch.object(ri, "attach_global_rank_multi", spy_multi):
+        out2 = df2.with_columns(
+            pl.col("a").rank("min").alias("ra"),
+            pl.col("a").rank("dense").alias("da"),
+            pl.col("b").rank("min").alias("rb"),
+            pl.col("b").rank("dense").alias("db"))
+        rows2 = out2.to_a()
+    assert len(multi_calls) == 2
+    assert [r["ra"] for r in rows2] == [1, 2]
+    assert [r["rb"] for r in rows2] == [2, 1]
+
+
 def test_ungrouped_fills_diff_pct_change_attaches(spark):
     """Round-9: ungrouped unbounded forward/backward fill (two-pass chunk
     prefix + O(chunks) struct-extreme carry — any dtype) and ungrouped
