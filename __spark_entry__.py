@@ -2585,6 +2585,36 @@ def q166_ungrouped_fills_lag_attach(spark, sf_dir):
     return _out(out)
 
 
+def q167_hook_composed_binaries(spark, sf_dir):
+    """Round-10 (VERDICT r9 #2): binary compositions of hook-bearing
+    exprs keep their attaches — interpolate()+interpolate() (hook×hook,
+    two chained stages), forward_fill()−backward_fill() (hook×hook across
+    families), diff()×col and backward_fill()×col (hook×plain-column,
+    operand evaluated on the attached frame).  Each shape previously
+    DROPPED the attach and re-bound the keyless one-task window (for
+    interpolate, the O(n²) UnboundedFollowing frame).  Values are emitted
+    raw: both engines compute the identical IEEE-double formula (the
+    interpolation arithmetic is mirrored term-for-term), so the harness's
+    9-dp float normalization sees identical bits."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.with_columns(
+            pl.when(pl.col("value") > 100).then(pl.col("value"))
+            .otherwise(None).alias("vn"))
+        .with_columns(
+            (pl.col("vn").interpolate()
+             + pl.col("vn").interpolate()).alias("ii"),
+            (pl.col("vn").forward_fill()
+             - pl.col("vn").backward_fill()).alias("fb"),
+            (pl.col("value").diff() * pl.col("value")).alias("dv"),
+            (pl.col("vn").backward_fill() * pl.col("value")).alias("bv"))
+        .select("event_id", "vn", "ii", "fb", "dv", "bv")
+    )
+    return _out(out)
+
+
 def _stage_events_stream(spark, sf_dir, n_files=1):
     """Stage a µs-timestamp copy of events for a file-source stream (the
     raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
@@ -2877,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_rolling_rowcount_kernel": q164_rolling_rowcount_kernel,
         "q165_ungrouped_rank_attach": q165_ungrouped_rank_attach,
         "q166_ungrouped_fills_lag_attach": q166_ungrouped_fills_lag_attach,
+        "q167_hook_composed_binaries": q167_hook_composed_binaries,
     }
 
 
@@ -3813,6 +3844,44 @@ def oracle_sql() -> dict[str, str]:
                               THEN sqrt(m4 / (m2 * m2)) END, 5) AS ku,
                    mn
             FROM m
+        """,
+        "q167_hook_composed_binaries": """
+            WITH s AS (
+                SELECT event_id, ts, value,
+                       CASE WHEN value > 100 THEN value END AS vn,
+                       CAST(row_number() OVER (ORDER BY ts, event_id)
+                            AS DOUBLE) AS rn
+                FROM events
+            ), f AS (
+                SELECT event_id, value, vn,
+                       last_value(vn IGNORE NULLS) OVER wp AS pv,
+                       first_value(vn IGNORE NULLS) OVER wf AS nv,
+                       last_value(CASE WHEN vn IS NOT NULL THEN rn END
+                                  IGNORE NULLS) OVER wp AS pr,
+                       first_value(CASE WHEN vn IS NOT NULL THEN rn END
+                                   IGNORE NULLS) OVER wf AS nr,
+                       rn,
+                       lag(value) OVER w AS pvl
+                FROM s
+                WINDOW w AS (ORDER BY ts, event_id),
+                       wp AS (ORDER BY ts, event_id ROWS BETWEEN
+                              UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (ORDER BY ts, event_id ROWS BETWEEN
+                              CURRENT ROW AND UNBOUNDED FOLLOWING)
+            ), g AS (
+                SELECT event_id, value, vn, pv, nv, rn, pvl,
+                       CASE WHEN vn IS NOT NULL THEN vn
+                            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                              pv + (nv - pv) * (rn - pr) / (nr - pr)
+                       END AS li
+                FROM f
+            )
+            SELECT event_id, vn,
+                   li + li AS ii,
+                   pv - nv AS fb,
+                   (value - pvl) * value AS dv,
+                   nv * value AS bv
+            FROM g
         """,
         "q166_ungrouped_fills_lag_attach": """
             WITH s AS (

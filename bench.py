@@ -81,6 +81,7 @@ HEADLINE = [
     "q164_rolling_rowcount_kernel",   # row-count frames, ex-keyless window
     "q165_ungrouped_rank_attach",     # distinct-value prefix ranks
     "q166_ungrouped_fills_lag_attach",  # fills/diff/pct/interpolate attaches
+    "q167_hook_composed_binaries",    # hook x hook / hook x column composes
 ]
 
 
@@ -150,7 +151,7 @@ def main():
          "q139", "q140", "q141", "q142", "q143", "q144", "q145",
          "q146", "q147", "q148", "q149", "q107", "q150", "q151",
          "q157", "q158", "q160", "q162", "q163", "q164", "q165",
-         "q166"))]
+         "q166", "q167"))]
     r1_total = round(sum(results[n] for n in r1_set if n in results), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

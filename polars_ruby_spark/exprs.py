@@ -332,6 +332,33 @@ def _next_gord_name() -> str:
     return f"__gord_{_GORD_COUNTER[0]}__"
 
 
+def _fill_batch_gfn(meta: dict):
+    """Build a global-ordinal hook from fill-family batch metadata
+    (round-10): ``meta["items"]`` is ``[(value_fn, kind), …]`` feeding ONE
+    ``attach_global_fill_multi`` call, ``meta["finish"](cols, sdf)``
+    combines the attached item columns into the expr's value (binary
+    compositions fold their operand logic in here — hook×hook pairs and
+    hook×plain-column products stay ONE attach instead of chained
+    checkpointed stages), ``meta["post"]`` queues elementwise lifts.
+    ``_bind_all`` flattens every same-frame ``_fill_batch`` hook into one
+    attach the same way."""
+    def gfn(sdf):
+        from .operators.row_index import attach_global_fill_multi
+
+        tmps = [_next_gord_name() for _ in meta["items"]]
+        sdf2 = attach_global_fill_multi(
+            sdf, [(vf, kind, t)
+                  for (vf, kind), t in zip(meta["items"], tmps)])
+        c = meta["finish"]([F.col(t) for t in tmps], sdf2)
+        for p in meta["post"]:
+            c = p(c)
+        out = _next_gord_name()
+        return sdf2.withColumn(out, c).drop(*tmps), out
+
+    gfn._fill_batch = meta
+    return gfn
+
+
 class Expr:
     """A deferred column expression (parity: ``lib/polars/expr.rb``)."""
 
@@ -500,7 +527,7 @@ class Expr:
                 return sdf2.withColumn(tmp2, _f(F.col(tmp))).drop(tmp), tmp2
 
             for attr in ("_ewm_batch", "_cum_batch", "_rolling_by_batch",
-                         "_rank_batch"):
+                         "_rank_batch", "_fill_batch"):
                 b = getattr(sgfn, attr, None)
                 if b is not None:  # keep batch metadata, queue the lift
                     setattr(gfn, attr, {**b, "post": b["post"] + [f]})
@@ -650,7 +677,7 @@ class Expr:
                 return sdf2.withColumn(t2, c).drop(tmp), t2
 
             for attr in ("_ewm_batch", "_cum_batch", "_rolling_by_batch",
-                         "_rank_batch"):
+                         "_rank_batch", "_fill_batch"):
                 b = getattr(sg, attr, None)
                 if b is not None:
                     post = (lambda c, _f=f, _oc=oc, _flip=flip:
@@ -674,6 +701,99 @@ class Expr:
                     r2._rolling_by_batch = {**b, "post": b["post"] + [post]}
                 out._grouped_remap_fn = r2
             break
+        # hook-bearing NON-literal compositions (round-10; VERDICT r9 #2):
+        # interpolate()+interpolate() / diff()*col("w") previously DROPPED
+        # the attach and re-bound the keyless one-task window the hook
+        # exists to avoid — for interpolate the fallback frame is even
+        # O(n²) (UnboundedFollowing re-scans the remainder per row).
+        # hook×hook composes as two chained attach stages (a lazy
+        # localCheckpoint between them keeps chains linear — the same
+        # trade _bind_all makes between separate attaches); hook×column
+        # evaluates the plain elementwise operand directly on the
+        # attached frame (attaches preserve every input column).  Batch
+        # metadata does not survive (the composed stage is its own unit).
+        if out._global_ordinal_fn is None and not out._is_agg:
+            def _plain_operand(e):
+                # frame-evaluable elementwise: no hook/agg/order machinery,
+                # and not a Series literal (meta "lit" reaching this point
+                # failed the scalar probe above)
+                return (e._global_ordinal_fn is None and not e._is_agg
+                        and not e._needs_order and not e._scrambles_order
+                        and e._multi_fn is None and e._frame_fn is None
+                        and e._agg_pre_fn is None and e._agg_list_fn is None
+                        and not (e._meta and e._meta[0] == "lit"))
+
+            lg, rg = self._global_ordinal_fn, o._global_ordinal_fn
+            lb = getattr(lg, "_fill_batch", None) if lg is not None else None
+            rb = getattr(rg, "_fill_batch", None) if rg is not None else None
+
+            def _fb_col(b):
+                # fold a side's finish+post into a (cols, sdf) -> Column
+                def mk(cols, sdf, _b=b):
+                    c = _b["finish"](cols, sdf)
+                    for p in _b["post"]:
+                        c = p(c)
+                    return c
+
+                return mk
+
+            if lb is not None and rb is not None:
+                # BOTH sides fill-family: merge into ONE attach — one
+                # chunk exchange, one totals aggregate, no checkpoint
+                nl = len(lb["items"])
+                la, ra = _fb_col(lb), _fb_col(rb)
+                out._global_ordinal_fn = _fill_batch_gfn({
+                    "items": lb["items"] + rb["items"],
+                    "finish": (lambda cols, sdf, _f=f, _la=la, _ra=ra,
+                               _nl=nl: _f(_la(cols[:_nl], sdf),
+                                          _ra(cols[_nl:], sdf))),
+                    "post": []})
+            elif lg is not None and rg is not None:
+                def g2(sdf, _lg=lg, _rg=rg, _f=f):
+                    sdf1, t1 = _lg(sdf)
+                    sdf1 = sdf1.localCheckpoint(eager=False)
+                    sdf2, t2 = _rg(sdf1)
+                    t3 = _next_gord_name()
+                    return (sdf2.withColumn(t3, _f(F.col(t1), F.col(t2)))
+                            .drop(t1, t2), t3)
+
+                out._global_ordinal_fn = g2
+            elif lg is not None and _plain_operand(o):
+                if lb is not None:   # keep the batch mergeable
+                    la = _fb_col(lb)
+                    out._global_ordinal_fn = _fill_batch_gfn({
+                        "items": list(lb["items"]),
+                        "finish": (lambda cols, sdf, _f=f, _la=la,
+                                   _of=o._fn: _f(_la(cols, sdf),
+                                                 _of(sdf, None))),
+                        "post": []})
+                else:
+                    def g2(sdf, _lg=lg, _of=o._fn, _f=f):
+                        sdf1, t1 = _lg(sdf)
+                        t3 = _next_gord_name()
+                        return (sdf1.withColumn(t3, _f(F.col(t1),
+                                                       _of(sdf1, None)))
+                                .drop(t1), t3)
+
+                    out._global_ordinal_fn = g2
+            elif rg is not None and _plain_operand(self):
+                if rb is not None:
+                    ra = _fb_col(rb)
+                    out._global_ordinal_fn = _fill_batch_gfn({
+                        "items": list(rb["items"]),
+                        "finish": (lambda cols, sdf, _f=f, _ra=ra,
+                                   _sf=self._fn: _f(_sf(sdf, None),
+                                                    _ra(cols, sdf))),
+                        "post": []})
+                else:
+                    def g2(sdf, _rg=rg, _sf=self._fn, _f=f):
+                        sdf1, t2 = _rg(sdf)
+                        t3 = _next_gord_name()
+                        return (sdf1.withColumn(t3, _f(_sf(sdf1, None),
+                                                       F.col(t2)))
+                                .drop(t2), t3)
+
+                    out._global_ordinal_fn = g2
         if self._agg_pre_fn is not None or o._agg_pre_fn is not None:
             # compose binary ops over agg pre-stage hooks too (ADVICE r4:
             # spearman(...) * 2 / + other_agg inside group_by().agg keeps
@@ -1500,18 +1620,17 @@ class Expr:
                 and self._agg_pre_fn is None):
             # round-9: UNGROUPED unbounded fills bound a KEYLESS window
             # (one task).  Two-pass chunk prefix + O(chunks) carry instead
-            # (row_index.attach_global_fill); grouped over(keys) keeps the
-            # partitioned window, limited fills keep the bounded frame.
+            # (row_index.attach_global_fill_multi); grouped over(keys)
+            # keeps the partitioned window, limited fills the bounded
+            # frame.  Batch metadata (round-10) lets every same-frame
+            # fill-family binding — and binary compositions — share ONE
+            # chunk exchange.
             inner = self
-
-            def gfn(sdf):
-                from .operators.row_index import attach_global_fill
-
-                tmp = _next_gord_name()
-                return attach_global_fill(
-                    sdf, lambda d: inner._fn(d, None), backward, tmp), tmp
-
-            e._global_ordinal_fn = gfn
+            e._global_ordinal_fn = _fill_batch_gfn({
+                "items": [(lambda d: inner._fn(d, None),
+                           "bf" if backward else "ff")],
+                "finish": lambda cols, _sdf: cols[0],
+                "post": []})
         return e
 
     def forward_fill(self, limit: int | None = None):
@@ -1601,18 +1720,15 @@ class Expr:
                 and self._agg_pre_fn is None):
             # round-9: UNGROUPED interpolate bound a KEYLESS window (one
             # task).  One chunk exchange + two O(chunks) struct-extreme
-            # carries instead (row_index.attach_global_interpolate);
-            # grouped over(keys) keeps the partitioned windows.
+            # carries instead (row_index.attach_global_fill_multi);
+            # grouped over(keys) keeps the partitioned windows.  Batch
+            # metadata (round-10): same-frame fill-family bindings and
+            # binary compositions share one chunk exchange.
             inner = self
-
-            def gfn(sdf):
-                from .operators.row_index import attach_global_interpolate
-
-                tmp = _next_gord_name()
-                return attach_global_interpolate(
-                    sdf, lambda d: inner._fn(d, None), method, tmp), tmp
-
-            e._global_ordinal_fn = gfn
+            e._global_ordinal_fn = _fill_batch_gfn({
+                "items": [(lambda d: inner._fn(d, None), method)],
+                "finish": lambda cols, _sdf: cols[0],
+                "post": []})
             e._needs_dense_index = True
         return e
 

@@ -450,6 +450,39 @@ class LazyFrame:
                             cur = nxt
                             helpers.append(cur)
                         hook_cols[k] = cur
+                # same for fill-family bindings (round-10): every
+                # forward/backward fill and interpolate on this frame —
+                # including merged binary compositions — flattens into ONE
+                # chunk exchange + totals aggregate + broadcast join
+                fl_ks = [
+                    (k, e._global_ordinal_fn._fill_batch)
+                    for k, (name, e) in enumerate(expanded)
+                    if not e._is_agg and k not in hook_cols
+                    and e._global_ordinal_fn is not None
+                    and getattr(e._global_ordinal_fn, "_fill_batch", None)]
+                if len(fl_ks) >= 2:
+                    from .exprs import _next_gord_name
+                    from .operators.row_index import attach_global_fill_multi
+
+                    all_items, spans = [], []
+                    for k, b in fl_ks:
+                        spans.append((k, b, len(all_items),
+                                      len(b["items"])))
+                        all_items.extend(b["items"])
+                    tmps = [_next_gord_name() for _ in all_items]
+                    sdf = attach_global_fill_multi(
+                        sdf, [(vf, kind, t)
+                              for (vf, kind), t in zip(all_items, tmps)])
+                    for k, b, off, n in spans:
+                        cs = [F.col(t) for t in tmps[off:off + n]]
+                        c = b["finish"](cs, sdf)
+                        for fpost in b["post"]:
+                            c = fpost(c)
+                        nxt = _next_gord_name()
+                        sdf = sdf.withColumn(nxt, c)
+                        helpers.append(nxt)
+                        hook_cols[k] = nxt
+                    sdf = sdf.drop(*tmps)
                 hook_attached = bool(hook_cols)
                 for k, (name, e) in enumerate(expanded):
                     if (e._is_agg or e._global_ordinal_fn is None

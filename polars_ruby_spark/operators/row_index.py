@@ -524,100 +524,131 @@ def attach_global_rank_multi(sdf: DataFrame, value_fn, items: list) -> DataFrame
 def attach_global_fill(sdf: DataFrame, value_fn, backward: bool,
                        out_name: str) -> DataFrame:
     """UNGROUPED unbounded forward/backward fill without the keyless
-    window (round-9).
-
-    ``forward_fill()`` with no over-keys previously bound
-    ``last(c, ignorenulls).over(Window.orderBy(ROW_IDX))`` — no
-    partitionBy, one task.  Same two-pass chunk-prefix shape as
-    :func:`attach_global_cum`: per-chunk fill locally, then carry each
-    chunk's LAST (first, for backward) non-null value across chunks via
-    the O(chunks) totals table.  The per-chunk total uses
-    ``max(struct(ROW_IDX, v))`` over the non-null rows — unlike
-    ``F.last`` in a groupBy, the lexicographic struct extreme is
-    order-insensitive, so the carry is deterministic under any shuffle
-    layout.  Works for ANY dtype (no kernel, no numeric gate).
-    """
-    assert ROW_IDX in sdf.columns
-    base = chunked_by_index(sdf)
-    c = value_fn(base)
-    dirn = F.col(ROW_IDX).desc() if backward else F.col(ROW_IDX).asc()
-    fillf = (lambda col: F.last(col, ignorenulls=True))
-    local = fillf(c).over(
-        Window.partitionBy(_CHK).orderBy(dirn)
-        .rowsBetween(Window.unboundedPreceding, 0))
-    pair = F.when(c.isNotNull(), F.struct(F.col(ROW_IDX).alias("i"),
-                                          c.alias("v")))
-    ext = F.min(pair) if backward else F.max(pair)
-    totals = base.groupBy(_CHK).agg(ext.alias("__gf_t__"))
-    pdir = F.col(_CHK).desc() if backward else F.col(_CHK).asc()
-    offsets = totals.select(
-        _CHK,
-        F.last(F.col("__gf_t__").getField("v"), ignorenulls=True).over(
-            Window.orderBy(pdir).rowsBetween(
-                Window.unboundedPreceding, -1)).alias(_OFF))
-    joined = base.join(F.broadcast(offsets), _CHK, "left")
-    res = F.coalesce(local, F.col(_OFF))
-    return joined.withColumn(out_name, res).drop(_CHK, _OFF)
+    window (round-9).  Thin wrapper over the unified fill-family batch
+    (round-10), which see."""
+    return attach_global_fill_multi(
+        sdf, [(value_fn, "bf" if backward else "ff", out_name)])
 
 
 def attach_global_interpolate(sdf: DataFrame, value_fn, method: str,
                               out_name: str) -> DataFrame:
-    """UNGROUPED interpolate without the keyless window (round-9).
+    """UNGROUPED interpolate without the keyless window (round-9).  Thin
+    wrapper over the unified fill-family batch (round-10), which see."""
+    return attach_global_fill_multi(sdf, [(value_fn, method, out_name)])
 
-    Same math as the window form (previous/next non-null value + their
-    GLOBAL row positions, linear or nearest), built over ONE deterministic
-    chunk exchange: both directional windows partition by the chunk and
-    sort ascending (one exchange, one sort), and the cross-chunk carries
-    ride two O(chunks) struct-extreme totals tables — ``max(struct(idx,
-    v, pos))`` forward, ``min`` backward — which are order-insensitive
-    where a groupBy first/last is not.  Positions are the dense hidden
-    row index itself, so gaps spanning chunk boundaries interpolate over
-    their true global distance.
+
+def attach_global_fill_multi(sdf: DataFrame, items: list) -> DataFrame:
+    """Batched UNGROUPED fill-family attaches (round-10): every same-frame
+    forward/backward fill AND interpolate binding shares ONE deterministic
+    chunk exchange, ONE per-chunk totals aggregate and ONE broadcast
+    offsets join — each previously paid all three on its own, plus a lazy
+    localCheckpoint between chained attaches (q166: three fill-family
+    attaches → one; composed hook×hook pairs merge through the same call).
+
+    ``items``: ``[(value_fn, kind, out_name), …]`` with kind ∈
+    ``{"ff", "bf", "linear", "nearest"}`` — items may read DIFFERENT
+    columns (each carries its own struct-extreme carry through the shared
+    totals table, like ``attach_global_cum_multi``).
+
+    Shape (per round-9's solo forms, now shared):
+
+    * per-chunk local pass — two directional running frames over the SAME
+      chunk partitioning, ascending and descending by ROW_IDX (one
+      exchange, two in-partition sorts).  The descending frame replaces
+      ``rowsBetween(0, unboundedFollowing)``, whose Spark implementation
+      RE-SCANS the remainder per row (O(rows²/chunks), measured ~17 s of
+      a 20 s execute at sf0.1);
+    * cross-chunk carries — per-item ``max(struct(idx, v[, pos]))``
+      forward / ``min`` backward over the non-null rows: lexicographic
+      struct extremes are order-insensitive where a groupBy first/last is
+      not, so the carry is deterministic under any shuffle layout;
+    * ONE shared ascending (partition, order) spec hosts every carry in a
+      single Window node over the O(chunks) totals — and the audit
+      (rightly) can only sanction a keyless window whose DIRECT input is
+      the chunk-keyed aggregate.
+
+    Fills work for ANY dtype (no cast); interpolate positions are the
+    dense hidden row index itself, so gaps spanning chunk boundaries
+    interpolate over their true global distance.
     """
     assert ROW_IDX in sdf.columns
     base = chunked_by_index(sdf)
-    c = value_fn(base)
-    rn = (F.col(ROW_IDX) + 1).cast("double")
-    cd = c.cast("double")
     wp = (Window.partitionBy(_CHK).orderBy(F.col(ROW_IDX).asc())
           .rowsBetween(Window.unboundedPreceding, 0))
-    # next-non-null via the REVERSED running frame, not
-    # rowsBetween(0, unboundedFollowing): Spark's UnboundedFollowing
-    # frame RE-SCANS the remainder per row — O(rows²/chunks), measured
-    # ~17 s of a 20 s execute at sf0.1 — where the reversed
-    # unbounded-preceding frame streams in O(rows) (one extra in-exchange
-    # sort, same shuffle)
     wb = (Window.partitionBy(_CHK).orderBy(F.col(ROW_IDX).desc())
           .rowsBetween(Window.unboundedPreceding, 0))
-    l_pv = F.last(cd, ignorenulls=True).over(wp)
-    l_pr = F.last(F.when(c.isNotNull(), rn), ignorenulls=True).over(wp)
-    l_nv = F.last(cd, ignorenulls=True).over(wb)
-    l_nr = F.last(F.when(c.isNotNull(), rn), ignorenulls=True).over(wb)
-    pair = F.when(c.isNotNull(), F.struct(
-        F.col(ROW_IDX).alias("i"), cd.alias("v"), rn.alias("r")))
-    totals = base.groupBy(_CHK).agg(F.max(pair).alias("__gi_f__"),
-                                    F.min(pair).alias("__gi_b__"))
-    # ONE shared (partition, order) spec so Spark hosts both carries in a
-    # single Window node over the O(chunks) totals — two opposed keyless
-    # windows would stack, and the audit (rightly) can only sanction a
-    # keyless window whose DIRECT input is the chunk-keyed aggregate
     w_chk = Window.orderBy(F.col(_CHK).asc())
-    off_f = (F.last(F.col("__gi_f__"), ignorenulls=True).over(
-        w_chk.rowsBetween(Window.unboundedPreceding, -1)))
-    off_b = (F.first(F.col("__gi_b__"), ignorenulls=True).over(
-        w_chk.rowsBetween(1, Window.unboundedFollowing)))
-    offs = totals.select(_CHK, off_f.alias("__gi_of__"),
-                         off_b.alias("__gi_ob__"))
-    j = base.join(F.broadcast(offs), _CHK, "left")
-    pv = F.coalesce(l_pv, F.col("__gi_of__").getField("v"))
-    pr = F.coalesce(l_pr, F.col("__gi_of__").getField("r"))
-    nv = F.coalesce(l_nv, F.col("__gi_ob__").getField("v"))
-    nr = F.coalesce(l_nr, F.col("__gi_ob__").getField("r"))
-    if method == "nearest":
-        filled = F.when((rn - pr) <= (nr - rn), pv).otherwise(nv)
-    else:
-        filled = pv + (nv - pv) * (rn - pr) / (nr - pr)
-    res = F.when(c.isNotNull(), cd).otherwise(
-        F.when(pv.isNotNull() & nv.isNotNull(), filled))
-    return (j.withColumn(out_name, res)
-            .drop(_CHK, "__gi_of__", "__gi_ob__"))
+    fwd_carry = w_chk.rowsBetween(Window.unboundedPreceding, -1)
+    bwd_carry = w_chk.rowsBetween(1, Window.unboundedFollowing)
+    rn = (F.col(ROW_IDX) + 1).cast("double")
+    locals_, tot_aggs, off_cols, finishers = {}, [], [], []
+    for i, (value_fn, kind, out_name) in enumerate(items):
+        c = value_fn(base)
+        if kind in ("ff", "bf"):
+            backward = kind == "bf"
+            locals_[f"__gm_l{i}__"] = F.last(c, ignorenulls=True).over(
+                wb if backward else wp)
+            pair = F.when(c.isNotNull(), F.struct(
+                F.col(ROW_IDX).alias("i"), c.alias("v")))
+            tot_aggs.append((F.min(pair) if backward else F.max(pair))
+                            .alias(f"__gm_t{i}__"))
+            off_cols.append(
+                (F.first(F.col(f"__gm_t{i}__").getField("v"),
+                         ignorenulls=True).over(bwd_carry) if backward
+                 else F.last(F.col(f"__gm_t{i}__").getField("v"),
+                             ignorenulls=True).over(fwd_carry))
+                .alias(f"__gm_o{i}__"))
+
+            def fin(i=i):
+                return F.coalesce(F.col(f"__gm_l{i}__"),
+                                  F.col(f"__gm_o{i}__"))
+
+            finishers.append((fin, out_name))
+        elif kind in ("linear", "nearest"):
+            cd = c.cast("double")
+            locals_[f"__gm_pv{i}__"] = F.last(cd, ignorenulls=True).over(wp)
+            locals_[f"__gm_pr{i}__"] = F.last(
+                F.when(c.isNotNull(), rn), ignorenulls=True).over(wp)
+            locals_[f"__gm_nv{i}__"] = F.last(cd, ignorenulls=True).over(wb)
+            locals_[f"__gm_nr{i}__"] = F.last(
+                F.when(c.isNotNull(), rn), ignorenulls=True).over(wb)
+            # the raw value column rides along for the final identity case
+            locals_[f"__gm_c{i}__"] = cd
+            pair = F.when(c.isNotNull(), F.struct(
+                F.col(ROW_IDX).alias("i"), cd.alias("v"), rn.alias("r")))
+            tot_aggs.append(F.max(pair).alias(f"__gm_tf{i}__"))
+            tot_aggs.append(F.min(pair).alias(f"__gm_tb{i}__"))
+            off_cols.append(F.last(F.col(f"__gm_tf{i}__"),
+                                   ignorenulls=True).over(fwd_carry)
+                            .alias(f"__gm_of{i}__"))
+            off_cols.append(F.first(F.col(f"__gm_tb{i}__"),
+                                    ignorenulls=True).over(bwd_carry)
+                            .alias(f"__gm_ob{i}__"))
+
+            def fin(i=i, kind=kind):
+                cd_ = F.col(f"__gm_c{i}__")
+                pv = F.coalesce(F.col(f"__gm_pv{i}__"),
+                                F.col(f"__gm_of{i}__").getField("v"))
+                pr = F.coalesce(F.col(f"__gm_pr{i}__"),
+                                F.col(f"__gm_of{i}__").getField("r"))
+                nv = F.coalesce(F.col(f"__gm_nv{i}__"),
+                                F.col(f"__gm_ob{i}__").getField("v"))
+                nr = F.coalesce(F.col(f"__gm_nr{i}__"),
+                                F.col(f"__gm_ob{i}__").getField("r"))
+                if kind == "nearest":
+                    filled = F.when((rn - pr) <= (nr - rn), pv).otherwise(nv)
+                else:
+                    filled = pv + (nv - pv) * (rn - pr) / (nr - pr)
+                return F.when(cd_.isNotNull(), cd_).otherwise(
+                    F.when(pv.isNotNull() & nv.isNotNull(), filled))
+
+            finishers.append((fin, out_name))
+        else:
+            raise ValueError(f"unknown fill kind {kind!r}")
+    base = base.withColumns(locals_)
+    offs = (base.groupBy(_CHK).agg(*tot_aggs).select(_CHK, *off_cols))
+    joined = base.join(F.broadcast(offs), _CHK, "left")
+    out = joined.withColumns({nm: fin() for fin, nm in finishers})
+    helper_cols = [c_ for c_ in out.columns
+                   if c_.startswith("__gm_") or c_ == _CHK]
+    return out.drop(*helper_cols)

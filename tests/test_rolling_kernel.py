@@ -889,6 +889,70 @@ def test_ungrouped_rank_multi_batch_one_attach(spark):
     assert [r["rb"] for r in rows2] == [2, 1]
 
 
+def test_hook_binary_compositions_keep_attach(spark):
+    """Round-10 (VERDICT r9 #2): binary compositions of TWO hook-bearing
+    exprs (interpolate()+interpolate()) and hook×plain-column (diff()*col)
+    compose the attaches — previously they silently re-bound the keyless
+    one-task window (and for interpolate the O(n²) UnboundedFollowing
+    frame).  The executed plan must contain no unpartitioned data window."""
+    from tools.plan_audit import unpartitioned_window_violations
+
+    df = pl.DataFrame({
+        "v": [1.0, None, None, 4.0, None, 10.0],
+        "w": [2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+        "tag": list(range(6))})
+    out = df.with_columns(
+        (pl.col("v").interpolate() + pl.col("v").interpolate()).alias("ii"),
+        (pl.col("v").forward_fill() * pl.col("w")).alias("fw"),
+        (pl.col("w").diff() * pl.col("w")).alias("dw"),
+        (pl.col("w") - pl.col("v").backward_fill()).alias("wb"))
+    rows = out.to_a()
+    assert [r["tag"] for r in rows] == list(range(6))
+    # interpolated v = [1,2,3,4,7,10]
+    assert [r["ii"] for r in rows] == [2.0, 4.0, 6.0, 8.0, 14.0, 20.0]
+    assert [r["fw"] for r in rows] == [2.0, 3.0, 4.0, 20.0, 24.0, 70.0]
+    assert [r["dw"] for r in rows] == [None, 3.0, 4.0, 5.0, 6.0, 7.0]
+    assert [r["wb"] for r in rows] == [1.0, -1.0, 0.0, 1.0, -4.0, -3.0]
+    plan = out.lazy()._sdf._jdf.queryExecution().executedPlan().toString()
+    assert unpartitioned_window_violations(plan) == 0
+
+
+def test_rolling_spearman_density_warning(spark):
+    """Round-10 (VERDICT r9 #6): rolling spearman is the one remaining
+    O(n·w) family — at extreme estimated density (rows × occupancy > 1e8)
+    the agg must warn loudly with the documented alternatives, and stay
+    silent at bench-set densities."""
+    import datetime as dt
+    import warnings
+
+    n = 15_000
+    t0 = dt.datetime(2024, 1, 1)
+    dense = pl.DataFrame({
+        "ts": [t0 + dt.timedelta(milliseconds=i) for i in range(n)],
+        "v": [float(i % 97) for i in range(n)],
+        "u": [float((i * 13) % 89) for i in range(n)]})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dense.rolling(index_column="ts", period="1h").agg(
+            pl.corr("v", "u", method="spearman").alias("s"))
+        msgs = [str(x.message) for x in w
+                if issubclass(x.category, RuntimeWarning)]
+    assert any("per-window" in m and "sliding kernel" in m for m in msgs), \
+        msgs
+    # sparse series (same rows, 1s period over 15000s): silent
+    sparse = pl.DataFrame({
+        "ts": [t0 + dt.timedelta(seconds=i) for i in range(2_000)],
+        "v": [float(i % 97) for i in range(2_000)],
+        "u": [float((i * 13) % 89) for i in range(2_000)]})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sparse.rolling(index_column="ts", period="1h").agg(
+            pl.corr("v", "u", method="spearman").alias("s"))
+        msgs = [str(x.message) for x in w
+                if issubclass(x.category, RuntimeWarning)]
+    assert not any("per-window" in m for m in msgs), msgs
+
+
 def test_ungrouped_fills_diff_pct_change_attaches(spark):
     """Round-9: ungrouped unbounded forward/backward fill (two-pass chunk
     prefix + O(chunks) struct-extreme carry — any dtype) and ungrouped

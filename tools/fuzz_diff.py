@@ -300,6 +300,17 @@ def window_exprs(pl, rng, key="g"):
                  "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"),
         lambda: (pl.col("x").diff().round(6),
                  "round(x - lag(x, 1) OVER (ORDER BY idx), 6)"),
+        # round-10 composed binaries: hook×hook merges into ONE
+        # fill-family attach, hook×plain-column evaluates the operand on
+        # the attached frame — both previously re-bound keyless windows
+        lambda: ((pl.col("x").forward_fill()
+                  - pl.col("y").backward_fill()).round(6),
+                 "round(last_value(x IGNORE NULLS) OVER (ORDER BY idx "
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                 "- first_value(y IGNORE NULLS) OVER (ORDER BY idx "
+                 "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)"),
+        lambda: ((pl.col("x").diff() * pl.col("a")).round(6),
+                 "round((x - lag(x, 1) OVER (ORDER BY idx)) * a, 6)"),
     ]
     out = []
     for i, mk in enumerate(rng.sample(pool, 4)):
