@@ -737,6 +737,8 @@ class Expr:
 
                 return mk
 
+            lrk = getattr(lg, "_rank_batch", None) if lg is not None else None
+            rrk = getattr(rg, "_rank_batch", None) if rg is not None else None
             if lb is not None and rb is not None:
                 # BOTH sides fill-family: merge into ONE attach — one
                 # chunk exchange, one totals aggregate, no checkpoint
@@ -748,6 +750,29 @@ class Expr:
                                _nl=nl: _f(_la(cols[:_nl], sdf),
                                           _ra(cols[_nl:], sdf))),
                     "post": []})
+            elif (lrk is not None and rrk is not None
+                  and lrk["sig"] == rrk["sig"]):
+                # BOTH sides rank over the SAME column: one distinct-
+                # prefix table serves both methods/directions
+                def g2(sdf, _l=lrk, _r=rrk, _f=f):
+                    from .operators.row_index import \
+                        attach_global_rank_multi
+
+                    t1, t2 = _next_gord_name(), _next_gord_name()
+                    sdf2 = attach_global_rank_multi(
+                        sdf, _l["value"],
+                        [(_l["method"], _l["descending"], t1),
+                         (_r["method"], _r["descending"], t2)])
+                    ca, cb = F.col(t1), F.col(t2)
+                    for p in _l["post"]:
+                        ca = p(ca)
+                    for p in _r["post"]:
+                        cb = p(cb)
+                    t3 = _next_gord_name()
+                    return (sdf2.withColumn(t3, _f(ca, cb))
+                            .drop(t1, t2), t3)
+
+                out._global_ordinal_fn = g2
             elif lg is not None and rg is not None:
                 def g2(sdf, _lg=lg, _rg=rg, _f=f):
                     sdf1, t1 = _lg(sdf)
@@ -2607,6 +2632,19 @@ class Expr:
                         F.col(tmp), fv._fn(None, None))).drop(tmp), fin
                 return sdf2, tmp
 
+            # round-10: SAME-FRAME lag-frame attaches (shift/diff/
+            # pct_change with the same n) batch through ONE kernel shuffle
+            # — each binding ran its own attach_rolling_by_multi before,
+            # with a checkpoint between chained stages
+            from .session import ROW_IDX as _RIB
+            gfn._rolling_by_batch = {
+                "sig": ("__lagframe__", n), "inner": inner,
+                "by_e": col(_RIB), "span": 0, "closed": "both",
+                "kind": "min", "keys": (), "row_frame": (n, -n),
+                "fin": (None if fv is None else
+                        (lambda sdf, tmp, _fv=fv: F.coalesce(
+                            F.col(tmp), _fv._fn(None, None)))),
+                "post": []}
             e._global_ordinal_fn = gfn
             e._needs_dense_index = True
 
@@ -2672,6 +2710,16 @@ class Expr:
                 fin, arith(inner._fn(sdf2, None),
                            F.col(tmp))).drop(tmp), fin
 
+        # round-10: batch with other same-n lag-frame attaches (shift,
+        # other diff/pct bindings) through ONE kernel shuffle
+        from .session import ROW_IDX as _RIB
+        gfn._rolling_by_batch = {
+            "sig": ("__lagframe__", n), "inner": inner,
+            "by_e": col(_RIB), "span": 0, "closed": "both",
+            "kind": "min", "keys": (), "row_frame": (n, -n),
+            "fin": (lambda sdf, tmp, _inner=inner, _arith=arith:
+                    _arith(_inner._fn(sdf, None), F.col(tmp))),
+            "post": []}
         e._global_ordinal_fn = gfn
         e._needs_dense_index = True
 

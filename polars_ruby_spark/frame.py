@@ -403,13 +403,23 @@ class LazyFrame:
                             sdf, b0["by_e"], list(b0["keys"]), b0["span"],
                             b0["closed"],
                             [(b["inner"], b["kind"], tmp)
-                             for (_k, b), tmp in zip(grp, tmps)])
+                             for (_k, b), tmp in zip(grp, tmps)],
+                            row_frame=b0.get("row_frame"))
                     except ValueError:
                         continue    # solo hooks below handle fallback
                     sdf = sdf2
                     for (k, b), tmp in zip(grp, tmps):
                         cur = tmp
                         helpers.append(cur)
+                        fin = b.get("fin")
+                        if fin is not None:
+                            # per-binding finisher needing the frame
+                            # (shift's fill_value coalesce, diff/
+                            # pct_change's lag arithmetic — round-10)
+                            nxt = _next_gord_name()
+                            sdf = sdf.withColumn(nxt, fin(sdf, cur))
+                            cur = nxt
+                            helpers.append(cur)
                         for fpost in b["post"]:
                             nxt = _next_gord_name()
                             sdf = sdf.withColumn(nxt, fpost(F.col(cur)))
