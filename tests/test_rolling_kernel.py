@@ -917,6 +917,40 @@ def test_hook_binary_compositions_keep_attach(spark):
     assert unpartitioned_window_violations(plan) == 0
 
 
+def test_lag_frame_attaches_batch_one_kernel(spark):
+    """Round-10: same-frame shift/diff/pct_change bindings with the same n
+    share ONE sliding-kernel attach (lag-frame _rolling_by_batch signature);
+    a different n attaches separately."""
+    from unittest import mock
+
+    from polars_ruby_spark.operators import rolling_kernel as rk
+
+    calls = []
+    orig = rk.attach_rolling_by_multi
+
+    def spy(sdf, by_e, keys, span, closed, items, row_frame=None):
+        calls.append((len(items), row_frame))
+        return orig(sdf, by_e, keys, span, closed, items,
+                    row_frame=row_frame)
+
+    df = pl.DataFrame({"v": [1.0, 3.0, 7.0, 2.0]})
+    with mock.patch.object(rk, "attach_rolling_by_multi", spy):
+        out = df.with_columns(
+            pl.col("v").shift(1).alias("s1"),
+            pl.col("v").shift(1, fill_value=-9.0).alias("sf"),
+            pl.col("v").diff().alias("d"),
+            pl.col("v").pct_change().round(6).alias("p"),
+            pl.col("v").shift(2).alias("s2"))
+        rows = out.to_a()
+    assert sorted(calls) == [(1, (2, -2)), (4, (1, -1))], calls
+    assert [r["s1"] for r in rows] == [None, 1.0, 3.0, 7.0]
+    assert [r["sf"] for r in rows] == [-9.0, 1.0, 3.0, 7.0]
+    assert [r["d"] for r in rows] == [None, 2.0, 4.0, -5.0]
+    assert [r["p"] for r in rows] == [None, 2.0, round(4.0 / 3, 6),
+                                      round(-5.0 / 7, 6)]
+    assert [r["s2"] for r in rows] == [None, None, 1.0, 3.0]
+
+
 def test_rolling_spearman_density_warning(spark):
     """Round-10 (VERDICT r9 #6): rolling spearman is the one remaining
     O(n·w) family — at extreme estimated density (rows × occupancy > 1e8)
