@@ -2569,9 +2569,9 @@ def q166_ungrouped_fills_lag_attach(spark, sf_dir):
             pl.col("vn").backward_fill().alias("bf"),
             pl.col("vn").diff().round(4).alias("df"),
             (pl.col("vn").pct_change() * 100).round(4).alias("pc"),
-            # BARE interpolate so the hook engages (a composition would
-            # lose it and fall back to the keyless window, whose
-            # UnboundedFollowing frame re-scans the remainder PER ROW)
+            # bare interpolate; since round-10 a composition would ALSO
+            # keep the attach (q167 covers the composed shapes) — this
+            # stays bare to pin the single-hook route
             pl.col("vn").interpolate().alias("li0"))
         .with_columns(
             # asinh comparator over the materialized column: interpolated
