@@ -2609,8 +2609,14 @@ def q167_hook_composed_binaries(spark, sf_dir):
             (pl.col("vn").forward_fill()
              - pl.col("vn").backward_fill()).alias("fb"),
             (pl.col("value").diff() * pl.col("value")).alias("dv"),
-            (pl.col("vn").backward_fill() * pl.col("value")).alias("bv"))
-        .select("event_id", "vn", "ii", "fb", "dv", "bv")
+            (pl.col("vn").backward_fill() * pl.col("value")).alias("bv"),
+            # hooked when/then branch (round-10 _compose_hook_parts):
+            # the conditional previously dropped the branch's attach and
+            # re-bound the keyless window
+            pl.when(pl.col("vn").is_null())
+            .then(pl.col("vn").forward_fill())
+            .otherwise(pl.col("vn") * 2).alias("cw"))
+        .select("event_id", "vn", "ii", "fb", "dv", "bv", "cw")
     )
     return _out(out)
 
@@ -3880,7 +3886,8 @@ def oracle_sql() -> dict[str, str]:
                    li + li AS ii,
                    pv - nv AS fb,
                    (value - pvl) * value AS dv,
-                   nv * value AS bv
+                   nv * value AS bv,
+                   CASE WHEN vn IS NULL THEN pv ELSE vn * 2 END AS cw
             FROM g
         """,
         "q166_ungrouped_fills_lag_attach": """

@@ -5413,11 +5413,88 @@ def _merge_agg_flags(e: Expr, parts: list) -> Expr:
     return e
 
 
+def _compose_hook_parts(parts: list, build):
+    """Hook composition for N-ARY constructors (round-10): when/then/
+    otherwise chains whose branches carry a ``_global_ordinal_fn`` attach
+    previously DROPPED it — the branch re-bound the keyless one-task
+    window (the same class _lift2's binary composition closes).  Returns
+    a composed hook ``(sdf) -> (sdf2, col)`` that attaches every hooked
+    part (fill-family parts MERGE into one attach; the rest chain with a
+    lazy localCheckpoint between stages), evaluates plain parts on the
+    attached frame, and builds the final Column via ``build(cols)`` —
+    or None when composition does not apply (no hooks, or any part is an
+    aggregate / multi / frame / pre-stage expr)."""
+    if not any(p._global_ordinal_fn is not None for p in parts):
+        return None
+    if any(p._is_agg or p._multi_fn is not None or p._frame_fn is not None
+           or p._agg_pre_fn is not None or p._agg_list_fn is not None
+           for p in parts):
+        return None
+
+    def gfn(sdf):
+        cols: dict[int, str] = {}
+        chained = False
+        fb_idx = [(i, getattr(p._global_ordinal_fn, "_fill_batch", None))
+                  for i, p in enumerate(parts)
+                  if p._global_ordinal_fn is not None]
+        fb_idx = [(i, b) for i, b in fb_idx if b is not None]
+        if len(fb_idx) >= 2:
+            from .operators.row_index import attach_global_fill_multi
+
+            items, spans = [], []
+            for i, b in fb_idx:
+                spans.append((i, b, len(items), len(b["items"])))
+                items.extend(b["items"])
+            tmps = [_next_gord_name() for _ in items]
+            sdf = attach_global_fill_multi(
+                sdf, [(vf, kind, t)
+                      for (vf, kind), t in zip(items, tmps)])
+            for i, b, off, nn in spans:
+                c = b["finish"]([F.col(t)
+                                 for t in tmps[off:off + nn]], sdf)
+                for fpost in b["post"]:
+                    c = fpost(c)
+                t2 = _next_gord_name()
+                sdf = sdf.withColumn(t2, c)
+                cols[i] = t2
+            sdf = sdf.drop(*tmps)
+            chained = True
+        for i, p in enumerate(parts):
+            if i in cols or p._global_ordinal_fn is None:
+                continue
+            if chained:
+                sdf = sdf.localCheckpoint(eager=False)
+            sdf, tmp = p._global_ordinal_fn(sdf)
+            cols[i] = tmp
+            chained = True
+        final = [F.col(cols[i]) if i in cols else p._fn(sdf, None)
+                 for i, p in enumerate(parts)]
+        t3 = _next_gord_name()
+        return (sdf.withColumn(t3, build(final))
+                .drop(*[cols[i] for i in cols]), t3)
+
+    return gfn
+
+
 class Then(Expr):
     def __init__(self, pairs):
         self._pairs = pairs
         super().__init__(self._make_fn(None), name=None)
-        _merge_agg_flags(self, [x for p in pairs for x in p])
+        parts = [x for p in pairs for x in p]
+        _merge_agg_flags(self, parts)
+
+        def build(cols):
+            out = None
+            for j in range(0, len(cols), 2):
+                c, v = cols[j], cols[j + 1]
+                out = F.when(c, v) if out is None else out.when(c, v)
+            return out
+
+        g = _compose_hook_parts(parts, build)
+        if g is not None and not self._is_agg:
+            self._global_ordinal_fn = g
+            self._needs_dense_index = any(
+                p._needs_dense_index for p in parts)
 
     def _make_fn(self, otherwise):
         pairs = self._pairs
@@ -5442,8 +5519,24 @@ class Then(Expr):
     def otherwise(self, value) -> Expr:
         v = wrap_expr(value)
         e = Expr(self._make_fn(v))
-        return _merge_agg_flags(
-            e, [x for p in self._pairs for x in p] + [v])
+        parts = [x for p in self._pairs for x in p] + [v]
+        _merge_agg_flags(e, parts)
+
+        def build(cols):
+            out = None
+            for j in range(0, len(cols) - 1, 2):
+                c, vv = cols[j], cols[j + 1]
+                out = F.when(c, vv) if out is None else out.when(c, vv)
+            return out.otherwise(cols[-1])
+
+        g = _compose_hook_parts(parts, build)
+        if g is not None and not e._is_agg:
+            # hooked branch/condition keeps its attach (round-10) —
+            # previously the chain re-bound the keyless one-task window
+            e._global_ordinal_fn = g
+            e._needs_dense_index = any(
+                p._needs_dense_index for p in parts)
+        return e
 
 
 def when(condition) -> When:

@@ -917,6 +917,46 @@ def test_hook_binary_compositions_keep_attach(spark):
     assert unpartitioned_window_violations(plan) == 0
 
 
+def test_when_then_hooked_branches_keep_attach(spark):
+    """Round-10: when/then/otherwise chains whose branches or conditions
+    carry a global-ordinal attach compose it (_compose_hook_parts) —
+    fill-family branches merge into ONE attach; previously the chain
+    re-bound the keyless one-task window."""
+    from unittest import mock
+
+    from tools.plan_audit import unpartitioned_window_violations
+
+    from polars_ruby_spark.operators import row_index as ri
+
+    calls = []
+    orig = ri.attach_global_fill_multi
+
+    def spy(sdf, items):
+        calls.append(len(items))
+        return orig(sdf, items)
+
+    df = pl.DataFrame({"v": [1.0, None, None, 4.0, None, 10.0],
+                       "w": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    with mock.patch.object(ri, "attach_global_fill_multi", spy):
+        out = df.with_columns(
+            pl.when(pl.col("w") > 2)
+            .then(pl.col("v").interpolate())
+            .otherwise(pl.col("v").forward_fill()).alias("a"),
+            pl.when(pl.col("w").diff() > 0)
+            .then(pl.col("w")).otherwise(-1.0).alias("b"))
+        rows = out.to_a()
+    # the two fill-family branches of `a` merged into one 2-item attach
+    assert 2 in calls, calls
+    assert [r["a"] for r in rows] == [1.0, 1.0, 3.0, 4.0, 7.0, 10.0]
+    assert [r["b"] for r in rows] == [-1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    plan = out.lazy()._sdf._jdf.queryExecution().executedPlan().toString()
+    assert unpartitioned_window_violations(plan) == 0
+    # plain when/then is untouched (no hook machinery)
+    p = pl.DataFrame({"x": [1.0, 2.0]}).with_columns(
+        pl.when(pl.col("x") > 1).then(pl.col("x")).otherwise(0.0).alias("y"))
+    assert [r["y"] for r in p.to_a()] == [0.0, 2.0]
+
+
 def test_lag_frame_attaches_batch_one_kernel(spark):
     """Round-10: same-frame shift/diff/pct_change bindings with the same n
     share ONE sliding-kernel attach (lag-frame _rolling_by_batch signature);
