@@ -5476,6 +5476,17 @@ def _compose_hook_parts(parts: list, build):
     return gfn
 
 
+def _wire_hook_parts(e: Expr, parts: list, build) -> Expr:
+    """Attach :func:`_compose_hook_parts` composition to an n-ary
+    constructor's Expr when any part carries a global-ordinal hook
+    (struct / concat_str / coalesce / min_horizontal … — round-10)."""
+    g = _compose_hook_parts(parts, build)
+    if g is not None and not e._is_agg:
+        e._global_ordinal_fn = g
+        e._needs_dense_index = any(p._needs_dense_index for p in parts)
+    return e
+
+
 class Then(Expr):
     def __init__(self, pairs):
         self._pairs = pairs

@@ -113,7 +113,9 @@ def min_horizontal(*exprs):
     def fn(df, part):
         return F.least(*[e._fn(df, part) for e in es])
 
-    return _merge_agg_flags(Expr(fn, name="min"), es)
+    from ..exprs import _wire_hook_parts
+    return _wire_hook_parts(_merge_agg_flags(Expr(fn, name="min"), es),
+                            es, lambda cols: F.least(*cols))
 
 
 def max_horizontal(*exprs):
@@ -122,7 +124,9 @@ def max_horizontal(*exprs):
     def fn(df, part):
         return F.greatest(*[e._fn(df, part) for e in es])
 
-    return _merge_agg_flags(Expr(fn, name="max"), es)
+    from ..exprs import _wire_hook_parts
+    return _wire_hook_parts(_merge_agg_flags(Expr(fn, name="max"), es),
+                            es, lambda cols: F.greatest(*cols))
 
 
 def mean_horizontal(*exprs):
@@ -136,7 +140,18 @@ def mean_horizontal(*exprs):
                                F.lit(0))
         return total / cnt
 
-    return _merge_agg_flags(Expr(fn, name="mean"), es)
+    def build(cols):
+        total = functools.reduce(
+            lambda a, b: a + F.coalesce(b.cast("double"), F.lit(0.0)),
+            cols, F.lit(0.0))
+        cnt = functools.reduce(
+            lambda a, b: a + F.when(b.isNotNull(), 1).otherwise(0),
+            cols, F.lit(0))
+        return total / cnt
+
+    from ..exprs import _wire_hook_parts
+    return _wire_hook_parts(_merge_agg_flags(Expr(fn, name="mean"), es),
+                            es, build)
 
 
 def any_horizontal(*exprs):
@@ -145,7 +160,10 @@ def any_horizontal(*exprs):
     def fn(df, part):
         return functools.reduce(lambda a, b: a | b, [e._fn(df, part) for e in es])
 
-    return _merge_agg_flags(Expr(fn, name="any"), es)
+    from ..exprs import _wire_hook_parts
+    return _wire_hook_parts(
+        _merge_agg_flags(Expr(fn, name="any"), es), es,
+        lambda cols: functools.reduce(lambda a, b: a | b, cols))
 
 
 def all_horizontal(*exprs):
@@ -154,7 +172,10 @@ def all_horizontal(*exprs):
     def fn(df, part):
         return functools.reduce(lambda a, b: a & b, [e._fn(df, part) for e in es])
 
-    return _merge_agg_flags(Expr(fn, name="all"), es)
+    from ..exprs import _wire_hook_parts
+    return _wire_hook_parts(
+        _merge_agg_flags(Expr(fn, name="all"), es), es,
+        lambda cols: functools.reduce(lambda a, b: a & b, cols))
 
 
 def cum_sum_horizontal(*exprs):
@@ -216,7 +237,19 @@ def concat_str(exprs, *more_exprs, separator: str = "",
         anynull = functools.reduce(lambda a, b: a | b.isNull(), cols, F.lit(False))
         return F.when(anynull, F.lit(None)).otherwise(out)
 
-    return _merge_agg_flags(Expr(fn, name=es[0]._name if es else None), es)
+    def build(cols, _sep=separator, _ign=ignore_nulls):
+        cs = [c.cast("string") for c in cols]
+        out = F.concat_ws(_sep, *cs)
+        if _ign:
+            return out
+        anynull = functools.reduce(
+            lambda a, b: a | b.isNull(), cs, F.lit(False))
+        return F.when(anynull, F.lit(None)).otherwise(out)
+
+    from ..exprs import _wire_hook_parts
+    return _wire_hook_parts(
+        _merge_agg_flags(Expr(fn, name=es[0]._name if es else None), es),
+        es, build)
 
 
 def format(fstring: str, *args):
@@ -284,7 +317,14 @@ def struct(*exprs, **named):
                is_agg=bool(parts) and all(e._is_agg for e in parts),
                needs_order=any(e._needs_order for e in parts))
     out._scrambles_order = any(e._scrambles_order for e in parts)
-    return out
+    fnames = ([ee._name or f"field_{i}" for i, ee in enumerate(es)]
+              + [k for k, _ in named_es])
+
+    def build(cols, _names=fnames):
+        return F.struct(*[c.alias(n) for c, n in zip(cols, _names)])
+
+    from ..exprs import _wire_hook_parts
+    return _wire_hook_parts(out, parts, build)
 
 
 # correlations (functions/lazy.rb:679,730)
@@ -454,7 +494,10 @@ def coalesce(*exprs):
     def fn(df, part):
         return F.coalesce(*[e._fn(df, part) for e in es])
 
-    return _merge_agg_flags(Expr(fn, name=es[0]._name if es else None), es)
+    from ..exprs import _wire_hook_parts
+    return _wire_hook_parts(
+        _merge_agg_flags(Expr(fn, name=es[0]._name if es else None), es),
+        es, lambda cols: F.coalesce(*cols))
 
 
 # ranges (functions/range/*.rb) — frame producers

@@ -957,6 +957,42 @@ def test_when_then_hooked_branches_keep_attach(spark):
     assert [r["y"] for r in p.to_a()] == [0.0, 2.0]
 
 
+def test_nary_constructors_hooked_parts_keep_attach(spark):
+    """Round-10: struct / concat_str / coalesce / the horizontal family
+    compose hooked parts through _wire_hook_parts instead of re-binding
+    the keyless window; plain uses are untouched."""
+    from tools.plan_audit import unpartitioned_window_violations
+
+    df = pl.DataFrame({"v": [1.0, None, 3.0, None],
+                       "w": [4.0, 5.0, 1.0, 2.0]})
+    out = df.with_columns(
+        pl.min_horizontal(pl.col("v").forward_fill(),
+                          pl.col("w")).alias("mh"),
+        pl.coalesce(pl.col("v"), pl.col("v").backward_fill(),
+                    pl.col("w")).alias("co"),
+        pl.struct(pl.col("v").interpolate().alias("li"),
+                  pl.col("w")).alias("st"),
+        pl.concat_str([pl.col("v").forward_fill(), pl.col("w")],
+                      separator="-").alias("cs"),
+        pl.mean_horizontal(pl.col("v").forward_fill(),
+                           pl.col("w")).alias("me"))
+    rows = out.to_a()
+    assert [r["mh"] for r in rows] == [1.0, 1.0, 1.0, 2.0]
+    assert [r["co"] for r in rows] == [1.0, 3.0, 3.0, 2.0]
+    assert [r["st"]["li"] for r in rows] == [1.0, 2.0, 3.0, None]
+    assert [r["cs"] for r in rows] == ["1.0-4.0", "1.0-5.0", "3.0-1.0",
+                                       "3.0-2.0"]
+    assert [r["me"] for r in rows] == [2.5, 3.0, 2.0, 2.5]
+    plan = out.lazy()._sdf._jdf.queryExecution().executedPlan().toString()
+    assert unpartitioned_window_violations(plan) == 0
+    # aggregate struct stays an aggregate (agg(struct(sum, mean)))
+    g = pl.DataFrame({"x": [1.0, 2.0], "g": ["a", "a"]})
+    go = g.group_by("g").agg(pl.struct(pl.col("x").sum().alias("s"),
+                                       pl.col("x").mean().alias("m"))
+                             .alias("sm"))
+    assert go.to_a()[0]["sm"] == {"s": 3.0, "m": 1.5}
+
+
 def test_lag_frame_attaches_batch_one_kernel(spark):
     """Round-10: same-frame shift/diff/pct_change bindings with the same n
     share ONE sliding-kernel attach (lag-frame _rolling_by_batch signature);
