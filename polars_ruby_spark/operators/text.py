@@ -403,23 +403,28 @@ def boilerplate_signals(sdf: DataFrame, text_col: str = "text",
     are boilerplate.
 
     Scale shape (100 TB): per-doc DISTINCT shingles explode partition-local;
-    ONE hash-agg shuffle computes document frequencies (map-side combined);
-    the per-doc fraction is a shuffle join on the gram key + per-doc agg.
-    The df side is Zipf-headed — for very large corpora, filter it to
-    ``df > threshold`` and broadcast that (small) frequent set instead of
-    the full join; both shapes avoid any driver materialization.
+    ONE hash-agg shuffle computes document frequencies (map-side combined)
+    and is FILTERED to ``df > threshold`` before the join — the Zipf head is
+    tiny relative to the gram table, so AQE converts the per-doc flag join
+    to a broadcast at runtime (the gram side never re-shuffles; an
+    adversarial corpus whose frequent set outgrows the broadcast limit
+    degrades to a shuffle join against the filtered — still much smaller —
+    side, never the full df table).  Both shapes avoid any driver
+    materialization.
     """
     from ..operators.dedup import shingles
 
     g = sdf.select(F.col(id_col), F.explode(F.array_distinct(
         shingles(F.col(text_col), k))).alias("gram"))
-    dfc = g.groupBy("gram").agg(F.countDistinct(id_col).alias("df"))
-    frequent_flag = (F.col("df") > df_threshold).cast("int")
-    return (g.join(dfc, "gram")
+    frequent = (g.groupBy("gram").agg(F.countDistinct(id_col).alias("df"))
+                .filter(F.col("df") > df_threshold)
+                .select("gram", F.lit(1).alias("_frequent")))
+    flag = F.coalesce(F.col("_frequent"), F.lit(0))
+    return (g.join(frequent, "gram", "left")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.sum(frequent_flag).alias("n_frequent"),
-                 F.avg(frequent_flag.cast("double")).alias("boilerplate_frac")))
+                 F.sum(flag).alias("n_frequent"),
+                 F.avg(flag.cast("double")).alias("boilerplate_frac")))
 
 
 URL_RE = r"(?i)https?://[^\s]+"
