@@ -2615,8 +2615,16 @@ def q167_hook_composed_binaries(spark, sf_dir):
             # re-bound the keyless window
             pl.when(pl.col("vn").is_null())
             .then(pl.col("vn").forward_fill())
-            .otherwise(pl.col("vn") * 2).alias("cw"))
-        .select("event_id", "vn", "ii", "fb", "dv", "bv", "cw")
+            .otherwise(pl.col("vn") * 2).alias("cw"),
+            # n-ary constructors with hooked parts (round-10
+            # _wire_hook_parts): coalesce / min_horizontal previously
+            # evaluated the hooked part's raw fn, re-binding the keyless
+            # window
+            pl.coalesce(pl.col("vn").interpolate(),
+                        pl.col("value")).alias("nc"),
+            pl.min_horizontal(pl.col("vn").forward_fill(),
+                              pl.col("value")).alias("nh"))
+        .select("event_id", "vn", "ii", "fb", "dv", "bv", "cw", "nc", "nh")
     )
     return _out(out)
 
@@ -3887,7 +3895,9 @@ def oracle_sql() -> dict[str, str]:
                    pv - nv AS fb,
                    (value - pvl) * value AS dv,
                    nv * value AS bv,
-                   CASE WHEN vn IS NULL THEN pv ELSE vn * 2 END AS cw
+                   CASE WHEN vn IS NULL THEN pv ELSE vn * 2 END AS cw,
+                   COALESCE(li, value) AS nc,
+                   LEAST(pv, value) AS nh
             FROM g
         """,
         "q166_ungrouped_fills_lag_attach": """
