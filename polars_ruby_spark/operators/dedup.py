@@ -368,9 +368,11 @@ def ngram_dup_coverage(sdf: DataFrame, n: int = 13, text_col: str = "text",
     Scale shape: positions explode map-side in the scan stage; grams are
     reduced to a 16-hex md5 prefix in a flat codegen projection BEFORE the
     shuffle (never shuffling full n-gram strings); the per-gram doc-count
-    aggregate and the gram→position join both hash-partition on the gram
-    hash, so the join reuses the aggregation's partitioning.  Per-doc
-    coverage is then a map-side-combined groupBy on the id.
+    aggregate is FILTERED to the shared grams (``__docs > 1``) before the
+    flag join — 13-gram hashes are overwhelmingly unique across documents,
+    so the surviving set is small and AQE broadcasts it at runtime (the
+    position side never re-shuffles on the gram hash).  Per-doc coverage
+    is then a map-side-combined groupBy on the id.
     """
     toks = _tokens(F.col(text_col))
     base = (sdf.select(F.col(id_col), toks.alias("__toks"))
@@ -384,12 +386,14 @@ def ngram_dup_coverage(sdf: DataFrame, n: int = 13, text_col: str = "text",
                      F.substring(F.md5(F.array_join(
                          F.slice(F.col("__toks"), F.col("__pos"), F.lit(n)), " ")),
                          1, 16).alias("__gh")))
-    per_gram = grams.groupBy("__gh").agg(
-        F.count_distinct(F.col(id_col)).alias("__docs"))
-    return (grams.join(per_gram, "__gh")
+    shared = (grams.groupBy("__gh").agg(
+                  F.count_distinct(F.col(id_col)).alias("__docs"))
+              .where(F.col("__docs") > 1)
+              .select("__gh", F.lit(1).alias("__dup")))
+    return (grams.join(shared, "__gh", "left")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("int").alias("n_grams"),
-                 F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0))
+                 F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
                   .cast("int").alias("dup_grams"))
             .select(F.col(id_col), F.col("n_grams"), F.col("dup_grams"),
                     F.round(F.col("dup_grams") / F.col("n_grams"), 4)

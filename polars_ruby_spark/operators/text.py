@@ -318,11 +318,14 @@ def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
 
     Scale shape: n-grams built JVM-side (``transform`` over an index
     sequence — no Python), exploded once; the docs-per-ngram table comes
-    from one distinct + hash agg; joined back on the ngram string.  At
-    100 TB swap the join key for ``xxhash64(ngram)`` (documented knob —
-    8-byte shuffle rows; 2^-64 collision odds merge two grams, shifting a
-    count by one) — kept exact-string here so the DuckDB oracle matches
-    bit-for-bit.
+    from one distinct + hash agg and is FILTERED to ``n_docs >= min_docs``
+    before the flag join — natural-text distinct grams are singleton-
+    dominated (Zipf), so the surviving duplicated set is a small fraction
+    and AQE broadcasts it at runtime (the instance side never re-shuffles
+    on the gram key).  At 100 TB swap the join key for ``xxhash64(ngram)``
+    (documented knob — 8-byte shuffle rows; 2^-64 collision odds merge two
+    grams, shifting a count by one) — kept exact-string here so the DuckDB
+    oracle matches bit-for-bit.
     """
     from ..operators.dedup import shingles
 
@@ -336,12 +339,14 @@ def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
     # n_ngrams=0, dup_frac=null
     ng = sdf.select(F.col(id_col).alias("id"),
                     F.explode_outer(grams).alias("gram"))
-    docs_per = (ng.where(F.col("gram").isNotNull()).distinct()
-                .groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs")))
-    return (ng.join(docs_per, "gram", "left")
+    duplicated = (ng.where(F.col("gram").isNotNull()).distinct()
+                  .groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+                  .where(F.col("n_docs") >= min_docs)
+                  .select("gram", F.lit(1).alias("_dup")))
+    return (ng.join(duplicated, "gram", "left")
             .groupBy("id")
             .agg(F.count(F.col("gram")).alias("n_ngrams"),
-                 F.sum(F.when(F.col("n_docs") >= min_docs, 1).otherwise(0)).alias("n_dup"))
+                 F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup"))
             .select(F.col("id").alias(id_col), "n_ngrams",
                     F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
                     F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias("dup_frac")))
