@@ -5431,6 +5431,38 @@ def _compose_hook_parts(parts: list, build):
            for p in parts):
         return None
 
+    # LATE ROUND-10: when EVERY hooked part is fill-family, the composed
+    # hook itself carries merged ``_fill_batch`` metadata — so a
+    # with_columns holding several composed conditionals/constructors
+    # (q167's cw/nc/nh alongside ii/fb) flattens into ONE
+    # attach_global_fill_multi in ``_bind_all`` instead of one chained,
+    # checkpointed attach per binding (measured: q167 construct
+    # 4.2 s → one shared attach).  Plain parts evaluate on the attached
+    # frame inside ``finish``.
+    all_fb = [(i, getattr(parts[i]._global_ordinal_fn, "_fill_batch",
+                          None))
+              for i, p in enumerate(parts)
+              if p._global_ordinal_fn is not None]
+    if all(b is not None for _i, b in all_fb):
+        items, spans = [], []
+        for i, b in all_fb:
+            spans.append((i, b, len(items), len(b["items"])))
+            items.extend(b["items"])
+
+        def finish(cols, sdf):
+            vals = {}
+            for i, b, off, nn in spans:
+                c = b["finish"](cols[off:off + nn], sdf)
+                for fpost in b["post"]:
+                    c = fpost(c)
+                vals[i] = c
+            final = [vals[i] if i in vals else p._fn(sdf, None)
+                     for i, p in enumerate(parts)]
+            return build(final)
+
+        return _fill_batch_gfn({"items": items, "finish": finish,
+                                "post": []})
+
     def gfn(sdf):
         cols: dict[int, str] = {}
         chained = False

@@ -993,6 +993,47 @@ def test_nary_constructors_hooked_parts_keep_attach(spark):
     assert go.to_a()[0]["sm"] == {"s": 3.0, "m": 1.5}
 
 
+def test_composed_fill_bindings_flatten_to_one_attach(spark):
+    """Late round-10: composed conditionals/constructors whose hooked
+    parts are ALL fill-family carry merged ``_fill_batch`` metadata, so a
+    with_columns holding several of them (plus bare fill exprs) flattens
+    into exactly ONE attach_global_fill_multi call in ``_bind_all`` —
+    previously each composed binding chained its own checkpointed attach
+    (q167 construct 4.2 s → one shared attach)."""
+    from unittest import mock
+
+    from polars_ruby_spark.operators import row_index as ri
+
+    calls = []
+    orig = ri.attach_global_fill_multi
+
+    def spy(sdf, items):
+        calls.append(len(items))
+        return orig(sdf, items)
+
+    df = pl.DataFrame({"v": [1.0, None, None, 4.0, None, 10.0],
+                       "w": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    with mock.patch.object(ri, "attach_global_fill_multi", spy):
+        out = df.with_columns(
+            (pl.col("v").interpolate()
+             + pl.col("v").interpolate()).alias("ii"),
+            pl.when(pl.col("v").is_null())
+            .then(pl.col("v").forward_fill())
+            .otherwise(pl.col("v") * 2).alias("cw"),
+            pl.coalesce(pl.col("v").interpolate(),
+                        pl.col("w")).alias("nc"),
+            pl.min_horizontal(pl.col("v").forward_fill(),
+                              pl.col("w")).alias("nh"))
+        rows = out.to_a()
+    # ONE flattened attach carrying every binding's items (ii carries its
+    # two interpolate operands; cw/nc/nh one each = 5 total)
+    assert calls == [5], calls
+    assert [r["ii"] for r in rows] == [2.0, 4.0, 6.0, 8.0, 14.0, 20.0]
+    assert [r["cw"] for r in rows] == [2.0, 1.0, 1.0, 8.0, 4.0, 20.0]
+    assert [r["nc"] for r in rows] == [1.0, 2.0, 3.0, 4.0, 7.0, 10.0]
+    assert [r["nh"] for r in rows] == [1.0, 1.0, 1.0, 4.0, 4.0, 6.0]
+
+
 def test_lag_frame_attaches_batch_one_kernel(spark):
     """Round-10: same-frame shift/diff/pct_change bindings with the same n
     share ONE sliding-kernel attach (lag-frame _rolling_by_batch signature);
