@@ -2567,6 +2567,11 @@ def q166_ungrouped_fills_lag_attach(spark, sf_dir):
         .with_columns(
             pl.col("vn").forward_fill().alias("ff"),
             pl.col("vn").backward_fill().alias("bf"),
+            # LIMITED fills (late round-10): "ff:k"/"bf:k" attach kinds —
+            # distance predicate on the struct(idx, v) carry; previously
+            # a KEYLESS bounded-frame window (one task)
+            pl.col("vn").forward_fill(3).alias("f3"),
+            pl.col("vn").backward_fill(2).alias("b2"),
             pl.col("vn").diff().round(4).alias("df"),
             (pl.col("vn").pct_change() * 100).round(4).alias("pc"),
             # bare interpolate; since round-10 a composition would ALSO
@@ -2580,7 +2585,8 @@ def q166_ungrouped_fills_lag_attach(spark, sf_dir):
             # Spark HALF_UP and DuckDB disagree (the q160/q162 lesson)
             ((pl.col("li0") + (pl.col("li0") * pl.col("li0") + 1).sqrt())
              .log().round(5)).alias("li"))
-        .select("event_id", "vn", "ff", "bf", "df", "pc", "li")
+        .select("event_id", "vn", "ff", "bf", "f3", "b2", "df", "pc",
+                "li")
     )
     return _out(out)
 
@@ -3908,9 +3914,13 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE) AS rn
                 FROM events
             ), f AS (
-                SELECT event_id, vn,
+                SELECT event_id, vn, rn,
                        last_value(vn IGNORE NULLS) OVER wp AS ff,
                        first_value(vn IGNORE NULLS) OVER wf AS bf,
+                       last_value(CASE WHEN vn IS NOT NULL THEN rn END
+                                  IGNORE NULLS) OVER wp AS pr0,
+                       first_value(CASE WHEN vn IS NOT NULL THEN rn END
+                                   IGNORE NULLS) OVER wf AS nr0,
                        vn - lag(vn) OVER w AS df0,
                        (vn - lag(vn) OVER w) / lag(vn) OVER w * 100
                            AS pc0,
@@ -3934,6 +3944,8 @@ def oracle_sql() -> dict[str, str]:
                               CURRENT ROW AND UNBOUNDED FOLLOWING)
             )
             SELECT event_id, vn, ff, bf,
+                   CASE WHEN rn - pr0 <= 3 THEN ff END AS f3,
+                   CASE WHEN nr0 - rn <= 2 THEN bf END AS b2,
                    round(df0, 4) AS df, round(pc0, 4) AS pc,
                    round(ln(li0 + sqrt(li0 * li0 + 1)), 5) AS li
             FROM f

@@ -1639,21 +1639,25 @@ class Expr:
             return F.coalesce(c, F.last(c, ignorenulls=True).over(w))
 
         e = self._ordered(f, order_only=True)
-        if (limit is None and not self._needs_order
+        if (not self._needs_order
                 and not self._scrambles_order and self._agg_list_fn is None
                 and self._multi_fn is None and self._frame_fn is None
                 and self._agg_pre_fn is None):
             # round-9: UNGROUPED unbounded fills bound a KEYLESS window
             # (one task).  Two-pass chunk prefix + O(chunks) carry instead
             # (row_index.attach_global_fill_multi); grouped over(keys)
-            # keeps the partitioned window, limited fills the bounded
-            # frame.  Batch metadata (round-10) lets every same-frame
-            # fill-family binding — and binary compositions — share ONE
-            # chunk exchange.
+            # keeps the partitioned window.  Batch metadata (round-10)
+            # lets every same-frame fill-family binding — and binary
+            # compositions — share ONE chunk exchange.  LIMITED fills
+            # (late round-10) ride the same attach with a "ff:k"/"bf:k"
+            # kind — their old route was a keyless BOUNDED-frame window,
+            # still one task for the whole frame.
             inner = self
+            kind = "bf" if backward else "ff"
+            if limit is not None:
+                kind = f"{kind}:{int(limit)}"
             e._global_ordinal_fn = _fill_batch_gfn({
-                "items": [(lambda d: inner._fn(d, None),
-                           "bf" if backward else "ff")],
+                "items": [(lambda d: inner._fn(d, None), kind)],
                 "finish": lambda cols, _sdf: cols[0],
                 "post": []})
         return e

@@ -584,24 +584,47 @@ def attach_global_fill_multi(sdf: DataFrame, items: list) -> DataFrame:
     locals_, tot_aggs, off_cols, finishers = {}, [], [], []
     for i, (value_fn, kind, out_name) in enumerate(items):
         c = value_fn(base)
-        if kind in ("ff", "bf"):
-            backward = kind == "bf"
-            locals_[f"__gm_l{i}__"] = F.last(c, ignorenulls=True).over(
-                wb if backward else wp)
+        if kind in ("ff", "bf") or kind.partition(":")[0] in ("ff", "bf"):
+            base_kind, _, lim_s = kind.partition(":")
+            limit = int(lim_s) if lim_s else None
+            backward = base_kind == "bf"
             pair = F.when(c.isNotNull(), F.struct(
                 F.col(ROW_IDX).alias("i"), c.alias("v")))
+            if limit is None:
+                locals_[f"__gm_l{i}__"] = F.last(c, ignorenulls=True).over(
+                    wb if backward else wp)
+            else:
+                # LIMITED fills (late round-10): the same chunk exchange +
+                # struct-extreme carry as the unbounded form — the struct
+                # already carries the source ROW_IDX, so the polars
+                # ``limit=k`` semantics ("fill iff the source non-null is
+                # within k rows") is ONE distance predicate on top.  The
+                # old route bound a KEYLESS bounded-frame window (one task
+                # for the whole frame).
+                locals_[f"__gm_l{i}__"] = F.last(
+                    pair, ignorenulls=True).over(wb if backward else wp)
             tot_aggs.append((F.min(pair) if backward else F.max(pair))
                             .alias(f"__gm_t{i}__"))
+            carry_src = (F.col(f"__gm_t{i}__") if limit is not None
+                         else F.col(f"__gm_t{i}__").getField("v"))
             off_cols.append(
-                (F.first(F.col(f"__gm_t{i}__").getField("v"),
-                         ignorenulls=True).over(bwd_carry) if backward
-                 else F.last(F.col(f"__gm_t{i}__").getField("v"),
-                             ignorenulls=True).over(fwd_carry))
+                (F.first(carry_src, ignorenulls=True).over(bwd_carry)
+                 if backward
+                 else F.last(carry_src, ignorenulls=True).over(fwd_carry))
                 .alias(f"__gm_o{i}__"))
 
-            def fin(i=i):
-                return F.coalesce(F.col(f"__gm_l{i}__"),
-                                  F.col(f"__gm_o{i}__"))
+            if limit is None:
+                def fin(i=i):
+                    return F.coalesce(F.col(f"__gm_l{i}__"),
+                                      F.col(f"__gm_o{i}__"))
+            else:
+                def fin(i=i, limit=limit, backward=backward):
+                    src = F.coalesce(F.col(f"__gm_l{i}__"),
+                                     F.col(f"__gm_o{i}__"))
+                    dist = ((src.getField("i") - F.col(ROW_IDX))
+                            if backward
+                            else (F.col(ROW_IDX) - src.getField("i")))
+                    return F.when(dist <= limit, src.getField("v"))
 
             finishers.append((fin, out_name))
         elif kind in ("linear", "nearest"):

@@ -37,3 +37,20 @@ def test_passes_limit_bounded_global_window(spark):
     df = spark.range(1000).limit(5)
     ok = df.withColumn("c", F.sum("id").over(Window.orderBy("id")))
     assert unpartitioned_window_violations(_plan(ok)) == 0
+
+
+def test_flags_keyless_bounded_frame_over_row_indexed_data(spark):
+    """Late round-10 tightening: a bare ``__rix_pid__`` substring in the
+    sanction scan also matched the row-index JOIN sitting under a
+    full-data window, so the old keyless BOUNDED-frame limited-fill shape
+    passed silently.  The rule now requires the Aggregate keyed on the
+    partition id; the full-data shape must be flagged."""
+    import polars_ruby_spark as pl
+
+    df = pl.DataFrame({"v": [1.0, None, 3.0, None]}).with_row_index("ri")
+    bad = df._sdf.withColumn("x", F.last("v", True).over(
+        Window.orderBy("ri").rowsBetween(-2, 0)))
+    assert unpartitioned_window_violations(_plan(bad)) >= 1
+    # the legitimate O(partitions) offsets window inside with_row_index
+    # itself (aggregate keyed on __rix_pid__) stays sanctioned
+    assert unpartitioned_window_violations(_plan(df._sdf)) == 0

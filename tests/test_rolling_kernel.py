@@ -993,6 +993,51 @@ def test_nary_constructors_hooked_parts_keep_attach(spark):
     assert go.to_a()[0]["sm"] == {"s": 3.0, "m": 1.5}
 
 
+def test_limited_fills_attach_differential(spark):
+    """Late round-10: LIMITED forward/backward fills ride the chunked
+    fill attach ("ff:k"/"bf:k" kinds — one distance predicate over the
+    struct(idx, v) carry) instead of a KEYLESS bounded-frame window.
+    Brute-force differential over random nulls at 32 chunks, limits both
+    below and above the ~31-row chunk width (cross-chunk carries), plus
+    a plan assertion that no keyless data window remains."""
+    import random
+
+    rng = random.Random(77)
+    n = 1000
+    vals = [round(rng.uniform(-50, 50), 3) if rng.random() > 0.6 else None
+            for _ in range(n)]
+
+    def brute(vs, k, backward):
+        out = []
+        src = None  # (index, value)
+        it = range(n - 1, -1, -1) if backward else range(n)
+        for i in it:
+            if vs[i] is not None:
+                src = (i, vs[i])
+                out.append(vs[i])
+            elif src is not None and abs(i - src[0]) <= k:
+                out.append(src[1])
+            else:
+                out.append(None)
+        return out[::-1] if backward else out
+
+    df = pl.DataFrame({"v": vals, "tag": list(range(n))})
+    out = df.with_columns(
+        *[pl.col("v").forward_fill(k).alias(f"f{k}") for k in
+          (1, 2, 5, 37, 200)],
+        *[pl.col("v").backward_fill(k).alias(f"b{k}") for k in
+          (1, 5, 37)])
+    rows = sorted(out.to_a(), key=lambda r: r["tag"])
+    for k in (1, 2, 5, 37, 200):
+        assert [r[f"f{k}"] for r in rows] == brute(vals, k, False), k
+    for k in (1, 5, 37):
+        assert [r[f"b{k}"] for r in rows] == brute(vals, k, True), k
+    import re
+    plan = out.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert not [l for l in plan.splitlines() if re.search(
+        r"windowspecdefinition\(__row_idx__#\d+L (ASC|DESC)", l)]
+
+
 def test_composed_fill_bindings_flatten_to_one_attach(spark):
     """Late round-10: composed conditionals/constructors whose hooked
     parts are ALL fill-family carry merged ``_fill_batch`` metadata, so a
@@ -1146,14 +1191,17 @@ def test_ungrouped_fills_diff_pct_change_attaches(spark):
         [None, 1.0, 1.0, 7.0, 7.0, 7.0, 4.0, None]
     iplan = idf.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(__row_idx__" not in iplan
-    # plan: no keyless ROW_IDX-ordered data window except the limited fill
+    # plan: NO keyless ROW_IDX-ordered data window at all — late round-10
+    # routed LIMITED fills through the same chunk-exchange attach with a
+    # distance predicate on the struct carry ("ff:k"/"bf:k" kinds), so
+    # the last keyless fill shape is gone too
     plan = out.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
     import re
     keyless = [l for l in plan.splitlines()
                if re.search(
                    r"windowspecdefinition\(__row_idx__#\d+L (ASC|DESC)",
                    l)]
-    assert len(keyless) == 1, keyless  # forward_fill(limit=1) only
+    assert len(keyless) == 0, keyless
 
 
 def test_ungrouped_peaks_kernel_attach(spark):

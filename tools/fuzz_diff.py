@@ -311,6 +311,15 @@ def window_exprs(pl, rng, key="g"):
                  "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)"),
         lambda: ((pl.col("x").diff() * pl.col("a")).round(6),
                  "round((x - lag(x, 1) OVER (ORDER BY idx)) * a, 6)"),
+        # late round-10 LIMITED fills: "ff:k"/"bf:k" attach kinds — the
+        # distance predicate over the struct(idx, v) carry vs DuckDB's
+        # bounded-frame window (their old keyless one-task form)
+        lambda: (pl.col("x").forward_fill(2),
+                 "last_value(x IGNORE NULLS) OVER (ORDER BY idx "
+                 "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"),
+        lambda: (pl.col("y").backward_fill(3),
+                 "first_value(y IGNORE NULLS) OVER (ORDER BY idx "
+                 "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)"),
     ]
     out = []
     for i, mk in enumerate(rng.sample(pool, 4)):

@@ -130,7 +130,14 @@ def unpartitioned_window_violations(plan: str) -> int:
         bounded = False
         for ln in lines[i + 1:i + 10]:
             s = ln.lstrip(" +-:*")
-            if ("__rix_pid__" in s or "HashAggregate(keys=[]" in s
+            # late round-10 tightening: the O(partitions) offsets table is
+            # sanctioned by its AGGREGATE keyed on the partition id — a
+            # bare "__rix_pid__" match also fired on the row-index JOIN
+            # sitting under a full-data window (the keyless bounded-frame
+            # limited-fill shape passed silently before it was rerouted)
+            if ("Aggregate(keys=[__rix_pid__" in s
+                    or "Aggregate(key=[__rix_pid__" in s
+                    or "HashAggregate(keys=[]" in s
                     or "SortAggregate(key=[]" in s
                     or "TakeOrderedAndProject" in s or "LocalLimit" in s
                     # O(chunks)-row deterministic-chunk totals (round-7);
