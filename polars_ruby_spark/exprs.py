@@ -2626,10 +2626,24 @@ class Expr:
                         sdf, col(_RI), (), 0, "both",
                         [(inner, "min", tmp)], row_frame=(n, -n))
                 except ValueError:
+                    # LATE ROUND-10: the non-numeric fallback was a
+                    # KEYLESS lag window (one task).  A dense-row-index
+                    # self-join shifts ANY dtype: the source row j lands
+                    # at j+n, narrow (idx, value) rows on both sides,
+                    # fully task-parallel.  The shuffle it costs is the
+                    # same class as the kernel attach's; order restore
+                    # rides the same deferred order-dirty contract.
                     t2 = _next_gord_name()
-                    return sdf.withColumn(
-                        t2, f(inner._fn(sdf, None),
-                              _ordered_window(None))), t2
+                    src = sdf.select(
+                        (F.col(_RI) + F.lit(int(n))).cast("long")
+                        .alias(_RI),
+                        inner._fn(sdf, None).alias(t2))
+                    out2 = sdf.join(src, _RI, "left")
+                    if fv is not None:
+                        fin2 = _next_gord_name()
+                        return out2.withColumn(fin2, F.coalesce(
+                            F.col(t2), fv._fn(None, None))).drop(t2), fin2
+                    return out2, t2
                 if fv is not None:
                     fin = _next_gord_name()
                     return sdf2.withColumn(fin, F.coalesce(

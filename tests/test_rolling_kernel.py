@@ -756,10 +756,23 @@ def test_shift_ungrouped_kernel_attach(spark):
     gplan = gro.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
     assert "FlatMapGroupsInArrow" not in gplan
     assert [r["p"] for r in gro.to_a()] == [None, 1.0, None, 3.0]
-    # strings fall back but still compute
-    s = pl.DataFrame({"s": ["a", "b", None, "d"]})
-    so = s.with_columns(pl.col("s").shift(1).alias("p"))
-    assert [r["p"] for r in so.to_a()] == [None, "a", "b", None]
+    # strings take the dense-row-index SELF-JOIN (late round-10) — any
+    # dtype, task-parallel; their old fallback was a keyless lag window
+    s = pl.DataFrame({"s": ["a", "b", None, "d"], "tag": [0, 1, 2, 3]})
+    so = s.with_columns(pl.col("s").shift(1).alias("p"),
+                        pl.col("s").shift(-2).alias("l"),
+                        pl.col("s").shift(1, fill_value=pl.lit("Z"))
+                        .alias("zf"))
+    rows = sorted(so.to_a(), key=lambda r: r["tag"])
+    assert [r["p"] for r in rows] == [None, "a", "b", None]
+    assert [r["l"] for r in rows] == [None, "d", None, None]
+    # fill_value coalesces interior nulls too — same as the window route
+    # and the numeric kernel path above (sf fills the None at index 2)
+    assert [r["zf"] for r in rows] == ["Z", "a", "b", "Z"]
+    import re
+    splan = so.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert not [l for l in splan.splitlines() if re.search(
+        r"windowspecdefinition\(__row_idx__#\d+L (ASC|DESC)", l)]
 
 
 def test_ungrouped_rank_distinct_prefix_attach(spark):

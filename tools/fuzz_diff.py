@@ -320,6 +320,13 @@ def window_exprs(pl, rng, key="g"):
         lambda: (pl.col("y").backward_fill(3),
                  "first_value(y IGNORE NULLS) OVER (ORDER BY idx "
                  "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)"),
+        # late round-10 non-numeric shift: dense-row-index self-join
+        # (the kernel rejects string dtype; the old fallback was the
+        # keyless lag window)
+        lambda: (pl.col("s").shift(1),
+                 "lag(s, 1) OVER (ORDER BY idx)"),
+        lambda: (pl.col("s").shift(-2),
+                 "lead(s, 2) OVER (ORDER BY idx)"),
     ]
     out = []
     for i, mk in enumerate(rng.sample(pool, 4)):
