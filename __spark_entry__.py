@@ -2635,6 +2635,33 @@ def q167_hook_composed_binaries(spark, sf_dir):
     return _out(out)
 
 
+def q168_rank_random(spark, sf_dir):
+    """rank("random") (expr.rb:5649 — late round-10): ordinal ranking
+    with a SEEDED pseudo-random tie permutation, built from the same
+    distinct-value prefix table as the other five methods (the tie
+    window orders by xxhash64(row index, seed), value-partitioned).
+    The permutation itself is engine-specific randomness, so the oracle
+    checks the DETERMINISTIC invariants: per distinct value, the random
+    ranks are exactly the integers [min_rank, max_rank] — count, min,
+    max and sum all close-form."""
+    import polars_ruby_spark as pl
+
+    ev = _t(spark, sf_dir, "events").sort(["ts", "event_id"])
+    out = (
+        ev.with_columns(
+            pl.when(pl.col("value") > 100)
+            .then(pl.col("value").round(0)).otherwise(None).alias("vb"))
+        .with_columns(pl.col("vb").rank("random", seed=42).alias("r"))
+        .filter(pl.col("vb").is_not_null())
+        .group_by("vb")
+        .agg(pl.len().alias("cnt"),
+             pl.col("r").min().alias("min_r"),
+             pl.col("r").max().alias("max_r"),
+             pl.col("r").sum().alias("sum_r"))
+    )
+    return _out(out)
+
+
 def _stage_events_stream(spark, sf_dir, n_files=1):
     """Stage a µs-timestamp copy of events for a file-source stream (the
     raw file is TIMESTAMP(NANOS), which readStream cannot probe) and
@@ -2928,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_ungrouped_rank_attach": q165_ungrouped_rank_attach,
         "q166_ungrouped_fills_lag_attach": q166_ungrouped_fills_lag_attach,
         "q167_hook_composed_binaries": q167_hook_composed_binaries,
+        "q168_rank_random": q168_rank_random,
     }
 
 
@@ -3864,6 +3892,27 @@ def oracle_sql() -> dict[str, str]:
                               THEN sqrt(m4 / (m2 * m2)) END, 5) AS ku,
                    mn
             FROM m
+        """,
+        "q168_rank_random": """
+            WITH s AS (
+                SELECT CASE WHEN value > 100 THEN round(value, 0) END
+                           AS vb
+                FROM events
+            ), g AS (
+                SELECT vb, CAST(count(*) AS BIGINT) AS cnt
+                FROM s WHERE vb IS NOT NULL GROUP BY vb
+            ), p AS (
+                SELECT vb, cnt,
+                       CAST(coalesce(sum(cnt) OVER (ORDER BY vb
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND
+                            1 PRECEDING), 0) AS BIGINT) AS bef
+                FROM g
+            )
+            SELECT vb, cnt,
+                   bef + 1 AS min_r,
+                   bef + cnt AS max_r,
+                   CAST((2 * bef + cnt + 1) * cnt // 2 AS BIGINT) AS sum_r
+            FROM p
         """,
         "q167_hook_composed_binaries": """
             WITH s AS (

@@ -3236,6 +3236,24 @@ class Expr:
             elif method == "average":
                 cnt = F.count(F.lit(1)).over(Window.partitionBy(*(part or []), c))
                 r = (F.rank().over(w).cast("double") * 2 + cnt.cast("double") - 1) / 2
+            elif method == "random":
+                # ordinal with a SEEDED pseudo-random tie permutation
+                # (expr.rb:5649): order ties by xxhash64(row index, seed)
+                # — deterministic given the seed, unlike a raw rand()
+                from .session import ROW_IDX as _RI
+
+                if _RI not in df.columns:
+                    raise NotImplementedError(
+                        "rank('random') here needs the hidden row index "
+                        "for its seeded tie permutation; bind it as a "
+                        "frame-level with_columns (or with_row_index() "
+                        "first)")
+                h = F.xxhash64(F.col(_RI), F.lit(int(seed or 0)))
+                w2 = Window.partitionBy(*(part or [])).orderBy(
+                    c.desc_nulls_last() if descending
+                    else c.asc_nulls_last(),
+                    h.asc(), F.col(_RI).asc())
+                r = F.row_number().over(w2)
             else:
                 raise ValueError(f"unknown rank method {method!r}")
             return F.when(c.isNotNull(), r)
@@ -3246,7 +3264,8 @@ class Expr:
         # restore path suffices (same as _rolling_by); a windowed INNER
         # (shift(1).rank()) propagates its row-order need
         e._order_only = self._order_safe
-        if (method in ("average", "min", "max", "dense", "ordinal")
+        if (method in ("average", "min", "max", "dense", "ordinal",
+                       "random")
                 and not self._needs_order and not self._scrambles_order
                 and self._agg_list_fn is None and self._multi_fn is None
                 and self._frame_fn is None and self._agg_pre_fn is None):
@@ -3255,14 +3274,18 @@ class Expr:
             # builds it from a distinct-value prefix table, every stage
             # multi-task (operators/row_index.attach_global_rank);
             # grouped over(keys) keeps the partitioned rank windows.
+            # "random" encodes its seed into the attach method string
+            # (late round-10).
             inner = self
+            attach_method = (f"random:{int(seed or 0)}"
+                             if method == "random" else method)
 
             def gfn(sdf):
                 from .operators.row_index import attach_global_rank
 
                 tmp = _next_gord_name()
                 return attach_global_rank(
-                    sdf, lambda d: inner._fn(d, None), method,
+                    sdf, lambda d: inner._fn(d, None), attach_method,
                     descending, tmp), tmp
 
             if getattr(inner, "_is_column", False) and inner._meta:
@@ -3276,7 +3299,7 @@ class Expr:
                 # labels are not identities); everything else attaches solo.
                 gfn._rank_batch = {
                     "value": lambda d: inner._fn(d, None),
-                    "method": method, "descending": descending,
+                    "method": attach_method, "descending": descending,
                     "sig": ("rank_col", inner._meta[2]), "post": []}
             e._global_ordinal_fn = gfn
         return e

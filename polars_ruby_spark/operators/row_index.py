@@ -497,6 +497,22 @@ def attach_global_rank_multi(sdf: DataFrame, value_fn, items: list) -> DataFrame
         # order, and the tie block's base offset is direction-specific
         rn = F.row_number().over(
             Window.partitionBy("__gr_v__").orderBy(F.col(ROW_IDX).asc()))
+    rand_rns = {}
+    for m, _d, _o in items:
+        if m.startswith("random"):
+            # late round-10: rank("random") — ordinal with a SEEDED
+            # pseudo-random tie permutation (meta_random ref:
+            # expr.rb:5649).  Same value-partitioned window as ordinal,
+            # ordered by xxhash64(row index, seed); hash collisions
+            # tie-break on the row index so the permutation is
+            # deterministic under any shuffle layout.
+            assert ROW_IDX in sdf.columns
+            sd = int(m.partition(":")[2] or 0)
+            if sd not in rand_rns:
+                rand_rns[sd] = F.row_number().over(
+                    Window.partitionBy("__gr_v__").orderBy(
+                        F.xxhash64(F.col(ROW_IDX), F.lit(sd)).asc(),
+                        F.col(ROW_IDX).asc()))
     res_cols = {}
     for method, descending, out_name in items:
         if descending:
@@ -514,6 +530,9 @@ def attach_global_rank_multi(sdf: DataFrame, value_fn, items: list) -> DataFrame
             r = (b.cast("double") * 2 + c.cast("double") + 1) / 2
         elif method == "ordinal":
             r = (b + rn).cast("long")
+        elif method.startswith("random"):
+            r = (b + rand_rns[int(method.partition(":")[2] or 0)]) \
+                .cast("long")
         else:
             raise ValueError(f"unknown rank method {method!r}")
         res_cols[out_name] = F.when(F.col("__gr_v__").isNotNull(), r)

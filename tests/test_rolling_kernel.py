@@ -775,6 +775,57 @@ def test_shift_ungrouped_kernel_attach(spark):
         r"windowspecdefinition\(__row_idx__#\d+L (ASC|DESC)", l)]
 
 
+def test_rank_random_seeded_permutation(spark):
+    """Late round-10: rank("random") (expr.rb:5649) — ordinal with a
+    SEEDED pseudo-random tie permutation off the same distinct-prefix
+    attach (tie window ordered by xxhash64(row index, seed)).  Checks:
+    deterministic per seed, seed changes the permutation, non-null ranks
+    are exactly 1..n, every rank sits inside its tie group's
+    [min_rank, max_rank] block, descending complements, grouped
+    over(keys) stays partitioned, no keyless data window."""
+    import re
+
+    rng = np.random.RandomState(53)
+    n = 400
+    vals = [None if rng.rand() < 0.1 else float(rng.randint(0, 25))
+            for _ in range(n)]
+    df = pl.DataFrame({"v": vals, "tag": list(range(n))})
+    out = df.with_columns(
+        pl.col("v").rank("random", seed=7).alias("r"),
+        pl.col("v").rank("random", seed=7).alias("r7"),
+        pl.col("v").rank("random", seed=11).alias("r11"),
+        pl.col("v").rank("random", seed=7, descending=True).alias("rd"),
+        pl.col("v").rank("min").alias("rm"),
+        pl.col("v").rank("max").alias("rx"))
+    rows = sorted(out.to_a(), key=lambda r: r["tag"])
+    r = [x["r"] for x in rows]
+    nn = [x for x in r if x is not None]
+    assert sorted(nn) == list(range(1, len(nn) + 1))
+    assert r == [x["r7"] for x in rows]          # same seed → same ranks
+    assert r != [x["r11"] for x in rows]         # new seed → new ranks
+    for x in rows:                               # tie-block bounds
+        if x["r"] is None:
+            assert vals[x["tag"]] is None
+        else:
+            assert x["rm"] <= x["r"] <= x["rx"]
+    rdv = [x["rd"] for x in rows]
+    nnd = [x for x in rdv if x is not None]
+    assert sorted(nnd) == list(range(1, len(nnd) + 1))
+    plan = out.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert not [l for l in plan.splitlines() if re.search(
+        r"windowspecdefinition\(__row_idx__#\d+L (ASC|DESC)", l)]
+    # grouped: partitioned window, ranks valid per group
+    g = pl.DataFrame({"v": [1.0, 1.0, 2.0, 1.0, None],
+                      "g": ["a", "a", "a", "b", "b"]})
+    go = g.with_columns(
+        pl.col("v").rank("random", seed=3).over("g").alias("gr"))
+    by_g = {}
+    for row in go.to_a():
+        by_g.setdefault(row["g"], []).append(row["gr"])
+    assert sorted(x for x in by_g["a"] if x is not None) == [1, 2, 3]
+    assert sorted(x for x in by_g["b"] if x is not None) == [1]
+
+
 def test_ungrouped_rank_distinct_prefix_attach(spark):
     """Round-9: ungrouped rank() compiled to a window with NO partitionBy
     (one task for the frame).  The distinct-value prefix attach
