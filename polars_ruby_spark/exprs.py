@@ -3167,7 +3167,16 @@ class Expr:
     def rank(self, method: str = "average", descending: bool = False,
              seed=None, reverse: bool = False):
         """Parity: expr.rb:5691 — rank over VALUES (not row order);
-        ``reverse:`` is the reference's older name for descending."""
+        ``reverse:`` is the reference's older name for descending.
+
+        ``method="random"`` (expr.rb:5649) permutes ties with a seeded
+        xxhash64 key.  DELIBERATE deviation: the reference draws a fresh
+        random seed when ``seed`` is nil (nondeterministic across
+        calls); this engine defaults to seed 0 — a distributed plan may
+        re-execute subtrees (AQE re-plan, task retry, two consuming
+        branches), and a per-call random seed would let the SAME column
+        rank two different ways inside one query.  Pass an explicit
+        seed to vary the permutation."""
         descending = descending or reverse
         if self._multi_fn is not None:
             mf = self._multi_fn
