@@ -62,11 +62,18 @@ def main():
 
     from polars_ruby_spark.session import configure
 
+    import os as _os
+
     spark = configure(
         SparkSession.builder.master("local[*]")
         .appName("correctness-check")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # the harness COLLECTS both sides to hash them; at sf1.0 a
+        # full-projection query returns millions of rows and the 1g
+        # default driver heap OOMs — override for big-SF oracle runs
+        .config("spark.driver.memory",
+                _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
