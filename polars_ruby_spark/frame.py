@@ -56,7 +56,7 @@ def _parse_exprs(exprs, named) -> list[tuple[str | None, Expr]]:
 class LazyFrame:
     """Deferred query plan (parity: lib/polars/lazy_frame.rb)."""
 
-    def __init__(self, sdf: SparkDF = None, schema=None):
+    def __init__(self, sdf: SparkDF = None, schema=None, schema_overrides=None):
         if sdf is None or (isinstance(sdf, dict) and not sdf):
             from pyspark.sql.types import StructType
             from .session import get_spark
@@ -93,6 +93,18 @@ class LazyFrame:
                     sdf = from_pandas(sdf)._sdf
             except ImportError:
                 pass
+        if schema_overrides:
+            # partial dtype map over the inferred schema (data_frame.rb
+            # schema_overrides): cast just the named columns
+            from pyspark.sql import functions as F
+
+            from .datatypes import to_spark_type
+
+            casts = {c: to_spark_type(t) for c, t in schema_overrides.items()}
+            sdf = sdf.select(*[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in sdf.columns
+            ])
         self._sdf = sdf
 
     # -- deferred row-order restore (round-3) --------------------------------

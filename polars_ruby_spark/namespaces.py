@@ -671,13 +671,23 @@ class ListNameSpace(_NS):
     def concat(self, other) -> Expr:
         return self._e._lift2(wrap_expr(other), F.concat)
 
-    def get(self, index: int, null_on_oob: bool = True) -> Expr:
+    def get(self, index: int = 0, null_on_oob: bool = True) -> Expr:
         # null_on_oob accepted for signature parity (list_expr.rb:389);
         # element_at under ANSI-off already yields null out of bounds —
         # the strict (raising) mode is not expressible distributed-side.
-        if index >= 0:
-            return self._e._lift(lambda c: F.element_at(c, index + 1))
-        return self._e._lift(lambda c: F.element_at(c, index))
+        # index may be an expression / column name (list_expr.rb:397 uses
+        # a per-row idx column); negative indices count from the end.
+        if isinstance(index, int):
+            if index >= 0:
+                return self._e._lift(lambda c: F.element_at(c, index + 1))
+            return self._e._lift(lambda c: F.element_at(c, index))
+        from .exprs import as_expr
+
+        idx = as_expr(index)
+        return self._e._lift2(
+            idx,
+            lambda c, i: F.when(i.isNotNull(), F.element_at(
+                c, F.when(i >= 0, i.cast("int") + 1).otherwise(i.cast("int")))))
 
     def __getitem__(self, index: int) -> Expr:
         # list_expr_test.rb: list_expr[0]
@@ -704,8 +714,27 @@ class ListNameSpace(_NS):
             return self._e._lift(lambda c: F.exists(c, lambda x: x.isNull()))
         return self._e._lift2(wrap_expr(item), F.array_contains)
 
-    def join(self, separator: str) -> Expr:
-        return self._e._lift(lambda c: F.array_join(c, separator))
+    def join(self, separator: str, ignore_nulls: bool = True) -> Expr:
+        # separator may be a per-row expression (list_expr.rb join example);
+        # a plain str stays a literal delimiter. array_join only takes a
+        # literal delimiter, so the expression form goes through aggregate.
+        if isinstance(separator, str):
+            return self._e._lift(lambda c: F.array_join(c, separator))
+        from .exprs import as_expr
+
+        sep = as_expr(separator)
+
+        def f(c, s):
+            joined = F.aggregate(
+                F.filter(c, lambda x: x.isNotNull()) if ignore_nulls else c,
+                F.lit(""),
+                lambda acc, x: F.concat(
+                    acc, F.when(acc == "", x.cast("string")).otherwise(
+                        F.concat(s.cast("string"), x.cast("string")))),
+            )
+            return F.when(c.isNotNull() & s.isNotNull(), joined)
+
+        return self._e._lift2(sep, f)
 
     def arg_min(self) -> Expr:
         return self._e._lift(lambda c: F.array_position(c, F.array_min(c)).cast("long") - 1)
@@ -746,9 +775,11 @@ class ListNameSpace(_NS):
             c, F.greatest(F.size(c) - F.lit(n) + 1, F.lit(1)), n))
 
     def count_matches(self, element) -> Expr:
+        # long, not int: the reference returns u32 and our documented cap for
+        # unsigned counters is i64 (SURVEY §1.3)
         v = wrap_expr(element)
         return self._e._lift2(
-            v, lambda c, x: F.size(F.filter(c, lambda y: y == x)))
+            v, lambda c, x: F.size(F.filter(c, lambda y: y == x)).cast("long"))
 
     def to_struct(self, n_field_strategy: str = "first_non_null", fields=None) -> Expr:
         """list_expr.rb:752 — fan a list column into positional struct fields.
@@ -847,10 +878,16 @@ class ListNameSpace(_NS):
         return self._e._lift_ctx(f)
 
     def all(self) -> Expr:
-        return self._e._lift(lambda c: F.forall(c, lambda x: x))
+        # polars drops null elements (list_expr.rb all example: [nil, nil] ->
+        # true), unlike Kleene forall which would yield null — "all" is "no
+        # false present"
+        return self._e._lift(lambda c: F.when(
+            c.isNotNull(), F.size(F.filter(c, lambda x: ~x)) == 0))
 
     def any(self) -> Expr:
-        return self._e._lift(lambda c: F.exists(c, lambda x: x))
+        # null elements dropped: [nil, nil] -> false (list_expr.rb any example)
+        return self._e._lift(lambda c: F.when(
+            c.isNotNull(), F.size(F.filter(c, lambda x: x)) > 0))
 
     def drop_nulls(self) -> Expr:
         return self._e._lift(lambda c: F.filter(c, lambda x: x.isNotNull()))

@@ -41,9 +41,9 @@ class Series:
                 from pyspark.sql import types as T
 
                 t = to_spark_type(dtype) if dtype is not None else T.NullType()
-                self._name = self._name or "values"
                 self._sdf = spark.createDataFrame(
-                    [], schema=T.StructType([T.StructField(self._name, t)]))
+                    [], schema=T.StructType(
+                        [T.StructField(self._name or "values", t)]))
                 return
             from .sources.io import pylists_to_sdf
 
@@ -74,13 +74,18 @@ class Series:
                     t = to_spark_type(dtype)
                     sdf = sdf.select(sdf[0].cast(t).alias(cn))
                 if isinstance(dtype, _Arr) and dtype.width is not None:
+                    # null rows are legal at any width; size(NULL) is -1 under
+                    # legacy sizeOfNull, so guard explicitly
                     bad = sdf.where(
-                        F.size(F.col(cn)) != dtype.width).limit(1).count()
+                        F.col(cn).isNotNull()
+                        & (F.size(F.col(cn)) != dtype.width)).limit(1).count()
                     if bad:
                         raise ValueError("not all elements have the "
                                          f"specified width {dtype.width}")
             self._sdf = sdf
-            self._name = self._name or "values"
+            # _name stays "" for unnamed series (series.rb: Series.new([1]).
+            # name == ""); only the internal sdf column uses the "values"
+            # placeholder
         else:
             self._sdf = None
 
@@ -161,8 +166,13 @@ class Series:
         return self
 
     # -- expr dispatch (the reference's ExprDispatch trick) ---------------------
-    def _dispatch(self, make_expr) -> Any:
-        frame = self.to_frame().lazy()
+    def _dispatch(self, make_expr, extra_series=()) -> Any:
+        frame = self.to_frame()
+        for s in extra_series:
+            # Series arguments ride along as positionally-aligned columns
+            # (series.rb ExprDispatch materializes the same way)
+            frame = frame.hstack(s.to_frame())
+        frame = frame.lazy()
         e = make_expr(col(self._name))
         out = frame.select(e.alias(self._name) if e._name is None else e)
         sdf = out._sdf
@@ -172,6 +182,23 @@ class Series:
             return Series._from_spark(sdf, self._name)
         return out.collect()
 
+    def _dispatch_args(self, method_of, args, kwargs) -> Any:
+        """Dispatch a namespace/expr method whose args may contain Series:
+        each Series arg becomes an hstacked column referenced by a col()."""
+        extras = []
+
+        def sub(a):
+            if isinstance(a, Series):
+                nm = f"__sarg_{len(extras)}"
+                extras.append(a.rename(nm))
+                return col(nm)
+            return a
+
+        args2 = [sub(a) for a in args]
+        kwargs2 = {k: sub(v) for k, v in kwargs.items()}
+        return self._dispatch(
+            lambda e: method_of(e)(*args2, **kwargs2), extra_series=extras)
+
     def __getattr__(self, item: str):
         if item.startswith("_"):
             raise AttributeError(item)
@@ -180,8 +207,7 @@ class Series:
             raise AttributeError(f"Series has no method {item!r}")
 
         def call(*args, **kwargs):
-            result = self._dispatch(lambda e: getattr(e, item)(*args, **kwargs))
-            return result
+            return self._dispatch_args(lambda e: getattr(e, item), args, kwargs)
 
         return call
 
@@ -807,8 +833,8 @@ class _SeriesNS:
             raise AttributeError(item)
 
         def call(*args, **kwargs):
-            return self._s._dispatch(
-                lambda e: getattr(getattr(e, self._ns), item)(*args, **kwargs))
+            return self._s._dispatch_args(
+                lambda e: getattr(getattr(e, self._ns), item), args, kwargs)
 
         return call
 
