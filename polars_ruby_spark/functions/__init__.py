@@ -349,8 +349,19 @@ def _corr_eval_arrays(ea, eb, df, method):
             # kernel's lexsort is the O(w log w) polars' native rank pays
             from .._udf_helpers import spearman_arrays_udf
 
-            to_d = [F.transform(c, lambda v: v.cast("double"))
-                    for c in (xa, xb)]
+            # NaN data is RANKED (sorts greatest, NaNs tie — engine rank /
+            # polars / DuckDB ordering), while nulls leave the rank base.
+            # The UDF sees both as NaN after the double cast, so data NaN
+            # canonicalizes to float64-max JVM-side (round-11; keeps the
+            # collect-window route consistent with the band and spear2-
+            # kernel routes, differentially verified)
+            _fmax = 1.7976931348623157e308
+
+            def _canon(v):
+                d = v.cast("double")
+                return F.when(F.isnan(d), F.lit(_fmax)).otherwise(d)
+
+            to_d = [F.transform(c, _canon) for c in (xa, xb)]
             return spearman_arrays_udf()(*to_d)
         # nested under another HOF lambda (a Python UDF cannot reference
         # lambda variables) — exact JVM formula, attribute-pinned hops

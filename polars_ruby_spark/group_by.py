@@ -1209,12 +1209,40 @@ class RollingGroupBy(_TemporalGroupByMixin):
                              for b in self._by])
         dur = parse_duration(self._period)
         if _has_agg_prestages(exprs, named):
-            # per-window pre-stage aggs (spearman corr, windowed inners)
-            # need materialized window membership: the collect-window path
+            # round-11: spearman-corr batches go to the sliding Arrow
+            # kernel first ("spear2" pair kind — block-vectorized
+            # per-window ranks, no membership materialization, no pair
+            # expansion); the density warning stays (the per-window work
+            # is still O(w log w), just C-speed and shuffle-free)
+            self._warn_dense_per_window(dur)
+            all_pre = [wrap_expr(e) for e in exprs] + [
+                wrap_expr(e).alias(k) for k, e in named.items()]
+
+            def _has_spear(entries):
+                return any(isinstance(k, tuple) and k[0] == "spear2"
+                           for k, _c in entries)
+
+            plan_s = self._sliding_plan(all_pre)
+            if plan_s is not None and _has_spear(plan_s):
+                try:
+                    return self._agg_sliding_kernel(dur, all_pre, plan_s)
+                except Exception:
+                    pass
+            elif plan_s is None:
+                wleaves = self._sliding_wrapper_plan(all_pre)
+                if wleaves is not None and _has_spear(
+                        [lk for _n, lk in wleaves]):
+                    try:
+                        return self._agg_sliding_kernel_wrapped(
+                            dur, all_pre, wleaves)
+                    except Exception:
+                        pass
+            # per-window pre-stage aggs (windowed inners, cumulative_eval,
+            # spearman shapes the kernel classifiers cannot prove) need
+            # materialized window membership: the collect-window path
             # builds it task-locally (one shuffle, no pair expansion); the
             # band join remains the fallback for exprs the eval-array
             # binder cannot reach (cumulative_eval's probe machinery)
-            self._warn_dense_per_window(dur)
             try:
                 return self._agg_collect_win(dur, exprs, named)
             except Exception:
@@ -1722,9 +1750,14 @@ class RollingGroupBy(_TemporalGroupByMixin):
             # PAIR kinds (round-9): pearson corr / cov over two plain
             # children — prefix sums of a, b, ab with pair-null masking
             # (F.corr/covar_* skip pairs with a null on either side).
-            # Spearman corr carries an _agg_pre_fn (rank pre-stage) and is
-            # excluded — its per-window ranks need the collect-window walk.
-            if getattr(e, "_agg_pre_fn", None) is not None:
+            # Spearman corr (round-11) is the third pair kind: it carries an
+            # _agg_pre_fn (rank pre-stage) in every other context, but the
+            # kernel hosts its per-window average ranks directly via
+            # block-vectorized argsort (rolling_kernel.py "spear2") — the
+            # O(n·w) collect-window/band walk is now the fallback, not the
+            # primary route.
+            is_spear = getattr(e, "_agg_pre_fn", None) is not None
+            if is_spear and label == "cov":
                 return None
             ca, cb = e._meta[1]
             for c in (ca, cb):
@@ -1732,7 +1765,7 @@ class RollingGroupBy(_TemporalGroupByMixin):
                         getattr(c, "_needs_order", False):
                     return None
             if label == "corr":
-                return (("corr2",), (ca, cb))
+                return (("spear2",) if is_spear else ("corr2",), (ca, cb))
             return (("cov2", 1 if e._meta[2] == 1 else 0), (ca, cb))
         if label in ("sum", "mean", "count", "min", "max", "median"):
             kind = label
@@ -1798,9 +1831,14 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 return False
             if (e._needs_order or e._scrambles_order
                     or e._agg_list_fn is not None
-                    or e._agg_pre_fn is not None
                     or e._frame_fn is not None or e._multi_fn is not None):
                 return False
+            # NB: a propagated _agg_pre_fn on the WRAPPER is fine — the
+            # round-10 composition lifts copy the hook up from the leaf
+            # (fill_nan(corr_spearman) carries it), but the kernel-wrapped
+            # route never invokes it: the leaf either classifies on its own
+            # (spear2 hosts the rank pre-stage in-kernel) or walk() fails at
+            # the leaf (cumulative_eval etc.) and the prestage routes run.
             return all(walk(c, depth + 1) for c in kids)
 
         wrapped = False
@@ -1928,7 +1966,8 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 out_stypes.append(T.LongType())
                 names.append(nm or "len")
                 continue
-            if isinstance(kind, tuple) and kind[0] in ("corr2", "cov2"):
+            if isinstance(kind, tuple) and kind[0] in ("corr2", "cov2",
+                                                       "spear2"):
                 # pair kinds bind TWO value columns
                 pair_vc, pair_f = [], []
                 for side, ce in zip("ab", child):
@@ -1945,8 +1984,7 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 kplan.append((kind, tuple(pair_vc), tuple(pair_f)))
                 out_types.append(pa.float64())
                 out_stypes.append(T.DoubleType())
-                names.append(nm or ("corr" if kind[0] == "corr2"
-                                    else "cov"))
+                names.append(nm or ("cov" if kind[0] == "cov2" else "corr"))
                 continue
             c = child._fn(sdf, None)
             probe = sdf.select(c)

@@ -172,6 +172,115 @@ def _wavelet_kth(levels, starts, ends, ks):
     return ans
 
 
+def _avg_rank_rows(X):
+    """Row-wise average ranks (rank('average') semantics) of a B×W block.
+
+    NaN entries (window pads / null values) sort last and receive garbage
+    ranks the caller masks out.  O(B·W log W): one stable argsort per row
+    batch plus constant-count full-matrix passes — all C-speed.
+    """
+    import numpy as np
+
+    B, W = X.shape
+    order = np.argsort(X, axis=1, kind="stable")  # NaNs land at the tail
+    Xs = np.take_along_axis(X, order, axis=1)
+    pos = np.arange(1, W + 1, dtype="float64")
+    newgrp = np.ones((B, W), dtype=bool)
+    if W > 1:
+        newgrp[:, 1:] = Xs[:, 1:] != Xs[:, :-1]
+    first = np.where(newgrp, pos[None, :], 0.0)
+    np.maximum.accumulate(first, axis=1, out=first)
+    nxt = np.full((B, W), W + 1.0)
+    if W > 1:
+        nxt[:, :-1] = np.where(newgrp[:, 1:], pos[None, 1:], np.inf)
+        nxt = np.minimum.accumulate(nxt[:, ::-1], axis=1)[:, ::-1]
+    avg_sorted = (first + nxt - 1.0) / 2.0
+    ranks = np.empty_like(X)
+    np.put_along_axis(ranks, order, avg_sorted, axis=1)
+    return ranks
+
+
+def _spearman_windows(va, nulla, vb, nullb, starts, ends):
+    """Per-window spearman corr over [starts, ends) ranges of the
+    time-sorted group (round-11; VERDICT r10 #2 — replaces the O(n·w)
+    band-join/collect-window walk for rolling spearman).
+
+    Each column is ranked rank('average')-style over its own non-null
+    window values; pearson runs over pairs where both sides are non-null
+    (mirrors the rank-prestage + F.corr band path exactly).  NaN data is
+    RANKED, not poisoned: the engine's rank (Spark ORDER BY), polars'
+    rank, and DuckDB's rank all order NaN greatest with NaNs tying, so
+    spearman of NaN-bearing windows is finite — unlike pearson (corr2),
+    where NaN magnitude enters the products.  NaN canonicalizes to
+    float64-max for the sort (data equal to float-max would collide —
+    accepted cap, same family as the int64>2^53 float cast).
+
+    The per-window cost is inherently O(w log w) (per-window pair ranks
+    have no decomposable/sliding form — the r10 wavelet-tree co-rank idea
+    dies on the CROSS-column term: sum over pairs of joint dominance
+    counts needs a 2-D dynamic structure, not a 1-D rank query), but the
+    whole computation is block-vectorized: windows gather into B×W
+    matrices under a fixed cell budget, ranks come from batched argsort,
+    and the corr reduces row-wise — no shuffle, no pair-row explosion.
+    Returns (corr float64 array, dead mask) — dead = fewer than 2 pairs
+    (F.corr -> NULL); zero rank variance -> NaN (F.corr's shape).
+    """
+    import numpy as np
+
+    n_anch = len(starts)
+    res = np.full(n_anch, np.nan, dtype="float64")
+    dead = np.zeros(n_anch, dtype=bool)
+    if n_anch == 0:
+        return res, dead
+    L = (ends - starts).astype("int64")
+    fmax = np.finfo("float64").max
+
+    def canon(v, nullm):
+        x = np.asarray(v, dtype="float64").copy()
+        x[np.isnan(x)] = fmax   # data NaN: sorts greatest, NaNs tie
+        x[nullm] = np.nan       # nulls leave the rank base entirely
+        return x
+
+    xa = canon(va, nulla)
+    xb = canon(vb, nullb)
+    budget = 4_000_000  # cells per block matrix (~32 MB of f64 temps each)
+    i0 = 0
+    while i0 < n_anch:
+        w = max(int(L[i0]), 1)
+        i1 = i0 + 1
+        while i1 < n_anch:
+            w2 = max(w, int(L[i1]))
+            if (i1 + 1 - i0) * w2 > budget:
+                break
+            w = w2
+            i1 += 1
+        js = np.arange(w, dtype="int64")
+        idx = starts[i0:i1, None].astype("int64") + js[None, :]
+        inwin = js[None, :] < L[i0:i1, None]
+        np.clip(idx, 0, len(xa) - 1, out=idx)
+        A = np.where(inwin, xa[idx], np.nan)
+        Bv = np.where(inwin, xb[idx], np.nan)
+        RA = _avg_rank_rows(A)
+        RB = _avg_rank_rows(Bv)
+        pm = ~np.isnan(A) & ~np.isnan(Bv)
+        nn = pm.sum(axis=1).astype("float64")
+        n1 = np.maximum(nn, 1.0)
+        sx = np.where(pm, RA, 0.0).sum(axis=1)
+        sy = np.where(pm, RB, 0.0).sum(axis=1)
+        # center before products: rank sums grow like w² and the naive
+        # E[xy]-E[x]E[y] form cancels catastrophically at q143 widths
+        da = np.where(pm, RA - (sx / n1)[:, None], 0.0)
+        db = np.where(pm, RB - (sy / n1)[:, None], 0.0)
+        cxy = (da * db).sum(axis=1)
+        den = np.sqrt(np.maximum((da * da).sum(axis=1), 0.0)
+                      * np.maximum((db * db).sum(axis=1), 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            res[i0:i1] = np.where(den > 0, cxy / den, np.nan)
+        dead[i0:i1] = nn <= 1
+        i0 = i1
+    return res, dead
+
+
 def make_sliding_kernel(plan, key_names, out_names, out_types):
     """Builder for the applyInArrow function.
 
@@ -215,6 +324,27 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
                 len(key_names) + 1:]):
             if kind == "len":
                 cols[name] = pa.array(L, type=pa.int64())
+                continue
+            if isinstance(kind, tuple) and kind[0] == "spear2":
+                # rolling spearman (round-11): block-vectorized per-window
+                # average ranks + pearson of ranks — see _spearman_windows
+                def _loadr(vcx):
+                    # distinct cache key: corr2/cov2 cache a NaN mask in the
+                    # same slot, shaped by their is_float flag
+                    if ("r", vcx) not in cache:
+                        colx = tbl.column(vcx)
+                        nux = pc.is_null(colx).to_numpy(zero_copy_only=False)
+                        vx = colx.to_numpy(zero_copy_only=False)
+                        cache[("r", vcx)] = (colx, vx, nux, None)
+                    return cache[("r", vcx)]
+
+                _, va, nulla, _x = _loadr(vc[0])
+                _, vb, nullb, _y = _loadr(vc[1])
+                # null slots may surface as NaN in the numpy view — keep the
+                # masks authoritative
+                resv, deadm = _spearman_windows(
+                    va, nulla, vb, nullb, starts, ends)
+                cols[name] = pa.array(resv, type=pa.float64(), mask=deadm)
                 continue
             if isinstance(kind, tuple) and kind[0] in ("corr2", "cov2"):
                 # PAIR kinds (round-9): pearson corr / covariance via

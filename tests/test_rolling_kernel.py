@@ -535,11 +535,31 @@ def test_sliding_kernel_corr_cov_match_window_semantics(spark):
             if cls(x[k]) == "val":
                 assert abs(x[k] - y[k]) <= 1e-7 + 1e-7 * abs(y[k]), \
                     (k, x["ts"], x[k], y[k])
-    # spearman corr must NOT classify as a pair leaf (rank pre-stage)
-    sp = (df.rolling(index_column="ts", period="90m", group_by="g")
-          .agg(pl.corr("a", "b", method="spearman").alias("s"),
-               pl.len().alias("n")))
-    assert not _routed_to_kernel(sp)
+    # spearman corr classifies as the spear2 pair leaf (round-11: the
+    # kernel hosts per-window average ranks; band/collect-win are
+    # fallbacks) and must agree with the band route's rank+corr math
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        sp = (df.rolling(index_column="ts", period="90m", group_by="g")
+              .agg(pl.corr("a", "b", method="spearman").alias("s"),
+                   pl.len().alias("n")))
+        assert _routed_to_kernel(sp)
+        from polars_ruby_spark.functions.duration import parse_duration
+
+        band = (df.rolling(index_column="ts", period="90m", group_by="g")
+                ._agg_band(parse_duration("90m"),
+                           (pl.corr("a", "b", method="spearman").alias("s"),
+                            pl.len().alias("n")), {}))
+    gs = sorted(sp.to_a(), key=lambda r: (r["g"], r["ts"]))
+    bs = sorted(band.to_a(), key=lambda r: (r["g"], r["ts"]))
+    assert len(gs) == len(bs) == n
+    for x, y in zip(gs, bs):
+        assert x["ts"] == y["ts"] and x["g"] == y["g"] and x["n"] == y["n"]
+        assert cls(x["s"]) == cls(y["s"]), (x["ts"], x["s"], y["s"])
+        if cls(x["s"]) == "val":
+            assert abs(x["s"] - y["s"]) <= 1e-9 + 1e-9 * abs(y["s"])
 
 
 def test_collect_window_index_reading_agg_still_pinned(spark):

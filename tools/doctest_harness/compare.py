@@ -249,6 +249,10 @@ def _parse_list(text, inner_dtype):
         p = p.strip()
         if not p:
             continue
+        if p.startswith("… "):
+            # elided list tail renders "… last" with no comma
+            out.append(Ellipsis)
+            p = p[2:].strip()
         if p == "…":
             out.append(Ellipsis)
         elif p.startswith('"') and p.endswith('"'):

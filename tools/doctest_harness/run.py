@@ -36,6 +36,11 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.getcwd())
+# examples run chdir'd into a temp dir (write_csv etc.); Spark python
+# workers inherit that cwd, so the package root must ride PYTHONPATH
+os.environ["PYTHONPATH"] = (
+    os.getcwd() + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
 
 import compare as C
 import extract
@@ -453,7 +458,13 @@ def run_corpus(records, only=None, limit=None, verbose=False, timeout=90):
                 rec.update(status="ran_nocompare", detail="ref non-deterministic list")
                 results.append(rec)
                 continue
-            status, detail = _compare(result, r, pl)
+            try:
+                status, detail = _compare(result, r, pl)
+            except Exception as e:  # comparator bug must not kill the sweep
+                status, detail = (
+                    "skip_compare",
+                    f"comparator crash {type(e).__name__}: {str(e)[:160]}",
+                )
             rec.update(status=status, detail=detail)
             results.append(rec)
             if verbose and status.startswith("fail"):
