@@ -2491,7 +2491,8 @@ def q163_rolling_by_kernel_attach(spark, sf_dir):
         ev.with_columns(
             pl.col("value").rolling_median_by("ts", "2h")
             .over("event_type").round(6).alias("md"),
-            pl.col("value").rolling_quantile_by("ts", "2h", quantile=0.75)
+            pl.col("value").rolling_quantile_by("ts", "2h", quantile=0.75,
+                                                interpolation="linear")
             .over("event_type").round(6).alias("q75"),
             pl.col("value").rolling_std_by("ts", "2h")
             .over("event_type").round(5).alias("sd"),
@@ -3963,7 +3964,7 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE) AS rn
                 FROM events
             ), f AS (
-                SELECT event_id, vn, rn,
+                SELECT event_id, ts, vn, rn,
                        last_value(vn IGNORE NULLS) OVER wp AS ff,
                        first_value(vn IGNORE NULLS) OVER wf AS bf,
                        last_value(CASE WHEN vn IS NOT NULL THEN rn END
@@ -3971,8 +3972,6 @@ def oracle_sql() -> dict[str, str]:
                        first_value(CASE WHEN vn IS NOT NULL THEN rn END
                                    IGNORE NULLS) OVER wf AS nr0,
                        vn - lag(vn) OVER w AS df0,
-                       (vn - lag(vn) OVER w) / lag(vn) OVER w * 100
-                           AS pc0,
                        CASE WHEN vn IS NOT NULL THEN vn ELSE
                          last_value(vn IGNORE NULLS) OVER wp
                          + (first_value(vn IGNORE NULLS) OVER wf
@@ -3991,13 +3990,22 @@ def oracle_sql() -> dict[str, str]:
                               UNBOUNDED PRECEDING AND CURRENT ROW),
                        wf AS (ORDER BY ts, event_id ROWS BETWEEN
                               CURRENT ROW AND UNBOUNDED FOLLOWING)
+            ), g AS (
+                -- pct_change forward-fills BEFORE differencing (polars
+                -- expr.rb:2810 semantics; round-11) — ff is the filled
+                -- series, one more window level since DuckDB cannot nest
+                SELECT f.*,
+                       (ff - lag(ff) OVER w2) / lag(ff) OVER w2 * 100
+                           AS pc0
+                FROM f
+                WINDOW w2 AS (ORDER BY ts, event_id)
             )
             SELECT event_id, vn, ff, bf,
                    CASE WHEN rn - pr0 <= 3 THEN ff END AS f3,
                    CASE WHEN nr0 - rn <= 2 THEN bf END AS b2,
                    round(df0, 4) AS df, round(pc0, 4) AS pc,
                    round(ln(li0 + sqrt(li0 * li0 + 1)), 5) AS li
-            FROM f
+            FROM g
         """,
         "q165_ungrouped_rank_attach": """
             WITH s AS (

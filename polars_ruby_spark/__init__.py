@@ -65,10 +65,19 @@ all = all_  # noqa: A001
 
 
 def concat(items, how: str = "vertical", rechunk: bool = False, parallel: bool = True):
-    """functions/eager.rb:35 — vertical / diagonal / horizontal concat."""
+    """functions/eager.rb:35 — vertical / diagonal / horizontal concat.
+    A list of Series concatenates vertically back into one Series."""
     items = list(items)
     if not items:
         raise ValueError("concat needs at least one frame")
+    # NB: builtins.all — this module rebinds `all` to the polars selector
+    import builtins
+
+    if builtins.all(isinstance(s, Series) for s in items):
+        out = Series._from_spark(items[0]._sdf, items[0].name)
+        for s in items[1:]:
+            out = out.append(s)
+        return out
     eager = isinstance(items[0], DataFrame)
     if how in ("vertical", "vertical_relaxed"):
         sdf = items[0].to_spark()

@@ -187,6 +187,23 @@ def np_eval_arrays_udf(prog, in_t: str, out_t: str):
                 else:
                     out = lv * rv
             return out, _mor(ln, rn), t
+        if op == "ffill":
+            # forward-fill within segments (pct_change's pre-difference
+            # fill — round-11): propagate the last valid index, reset at
+            # each segment start
+            bv, bnull, bt = _run(prog[1], vals, nulls, pos, lens, starts,
+                                 total)
+            bv, bnull = to_arr(bv, bnull)
+            idx = np.arange(total)
+            seg_start = idx - pos  # segment start from the position track
+            last = np.where(~bnull, idx, -1)
+            np.maximum.accumulate(last, out=last)
+            ok = last >= seg_start
+            src = np.clip(last, 0, max(total - 1, 0))
+            dt = np.float64 if bt == "double" else np.float32
+            v = _cast(bv, dt)
+            out = np.where(ok, v[src], np.nan)
+            return out, ~ok, bt
         if op == "shift":
             n_, fill, bp = prog[1], prog[2], prog[3]
             bv, bn, bt = _run(bp, vals, nulls, pos, lens, starts, total)
@@ -394,18 +411,15 @@ def np_cumeval_arrays_udf(prog, elem_t: str, out_t: str, min_p: int):
                     acc = (np.minimum if label == "min"
                            else np.maximum).accumulate(x)
                     return acc, nncnt == 0, elem_t_np
+                # polars semantics (round-11): min AND max IGNORE NaN
+                # (expr.rb max doctest); an all-NaN prefix is null —
+                # matches Expr._minmax_agg and the sliding kernel
                 sent = np.inf if label == "min" else -np.inf
                 x = np.where(nl, np_elem.type(sent), v)
-                if label == "max":
-                    # Spark ordering: NaN greatest → any NaN wins max
-                    acc = np.maximum.accumulate(x)
-                    return acc, nncnt == 0, elem_t_np
-                # min skips NaN (NaN greatest) unless only NaN seen
-                acc = np.fmin.accumulate(x)
+                acc = (np.fmin if label == "min"
+                       else np.fmax).accumulate(x)
                 finite_cnt = np.cumsum(nn & ~np.isnan(v))
-                acc = np.where((nncnt > 0) & (finite_cnt == 0),
-                               np_elem.type(np.nan), acc)
-                return acc, nncnt == 0, elem_t_np
+                return acc, finite_cnt == 0, elem_t_np
             if label in ("stddev_samp", "stddev_pop",
                          "var_samp", "var_pop"):
                 xd = np.where(nl, 0.0, v.astype(np.float64))

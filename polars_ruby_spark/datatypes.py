@@ -359,3 +359,28 @@ def cast_is_noop(dtype, inferred: T.DataType) -> bool:
     if isinstance(dtype, Struct) and not dtype.fields:
         return isinstance(inferred, T.StructType)
     return False
+
+
+def polars_dtype_name(t: T.DataType) -> str:
+    """Spark type -> polars dtype class name ("Int64", "String", ...) for
+    serialized surfaces (write_json column envelope, inline dtype repr)."""
+    m = {
+        T.ByteType: "Int8", T.ShortType: "Int16", T.IntegerType: "Int32",
+        T.LongType: "Int64", T.FloatType: "Float32", T.DoubleType: "Float64",
+        T.StringType: "String", T.BooleanType: "Boolean",
+        T.DateType: "Date", T.BinaryType: "Binary", T.NullType: "Null",
+    }
+    for k, v in m.items():
+        if isinstance(t, k):
+            return v
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "Datetime"
+    if isinstance(t, T.DayTimeIntervalType):
+        return "Duration"
+    if isinstance(t, T.DecimalType):
+        return "Decimal"
+    if isinstance(t, T.ArrayType):
+        return f"List({polars_dtype_name(t.elementType)})"
+    if isinstance(t, T.StructType):
+        return "Struct"
+    return t.simpleString()

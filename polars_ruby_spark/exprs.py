@@ -504,7 +504,8 @@ class Expr:
         """Apply a pure Column→Column function elementwise (multi-aware)."""
         if self._multi_fn is not None:
             mf = self._multi_fn
-            return Expr(multi_fn=lambda df: [e._lift(f, None, is_agg, needs_order) for e in mf(df)])
+            return Expr(multi_fn=lambda df: [e._lift(f, None, is_agg, needs_order) for e in mf(df)])._set_meta(
+                "multi:" + _op_label(f), (self,))
         out = Expr(
             lambda df, part: f(self._fn(df, part)),
             name=name if name is not None else self._name,
@@ -591,7 +592,8 @@ class Expr:
                   needs_order: bool = False) -> "Expr":
         if self._multi_fn is not None:
             mf = self._multi_fn
-            return Expr(multi_fn=lambda df: [e._lift_ctx(f, needs_order) for e in mf(df)])
+            return Expr(multi_fn=lambda df: [e._lift_ctx(f, needs_order) for e in mf(df)])._set_meta(
+                "multi:" + _op_label(f), (self,))
         out = Expr(
             lambda df, part: f(self._fn(df, part), df, part),
             name=self._name,
@@ -609,9 +611,19 @@ class Expr:
         o = wrap_expr(other)
         if self._multi_fn is not None:
             mf = self._multi_fn
-            return Expr(multi_fn=lambda df: [e._lift2(o, f) for e in mf(df)])
+            return Expr(multi_fn=lambda df: [e._lift2(o, f) for e in mf(df)])._set_meta(
+                "multi:" + _op_label(f, "binary"), (self, o))
+        if o._multi_fn is not None:
+            # multi on the RIGHT (lit(10) / pl.all()): expand per column,
+            # keeping each expanded column's name (polars broadcast shape)
+            omf = o._multi_fn
+            return Expr(multi_fn=lambda df: [
+                self._lift2(e, f, name=e._name) for e in omf(df)])
+        needs_df = getattr(f, "_needs_df", False)
         out = Expr(
-            lambda df, part: f(self._fn(df, part), o._fn(df, part)),
+            (lambda df, part: f(self._fn(df, part), o._fn(df, part), df))
+            if needs_df else
+            (lambda df, part: f(self._fn(df, part), o._fn(df, part))),
             name=name if name is not None else (self._name if self._name is not None else o._name),
             is_agg=self._is_agg or o._is_agg,
             needs_order=self._needs_order or o._needs_order,
@@ -876,7 +888,8 @@ class Expr:
         """Aggregate; in a windowed context, broadcast over the partition."""
         if self._multi_fn is not None:
             mf = self._multi_fn
-            return Expr(multi_fn=lambda df: [e._agg(aggf) for e in mf(df)])
+            return Expr(multi_fn=lambda df: [e._agg(aggf) for e in mf(df)])._set_meta(
+                "multi:" + _op_label(aggf, "agg"), (self,))
 
         label = _op_label(aggf, "agg")
         # ops with parameters the label can't carry (quantile's q and
@@ -1021,7 +1034,8 @@ class Expr:
         if self._multi_fn is not None:
             mf = self._multi_fn
             return Expr(multi_fn=lambda df: [e._agg_ctx(aggf, label, post=post)
-                                             for e in mf(df)])
+                                             for e in mf(df)])._set_meta(
+                "multi:" + label, (self,))
 
         custom = getattr(aggf, "_arr_reduce_fn", None)
 
@@ -1116,7 +1130,8 @@ class Expr:
         if self._multi_fn is not None:
             mf = self._multi_fn
             return Expr(multi_fn=lambda df: [e._ordered(f, order_only)
-                                             for e in mf(df)])
+                                             for e in mf(df)])._set_meta(
+                "multi:" + _op_label(f, "ordered"), (self,))
 
         holder: list = []
 
@@ -1180,9 +1195,17 @@ class Expr:
         return e._set_meta("alias", (self,), name)
 
     def suffix(self, s: str) -> "Expr":
+        if self._multi_fn is not None:  # pl.all().suffix: rename each column
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [e.suffix(s) for e in mf(df)])._set_meta(
+                "multi:suffix", (self,))
         return self.alias((self._name or "") + s)
 
     def prefix(self, p: str) -> "Expr":
+        if self._multi_fn is not None:
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [e.prefix(p) for e in mf(df)])._set_meta(
+                "multi:prefix", (self,))
         return self.alias(p + (self._name or ""))
 
     @property
@@ -1207,11 +1230,12 @@ class Expr:
 
     # -- arithmetic (parity: expr.rb / ext/polars/src/expr/general.rs:16-41) --
     def __add__(self, o):
-        return _np_bin(self._lift2(o, lambda a, b: a + b, op="+"),
+        return _np_bin(self._lift2(o, _concat_or_add(self, o), op="+"),
                        "+", self, o)
 
     def __radd__(self, o):
-        return _np_bin(wrap_expr(o)._lift2(self, lambda a, b: a + b),
+        ow = wrap_expr(o)
+        return _np_bin(ow._lift2(self, _concat_or_add(ow, self)),
                        "+", o, self)
 
     def __sub__(self, o):
@@ -1575,7 +1599,10 @@ class Expr:
                 return F.lit(v).cast(src.simpleString())
             raise ValueError(f"lower/upper_bound: unsupported dtype {src}")
 
-        return Expr(fn, name=self._name, needs_order=self._needs_order)
+        # one-row result like polars (expr.rb lower_bound doctest) — the
+        # bound is a dtype constant, so F.first of the literal suffices
+        return Expr(lambda df, part: F.first(fn(df, part)),
+                    name=self._name, is_agg=True)
 
     # -- null / nan predicates (expr.rb:574-633, 866-893) ----------------------
     def is_null(self):
@@ -1897,6 +1924,10 @@ class Expr:
         )
 
     def is_in(self, other):
+        if isinstance(other, str):
+            # a string names a (list) COLUMN (expr.rb is_in doctest:
+            # col("member").is_in("sets")), not a literal
+            other = col(other)
         if isinstance(other, Expr):
             # column-vs-column membership → array_contains
             return other._lift2(self, lambda arr, v: F.array_contains(arr, v))
@@ -1981,10 +2012,46 @@ class Expr:
         return self._agg(F.median)
 
     def min(self):
-        return self._agg(F.min)
+        return self._minmax_agg(True)
 
     def max(self):
-        return self._agg(F.max)
+        return self._minmax_agg(False)
+
+    def _minmax_agg(self, want_min: bool):
+        """polars min/max IGNORE NaN (expr.rb max doctest: max of
+        [-1.0, nan, 1.0] is 1.0) — Spark's treat NaN as greatest, so float
+        columns null out NaN first (nanvl); other dtypes use the plain
+        aggregate."""
+        base = F.min if want_min else F.max
+        arr_base = F.array_min if want_min else F.array_max
+
+        def aggf(c, df):
+            from pyspark.sql import types as T
+
+            if isinstance(self._probe_dtype(df, c),
+                          (T.FloatType, T.DoubleType)):
+                return base(F.nanvl(c, F.lit(None).cast("double")))
+            return base(c)
+
+        def arr_red(arr, df):
+            from pyspark.sql import types as T
+
+            try:
+                el = _probe_type(df, arr).elementType
+            except Exception:
+                el = None
+            if isinstance(el, (T.FloatType, T.DoubleType)):
+                return arr_base(F.filter(arr, lambda x: ~F.isnan(x)))
+            return arr_base(arr)
+
+        aggf._arr_reduce_fn = arr_red
+        label = "min" if want_min else "max"
+        out = self._agg_ctx(aggf, label)
+        if self._np_prog == ("elem",) and label in _CAGG_KERNEL_LABELS:
+            # keep the cumulative_eval prefix-kernel breadcrumb _agg sets
+            # for plain aggregates (the cagg executor shares the NaN-skip)
+            out._np_prog = ("cagg", label)
+        return out
 
     def product(self):
         # polars: product of an integer column stays integer; F.product
@@ -2134,36 +2201,21 @@ class Expr:
         def _from_sorted(arr):
             # shared indexing over a SORTED non-null array (round-5: also
             # the reducer for transformed-array/agg-of-agg contexts)
-            n = F.size(arr)
-            pos = F.lit(q) * (n.cast("double") - 1)
-            lo = F.floor(pos).cast("int")
-            hi = F.ceil(pos).cast("int")
-            if interpolation == "lower":
-                return F.element_at(arr, lo + 1)
-            if interpolation == "higher":
-                return F.element_at(arr, hi + 1)
-            if interpolation == "midpoint":
-                return (F.element_at(arr, lo + 1)
-                        + F.element_at(arr, hi + 1)) / 2
-            if interpolation == "linear":
-                frac = pos - lo.cast("double")
-                lov = F.element_at(arr, lo + 1).cast("double")
-                hiv = F.element_at(arr, hi + 1).cast("double")
-                return lov + frac * (hiv - lov)
-            # nearest: round half away from zero like polars
-            near = F.when(pos - lo.cast("double") < 0.5, lo).otherwise(hi)
-            return F.element_at(arr, near + 1)
+            return _q_from_sorted(arr, q, interpolation)
 
         def _arr_q(arr, df):
             nn = F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
-            return F.when(F.size(nn) > 0, _from_sorted(nn))
+            # f64 like polars: quantile returns Float64 for every
+            # interpolation, including the element-gather ones
+            return F.when(F.size(nn) > 0, _from_sorted(nn)).cast("double")
 
         if interpolation == "linear":
             def aggf(c):
                 return F.percentile(c, F.lit(q))
         else:
             def aggf(c):
-                return _from_sorted(F.array_sort(F.collect_list(c)))
+                return _from_sorted(
+                    F.array_sort(F.collect_list(c))).cast("double")
 
         aggf._arr_reduce_fn = _arr_q
         out = self._agg(aggf)
@@ -2211,7 +2263,10 @@ class Expr:
                    .orderBy(out_name).select(out_name))
             return LazyFrame(out)
 
-        e._frame_fn = frame_fn
+        if self._multi_fn is None:
+            # the sole-select fast path reads inner._fn — a multi (pl.all())
+            # expands per column first and binds each mode as a plain agg
+            e._frame_fn = frame_fn
         return e
 
     def skew(self, bias: bool = True):
@@ -2404,6 +2459,12 @@ class Expr:
         return e
 
     def implode(self):
+        if self._multi_fn is not None:
+            # expand FIRST: the flags set below (needs_order, the staged
+            # gate) would be lost by _agg's late per-column re-expansion
+            mf = self._multi_fn
+            return Expr(multi_fn=lambda df: [e.implode() for e in mf(df)])._set_meta(
+                "multi:implode", (self,))
         # NOT bare F.collect_list: it drops nulls (polars implode keeps
         # them) and its element order is shuffle-fetch order on a cluster.
         # Collect (row_idx, value) structs — structs survive null values —
@@ -2624,7 +2685,7 @@ class Expr:
                         raise ValueError("shift kernel: no row index")
                     sdf2 = attach_rolling_by_multi(
                         sdf, col(_RI), (), 0, "both",
-                        [(inner, "min", tmp)], row_frame=(n, -n))
+                        [(inner, "minraw", tmp)], row_frame=(n, -n))
                 except ValueError:
                     # LATE ROUND-10: the non-numeric fallback was a
                     # KEYLESS lag window (one task).  A dense-row-index
@@ -2658,7 +2719,7 @@ class Expr:
             gfn._rolling_by_batch = {
                 "sig": ("__lagframe__", n), "inner": inner,
                 "by_e": col(_RIB), "span": 0, "closed": "both",
-                "kind": "min", "keys": (), "row_frame": (n, -n),
+                "kind": "minraw", "keys": (), "row_frame": (n, -n),
                 "fin": (None if fv is None else
                         (lambda sdf, tmp, _fv=fv: F.coalesce(
                             F.col(tmp), _fv._fn(None, None)))),
@@ -2720,7 +2781,7 @@ class Expr:
                     raise ValueError("lag kernel: no row index")
                 sdf2 = attach_rolling_by_multi(
                     sdf, col(_RI), (), 0, "both",
-                    [(inner, "min", tmp)], row_frame=(n, -n))
+                    [(inner, "minraw", tmp)], row_frame=(n, -n))
             except ValueError:
                 return sdf.withColumn(
                     fin, e._fn(sdf, None)), fin
@@ -2734,7 +2795,7 @@ class Expr:
         gfn._rolling_by_batch = {
             "sig": ("__lagframe__", n), "inner": inner,
             "by_e": col(_RIB), "span": 0, "closed": "both",
-            "kind": "min", "keys": (), "row_frame": (n, -n),
+            "kind": "minraw", "keys": (), "row_frame": (n, -n),
             "fin": (lambda sdf, tmp, _inner=inner, _arith=arith:
                     _arith(_inner._fn(sdf, None), F.col(tmp))),
             "post": []}
@@ -2786,35 +2847,83 @@ class Expr:
         return e
 
     def pct_change(self, n: int = 1):
+        # polars forward-fills nulls BEFORE differencing (expr.rb:2810:
+        # "most-recent non-null element at least n periods before"; the
+        # doctest has [..., 12, nil, 12] -> 0.0 at the null slot).
+        # Composition via _compose_hook_parts over [forward_fill, its
+        # shift] keeps the scale routes: the fill part joins the frame
+        # fill batch, the shift part its lag-kernel batch, and the
+        # arithmetic builds on the attached columns — no keyless window.
         def f(c, w):
-            prev = F.lag(c, n).over(w)
-            return (c - prev) / prev
+            fc = F.last(c, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+            prev = F.lag(fc, n).over(w)
+            return (fc - prev) / prev
 
-        e = self._ordered(f, order_only=True)
-        self._attach_lag_arith_kernel(
-            e, n, lambda c, prev: (c - prev) / prev)
+        out = self._ordered(f, order_only=True)
+        filled = self.forward_fill()
+        fill_g = filled._global_ordinal_fn
+        if (fill_g is not None and n != 0 and not self._needs_order
+                and not self._scrambles_order
+                and self._agg_list_fn is None and self._multi_fn is None
+                and self._frame_fn is None and self._agg_pre_fn is None):
+            # UNGROUPED scale route: chain the fill attach, then the
+            # single-row lag-frame kernel over the filled column, then the
+            # arithmetic — two multi-task attaches, no keyless window
+            def gfn(sdf):
+                from .operators.rolling_kernel import \
+                    attach_rolling_by_multi
+                from .session import ROW_IDX as _RI
+
+                sdf1, fcol = fill_g(sdf)
+                tmp, fin = _next_gord_name(), _next_gord_name()
+                try:
+                    if _RI not in sdf1.columns:
+                        raise ValueError("lag kernel: no row index")
+                    sdf2 = attach_rolling_by_multi(
+                        sdf1, col(_RI), (), 0, "both",
+                        [(col(fcol), "minraw", tmp)], row_frame=(n, -n))
+                except ValueError:
+                    return sdf1.withColumn(
+                        fin, out._fn(sdf1, None)).drop(fcol), fin
+                fcc = F.col(fcol)
+                return (sdf2.withColumn(
+                    fin, (fcc - F.col(tmp)) / F.col(tmp))
+                    .drop(tmp, fcol), fin)
+
+            out._global_ordinal_fn = gfn
+            out._needs_dense_index = True
 
         def ev(arr, df):
+            # eval-array context (list.eval / collect-window): ffill the
+            # array positionally, then the lag arithmetic — O(w²) HOFs,
+            # bounded by the window/list width like the other eval paths
             def body(a):
-                def elem(x, i):
-                    prev = F.element_at(a, i - F.lit(n) + 1)
+                fa = F.transform(a, lambda x, i: F.coalesce(
+                    x, F.element_at(F.filter(
+                        F.slice(a, 1, i + 1),
+                        lambda v: v.isNotNull()), -1)))
+
+                def elem(x, i, _fa):
+                    prev = F.element_at(_fa, i - F.lit(n) + 1)
                     return F.when(
-                        (i - F.lit(n) >= 0) & (i - F.lit(n) < F.size(a)),
+                        (i - F.lit(n) >= 0) & (i - F.lit(n) < F.size(_fa)),
                         (x - prev) / prev)
 
-                return F.transform(a, elem)
+                return _hof_let(fa, lambda f2: F.transform(
+                    f2, lambda x, i: elem(x, i, f2)))
 
             return _hof_let(arr, body)
 
-        e._eval_arr_fn = ev
-        e._eval_arr_base = self
+        out._eval_arr_fn = ev
+        out._eval_arr_base = self
         if self._np_prog is not None:
-            sh = ("shift", int(n), None, self._np_prog)
-            # (x - prev) / prev — Spark `/` nulls a zero divisor, which the
-            # kernel mirrors
-            e._np_prog = ("bin", "/",
-                          ("bin", "-", self._np_prog, sh), sh)
-        return e
+            # (f - shift(n, f)) / shift(n, f) with f = ffill(x) — the np
+            # kernel's "/" mirrors Spark's null-on-zero-divisor
+            fp = ("ffill", self._np_prog)
+            sh = ("shift", int(n), None, fp)
+            out._np_prog = ("bin", "/", ("bin", "-", fp, sh), sh)
+        return out
 
     def cum_sum(self, reverse: bool = False):
         return self._cum("sum", reverse)
@@ -2830,6 +2939,21 @@ class Expr:
 
     def cum_prod(self, reverse: bool = False):
         return self._cum("product", reverse)
+
+    # deprecated snake-free aliases (expr.rb cumsum/cummin/cummax/cumprod/
+    # cumcount keep working in the reference)
+    cumsum = cum_sum
+    cummin = cum_min
+    cummax = cum_max
+    cumcount = cum_count
+    cumprod = cum_prod
+
+    def _inspect(self, fmt: str = "%s"):
+        """Print the evaluated series (expr.rb:3072).  In a distributed
+        plan there is no single eval site to print from, so this is a
+        pass-through marker: the format string is accepted for signature
+        parity and the expression flows on unchanged."""
+        return self
 
     def _cum(self, kind: str, reverse: bool):
         aggf = {"sum": F.sum, "min": F.min, "max": F.max,
@@ -3127,7 +3251,8 @@ class Expr:
     def reverse(self):
         if self._multi_fn is not None:
             mf = self._multi_fn
-            return Expr(multi_fn=lambda df: [e.reverse() for e in mf(df)])
+            return Expr(multi_fn=lambda df: [e.reverse() for e in mf(df)])._set_meta(
+                "multi:reverse", (self,))
 
         def fn(df, part):
             # bounded per-group remap under over(); ungrouped bindings route
@@ -3311,6 +3436,8 @@ class Expr:
                     "method": attach_method, "descending": descending,
                     "sig": ("rank_col", inner._meta[2]), "post": []}
             e._global_ordinal_fn = gfn
+        if e._meta is None:
+            e._set_meta("rank", (self,), method)
         return e
 
     def arg_sort(self, reverse: bool = False, nulls_last: bool = False):
@@ -3522,7 +3649,25 @@ class Expr:
                 c = c.over(_part_window(part))
             return c
 
-        return Expr(fn, name=self._name, is_agg=True, needs_order=True)
+        e = Expr(fn, name=self._name, is_agg=True, needs_order=True)
+        inner = self
+
+        def frame_fn(lf, out_name):
+            # sole-select: one ROW per distinct value's first position
+            # (expr.rb arg_unique doctest), distributed first-occurrence
+            # aggregate — no per-row arrays
+            from .frame import LazyFrame
+
+            out_name = out_name or inner._name or "arg_unique"
+            base = lf._ensure_dense_index()._sdf
+            c = inner._fn(base, None)
+            out = (base.groupBy(c.alias("__v__"))
+                   .agg(F.min(F.col(ROW_IDX)).alias(out_name))
+                   .orderBy(out_name).select(F.col(out_name).cast("long")))
+            return LazyFrame(out)
+
+        e._frame_fn = frame_fn
+        return e
 
     def sort(self, reverse: bool = False, descending: bool = False,
              nulls_last: bool = False):
@@ -3883,13 +4028,24 @@ class Expr:
 
     def rolling_quantile(self, q: float, window_size: int, min_periods: int | None = None,
                          center: bool = False, interpolation: str = "nearest"):
-        def aggf(c):
-            return F.percentile(c, F.lit(q))
+        # round-11: honors the interpolation mode ("nearest" default like
+        # polars — rolling_quantile doctest); the JVM fallback gathers the
+        # sorted window buffer, the kernel route answers exactly.  Rolling
+        # "nearest" is polars' trunc(n*q) kernel indexing (nearest_roll),
+        # NOT the agg quantile's round((n-1)*q) — see _q_from_sorted.
+        interp = "nearest_roll" if interpolation == "nearest" else interpolation
 
-        # F.percentile interpolates linearly at pos = q*(n-1) regardless
-        # of the requested mode (documented deviation) — mirror it
+        def aggf(c):
+            if interp == "linear":
+                return F.percentile(c, F.lit(q))
+            arr = F.array_sort(F.filter(
+                F.collect_list(c), lambda x: x.isNotNull()))
+            return F.when(F.size(arr) > 0,
+                          _q_from_sorted(arr, q, interp)
+                          ).cast("double")
+
         return self._rolling(aggf, window_size, min_periods, center,
-                             kernel_kind=("quantile", float(q), "linear"))
+                             kernel_kind=("quantile", float(q), interp))
 
     def _rolling_by(self, aggf, by, window_size: str, closed: str = "right",
                     kernel_kind=None):
@@ -4026,13 +4182,25 @@ class Expr:
                                 kernel_kind="median")
 
     def rolling_quantile_by(self, by, window_size: str, quantile: float = 0.5,
-                            closed: str = "right"):
-        # F.percentile interpolates linearly at pos = q*(n-1) — the
-        # kernel's "linear" wavelet descent computes the same statistic
-        return self._rolling_by(lambda c: F.percentile(c, F.lit(quantile)),
-                                by, window_size, closed,
+                            closed: str = "right",
+                            interpolation: str = "nearest"):
+        # round-11: honors interpolation with the reference's "nearest"
+        # default (expr.rb rolling_quantile_by doctest) — rolling nearest is
+        # the trunc(n*q) kernel indexing (nearest_roll, _q_from_sorted)
+        interp = ("nearest_roll" if interpolation == "nearest"
+                  else interpolation)
+        if interp == "linear":
+            aggf = lambda c: F.percentile(c, F.lit(quantile))  # noqa: E731
+        else:
+            def aggf(c):
+                arr = F.array_sort(F.filter(
+                    F.collect_list(c), lambda x: x.isNotNull()))
+                return F.when(F.size(arr) > 0,
+                              _q_from_sorted(arr, quantile, interp)
+                              ).cast("double")
+        return self._rolling_by(aggf, by, window_size, closed,
                                 kernel_kind=("quantile", float(quantile),
-                                             "linear"))
+                                             interp))
 
     def rolling_count_by(self, by, window_size: str, closed: str = "right"):
         return self._rolling_by(F.count, by, window_size, closed)
@@ -4343,10 +4511,10 @@ class Expr:
                         raise ValueError("peak kernel: no row index")
                     sdf1 = attach_rolling_by_multi(
                         sdf, col(_RI), (), 0, "both",
-                        [(inner, "min", tp)], row_frame=(1, -1))
+                        [(inner, "minraw", tp)], row_frame=(1, -1))
                     sdf2 = attach_rolling_by_multi(
                         sdf1, col(_RI), (), 0, "both",
-                        [(inner, "min", tn)], row_frame=(-1, 1))
+                        [(inner, "minraw", tn)], row_frame=(-1, 1))
                 except ValueError:
                     t2 = _next_gord_name()
                     return sdf.withColumn(
@@ -4367,8 +4535,11 @@ class Expr:
     def peak_min(self):
         return self._peak(False)
 
-    def cut(self, breaks: list, labels: list[str] | None = None, left_closed: bool = False):
-        """Bin continuous values (expr.rb:2530). Default right-closed like polars."""
+    def cut(self, breaks: list, labels: list[str] | None = None,
+            left_closed: bool = False, include_breaks: bool = False):
+        """Bin continuous values (expr.rb:2530). Default right-closed like
+        polars; ``include_breaks`` yields a struct{breakpoint, category}
+        (upper bin edge, inf for the last bin — expr.rb:2515 example)."""
 
         def fn(df, part):
             c = self._fn(df, part)
@@ -4384,16 +4555,28 @@ class Expr:
                     hi = "inf" if edges[i + 1] == float("inf") else _fmt_num(edges[i + 1])
                     labs.append(f"{op}{lo}, {hi}{cl}")
             out = None
+            brk = None
             for i, b in enumerate(brs):
                 cond = (c < b) if left_closed else (c <= b)
                 out = F.when(cond, F.lit(labs[i])) if out is None else out.when(cond, F.lit(labs[i]))
+                if include_breaks:
+                    bb = F.lit(float(b))
+                    brk = F.when(cond, bb) if brk is None else brk.when(cond, bb)
             out = out.otherwise(F.lit(labs[len(brs)])) if out is not None else F.lit(labs[0])
-            return F.when(c.isNotNull(), out)  # null stays UNBINNED
+            cat = F.when(c.isNotNull(), out)  # null stays UNBINNED
+            if not include_breaks:
+                return cat
+            inf = F.lit(float("inf"))
+            brk = brk.otherwise(inf) if brk is not None else inf
+            return F.when(c.isNotNull(), F.struct(
+                brk.alias("breakpoint"), cat.alias("category")))
 
-        return _merge_agg_flags(Expr(fn, name=self._name), [self])
+        return _merge_agg_flags(Expr(fn, name=self._name), [self])._set_meta(
+            "cut", (self,))
 
     def qcut(self, quantiles, labels: list[str] | None = None,
-             left_closed: bool = False, allow_duplicates: bool = False):
+             left_closed: bool = False, allow_duplicates: bool = False,
+             include_breaks: bool = False):
         """Bin by quantiles of the data (expr.rb:2611, feature cutqcut).
 
         Two-pass: break points come from a first exact-percentile aggregate
@@ -4404,7 +4587,8 @@ class Expr:
             mf = self._multi_fn
             return Expr(multi_fn=lambda df: [
                 e.qcut(quantiles, labels=labels, left_closed=left_closed,
-                       allow_duplicates=allow_duplicates)
+                       allow_duplicates=allow_duplicates,
+                       include_breaks=include_breaks)
                 for e in mf(df)])
 
         def fn(df, part):
@@ -4422,7 +4606,7 @@ class Expr:
                     brs = F.array_distinct(brs)  # percentile is sorted
                 idx = F.size(F.filter(
                     brs, lambda b: (c >= b) if left_closed else (c > b)))
-                if labels is not None:
+                if labels is not None and not include_breaks:
                     return F.when(c.isNotNull(), F.element_at(
                         F.array(*[F.lit(x) for x in labels]), idx + 1))
 
@@ -4438,53 +4622,68 @@ class Expr:
                     fmt(F.element_at(brs, idx + 1)))
                 br = "[" if left_closed else "("
                 kt = ")" if left_closed else "]"
-                return F.when(c.isNotNull(), F.concat(
+                cat = F.when(c.isNotNull(), F.concat(
                     F.lit(br), lo, F.lit(", "), hi, F.lit(kt)))
+                if labels is not None:
+                    cat = F.when(c.isNotNull(), F.element_at(
+                        F.array(*[F.lit(x) for x in labels]), idx + 1))
+                if not include_breaks:
+                    return cat
+                bp = F.when(idx == F.size(brs), F.lit(float("inf"))) \
+                    .otherwise(F.element_at(brs, idx + 1).cast("double"))
+                return F.when(c.isNotNull(), F.struct(
+                    bp.alias("breakpoint"), cat.alias("category")))
             row = df.select(F.percentile(c, F.lit(qs)).alias("b")).first()
             breaks = [float(b) for b in row["b"]]
             if allow_duplicates:
                 breaks = sorted(set(breaks))
-            return self.cut(breaks, labels=labels, left_closed=left_closed)._fn(df, part)
+            return self.cut(breaks, labels=labels, left_closed=left_closed,
+                            include_breaks=include_breaks)._fn(df, part)
 
         e = Expr(fn, name=self._name, needs_order=self._needs_order)
         # grouped binds need the windowed-percentile pre-stage (agg) and
         # the partition-only window scrambles physical order
         e._scrambles_order = True
-        return e
+        return e._set_meta("qcut", (self,))
 
-    def replace(self, old, new=None, default=None):
+    def replace(self, old, new=None, default=None, return_dtype=None):
         """Value mapping, unmatched pass through (expr.rb:6915, feature replace)."""
-        mapping = dict(old) if isinstance(old, dict) else dict(zip(old, new))
+        mapping = _replace_mapping(old, new)
 
         def fn(df, part):
             c = self._fn(df, part)
             out = None
             for k, v in mapping.items():
                 cond = c.eqNullSafe(F.lit(k))
-                out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+                out = (F.when(cond, _lit_wide(v)) if out is None
+                       else out.when(cond, _lit_wide(v)))
             if default is None:
                 fallback = c
             else:
                 fallback = default._fn(df, part) if isinstance(default, Expr) else F.lit(default)
-            return out.otherwise(fallback) if out is not None else fallback
+            res = out.otherwise(fallback) if out is not None else fallback
+            return _cast_return_dtype(res, return_dtype)
 
-        return _merge_agg_flags(Expr(fn, name=self._name), [self])
+        return _merge_agg_flags(Expr(fn, name=self._name), [self])._set_meta(
+            "replace", (self,))
 
-    def replace_strict(self, old, new=None, default=_NO_DEFAULT):
+    def replace_strict(self, old, new=None, default=_NO_DEFAULT,
+                       return_dtype=None):
         """Value mapping (expr.rb:7071): unmatched → ``default`` when given,
         else RAISES at execution time — compiled to a JVM-side
         ``F.raise_error`` in the otherwise-branch, so the check rides the
         same codegen projection (no extra job, no driver scan); matches the
         reference's strict semantics.  Pass ``default=None`` explicitly to
         null-fill unmatched values."""
-        mapping = dict(old) if isinstance(old, dict) else dict(zip(old, new))
+        mapping = _replace_mapping(old, new)
 
         def fn(df, part):
             c = self._fn(df, part)
             out = None
             for k, v in mapping.items():
                 cond = c.eqNullSafe(F.lit(k))
-                out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+                out = (F.when(cond, _lit_wide(v)) if out is None
+                       else out.when(cond, _lit_wide(v)))
             if default is _NO_DEFAULT:
                 fallback = F.raise_error(F.concat(
                     F.lit("replace_strict: value not mapped: "),
@@ -4493,9 +4692,11 @@ class Expr:
                 fallback = F.lit(None)
             else:
                 fallback = default._fn(df, part) if isinstance(default, Expr) else F.lit(default)
-            return out.otherwise(fallback) if out is not None else fallback
+            res = out.otherwise(fallback) if out is not None else fallback
+            return _cast_return_dtype(res, return_dtype)
 
-        return _merge_agg_flags(Expr(fn, name=self._name), [self])
+        return _merge_agg_flags(Expr(fn, name=self._name), [self])._set_meta(
+            "replace_strict", (self,))
 
     # -- over ------------------------------------------------------------------------
     def over(self, *keys):
@@ -4516,7 +4717,10 @@ class Expr:
         out = Expr(fn, name=self._name, is_agg=False,
                    needs_order=self._needs_order)._set_meta(
                        "window", (self, *key_exprs))
-        out._scrambles_order = self._scrambles_order
+        # the partitionBy exchange scrambles physical row order on any
+        # multi-partition plan (Expr.over doctest: select(sum().over(k))
+        # must come back in input order) — mark for the deferred restore
+        out._scrambles_order = True
         out._order_only = self._order_only and all(
             k._order_safe for k in key_exprs)
         if self._grouped_remap_fn is not None:
@@ -4993,6 +5197,108 @@ class Expr:
         return id(self)
 
 
+def _expr_is_str(e, df) -> bool:
+    """Statically prove an Expr is string-typed: meta-walk to a col leaf
+    (input-schema dict lookup, no Catalyst analysis) or a str literal.
+    Unprovable shapes return False — numeric semantics then apply."""
+    seen = 0
+    while isinstance(e, Expr) and e._meta is not None and seen < 30:
+        seen += 1
+        op, children, payload = e._meta
+        if op == "col":
+            try:
+                from pyspark.sql import types as T
+
+                return isinstance(df.schema[payload].dataType, T.StringType)
+            except Exception:
+                return False
+        if op == "lit":
+            return isinstance(payload, str)
+        kids = [c for c in children if isinstance(c, Expr)]
+        if len(kids) != 1:
+            return False
+        e = kids[0]  # alias / first / shift / fill wrappers pass through
+    return False
+
+
+def _concat_or_add(le, re_):
+    """polars + CONCATENATES when either side is a string (expr.rb add
+    doctest: col(x).add(col(y)) on str columns).  The branch decision runs
+    at bind time against the input frame's (already analyzed) schema."""
+    lw, rw = wrap_expr(le), wrap_expr(re_)
+
+    def f(a, b, df=None):
+        # hook rewrites call 2-arg (numeric contexts: cum/ewm/rank/fill
+        # compositions never carry strings); the main bind passes df
+        if df is not None and (_expr_is_str(lw, df) or _expr_is_str(rw, df)):
+            return F.concat(a, b)
+        return a + b
+
+    f._needs_df = True
+    return f
+
+
+def _q_from_sorted(arr, q: float, interpolation: str):
+    """Quantile indexing over a SORTED non-null array — the engine's one
+    definition of the five interpolation modes (Expr.quantile,
+    rolling_quantile's JVM fallback; the sliding kernel mirrors it).
+
+    ``nearest_roll`` is the ROLLING-window nearest: polars-rs 0.41's
+    rolling quantile kernel truncates ``n*q`` (rolling/no_nulls/quantile.rs)
+    while group/series quantile rounds ``(n-1)*q`` — two different
+    "nearest"s, both matched (rolling_quantile doctest, expr.rb:4434)."""
+    n = F.size(arr)
+    if interpolation == "nearest_roll":
+        idx = F.least(F.floor(n.cast("double") * F.lit(float(q))).cast("int"),
+                      n - 1)
+        return F.element_at(arr, idx + 1)
+    pos = F.lit(q) * (n.cast("double") - 1)
+    lo = F.floor(pos).cast("int")
+    hi = F.ceil(pos).cast("int")
+    if interpolation == "lower":
+        return F.element_at(arr, lo + 1)
+    if interpolation == "higher":
+        return F.element_at(arr, hi + 1)
+    if interpolation == "midpoint":
+        return (F.element_at(arr, lo + 1) + F.element_at(arr, hi + 1)) / 2
+    if interpolation == "linear":
+        frac = pos - lo.cast("double")
+        lov = F.element_at(arr, lo + 1).cast("double")
+        hiv = F.element_at(arr, hi + 1).cast("double")
+        return lov + frac * (hiv - lov)
+    # nearest: round half away from zero like polars
+    near = F.when(pos - lo.cast("double") < 0.5, lo).otherwise(hi)
+    return F.element_at(arr, near + 1)
+
+
+def _lit_wide(v):
+    """Literal for replace targets: python ints land as i64 (Spark lit()
+    gives i32; polars replace yields Int64 — expr.rb replace doctest)."""
+    if isinstance(v, int) and not isinstance(v, bool):
+        return F.lit(v).cast("long")
+    return F.lit(v)
+
+
+def _replace_mapping(old, new) -> dict:
+    """Normalize replace/replace_strict inputs: dict, paired sequences, a
+    sequence + broadcast scalar, or scalar -> scalar (expr.rb:6915)."""
+    if isinstance(old, dict):
+        return dict(old)
+    if isinstance(old, (list, tuple)):
+        if isinstance(new, (list, tuple)):
+            return dict(zip(old, new))
+        return {k: new for k in old}
+    return {old: new}
+
+
+def _cast_return_dtype(c, return_dtype):
+    if return_dtype is None:
+        return c
+    from .datatypes import to_spark_type
+
+    return c.cast(to_spark_type(return_dtype))
+
+
 def _fmt_num(x: float) -> str:
     if x == int(x):
         return str(int(x))
@@ -5208,6 +5514,9 @@ def _np_prog_type(p, in_t: str):
         if isinstance(p[2], float):  # float fill promotes via coalesce
             return "double"
         return bt
+    if op == "ffill":
+        bt = _np_prog_type(p[1], in_t)
+        return bt if bt in ("float", "double") else None
     return None
 
 
@@ -5566,6 +5875,10 @@ def _wire_hook_parts(e: Expr, parts: list, build) -> Expr:
     if g is not None and not e._is_agg:
         e._global_ordinal_fn = g
         e._needs_dense_index = any(p._needs_dense_index for p in parts)
+    if e._meta is None:
+        # meta breadcrumb for introspection (round-11: meta.* must walk
+        # every public construction site)
+        e._set_meta("nary", tuple(p for p in parts if isinstance(p, Expr)))
     return e
 
 
@@ -5611,9 +5924,15 @@ class Then(Expr):
 
     def otherwise(self, value) -> Expr:
         v = wrap_expr(value)
-        e = Expr(self._make_fn(v))
+        # polars names the chain after the first named then-branch, else
+        # 'literal' (when/then doctest: select(when(..).then(10).otherwise(0))
+        # → column "literal")
+        nm = next((t._name for _c, t in self._pairs if t._name), None) \
+            or "literal"
+        e = Expr(self._make_fn(v), name=nm)
         parts = [x for p in self._pairs for x in p] + [v]
         _merge_agg_flags(e, parts)
+        e._set_meta("when", tuple(parts))
 
         def build(cols):
             out = None

@@ -56,7 +56,10 @@ def _parse_exprs(exprs, named) -> list[tuple[str | None, Expr]]:
 class LazyFrame:
     """Deferred query plan (parity: lib/polars/lazy_frame.rb)."""
 
-    def __init__(self, sdf: SparkDF = None, schema=None, schema_overrides=None):
+    def __init__(self, sdf: SparkDF = None, schema=None, schema_overrides=None,
+                 data=None):
+        if sdf is None and data is not None:
+            sdf = data  # keyword form: DataFrame.new(data: {...})
         if sdf is None or (isinstance(sdf, dict) and not sdf):
             from pyspark.sql.types import StructType
             from .session import get_spark
@@ -153,11 +156,19 @@ class LazyFrame:
     def _sdf(self) -> SparkDF:
         sdf = self._sdf_raw
         if self._order_dirty:
-            if ROW_IDX in sdf.columns:
-                return sdf.orderBy(ROW_IDX)
             if self._order_cols and all(
                     n in sdf.columns for n, _, _ in self._order_cols):
-                sdf = sdf.orderBy(*self._spec_cols(self._order_cols))
+                # a recorded sort spec WINS over the hidden index; the
+                # index (when kept) becomes the stability tiebreak —
+                # ties come out in original row order like polars'
+                # single-threaded stable sort
+                keys = self._spec_cols(self._order_cols)
+                if ROW_IDX in sdf.columns and ROW_IDX not in [
+                        n for n, _, _ in self._order_cols]:
+                    keys = keys + [F.col(ROW_IDX).asc()]
+                sdf = sdf.orderBy(*keys)
+            elif ROW_IDX in sdf.columns:
+                return sdf.orderBy(ROW_IDX)
         hidden = [c for c in sdf.columns if c.startswith("__ord_")]
         return sdf.drop(*hidden) if hidden else sdf
 
@@ -577,6 +588,17 @@ class LazyFrame:
         parsed = _parse_exprs(exprs, named)
         if any(e._frame_fn is not None for _, e in parsed):
             if len(parsed) != 1:
+                if all(e._frame_fn is not None for _, e in parsed):
+                    # several reshapes of equal length side by side
+                    # (select(top_k(), bottom_k()) — expr.rb top_k doctest):
+                    # bind each flat result and hstack positionally
+                    from .operators.reshape import hstack as _hstack
+
+                    out = None
+                    for name, e in parsed:
+                        part = e._frame_fn(self, name or e._name)
+                        out = part if out is None else _hstack(out, part)
+                    return out
                 from .exceptions import InvalidOperationError
 
                 raise InvalidOperationError(
@@ -776,7 +798,10 @@ class LazyFrame:
 
     # -- ordinal ops ---------------------------------------------------------------
     def sort(self, by, *more_by, descending: bool | list[bool] = False,
-             nulls_last: bool = False, maintain_order: bool = False) -> "LazyFrame":
+             nulls_last: bool = False, maintain_order: bool = False,
+             reverse=None) -> "LazyFrame":
+        if reverse is not None:  # deprecated polars-ruby alias for descending
+            descending = reverse
         keys = [by] + list(more_by) if not isinstance(by, list) else list(by) + list(more_by)
         if isinstance(descending, bool):
             descending = [descending] * len(keys)
@@ -797,8 +822,9 @@ class LazyFrame:
             # an order-observing consumer reads the frame, and ordered-
             # window binds order by these keys directly (exprs._ORDER_CTX),
             # so sort→window pipelines never execute the global range sort
-            # at all, and sort→head compiles to TakeOrdered.
-            out = LazyFrame(sdf)
+            # at all, and sort→head compiles to TakeOrdered.  The hidden
+            # index survives as the restore's stability tiebreak.
+            out = LazyFrame(self._sdf)
             out._order_cols = tuple(
                 (k, bool(d), bool(nulls_last))
                 for k, d in zip(keys, descending))
@@ -1068,9 +1094,17 @@ class LazyFrame:
             names.extend(c if isinstance(c, (list, tuple)) else [c])
         out = self._sdf
         for name in names:
-            fields = [f"{name}.{sub.name}" for sub in out.schema[name].dataType.fields]
-            keep = [c for c in out.columns if c != name]
-            out = out.select(*keep, *fields)
+            # struct fields replace the column IN PLACE (data_frame.rb
+            # unnest doctest: before, t_a..t_d, after)
+            fields = [F.col(f"{name}.{sub.name}")
+                      for sub in out.schema[name].dataType.fields]
+            proj = []
+            for c in out.columns:
+                if c == name:
+                    proj.extend(fields)
+                else:
+                    proj.append(F.col(c))
+            out = out.select(*proj)
         return LazyFrame(out)
 
     # -- reshape (delegated) ---------------------------------------------------------------
@@ -1212,11 +1246,30 @@ class LazyFrame:
     def last(self) -> "LazyFrame":
         return self.tail(1)
 
+    def _per_column_agg(self, make, eligible):
+        """Frame-level aggregate over EVERY column (data_frame.rb sum
+        doctest: shape keeps all columns; ineligible dtypes yield a typed
+        null column)."""
+        from .exprs import lit as _lit
+
+        exprs = []
+        for f in self._sdf.schema.fields:
+            if f.name == ROW_IDX:
+                continue
+            if f.name in eligible:
+                exprs.append(make(f.name))
+            else:
+                exprs.append(
+                    _lit(None).cast(f.dataType).first().alias(f.name))
+        return self.select(*exprs)
+
     def std(self, ddof: int = 1):
-        return self.select(*[col(c).std(ddof) for c in self._numeric_columns()])
+        return self._per_column_agg(
+            lambda c: col(c).std(ddof), set(self._numeric_columns()))
 
     def var(self, ddof: int = 1):
-        return self.select(*[col(c).var(ddof) for c in self._numeric_columns()])
+        return self._per_column_agg(
+            lambda c: col(c).var(ddof), set(self._numeric_columns()))
 
     def max(self):
         return self.select(*[col(c).max() for c in self.columns])
@@ -1226,20 +1279,24 @@ class LazyFrame:
 
     def sum(self):
         # bool columns participate (count of trues — Expr.sum casts)
-        return self.select(*[col(c).sum()
-                             for c in self._numeric_columns(include_bool=True)])
+        return self._per_column_agg(
+            lambda c: col(c).sum(),
+            set(self._numeric_columns(include_bool=True)))
 
     def mean(self):
         # bool columns participate (fraction of trues — Expr.mean casts)
-        return self.select(*[col(c).mean()
-                             for c in self._numeric_columns(include_bool=True)])
+        return self._per_column_agg(
+            lambda c: col(c).mean(),
+            set(self._numeric_columns(include_bool=True)))
 
     def median(self):
-        return self.select(*[col(c).median() for c in self._numeric_columns()])
+        return self._per_column_agg(
+            lambda c: col(c).median(), set(self._numeric_columns()))
 
     def quantile(self, q: float, interpolation: str = "nearest"):
-        return self.select(*[col(c).quantile(q, interpolation)
-                             for c in self._numeric_columns()])
+        return self._per_column_agg(
+            lambda c: col(c).quantile(q, interpolation),
+            set(self._numeric_columns()))
 
     def _numeric_columns(self, include_bool: bool = False):
         num = ("byte", "short", "integer", "long", "float", "double", "decimal")
@@ -1516,8 +1573,10 @@ class DataFrame(LazyFrame):
     def n_unique(self, subset=None) -> int:
         sdf = self.to_spark()
         cols = subset if subset is not None else sdf.columns
-        cols = [cols] if isinstance(cols, str) else list(cols)
-        return sdf.select(*cols).distinct().count()
+        cols = [cols] if isinstance(cols, (str, Expr)) else list(cols)
+        bound = [wrap_expr(c)._fn(sdf, None) if isinstance(c, Expr) else c
+                 for c in cols]
+        return sdf.select(*bound).distinct().count()
 
     def product(self) -> "DataFrame":
         from pyspark.sql import functions as F
@@ -1574,16 +1633,27 @@ class DataFrame(LazyFrame):
 
     def sum(self, axis: int = 0, null_strategy: str = "ignore"):
         if axis == 1:
+            from pyspark.sql import types as T
+
             from .exprs import col as _col
             from .functions import sum_horizontal
 
-            if null_strategy == "propagate":
+            # polars names the horizontal sum after the FIRST column, and
+            # with any string column present the row "sum" is the string
+            # concatenation of all values (data_frame.rb sum doctest: "16a")
+            nm = self.columns[0]
+            if any(isinstance(f.dataType, T.StringType)
+                   for f in self._sdf.schema.fields if f.name != ROW_IDX):
+                from .functions import concat_str
+
+                e = concat_str([_col(c) for c in self.columns])
+            elif null_strategy == "propagate":
                 e = _col(self.columns[0])
                 for c in self.columns[1:]:
                     e = e + _col(c)
             else:
                 e = sum_horizontal(*self.columns)
-            return self.select(e.alias("sum")).to_series()
+            return self.select(e.alias(nm)).to_series()
         return super().sum()
 
     def mean(self, axis: int = 0, null_strategy: str = "ignore"):
@@ -1904,11 +1974,18 @@ class DataFrame(LazyFrame):
         if row_oriented:
             payload = self.to_a()
         else:
+            # column-oriented envelope matches the reference byte shape
+            # (data_frame.rb:579 doctest): polars dtype names + the legacy
+            # bit_settings field, compact separators
+            from .datatypes import polars_dtype_name
+
             pdf = self.to_pandas()
             payload = {"columns": [
-                {"name": c, "datatype": str(self.schema[c]),
-                 "values": pdf[c].tolist()} for c in self.columns]}
-        s = _json.dumps(payload, indent=2 if pretty else None, default=str)
+                {"name": c, "datatype": polars_dtype_name(self.schema[c]),
+                 "bit_settings": "", "values": pdf[c].tolist()}
+                for c in self.columns]}
+        s = _json.dumps(payload, indent=2 if pretty else None, default=str,
+                        separators=(",", ":") if not pretty else None)
         if path is None:
             return s
         if hasattr(path, "write"):
@@ -2001,10 +2078,17 @@ class DataFrame(LazyFrame):
 
         return _pivot(self, on, index, values, aggregate_function, separator)
 
-    def transpose(self, include_header: bool = False, header_name: str = "column"):
+    def transpose(self, include_header: bool = False, header_name: str = "column",
+                  column_names=None):
         from .operators.reshape import transpose as _transpose
 
-        return _transpose(self, include_header, header_name)
+        out = _transpose(self, include_header, header_name)
+        if column_names is not None:
+            names = list(column_names)
+            keep = out.columns[:1] if include_header else []
+            datacols = out.columns[len(keep):]
+            return out.rename(dict(zip(datacols, names)))
+        return out
 
     def unstack(self, step: int, how: str = "vertical", columns=None,
                 fill_values=None):
@@ -2017,8 +2101,12 @@ class DataFrame(LazyFrame):
 
         return _dummies(self, columns, separator, drop_first)
 
-    def partition_by(self, groups, as_dict: bool = False, include_key: bool = True):
+    def partition_by(self, groups, *more_groups, maintain_order: bool = True,
+                     as_dict: bool = False, include_key: bool = True):
         groups = [groups] if isinstance(groups, str) else list(groups)
+        groups += list(more_groups)
+        # maintain_order accepted for parity; group frames keep input order
+        # either way (filter preserves the plan's row order)
         keys = [tuple(r) for r in self.to_spark().select(*groups).distinct().collect()]
         frames = []
         for key in keys:
@@ -2034,42 +2122,83 @@ class DataFrame(LazyFrame):
         return frames
 
     def describe(self):
-        num = self._numeric_columns()
-        rows = []
-        stats = ["count", "null_count", "mean", "std", "min", "max", "median"]
+        """data_frame.rb:1195 — stats over EVERY column: numeric/bool cast
+        f64, other dtypes carry min/max (and null for mean/std/median) as
+        strings; count is the frame height for all columns."""
+        from pyspark.sql import types as T
+
+        numish = set(self._numeric_columns(include_bool=True))
+        fields = [f for f in self._sdf.schema.fields if f.name != ROW_IDX]
+        h = self.height
         agg_exprs = []
-        for c in num:
-            agg_exprs += [
-                col(c).count().alias(f"{c}__count"),
-                col(c).null_count().alias(f"{c}__null_count"),
-                col(c).mean().alias(f"{c}__mean"),
-                col(c).std().alias(f"{c}__std"),
-                col(c).min().alias(f"{c}__min"),
-                col(c).max().alias(f"{c}__max"),
-                col(c).median().alias(f"{c}__median"),
-            ]
+        for f in fields:
+            c = f.name
+            if c in numish:
+                agg_exprs += [
+                    col(c).null_count().cast("double").alias(f"{c}__n"),
+                    col(c).mean().cast("double").alias(f"{c}__m"),
+                    col(c).std().cast("double").alias(f"{c}__s"),
+                    col(c).min().cast("double").alias(f"{c}__lo"),
+                    col(c).max().cast("double").alias(f"{c}__hi"),
+                    col(c).median().cast("double").alias(f"{c}__md"),
+                ]
+            else:
+                agg_exprs += [
+                    col(c).null_count().cast("string").alias(f"{c}__n"),
+                    col(c).min().cast("string").alias(f"{c}__lo"),
+                    col(c).max().cast("string").alias(f"{c}__hi"),
+                ]
         vals = self.lazy().select(*agg_exprs).collect().rows()[0]
-        data = {}
-        for i, c in enumerate(num):
-            data[c] = list(vals[i * 7:(i + 1) * 7])
+        stats = ["count", "null_count", "mean", "std", "min", "max",
+                 "median"]
+        data, i = {}, 0
+        for f in fields:
+            c = f.name
+            if c in numish:
+                n, m, s, lo, hi, md = vals[i:i + 6]
+                i += 6
+                data[c] = [float(h), n, m, s, lo, hi, md]
+            else:
+                n, lo, hi = vals[i:i + 3]
+                i += 3
+                data[c] = [str(h), n, None, None, lo, hi, None]
         import pandas as pd
 
-        pdf = pd.DataFrame({"statistic": stats, **{c: data[c] for c in num}})
+        pdf = pd.DataFrame({"describe": stats,
+                            **{c: data[c] for c in data}})
         spark = self._sdf.sparkSession
-        return DataFrame(spark.createDataFrame(pdf))
+        schema = T.StructType(
+            [T.StructField("describe", T.StringType())] + [
+                T.StructField(f.name, T.DoubleType() if f.name in numish
+                              else T.StringType())
+                for f in fields])
+        return DataFrame(spark.createDataFrame(pdf, schema=schema))
 
-    def hstack(self, other: "DataFrame") -> "DataFrame":
+    def hstack(self, other) -> "DataFrame":
         from .operators.reshape import hstack as _hstack
+        from .series import Series
 
+        if isinstance(other, Series):
+            other = other.to_frame()
+        elif isinstance(other, (list, tuple)):
+            # data_frame.rb hstack([series, ...])
+            cols = None
+            for s in other:
+                f = s.to_frame() if isinstance(s, Series) else s
+                cols = f if cols is None else _hstack(cols, f)
+            other = cols
         return _hstack(self, other)
 
     def vstack(self, other) -> "DataFrame":
         return DataFrame(self.to_spark().unionByName(other.to_spark()))
 
-    def upsample(self, time_column: str, every: str, by=None):
+    def upsample(self, time_column: str, every: str, by=None,
+                 group_by=None, maintain_order: bool = False):
         from .operators.upsample import upsample as _upsample
 
-        return _upsample(self, time_column, every, by)
+        # maintain_order accepted for parity (the grid join is stable here)
+        return _upsample(self, time_column, every,
+                         by if by is not None else group_by)
 
     def map_rows(self, function, return_dtype=None, inference_size: int = 256):
         """data_frame.rb:2438 — python fn over row tuples → mapInPandas
@@ -2111,9 +2240,10 @@ class DataFrame(LazyFrame):
         return DataFrame(out)
 
     def n_chunks(self, strategy: str = "first"):
-        # chunking is physical detail Spark hides (SURVEY §1.1): partitions.
-        # data_frame.rb:3695 — strategy "all" reports one count per column.
-        n = self.to_spark().rdd.getNumPartitions()
+        # Chunks are a physical polars detail with no Spark analogue
+        # (SURVEY §1.1) — logically every frame is ONE chunk (data_frame.rb
+        # n_chunks doctest); partition counts live on to_spark().rdd.
+        n = 1
         if strategy == "all":
             return [n for _ in self.columns]
         if strategy != "first":
@@ -2233,7 +2363,8 @@ class DataFrame(LazyFrame):
         lf = self._ensure_row_index()
         w = Window.partitionBy(*[F.col(c) for c in self.columns])
         out = lf._sdf.withColumn("__dup__", F.count(F.lit(1)).over(w) > 1)
-        return Series._from_spark(out.orderBy(ROW_IDX).select("__dup__"), "is_duplicated")
+        # unnamed like polars (data_frame.rb is_duplicated doctest)
+        return Series._from_spark(out.orderBy(ROW_IDX).select("__dup__"), "")
 
     def is_unique(self):
         from .series import Series
@@ -2241,7 +2372,7 @@ class DataFrame(LazyFrame):
         lf = self._ensure_row_index()
         w = Window.partitionBy(*[F.col(c) for c in self.columns])
         out = lf._sdf.withColumn("__uni__", F.count(F.lit(1)).over(w) == 1)
-        return Series._from_spark(out.orderBy(ROW_IDX).select("__uni__"), "is_unique")
+        return Series._from_spark(out.orderBy(ROW_IDX).select("__uni__"), "")
 
     def hash_rows(self, seed: int = 0):
         from .series import Series

@@ -585,20 +585,40 @@ def date_range(start, end, interval: str = "1d", eager: bool = False, closed: st
     return _range_producer(build, "date", eager)
 
 
-def datetime_range(start, end, interval: str = "1h", eager: bool = False, spark=None):
+def datetime_range(start, end, interval: str = "1d", eager: bool = False,
+                   closed: str = "both", time_unit=None, time_zone=None,
+                   spark=None):
+    """datetime_range.rb — calendar intervals (mo/q/y, incl. mixed
+    month+sub-month like '1mo10d') step via make_interval; fixed spans via
+    a µs interval.  time_unit accepted for parity (ns/ms truncate to the
+    engine's µs cap, SURVEY §1.3)."""
     from ..session import get_spark
-    from .. import frame
 
     dur = parse_duration(interval)
     s = spark or get_spark()
-    step = f"INTERVAL {int(dur.total_seconds() * 1e6)} MICROSECOND"
-    return _range_producer(
-        lambda: s.range(1).select(
+    if dur.is_calendar:
+        us = int(dur.microseconds)
+        step = (f"make_interval(0, {int(dur.months)}, 0, 0, 0, 0, "
+                f"{us / 1e6!r})" if us else
+                f"make_interval(0, {int(dur.months)}, 0, 0, 0, 0, 0)")
+    else:
+        step = f"INTERVAL {int(dur.total_seconds() * 1e6)} MICROSECOND"
+
+    def build():
+        sdf = s.range(1).select(
             F.explode(
                 F.sequence(F.lit(start).cast("timestamp"),
                            F.lit(end).cast("timestamp"), F.expr(step))
-            ).alias("datetime")),
-        "datetime", eager)
+            ).alias("datetime"))
+        if closed in ("left", "none"):
+            sdf = sdf.filter(
+                F.col("datetime") != F.lit(end).cast("timestamp"))
+        if closed in ("right", "none"):
+            sdf = sdf.filter(
+                F.col("datetime") != F.lit(start).cast("timestamp"))
+        return sdf
+
+    return _range_producer(build, "datetime", eager)
 
 
 def repeat(value, n: int, dtype=None, eager: bool = False, name: str | None = None,
@@ -840,7 +860,7 @@ def date_ranges(start, end, interval: str = "1d", closed: str = "both"):
     return out
 
 
-def datetime_ranges(start, end, interval: str = "1h", closed: str = "both"):
+def datetime_ranges(start, end, interval: str = "1d", closed: str = "both"):
     dur = parse_duration(interval)
     step = f"INTERVAL {int(dur.total_seconds() * 1e6)} MICROSECOND"
     s, e = wrap_expr(start if not isinstance(start, str) else col(start)), \

@@ -31,6 +31,7 @@ _MAP = {
     "p": "a",
     "z": "xx",
     ":z": "xxx",
+    "#z": "X",   # chrono "optional colon / Z" offset — Java X parses Z, +01
     "Z": "zz",
     "G": "YYYY",  # ISO week year
     "V": "ww",    # ISO week number

@@ -104,7 +104,15 @@ def _windowable_in_agg(ew) -> bool:
 
 def _exclude_keys_from_multi(exprs, named, key_names):
     """polars: ``pl.all()`` (any selector) inside a group-by agg excludes
-    the grouping keys from its expansion."""
+    the grouping keys from its expansion.  A list/tuple argument splats
+    (``agg([a, b])`` == ``agg(a, b)``, group_by.rb)."""
+    flat = []
+    for e in exprs:
+        if isinstance(e, (list, tuple)):
+            flat.extend(e)
+        else:
+            flat.append(e)
+    exprs = flat
     keys = {k for k in key_names if k}
     if not keys:
         return list(exprs), dict(named)
@@ -433,9 +441,14 @@ class LazyGroupBy:
         out = (
             sdf.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= n)
-            .drop("__rn__", ROW_IDX)
+            .drop("__rn__")
         )
-        return LazyFrame(out)
+        # keep the hidden index: group slices come back in ORIGINAL row
+        # order (group_by.rb tail doctest), and a later sort uses it as
+        # the stability tiebreak
+        res = LazyFrame(out)
+        res._order_dirty = True
+        return res
 
     # GroupBy aggregation shortcuts (group_by.rb:337-598)
     def _all_agg(self, method):
@@ -2008,8 +2021,9 @@ class RollingGroupBy(_TemporalGroupByMixin):
             if kind == "count":
                 out_types.append(pa.int64())
                 out_stypes.append(T.LongType())
-            elif kind in ("mean", "median") or is_mom or (
-                    is_q and kind[2] in ("midpoint", "linear")):
+            elif kind in ("mean", "median") or is_mom or is_q:
+                # quantile is f64 for EVERY interpolation (polars returns
+                # Float64 even for the element-gather modes)
                 out_types.append(pa.float64())
                 out_stypes.append(T.DoubleType())
             elif kind == "sum":

@@ -63,7 +63,9 @@ class StringNameSpace(_NS):
 
     def count_matches(self, pattern: str, literal: bool = False) -> Expr:
         pat = re.escape(pattern) if literal else pattern
-        return self._e._lift(lambda c: F.regexp_count(c, F.lit(pat)))
+        # i64 like the other counters (reference u32 → i64 cap)
+        return self._e._lift(
+            lambda c: F.regexp_count(c, F.lit(pat)).cast("long"))
 
     def replace(self, pattern: str, value: str, literal: bool = False, n: int = 1) -> Expr:
         """string_expr.rb:1199 — replaces the FIRST n matches (Spark's
@@ -110,10 +112,12 @@ class StringNameSpace(_NS):
         return self._e._lift(f)
 
     def len_bytes(self) -> Expr:
-        return self._e._lift(F.octet_length)
+        # i64: the reference returns u32 and the documented cap for
+        # unsigned counters is i64 (SURVEY §1.3)
+        return self._e._lift(lambda c: F.octet_length(c).cast("long"))
 
     def len_chars(self) -> Expr:
-        return self._e._lift(F.length)
+        return self._e._lift(lambda c: F.length(c).cast("long"))
 
     lengths = len_bytes
     n_chars = len_chars
@@ -174,10 +178,14 @@ class StringNameSpace(_NS):
         return self._e._lift(lambda c: F.regexp_replace(c, f"(?:{s})$", ""))
 
     def pad_start(self, length: int, fill_char: str = " ") -> Expr:
-        return self._e._lift(lambda c: F.lpad(c, length, fill_char))
+        # polars pad never TRUNCATES longer strings (pad_start doctest:
+        # "hippopotamus" survives length 8); Spark lpad does
+        return self._e._lift(lambda c: F.when(
+            F.length(c) >= length, c).otherwise(F.lpad(c, length, fill_char)))
 
     def pad_end(self, length: int, fill_char: str = " ") -> Expr:
-        return self._e._lift(lambda c: F.rpad(c, length, fill_char))
+        return self._e._lift(lambda c: F.when(
+            F.length(c) >= length, c).otherwise(F.rpad(c, length, fill_char)))
 
     def zfill(self, length: int) -> Expr:
         """string_expr.rb:630 — sign-aware zero fill; unlike bare lpad it
@@ -214,15 +222,39 @@ class StringNameSpace(_NS):
         return self.slice(-n)
 
     def reverse(self) -> Expr:
-        return self._e._lift(F.reverse)
+        # grapheme-aware: code-point reverse breaks combining marks
+        # ("mañana" with n+U+0303 would put the tilde on the wrong char).
+        # Split into clusters (base char + following marks), reverse the
+        # cluster array, re-join — all JVM-side regexp machinery.
+        return self._e._lift(lambda c: F.array_join(
+            F.reverse(F.regexp_extract_all(
+                c, F.lit(r"(.\p{M}*)"), 1)), ""))
+
+    # common date/datetime layouts tried IN ORDER when no format is given
+    # (polars infers from the first value; a coalesce chain over the same
+    # candidate set is the distributed equivalent)
+    _DATE_FMTS = ("yyyy-MM-dd", "yyyy/MM/dd", "yyyy.MM.dd", "MM/dd/yyyy",
+                  "dd-MM-yyyy", "dd.MM.yyyy", "yyyyMMdd")
+    _TS_FMTS = ("yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss",
+                "yyyy-MM-dd HH:mm", "yyyy/MM/dd HH:mm:ss",
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "yyyy-MM-dd'T'HH:mm:ss",
+                "yyyy-MM-dd", "yyyy/MM/dd")
 
     def to_date(self, format: str | None = None) -> Expr:
         fmt = chrono_to_java(format) if format else None
-        return self._e._lift(lambda c: F.to_date(c, fmt) if fmt else F.to_date(c))
+        if fmt:
+            return self._e._lift(lambda c: F.to_date(c, fmt))
+        fmts = self._DATE_FMTS
+        return self._e._lift(lambda c: F.coalesce(
+            F.to_date(c), *[F.to_date(c, f) for f in fmts]))
 
     def to_datetime(self, format: str | None = None, time_unit=None, time_zone=None) -> Expr:
         fmt = chrono_to_java(format) if format else None
-        return self._e._lift(lambda c: F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c))
+        if fmt:
+            return self._e._lift(lambda c: F.to_timestamp(c, fmt))
+        fmts = self._TS_FMTS
+        return self._e._lift(lambda c: F.coalesce(
+            F.to_timestamp(c), *[F.to_timestamp(c, f) for f in fmts]))
 
     def strptime(self, dtype=None, format: str | None = None,
                  strict: bool = True, exact: bool = True,
@@ -286,6 +318,14 @@ class StringNameSpace(_NS):
         the reference's own inference)."""
         if dtype is not None:
             t = to_spark_type(dtype)
+            from pyspark.sql import types as T
+
+            if isinstance(t, T.StructType):
+                # null input decodes to a struct of nulls, not null
+                # (string_expr.rb json_decode doctest row 2: {null,null})
+                return self._e._lift(lambda c: F.when(
+                    c.isNull(), F.from_json(F.lit("{}"), t)
+                ).otherwise(F.from_json(c, t)))
             return self._e._lift(lambda c: F.from_json(c, t))
 
         def fn(c, df, part):
@@ -322,10 +362,11 @@ class StringNameSpace(_NS):
             return self._e._lift(F.unbase64)
         raise ValueError(encoding)
 
-    def join(self, delimiter: str = "") -> Expr:
+    def join(self, delimiter: str = "", ignore_nulls: bool = True) -> Expr:
         # agg: concatenate group values IN ROW ORDER (string_expr.rb:357
         # str.join) — bare collect_list order is shuffle-fetch-dependent on
-        # a cluster; nulls are skipped (polars ignore_nulls default)
+        # a cluster; nulls are skipped unless ignore_nulls=false, which
+        # nulls the whole result when any value is null (polars semantics)
         def join(c):
             from .session import ROW_IDX
 
@@ -333,11 +374,22 @@ class StringNameSpace(_NS):
                 F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))))
             vals = F.filter(F.transform(pairs, lambda p: p["v"]),
                             lambda x: x.isNotNull())
-            return F.array_join(vals, delimiter)
+            out = F.array_join(vals, delimiter)
+            if not ignore_nulls:
+                had_null = F.exists(F.transform(pairs, lambda p: p["v"]),
+                                    lambda x: x.isNull())
+                out = F.when(~had_null, out)
+            return out
 
         # order-transformed route (shift(1).str.join()): join the array
-        join._arr_reduce_fn = lambda arr, df: F.array_join(
-            F.filter(arr, lambda x: x.isNotNull()), delimiter)
+        def _arr_red(arr, df):
+            out = F.array_join(
+                F.filter(arr, lambda x: x.isNotNull()), delimiter)
+            if not ignore_nulls:
+                out = F.when(~F.exists(arr, lambda x: x.isNull()), out)
+            return out
+
+        join._arr_reduce_fn = _arr_red
         e = self._e._agg(join)
         e._needs_order = True
         return e
@@ -354,12 +406,26 @@ class StringNameSpace(_NS):
         return self._e._lift(f)
 
     def replace_many(self, patterns: list[str], replace_with) -> Expr:
-        reps = replace_with if isinstance(replace_with, list) else [replace_with] * len(patterns)
+        # SIMULTANEOUS replacement like polars' aho-corasick (replace_many
+        # doctest: swapping "you"<->"me" must not re-replace earlier
+        # outputs).  Two passes: every pattern first rewrites to a unique
+        # \x00<i>\x00 placeholder (placeholders cannot match any pattern),
+        # then placeholders rewrite to their targets.
+        if isinstance(patterns, dict):
+            pats, reps = list(patterns.keys()), list(patterns.values())
+        else:
+            pats = list(patterns)
+            reps = (list(replace_with) if isinstance(replace_with, list)
+                    else [replace_with] * len(pats))
 
         def f(c):
             out = c
-            for p, r in zip(patterns, reps):
-                out = F.regexp_replace(out, re.escape(p), r)
+            for i, p in enumerate(pats):
+                out = F.regexp_replace(out, re.escape(p), f"\x00{i}\x00")
+            for i, r in enumerate(reps):
+                # literal replacement: escape Java-replacement specials
+                lit_r = str(r).replace("\\", "\\\\").replace("$", "\\$")
+                out = F.regexp_replace(out, f"\x00{i}\x00", lit_r)
             return out
 
         return self._e._lift(f)
@@ -377,6 +443,37 @@ def _ts(c):
 
 class DateTimeNameSpace(_NS):
     # date_time_expr.rb line refs per SURVEY §2.8
+
+    # temporal aggregates (date_time_name_space.rb min/max/mean/median):
+    # min/max are the plain aggregates; mean/median average in epoch-µs
+    # and come back as timestamps (Spark's avg/percentile reject temporals)
+    def min(self) -> Expr:
+        return self._e.min()
+
+    def max(self) -> Expr:
+        return self._e.max()
+
+    def mean(self) -> Expr:
+        e = self._e
+
+        def fn(df, part):
+            c = F.avg(F.unix_micros(e._fn(df, part).cast("timestamp")))
+            return F.timestamp_micros(c.cast("long"))
+
+        out = Expr(fn, name=e._name, is_agg=True)
+        return out._set_meta("mean", (e,))
+
+    def median(self) -> Expr:
+        e = self._e
+
+        def fn(df, part):
+            c = F.percentile(
+                F.unix_micros(e._fn(df, part).cast("timestamp")), F.lit(0.5))
+            return F.timestamp_micros(c.cast("long"))
+
+        out = Expr(fn, name=e._name, is_agg=True)
+        return out._set_meta("median", (e,))
+
     def truncate(self, every: str) -> Expr:
         dur = parse_duration(every)
         if dur.months:
@@ -693,8 +790,10 @@ class ListNameSpace(_NS):
         # list_expr_test.rb: list_expr[0]
         return self.get(index)
 
-    def gather(self, indices) -> Expr:
-        # negative indices count from the end (list_expr.rb gather), like get
+    def gather(self, indices, null_on_oob: bool = True) -> Expr:
+        # negative indices count from the end (list_expr.rb gather), like
+        # get; null_on_oob accepted for parity — the strict (raising) mode
+        # is not expressible distributed-side (same cap as get)
         idx = wrap_expr(indices)
         return self._e._lift2(
             idx, lambda c, ixs: F.transform(
@@ -780,6 +879,9 @@ class ListNameSpace(_NS):
         v = wrap_expr(element)
         return self._e._lift2(
             v, lambda c, x: F.size(F.filter(c, lambda y: y == x)).cast("long"))
+
+    def count_match(self, element) -> Expr:
+        return self.count_matches(element)  # deprecated alias (list_expr.rb)
 
     def to_struct(self, n_field_strategy: str = "first_non_null", fields=None) -> Expr:
         """list_expr.rb:752 — fan a list column into positional struct fields.
@@ -892,20 +994,34 @@ class ListNameSpace(_NS):
     def drop_nulls(self) -> Expr:
         return self._e._lift(lambda c: F.filter(c, lambda x: x.isNotNull()))
 
-    def sample(self, n: int = 1, seed: int | None = None,
-               with_replacement: bool = False) -> Expr:
+    def sample(self, n=1, seed: int | None = None,
+               with_replacement: bool = False, fraction=None,
+               shuffle: bool = False) -> Expr:
         """Sample n list elements (list_expr.rb sample): deterministic
-        hash-order pick (seeded), so tasks agree under retries."""
+        hash-order pick (seeded), so tasks agree under retries.  ``n`` may
+        be a per-row expression / column name / Series."""
         s = 0 if seed is None else int(seed)
 
-        def fn(c):
+        def keyed_sorted(c):
             keyed = F.transform(c, lambda v, i: F.struct(
                 F.xxhash64(v.cast("string"), i, F.lit(s)).alias("h"),
                 v.alias("v")))
-            return F.transform(F.slice(F.array_sort(keyed), 1, n),
-                               lambda st: st["v"])
+            return F.array_sort(keyed)
 
-        return self._e._lift(fn)
+        if isinstance(n, int) and fraction is None:
+            return self._e._lift(lambda c: F.transform(
+                F.slice(keyed_sorted(c), 1, n), lambda st: st["v"]))
+        from .exprs import as_expr
+
+        if fraction is not None:
+            ne = as_expr(fraction)
+            return self._e._lift2(ne, lambda c, f: F.transform(
+                F.slice(keyed_sorted(c), 1,
+                        F.floor(F.size(c) * f).cast("int")),
+                lambda st: st["v"]))
+        ne = as_expr(n)
+        return self._e._lift2(ne, lambda c, k: F.transform(
+            F.slice(keyed_sorted(c), 1, k.cast("int")), lambda st: st["v"]))
 
     def explode(self) -> Expr:
         # array_expr.rb explode — one output row per element; OUTER so
@@ -1049,8 +1165,25 @@ class MetaNameSpace(_NS):
         return self._e._multi_fn is not None
 
     def is_regex_projection(self) -> bool:
-        n = self._e._name or ""
-        return n.startswith("^") and n.endswith("$")
+        # true when the ROOT projection is a ^…$ regex col (meta_expr.rb:96
+        # doctest: col("^col.*$").sum() is one) — walk the breadcrumbs
+        def walk(e, d=0):
+            if d > 30:
+                return False
+            n = e._name or ""
+            if n.startswith("^") and n.endswith("$"):
+                return True
+            m = getattr(e, "_meta", None)
+            if m is None:
+                return False
+            op, children, payload = m
+            if op == "col":
+                return (isinstance(payload, str) and payload.startswith("^")
+                        and payload.endswith("$"))
+            return any(walk(c, d + 1) for c in children
+                       if isinstance(c, Expr))
+
+        return walk(self._e)
 
     def root_names(self):
         """meta_expr.rb:155 — leaf column names, first-appearance order."""
@@ -1063,6 +1196,8 @@ class MetaNameSpace(_NS):
                     if e._name not in out:
                         out.append(e._name)
                     return
+                if e._multi_fn is not None:
+                    return  # wildcard/selector leaf: no static roots
                 raise NotImplementedError(
                     "meta.root_names: expression contains a node built "
                     "outside the tracked combinators")
@@ -1100,8 +1235,12 @@ class MetaNameSpace(_NS):
             pad = "  " * depth
             m = e._meta
             if m is None:
-                label = f"col({e._name})" if getattr(e, "_is_column", False) \
-                    else f"<opaque {e._name or '?'}>"
+                if getattr(e, "_is_column", False):
+                    label = f"col({e._name})"
+                elif e._multi_fn is not None:
+                    label = "all()"
+                else:
+                    label = f"<opaque {e._name or '?'}>"
                 lines.append(pad + label)
                 return
             op, children, payload = m

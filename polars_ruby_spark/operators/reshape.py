@@ -46,7 +46,21 @@ def pivot(df, on, index=None, values=None, aggregate_function: str = "first",
         sdf = sdf.withColumn("__pv__", F.concat_ws(separator, *[F.col(c) for c in on]))
         pivot_col = "__pv__"
         g = sdf.groupBy(*[F.col(c) for c in index])
-    p = g.pivot(pivot_col)
+    # polars orders pivoted columns by FIRST APPEARANCE, not sorted (pivot
+    # doctest: y before x when y appears first); passing the explicit value
+    # list also skips Spark's implicit distinct job
+    from ..session import ROW_IDX
+
+    ri = df.lazy()._ensure_row_index()._sdf if ROW_IDX not in sdf.columns \
+        else sdf
+    if pivot_col == "__pv__" and "__pv__" not in ri.columns:
+        ri = ri.withColumn("__pv__", F.concat_ws(
+            separator, *[F.col(c) for c in on]))
+    ordered_vals = [
+        r[0] for r in ri.groupBy(F.col(pivot_col))
+        .agg(F.min(F.col(ROW_IDX)).alias("__first__"))
+        .orderBy("__first__").collect()]
+    p = g.pivot(pivot_col, ordered_vals)
     if len(values) == 1:
         out = p.agg(aggf(F.col(values[0])))
     else:

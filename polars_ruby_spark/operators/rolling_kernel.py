@@ -591,13 +591,23 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
                 elif interp == "nearest":
                     # round half away from zero like polars
                     sel = np.where(pos - k_lo < 0.5, k_lo, k_hi)
+                elif interp == "nearest_roll":
+                    # polars-rs 0.41 ROLLING nearest: trunc(n*q) clamped
+                    # (rolling/no_nulls/quantile.rs), unlike agg nearest
+                    with np.errstate(invalid="ignore"):
+                        sel = np.floor(
+                            cnt.astype("float64") * qq).astype("int64")
+                    sel = np.clip(np.minimum(sel, cnt - 1), 0, None)
                 else:
                     sel = None
                 if sel is not None:
                     r = _wavelet_kth(levels, starts, ends, sel)
                     ti = _gather(r)
-                    idx_arr = pa.array(np.where(live, ti, -1), mask=~live)
-                    cols[name] = pc.take(col, idx_arr)
+                    # f64 like polars (quantile returns Float64 in every
+                    # interpolation mode)
+                    vals = vnp[ti].astype("float64")
+                    cols[name] = pa.array(vals, type=pa.float64(),
+                                          mask=~live)
                     continue
                 r_lo = _wavelet_kth(levels, starts, ends, k_lo)
                 r_hi = _wavelet_kth(levels, starts, ends, k_hi)
@@ -610,38 +620,37 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
                     res = lov + frac * (hiv - lov)
                 cols[name] = pa.array(res, type=pa.float64(), mask=~live)
                 continue
-            # min / max — Spark ordering: nulls skipped; NaN greatest
-            want_min = kind == "min"
-            invalid = nullm | nanm      # NaN never wins a comparison probe
-            tkey = (vc, want_min)
+            # min / max — polars semantics (round-11): nulls AND NaN are
+            # skipped (expr.rb max doctest ignores NaN; Expr._minmax_agg
+            # and the collect-window reducer share this shape); an
+            # all-NaN/empty window is null.  "minraw" is the lag-frame
+            # (shift/diff/pct_change) single-row pick: it must PRESERVE
+            # NaN values verbatim, so only nulls are invalid there.
+            want_min = kind in ("min", "minraw")
+            skip_nan = kind != "minraw"
+            invalid = (nullm | nanm) if skip_nan else nullm
+            tkey = (vc, kind)
             if tkey not in cache:
                 cache[tkey] = _argbest_table(vnp, invalid, max_len,
                                              want_min)
             tables = cache[tkey]
             best = _range_argbest(tables, vnp, invalid, starts, ends,
                                   want_min)
-            # windows whose every valid value is NaN (min) / with any NaN
-            # (max) resolve to NaN, matching Spark's NaN-greatest order
-            if is_float:
+            if is_float and skip_nan:
                 pn = _prefix(nanm.astype("int64"))
                 nan_cnt = pn[ends] - pn[starts]
                 real_cnt = cnt - nan_cnt
-                if want_min:
-                    to_nan = (cnt > 0) & (real_cnt == 0)
-                else:
-                    to_nan = nan_cnt > 0
             else:
-                to_nan = np.zeros(len(cnt), dtype=bool)
-            empty = cnt == 0
+                real_cnt = cnt
+            empty = real_cnt == 0
             sel_invalid = empty | (best < 0) | invalid[np.clip(best, 0,
                                                                None)]
             if is_float:
                 res = np.where(sel_invalid, np.nan,
                                vnp[np.clip(best, 0, None)])
-                res = np.where(to_nan, np.nan, res)
                 cols[name] = pa.array(
                     res.astype(vnp.dtype),
-                    type=col.type, mask=empty & ~to_nan)
+                    type=col.type, mask=sel_invalid)
             else:
                 idx_arr = pa.array(
                     np.where(sel_invalid, -1, best).astype("int64"),
@@ -732,17 +741,24 @@ def attach_rolling_by_multi(sdf, by_e, key_exprs, span_us: int,
         val_c = inner._fn(sdf, None)
         vdt = sdf.select(val_c).schema[0].dataType
         is_q = isinstance(kind, tuple) and kind[0] == "quantile"
-        if kind in ("min", "max"):
+        if kind in ("min", "max", "minraw"):
             if not isinstance(vdt, ok_minmax_t):
                 raise ValueError(
                     f"rolling_by kernel: unsupported dtype {vdt}")
         elif not isinstance(vdt, num_t):
             raise ValueError(f"rolling_by kernel: unsupported dtype {vdt}")
         is_float = isinstance(vdt, (T.FloatType, T.DoubleType))
-        if kind in ("min", "max") or (
-                is_q and kind[2] in ("lower", "higher", "nearest")):
+        if kind in ("min", "max", "minraw"):
             helper_t, helper_pa = vdt, to_arrow_type(vdt)
+        elif kind == "sum" and not is_float:
+            helper_t, helper_pa = T.LongType(), pa.int64()
+        elif kind in ("sum", "count", "len"):
+            helper_t, helper_pa = (
+                (T.DoubleType(), pa.float64()) if is_float
+                else (T.LongType(), pa.int64()))
         else:
+            # mean/median/moments AND quantile (every interpolation —
+            # polars quantile returns Float64)
             helper_t, helper_pa = T.DoubleType(), pa.float64()
         vc = f"__rbv{j}__"
         val_aliases[vc] = val_c

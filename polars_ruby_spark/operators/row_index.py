@@ -48,6 +48,27 @@ def _has_global_sort(sdf: DataFrame) -> bool:
                for line in plan.splitlines())
 
 
+# logical nodes whose re-evaluation may land on a DIFFERENT partition
+# layout (AQE coalescing, broadcast materialization, parallelize splits):
+# the two-pass index below evaluates its input twice (pid+mono data path
+# vs per-pid counts), and a layout flip between the passes mismatches the
+# pid join — observed as null indices on join/LocalRelation inputs
+# (round-11).  Narrow chains over file scans (Relation/Filter/Project/
+# Generate) recompute identically and skip the pin.
+_UNSTABLE_NODES = ("Join", "Aggregate", "Window", "Sort", "Repartition",
+                   "LocalRelation", "GlobalLimit", "Sample", "Union",
+                   "Deduplicate", "MapInArrow", "ArrowEvalPython",
+                   "FlatMapGroupsInArrow", "CollectMetrics", "Expand")
+
+
+def _layout_unstable(sdf: DataFrame) -> bool:
+    try:
+        plan = sdf._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True  # cannot prove stability -> pin
+    return any(node in plan for node in _UNSTABLE_NODES)
+
+
 def with_row_index(sdf: DataFrame, name: str = ROW_IDX, offset: int = 0) -> DataFrame:
     """Add a 0-based (plus ``offset``) Long row index in current plan order.
 
@@ -56,7 +77,7 @@ def with_row_index(sdf: DataFrame, name: str = ROW_IDX, offset: int = 0) -> Data
     """
     if name in sdf.columns:
         sdf = sdf.drop(name)
-    pinned = _has_global_sort(sdf)
+    pinned = _has_global_sort(sdf) or _layout_unstable(sdf)
     if pinned:
         # The two passes below (per-partition counts + the data path) would
         # each recompute the upstream sort: column pruning narrows the counts

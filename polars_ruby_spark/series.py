@@ -157,7 +157,8 @@ class Series:
         return rows[0][0]
 
     def n_chunks(self) -> int:
-        return self._sdf.rdd.getNumPartitions()
+        # logically one chunk (see DataFrame.n_chunks)
+        return 1
 
     def chunk_lengths(self) -> list[int]:
         return [self.len()]
@@ -167,14 +168,20 @@ class Series:
 
     # -- expr dispatch (the reference's ExprDispatch trick) ---------------------
     def _dispatch(self, make_expr, extra_series=()) -> Any:
-        frame = self.to_frame()
+        from .frame import DataFrame as _DF
+
+        # unnamed series ride an internal placeholder column — an empty
+        # column name breaks nested Catalyst naming (sort fallbacks) — but
+        # the RESULT keeps the series' real name ('' stays '')
+        nm = self._name or "values"
+        frame = _DF(self._sdf.withColumnRenamed(self._sdf.columns[0], nm))
         for s in extra_series:
             # Series arguments ride along as positionally-aligned columns
             # (series.rb ExprDispatch materializes the same way)
             frame = frame.hstack(s.to_frame())
         frame = frame.lazy()
-        e = make_expr(col(self._name))
-        out = frame.select(e.alias(self._name) if e._name is None else e)
+        e = make_expr(col(nm))
+        out = frame.select(e.alias(nm) if e._name is None else e)
         sdf = out._sdf
         from .session import ROW_IDX
 
@@ -716,6 +723,9 @@ class Series:
             return vals[0]
         if isinstance(key, Series):
             key = key.to_a()
+        if isinstance(key, range):
+            # Ruby Range subscripts (series.rb []) arrive as python ranges
+            key = slice(key.start, key.stop, key.step)
         if isinstance(key, slice):
             start, stop, step = key.indices(self.len())
             if step == 1:
@@ -774,8 +784,35 @@ class Series:
         return (self.len(),)
 
     def describe(self):
-        """Summary-statistics frame (series.rb:651) via the 1-col frame."""
-        return self.to_frame().describe()
+        """Summary statistics (series.rb:651): a (statistic, value) frame —
+        numeric: min/max/null_count/mean/std/count as f64; non-numeric:
+        unique/null_count/count (the reference's own stat sets)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from .sources.io import from_hash
+
+        cn = self._sdf.columns[0]
+        dt = self.dtype
+        numeric = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                                  T.LongType, T.FloatType, T.DoubleType,
+                                  T.DecimalType))
+        if numeric:
+            row = self._sdf.agg(
+                F.min(cn).cast("double"), F.max(cn).cast("double"),
+                F.count(F.lit(1)) - F.count(cn), F.avg(cn),
+                F.stddev_samp(cn), F.count(F.lit(1))).first()
+            return from_hash({
+                "statistic": ["min", "max", "null_count", "mean", "std",
+                              "count"],
+                "value": [row[0], row[1], float(row[2]), row[3], row[4],
+                          float(row[5])]})
+        row = self._sdf.agg(
+            F.count_distinct(cn), F.count(F.lit(1)) - F.count(cn),
+            F.count(F.lit(1))).first()
+        return from_hash({
+            "statistic": ["unique", "null_count", "count"],
+            "value": [int(row[0]), int(row[1]), int(row[2])]})
 
     def estimated_size(self, unit: str = "b"):
         sz = self._estimated_size_bytes()

@@ -39,6 +39,14 @@ class SQLContext:
         return self
 
     def execute(self, query: str, eager: bool | None = None):
+        if query.strip().rstrip(";").upper() == "SHOW TABLES":
+            # scope to THIS context's registrations (sql_context.rb:176
+            # doctest) — the session catalog holds every test's temp views
+            from .sources.io import from_hash
+
+            out = from_hash({"name": sorted(self._tables)})
+            return out if (eager if eager is not None else self._eager) \
+                else out.lazy()
         sdf = get_spark().sql(query)
         if eager if eager is not None else self._eager:
             return DataFrame(sdf)

@@ -64,12 +64,10 @@ def _brute(ts, vals, groups, period_us, months, closed):
         valid = [v for v in win if v is not None]
         real = [v for v in valid if not math.isnan(v)]
         has_nan = len(real) < len(valid)
-        if not valid:
-            mn = mx = None
-        else:
-            # Spark/polars float ordering: NaN is GREATEST
-            mx = float("nan") if has_nan else max(real)
-            mn = min(real) if real else float("nan")
+        # round-11: min/max IGNORE NaN like polars (expr.rb max doctest);
+        # an all-NaN window is null.  sum/mean keep the NaN-poison shape.
+        mn = min(real) if real else None
+        mx = max(real) if real else None
         s = float("nan") if has_nan else float(sum(real))
         out.append({
             "mn": mn, "mx": mx,
@@ -610,7 +608,9 @@ def test_rolling_by_kernel_attach_differential(spark, closed):
         pl.col("v").rolling_median_by("ts", "1h", closed=closed)
         .over("g").alias("md"),
         pl.col("v").rolling_quantile_by("ts", "1h", quantile=0.25,
-                                        closed=closed).over("g").alias("q"),
+                                        closed=closed,
+                                        interpolation="linear")
+        .over("g").alias("q"),
         pl.col("v").rolling_std_by("ts", "1h", closed=closed)
         .over("g").alias("sd"))
     plan = out.lazy()._sdf.queryExecution().optimizedPlan().toString() \
@@ -739,7 +739,9 @@ def test_rolling_median_quantile_rowcount_everywhere(spark):
         pl.col("v").rolling_quantile(0.5, 2, min_periods=1)
         .over("g").alias("q"))
     assert [r["m"] for r in o.to_a()] == [None, 2.0, 2.5, None, 4.5, 5.0]
-    assert [r["q"] for r in o.to_a()] == [1.0, 2.0, 2.5, 5.0, 4.5, 5.0]
+    # rolling nearest = trunc(n*q): [1]→1, [1,3]→3, [3,2]→3, [5]→5,
+    # [5,4]→5, [4,6]→6 (polars-rs rolling/no_nulls/quantile.rs indexing)
+    assert [r["q"] for r in o.to_a()] == [1.0, 3.0, 3.0, 5.0, 5.0, 6.0]
     # inside group_by().agg (implicit implode of the per-group series)
     a = df.group_by("g").agg(
         pl.col("v").rolling_median(2).alias("m")).sort("g").to_a()
@@ -1188,7 +1190,10 @@ def test_lag_frame_attaches_batch_one_kernel(spark):
             pl.col("v").pct_change().round(6).alias("p"),
             pl.col("v").shift(2).alias("s2"))
         rows = out.to_a()
-    assert sorted(calls) == [(1, (2, -2)), (4, (1, -1))], calls
+    # round-11: pct_change forward-fills before differencing (polars
+    # semantics), so it chains fill-attach -> solo lag kernel and no
+    # longer joins the raw-column lag batch; shift/diff still share one
+    assert sorted(calls) == [(1, (1, -1)), (1, (2, -2)), (3, (1, -1))], calls
     assert [r["s1"] for r in rows] == [None, 1.0, 3.0, 7.0]
     assert [r["sf"] for r in rows] == [-9.0, 1.0, 3.0, 7.0]
     assert [r["d"] for r in rows] == [None, 2.0, 4.0, -5.0]

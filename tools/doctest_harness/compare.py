@@ -19,9 +19,9 @@ import re
 
 # expected dtype -> set of our acceptable short dtypes (documented deviations)
 _DTYPE_DEV = {
-    "u8": {"i16", "i32", "i64"},
-    "u16": {"i32", "i64"},
-    "u32": {"i64"},
+    "u8": {"i8", "i16", "i32", "i64"},
+    "u16": {"i16", "i32", "i64"},
+    "u32": {"i32", "i64"},
     "u64": {"decimal[20,0]", "i64"},
     "i8": {"i8", "i16", "i32", "i64"},
     "i16": {"i16", "i32", "i64"},
@@ -352,7 +352,10 @@ def value_matches(ours, exp):
         ostr = _to_cell_str(ours)
         if exp.endswith("…"):
             return ostr.startswith(exp[:-1])
-        return ostr == exp
+        if ostr == exp:
+            return True
+        # table cells lose leading/trailing whitespace in rendering
+        return ostr.strip() == exp and exp == exp.strip()
     if isinstance(exp, bool):
         return ours is exp or ours == exp
     if isinstance(exp, int):
@@ -430,9 +433,18 @@ def dtype_matches(exp_dtype, our_dtype):
     """Return 'exact' | 'dev' | None."""
     if exp_dtype == our_dtype:
         return "exact"
+    if exp_dtype.startswith("decimal[*"):  # wildcard precision
+        if our_dtype.startswith("decimal[") and our_dtype.endswith(
+                exp_dtype.rsplit(",", 1)[1]):
+            return "exact"
     if our_dtype in _DTYPE_DEV.get(exp_dtype, ()):
         return "dev"
     eb, ob = exp_dtype.split("[")[0], our_dtype.split("[")[0]
+    if eb == "datetime" and ob == "datetime" and "," in exp_dtype \
+            and "," not in our_dtype:
+        # tz-aware dtype renders naive: no per-column tz metadata
+        # (SURVEY §1.3); values are the local wall times
+        return "dev"
     if eb in ("list", "array") and ob in ("list", "array"):
         ei = exp_dtype[exp_dtype.index("[") + 1 : -1] if "[" in exp_dtype else "?"
         oi = our_dtype[our_dtype.index("[") + 1 : -1] if "[" in our_dtype else "?"

@@ -52,6 +52,27 @@ REF_SKIP_METHODS = {
     "align_frames", "coalesce", "cum_sum_horizontal", "cumsum_horizontal",
     "to_titlecase", "time_range", "time_ranges", "unpivot", "melt",
 }
+# docs whose def is commented out in the reference (from_hashes et al.) get
+# mis-attributed to the enclosing `end`; plus classes we intentionally do
+# not model (no global string cache -- SURVEY §1.3)
+SKIP_METHODS = {"end"}
+SKIP_CLASSES = {"StringCache"}
+
+# DOCUMENTED DEVIATIONS (SURVEY §1.3 / DOCTESTS.md): executed, but the
+# expected output depends on semantics the engine deliberately does not
+# model.  Keys are "Cls.method" (all examples) or an exact example id.
+DEVIATION_SKIP = {
+    # no per-column tz metadata: tz-aware columns hold LOCAL WALL TIMES;
+    # these read the column's tz or the underlying instant
+    "DateTimeExpr.base_utc_offset": "needs per-column tz metadata",
+    "DateTimeExpr.dst_offset": "needs per-column tz metadata",
+    "DateTimeNameSpace.base_utc_offset": "needs per-column tz metadata",
+    "DateTimeNameSpace.dst_offset": "needs per-column tz metadata",
+    "DateTimeNameSpace.replace_time_zone[3]":
+        "epoch() after convert_time_zone reads the wall time "
+        "(instant not tracked without tz metadata)",
+}
+
 # docs_test.rb:189 -- executed but output not compared (non-deterministic)
 REF_NOCOMPARE_METHODS = {
     "sort", "mode", "duration", "_hash", "hash_rows", "flatten",
@@ -90,7 +111,7 @@ def _build_namespace():
         return decimal.Decimal(s)
 
     def __rng(lo, hi_excl):
-        return slice(lo, hi_excl)
+        return range(lo, hi_excl)
 
     return {
         "pl": pl,
@@ -179,7 +200,7 @@ def _compare_frame(result, exp, pl):
     if ell_rows:
         k = ell_rows[0]
         pairs = [(i, i) for i in range(k)] + [
-            (len(rows) - (len(exp_rows) - 1 - i), i)
+            (len(rows) - (len(exp_rows) - i), i)
             for i in range(k + 1, len(exp_rows))
         ]
     else:
@@ -224,7 +245,7 @@ def _compare_series(result, exp, pl):
     if ell:
         k = ell[0]
         pairs = [(i, i) for i in range(k)] + [
-            (len(vals) - (len(shown) - 1 - i), i) for i in range(k + 1, len(shown))
+            (len(vals) - (len(shown) - i), i) for i in range(k + 1, len(shown))
         ]
     else:
         if len(shown) != len(vals):
@@ -354,10 +375,13 @@ def _dtype_class_name(our_dtype):
 
 def _inline_value_matches(ours, exp, pl):
     if isinstance(exp, DTypeName):
-        try:
-            name = _dtype_class_name(ours)
-        except Exception:
-            name = type(ours).__name__
+        if isinstance(ours, type):
+            name = ours.__name__  # our dtype CLASS (base_type etc.)
+        else:
+            try:
+                name = _dtype_class_name(ours)
+            except Exception:
+                name = type(ours).__name__
         alias = {"Utf8": "String", "Categorical": "String", "Cat": "String"}
         en = alias.get(exp.name, exp.name)
         if en == name:
@@ -419,6 +443,11 @@ def run_corpus(records, only=None, limit=None, verbose=False, timeout=90):
                 rec.update(status="ref_skip", detail="docs_test.rb skip list")
                 results.append(rec)
                 continue
+            if method in SKIP_METHODS or cls in SKIP_CLASSES:
+                rec.update(status="ref_skip",
+                           detail="commented-out def / unmodeled class")
+                results.append(rec)
+                continue
             if broken:
                 rec.update(status="skip_translate", detail=f"earlier example: {broken}")
                 results.append(rec)
@@ -456,6 +485,12 @@ def run_corpus(records, only=None, limit=None, verbose=False, timeout=90):
 
             if method in REF_NOCOMPARE_METHODS or method in EXTRA_NOCOMPARE_METHODS:
                 rec.update(status="ran_nocompare", detail="ref non-deterministic list")
+                results.append(rec)
+                continue
+            dev_reason = DEVIATION_SKIP.get(r["id"]) or DEVIATION_SKIP.get(
+                f"{cls}.{method}")
+            if dev_reason:
+                rec.update(status="dev_skip", detail=dev_reason)
                 results.append(rec)
                 continue
             try:

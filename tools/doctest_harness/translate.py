@@ -23,6 +23,7 @@ RUBY_KEYWORDS_UNSUPPORTED = (
     "while ",
     ".each ",
     ".each(",
+    ".each.",
     "puts ",
     "instance_eval",
 )
@@ -132,6 +133,12 @@ def translate_statement(stmt, property_names, module_nocall):
     for kw in RUBY_KEYWORDS_UNSUPPORTED:
         if kw in stmt:
             raise TranslateError(f"unsupported construct: {kw.strip()!r}")
+    if re.search(r"\bdo\s*$", stmt.split("\n")[0]) or re.search(
+        r"\)\s*do\b", stmt
+    ):
+        # Config/StringCache `X do ... end` blocks: rendering-config scopes
+        raise TranslateError("ruby do...end block")
+    stmt = stmt.replace("._hash", ".hash")  # Ruby-reserved rename
 
     # string-protected pipeline: split into string and non-string segments,
     # transform only the non-string parts, then reassemble.
@@ -139,6 +146,13 @@ def translate_statement(stmt, property_names, module_nocall):
     out = []
     for is_str, seg in segs:
         if is_str:
+            if seg.startswith("'"):
+                # Ruby single-quoted strings are LITERAL ('abc\b' is
+                # backslash+b); Python applies escapes — double the
+                # backslashes that are not themselves escaping ' or \
+                body = seg[1:-1]
+                body = re.sub(r"\\(?!['\\])", r"\\\\", body)
+                seg = "'" + body + "'"
             out.append(seg)
         else:
             out.append(_translate_code_seg(seg))
@@ -152,6 +166,7 @@ def translate_statement(stmt, property_names, module_nocall):
 
     # zero-arg method call fixup
     res = _call_fixup(res, property_names, module_nocall)
+    res = res.replace("\x00", ":")  # restore lambda colons
 
     res = res.replace("\n", " ")
     return res
@@ -185,7 +200,11 @@ def _translate_code_seg(seg):
     seg = _BIGDEC_RE.sub("__bigdecimal(", seg)
     seg = _FLOAT_NAN_RE.sub('float("nan")', seg)
     seg = _FLOAT_INF_RE.sub('float("inf")', seg)
-    seg = _LAMBDA_ARROW_RE.sub(lambda m: f"(lambda {m.group(1)}: {m.group(2)})", seg)
+    seg = seg.replace("Math::PI", "__PI")
+    # \x00 marks a lambda colon: _context_pass would mistake `x:` for a
+    # Ruby kwarg and rewrite it to `x=` — restored in translate_statement
+    seg = _LAMBDA_ARROW_RE.sub(
+        lambda m: f"(lambda {m.group(1)}\x00 {m.group(2)})", seg)
     seg = re.sub(
         r"\b(nil|true|false)\b", lambda m: _WORD_MAP[m.group(1)], seg
     )
@@ -200,7 +219,7 @@ def _translate_code_seg(seg):
 def _range_sub(m):
     lo, op, hi = int(m.group(1)), m.group(2), int(m.group(3))
     hi_excl = hi + 1 if op == ".." else hi
-    return f"__rng({lo}, {hi_excl})"
+    return f"(__rng({lo}, {hi_excl}))"
 
 
 def _translate_blocks(res):
@@ -210,7 +229,8 @@ def _translate_blocks(res):
         if m is None:
             return res
         args = ", ".join(a.strip() for a in m.group(1).split(","))
-        lam = f"lambda {args}: {m.group(2)}" if args else f"lambda: {m.group(2)}"
+        lam = (f"lambda {args}\x00 {m.group(2)}" if args
+               else f"lambda\x00 {m.group(2)}")
         before = res[: m.start()].rstrip()
         after = res[m.end():]
         if before.endswith(")"):
