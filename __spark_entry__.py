@@ -24,6 +24,7 @@ def _prep(spark: SparkSession) -> None:
     null-on-error → ANSI off; timestamps tz-naive-UTC)."""
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.caseSensitive", "true")
     # amortize Python-worker round-trips in vectorized (Arrow) stages —
     # measured 2× on the ANN matmul queries vs the 10k default
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -169,13 +169,13 @@ def np_eval_arrays_udf(prog, in_t: str, out_t: str):
             lv, ln, lt = _run(prog[2], vals, nulls, pos, lens, starts, total)
             rv, rn, rt = _run(prog[3], vals, nulls, pos, lens, starts, total)
             if o == "/":
-                # Spark divide: always double; null on a zero divisor
+                # polars divide: always double; /0 → ±inf, 0/0 → NaN
+                # (numpy's native behavior; exprs._div_polars JVM-side)
                 lv = _cast(lv, np.float64)
                 rv = _cast(rv, np.float64)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     out = lv / rv
-                nn = _mor(_mor(ln, rn), rv == 0.0)
-                return out, nn, "double"
+                return out, _mor(ln, rn), "double"
             t = "double" if "double" in (lt, rt) else "float"
             dt = np.float64 if t == "double" else np.float32
             lv, rv = _cast(lv, dt), _cast(rv, dt)
@@ -359,11 +359,12 @@ def np_cumeval_arrays_udf(prog, elem_t: str, out_t: str, min_p: int):
             lv, ln, lt = _run_group(prog[2], v, nl)
             rv, rn, rt = _run_group(prog[3], v, nl)
             if o == "/":
+                # polars /0 semantics: ±inf / NaN (see exprs._div_polars)
                 lv = _cast(lv, np.float64)
                 rv = _cast(rv, np.float64)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     out = lv / rv
-                return out, _mor(_mor(ln, rn), rv == 0), "float64"
+                return out, _mor(ln, rn), "float64"
             t = _np_bin_t(lt, rt, o)
             dt = np.dtype(t)
             lv, rv = _cast(lv, dt), _cast(rv, dt)

@@ -1255,12 +1255,15 @@ class Expr:
                        "*", o, self)
 
     def __truediv__(self, o):
-        # Polars truediv is always float (expr.rb:3531); Spark `/` matches.
-        return _np_bin(self._lift2(o, lambda a, b: a / b, op="/"),
+        # Polars truediv is always float (expr.rb:3531); Spark `/` matches —
+        # except /0, where Spark nulls and polars gives ±inf / NaN
+        # (truediv doctest).  Decimal operands keep Spark's null (no inf in
+        # decimal space), matching the oracle's behavior on money columns.
+        return _np_bin(self._lift2(o, _div_polars, op="/"),
                        "/", self, o)
 
     def __rtruediv__(self, o):
-        return _np_bin(wrap_expr(o)._lift2(self, lambda a, b: a / b),
+        return _np_bin(wrap_expr(o)._lift2(self, _div_polars),
                        "/", o, self)
 
     def __floordiv__(self, o):
@@ -1558,7 +1561,10 @@ class Expr:
 
     # -- physical-layout no-ops (chunking is a Rust-engine detail) -----------
     def rechunk(self) -> "Expr":
-        return self._lift(lambda c: c)
+        # chunks are a memory-layout detail with no Spark analogue: the
+        # IDENTITY, preserving row-count-changing hooks (repeat().append()
+        # .rechunk doctest — _lift would drop _frame_fn)
+        return self
 
     def set_sorted(self, descending: bool = False) -> "Expr":
         # sortedness flags feed the Rust engine's fast paths; Catalyst derives
@@ -1836,7 +1842,9 @@ class Expr:
         return self._lift(lambda c: F.round(c, decimals))
 
     def sign(self):
-        return self._lift(F.signum)
+        # polars 0.41 sign is ALWAYS Int64, even for float input
+        # (expr.rb sign doctest: f64 column → i64 signs)
+        return self._lift(lambda c: F.signum(c).cast("long"))
 
     def sin(self):
         return self._lift(F.sin)
@@ -1866,13 +1874,15 @@ class Expr:
         return self._lift(F.tanh)
 
     def arcsinh(self):
-        return self._lift(lambda c: F.log(c + F.sqrt(c * c + 1)))
+        # native JVM fns carry polars' domain edges (atanh(1)=inf,
+        # acosh(.5)=NaN) — the log/sqrt identities nulled them (r11)
+        return self._lift(F.asinh)
 
     def arccosh(self):
-        return self._lift(lambda c: F.log(c + F.sqrt(c * c - 1)))
+        return self._lift(F.acosh)
 
     def arctanh(self):
-        return self._lift(lambda c: F.log((1 + c) / (1 - c)) / 2)
+        return self._lift(F.atanh)
 
     def degrees(self):
         return self._lift(F.degrees)
@@ -1933,8 +1943,11 @@ class Expr:
             return other._lift2(self, lambda arr, v: F.array_contains(arr, v))
         return self._lift(lambda c: c.isin(list(other)))
 
-    def hash(self, seed: int = 0):
-        # Engine-defined hash (values differ from the reference — SURVEY §2.8).
+    def hash(self, seed: int = 0, seed_1: int | None = None,
+             seed_2: int | None = None, seed_3: int | None = None):
+        # Engine-defined hash (values differ from the reference — SURVEY
+        # §2.8); the reference's 4 per-lane seeds fold into one
+        seed = (seed ^ (seed_1 or 0) ^ (seed_2 or 0) ^ (seed_3 or 0))
         return self._lift(lambda c: F.xxhash64(c, F.lit(seed)))
 
     def repeat_by(self, n):
@@ -2061,9 +2074,14 @@ class Expr:
         def aggf(c, df):
             from pyspark.sql import types as T
 
+            dt = self._probe_dtype(df, c)
+            if isinstance(dt, T.BooleanType):
+                # polars: product of bools is i64 over 0/1 (data_frame.rb
+                # product doctest)
+                self._prod_int = True
+                return F.product(c.cast("long"))
             self._prod_int = isinstance(
-                self._probe_dtype(df, c),
-                (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
             return F.product(c)
 
         def post(c):
@@ -2858,7 +2876,7 @@ class Expr:
             fc = F.last(c, ignorenulls=True).over(
                 w.rowsBetween(Window.unboundedPreceding, 0))
             prev = F.lag(fc, n).over(w)
-            return (fc - prev) / prev
+            return _div_polars(fc - prev, prev)
 
         out = self._ordered(f, order_only=True)
         filled = self.forward_fill()
@@ -2888,7 +2906,7 @@ class Expr:
                         fin, out._fn(sdf1, None)).drop(fcol), fin
                 fcc = F.col(fcol)
                 return (sdf2.withColumn(
-                    fin, (fcc - F.col(tmp)) / F.col(tmp))
+                    fin, _div_polars(fcc - F.col(tmp), F.col(tmp)))
                     .drop(tmp, fcol), fin)
 
             out._global_ordinal_fn = gfn
@@ -2908,7 +2926,7 @@ class Expr:
                     prev = F.element_at(_fa, i - F.lit(n) + 1)
                     return F.when(
                         (i - F.lit(n) >= 0) & (i - F.lit(n) < F.size(_fa)),
-                        (x - prev) / prev)
+                        _div_polars(x - prev, prev))
 
                 return _hof_let(fa, lambda f2: F.transform(
                     f2, lambda x, i: elem(x, i, f2)))
@@ -2919,7 +2937,7 @@ class Expr:
         out._eval_arr_base = self
         if self._np_prog is not None:
             # (f - shift(n, f)) / shift(n, f) with f = ffill(x) — the np
-            # kernel's "/" mirrors Spark's null-on-zero-divisor
+            # kernel's "/" gives polars' inf/NaN on zero divisors natively
             fp = ("ffill", self._np_prog)
             sh = ("shift", int(n), None, fp)
             out._np_prog = ("bin", "/", ("bin", "-", fp, sh), sh)
@@ -3558,8 +3576,12 @@ class Expr:
             n = F.lit(length) if length is not None else F.size(vals)
             return F.slice(vals, start, n)
 
-        return self._agg_listop(
+        out = self._agg_listop(
             op, frame_apply=lambda lf: lf.slice(offset, length))
+        # meta tracking incl. EXPR offsets/lengths (meta_expr.rb root_names
+        # doctest: sum("foo").slice(len - 10, col("bar")) reads foo+bar)
+        return out._set_meta("slice", (self,) + tuple(
+            x for x in (offset, length) if isinstance(x, Expr)))
 
     def gather(self, indices) -> "Expr":
         idx = list(indices) if isinstance(indices, (list, tuple)) else [indices]
@@ -4646,25 +4668,39 @@ class Expr:
         e._scrambles_order = True
         return e._set_meta("qcut", (self,))
 
-    def replace(self, old, new=None, default=None, return_dtype=None):
-        """Value mapping, unmatched pass through (expr.rb:6915, feature replace)."""
-        mapping = _replace_mapping(old, new)
+    def replace(self, old, new=None, default=_NO_DEFAULT, return_dtype=None):
+        """Value mapping, unmatched pass through (expr.rb:6915, feature
+        replace).  ``default: nil`` (explicit) null-fills unmatched values
+        — the result dtype then comes from the NEW values (replace
+        doctest); omitted default keeps the original values.  old/new may
+        be EXPRESSIONS: aggregates are scalarized via a one-row probe
+        (bounded driver fetch, like shrink_dtype), plain exprs inline."""
+        expr_mode = isinstance(old, Expr) or isinstance(new, Expr)
+        mapping = None if expr_mode else _replace_mapping(old, new)
 
         def fn(df, part):
             c = self._fn(df, part)
-            out = None
-            for k, v in mapping.items():
-                cond = c.eqNullSafe(F.lit(k))
-                out = (F.when(cond, _lit_wide(v)) if out is None
-                       else out.when(cond, _lit_wide(v)))
-            if default is None:
-                fallback = c
+            if expr_mode:
+                cond = c.eqNullSafe(_scalarize(old, df, part))
+                out = F.when(cond, _scalarize(new, df, part))
             else:
-                fallback = default._fn(df, part) if isinstance(default, Expr) else F.lit(default)
+                out = None
+                for k, v in mapping.items():
+                    cond = c.eqNullSafe(F.lit(k))
+                    out = (F.when(cond, _lit_wide(v)) if out is None
+                           else out.when(cond, _lit_wide(v)))
+            if default is _NO_DEFAULT:
+                fallback = c
+            elif default is None:
+                fallback = F.lit(None)
+            else:
+                fallback = _scalarize(default, df, part)
             res = out.otherwise(fallback) if out is not None else fallback
             return _cast_return_dtype(res, return_dtype)
 
-        return _merge_agg_flags(Expr(fn, name=self._name), [self])._set_meta(
+        kids = [self] + [x for x in (old, new, default)
+                         if isinstance(x, Expr) and not x._is_agg]
+        return _merge_agg_flags(Expr(fn, name=self._name), kids)._set_meta(
             "replace", (self,))
 
     def replace_strict(self, old, new=None, default=_NO_DEFAULT,
@@ -4675,15 +4711,20 @@ class Expr:
         same codegen projection (no extra job, no driver scan); matches the
         reference's strict semantics.  Pass ``default=None`` explicitly to
         null-fill unmatched values."""
-        mapping = _replace_mapping(old, new)
+        expr_mode = isinstance(old, Expr) or isinstance(new, Expr)
+        mapping = None if expr_mode else _replace_mapping(old, new)
 
         def fn(df, part):
             c = self._fn(df, part)
-            out = None
-            for k, v in mapping.items():
-                cond = c.eqNullSafe(F.lit(k))
-                out = (F.when(cond, _lit_wide(v)) if out is None
-                       else out.when(cond, _lit_wide(v)))
+            if expr_mode:
+                cond = c.eqNullSafe(_scalarize(old, df, part))
+                out = F.when(cond, _scalarize(new, df, part))
+            else:
+                out = None
+                for k, v in mapping.items():
+                    cond = c.eqNullSafe(F.lit(k))
+                    out = (F.when(cond, _lit_wide(v)) if out is None
+                           else out.when(cond, _lit_wide(v)))
             if default is _NO_DEFAULT:
                 fallback = F.raise_error(F.concat(
                     F.lit("replace_strict: value not mapped: "),
@@ -4691,11 +4732,14 @@ class Expr:
             elif default is None:
                 fallback = F.lit(None)
             else:
-                fallback = default._fn(df, part) if isinstance(default, Expr) else F.lit(default)
+                fallback = _scalarize(default, df, part)
             res = out.otherwise(fallback) if out is not None else fallback
             return _cast_return_dtype(res, return_dtype)
 
-        return _merge_agg_flags(Expr(fn, name=self._name), [self])._set_meta(
+        kids = [self] + [x for x in (old, new, default)
+                         if isinstance(x, Expr) and x is not _NO_DEFAULT
+                         and not x._is_agg]
+        return _merge_agg_flags(Expr(fn, name=self._name), kids)._set_meta(
             "replace_strict", (self,))
 
     # -- over ------------------------------------------------------------------------
@@ -5030,14 +5074,19 @@ class Expr:
 
         def frame_fn(lf, out_name):
             from .frame import LazyFrame
+            from .session import ROW_IDX
 
-            df = (lf._ensure_row_index()
-                  if (inner._needs_order or o._needs_order) else lf)._sdf
-            a = df.select(inner._fn(df, None).alias(
-                out_name or inner._name or o._name or "append"))
-            out_name = a.columns[0]
-            b = df.select(o._fn(df, None).alias(out_name))
-            return LazyFrame(a.unionByName(b))
+            # full sub-selects so row-count-changing composites (head/tail)
+            # and multi-output exprs (pl.all) resolve through the normal
+            # select pipeline (expr.rb append doctest: all.head.append(
+            # all.tail)); union aligns positionally like polars
+            a = lf.select(inner)._sdf
+            b = lf.select(o)._sdf
+            a = a.drop(ROW_IDX) if ROW_IDX in a.columns else a
+            b = b.drop(ROW_IDX) if ROW_IDX in b.columns else b
+            if out_name and len(a.columns) == 1:
+                a = a.toDF(out_name)
+            return LazyFrame(a.unionByName(b.toDF(*a.columns)))
 
         def fn(df, part):
             # agg / list.eval: per-group concatenation (polars appends the
@@ -5238,6 +5287,18 @@ def _concat_or_add(le, re_):
     return f
 
 
+def _div_polars(a, b):
+    """Division with polars' /0 semantics: x/0 → ±inf, 0/0 → NaN (Spark
+    nulls instead).  Pure codegen — one when-chain, no UDF."""
+    q = a / b
+    bd = b.cast("double")
+    ad = a.cast("double")
+    inf = F.lit(float("inf"))
+    return F.when(a.isNull() | b.isNull() | (bd != 0), q).otherwise(
+        F.when(ad > 0, inf).when(ad < 0, -inf)
+        .otherwise(F.lit(float("nan"))))
+
+
 def _q_from_sorted(arr, q: float, interpolation: str):
     """Quantile indexing over a SORTED non-null array — the engine's one
     definition of the five interpolation modes (Expr.quantile,
@@ -5277,6 +5338,17 @@ def _lit_wide(v):
     if isinstance(v, int) and not isinstance(v, bool):
         return F.lit(v).cast("long")
     return F.lit(v)
+
+
+def _scalarize(e, df, part):
+    """Bind a replace/replace_strict argument: aggregates become a one-row
+    probe literal (bounded driver fetch), plain exprs inline, values lit."""
+    if isinstance(e, Expr):
+        if e._is_agg:
+            row = df.select(e._fn(df, None).alias("v")).head()
+            return F.lit(row["v"] if row is not None else None)
+        return e._fn(df, part)
+    return _lit_wide(e)
 
 
 def _replace_mapping(old, new) -> dict:
@@ -5441,6 +5513,11 @@ def lit(value, dtype=None, allow_object=None) -> Expr:
             return _LF(sdf)
 
         e._frame_fn = frame_fn
+        # with_columns attaches series literals positionally (hstack zip —
+        # series.rb cut include_breaks doctest); frame.with_columns reads
+        # these markers
+        e._series_lit = s
+        e._series_lit_dtype = dtype
         return e._set_meta("lit", (), value)
     if dtype is not None:
         t = to_spark_type(dtype)

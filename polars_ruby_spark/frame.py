@@ -653,6 +653,30 @@ class LazyFrame:
 
     def with_columns(self, *exprs, **named) -> "LazyFrame":
         parsed = _parse_exprs(exprs, named)
+        slits = [(n, e) for n, e in parsed
+                 if getattr(e, "_series_lit", None) is not None]
+        if slits:
+            # series literals attach POSITIONALLY (row-index zip join —
+            # lit.rb:18; cut include_breaks doctest); remaining exprs
+            # re-enter the normal bind afterwards
+            from .operators.reshape import hstack as _hstack
+
+            cur = self
+            for n, e in slits:
+                nm = n or e._name or "literal"
+                fr = e._series_lit.rename(nm).to_frame()
+                if e._series_lit_dtype is not None:
+                    fr = fr.select(col(nm).cast(
+                        e._series_lit_dtype).alias(nm))
+                if nm in cur.columns:
+                    order = [c for c in cur.columns]
+                    cur = _hstack(cur.drop(nm), fr).select(order)
+                else:
+                    cur = _hstack(cur, fr)
+            rest = [e.alias(n) if n else e for n, e in parsed
+                    if getattr(e, "_series_lit", None) is None]
+            out = cur.with_columns(*rest) if rest else cur
+            return out if isinstance(self, DataFrame) else out.lazy()
         sdf, cols, _, helpers = self._bind_all(parsed, "with_columns")
         mapping = {}
         for alias, c in cols:
@@ -1402,6 +1426,31 @@ def _short_dtype(t) -> str:
     return t.simpleString()
 
 
+class _RowIter:
+    """Enumerator-shaped row stream (data_frame.rb iter_rows): supports
+    ``.map``/``.each``/``.to_a`` chaining like Ruby's Enumerator while
+    staying a lazy iterator."""
+
+    def __init__(self, gen):
+        self._gen = iter(gen)
+
+    def __iter__(self):
+        return self._gen
+
+    def __next__(self):
+        return next(self._gen)
+
+    def map(self, fn):
+        return [fn(r) for r in self._gen]
+
+    def each(self, fn):
+        for r in self._gen:
+            fn(r)
+
+    def to_a(self):
+        return list(self._gen)
+
+
 class DataFrame(LazyFrame):
     """Eager frame (parity: lib/polars/data_frame.rb).
 
@@ -1473,9 +1522,13 @@ class DataFrame(LazyFrame):
 
     to_dict = to_h
 
-    def iter_rows(self) -> Iterable[tuple]:
-        for r in self.to_spark().toLocalIterator():
-            yield tuple(r)
+    def iter_rows(self, named: bool = False, buffer_size: int = 500) -> "_RowIter":
+        # Enumerator-shaped (data_frame.rb iter_rows returns an Enumerator:
+        # `.map { |row| ... }` chains); streams via toLocalIterator
+        if named:
+            return _RowIter(r.asDict()
+                            for r in self.to_spark().toLocalIterator())
+        return _RowIter(tuple(r) for r in self.to_spark().toLocalIterator())
 
     def row(self, index: int | None = None, by_predicate=None, named: bool = False):
         """Single row by position or predicate (data_frame.rb:4378-4412).
@@ -1579,16 +1632,11 @@ class DataFrame(LazyFrame):
         return sdf.select(*bound).distinct().count()
 
     def product(self) -> "DataFrame":
-        from pyspark.sql import functions as F
-
-        sdf = self.to_spark()
-        aggs = [F.exp(F.sum(F.log(F.abs(F.col(c))))) *
-                F.when(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)) % 2 == 1, -1)
-                .otherwise(1) for c in sdf.columns]
-        # sign-aware log-sum product; exact zero → 0 via min(abs)
-        aggs = [F.when(F.min(F.abs(F.col(c))) == 0, F.lit(0.0))
-                .otherwise(a).alias(c) for c, a in zip(sdf.columns, aggs)]
-        return DataFrame(sdf.agg(*aggs))
+        # per-column Expr.product: exact F.product with polars dtype rules
+        # (i64 for int/bool columns — data_frame.rb product doctest)
+        cols = [c for c in self.columns]
+        out = self.lazy().select(*[col(c).product().alias(c) for c in cols])
+        return DataFrame(out._sdf)
 
     def to_struct(self, name: str = ""):
         from pyspark.sql import functions as F
@@ -2001,7 +2049,8 @@ class DataFrame(LazyFrame):
         an IO object, or None (returns the string)."""
         import json as _json
 
-        s = "".join(_json.dumps(r, default=str) + "\n" for r in self.to_a())
+        s = "".join(_json.dumps(r, separators=(",", ":"), default=str) + "\n"
+                    for r in self.to_a())
         if path is None:
             return s
         if hasattr(path, "write"):
@@ -2134,13 +2183,16 @@ class DataFrame(LazyFrame):
         for f in fields:
             c = f.name
             if c in numish:
+                # bool columns describe as 0/1 doubles (describe doctest)
+                base = (col(c).cast("i8")
+                        if isinstance(f.dataType, T.BooleanType) else col(c))
                 agg_exprs += [
                     col(c).null_count().cast("double").alias(f"{c}__n"),
-                    col(c).mean().cast("double").alias(f"{c}__m"),
-                    col(c).std().cast("double").alias(f"{c}__s"),
-                    col(c).min().cast("double").alias(f"{c}__lo"),
-                    col(c).max().cast("double").alias(f"{c}__hi"),
-                    col(c).median().cast("double").alias(f"{c}__md"),
+                    base.mean().cast("double").alias(f"{c}__m"),
+                    base.std().cast("double").alias(f"{c}__s"),
+                    base.min().cast("double").alias(f"{c}__lo"),
+                    base.max().cast("double").alias(f"{c}__hi"),
+                    base.median().cast("double").alias(f"{c}__md"),
                 ]
             else:
                 agg_exprs += [
@@ -2210,7 +2262,17 @@ class DataFrame(LazyFrame):
             spark = self._sdf.sparkSession
             probe = spark.createDataFrame(
                 [tuple(s) if isinstance(s, (tuple, list)) else (s,) for s in sample])
-            schema = probe.schema
+            from pyspark.sql import types as _T
+
+            # polars map_rows naming: tuple returns → column_0..n; a bare
+            # scalar return → one column named "apply" (map_rows doctest)
+            scalar_out = bool(sample) and not isinstance(
+                sample[0], (tuple, list))
+            schema = _T.StructType([
+                _T.StructField(
+                    "apply" if scalar_out else f"column_{i}",
+                    f.dataType, True)
+                for i, f in enumerate(probe.schema.fields)])
         else:
             from .datatypes import to_spark_type
 

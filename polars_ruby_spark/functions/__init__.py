@@ -624,19 +624,45 @@ def datetime_range(start, end, interval: str = "1d", eager: bool = False,
 def repeat(value, n: int, dtype=None, eager: bool = False, name: str | None = None,
            spark=None):
     """Column of ``value`` repeated ``n`` times (functions/repeat.rb:37).
-    ``eager`` → a Series named 'repeat' (reference doctest), else a
-    LazyFrame row source."""
+    ``eager`` → a Series named 'repeat' (reference doctest); lazy → an
+    EXPR (row generator in a sole select, composable with append — the
+    repeat.rb / expr.rb rechunk doctests), generated via spark.range (no
+    driver materialization)."""
     from ..session import get_spark
     from ..datatypes import to_spark_type
     from .. import frame, series
+    from ..exprs import Expr
 
-    s = spark or get_spark()
     nm = name or "repeat"
-    c = F.lit(value)
-    if dtype is not None:
-        c = c.cast(to_spark_type(dtype))
-    sdf = s.range(n).select(c.alias(nm))
-    return series.Series._from_spark(sdf, nm) if eager else frame.LazyFrame(sdf)
+
+    def build(sp):
+        c = F.lit(value)
+        if dtype is not None:
+            c = c.cast(to_spark_type(dtype))
+        return sp.range(n).select(c.alias(nm))
+
+    if eager:
+        s = spark or get_spark()
+        return series.Series._from_spark(build(s), nm)
+
+    def fn(df, part):
+        if n == 1:
+            c = F.lit(value)
+            return c.cast(to_spark_type(dtype)) if dtype is not None else c
+        raise NotImplementedError(
+            f"repeat({n}) generates {n} rows: use it as the sole select "
+            "expression (or eager: true)")
+
+    e = Expr(fn, name=nm)
+
+    def frame_fn(lf, out_name):
+        sdf = build(lf._sdf.sparkSession)
+        if out_name and out_name != nm:
+            sdf = sdf.toDF(out_name)
+        return frame.LazyFrame(sdf)
+
+    e._frame_fn = frame_fn
+    return e._set_meta("lit", (), value)
 
 
 def sql_expr(sql: str) -> Expr:

@@ -39,6 +39,10 @@ _MAP = {
     "s": "",      # epoch seconds — no direct pattern; callers use unix_timestamp
     "T": "HH:mm:ss",
     "D": "MM/dd/yy",
+    # chrono %c = "%a %b %e %T %Y" (ctime).  Spark's parser rejects EEE on
+    # the PARSE side, so namespaces._ctime_norm strips the weekday name,
+    # collapses the %e double space, and clamps leap-second :60
+    "c": "MMM d HH:mm:ss yyyy",
     "F": "yyyy-MM-dd",
     "R": "HH:mm",
     # chrono no-pad modifier (%-d etc.) → Java single-letter = unpadded

@@ -555,6 +555,28 @@ class _TemporalGroupByMixin:
             return DataFrame._from_lazy(lf)
         return lf
 
+    def _dyn_emit(self, grouped, winkey, nby, extra, label_col, renames=None):
+        """Shared dynamic-window output assembly: polars emits by keys
+        FIRST, then the boundary columns, then the label, with rows
+        ordered by (by keys, window) — recorded as a DEFERRED order spec
+        (export-time only) so the aggregation plan keeps its single
+        hash-agg shuffle (test_plan_dynamic_closed_both_single_shuffle)."""
+        from .frame import LazyFrame
+
+        cols = grouped.columns
+        by_names = cols[1:1 + nby]
+        aggs = [c for c in cols[1 + nby:] if c != "__dp__"]
+        by_sel = (renames if renames is not None
+                  else [F.col(n) for n in by_names])
+        out = grouped.select(*by_sel, *extra, label_col,
+                             *[F.col(c) for c in aggs])
+        lf = LazyFrame(out)
+        sort_key = "_lower_boundary" if extra else self._index
+        lf._order_cols = tuple(
+            (n, False, False) for n in list(out.columns[:nby]) + [sort_key])
+        lf._order_dirty = True
+        return lf
+
     def _dyn_pre(self, exprs, named):
         """Prologue shared by every dynamic-window agg path: returns
         ``(sdf, aggs, hooked)``.  When any aggregate carries an
@@ -623,6 +645,10 @@ class DynamicGroupBy(_TemporalGroupByMixin):
             exprs, named,
             [self._index] + [b if isinstance(b, str) else b._name
                              for b in self._by])
+        if str(self._every).strip().endswith("i"):
+            # INTEGER index windows ("2i" = 2 index units —
+            # lazy_frame.rb:1416 idx doctest)
+            return self._agg_int(exprs, named)
         every = parse_duration(self._every)
         period = parse_duration(self._period)
         if every.is_calendar or period.is_calendar:
@@ -677,9 +703,8 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         if self._include_boundaries:
             extra = [F.col("__w__.start").alias("_lower_boundary"),
                      F.col("__w__.end").alias("_upper_boundary")]
-        keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
-        out = grouped.select(*extra, label_col, *keep)
-        return self._wrap_out(LazyFrame(out))
+        return self._wrap_out(self._dyn_emit(
+            grouped, "__w__", len(by_cols), extra, label_col))
 
     def _agg_datapoint(self, every, period, exprs, named):
         """start_by='datapoint': each group's FIRST data point anchors its
@@ -737,12 +762,11 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         if self._include_boundaries:
             extra = [F.timestamp_micros(F.col("__s__")).alias("_lower_boundary"),
                      F.timestamp_micros(F.col("__s__") + F.lit(every_us)).alias("_upper_boundary")]
-        keep = [c for c in grouped.columns
-                if c not in ("__s__", "__dp__") and c not in by_names]
         renames = [F.col(n).alias(str(b)) if isinstance(b, str) else F.col(n)
                    for n, b in zip(by_names, self._by)]
-        out = grouped.select(*extra, label_col, *renames, *keep)
-        return self._wrap_out(LazyFrame(out))
+        return self._wrap_out(self._dyn_emit(
+            grouped, "__s__", len(by_names), extra, label_col,
+            renames=renames))
 
     def _agg_datapoint_enumerated(self, every, period, exprs, named):
         """start_by='datapoint' with period != every or closed both/none
@@ -817,12 +841,65 @@ class DynamicGroupBy(_TemporalGroupByMixin):
             extra = [F.timestamp_micros(F.col("__s__")).alias("_lower_boundary"),
                      F.timestamp_micros(F.col("__s__") + F.lit(period_us))
                      .alias("_upper_boundary")]
-        keep = [c for c in grouped.columns
-                if c not in ("__s__", "__dp__") and c not in by_names]
         renames = [F.col(n).alias(str(b)) if isinstance(b, str) else F.col(n)
                    for n, b in zip(by_names, self._by)]
-        out = grouped.select(*extra, label_col, *renames, *keep)
-        return self._wrap_out(LazyFrame(out))
+        return self._wrap_out(self._dyn_emit(
+            grouped, "__s__", len(by_names), extra, label_col,
+            renames=renames))
+
+    def _agg_int(self, exprs, named):
+        """Integer-index dynamic windows (every="Ni" — lazy_frame.rb:1416
+        idx doctest): grid starts k*every+offset over the raw i64 index,
+        candidate-start enumeration + closed-interval filter, one hash-agg
+        shuffle on (start, by) — the same shape as the time paths."""
+        from .frame import LazyFrame
+
+        def iv(x):
+            return int(str(x).strip().rstrip("i"))
+
+        every_i = iv(self._every)
+        period_i = iv(self._period) if self._period is not None else every_i
+        off_i = iv(self._offset) if self._offset is not None else 0
+        sdf, aggs, hooked = self._dyn_pre(exprs, named)
+        t = F.col(self._index).cast("long")
+
+        def floordiv(a, b):
+            return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+        k_lo = floordiv(t - F.lit(off_i) - F.lit(period_i), every_i)
+        k_hi = floordiv(t - F.lit(off_i), every_i) + F.lit(1).cast("long")
+        exploded = sdf.withColumn("__s__", F.explode(F.transform(
+            F.sequence(k_lo, k_hi),
+            lambda k: k * F.lit(every_i) + F.lit(off_i))))
+        s = F.col("__s__")
+        hi = s + F.lit(period_i)
+        member = {"left": (s <= t) & (t < hi),
+                  "right": (s < t) & (t <= hi),
+                  "both": (s <= t) & (t <= hi),
+                  "none": (s < t) & (t < hi)}[self._closed]
+        filtered = exploded.filter(member)
+        by_cols = [wrap_expr(b)._fn(sdf, None) if isinstance(b, Expr)
+                   else F.col(b) for b in self._by]
+        if hooked:
+            filtered, aggs = self._dyn_bind(
+                filtered, exprs, named, [F.col("__s__"), *by_cols])
+        extra_aggs = [F.min(F.col(self._index)).alias("__dp__")] \
+            if self._label == "datapoint" else []
+        grouped = filtered.groupBy(F.col("__s__"), *by_cols).agg(
+            *aggs, *extra_aggs)
+        if self._label == "datapoint":
+            label_col = F.col("__dp__").alias(self._index)
+        elif self._label == "right":
+            label_col = (F.col("__s__") + F.lit(every_i)).alias(self._index)
+        else:
+            label_col = F.col("__s__").alias(self._index)
+        extra = []
+        if self._include_boundaries:
+            extra = [F.col("__s__").alias("_lower_boundary"),
+                     (F.col("__s__") + F.lit(period_i))
+                     .alias("_upper_boundary")]
+        return self._wrap_out(self._dyn_emit(
+            grouped, "__s__", len(by_cols), extra, label_col))
 
     def _agg_enumerated(self, every, period, exprs, named):
         """closed='both'/'none': enumerate each row's candidate window starts
@@ -878,9 +955,8 @@ class DynamicGroupBy(_TemporalGroupByMixin):
             extra = [F.timestamp_micros(F.col("__s__")).alias("_lower_boundary"),
                      F.timestamp_micros(F.col("__s__") + F.lit(period_us))
                      .alias("_upper_boundary")]
-        keep = [c for c in grouped.columns if c not in ("__s__", "__dp__")]
-        out = grouped.select(*extra, label_col, *keep)
-        return self._wrap_out(LazyFrame(out))
+        return self._wrap_out(self._dyn_emit(
+            grouped, "__s__", len(by_cols), extra, label_col))
 
     def _agg_calendar(self, every, period, exprs, named):
         """Calendar-unit (1mo/1q/1y) TUMBLING windows with offset and all
@@ -971,9 +1047,8 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         if self._include_boundaries:
             extra = [F.col("__w__").alias("_lower_boundary"),
                      shift(F.col("__w__"), step, 0).alias("_upper_boundary")]
-        keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
-        out = grouped.select(*extra, label_col, *keep)
-        return self._wrap_out(LazyFrame(out))
+        return self._wrap_out(self._dyn_emit(
+            grouped, "__w__", len(by_cols), extra, label_col))
 
     def _agg_calendar_enumerated(self, every, period, exprs, named):
         """Calendar hopping/sliding dynamic windows (round-3;
@@ -1092,9 +1167,8 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         if self._include_boundaries:
             extra = [F.col("__w__").alias("_lower_boundary"),
                      win_end(F.col("__w__")).alias("_upper_boundary")]
-        keep = [c for c in grouped.columns if c not in ("__w__", "__dp__")]
-        out = grouped.select(*extra, label_col, *keep)
-        return self._wrap_out(LazyFrame(out))
+        return self._wrap_out(self._dyn_emit(
+            grouped, "__w__", len(by_cols), extra, label_col))
 
     def _agg_datapoint_calendar(self, every, period, exprs, named):
         """start_by='datapoint' with calendar/mixed durations (round-5;
@@ -1190,12 +1264,11 @@ class DynamicGroupBy(_TemporalGroupByMixin):
         if self._include_boundaries:
             extra = [F.col("__s__").alias("_lower_boundary"),
                      win_end(F.col("__s__")).alias("_upper_boundary")]
-        keep = [c for c in grouped.columns
-                if c not in ("__s__", "__dp__") and c not in by_names]
         renames = [F.col(n).alias(str(b)) if isinstance(b, str) else F.col(n)
                    for n, b in zip(by_names, self._by)]
-        out = grouped.select(*extra, label_col, *renames, *keep)
-        return self._wrap_out(LazyFrame(out))
+        return self._wrap_out(self._dyn_emit(
+            grouped, "__s__", len(by_names), extra, label_col,
+            renames=renames))
 
 
 class RollingGroupBy(_TemporalGroupByMixin):

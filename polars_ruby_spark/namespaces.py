@@ -55,11 +55,18 @@ class StringNameSpace(_NS):
         by position, polars-style, or by name for named groups)."""
         import re as _re
 
-        compiled = _re.compile(pattern)
+        # group-name introspection rides python re, which spells named
+        # groups (?P<n>); Rust/Java accept (?<n> — normalize for the probe
+        # only (the JVM regexp_extract gets the original pattern)
+        compiled = _re.compile(
+            _re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", pattern))
         names = {v: k for k, v in compiled.groupindex.items()}
         fields = [(names.get(i, str(i)), i) for i in range(1, compiled.groups + 1)]
+        # unmatched rows carry NULL fields (polars), not Java's ""
         return self._e._lift(lambda c: F.struct(*[
-            F.regexp_extract(c, pattern, i).alias(nm) for nm, i in fields]))
+            F.when(c.rlike(pattern),
+                   F.regexp_extract(c, pattern, i)).alias(nm)
+            for nm, i in fields]))
 
     def count_matches(self, pattern: str, literal: bool = False) -> Expr:
         pat = re.escape(pattern) if literal else pattern
@@ -243,7 +250,8 @@ class StringNameSpace(_NS):
     def to_date(self, format: str | None = None) -> Expr:
         fmt = chrono_to_java(format) if format else None
         if fmt:
-            return self._e._lift(lambda c: F.to_date(c, fmt))
+            return self._e._lift(
+                lambda c: F.to_date(_ctime_norm(c, format), fmt))
         fmts = self._DATE_FMTS
         return self._e._lift(lambda c: F.coalesce(
             F.to_date(c), *[F.to_date(c, f) for f in fmts]))
@@ -251,7 +259,8 @@ class StringNameSpace(_NS):
     def to_datetime(self, format: str | None = None, time_unit=None, time_zone=None) -> Expr:
         fmt = chrono_to_java(format) if format else None
         if fmt:
-            return self._e._lift(lambda c: F.to_timestamp(c, fmt))
+            return self._e._lift(
+                lambda c: F.to_timestamp(_ctime_norm(c, format), fmt))
         fmts = self._TS_FMTS
         return self._e._lift(lambda c: F.coalesce(
             F.to_timestamp(c), *[F.to_timestamp(c, f) for f in fmts]))
@@ -432,6 +441,17 @@ class StringNameSpace(_NS):
 
 
 _SEC = 1_000_000  # µs
+
+
+def _ctime_norm(c, chrono_fmt: str | None):
+    """%c inputs carry chrono quirks Java can't parse: %e space-pads the
+    day ("Jul  8") and leap-second :60 is legal — collapse runs of spaces
+    and clamp :60 → :59 before the " yyyy" tail (date-identical)."""
+    if chrono_fmt and "%c" in chrono_fmt:
+        c = F.regexp_replace(c, "^[A-Za-z]{3} ", "")
+        c = F.regexp_replace(c, "  +", " ")
+        c = F.regexp_replace(c, ":60(?= \\d{4}$)", ":59")
+    return c
 
 
 def _ts(c):
@@ -766,7 +786,16 @@ class ListNameSpace(_NS):
         return self._e._lift(F.array_distinct)
 
     def concat(self, other) -> Expr:
-        return self._e._lift2(wrap_expr(other), F.concat)
+        # strings name list COLUMNS (list_expr.rb concat doctest); a list
+        # of strings/exprs concatenates several
+        from .exprs import col as _col
+
+        others = other if isinstance(other, (list, tuple)) else [other]
+        out = self._e
+        for o in others:
+            oe = _col(o) if isinstance(o, str) else wrap_expr(o)
+            out = out._lift2(oe, F.concat)
+        return out
 
     def get(self, index: int = 0, null_on_oob: bool = True) -> Expr:
         # null_on_oob accepted for signature parity (list_expr.rb:389);
@@ -1317,17 +1346,28 @@ class NameNameSpace(_NS):
         rn = root(self._e._meta)
         return self._e.alias(rn) if rn else self._e
 
+    def _rename(self, f, label: str) -> Expr:
+        # multi-output exprs (pl.all().reverse().name.prefix(...)) rename
+        # EACH expanded column — name_expr.rb prefix/suffix doctests
+        e = self._e
+        if e._multi_fn is not None:
+            mf = e._multi_fn
+            return Expr(multi_fn=lambda df: [
+                ee.alias(f(ee.output_name() or "")) for ee in mf(df)
+            ])._set_meta("name." + label, (e,))
+        return e.alias(f(e._name or ""))
+
     def map(self, function) -> Expr:
-        return self._e.alias(function(self._e._name or ""))
+        return self._rename(function, "map")
 
     def prefix(self, p: str) -> Expr:
-        return self._e.alias(p + (self._e._name or ""))
+        return self._rename(lambda n: p + n, "prefix")
 
     def suffix(self, s: str) -> Expr:
-        return self._e.alias((self._e._name or "") + s)
+        return self._rename(lambda n: n + s, "suffix")
 
     def to_lowercase(self) -> Expr:
-        return self._e.alias((self._e._name or "").lower())
+        return self._rename(str.lower, "to_lowercase")
 
     def to_uppercase(self) -> Expr:
-        return self._e.alias((self._e._name or "").upper())
+        return self._rename(str.upper, "to_uppercase")

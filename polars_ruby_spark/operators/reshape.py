@@ -65,6 +65,14 @@ def pivot(df, on, index=None, values=None, aggregate_function: str = "first",
         out = p.agg(aggf(F.col(values[0])))
     else:
         out = p.agg(*[aggf(F.col(v)).alias(v) for v in values])
+    if index:
+        # polars pivot also keeps ROW order = first appearance of the
+        # index key (pivot doctest: 'one' before 'two'); join the per-key
+        # first-row ordinal (AQE broadcasts the small side) and sort
+        ordtab = ri.groupBy(*[F.col(c) for c in index]).agg(
+            F.min(F.col(ROW_IDX)).alias("__rord__"))
+        out = (out.join(ordtab, on=index, how="left")
+               .orderBy("__rord__").drop("__rord__"))
     return DataFrame(out)
 
 

@@ -32,4 +32,6 @@ def upsample(df, time_column: str, every: str, by=None):
     )
     out = grid.join(sdf, on=by + [time_column], how="left").orderBy(
         *[F.col(c) for c in by], F.col(time_column))
-    return DataFrame(out)
+    # keep the frame's ORIGINAL column order (upsample doctest: time
+    # first) — the join puts the by-keys in front
+    return DataFrame(out.select(*sdf.columns))

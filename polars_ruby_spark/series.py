@@ -783,6 +783,46 @@ class Series:
     def shape(self):
         return (self.len(),)
 
+    def cut(self, breaks, labels=None, left_closed: bool = False,
+            include_breaks: bool = False) -> "Series":
+        # series.rb:919 renames the include_breaks struct fields to
+        # break_point/category (the Expr variant keeps polars' breakpoint)
+        out = self._dispatch_args(
+            lambda e: e.cut, (breaks,),
+            {"labels": labels, "left_closed": left_closed,
+             "include_breaks": include_breaks})
+        if include_breaks:
+            out = out.struct.rename_fields(["break_point", "category"])
+        return out
+
+    def qcut(self, quantiles, labels=None, left_closed: bool = False,
+             allow_duplicates: bool = False,
+             include_breaks: bool = False) -> "Series":
+        out = self._dispatch_args(
+            lambda e: e.qcut, (quantiles,),
+            {"labels": labels, "left_closed": left_closed,
+             "allow_duplicates": allow_duplicates,
+             "include_breaks": include_breaks})
+        if include_breaks:
+            out = out.struct.rename_fields(["break_point", "category"])
+        return out
+
+    def is_in(self, other) -> "Series":
+        """Membership of each value in ``other``'s value SET (series.rb
+        is_in doctest: s2.is_in(s)) — unlike Expr.is_in(col), where a
+        column argument is an elementwise list-column probe.  The set is
+        collected distinct to the driver (Series surface = bounded);
+        frame-scale membership should use a semi join."""
+        from pyspark.sql import types as T
+
+        if isinstance(other, Series):
+            if isinstance(other.dtype, T.ArrayType):
+                # list-dtype series → ELEMENTWISE row-aligned membership
+                # (series.rb is_in doctest 2: value ∈ that row's list)
+                return self._dispatch_args(lambda e: e.is_in, (other,), {})
+            other = other.unique().to_a()
+        return self._dispatch(lambda e: e.is_in(list(other)))
+
     def describe(self):
         """Summary statistics (series.rb:651): a (statistic, value) frame —
         numeric: min/max/null_count/mean/std/count as f64; non-numeric:
@@ -810,9 +850,12 @@ class Series:
         row = self._sdf.agg(
             F.count_distinct(cn), F.count(F.lit(1)) - F.count(cn),
             F.count(F.lit(1))).first()
+        # polars n_unique counts null as a distinct value (series.rb
+        # describe doctest: ["a","a",nil,"b","c"] → unique 4)
+        uniq = int(row[0]) + (1 if int(row[1]) > 0 else 0)
         return from_hash({
             "statistic": ["unique", "null_count", "count"],
-            "value": [int(row[0]), int(row[1]), int(row[2])]})
+            "value": [uniq, int(row[1]), int(row[2])]})
 
     def estimated_size(self, unit: str = "b"):
         sz = self._estimated_size_bytes()
@@ -897,7 +940,10 @@ class _SeriesStructNS(_SeriesNS):
         return {f.name: f.dataType for f in dt.fields}
 
     def unnest(self):
-        return self._s.to_frame().unnest(self._s.name)
+        # unnamed series ('' column) breaks Catalyst attribute naming —
+        # ride a placeholder name; output columns are the field names
+        s = self._s.rename("__unnest__") if not self._s.name else self._s
+        return s.to_frame().unnest(s.name)
 
     to_frame = unnest
 

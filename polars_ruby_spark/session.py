@@ -30,6 +30,9 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
     return (
         builder.config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # polars column names are case-sensitive ("A" and "a" coexist —
+        # name.to_lowercase doctest); Spark's default folds them together
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

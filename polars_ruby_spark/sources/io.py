@@ -422,6 +422,12 @@ def from_hash(data: dict[str, list], schema=None, spark=None):
         if not isinstance(k, str):
             raise TypeError(
                 f"no implicit conversion of {type(k).__name__} into String")
+    # Series values carry an exact dtype the list round-trip would lose
+    # (u64 → Decimal(20,0) would re-infer as Decimal(1,0)); re-cast after
+    from pyspark.sql import types as _T
+
+    stypes = {k: v.dtype for k, v in data.items() if isinstance(v, Series)
+              and not isinstance(v.dtype, _T.NullType)}
     data = {k: (v.to_a() if isinstance(v, Series)
                 else list(v) if isinstance(v, (list, tuple, range)) else v)
             for k, v in data.items()}
@@ -436,7 +442,13 @@ def from_hash(data: dict[str, list], schema=None, spark=None):
                 for k, v in data.items()}
     else:
         data = {k: [v] for k, v in data.items()}
-    return DataFrame(pylists_to_sdf(data, schema, spark))
+    sdf = pylists_to_sdf(data, schema, spark)
+    if stypes and schema is None:
+        sdf = sdf.select(*[
+            sdf[c].cast(stypes[c]).alias(c)
+            if c in stypes and sdf.schema[c].dataType != stypes[c]
+            else sdf[c] for c in sdf.columns])
+    return DataFrame(sdf)
 
 
 def from_records(rows: list, schema=None, orient: str = "row", spark=None):

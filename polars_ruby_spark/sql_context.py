@@ -7,6 +7,8 @@ Parity: ``/root/reference/lib/polars/sql_context.rb:89`` (execute), ``:116``
 
 from __future__ import annotations
 
+import re as _re
+
 from .frame import DataFrame, LazyFrame
 from .session import get_spark
 
@@ -33,9 +35,11 @@ class SQLContext:
             self.register(name, frame)
         return self
 
-    def unregister(self, name: str) -> "SQLContext":
-        get_spark().catalog.dropTempView(name)
-        self._tables.discard(name)
+    def unregister(self, name) -> "SQLContext":
+        names = name if isinstance(name, (list, tuple, set)) else [name]
+        for n in names:
+            get_spark().catalog.dropTempView(n)
+            self._tables.discard(n)
         return self
 
     def execute(self, query: str, eager: bool | None = None):
@@ -47,6 +51,9 @@ class SQLContext:
             out = from_hash({"name": sorted(self._tables)})
             return out if (eager if eager is not None else self._eager) \
                 else out.lazy()
+        # polars' SQL dialect tolerates a trailing comma before FROM
+        # (sql_context.rb execute doctest); Spark's parser does not
+        query = _re.sub(r",(\s*)(FROM\b)", r"\1\2", query, flags=_re.I)
         sdf = get_spark().sql(query)
         if eager if eager is not None else self._eager:
             return DataFrame(sdf)

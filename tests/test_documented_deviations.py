@@ -121,13 +121,18 @@ def test_fetch_is_head(spark):
     assert [r[0] for r in lf.fetch(2).rows()] == [1, 2]
 
 
-def test_div_by_zero_is_null_not_inf(spark):
-    # Spark/SQL division by zero yields NULL; polars float division
-    # yields ±inf (and NaN for 0/0).  The engine keeps the SQL shape —
-    # every route (Catalyst, the np kernel's "/") mirrors it.
-    out = pl.DataFrame({"a": [1.0, 0.0], "b": [0.0, 0.0]}).select(
+def test_div_by_zero_matches_polars_inf(spark):
+    # NOT a deviation anymore (r11 closed it): x/0 → ±inf, 0/0 → NaN like
+    # polars (truediv doctest); null operands stay null.  Both the
+    # Catalyst route (_div_polars) and the np kernel's "/" agree.
+    out = pl.DataFrame({"a": [1.0, 0.0, -2.0, None],
+                        "b": [0.0, 0.0, 0.0, 0.0]}).select(
         (pl.col("a") / pl.col("b")).alias("q"))
-    assert [r[0] for r in out.rows()] == [None, None]
+    vals = [r[0] for r in out.rows()]
+    assert vals[0] == float("inf")
+    assert math.isnan(vals[1])
+    assert vals[2] == float("-inf")
+    assert vals[3] is None
 
 
 def test_min_max_ignore_nan_like_polars(spark):

@@ -241,6 +241,14 @@ def _parse_time(text):
 
 
 def _parse_list(text, inner_dtype):
+    if text.startswith("[") and text.endswith("…") and not text.endswith("]"):
+        # cell WIDTH-truncated mid-element: compare the complete prefix
+        parts = _split_top(text[1:])
+        out = [parse_cell(p.strip(), inner_dtype) if not
+               (p.strip().startswith('"') and p.strip().endswith('"'))
+               else p.strip()[1:-1] for p in parts[:-1] if p.strip()]
+        out.append(Ellipsis)
+        return out
     if not (text.startswith("[") and text.endswith("]")):
         raise CompareError(f"list cell {text!r}")
     parts = _split_top(text[1:-1])

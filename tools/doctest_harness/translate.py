@@ -24,6 +24,7 @@ RUBY_KEYWORDS_UNSUPPORTED = (
     ".each ",
     ".each(",
     ".each.",
+    ".times",
     "puts ",
     "instance_eval",
 )
@@ -126,7 +127,7 @@ _FLOAT_NAN_RE = re.compile(r"\bFloat::NAN\b")
 _FLOAT_INF_RE = re.compile(r"\bFloat::INFINITY\b")
 _LAMBDA_ARROW_RE = re.compile(r"->\(([^)]*)\)\s*\{\s*(.*?)\s*\}", re.S)
 _BLOCK_RE = re.compile(r"\{\s*\|([^|]*)\|\s*(.*?)\s*\}", re.S)
-_RANGE_RE = re.compile(r"\(?(-?\d+)\s*(\.\.\.?)\s*(-?\d+)\)?")
+_RANGE_RE = re.compile(r"\(?(-?\d[\d_]*)\s*(\.\.\.?)\s*(-?\d[\d_]*)\)?")
 
 
 def translate_statement(stmt, property_names, module_nocall):
@@ -139,6 +140,15 @@ def translate_statement(stmt, property_names, module_nocall):
         # Config/StringCache `X do ... end` blocks: rendering-config scopes
         raise TranslateError("ruby do...end block")
     stmt = stmt.replace("._hash", ".hash")  # Ruby-reserved rename
+    # Ruby regex literal stringified: /pat/.to_s == "(?-mix:pat)"
+    # DOUBLE-quoted python literal: the single-quote branch of the string
+    # pass re-escapes Ruby-literal backslashes and would double ours
+    stmt = re.sub(
+        r"/((?:[^/\\\n ]|\\.)+)/\.to_s(\(\))?",
+        lambda m: '"' + ("(?-mix:" + m.group(1).replace("\\/", "/") + ")")
+        .replace("\\", "\\\\").replace('"', '\\"') + '"',
+        stmt,
+    )
 
     # string-protected pipeline: split into string and non-string segments,
     # transform only the non-string parts, then reassemble.
@@ -191,6 +201,9 @@ def _segment(stmt):
 
 
 def _translate_code_seg(seg):
+    # `Polars::X.new` WITHOUT parens (Ruby zero-arg ctor) needs explicit ()
+    seg = re.sub(r"Polars::([A-Za-z_][A-Za-z0-9_]*)\.new(?!\s*\()",
+                 r"pl.\1()", seg)
     seg = _CTOR_RE.sub(r"pl.\1", seg)
     seg = _CONST_RE.sub(r"pl.\1", seg)
     seg = _MODULE_RE.sub("pl.", seg)
@@ -201,6 +214,11 @@ def _translate_code_seg(seg):
     seg = _FLOAT_NAN_RE.sub('float("nan")', seg)
     seg = _FLOAT_INF_RE.sub('float("inf")', seg)
     seg = seg.replace("Math::PI", "__PI")
+    # Ruby String methods inside blocks -> Python str equivalents
+    seg = seg.replace(".delete_suffix(", ".removesuffix(")
+    seg = seg.replace(".delete_prefix(", ".removeprefix(")
+    seg = re.sub(r"\.downcase\b(?!\()", ".lower()", seg)
+    seg = re.sub(r"\.upcase\b(?!\()", ".upper()", seg)
     # \x00 marks a lambda colon: _context_pass would mistake `x:` for a
     # Ruby kwarg and rewrite it to `x=` — restored in translate_statement
     seg = _LAMBDA_ARROW_RE.sub(
@@ -391,10 +409,27 @@ def property_surface():
     return names, module_nocall
 
 
+def _strip_line_comment(ln):
+    """Drop a trailing Ruby comment (string-aware; ``#{`` stays — it is
+    caught as unsupported interpolation)."""
+    i, n = 0, len(ln)
+    while i < n:
+        ch = ln[i]
+        if ch in "\"'":
+            j = _skip_string(ln, i)
+            i = j
+            continue
+        if ch == "#" and not ln[i:i + 2] == "#{":
+            return ln[:i].rstrip()
+        i += 1
+    return ln
+
+
 def translate_example(code_lines, property_names, module_nocall):
     """Translate one example's Ruby code into a list of Python statements."""
     stmts = join_logical(
-        [ln for ln in code_lines if not ln.strip().startswith("require ")]
+        [_strip_line_comment(ln) for ln in code_lines
+         if not ln.strip().startswith("require ")]
     )
     py = []
     for st in stmts:
