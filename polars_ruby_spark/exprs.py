@@ -2679,7 +2679,10 @@ class Expr:
             return out
 
         e = self._ordered(f, order_only=True)
-        if (n != 0 and not self._needs_order and not self._scrambles_order
+        if (n != 0
+                and (not self._needs_order
+                     or self._global_ordinal_fn is not None)
+                and not self._scrambles_order
                 and self._agg_list_fn is None and self._multi_fn is None
                 and self._frame_fn is None and self._agg_pre_fn is None):
             # round-9: UNGROUPED shift/lead otherwise bind a KEYLESS lag
@@ -2697,13 +2700,24 @@ class Expr:
                     attach_rolling_by_multi
                 from .session import ROW_IDX as _RI
 
+                # r11: a hook-bearing inner (shift-of-fill in pct_change
+                # compositions) CHAINS its attach first — evaluating its
+                # window fallback inside the kernel item would re-bind
+                # the keyless one-task window the hook exists to avoid
+                val, icol = inner, None
+                ig = inner._global_ordinal_fn
+                if ig is not None:
+                    sdf, icol = ig(sdf)
+                    val = col(icol)
                 tmp = _next_gord_name()
                 try:
                     if _RI not in sdf.columns:
                         raise ValueError("shift kernel: no row index")
                     sdf2 = attach_rolling_by_multi(
                         sdf, col(_RI), (), 0, "both",
-                        [(inner, "minraw", tmp)], row_frame=(n, -n))
+                        [(val, "minraw", tmp)], row_frame=(n, -n))
+                    if icol is not None:
+                        sdf2 = sdf2.drop(icol)
                 except ValueError:
                     # LATE ROUND-10: the non-numeric fallback was a
                     # KEYLESS lag window (one task).  A dense-row-index
@@ -2716,8 +2730,10 @@ class Expr:
                     src = sdf.select(
                         (F.col(_RI) + F.lit(int(n))).cast("long")
                         .alias(_RI),
-                        inner._fn(sdf, None).alias(t2))
+                        val._fn(sdf, None).alias(t2))
                     out2 = sdf.join(src, _RI, "left")
+                    if icol is not None:
+                        out2 = out2.drop(icol)
                     if fv is not None:
                         fin2 = _next_gord_name()
                         return out2.withColumn(fin2, F.coalesce(
@@ -2734,14 +2750,18 @@ class Expr:
             # — each binding ran its own attach_rolling_by_multi before,
             # with a checkpoint between chained stages
             from .session import ROW_IDX as _RIB
-            gfn._rolling_by_batch = {
-                "sig": ("__lagframe__", n), "inner": inner,
-                "by_e": col(_RIB), "span": 0, "closed": "both",
-                "kind": "minraw", "keys": (), "row_frame": (n, -n),
-                "fin": (None if fv is None else
-                        (lambda sdf, tmp, _fv=fv: F.coalesce(
-                            F.col(tmp), _fv._fn(None, None)))),
-                "post": []}
+            if inner._global_ordinal_fn is None:
+                # batch merging evaluates "inner" directly — only safe for
+                # plain (hook-free) inners; hooked inners keep the chained
+                # gfn above as their own unit
+                gfn._rolling_by_batch = {
+                    "sig": ("__lagframe__", n), "inner": inner,
+                    "by_e": col(_RIB), "span": 0, "closed": "both",
+                    "kind": "minraw", "keys": (), "row_frame": (n, -n),
+                    "fin": (None if fv is None else
+                            (lambda sdf, tmp, _fv=fv: F.coalesce(
+                                F.col(tmp), _fv._fn(None, None)))),
+                    "post": []}
             e._global_ordinal_fn = gfn
             e._needs_dense_index = True
 
@@ -2885,32 +2905,52 @@ class Expr:
                 and not self._scrambles_order
                 and self._agg_list_fn is None and self._multi_fn is None
                 and self._frame_fn is None and self._agg_pre_fn is None):
-            # UNGROUPED scale route: chain the fill attach, then the
-            # single-row lag-frame kernel over the filled column, then the
-            # arithmetic — two multi-task attaches, no keyless window
-            def gfn(sdf):
-                from .operators.rolling_kernel import \
-                    attach_rolling_by_multi
-                from .session import ROW_IDX as _RI
+            # UNGROUPED scale routes (r11).  n=1 (the default): pct is
+            # pure fill-batch arithmetic — ff[i-1] is the PREVIOUS
+            # non-null ("pnn" kind, exclusive frame + the same chunk
+            # carry), so pct = (coalesce(v, pnn) - pnn) / pnn rides ONE
+            # shared fill attach with the frame's other fills (no lag
+            # stage at all; the former fill→lag chain cost q166 ~2 s of
+            # construct).  n≠1: chain the fill attach then the
+            # single-row lag-frame kernel — two stages, no keyless
+            # window either way.
+            inner = self
+            if n == 1:
+                def fin1(cols, sdf, _in=inner):
+                    v = _in._fn(sdf, None)
+                    p = cols[0]
+                    return _div_polars(F.coalesce(v, p) - p, p)
 
-                sdf1, fcol = fill_g(sdf)
-                tmp, fin = _next_gord_name(), _next_gord_name()
-                try:
-                    if _RI not in sdf1.columns:
-                        raise ValueError("lag kernel: no row index")
-                    sdf2 = attach_rolling_by_multi(
-                        sdf1, col(_RI), (), 0, "both",
-                        [(col(fcol), "minraw", tmp)], row_frame=(n, -n))
-                except ValueError:
-                    return sdf1.withColumn(
-                        fin, out._fn(sdf1, None)).drop(fcol), fin
-                fcc = F.col(fcol)
-                return (sdf2.withColumn(
-                    fin, _div_polars(fcc - F.col(tmp), F.col(tmp)))
-                    .drop(tmp, fcol), fin)
+                out._global_ordinal_fn = _fill_batch_gfn({
+                    "items": [((lambda b, _in=inner: _in._fn(b, None)),
+                               "pnn")],
+                    "finish": fin1, "post": []})
+                out._needs_dense_index = True
+            else:
+                def gfn(sdf, _fg=fill_g):
+                    from .operators.rolling_kernel import \
+                        attach_rolling_by_multi
+                    from .session import ROW_IDX as _RI
 
-            out._global_ordinal_fn = gfn
-            out._needs_dense_index = True
+                    sdf1, fcol = _fg(sdf)
+                    tmp, fin = _next_gord_name(), _next_gord_name()
+                    try:
+                        if _RI not in sdf1.columns:
+                            raise ValueError("lag kernel: no row index")
+                        sdf2 = attach_rolling_by_multi(
+                            sdf1, col(_RI), (), 0, "both",
+                            [(col(fcol), "minraw", tmp)],
+                            row_frame=(n, -n))
+                    except ValueError:
+                        return sdf1.withColumn(
+                            fin, out._fn(sdf1, None)).drop(fcol), fin
+                    fcc = F.col(fcol)
+                    return (sdf2.withColumn(
+                        fin, _div_polars(fcc - F.col(tmp), F.col(tmp)))
+                        .drop(tmp, fcol), fin)
+
+                out._global_ordinal_fn = gfn
+                out._needs_dense_index = True
 
         def ev(arr, df):
             # eval-array context (list.eval / collect-window): ffill the

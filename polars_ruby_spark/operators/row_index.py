@@ -624,6 +624,30 @@ def attach_global_fill_multi(sdf: DataFrame, items: list) -> DataFrame:
     locals_, tot_aggs, off_cols, finishers = {}, [], [], []
     for i, (value_fn, kind, out_name) in enumerate(items):
         c = value_fn(base)
+        if kind == "pnn":
+            # PREVIOUS non-null (exclusive of the current row) — the
+            # pct_change(1) operand: last non-null at index ≤ i-1.  The
+            # chunk-prefix carry is always valid here (carry.i < chunk
+            # start ≤ i), so the exclusive frame is the only difference
+            # from "ff"; one more item in the SAME shared attach instead
+            # of a fill stage + a lag-kernel stage (r11).
+            pair = F.when(c.isNotNull(), F.struct(
+                F.col(ROW_IDX).alias("i"), c.alias("v")))
+            wp1 = (Window.partitionBy(_CHK).orderBy(F.col(ROW_IDX).asc())
+                   .rowsBetween(Window.unboundedPreceding, -1))
+            locals_[f"__gm_l{i}__"] = F.last(
+                pair, ignorenulls=True).over(wp1)
+            tot_aggs.append(F.max(pair).alias(f"__gm_t{i}__"))
+            off_cols.append(
+                F.last(F.col(f"__gm_t{i}__"), ignorenulls=True)
+                .over(fwd_carry).alias(f"__gm_o{i}__"))
+
+            def fin(i=i):
+                return F.coalesce(F.col(f"__gm_l{i}__"),
+                                  F.col(f"__gm_o{i}__")).getField("v")
+
+            finishers.append((fin, out_name))
+            continue
         if kind in ("ff", "bf") or kind.partition(":")[0] in ("ff", "bf"):
             base_kind, _, lim_s = kind.partition(":")
             limit = int(lim_s) if lim_s else None

@@ -1191,9 +1191,9 @@ def test_lag_frame_attaches_batch_one_kernel(spark):
             pl.col("v").shift(2).alias("s2"))
         rows = out.to_a()
     # round-11: pct_change forward-fills before differencing (polars
-    # semantics), so it chains fill-attach -> solo lag kernel and no
-    # longer joins the raw-column lag batch; shift/diff still share one
-    assert sorted(calls) == [(1, (1, -1)), (1, (2, -2)), (3, (1, -1))], calls
+    # semantics) and rides the FILL batch via the "pnn" kind (previous
+    # non-null) — no lag-kernel call at all; shift/diff still share one
+    assert sorted(calls) == [(1, (2, -2)), (3, (1, -1))], calls
     assert [r["s1"] for r in rows] == [None, 1.0, 3.0, 7.0]
     assert [r["sf"] for r in rows] == [-9.0, 1.0, 3.0, 7.0]
     assert [r["d"] for r in rows] == [None, 2.0, 4.0, -5.0]
