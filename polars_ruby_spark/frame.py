@@ -1869,6 +1869,13 @@ class DataFrame(LazyFrame):
         if (isinstance(key, tuple) and len(key) == 2
                 and not all(isinstance(k, str) for k in key)):
             row_sel, col_sel = key
+            # integer column positions (data_frame.rb:316 df[0.., 0])
+            if isinstance(col_sel, int) and not isinstance(col_sel, bool):
+                col_sel = self.columns[col_sel]
+            elif (isinstance(col_sel, (list, tuple)) and col_sel
+                  and all(isinstance(c, int) and not isinstance(c, bool)
+                          for c in col_sel)):
+                col_sel = [self.columns[c] for c in col_sel]
             if isinstance(col_sel, str):
                 s = self.get_column(col_sel)
                 if isinstance(row_sel, int):

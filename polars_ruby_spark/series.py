@@ -913,8 +913,26 @@ class _SeriesNS:
             raise AttributeError(item)
 
         def call(*args, **kwargs):
-            return self._s._dispatch_args(
-                lambda e: getattr(getattr(e, self._ns), item), args, kwargs)
+            agg_probe = []
+
+            def method_of(e):
+                m = getattr(getattr(e, self._ns), item)
+
+                def wrapped(*a, **k):
+                    ne = m(*a, **k)
+                    agg_probe.append(getattr(ne, "_is_agg", False))
+                    return ne
+
+                return wrapped
+
+            out = self._s._dispatch_args(method_of, args, kwargs)
+            if agg_probe and agg_probe[0] and isinstance(out, Series):
+                # namespace AGGREGATES return a SCALAR on Series like the
+                # reference (date_time_name_space.rb mean/median doctests)
+                vals = out.to_a()
+                if len(vals) == 1:
+                    return vals[0]
+            return out
 
         return call
 

@@ -334,7 +334,25 @@ class DTypeName:
         return f"Polars::{self.name}"
 
 
+_RB_DATE = re.compile(r"^[A-Z][a-z]{2}, (\d{2}) ([A-Z][a-z]{2}) (\d{4})$")
+_RB_TIME = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2}):(\d{2})(?:\.(\d+))? UTC$")
+_MON = {m: i + 1 for i, m in enumerate(
+    "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split())}
+
+
 def parse_ruby_literal(s):
+    # Ruby Date#inspect ("Mon, 01 Jan 2001") / Time#inspect ("2001-01-01
+    # 12:00:00 UTC") — dt.min/max/mean/median inline expectations
+    m = _RB_DATE.match(s)
+    if m:
+        return datetime.date(int(m.group(3)), _MON[m.group(2)],
+                             int(m.group(1)))
+    m = _RB_TIME.match(s)
+    if m:
+        frac = (m.group(7) or "").ljust(6, "0")[:6]
+        return datetime.datetime(*(int(m.group(i)) for i in range(1, 7)),
+                                 int(frac or 0))
     toks = []
     i = 0
     while i < len(s):

@@ -140,6 +140,15 @@ def translate_statement(stmt, property_names, module_nocall):
         # Config/StringCache `X do ... end` blocks: rendering-config scopes
         raise TranslateError("ruby do...end block")
     stmt = stmt.replace("._hash", ".hash")  # Ruby-reserved rename
+    # string ranges ("A".."I") -> explicit list; endless ranges (0..) in
+    # subscripts -> python slices
+    stmt = re.sub(
+        r'"([A-Za-z])"\s*\.\.\s*"([A-Za-z])"',
+        lambda m: repr([chr(c) for c in range(ord(m.group(1)),
+                                              ord(m.group(2)) + 1)]),
+        stmt)
+    stmt = re.sub(r"(?<![.\w])(\d+)\.\.(?![.\d])",
+                  lambda m: f"slice({m.group(1)}, None)", stmt)
     # Ruby regex literal stringified: /pat/.to_s == "(?-mix:pat)"
     # DOUBLE-quoted python literal: the single-quote branch of the string
     # pass re-escapes Ruby-literal backslashes and would double ours
