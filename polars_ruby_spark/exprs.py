@@ -1843,8 +1843,10 @@ class Expr:
 
     def sign(self):
         # polars 0.41 sign is ALWAYS Int64, even for float input
-        # (expr.rb sign doctest: f64 column → i64 signs)
-        return self._lift(lambda c: F.signum(c).cast("long"))
+        # (expr.rb sign doctest: f64 column → i64 signs); NaN → null
+        # (no NaN in i64 — Spark's NaN→long cast would silently give 0)
+        return self._lift(lambda c: F.when(
+            ~F.isnan(c.cast("double")), F.signum(c).cast("long")))
 
     def sin(self):
         return self._lift(F.sin)
@@ -4190,7 +4192,11 @@ class Expr:
                 rfn._rolling_by_batch = batch
             e._global_ordinal_fn = gfn
             e._grouped_remap_fn = rfn
-        return e
+        # meta tracking: root_names covers the value AND the by column
+        return e._set_meta(
+            "rolling_by",
+            (self,) + ((col(by),) if isinstance(by, str)
+                       else (by,) if isinstance(by, Expr) else ()))
 
     def rolling_sum_by(self, by, window_size: str, closed: str = "right"):
         return self._rolling_by(F.sum, by, window_size, closed)

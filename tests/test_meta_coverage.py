@@ -54,6 +54,14 @@ def _pool():
         "replace": (c.replace({1: 2}), ["a"]),
         "implode": (c.implode(), ["a"]),
         "spearman": (pl.corr("a", "b", method="spearman"), ["a", "b"]),
+        # round-11 additions: expr-valued slice (meta_expr.rb root_names
+        # doctest), expr-valued replace, pnn-backed pct composition
+        "slice_exprs": (pl.sum("a").slice(pl.len() - 10, pl.col("b")),
+                        ["a", "b"]),
+        "replace_exprs": (c.replace(c.max(), d.sum(), default=d), ["a"]),
+        "pct_round": (c.pct_change().round(4), ["a"]),
+        "rolling_q_by": (c.rolling_quantile_by("t", "2h", quantile=0.3),
+                         ["a", "t"]),
     }
 
 

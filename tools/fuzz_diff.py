@@ -327,6 +327,36 @@ def window_exprs(pl, rng, key="g"):
                  "lag(s, 1) OVER (ORDER BY idx)"),
         lambda: (pl.col("s").shift(-2),
                  "lead(s, 2) OVER (ORDER BY idx)"),
+        # round-11 pct_change: fill-first semantics through the "pnn"
+        # fill-batch kind (previous non-null, exclusive frame) + polars'
+        # /0 → ±inf / 0/0 → NaN — the oracle builds the same two windows
+        # at one level and emulates the inf cases
+        lambda: (pl.col("x").pct_change().round(6),
+                 "round(CASE"
+                 " WHEN __pn IS NULL THEN NULL"
+                 " WHEN __pn = 0 AND COALESCE(x, __pn) = 0"
+                 " THEN 'nan'::DOUBLE"
+                 " WHEN __pn = 0 AND COALESCE(x, __pn) > 0"
+                 " THEN 'infinity'::DOUBLE"
+                 " WHEN __pn = 0 AND COALESCE(x, __pn) < 0"
+                 " THEN '-infinity'::DOUBLE"
+                 " ELSE (COALESCE(x, __pn) - __pn) / __pn END, 6)"
+                 .replace("__pn", "(last_value(x IGNORE NULLS) OVER ("
+                          "ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING"
+                          " AND 1 PRECEDING))")),
+        # round-11 division semantics (engine-wide): x/0 → ±inf, 0/0 → NaN
+        lambda: ((pl.col("x") / pl.col("y")).round(6),
+                 "round(CASE"
+                 " WHEN x IS NULL OR y IS NULL THEN NULL"
+                 " WHEN y = 0 AND x = 0 THEN 'nan'::DOUBLE"
+                 " WHEN y = 0 AND x > 0 THEN 'infinity'::DOUBLE"
+                 " WHEN y = 0 AND x < 0 THEN '-infinity'::DOUBLE"
+                 " ELSE CAST(x AS DOUBLE) / y END, 6)"),
+        # round-11 sign(): always Int64, even over floats
+        lambda: (pl.col("y").sign(),
+                 "CASE WHEN isnan(y) THEN NULL"
+                 " WHEN y > 0 THEN 1 WHEN y < 0 THEN -1"
+                 " WHEN y = 0 THEN 0 END"),
     ]
     out = []
     for i, mk in enumerate(rng.sample(pool, 4)):
@@ -961,13 +991,26 @@ def _run_seed_inner(pl, spark, duck, seed: int) -> list[str]:
         "mix": (pl.element() * 2 + pl.element().shift(1, fill_value=fill28),
                 f"lx[i] * 2 + (CASE WHEN i - 1 >= 1 THEN lx[i-1] "
                 f"ELSE {fs} END)"),
+        # round-11 pct semantics: forward-fill BEFORE differencing and
+        # polars /0 → ±inf / 0/0 → NaN (prev = last non-null before i)
         "pct": (pl.element().pct_change(1),
-                "CASE WHEN lx[i-1] = 0 THEN NULL "
-                "ELSE (lx[i] - lx[i-1]) / lx[i-1] END"),
+                ("CASE WHEN __p IS NULL THEN NULL"
+                 " WHEN __p = 0 AND COALESCE(lx[i], __p) = 0"
+                 " THEN 'nan'::DOUBLE"
+                 " WHEN __p = 0 AND COALESCE(lx[i], __p) > 0"
+                 " THEN 'infinity'::DOUBLE"
+                 " WHEN __p = 0 AND COALESCE(lx[i], __p) < 0"
+                 " THEN '-infinity'::DOUBLE"
+                 " ELSE (COALESCE(lx[i], __p) - __p) / __p END")
+                .replace("__p", "list_last(list_filter(list_slice(lx, 1, i - 1), y -> y IS NOT NULL))")),
         "rsub": (10 - pl.element().shift(-1),
                  "10 - (CASE WHEN i + 1 <= len(lx) THEN lx[i+1] END)"),
         "div": (pl.element() / pl.element().shift(1),
-                "CASE WHEN lx[i-1] = 0 THEN NULL ELSE lx[i] / lx[i-1] END"),
+                "CASE WHEN lx[i] IS NULL OR lx[i-1] IS NULL THEN NULL"
+                " WHEN lx[i-1] = 0 AND lx[i] = 0 THEN 'nan'::DOUBLE"
+                " WHEN lx[i-1] = 0 AND lx[i] > 0 THEN 'infinity'::DOUBLE"
+                " WHEN lx[i-1] = 0 AND lx[i] < 0 THEN '-infinity'::DOUBLE"
+                " ELSE lx[i] / lx[i-1] END"),
     }
     p28 = rng.choice(sorted(progs))
     e28, s28 = progs[p28]
