@@ -2757,9 +2757,10 @@ class Expr:
                 # plain (hook-free) inners; hooked inners keep the chained
                 # gfn above as their own unit
                 gfn._rolling_by_batch = {
-                    "sig": ("__lagframe__", n), "inner": inner,
+                    "sig": ("__rkrow__",), "inner": inner,
                     "by_e": col(_RIB), "span": 0, "closed": "both",
                     "kind": "minraw", "keys": (), "row_frame": (n, -n),
+                    "frame": ("row", n, -n),
                     "fin": (None if fv is None else
                             (lambda sdf, tmp, _fv=fv: F.coalesce(
                                 F.col(tmp), _fv._fn(None, None)))),
@@ -2833,9 +2834,10 @@ class Expr:
         # other diff/pct bindings) through ONE kernel shuffle
         from .session import ROW_IDX as _RIB
         gfn._rolling_by_batch = {
-            "sig": ("__lagframe__", n), "inner": inner,
+            "sig": ("__rkrow__",), "inner": inner,
             "by_e": col(_RIB), "span": 0, "closed": "both",
             "kind": "minraw", "keys": (), "row_frame": (n, -n),
+            "frame": ("row", n, -n),
             "fin": (lambda sdf, tmp, _inner=inner, _arith=arith:
                     _arith(_inner._fn(sdf, None), F.col(tmp))),
             "post": []}
@@ -3989,6 +3991,21 @@ class Expr:
 
             out._global_ordinal_fn = gfn
             out._needs_dense_index = True
+            # round-11: SAME-FRAME row-window rolling bindings of ANY
+            # width batch through ONE kernel shuffle (heterogeneous
+            # entry_frames) — before, k rolling stats with k different
+            # window sizes chained k attaches with a lineage checkpoint
+            # between each (q164: 4 stages → 1)
+            from .session import ROW_IDX as _RIB
+            _fr = ("row", before, after)
+            gfn._rolling_by_batch = {
+                "sig": ("__rkrow__",), "by_e": col(_RIB), "span": 0,
+                "closed": "both", "keys": (), "row_frame": (before, after),
+                "items": [(inner, kernel_kind, _fr),
+                          (inner, "count", _fr)],
+                "finish": (lambda cols, sdf, _mp=min_periods:
+                           F.when(cols[1] >= F.lit(_mp), cols[0])),
+                "post": []}
             if kernel_kind == "median" or (
                     isinstance(kernel_kind, tuple)
                     and kernel_kind[0] == "quantile"):
@@ -4185,8 +4202,12 @@ class Expr:
             # the signature needs a comparable by-identity, so only plain
             # string `by` columns batch; over() appends the key names
             if isinstance(by, str):
-                batch = {"sig": (by, span, closed), "inner": inner,
+                # round-11: the sig keys the BY column only — bindings
+                # with different spans/closed batch through one shuffle
+                # via per-entry frames
+                batch = {"sig": ("__rkby__", by), "inner": inner,
                          "by_e": by_e, "span": span, "closed": closed,
+                         "frame": ("span", span, closed),
                          "kind": kernel_kind, "keys": (), "post": []}
                 gfn._rolling_by_batch = batch
                 rfn._rolling_by_batch = batch

@@ -419,23 +419,45 @@ class LazyFrame:
                     from .operators.rolling_kernel import \
                         attach_rolling_by_multi
 
-                    tmps = [_next_gord_name() for _ in grp]
+                    # round-11: bindings under one sig may carry
+                    # HETEROGENEOUS window frames (entry_frames) and
+                    # multi-item plans ("items" — a row-window rolling
+                    # contributes its value AND its min_periods count);
+                    # everything still runs through ONE kernel shuffle
                     b0 = grp[0][1]
+                    entries, eframes, slots = [], [], []
+                    for k, b in grp:
+                        its = (b.get("items")
+                               or [(b["inner"], b["kind"],
+                                    b.get("frame"))])
+                        ts_ = [_next_gord_name() for _ in its]
+                        for (inn, kind, fr), tmp in zip(its, ts_):
+                            entries.append((inn, kind, tmp))
+                            eframes.append(fr)
+                        slots.append((k, b, ts_))
                     try:
                         sdf2 = attach_rolling_by_multi(
                             sdf, b0["by_e"], list(b0["keys"]), b0["span"],
-                            b0["closed"],
-                            [(b["inner"], b["kind"], tmp)
-                             for (_k, b), tmp in zip(grp, tmps)],
-                            row_frame=b0.get("row_frame"))
+                            b0["closed"], entries,
+                            row_frame=b0.get("row_frame"),
+                            entry_frames=eframes)
                     except ValueError:
                         continue    # solo hooks below handle fallback
                     sdf = sdf2
-                    for (k, b), tmp in zip(grp, tmps):
-                        cur = tmp
-                        helpers.append(cur)
+                    for k, b, ts_ in slots:
+                        helpers.extend(ts_)
+                        cur = ts_[0]
+                        finish = b.get("finish")
                         fin = b.get("fin")
-                        if fin is not None:
+                        if finish is not None:
+                            # multi-item finisher (value + count →
+                            # min_periods gate)
+                            nxt = _next_gord_name()
+                            sdf = sdf.withColumn(nxt, finish(
+                                [F.col(t) for t in ts_], sdf))
+                            cur = nxt
+                            helpers.append(cur)
+                        elif fin is not None:
                             # per-binding finisher needing the frame
                             # (shift's fill_value coalesce, diff/
                             # pct_change's lag arithmetic — round-10)

@@ -305,14 +305,26 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
         anchors = np.flatnonzero(own)
         if len(anchors) == 0:
             return schema.empty_table()
-        lo = tbl.column("__rk_lo__").to_numpy(
-            zero_copy_only=False)[anchors]
-        hi = tbl.column("__rk_hi__").to_numpy(
-            zero_copy_only=False)[anchors]
-        starts = np.searchsorted(t, lo, side="right")
-        ends = np.searchsorted(t, hi, side="right")
-        L = ends - starts
-        max_len = int(L.max()) if len(L) else 1
+
+        # per-FRAME window spans (round-11): heterogeneous batches carry
+        # one (lo, hi) column pair per distinct frame — ``__rk_lo{f}__``;
+        # homogeneous callers (group_by) keep the unsuffixed pair.  The
+        # searchsorted pass runs once per frame, shared by its entries.
+        se_cache = {}
+
+        def _win(fidx):
+            if fidx not in se_cache:
+                suf = "" if fidx is None else str(fidx)
+                lo = tbl.column(f"__rk_lo{suf}__").to_numpy(
+                    zero_copy_only=False)[anchors]
+                hi = tbl.column(f"__rk_hi{suf}__").to_numpy(
+                    zero_copy_only=False)[anchors]
+                starts = np.searchsorted(t, lo, side="right")
+                ends = np.searchsorted(t, hi, side="right")
+                L = ends - starts
+                se_cache[fidx] = (starts, ends, L,
+                                  int(L.max()) if len(L) else 1)
+            return se_cache[fidx]
 
         cols = {}
         for kn in key_names:
@@ -320,8 +332,9 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
         cols["__rk_t__"] = pa.array(t[anchors], type=pa.int64())
 
         cache = {}
-        for (kind, vc, is_float), name in zip(plan, out_names[
+        for (kind, vc, is_float, *rest), name in zip(plan, out_names[
                 len(key_names) + 1:]):
+            starts, ends, L, max_len = _win(rest[0] if rest else None)
             if kind == "len":
                 cols[name] = pa.array(L, type=pa.int64())
                 continue
@@ -629,7 +642,7 @@ def make_sliding_kernel(plan, key_names, out_names, out_types):
             want_min = kind in ("min", "minraw")
             skip_nan = kind != "minraw"
             invalid = (nullm | nanm) if skip_nan else nullm
-            tkey = (vc, kind)
+            tkey = (vc, kind, rest[0] if rest else None)
             if tkey not in cache:
                 cache[tkey] = _argbest_table(vnp, invalid, max_len,
                                              want_min)
@@ -681,7 +694,8 @@ def attach_rolling_by(sdf, inner, by_e, key_exprs, span_us: int,
 
 
 def attach_rolling_by_multi(sdf, by_e, key_exprs, span_us: int,
-                            closed: str, entries, row_frame=None):
+                            closed: str, entries, row_frame=None,
+                            entry_frames=None):
     """Frame-attachment for expr-level time-based rolling (rolling_min/
     max/median/quantile/std/var_by — expr.rb:3964-4848): compute the
     per-row look-back aggregates through ONE sliding-kernel pass and hand
@@ -710,6 +724,17 @@ def attach_rolling_by_multi(sdf, by_e, key_exprs, span_us: int,
     edge additionally duplicate into the previous chunk when ``after > 0``
     (center windows look forward) — this is how ungrouped rolling_min/
     median/… escape Spark's keyless single-partition window.
+
+    ``entry_frames`` (round-11) lets entries carry HETEROGENEOUS windows
+    through the same single shuffle: a list parallel to ``entries`` of
+    ``("row", before, after)`` / ``("span", span_us, closed)`` tuples (or
+    None → the shared frame above).  All frames must agree with the shared
+    frame's index units (row vs time).  Chunking and boundary duplication
+    size to the WIDEST frame; the kernel binary-searches each distinct
+    frame's bounds once per chunk.  This is what lets k rolling stats of
+    DIFFERENT window widths (q164: median 501 / min 501 / sum 200 /
+    centered std 301) cost ONE shuffle instead of k chained attaches with
+    a lineage checkpoint between each.
     """
     import pyarrow as pa
     from pyspark.sql import functions as F
@@ -736,6 +761,28 @@ def attach_rolling_by_multi(sdf, by_e, key_exprs, span_us: int,
         ts_us = by_e._fn(sdf, None).cast("long")
     else:
         ts_us = F.unix_micros(by_e._fn(sdf, None).cast("timestamp"))
+    # normalize per-entry frames (round-11): default everyone to the
+    # shared frame; dedupe identical frames so each distinct frame adds
+    # exactly one (lo, hi) column pair and one searchsorted pass
+    g_frame = (("row", int(row_frame[0]), int(row_frame[1]))
+               if row_frame is not None
+               else ("span", int(span_us), closed))
+    if entry_frames is None:
+        frames_norm = [g_frame] * len(entries)
+    else:
+        frames_norm = [f if f is not None else g_frame
+                       for f in entry_frames]
+        if any(f[0] != g_frame[0] for f in frames_norm):
+            raise ValueError(
+                "rolling_by kernel: mixed row/span frames in one batch")
+    uniq_frames: list = []
+    fidx_of = {}
+    entry_fidx = []
+    for f in frames_norm:
+        if f not in fidx_of:
+            fidx_of[f] = len(uniq_frames)
+            uniq_frames.append(f)
+        entry_fidx.append(fidx_of[f])
     kplan, val_aliases, helper_fields, helper_pas = [], {}, [], []
     for j, (inner, kind, helper) in enumerate(entries):
         val_c = inner._fn(sdf, None)
@@ -762,26 +809,34 @@ def attach_rolling_by_multi(sdf, by_e, key_exprs, span_us: int,
             helper_t, helper_pa = T.DoubleType(), pa.float64()
         vc = f"__rbv{j}__"
         val_aliases[vc] = val_c
-        kplan.append((kind, vc, is_float))
+        kplan.append((kind, vc, is_float, entry_fidx[j]))
         helper_fields.append(T.StructField(helper, helper_t))
         helper_pas.append(helper_pa)
 
-    if row_frame is not None:
-        before, after = row_frame
-        # negative before/after = a frame strictly ahead/behind the anchor
-        # (shift/lead express as a single-row frame [i-n, i-n]) — the
-        # duplication distances clamp at 0, the bounds stay exact
-        back_ub = max(int(before), 1)
-        fwd_ub = max(int(after), 0)
-        # window = positions [i-before, i+after] = (lo, hi] with
-        # lo = i-before-1 (searchsorted-right exclusive lower bound)
-        lo = ts_us - F.lit(int(before) + 1)
-        hi = ts_us + F.lit(int(after))
-    else:
-        back_ub, fwd_ub = max(int(span_us), 1), 0
-        lo_base = ts_us - F.lit(back_ub)
-        hi = ts_us if closed in ("right", "both") else ts_us - F.lit(1)
-        lo = lo_base if closed in ("right", "none") else lo_base - F.lit(1)
+    frame_bounds = []      # (lo_col, hi_col) per distinct frame
+    back_ub, fwd_ub = 1, 0     # chunking/duplication size to the WIDEST
+    for f in uniq_frames:
+        if f[0] == "row":
+            before, after = f[1], f[2]
+            # negative before/after = a frame strictly ahead/behind the
+            # anchor (shift/lead express as a single-row frame
+            # [i-n, i-n]) — the duplication distances clamp at 0, the
+            # bounds stay exact
+            back_ub = max(back_ub, int(before), 1)
+            fwd_ub = max(fwd_ub, int(after), 0)
+            # window = positions [i-before, i+after] = (lo, hi] with
+            # lo = i-before-1 (searchsorted-right exclusive lower bound)
+            lo = ts_us - F.lit(int(before) + 1)
+            hi = ts_us + F.lit(int(after))
+        else:
+            span_j, closed_j = f[1], f[2]
+            back_ub = max(back_ub, int(span_j), 1)
+            lo_base = ts_us - F.lit(max(int(span_j), 1))
+            hi = (ts_us if closed_j in ("right", "both")
+                  else ts_us - F.lit(1))
+            lo = (lo_base if closed_j in ("right", "none")
+                  else lo_base - F.lit(1))
+        frame_bounds.append((lo, hi))
     chunk_w = (back_ub + fwd_ub) * 8
     if row_frame is not None:
         # index units = ROWS here: a small frame (shift's single-row
@@ -801,8 +856,11 @@ def attach_rolling_by_multi(sdf, by_e, key_exprs, span_us: int,
             raise ValueError(f"rolling_by kernel: {exc}")
     work = sdf.select(
         "*", *[k.alias(n) for k, n in zip(key_cols, kn)],
-        ts_us.alias("__rk_t__"), lo.alias("__rk_lo__"),
-        hi.alias("__rk_hi__"), c0.alias("__rk_c0__"),
+        ts_us.alias("__rk_t__"),
+        *[c for f, (lo_c, hi_c) in enumerate(frame_bounds)
+          for c in (lo_c.alias(f"__rk_lo{f}__"),
+                    hi_c.alias(f"__rk_hi{f}__"))],
+        c0.alias("__rk_c0__"),
         *[c.alias(n) for n, c in val_aliases.items()])
     near_hi = (F.col("__rk_t__") >=
                (F.col("__rk_c0__") + F.lit(1)) * F.lit(chunk_w)

@@ -1165,10 +1165,69 @@ def test_composed_fill_bindings_flatten_to_one_attach(spark):
     assert [r["nh"] for r in rows] == [1.0, 1.0, 1.0, 4.0, 4.0, 6.0]
 
 
+def test_rowcount_rolling_mixed_widths_batch_one_kernel(spark):
+    """Round-11: ungrouped row-window rolling bindings with DIFFERENT
+    window sizes (the q164 shape) run through ONE kernel shuffle with
+    per-entry frames and ZERO inter-attach checkpoints; values match the
+    per-width brute force."""
+    from unittest import mock
+
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    from polars_ruby_spark.operators import rolling_kernel as rk
+
+    calls, ckpts = [], []
+    orig = rk.attach_rolling_by_multi
+    orig_ck = _CDF.localCheckpoint
+
+    def spy(sdf, by_e, keys, span, closed, items, row_frame=None,
+            entry_frames=None):
+        calls.append((len(items), entry_frames))
+        return orig(sdf, by_e, keys, span, closed, items,
+                    row_frame=row_frame, entry_frames=entry_frames)
+
+    def spy_ck(self, eager=True):
+        ckpts.append(eager)
+        return orig_ck(self, eager)
+
+    vals = [float(x) for x in [5, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]]
+    vals[3] = None
+    df = pl.DataFrame({"v": vals})
+    with mock.patch.object(rk, "attach_rolling_by_multi", spy), \
+            mock.patch.object(_CDF, "localCheckpoint", spy_ck):
+        out = df.with_columns(
+            pl.col("v").rolling_median(5).alias("md"),
+            pl.col("v").rolling_min(5).alias("mn"),
+            pl.col("v").rolling_sum(3, min_periods=2).alias("sm"),
+            pl.col("v").rolling_max(4, center=True).alias("mx"))
+        rows = out.to_a()
+    # one kernel shuffle for all four widths, value+count per binding;
+    # the only checkpoint is with_row_index's layout pin on the
+    # LocalRelation input — ZERO inter-attach chain checkpoints
+    assert len(calls) == 1 and calls[0][0] == 8, calls
+    assert len(ckpts) <= 1, ckpts
+
+    def brute(w, agg, mp, center):
+        before = (w - 1) // 2 if center else w - 1
+        after = (w - 1 - before) if center else 0
+        res = []
+        for i in range(len(vals)):
+            win = [v for v in vals[max(0, i - before):i + after + 1]
+                   if v is not None]
+            res.append(agg(win) if len(win) >= mp else None)
+        return res
+
+    import statistics
+    assert [r["md"] for r in rows] == brute(5, statistics.median, 5, False)
+    assert [r["mn"] for r in rows] == brute(5, min, 5, False)
+    assert [r["sm"] for r in rows] == brute(3, sum, 2, False)
+    assert [r["mx"] for r in rows] == brute(4, max, 4, True)
+
+
 def test_lag_frame_attaches_batch_one_kernel(spark):
-    """Round-10: same-frame shift/diff/pct_change bindings with the same n
-    share ONE sliding-kernel attach (lag-frame _rolling_by_batch signature);
-    a different n attaches separately."""
+    """Round-11: ALL ungrouped lag-frame bindings — shift/diff/pct_change
+    with ANY n — share ONE sliding-kernel attach via heterogeneous
+    entry_frames (round-10 batched only same-n groups)."""
     from unittest import mock
 
     from polars_ruby_spark.operators import rolling_kernel as rk
@@ -1176,10 +1235,11 @@ def test_lag_frame_attaches_batch_one_kernel(spark):
     calls = []
     orig = rk.attach_rolling_by_multi
 
-    def spy(sdf, by_e, keys, span, closed, items, row_frame=None):
-        calls.append((len(items), row_frame))
+    def spy(sdf, by_e, keys, span, closed, items, row_frame=None,
+            entry_frames=None):
+        calls.append((len(items), row_frame, entry_frames))
         return orig(sdf, by_e, keys, span, closed, items,
-                    row_frame=row_frame)
+                    row_frame=row_frame, entry_frames=entry_frames)
 
     df = pl.DataFrame({"v": [1.0, 3.0, 7.0, 2.0]})
     with mock.patch.object(rk, "attach_rolling_by_multi", spy):
@@ -1190,10 +1250,12 @@ def test_lag_frame_attaches_batch_one_kernel(spark):
             pl.col("v").pct_change().round(6).alias("p"),
             pl.col("v").shift(2).alias("s2"))
         rows = out.to_a()
-    # round-11: pct_change forward-fills before differencing (polars
-    # semantics) and rides the FILL batch via the "pnn" kind (previous
-    # non-null) — no lag-kernel call at all; shift/diff still share one
-    assert sorted(calls) == [(1, (2, -2)), (3, (1, -1))], calls
+    # pct_change rides the FILL batch (pnn kind) — no lag-kernel item;
+    # the remaining four bindings (three n=1, one n=2) share ONE attach
+    assert len(calls) == 1, calls
+    assert calls[0][0] == 4
+    assert calls[0][2] == [("row", 1, -1), ("row", 1, -1),
+                           ("row", 1, -1), ("row", 2, -2)]
     assert [r["s1"] for r in rows] == [None, 1.0, 3.0, 7.0]
     assert [r["sf"] for r in rows] == [-9.0, 1.0, 3.0, 7.0]
     assert [r["d"] for r in rows] == [None, 2.0, 4.0, -5.0]
