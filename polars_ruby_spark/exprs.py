@@ -2696,6 +2696,51 @@ class Expr:
             # Non-numeric dtypes fall back to the window route; grouped
             # over(keys) keeps the partitioned streaming lag.
             inner = self
+            if n in (1, -1) and inner._global_ordinal_fn is None:
+                # round-11: shift(±1) rides the FILL batch ("lag"/"lead"
+                # kinds — chunk-edge struct carry, exact at distance 1,
+                # any dtype): one shared attach with the frame's other
+                # fill-family bindings, no kernel stage, no Python
+                # boundary
+                def fin1(cols, sdf, _fv=fv):
+                    if _fv is not None:
+                        # coalesce fills interior nulls too — window-route
+                        # parity (test_shift_ungrouped_kernel_attach)
+                        return F.coalesce(cols[0], _fv._fn(None, None))
+                    return cols[0]
+
+                e._global_ordinal_fn = _fill_batch_gfn({
+                    "items": [((lambda b, _in=inner: _in._fn(b, None)),
+                               "lag" if n == 1 else "lead")],
+                    "finish": fin1, "post": []})
+                e._needs_dense_index = True
+                if self._np_prog is not None and (
+                        fill_value is None
+                        or (isinstance(fill_value, (int, float))
+                            and not isinstance(fill_value, bool))):
+                    e._np_prog = ("shift", int(n), fill_value,
+                                  self._np_prog)
+
+                def arr_fn1(arr):
+                    vacated = (F.lit(None) if fv is None
+                               else fv._fn(None, None))
+
+                    def shifted(a):
+                        sz = F.size(a)
+
+                        def elem(x, i):
+                            src_pos = i - F.lit(n)
+                            return F.when(
+                                (src_pos >= 0) & (src_pos < sz),
+                                F.element_at(a, src_pos + 1)
+                            ).otherwise(vacated)
+
+                        return F.transform(a, elem)
+
+                    return _hof_let(arr, shifted)
+
+                self._compose_arr_route(e, arr_fn1)
+                return e
 
             def gfn(sdf):
                 from .operators.rolling_kernel import \
@@ -2811,6 +2856,20 @@ class Expr:
                 or self._agg_pre_fn is not None):
             return
         inner = self
+        if n in (1, -1):
+            # round-11: distance-1 lag arithmetic joins the FILL batch
+            # ("lag"/"lead" kinds — chunk-edge struct carry, exact at
+            # distance 1) so diff(±1) over a frame with fills is ONE
+            # shared attach instead of a chained kernel stage
+            def fin1(cols, sdf, _in=inner, _arith=arith):
+                return _arith(_in._fn(sdf, None), cols[0])
+
+            e._global_ordinal_fn = _fill_batch_gfn({
+                "items": [((lambda b, _in=inner: _in._fn(b, None)),
+                           "lag" if n == 1 else "lead")],
+                "finish": fin1, "post": []})
+            e._needs_dense_index = True
+            return
 
         def gfn(sdf):
             from .operators.rolling_kernel import attach_rolling_by_multi

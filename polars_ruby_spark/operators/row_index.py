@@ -648,6 +648,38 @@ def attach_global_fill_multi(sdf: DataFrame, items: list) -> DataFrame:
 
             finishers.append((fin, out_name))
             continue
+        if kind in ("lag", "lead"):
+            # RAW adjacent row at distance exactly 1 (round-11): diff(1)/
+            # pct_change arithmetic and shift(±1) ride the fill batch
+            # instead of a chained sliding-kernel stage — the chunk-edge
+            # struct carry is exact at distance 1, and struct ordering
+            # compares the UNIQUE leading idx first so any value dtype
+            # rides along without being compared.  The [-1,-1]/[1,1]
+            # row frame stays inside the shared chunk exchange.
+            fwd = kind == "lag"
+            pair = F.struct(F.col(ROW_IDX).alias("i"), c.alias("v"))
+            w1 = (Window.partitionBy(_CHK).orderBy(F.col(ROW_IDX).asc())
+                  .rowsBetween(-1, -1) if fwd else
+                  Window.partitionBy(_CHK).orderBy(F.col(ROW_IDX).asc())
+                  .rowsBetween(1, 1))
+            locals_[f"__gm_l{i}__"] = F.last(pair).over(w1)
+            tot_aggs.append((F.max(pair) if fwd else F.min(pair))
+                            .alias(f"__gm_t{i}__"))
+            off_cols.append(
+                (F.last(F.col(f"__gm_t{i}__"), ignorenulls=True)
+                 .over(fwd_carry) if fwd else
+                 F.first(F.col(f"__gm_t{i}__"), ignorenulls=True)
+                 .over(bwd_carry)).alias(f"__gm_o{i}__"))
+
+            def fin(i=i, fwd=fwd):
+                src = F.coalesce(F.col(f"__gm_l{i}__"),
+                                 F.col(f"__gm_o{i}__"))
+                want = F.col(ROW_IDX) + F.lit(-1 if fwd else 1)
+                return F.when(src.getField("i") == want,
+                              src.getField("v"))
+
+            finishers.append((fin, out_name))
+            continue
         if kind in ("ff", "bf") or kind.partition(":")[0] in ("ff", "bf"):
             base_kind, _, lim_s = kind.partition(":")
             limit = int(lim_s) if lim_s else None

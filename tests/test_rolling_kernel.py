@@ -1031,8 +1031,9 @@ def test_when_then_hooked_branches_keep_attach(spark):
             pl.when(pl.col("w").diff() > 0)
             .then(pl.col("w")).otherwise(-1.0).alias("b"))
         rows = out.to_a()
-    # the two fill-family branches of `a` merged into one 2-item attach
-    assert 2 in calls, calls
+    # round-11: the two fill-family branches of `a` AND `b`'s diff(1)
+    # ("lag" kind) all merge into ONE 3-item attach
+    assert calls == [3], calls
     assert [r["a"] for r in rows] == [1.0, 1.0, 3.0, 4.0, 7.0, 10.0]
     assert [r["b"] for r in rows] == [-1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
     plan = out.lazy()._sdf._jdf.queryExecution().executedPlan().toString()
@@ -1250,12 +1251,10 @@ def test_lag_frame_attaches_batch_one_kernel(spark):
             pl.col("v").pct_change().round(6).alias("p"),
             pl.col("v").shift(2).alias("s2"))
         rows = out.to_a()
-    # pct_change rides the FILL batch (pnn kind) — no lag-kernel item;
-    # the remaining four bindings (three n=1, one n=2) share ONE attach
-    assert len(calls) == 1, calls
-    assert calls[0][0] == 4
-    assert calls[0][2] == [("row", 1, -1), ("row", 1, -1),
-                           ("row", 1, -1), ("row", 2, -2)]
+    # round-11: pct_change (pnn kind) AND every n=±1 shift/diff ("lag"/
+    # "lead" kinds) ride the FILL batch — only the n=2 shift needs the
+    # lag-frame kernel, as its own single attach
+    assert calls == [(1, (2, -2), None)], calls
     assert [r["s1"] for r in rows] == [None, 1.0, 3.0, 7.0]
     assert [r["sf"] for r in rows] == [-9.0, 1.0, 3.0, 7.0]
     assert [r["d"] for r in rows] == [None, 2.0, 4.0, -5.0]
