@@ -2236,28 +2236,41 @@ class RollingGroupBy(_TemporalGroupByMixin):
         anchors = sdf.select(F.col(ROW_IDX), *kn, F.col(self._index),
                              hi.alias("__hi__"), lo.alias("__lo__"))
 
-        def lookup(bound_name, suffix):
-            probes = anchors.select(
-                *kn, F.col(bound_name).alias("__rts__"),
-                F.col(ROW_IDX).alias("__pid__"))
-            merged = ptab.withColumn("__tag__", F.lit(0)).unionByName(
-                probes.withColumn("__tag__", F.lit(1)),
-                allowMissingColumns=True)
-            wm = (Window.partitionBy(*kn)
-                  .orderBy(F.col("__rts__").asc(), F.col("__tag__").asc())
-                  .rowsBetween(Window.unboundedPreceding, 0))
-            carried = merged.withColumns(
-                {c: F.last(F.col(c), ignorenulls=True).over(wm)
-                 for c in cum_cols})
-            return carried.filter(F.col("__pid__").isNotNull()).select(
-                F.col("__pid__").alias(f"__pid{suffix}__"),
-                *[F.col(c).alias(f"{c}{suffix}") for c in cum_cols])
-
-        hi_tab = lookup("__hi__", "h")
-        lo_tab = lookup("__lo__", "l")
-        joined = (anchors
-                  .join(hi_tab, anchors[ROW_IDX] == hi_tab["__pidh__"], "left")
-                  .join(lo_tab, anchors[ROW_IDX] == lo_tab["__pidl__"], "left"))
+        # ONE merged as-of pass for BOTH bounds (round-11; was two —
+        # each union+window+join re-computed ptab): every anchor emits an
+        # upper- and a lower-bound probe into the SAME ordered stream,
+        # the carry window runs once, and a per-anchor hash aggregate
+        # pivots the two probe rows back into (hi, lo) cum columns —
+        # no join back onto the anchors (the probes carry the anchor's
+        # key, index value and ROW_IDX), no second ptab compute.
+        hi_probes = anchors.select(
+            *kn, F.col("__hi__").alias("__rts__"),
+            F.col(ROW_IDX).alias("__pid__"), F.lit(True).alias("__ish__"),
+            F.col(self._index).alias("__aidx__"))
+        lo_probes = anchors.select(
+            *kn, F.col("__lo__").alias("__rts__"),
+            F.col(ROW_IDX).alias("__pid__"), F.lit(False).alias("__ish__"),
+            F.col(self._index).alias("__aidx__"))
+        merged = ptab.withColumn("__tag__", F.lit(0)).unionByName(
+            hi_probes.withColumn("__tag__", F.lit(1)),
+            allowMissingColumns=True).unionByName(
+            lo_probes.withColumn("__tag__", F.lit(1)),
+            allowMissingColumns=True)
+        wm = (Window.partitionBy(*kn)
+              .orderBy(F.col("__rts__").asc(), F.col("__tag__").asc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+        carried = merged.withColumns(
+            {c: F.last(F.col(c), ignorenulls=True).over(wm)
+             for c in cum_cols})
+        probes = carried.filter(F.col("__pid__").isNotNull())
+        pivot_aggs = [F.max(F.col("__aidx__")).alias("__aidx__")]
+        for c in cum_cols:
+            pivot_aggs.append(F.max(F.when(F.col("__ish__"), F.col(c)))
+                              .alias(f"{c}h"))
+            pivot_aggs.append(F.max(F.when(~F.col("__ish__"), F.col(c)))
+                              .alias(f"{c}l"))
+        per_pid = probes.groupBy(F.col("__pid__"), *[F.col(k) for k in kn]) \
+            .agg(*pivot_aggs)
         out_cols = []
         for i, ((kind, _child), e) in enumerate(zip(plan, all_exprs)):
             def diff(prefix):
@@ -2271,9 +2284,15 @@ class RollingGroupBy(_TemporalGroupByMixin):
                 n = diff("n")
                 c = F.when(n > 0, diff("s") / n)
             out_cols.append(c.alias(e._name) if e._name else c)
-        out = joined.orderBy(ROW_IDX).select(
-            *kn, F.col(self._index), *out_cols)
-        return self._wrap_out(LazyFrame(out))
+        # anchor order restores through the deferred order-dirty contract
+        # (the hidden ROW_IDX rides along) — the former eager
+        # orderBy(ROW_IDX) paid a full range sort inside the operator
+        out = per_pid.select(
+            F.col("__pid__").alias(ROW_IDX), *kn,
+            F.col("__aidx__").alias(self._index), *out_cols)
+        res = LazyFrame(out)
+        res._order_dirty = True
+        return self._wrap_out(res)
 
     def _agg_calendar(self, dur, exprs, named):
         """Calendar-unit rolling windows (round-3; ``lazy_frame.rb:1161``
