@@ -38,6 +38,16 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for the pandas boundary (map_rows / map_elements / exports).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 captures the Python call site for every DataFrame/Column
+        # API call to enrich error messages (SPARK-44098 dataFrameDebugging).
+        # Each wrapped call pays ~3 py4j round-trips (getActiveSession +
+        # conf.get + PySparkCurrentOrigin.set) plus a Python traceback walk
+        # — measured 30-40% of plan-construction time on expression-heavy
+        # operators (q107 2.55→1.84 s construct, q167 1.53→0.90 s).  The
+        # engine's compiler issues tens of thousands of Column calls per
+        # query, and its own errors carry operator context already, so the
+        # call-site enrichment is pure driver overhead here.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Bigger Arrow batches amortize the Python-worker round-trip for the
         # vectorized stages (ANN matmuls): measured 2× on brute-force cosine
         # top-k vs the 10k default; 64k rows × ~64-dim float is still ≪
