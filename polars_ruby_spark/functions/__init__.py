@@ -444,12 +444,11 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
                 Window.partitionBy(*kcols))
             out_sdf = base.withColumn(tmp, c).drop(
                 "__sp_ra__", "__sp_rb__", *kn)
-            from ..session import ROW_IDX
-
-            if ROW_IDX in out_sdf.columns:
-                # rank's value-ordered windows scramble physical row order —
-                # restore it (range sort, multi-task)
-                out_sdf = out_sdf.orderBy(ROW_IDX)
+            # rank's value-ordered windows scramble physical row order, but
+            # ROW_IDX VALUES stay correct — the bind marks hook results
+            # order-dirty and the deferred restore sorts at exports (round-11;
+            # the former eager orderBy(ROW_IDX) paid a mid-plan range
+            # Exchange + full Sort between this hook and any sibling bind)
             return out_sdf, tmp
 
         out._grouped_remap_fn = remap

