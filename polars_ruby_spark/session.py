@@ -24,9 +24,92 @@ from pyspark.sql import SparkSession
 #: (see operators/row_index.py).
 ROW_IDX = "__row_idx__"
 
+#: ``{"functions": (jvm_view, JavaClass, {name: JavaMember})}`` — see
+#: :func:`_install_jvm_function_cache`.
+_JVM_FN_CACHE: dict = {}
+
+
+def _install_jvm_function_cache() -> None:
+    """Memoize PySpark's per-call JVM reflection for ``F.*`` builtins.
+
+    Every ``pyspark.sql.functions`` call resolves the static JVM function
+    through ``_get_jvm_function``, which issues TWO py4j reflection
+    round-trips (``JVMView.__getattr__`` for the ``functions`` class, then
+    ``JavaClass.__getattr__`` for the member) before the actual call —
+     3 round-trips per ``F.*`` invocation at ~0.1-1 ms each.  The resolved
+    ``JavaMember`` for a static method is immutable per gateway (py4j itself
+    caches instance members per ``JavaObject`` the same way), so both lookups
+    are memoizable; the cache keys on the live ``sc._jvm`` identity so a
+    SparkContext restart rebuilds it.  Measured: ~30% of the py4j traffic in
+    an attach-family plan construct (q167: 237 ``F.*`` calls per build).
+    """
+    from pyspark.sql.functions import builtin as _builtin
+
+    if getattr(_builtin._get_jvm_function, "_plsq_cached", False):
+        return
+
+    def _get_jvm_function(name, sc):
+        jvm = sc._jvm
+        entry = _JVM_FN_CACHE.get("functions")
+        if entry is None or entry[0] is not jvm:
+            fcls = getattr(jvm, "org.apache.spark.sql.functions")
+            entry = (jvm, fcls, {})
+            _JVM_FN_CACHE["functions"] = entry
+        member = entry[2].get(name)
+        if member is None:
+            member = getattr(entry[1], name)
+            entry[2][name] = member
+        return member
+
+    _get_jvm_function._plsq_cached = True
+    _builtin._get_jvm_function = _get_jvm_function
+
+    # Same story for the column-list → JVM Seq bridge: every ``_to_seq`` /
+    # ``_to_list`` call re-resolves ``sc._jvm.PythonUtils.toSeq`` — a
+    # JVMView reflection plus a JavaClass member reflection (2 round-trips)
+    # before the conversion itself.  One attach-family construct makes ~70
+    # such calls (every select/withColumns/join goes through it).  The
+    # static JavaMember is immutable per gateway; memoize it the same way.
+    from pyspark.sql.classic import column as _ccol
+
+    def _utils_member(sc, name):
+        jvm = sc._jvm
+        entry = _JVM_FN_CACHE.get("pythonutils")
+        if entry is None or entry[0] is not jvm:
+            entry = (jvm, jvm.PythonUtils, {})
+            _JVM_FN_CACHE["pythonutils"] = entry
+        member = entry[2].get(name)
+        if member is None:
+            member = getattr(entry[1], name)
+            entry[2][name] = member
+        return member
+
+    def _to_seq(sc, cols, converter=None):
+        if converter:
+            cols = [converter(c) for c in cols]
+        else:
+            cols = list(cols)
+        return _utils_member(sc, "toSeq")(cols)
+
+    def _to_list(sc, cols, converter=None):
+        if converter:
+            cols = [converter(c) for c in cols]
+        else:
+            cols = list(cols)
+        return _utils_member(sc, "toList")(cols)
+
+    _ccol._to_seq = _to_seq
+    _ccol._to_list = _to_list
+    # modules that imported the helpers by value before we patched
+    from pyspark.sql.classic import dataframe as _cdf
+
+    _cdf._to_seq = _to_seq
+    _cdf._to_list = _to_list
+
 
 def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
     """Apply engine defaults to an existing builder (idempotent)."""
+    _install_jvm_function_cache()
     return (
         builder.config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -63,6 +146,7 @@ def get_spark(app_name: str = "polars-ruby-spark", master: str | None = None,
     Local testing uses ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
     caller's session (spark-submit) wins and we only layer runtime-safe confs.
     """
+    _install_jvm_function_cache()
     active = SparkSession.getActiveSession()
     if active is not None:
         return active

@@ -674,3 +674,33 @@ def test_session_disables_dataframe_debugging(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         spark.sql("select definitely_not_a_column from range(1)").collect()
+
+
+def test_session_memoizes_jvm_reflection(spark):
+    """The bootstrap memoizes PySpark's per-call JVM reflection: every
+    ``F.*`` builtin otherwise re-resolves the static ``functions`` member
+    through two py4j reflection round-trips, and every ``_to_seq``/
+    ``_to_list`` re-resolves ``PythonUtils.toSeq``/``toList`` the same way
+    — together ~40% of the py4j traffic of an attach-family plan construct
+    (round-11).  The cached JavaMembers are immutable per gateway, keyed on
+    the live ``sc._jvm`` identity."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.classic import column as _ccol
+    from pyspark.sql.functions import builtin as _builtin
+
+    assert getattr(_builtin._get_jvm_function, "_plsq_cached", False)
+    sc = spark.sparkContext
+    # memoized: same JavaMember object on repeat resolution
+    m1 = _builtin._get_jvm_function("upper", sc)
+    m2 = _builtin._get_jvm_function("upper", sc)
+    assert m1 is m2
+    # and the resolved members still work end-to-end
+    df = spark.range(3).select(
+        F.upper(F.lit("ab")).alias("u"),
+        (F.col("id") + 1).alias("n"))
+    rows = df.collect()
+    assert [r["u"] for r in rows] == ["AB"] * 3
+    assert [r["n"] for r in rows] == [1, 2, 3]
+    # the seq bridge round-trips a multi-column select correctly
+    out = _ccol._to_seq(sc, [F.col("id")._jc, F.lit(5)._jc])
+    assert out.length() == 2
