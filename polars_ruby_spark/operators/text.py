@@ -106,7 +106,17 @@ def tf_idf_topk(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = (sdf.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
             .filter(F.col("term") != ""))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df must CONSUME the tf column: with count(1), column pruning drops
+    # the count from this branch's copy of the subtree, the two partial
+    # (doc,term) aggregates stop being canonically equal, and
+    # ReuseExchange never fires — the scan + explode + (doc,term)
+    # aggregate executed TWICE (round-11, verified in the physical plan).
+    # A bare count(tf) is rewritten back to count(1) by NullPropagation
+    # (tf is non-nullable), so the reference is kept through a NULLABLE
+    # wrapper; tf = count(*) ≥ 1 by construction, so every row still
+    # counts and df is unchanged.
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, F.col("tf"))).alias("df"))
     n_docs = sdf.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (tf.join(dfreq, "term")
               .crossJoin(F.broadcast(n_docs))
@@ -181,7 +191,13 @@ def bm25_search(sdf: DataFrame, query_terms: list[str], text_col: str = "text",
         F.explode(F.filter(t, lambda x: F.array_contains(qarr, x))).alias("term"))
     tf = base.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # consume tf through a nullable wrapper so this branch's copy of the
+    # subtree keeps the count aggregate and ReuseExchange can fire on the
+    # (id,term) exchange — see tf_idf_topk above (tf ≥ 1 by construction,
+    # so df is unchanged; a bare count(tf) is folded back to count(1) by
+    # NullPropagation and then pruned, breaking canonical equality).
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, F.col("tf"))).alias("df"))
     stats = sdf.select(F.count(F.lit(1)).alias("n_docs"),
                        F.avg(F.size(t)).alias("avgdl"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))

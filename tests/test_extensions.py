@@ -261,6 +261,27 @@ def test_tfidf_rare_term_wins(spark):
     assert top == {1: "rare", 2: "other", 3: "stuff"}
 
 
+def test_tfidf_df_branch_reuses_tf_exchange(spark):
+    # The df-per-term branch derives from the tf frame; its copy of the
+    # scan→explode→(doc,term) aggregate must stay canonically equal to the
+    # tf branch's so AQE stage reuse collapses them (round-11: a pruned
+    # count on the df side executed the whole exploded subtree twice).
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} tok{i % 7}") for i in range(64)],
+        ["doc_id", "text"])
+    out = text.tf_idf_topk(df, k=2)
+    out.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
 def test_repetition_signals_values(spark):
     df = spark.createDataFrame(
         [(1, "ab ab ab ab"),      # one distinct token, one distinct bigram
