@@ -271,9 +271,16 @@ def source_overlap(sdf: DataFrame, text_col: str = "text",
     """
     from ..operators.dedup import shingles
 
+    # the explicit isNotNull is a no-op (md5 of a non-null gram) but makes
+    # all three consumers' subtrees canonically EQUAL: the a⋈b join infers
+    # isnotnull(gh) on its branches and the sizes branch does not, which
+    # broke AQE stage reuse — the scan+explode+distinct executed once per
+    # consumer (round-11, verified in the final adaptive plan; with the
+    # filter shared, sizes reuses the distinct exchange).
     g = (sdf.select(F.col(group_col).alias("grp"),
                     F.explode(shingles(F.col(text_col), k)).alias("gram"))
          .select("grp", F.md5(F.col("gram")).alias("gh"))
+         .where(F.col("gh").isNotNull())
          .distinct())
     sizes = g.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     a = g.select(F.col("grp").alias("source_a"), "gh")

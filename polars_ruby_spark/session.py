@@ -131,6 +131,15 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # query, and its own errors carry operator context already, so the
         # call-site enrichment is pure driver overhead here.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # The JVM-side twin of the flag above (SPARK-47274): with
+        # dataFrameQueryContext on (default), every Dataset/Column operation
+        # captures an Origin with a walked stack trace for error enrichment.
+        # The engine builds thousands of intermediate Datasets per plan
+        # construct; measured min-of-5 construct on an idle box:
+        # q165 1.06→0.82 s, q167 0.79→0.63 s, q107 2.03→1.53 s (~20-25%
+        # on every query's construct).  Same justification as above: engine
+        # errors carry their own operator context.
+        .config("spark.sql.dataFrameQueryContext.enabled", "false")
         # Bigger Arrow batches amortize the Python-worker round-trip for the
         # vectorized stages (ANN matmuls): measured 2× on brute-force cosine
         # top-k vs the 10k default; 64k rows × ~64-dim float is still ≪

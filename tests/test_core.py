@@ -668,9 +668,14 @@ def test_session_disables_dataframe_debugging(spark):
 
     opts = configure(SparkSession.builder)._options
     assert opts.get("spark.python.sql.dataFrameDebugging.enabled") == "false"
+    # ... and the JVM-side twin (Origin capture with a walked stack trace
+    # per Dataset/Column op — ~20-25% of every plan construct, round-11)
+    assert opts.get("spark.sql.dataFrameQueryContext.enabled") == "false"
     # the live test session inherited it, and errors still surface normally
     assert spark.conf.get(
         "spark.python.sql.dataFrameDebugging.enabled") == "false"
+    assert spark.conf.get(
+        "spark.sql.dataFrameQueryContext.enabled") == "false"
     import pytest as _pytest
     with _pytest.raises(Exception):
         spark.sql("select definitely_not_a_column from range(1)").collect()
