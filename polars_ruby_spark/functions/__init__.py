@@ -413,10 +413,19 @@ def corr(a, b, method: str = "pearson", ddof: int = 1):
                     "with col(x).rank('average').over(keys) via "
                     "with_columns, then aggregate pearson corr of the "
                     "ranks")
-            ranked = df.select(ra._fn(df, None).alias("__ra__"),
-                               rb._fn(df, None).alias("__rb__"))
-            sub = ranked.agg(F.corr(F.col("__ra__"), F.col("__rb__"))
-                             .alias("__sc__"))
+            # UNGROUPED whole-column ranks via the distinct-prefix tables
+            # (round-11): the keyless rank window funneled BOTH columns
+            # through one SinglePartition sort per rank — the prefix-table
+            # join shape is multi-task end-to-end and produces the
+            # identical average ranks (q165/q168 parity).
+            from ..operators.row_index import global_avg_rank_join_multi
+
+            base = df.select(ea._fn(df, None).alias("__sa__"),
+                             eb._fn(df, None).alias("__sb__"))
+            r2 = global_avg_rank_join_multi(
+                base, [("__sa__", "__ra__"), ("__sb__", "__rb__")])
+            sub = r2.agg(F.corr(F.col("__ra__"), F.col("__rb__"))
+                         .alias("__sc__"))
             # one-row scalar, lifted into a literal at bind time (one
             # distributed rank+corr sub-job — same plan-time-action trade
             # as reshape's -1 inference)

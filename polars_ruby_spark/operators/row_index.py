@@ -450,6 +450,58 @@ def attach_global_rank(sdf: DataFrame, value_fn, method: str,
                                     [(method, descending, out_name)])
 
 
+def _global_rank_prefix_tab(counts: DataFrame) -> DataFrame:
+    """Distinct-value ``(__gr_v__, __gr_c__)`` counts → the rank prefix
+    table ``(__gr_v__, __gr_c__, __gr_d__ dense ordinal, __gr_b__
+    strict-lesser prefix)`` via the same two-pass partition-offset
+    pattern ``with_row_index`` uses (sort the much smaller distinct
+    table, per-partition prefix sums, broadcast offsets).  Shared by
+    :func:`attach_global_rank_multi` and the ungrouped-spearman rank
+    join (round-11)."""
+    sc = with_row_index(counts.orderBy(F.col("__gr_v__").asc()), "__gr_d__")
+    scp = sc.withColumn(_PID, F.spark_partition_id())
+    per = scp.groupBy(_PID).agg(F.sum("__gr_c__").alias("__gr_s__"))
+    off = per.select(
+        _PID, F.coalesce(
+            F.sum("__gr_s__").over(
+                Window.orderBy(_PID).rowsBetween(
+                    Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("__gr_off__"))
+    within = F.coalesce(
+        F.sum("__gr_c__").over(
+            Window.partitionBy(_PID).orderBy(F.col("__gr_d__"))
+            .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    return (scp.join(F.broadcast(off), _PID, "left")
+            .withColumn("__gr_b__", (F.col("__gr_off__") + within)
+                        .cast("long"))
+            .select("__gr_v__", "__gr_c__", "__gr_d__", "__gr_b__"))
+
+
+def global_avg_rank_join_multi(sdf: DataFrame, cols: list) -> DataFrame:
+    """Join per-value AVERAGE ranks for several columns onto ``sdf``
+    (round-11; the ungrouped-spearman sub-job shape).
+
+    ``cols``: ``[(in_col, out_col), …]``.  Every column's distinct-prefix
+    table hangs off ``sdf`` DIRECTLY — nesting :func:`attach_global_rank_
+    multi` calls would drag the first attach's join into the second's
+    counts branch (the counts aggregate cannot be pruned through a join),
+    re-executing it once per additional column.  Null values never match
+    the left join and rank null; NaN groups and joins as a single
+    greatest value, matching the attach's ordering exactly."""
+    out = sdf
+    for in_c, out_c in cols:
+        counts = (sdf.where(F.col(in_c).isNotNull())
+                  .groupBy(F.col(in_c).alias("__gr_v__"))
+                  .agg(F.count(F.lit(1)).alias("__gr_c__")))
+        tab = _global_rank_prefix_tab(counts)
+        avg = (F.col("__gr_b__").cast("double") * 2
+               + F.col("__gr_c__").cast("double") + 1) / 2
+        out = out.join(
+            tab.select(F.col("__gr_v__").alias(in_c), avg.alias(out_c)),
+            in_c, "left")
+    return out
+
+
 def attach_global_rank_multi(sdf: DataFrame, value_fn, items: list) -> DataFrame:
     """Batched UNGROUPED value ranks from ONE distinct-value prefix table
     (round-10; the ewm/cum/rolling_by batching lesson applied to rank).
@@ -486,23 +538,7 @@ def attach_global_rank_multi(sdf: DataFrame, value_fn, items: list) -> DataFrame
     counts = (base.where(F.col("__gr_v__").isNotNull())
               .groupBy("__gr_v__")
               .agg(F.count(F.lit(1)).alias("__gr_c__")))
-    sc = with_row_index(counts.orderBy(F.col("__gr_v__").asc()), "__gr_d__")
-    scp = sc.withColumn(_PID, F.spark_partition_id())
-    per = scp.groupBy(_PID).agg(F.sum("__gr_c__").alias("__gr_s__"))
-    off = per.select(
-        _PID, F.coalesce(
-            F.sum("__gr_s__").over(
-                Window.orderBy(_PID).rowsBetween(
-                    Window.unboundedPreceding, -1)),
-            F.lit(0)).alias("__gr_off__"))
-    within = F.coalesce(
-        F.sum("__gr_c__").over(
-            Window.partitionBy(_PID).orderBy(F.col("__gr_d__"))
-            .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
-    tab = (scp.join(F.broadcast(off), _PID, "left")
-           .withColumn("__gr_b__", (F.col("__gr_off__") + within)
-                       .cast("long"))
-           .select("__gr_v__", "__gr_c__", "__gr_d__", "__gr_b__"))
+    tab = _global_rank_prefix_tab(counts)
     if any(desc for _m, desc, _o in items):
         # complement terms: N = non-null rows, D = distinct values — a
         # one-row aggregate of the O(distinct) counts table, broadcast

@@ -383,6 +383,59 @@ def test_arg_sort_by_sole_select(spark):
     assert [r["i"] for r in out] == [2, 1, 0]  # sort by (b, a)
 
 
+def test_ungrouped_spearman_rank_join_no_funnel(spark):
+    """Round-11: the ungrouped-spearman sub-job ranks BOTH columns via
+    distinct-prefix tables (global_avg_rank_join_multi) — previously two
+    keyless rank windows funneled the whole frame through one task.
+    Values (ties, nulls) must match brute-force average ranks, and the
+    sub-job's plan must keep every window keyed on internal columns."""
+    import math
+    import re
+
+    from polars_ruby_spark import functions as plf
+    from polars_ruby_spark.operators.row_index import (
+        global_avg_rank_join_multi)
+
+    xs = [3.0, 1.0, 3.0, None, 2.0, 3.0, 1.0]
+    ys = [10.0, 30.0, 10.0, 5.0, None, 20.0, 30.0]
+    sdf = spark.createDataFrame(
+        [(x, y) for x, y in zip(xs, ys)], "x double, y double")
+    out = global_avg_rank_join_multi(sdf, [("x", "rx"), ("y", "ry")])
+    rows = out.orderBy("x", "y").collect()
+
+    def brute_avg(vals, v):
+        nn = sorted(w for w in vals if w is not None)
+        lo = sum(1 for w in nn if w < v)
+        hi = sum(1 for w in nn if w <= v)
+        return (lo + hi + 1) / 2
+
+    for r in rows:
+        for c, vals, rc in (("x", xs, "rx"), ("y", ys, "ry")):
+            if r[c] is None:
+                assert r[rc] is None
+            else:
+                assert r[rc] == brute_avg(vals, r[c]), (c, r)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", line)
+        if m and "__rix_pid__" not in m.group(1) \
+                and "__gr_" not in m.group(1):
+            raise AssertionError(f"keyless data window: {line.strip()}")
+    # end-to-end: spearman with ties/nulls equals pearson of brute ranks
+    df = pl.DataFrame({"x": xs, "y": ys})
+    s = df.select(plf.corr(pl.col("x"), pl.col("y"),
+                           method="spearman").alias("s")).to_a()[0]["s"]
+    pairs = [(brute_avg(xs, x), brute_avg(ys, y))
+             for x, y in zip(xs, ys) if x is not None and y is not None]
+    n = len(pairs)
+    mx = sum(p[0] for p in pairs) / n
+    my = sum(p[1] for p in pairs) / n
+    cov = sum((p[0] - mx) * (p[1] - my) for p in pairs)
+    sx = math.sqrt(sum((p[0] - mx) ** 2 for p in pairs))
+    sy = math.sqrt(sum((p[1] - my) ** 2 for p in pairs))
+    assert abs(s - cov / (sx * sy)) < 1e-12
+
+
 def test_spearman_grouped_agg_raises(spark):
     """group_by().agg(spearman) computes per-group (round-4 _agg_pre_fn:
     ranks over key-partitioned windows, then one pearson hash agg) and
