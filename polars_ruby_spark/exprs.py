@@ -932,6 +932,26 @@ class Expr:
                                              force=custom is not None)
                 if ri is not None:
                     return ri
+            uq = getattr(aggf, "_ungrouped_q", None)
+            if (uq is not None and part is None
+                    and not bind_context.grouped_agg
+                    and bind_context.rolling_window is None):
+                # whole-frame exact quantile/median: distributed selection
+                # instead of the percentile buffer funnel (round-11) —
+                # numeric non-decimal inputs only (the selection arithmetic
+                # replicates Percentile's double math; anything else keeps
+                # the aggregate path's own semantics/errors)
+                from pyspark.sql import types as T
+
+                inner = self._fn(df, None)
+                try:
+                    t = _probe_type(df, inner)
+                except Exception:
+                    t = None
+                if (isinstance(t, T.NumericType)
+                        and not isinstance(t, T.DecimalType)):
+                    return F.lit(_ungrouped_exact_quantile(
+                        df, inner, uq[0], uq[1])).cast("double")
             c = aggf(self._fn(df, None))
             if part is not None:
                 c = c.over(_part_window(part))
@@ -2024,7 +2044,11 @@ class Expr:
         return self._agg_ctx(aggf, "mean")
 
     def median(self):
-        return self._agg(F.median)
+        def median(c):  # noqa: shadows the builtin name for _op_label
+            return F.median(c)
+
+        median._ungrouped_q = (0.5, "linear")
+        return self._agg(median)
 
     def min(self):
         return self._minmax_agg(True)
@@ -2238,6 +2262,7 @@ class Expr:
                     F.array_sort(F.collect_list(c))).cast("double")
 
         aggf._arr_reduce_fn = _arr_q
+        aggf._ungrouped_q = (q, interpolation)
         out = self._agg(aggf)
         # rolling-kernel breadcrumb (round-9): the meta label is the
         # closure's name, so the sliding-kernel classifier reads the
@@ -5456,6 +5481,73 @@ def _q_from_sorted(arr, q: float, interpolation: str):
     # nearest: round half away from zero like polars
     near = F.when(pos - lo.cast("double") < 0.5, lo).otherwise(hi)
     return F.element_at(arr, near + 1)
+
+
+def _ungrouped_exact_quantile(df, c: Column, q: float, interpolation: str):
+    """Whole-frame EXACT quantile/median by distributed selection
+    (round-11).  Spark's ``percentile``/``median`` aggregates buffer every
+    value and merge the buffers in ONE final task — and sharing an
+    aggregate with a distinct-style function makes the rewrite build one
+    buffer PER DISTINCT KEY (q21 at sf1.0: 38 s for seven scalar stats).
+    Selection instead: hash-agg the value counts (map-side combined),
+    index the much smaller distinct table with the two-pass prefix
+    pattern, and fetch only the <=2 order statistics the interpolation
+    needs.  Arithmetic replicates Spark's ``Percentile`` (linear) /
+    ``_q_from_sorted`` (the other modes) bit-for-bit — pinned by
+    ``tests/test_frame_ops.py::test_ungrouped_quantile_selection_parity``.
+    Returns the Python scalar (None when no non-null values); the caller
+    lifts it into a typed literal (the same plan-time-action trade as the
+    spearman sub-job)."""
+    from .operators.row_index import _global_rank_prefix_tab
+
+    counts = (df.where(c.isNotNull())
+              .groupBy(c.alias("__gr_v__"))
+              .agg(F.count(F.lit(1)).alias("__gr_c__")))
+    tab = _global_rank_prefix_tab(counts)
+    # total count from the TAB (whose sorted-counts input is pinned by
+    # with_row_index's localCheckpoint), not from ``counts`` — the latter
+    # would re-execute the full-data hash aggregate for one scalar
+    tot = tab.agg(F.sum("__gr_c__").alias("__qn__"))
+    pos_c = F.lit(float(q)) * (F.col("__qn__").cast("double") - 1)
+    lo_c, hi_c = F.floor(pos_c), F.ceil(pos_c)
+    if interpolation == "lower":
+        hi_c = lo_c
+    elif interpolation == "higher":
+        lo_c = hi_c
+    elif interpolation == "nearest":
+        near = F.when(pos_c - lo_c.cast("double") < 0.5, lo_c).otherwise(hi_c)
+        lo_c = hi_c = near
+    rows = (tab.crossJoin(F.broadcast(tot))
+            .where((F.col("__gr_b__") <= hi_c)
+                   & (lo_c < F.col("__gr_b__") + F.col("__gr_c__")))
+            .select("__gr_v__", "__gr_c__", "__gr_b__", "__qn__")
+            .collect())
+    if not rows:
+        return None
+    n = rows[0]["__qn__"]
+    pos = float(q) * (n - 1)
+    lo, hi = math.floor(pos), math.ceil(pos)
+    if interpolation == "lower":
+        hi = lo
+    elif interpolation == "higher":
+        lo = hi
+    elif interpolation == "nearest":
+        lo = hi = lo if pos - lo < 0.5 else hi
+
+    def at(k):
+        for r in rows:
+            if r["__gr_b__"] <= k < r["__gr_b__"] + r["__gr_c__"]:
+                return float(r["__gr_v__"])
+        raise AssertionError(f"order statistic {k} not covered")
+
+    vlo = at(lo)
+    if lo == hi:
+        return vlo
+    vhi = at(hi)
+    if interpolation == "midpoint":
+        return (vlo + vhi) / 2
+    # linear: Spark Percentile's exact arithmetic
+    return (hi - pos) * vlo + (pos - lo) * vhi
 
 
 def _lit_wide(v):

@@ -383,6 +383,73 @@ def test_arg_sort_by_sole_select(spark):
     assert [r["i"] for r in out] == [2, 1, 0]  # sort by (b, a)
 
 
+def test_ungrouped_quantile_selection_parity(spark):
+    """Round-11: whole-frame exact median/quantile run as distributed
+    selection over the distinct-value prefix table (a percentile buffer
+    per distinct key exploded q21 to 38 s at sf1.0).  The selection's
+    arithmetic must replicate Spark's Percentile (linear) and
+    _q_from_sorted (other modes) BIT-for-bit, across ties, single rows,
+    infinities, ints and nulls — and the median must come back as a
+    plan literal (no percentile aggregate anywhere in the plan)."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(23)
+    cases = []
+    for n in (1, 2, 3, 4, 7, 50):
+        cases.append([rng.uniform(-1e6, 1e6) for _ in range(n)])
+        cases.append([float(rng.randint(-3, 3)) for _ in range(n)])  # ties
+    cases.append([float("inf"), 1.0, -float("inf"), 2.0, 2.0])
+    cases.append([1.0, None, 3.0, None, 2.0])
+    # (an all-null NullType column folds element_at(arr, 0) at analysis
+    # and errors on the non-linear modes — pre-existing behavior on both
+    # the aggregate and the selection path, not asserted here)
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x)
+
+    for vals in cases:
+        df = pl.DataFrame({"v": vals})
+        for q, interp in ((0.5, "median"), (0.25, "linear"), (0.9, "linear"),
+                          (1.0, "linear"), (0.0, "lower"), (0.37, "lower"),
+                          (0.37, "higher"), (0.37, "midpoint"),
+                          (0.37, "nearest"), (0.5, "nearest")):
+            if interp == "median":
+                got = df.select(pl.col("v").median().alias("m")).to_a()[0]["m"]
+                exp = df.lazy()._sdf.agg(F.median("v")).collect()[0][0]
+            else:
+                got = df.select(pl.col("v").quantile(q, interp)
+                                .alias("m")).to_a()[0]["m"]
+                sdf = df.lazy()._sdf
+                if interp == "linear":
+                    exp = sdf.agg(F.percentile("v", F.lit(q))).collect()[0][0]
+                else:
+                    from polars_ruby_spark.exprs import _q_from_sorted
+                    arr = F.array_sort(F.filter(
+                        F.collect_list("v"), lambda x: x.isNotNull()))
+                    e = F.when(F.size(arr) > 0,
+                               _q_from_sorted(arr, q, interp)).cast("double")
+                    exp = sdf.agg(e).collect()[0][0]
+            assert bits(got) == bits(exp), (vals, q, interp, got, exp)
+    # int columns keep the double result dtype of the aggregate path
+    from pyspark.sql import types as T
+
+    di = pl.DataFrame({"v": [3, 1, 2]})
+    out = di.select(pl.col("v").median().alias("m"))
+    assert out.schema["m"] == T.DoubleType()
+    assert out.to_a()[0]["m"] == 2.0
+    # the q21 shape (n_unique + median in one select) must carry NO
+    # percentile aggregate — the buffer-per-distinct-key rewrite is gone
+    big = pl.DataFrame({"k": [1, 1, 2, 2, 3], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    q21ish = big.select(pl.col("k").n_unique().alias("nu"),
+                        pl.col("v").median().alias("m"))
+    plan = q21ish.lazy()._sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile" not in plan and "median" not in plan
+    assert q21ish.to_a() == [{"nu": 3, "m": 3.0}]
+
+
 def test_ungrouped_spearman_rank_join_no_funnel(spark):
     """Round-11: the ungrouped-spearman sub-job ranks BOTH columns via
     distinct-prefix tables (global_avg_rank_join_multi) — previously two
