@@ -225,6 +225,66 @@ def np_eval_arrays_udf(prog, in_t: str, out_t: str):
                 out[~valid] = fill
                 on[~valid] = False
             return out, on, t
+        if op == "rank":
+            # average value-rank within each list (round-11; the HOF route
+            # is O(d²) interpreted filters per element — q127).  Spark
+            # comparison semantics: nulls rank null and are excluded,
+            # NaN == NaN and NaN sorts greatest in BOTH directions.
+            desc = prog[1]
+            bv, bn, _bt = _run(prog[2], vals, nulls, pos, lens, starts,
+                               total)
+            bv, bn = to_arr(bv, bn)
+            v = _cast(bv, np.float64)  # float32→float64 is order-exact
+            out = np.full(total, np.nan, dtype=np.float64)
+            on = bn.copy()
+            nn = ~on
+            if nn.any():
+                idx = np.flatnonzero(nn)
+                seg_all = (np.cumsum(pos == 0) - 1 if total
+                           else np.empty(0, dtype=np.int64))
+                sv, sg = v[idx], seg_all[idx]
+                isn = np.isnan(sv)
+                if desc:
+                    with np.errstate(invalid="ignore"):
+                        order = np.lexsort((-sv, ~isn, sg))
+                else:
+                    order = np.lexsort((sv, isn, sg))
+                osv, osg, oisn = sv[order], sg[order], isn[order]
+                m = osv.size
+                segch = np.r_[True, osg[1:] != osg[:-1]]
+                valch = np.zeros(m, dtype=bool)
+                if m > 1:
+                    with np.errstate(invalid="ignore"):
+                        valch[1:] = osv[1:] != osv[:-1]
+                    # numpy NaN != NaN, but Spark ties NaN with NaN
+                    valch[1:] &= ~(oisn[1:] & oisn[:-1])
+                newrun = segch | valch
+                segstart = np.flatnonzero(segch)
+                startof = np.repeat(segstart,
+                                    np.diff(np.r_[segstart, m]))
+                ordinal = np.arange(m) - startof  # strictly-before count
+                run_id = np.cumsum(newrun) - 1
+                before = ordinal[np.flatnonzero(newrun)][run_id]
+                ties = np.bincount(run_id)[run_id]
+                # exactly the HOF's (2·before + ties + 1)/2 — all-integer
+                # numerator, exact in double
+                out[idx[order]] = (2.0 * before + ties + 1.0) / 2.0
+            return out, on, "double"
+        if op == "cagg":
+            # whole-segment aggregate of the bare element series,
+            # broadcast per element (plain list.eval context; the
+            # cumulative runner owns the prefix semantics).  count =
+            # non-null elements (F.size(filter(isNotNull))), len = all.
+            label = prog[1]
+            row_of = (np.repeat(np.arange(lens.size), lens) if total
+                      else np.empty(0, dtype=np.int64))
+            if label == "len":
+                per = lens
+            else:  # count
+                per = (np.bincount(row_of[~nulls], minlength=lens.size)
+                       if total else np.zeros(lens.size, dtype=np.int64))
+            outv = np.repeat(per, lens).astype(np.float64)
+            return outv, np.zeros(total, dtype=bool), "int"
         raise ValueError(f"unsupported np-eval node {op!r}")
 
     def _cast(v, dt):

@@ -3544,6 +3544,12 @@ class Expr:
         # restore path suffices (same as _rolling_by); a windowed INNER
         # (shift(1).rank()) propagates its row-order need
         e._order_only = self._order_safe
+        if method == "average" and self._np_prog is not None:
+            # list.eval kernel breadcrumb (round-11): the per-element HOF
+            # rank is O(d²) interpreted lambda evals per row (q127: 32 s
+            # at sf1.0) — average is the one method whose eval-context
+            # result stays double (the kernel's dtype contract)
+            e._np_prog = ("rank", bool(descending), self._np_prog)
         if (method in ("average", "min", "max", "dense", "ordinal",
                        "random")
                 and not self._needs_order and not self._scrambles_order
@@ -5662,6 +5668,11 @@ def col(name, *more_names) -> Expr:
 
         e = Expr(colfn, name=name)
         e._is_column = True  # meta.is_column: bare reference, no transforms
+        if name == "":
+            # inside list.eval, col("") IS the element series — same
+            # numpy-program leaf as element() (round-11: lets
+            # rank/count normalizations reach the vectorized kernel)
+            e._np_prog = ("elem",)
         return e._set_meta("col", (), name)
     # multiple names / dtype selection
     if all(isinstance(n, str) for n in names):
@@ -5812,7 +5823,35 @@ def _np_prog_type(p, in_t: str):
     if op == "ffill":
         bt = _np_prog_type(p[1], in_t)
         return bt if bt in ("float", "double") else None
+    if op == "rank":
+        # average value-rank within the list — always double
+        bt = _np_prog_type(p[2], in_t)
+        return "double" if bt in ("float", "double") else None
+    if op == "cagg":
+        # whole-segment aggregate broadcast (plain list.eval context —
+        # the cumulative runner has its own prefix semantics); only the
+        # integer normalizers are kernel-hosted, anything else gates to
+        # the HOF route
+        return "int" if p[1] in ("count", "len") else None
     return None
+
+
+def _np_has_elem(p) -> bool:
+    """True when a numpy program references the element series per
+    position (an "elem" leaf anywhere) — a MIXED agg+element composition
+    (rank/count normalizations) broadcasts per element, which is exactly
+    the kernel's layout; a PURE aggregate program (cagg only) must keep
+    the one-element-list eval route instead (round-11)."""
+    op = p[0]
+    if op == "elem":
+        return True
+    if op in ("un", "ffill"):
+        return _np_has_elem(p[-1] if op == "un" else p[1])
+    if op == "bin":
+        return _np_has_elem(p[2]) or _np_has_elem(p[3])
+    if op in ("shift", "rank"):
+        return _np_has_elem(p[-1])
+    return False
 
 
 def _np_eval_column(arr: Column, prog, df) -> Column | None:

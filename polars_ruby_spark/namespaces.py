@@ -953,7 +953,10 @@ class ListNameSpace(_NS):
                             _EVAL_ARRAY_STACK, _eval_map, _probe_type)
 
         def f(c, df, part):
-            if expr._np_prog is not None and not expr._is_agg:
+            from .exprs import _np_has_elem
+
+            if expr._np_prog is not None and (
+                    not expr._is_agg or _np_has_elem(expr._np_prog)):
                 # numpy-expressible positional program (round-7): one
                 # vectorized Arrow kernel call replaces the interpreted
                 # per-element HOF (~10× on q150-class projections); type

@@ -383,6 +383,48 @@ def test_arg_sort_by_sole_select(spark):
     assert [r["i"] for r in out] == [2, 1, 0]  # sort by (b, a)
 
 
+def test_list_eval_rank_kernel_parity(spark):
+    """Round-11: element().rank() (average) and rank/count normalizations
+    inside list.eval run in the vectorized Arrow kernel instead of the
+    O(d²) per-element HOF.  Values must match the HOF route bit-for-bit
+    across ties, nulls, NaN, ±inf, ±0 and both directions; the kernel
+    node must actually be planned; pure aggregates keep the
+    one-element-list route."""
+    import struct
+
+    nan = float("nan")
+    lists = [[3.0, 1.0, 2.0, 2.0, 5.0], [1.0, 1.0, 1.0],
+             [nan, 1.0, nan, 2.0], [None, 3.0, None, 1.0, 3.0],
+             [], None, [7.5],
+             [float("inf"), -float("inf"), 0.0, -0.0, nan, None]]
+    df = pl.DataFrame({"id": list(range(len(lists))), "v": lists})
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x)
+
+    for desc in (False, True):
+        kern_e = pl.element().rank(descending=desc) / pl.col("").count()
+        hof_e = pl.element().rank(descending=desc) / pl.col("").count()
+        hof_e._np_prog = None  # force the interpreted HOF route
+        q = df.select(pl.col("id"), pl.col("v").list.eval(kern_e).alias("r"))
+        plan = q.lazy()._sdf._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan[:400]
+        got = {r["id"]: r["r"] for r in q.to_a()}
+        exp = {r["id"]: r["r"] for r in df.select(
+            pl.col("id"), pl.col("v").list.eval(hof_e).alias("r")).to_a()}
+        for i in got:
+            if exp[i] is None:
+                assert got[i] is None
+                continue
+            assert len(got[i]) == len(exp[i]), (desc, i)
+            for g, e in zip(got[i], exp[i]):
+                assert bits(g) == bits(e), (desc, i, got[i], exp[i])
+    # pure aggregate still yields the one-element list, not a broadcast
+    pure = df.select(pl.col("v").list.eval(pl.col("").count()).alias("c"))
+    assert [r["c"] for r in pure.to_a()][:4] == [[5], [3], [4], [3]]
+
+
 def test_ungrouped_quantile_selection_parity(spark):
     """Round-11: whole-frame exact median/quantile run as distributed
     selection over the distinct-value prefix table (a percentile buffer
