@@ -134,39 +134,57 @@ def repetition_signals(sdf: DataFrame, text_col: str = "text",
     ``distinct_ratio`` (unique/total tokens), ``top_bigram_frac`` (fraction of
     bigram occurrences taken by the most common bigram), ``mean_word_len``.
 
-    Two branches off the same scan, joined on the doc id: per-row token
-    stats in a flat codegen projection (array_distinct/size; the char-sum
-    lambda is arithmetic-only), and the bigram mode — the one thing array
-    functions can't express — as explode → groupBy(doc, gram) →
-    groupBy(doc), both map-side combined.  The branches MUST stay separate:
-    with the flats projected alongside the explode, Catalyst collapses them
-    ABOVE the Generate and re-evaluates every flat expression once per
-    exploded gram row — measured ~6× on this query at sf0.1 (the join costs
-    one |docs|-row shuffle instead).  ``explode_outer`` keeps <2-token docs
-    alive with a null gram; their top_bigram_frac is defined as 0.
+    One flat per-row projection, zero shuffles (round-11; guide §2.4):
+    the bigram mode — count of the most frequent bigram — equals the
+    longest equal-run in the SORTED bigram array, so it reduces to
+    array_sort + one O(d) aggregate() scan per row instead of the former
+    explode → groupBy(doc, gram) → groupBy(doc) → join (two full-data
+    exchanges, a second scan of the corpus, and a |docs|-row join; the
+    gram exchange carried |docs|×|bigrams| rows before map-side combine).
+    Per-row work was already O(d log d)-ish (array_distinct) — the sort
+    joins that class; every stage stays embarrassingly parallel and NOTHING
+    is keyed on the doc id, so doc-count growth never changes the shape.
+    <2-token docs have an empty bigram array; their top_bigram_frac is
+    defined as 0 (matches the old explode_outer null-gram branch).
     """
     from ..operators.dedup import shingles
 
     t = _tokens(F.col(text_col))
-    flats = sdf.select(
+    bi_sorted = F.array_sort(shingles(F.col(text_col), 2))
+
+    # longest run of equal adjacent values in a sorted array == max
+    # per-value count.  One interpreted-HOF pass; accumulator fields are
+    # plain extractions so the re-evaluated `run` expression stays O(1).
+    def _step(acc, x):
+        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top_c = F.aggregate(
+        bi_sorted,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("bigint").alias("run"),
+                 F.lit(0).cast("bigint").alias("best")),
+        _step, lambda acc: acc["best"])
+    # two projections, deliberately: the ratio layer references n_tok four
+    # times, so CollapseProject keeps the layers separate and the expensive
+    # base expressions (the sorted-shingle HOF especially — interpreted, no
+    # CSE with codegen siblings) evaluate ONCE per row.  tot (= bigram
+    # count) is n_tok−1 arithmetic, never a second shingle evaluation.
+    base = sdf.select(
         F.col(id_col),
         F.size(t).alias("n_tok"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
-        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).alias("char_sum"))
-    grams = sdf.select(
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+         .alias("char_sum"),
+        top_c.alias("top_c"))
+    tot = F.when(F.col("n_tok") >= 2, F.col("n_tok") - 1)
+    return base.select(
         F.col(id_col),
-        F.explode_outer(shingles(F.col(text_col), 2)).alias("g"))
-    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-    nn = F.when(F.col("g").isNotNull(), F.col("c"))
-    mode = (per_gram.groupBy(id_col)
-            .agg(F.max(nn).alias("top_c"), F.sum(nn).alias("tot")))
-    return (flats.join(mode, id_col)
-            .select(
-                F.col(id_col),
-                F.round(F.col("n_distinct") / F.col("n_tok"), 4).alias("distinct_ratio"),
-                F.coalesce(F.round(F.col("top_c") / F.col("tot"), 4), F.lit(0.0))
-                 .alias("top_bigram_frac"),
-                F.round(F.col("char_sum") / F.col("n_tok"), 4).alias("mean_word_len")))
+        F.round(F.col("n_distinct") / F.col("n_tok"), 4).alias("distinct_ratio"),
+        F.when(tot > 0, F.round(F.col("top_c") / tot, 4)).otherwise(F.lit(0.0))
+         .alias("top_bigram_frac"),
+        F.round(F.col("char_sum") / F.col("n_tok"), 4).alias("mean_word_len"))
 
 
 def bm25_search(sdf: DataFrame, query_terms: list[str], text_col: str = "text",

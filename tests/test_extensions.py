@@ -296,6 +296,25 @@ def test_repetition_signals_values(spark):
     assert rows[3]["top_bigram_frac"] == 0.0 and rows[3]["distinct_ratio"] == 1.0
 
 
+def test_repetition_signals_zero_shuffle_plan(spark):
+    """Round-11: the bigram mode reduces to a sorted-run max in one flat
+    projection — the plan must hold NO exchange, generate, or join (the
+    old shape exploded bigrams through two full-data exchanges plus a
+    |docs|-row join)."""
+    df = spark.createDataFrame(
+        [(1, "x y x y x z"), (2, "a"), (3, "p q r p q")], ["doc_id", "text"])
+    out = text.repetition_signals(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "Generate", "Join"):
+        assert node not in plan, f"{node} reappeared in repetition_signals"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # "x y","y x","x y","y x","x z" -> top "x y" 2 of 5
+    assert rows[1]["top_bigram_frac"] == 0.4
+    # "p q","q r","r p","p q" -> top 2 of 4
+    assert rows[3]["top_bigram_frac"] == 0.5
+    assert rows[2]["top_bigram_frac"] == 0.0
+
+
 def test_bm25_orders_by_relevance(spark):
     df = spark.createDataFrame(
         [(1, "spark query join spark query join"),   # all terms, twice
