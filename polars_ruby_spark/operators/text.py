@@ -377,14 +377,30 @@ def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
     grams = shingles(F.col(text_col), n)
     # explode_OUTER: a signal operator must not silently drop documents —
     # docs shorter than n tokens keep one null-gram row and surface as
-    # n_ngrams=0, dup_frac=null
-    ng = sdf.select(F.col(id_col).alias("id"),
-                    F.explode_outer(grams).alias("gram"))
-    duplicated = (ng.where(F.col("gram").isNotNull()).distinct()
-                  .groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
-                  .where(F.col("n_docs") >= min_docs)
-                  .select("gram", F.lit(1).alias("_dup")))
-    return (ng.join(duplicated, "gram", "left")
+    # n_ngrams=0, dup_frac=null.
+    # One explicit gram exchange shared by BOTH consumers (round-11; guide
+    # §2.4/§7.2): the broadcast flag join left no exchange to reuse, so the
+    # explode + shingle subtree executed twice.  Keeping the branches
+    # canonically equal needs two twists: (a) eqNullSafe — a plain
+    # equi-join infers isnotnull(gram) on the count branch and the filter
+    # pushes below the shared exchange; (b) the null-gram group is
+    # excluded inside the COUNT (a `where gram is not null` is a key
+    # predicate that would push below the aggregate and the exchange too).
+    # The null group then fails `n_docs >= min_docs` (count = 0), and a
+    # null probe gram can only null-safe-match that excluded row — matches
+    # are identical to the old shape.
+    ng = (sdf.select(F.col(id_col).alias("id"), F.explode_outer(grams).alias("gram"))
+          .repartition("gram"))
+    duplicated = (ng.distinct()
+                  .groupBy("gram")
+                  .agg(F.count(F.when(F.col("gram").isNotNull(), 1))
+                       .alias("n_docs"))
+                  # n_docs > 0 keeps the null group out even for a
+                  # min_docs <= 0 caller; an aggregate-output predicate,
+                  # so it cannot push below the shared exchange
+                  .where((F.col("n_docs") >= min_docs) & (F.col("n_docs") > 0))
+                  .select(F.col("gram").alias("__g2__"), F.lit(1).alias("_dup")))
+    return (ng.join(duplicated, F.col("gram").eqNullSafe(F.col("__g2__")), "left")
             .groupBy("id")
             .agg(F.count(F.col("gram")).alias("n_ngrams"),
                  F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup"))
@@ -460,13 +476,21 @@ def boilerplate_signals(sdf: DataFrame, text_col: str = "text",
     """
     from ..operators.dedup import shingles
 
-    g = sdf.select(F.col(id_col), F.explode(F.array_distinct(
+    # one explicit gram exchange shared by the df branch and the flag-join
+    # gram side (round-11; guide §2.4/§7.2 — the broadcast join left no
+    # exchange to reuse, so the explode + distinct-shingle subtree executed
+    # twice); eqNullSafe keeps the branches canonically equal (a plain
+    # equi-join infers isnotnull(gram) on the df branch and the filter
+    # pushes below the shared exchange — gram is a shingle string, never
+    # null, so the matches are identical)
+    g = (sdf.select(F.col(id_col), F.explode(F.array_distinct(
         shingles(F.col(text_col), k))).alias("gram"))
+         .repartition("gram"))
     frequent = (g.groupBy("gram").agg(F.countDistinct(id_col).alias("df"))
                 .filter(F.col("df") > df_threshold)
-                .select("gram", F.lit(1).alias("_frequent")))
+                .select(F.col("gram").alias("__g2__"), F.lit(1).alias("_frequent")))
     flag = F.coalesce(F.col("_frequent"), F.lit(0))
-    return (g.join(frequent, "gram", "left")
+    return (g.join(frequent, F.col("gram").eqNullSafe(F.col("__g2__")), "left")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_shingles"),
                  F.sum(flag).alias("n_frequent"),

@@ -282,6 +282,48 @@ def test_tfidf_df_branch_reuses_tf_exchange(spark):
     assert "ReusedExchange" in plan
 
 
+def test_ngram_flag_joins_reuse_gram_exchange(spark):
+    """Round-11: the n-gram flag-join family pins its gram table behind one
+    explicit gram-key exchange that BOTH consumers (count branch, flag-join
+    instance side) reuse — without it the explode+gram subtree executed
+    twice (the broadcast join leaves no exchange to share), and a plain
+    equi-join's inferred isnotnull pushed below the exchange on the count
+    branch, breaking canonical equality."""
+    import io
+    from contextlib import redirect_stdout
+
+    from polars_ruby_spark.operators.dedup import ngram_dup_coverage
+    from polars_ruby_spark.operators.text import (boilerplate_signals,
+                                                  dup_ngram_fraction)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(20)))
+         for i in range(40)] + [(99, "short")],
+        ["doc_id", "text"])
+    for out in (ngram_dup_coverage(df, n=13), dup_ngram_fraction(df, n=3),
+                boilerplate_signals(df)):
+        out.collect()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan
+
+
+def test_dup_ngram_fraction_null_gram_rows_survive(spark):
+    """The shared-exchange rewrite must keep explode_outer's contract: docs
+    shorter than n tokens keep one null-gram row (n_ngrams=0, dup_frac
+    null) and never match the flag table."""
+    from polars_ruby_spark.operators.text import dup_ngram_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "zz")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in dup_ngram_fraction(df, n=3).collect()}
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["dup_frac"] is None
+    assert rows[1]["n_dup"] == 1 and rows[2]["n_dup"] == 1  # shared "a b c"
+
+
 def test_repetition_signals_values(spark):
     df = spark.createDataFrame(
         [(1, "ab ab ab ab"),      # one distinct token, one distinct bigram
