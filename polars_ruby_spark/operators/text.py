@@ -35,27 +35,54 @@ def language_id(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     Ties break in fixed order en>de>fr>es (documented, oracle-matched).
     """
     t = _tokens(F.col(text_col))
-    se, sd, sf_, ss = (_stop_count(t, lang) for lang in ("en", "de", "fr", "es"))
+    # two projection layers (round-11): each stopword count materializes
+    # as a column so every row pays exactly four filter-HOF passes.  The
+    # inlined when-chain mostly matched this cost already (conditionals
+    # short-circuit, so its 3× textual duplication only re-ran counts for
+    # rows falling past the first branch) — measured wall-neutral at
+    # sf1.0; kept for the later-branch rows and for shape uniformity with
+    # quality_score/gopher_rules, where the duplicates were UNCONDITIONAL
+    # and the same layering measured 4×.  The remaining cost is the four
+    # interpreted token scans — inherent to exact instance-count semantics
+    # (array_intersect/except dedup, so no codegen set-op substitutes).
+    counts = sdf.select(
+        "*",
+        _stop_count(t, "en").alias("__se__"),
+        _stop_count(t, "de").alias("__sd__"),
+        _stop_count(t, "fr").alias("__sf__"),
+        _stop_count(t, "es").alias("__ss__"))
+    se, sd, sf_, ss = (F.col(c) for c in ("__se__", "__sd__", "__sf__", "__ss__"))
     pred = (F.when((se >= sd) & (se >= sf_) & (se >= ss), "en")
             .when((sd >= sf_) & (sd >= ss), "de")
             .when(sf_ >= ss, "fr")
             .otherwise("es"))
-    return sdf.withColumn("lang_pred", pred)
+    return (counts.withColumn("lang_pred", pred)
+            .drop("__se__", "__sd__", "__sf__", "__ss__"))
 
 
 def quality_score(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic quality score in [0,1]: length + stopword density −
     punctuation density (the classic cheap pre-filter for LLM corpora)."""
     t = _tokens(F.col(text_col))
-    n_tok = F.size(t)
-    stop_ratio = _stop_count(t, "en").cast("double") / n_tok.cast("double")
-    punct = F.regexp_count(F.col(text_col), F.lit(r"[.,!?;:]"))
-    punct_ratio = punct.cast("double") / F.length(text_col).cast("double")
+    # base layer evaluates the token-size and the stopword filter-HOF once;
+    # the derived layer references them repeatedly (ratio column AND the
+    # score), which inlined re-ran the interpreted HOF + split per
+    # reference (round-11; guide §1.2 — CollapseProject keeps the layers
+    # separate because the non-cheap aliases are referenced more than once)
+    base = sdf.select(
+        "*",
+        F.size(t).alias("n_tokens"),
+        _stop_count(t, "en").alias("__stop__"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.,!?;:]")).alias("__punct__"))
+    n_tok = F.col("n_tokens")
+    stop_ratio = F.col("__stop__").cast("double") / n_tok.cast("double")
+    punct_ratio = (F.col("__punct__").cast("double")
+                   / F.length(text_col).cast("double"))
     len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
     score = F.round(0.4 * len_score + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio), 4)
-    return (sdf.withColumn("n_tokens", n_tok)
-            .withColumn("stop_ratio", F.round(stop_ratio, 4))
-            .withColumn("quality", score))
+    return (base.withColumn("stop_ratio", F.round(stop_ratio, 4))
+            .withColumn("quality", score)
+            .drop("__stop__", "__punct__"))
 
 
 def token_count(sdf: DataFrame, text_col: str = "text") -> DataFrame:
@@ -527,15 +554,22 @@ def gopher_rules(sdf: DataFrame, text_col: str = "text",
     count bounds, mean-word-length bounds, fraction of words containing an
     alphabetic character.  Flat JVM higher-order projections, 0 shuffles."""
     w = _tokens(F.col(text_col))
-    n_words = F.size(w)
-    mean_wl = (F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))
-               .cast("double") / n_words)
-    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
-    alpha_frac = alpha.cast("double") / n_words
+    # base layer runs each interpreted HOF (char-sum aggregate, alpha
+    # filter) once; the pass predicate references the derived ratios twice
+    # each, which inlined re-ran the HOFs per reference (round-11; guide
+    # §1.2 — the multiply-referenced non-cheap aliases block CollapseProject)
+    base = sdf.select(
+        "*",
+        F.size(w).alias("n_words"),
+        F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)).alias("__chs__"),
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("__alpha__"))
+    n_words = F.col("n_words")
+    mean_wl = F.col("__chs__").cast("double") / n_words
+    alpha_frac = F.col("__alpha__").cast("double") / n_words
     passes = ((n_words >= min_words) & (n_words <= max_words)
               & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
               & (alpha_frac >= min_alpha_frac))
-    return (sdf.withColumn("n_words", n_words)
-            .withColumn("mean_word_len", mean_wl)
+    return (base.withColumn("mean_word_len", mean_wl)
             .withColumn("alpha_word_frac", alpha_frac)
-            .withColumn("gopher_pass", passes))
+            .withColumn("gopher_pass", passes)
+            .drop("__chs__", "__alpha__"))
