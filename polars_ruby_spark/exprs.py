@@ -165,21 +165,36 @@ def _arr_reduce(label: str, arr: Column, df) -> Column:
         return F.sqrt(var) if label.startswith("stddev") else var
     if label in ("skewness", "kurtosis"):
         # biased central moments, matching Spark's skewness/kurtosis (the
-        # aggregates the direct agg path uses; polars' bias=True defaults)
+        # aggregates the direct agg path uses; polars' bias=True defaults).
+        # round-11: the mean and the moments bind as LAMBDA VARIABLES
+        # (transform-over-singleton, like _bind_once) — a captured subtree
+        # inside an interpreted HOF lambda re-evaluates per element, so the
+        # old form (mu captured in cm's lambda, m2 referenced 2-3×) was
+        # O(d²) per row: list.eval skew over 400-wide lists measured 21 s
+        # for 2000 rows, quadrupling per width doubling; linear after.
         nn = _eval_materialize(F.filter(arr, lambda x: x.isNotNull()))
         n = F.size(nn).cast("double")
-        mu = F.aggregate(nn, F.lit(0.0),
-                         lambda a, x: a + x.cast("double")) / n
+        mu0 = F.aggregate(nn, F.lit(0.0),
+                          lambda a, x: a + x.cast("double")) / n
 
-        def cm(p):
-            return F.aggregate(
-                nn, F.lit(0.0),
-                lambda a, x: a + F.pow(x.cast("double") - mu, p)) / n
+        def with_mu(mu):
+            def cm(p):
+                return F.aggregate(
+                    nn, F.lit(0.0),
+                    lambda a, x: a + F.pow(x.cast("double") - mu, p)) / n
 
-        m2 = cm(F.lit(2.0))
-        if label == "skewness":
-            return F.when(m2 > 0, cm(F.lit(3.0)) / F.pow(m2, 1.5))
-        return F.when(m2 > 0, cm(F.lit(4.0)) / (m2 * m2) - F.lit(3.0))
+            hi = cm(F.lit(3.0)) if label == "skewness" else cm(F.lit(4.0))
+            pair = F.struct(cm(F.lit(2.0)).alias("m2"), hi.alias("hi"))
+
+            def fin(ms):
+                m2 = ms["m2"]
+                if label == "skewness":
+                    return F.when(m2 > 0, ms["hi"] / F.pow(m2, 1.5))
+                return F.when(m2 > 0, ms["hi"] / (m2 * m2) - F.lit(3.0))
+
+            return F.element_at(F.transform(F.array(pair), fin), 1)
+
+        return F.element_at(F.transform(F.array(mu0), with_mu), 1)
     raise NotImplementedError(
         f"aggregate {label!r} over an order-transformed expression "
         "inside group_by().agg")

@@ -709,3 +709,39 @@ def test_session_memoizes_jvm_reflection(spark):
     # the seq bridge round-trips a multi-column select correctly
     out = _ccol._to_seq(sc, [F.col("id")._jc, F.lit(5)._jc])
     assert out.length() == 2
+
+
+def test_list_eval_moments_match_direct_agg(spark):
+    """Round-11: _arr_reduce's skew/kurtosis bind the mean and moments as
+    lambda variables (the captured-subtree form re-evaluated the O(d) mean
+    PER ELEMENT — O(d²) per row).  Values must stay bit-identical to
+    Spark's skewness/kurtosis aggregates over the same elements."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    rows = [
+        [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0],
+        [1.0, 1.0, 1.0],            # zero variance -> null
+        [2.5, None, 7.0, -1.0],     # null element excluded
+        [4.2],                      # single element
+    ]
+    df = pl.from_hash({"k": list(range(len(rows))), "v": rows})
+    got = {r["k"]: r for r in df.lazy().select(
+        pl.col("k"),
+        pl.col("v").list.eval(pl.element().skew()).list.first().alias("sk"),
+        pl.col("v").list.eval(pl.element().kurtosis()).list.first().alias("ku"),
+    ).collect().to_a()}
+    sdf = spark.createDataFrame(
+        [(i, v) for i, vals in enumerate(rows) for v in vals
+         if v is not None], ["k", "v"])
+    ref = {r["k"]: r for r in sdf.groupBy("k").agg(
+        F.skewness("v").alias("sk"), F.kurtosis("v").alias("ku")).collect()}
+    for k in got:
+        for c in ("sk", "ku"):
+            g, e = got[k][c], ref[k][c]
+            if e is None or (isinstance(e, float) and math.isnan(e)):
+                assert g is None or (isinstance(g, float) and math.isnan(g))
+            else:
+                assert g == pytest.approx(e, abs=1e-12), (k, c, g, e)
