@@ -28,17 +28,24 @@ def _tokens(col):
 from . import ensure_parallelism as _ensure_parallelism  # noqa: E402
 
 
+def shingles_from_tokens(t, k: int = 3):
+    """k-word shingles from an ALREADY-MATERIALIZED token array column
+    (or lambda variable) — the caller guarantees ``t`` is cheap to
+    re-reference, so no singleton binding is needed."""
+    sh = F.transform(F.sequence(F.lit(0), F.size(t) - k), lambda i: F.concat_ws(
+        " ", *[F.element_at(t, i + F.lit(j) + 1) for j in range(k)]))
+    # guard: sequence(0, negative) throws — short docs get an empty set
+    return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(col, k: int = 3):
     """k-word shingles of a text column (JVM higher-order fns, no UDF)."""
-    def _from(t):
-        sh = F.transform(F.sequence(F.lit(0), F.size(t) - k), lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + F.lit(j) + 1) for j in range(k)]))
-        # guard: sequence(0, negative) throws — short docs get an empty set
-        return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
     # transform-over-singleton binds the token array to a lambda variable so
     # split() runs ONCE per row — inlining it would re-split per element_at
     # (interpreted HOFs do no subexpression caching; ~25× slower here)
-    return F.element_at(F.transform(F.array(_tokens(col)), _from), 1)
+    return F.element_at(
+        F.transform(F.array(_tokens(col)),
+                    lambda t: shingles_from_tokens(t, k)), 1)
 
 
 def exact_dedup(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",

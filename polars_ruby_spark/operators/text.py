@@ -34,18 +34,26 @@ def language_id(sdf: DataFrame, text_col: str = "text") -> DataFrame:
 
     Ties break in fixed order en>de>fr>es (documented, oracle-matched).
     """
-    t = _tokens(F.col(text_col))
-    # two projection layers (round-11): each stopword count materializes
-    # as a column so every row pays exactly four filter-HOF passes.  The
-    # inlined when-chain mostly matched this cost already (conditionals
-    # short-circuit, so its 3× textual duplication only re-ran counts for
-    # rows falling past the first branch) — measured wall-neutral at
-    # sf1.0; kept for the later-branch rows and for shape uniformity with
-    # quality_score/gopher_rules, where the duplicates were UNCONDITIONAL
-    # and the same layering measured 4×.  The remaining cost is the four
-    # interpreted token scans — inherent to exact instance-count semantics
-    # (array_intersect/except dedup, so no codegen set-op substitutes).
-    counts = sdf.select(
+    # three projection layers (round-11): the token array materializes
+    # ONCE, then each stopword count materializes as a column.  Inlined,
+    # every count column embedded its own split(lower(text)) — interpreted
+    # HOFs do no subexpression caching, so each row paid the lower+split
+    # FOUR times (measured ~11% of per-row cost; CollapseProject keeps the
+    # layers apart because the token alias is non-cheap and referenced 4×).
+    # The inlined when-chain mostly matched the count-layer cost already
+    # (conditionals short-circuit, so its 3× textual duplication only
+    # re-ran counts for rows falling past the first branch) — kept for the
+    # later-branch rows and for shape uniformity with quality_score/
+    # gopher_rules, where the duplicates were UNCONDITIONAL and the same
+    # layering measured 4×.  The remaining cost is the four interpreted
+    # token scans — inherent to exact instance-count semantics
+    # (array_intersect/except dedup, so no codegen set-op substitutes;
+    # a vectorized ArrowEvalPython kernel measured SLOWER — per-token
+    # Python string hashing loses to the JVM's interpreted membership
+    # scan once the boundary transfer is paid).
+    toked = sdf.select("*", _tokens(F.col(text_col)).alias("__lid_toks__"))
+    t = F.col("__lid_toks__")
+    counts = toked.select(
         "*",
         _stop_count(t, "en").alias("__se__"),
         _stop_count(t, "de").alias("__sd__"),
@@ -57,19 +65,23 @@ def language_id(sdf: DataFrame, text_col: str = "text") -> DataFrame:
             .when(sf_ >= ss, "fr")
             .otherwise("es"))
     return (counts.withColumn("lang_pred", pred)
-            .drop("__se__", "__sd__", "__sf__", "__ss__"))
+            .drop("__se__", "__sd__", "__sf__", "__ss__", "__lid_toks__"))
 
 
 def quality_score(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic quality score in [0,1]: length + stopword density −
     punctuation density (the classic cheap pre-filter for LLM corpora)."""
-    t = _tokens(F.col(text_col))
-    # base layer evaluates the token-size and the stopword filter-HOF once;
-    # the derived layer references them repeatedly (ratio column AND the
-    # score), which inlined re-ran the interpreted HOF + split per
-    # reference (round-11; guide §1.2 — CollapseProject keeps the layers
-    # separate because the non-cheap aliases are referenced more than once)
-    base = sdf.select(
+    # token layer first (round-11): size() and the stopword filter-HOF both
+    # embedded their own split(lower(text)) — materializing the array once
+    # halves the split cost; then the base layer evaluates the token-size
+    # and the stopword filter-HOF once, and the derived layer references
+    # them repeatedly (ratio column AND the score), which inlined re-ran
+    # the interpreted HOF + split per reference (guide §1.2 —
+    # CollapseProject keeps the layers separate because the non-cheap
+    # aliases are referenced more than once)
+    toked = sdf.select("*", _tokens(F.col(text_col)).alias("__qs_toks__"))
+    t = F.col("__qs_toks__")
+    base = toked.select(
         "*",
         F.size(t).alias("n_tokens"),
         _stop_count(t, "en").alias("__stop__"),
@@ -82,7 +94,7 @@ def quality_score(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     score = F.round(0.4 * len_score + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio), 4)
     return (base.withColumn("stop_ratio", F.round(stop_ratio, 4))
             .withColumn("quality", score)
-            .drop("__stop__", "__punct__"))
+            .drop("__stop__", "__punct__", "__qs_toks__"))
 
 
 def token_count(sdf: DataFrame, text_col: str = "text") -> DataFrame:
@@ -174,10 +186,15 @@ def repetition_signals(sdf: DataFrame, text_col: str = "text",
     <2-token docs have an empty bigram array; their top_bigram_frac is
     defined as 0 (matches the old explode_outer null-gram branch).
     """
-    from ..operators.dedup import shingles
+    from ..operators.dedup import shingles_from_tokens
 
-    t = _tokens(F.col(text_col))
-    bi_sorted = F.array_sort(shingles(F.col(text_col), 2))
+    # token layer first (round-11): size/distinct/char-sum AND the bigram
+    # shingle each embedded their own split(lower(text)) — materializing
+    # the token array once cuts the per-row splits 4× → 1× (interpreted
+    # HOFs do no subexpression caching; the ≥4 references block
+    # CollapseProject from re-inlining the alias)
+    t = F.col("__rs_toks__")
+    bi_sorted = F.array_sort(shingles_from_tokens(t, 2))
 
     # longest run of equal adjacent values in a sorted array == max
     # per-value count.  One interpreted-HOF pass; accumulator fields are
@@ -198,7 +215,9 @@ def repetition_signals(sdf: DataFrame, text_col: str = "text",
     # base expressions (the sorted-shingle HOF especially — interpreted, no
     # CSE with codegen siblings) evaluate ONCE per row.  tot (= bigram
     # count) is n_tok−1 arithmetic, never a second shingle evaluation.
-    base = sdf.select(
+    toked = sdf.select(F.col(id_col),
+                       _tokens(F.col(text_col)).alias("__rs_toks__"))
+    base = toked.select(
         F.col(id_col),
         F.size(t).alias("n_tok"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
@@ -231,9 +250,14 @@ def bm25_search(sdf: DataFrame, query_terms: list[str], text_col: str = "text",
 
     t = _tokens(F.col(text_col))
     qarr = F.array(*[F.lit(q) for q in query_terms])
-    base = sdf.select(
-        F.col(id_col), F.size(t).alias("dl"),
-        F.explode(F.filter(t, lambda x: F.array_contains(qarr, x))).alias("term"))
+    # token layer first (round-11): dl and the query-term filter both
+    # embedded their own split(lower(text)) — one materialized array
+    # serves both (the filter sits in the Generate above the projection)
+    toked = sdf.select(F.col(id_col), t.alias("__bm_toks__"))
+    tc = F.col("__bm_toks__")
+    base = toked.select(
+        F.col(id_col), F.size(tc).alias("dl"),
+        F.explode(F.filter(tc, lambda x: F.array_contains(qarr, x))).alias("term"))
     tf = base.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     # consume tf through a nullable wrapper so this branch's copy of the
@@ -553,12 +577,16 @@ def gopher_rules(sdf: DataFrame, text_col: str = "text",
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1): word
     count bounds, mean-word-length bounds, fraction of words containing an
     alphabetic character.  Flat JVM higher-order projections, 0 shuffles."""
-    w = _tokens(F.col(text_col))
-    # base layer runs each interpreted HOF (char-sum aggregate, alpha
-    # filter) once; the pass predicate references the derived ratios twice
-    # each, which inlined re-ran the HOFs per reference (round-11; guide
-    # §1.2 — the multiply-referenced non-cheap aliases block CollapseProject)
-    base = sdf.select(
+    # token layer first (round-11): the three signal columns each embedded
+    # their own split(lower(text)) — interpreted HOFs do no subexpression
+    # caching, so the split ran 3× per row; then the base layer runs each
+    # interpreted HOF (char-sum aggregate, alpha filter) once, and the pass
+    # predicate references the derived ratios twice each, which inlined
+    # re-ran the HOFs per reference (guide §1.2 — the multiply-referenced
+    # non-cheap aliases block CollapseProject)
+    toked = sdf.select("*", _tokens(F.col(text_col)).alias("__gr_toks__"))
+    w = F.col("__gr_toks__")
+    base = toked.select(
         "*",
         F.size(w).alias("n_words"),
         F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)).alias("__chs__"),
@@ -572,4 +600,4 @@ def gopher_rules(sdf: DataFrame, text_col: str = "text",
     return (base.withColumn("mean_word_len", mean_wl)
             .withColumn("alpha_word_frac", alpha_frac)
             .withColumn("gopher_pass", passes)
-            .drop("__chs__", "__alpha__"))
+            .drop("__chs__", "__alpha__", "__gr_toks__"))

@@ -514,6 +514,57 @@ def test_weighted_sample_rate_tracks_weight(spark):
     assert abs(kept[1] / 20_000 - 0.1) < 0.02
 
 
+def test_weighted_sample_derived_weight_evaluates_once(spark):
+    """q94 shape (round-11): the keep filter over a DERIVED weight must not
+    be pushed below the weight's projections — Catalyst inlines the alias
+    when pushing, so the expensive weight expression (split + stopword HOF)
+    ran once in the pushed Filter for every row and AGAIN in the projection
+    for every survivor.  The keep flag's non-det zero term holds it up."""
+    from polars_ruby_spark.operators import sampling, text
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox is it you that") for i in range(50)],
+        "doc_id long, text string")
+    out = sampling.weighted_sample(text.quality_score(df), "quality") \
+        .select("doc_id", "quality")
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("split(lower") == 1, plan
+    # and the result is unchanged vs the bare pushed-filter form
+    from polars_ruby_spark.operators.sampling import hash_bucket
+    bare = (text.quality_score(df)
+            .filter(hash_bucket("doc_id", 10_000)
+                    < F.col("quality").cast("double") * 10_000)
+            .select("doc_id", "quality"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, bare.collect()))
+
+
+def test_token_family_single_split_per_row(spark):
+    """Round-11 CSE layering: language_id / quality_score / gopher_rules /
+    repetition_signals materialize the token array ONCE — interpreted HOFs
+    do no subexpression caching, so the inlined forms re-ran
+    split(lower(text)) once per signal column per row."""
+    import io
+    from contextlib import redirect_stdout
+
+    from polars_ruby_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "der die das und ist")],
+        "doc_id long, text string")
+    for fn in (text.language_id, text.quality_score, text.gopher_rules,
+               text.repetition_signals):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            fn(df).explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count("split(lower") == 1, (fn.__name__, plan)
+
+
 def test_vocab_encode_roundtrip(spark):
     df = spark.createDataFrame(
         [(1, "a b c a"), (2, "b b d"), (3, "a zzz")], ["doc_id", "text"])
