@@ -332,23 +332,26 @@ def source_overlap(sdf: DataFrame, text_col: str = "text",
     (sources) → (source_a, source_b, n_a, n_b, n_common, jaccard) — the
     cross-source contamination/overlap matrix.
 
-    Scale shape: shingles are md5-hashed BEFORE the distinct's shuffle
-    (narrow rows, q93's hash-before-shuffle move); the self-equi-join on
-    the gram hash reuses the distinct's hash partitioning (no extra
-    exchange); per-group sizes are a tiny broadcast.  Output is
-    |groups|²/2 rows.
+    Scale shape: shingles are xxhash64-hashed to 8-byte longs BEFORE the
+    distinct's shuffle (narrow rows, q93's hash-before-shuffle move;
+    round-11 swapped the 128-bit md5 hex string for the long key — same
+    move as the n-gram flag joins, guide §2.3; a 64-bit birthday collision
+    merges two shingles and shifts a count by one, the accepted class the
+    rest of the family already rides); the self-equi-join on the gram
+    hash reuses the distinct's hash partitioning (no extra exchange);
+    per-group sizes are a tiny broadcast.  Output is |groups|²/2 rows.
     """
     from ..operators.dedup import shingles
 
-    # the explicit isNotNull is a no-op (md5 of a non-null gram) but makes
-    # all three consumers' subtrees canonically EQUAL: the a⋈b join infers
-    # isnotnull(gh) on its branches and the sizes branch does not, which
-    # broke AQE stage reuse — the scan+explode+distinct executed once per
-    # consumer (round-11, verified in the final adaptive plan; with the
+    # the explicit isNotNull is a no-op (xxhash64 of a non-null gram) but
+    # makes all three consumers' subtrees canonically EQUAL: the a⋈b join
+    # infers isnotnull(gh) on its branches and the sizes branch does not,
+    # which broke AQE stage reuse — the scan+explode+distinct executed once
+    # per consumer (round-11, verified in the final adaptive plan; with the
     # filter shared, sizes reuses the distinct exchange).
     g = (sdf.select(F.col(group_col).alias("grp"),
                     F.explode(shingles(F.col(text_col), k)).alias("gram"))
-         .select("grp", F.md5(F.col("gram")).alias("gh"))
+         .select("grp", F.xxhash64(F.col("gram")).alias("gh"))
          .where(F.col("gh").isNotNull())
          .distinct())
     sizes = g.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
@@ -414,10 +417,14 @@ def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
     before the flag join — natural-text distinct grams are singleton-
     dominated (Zipf), so the surviving duplicated set is a small fraction
     and AQE broadcasts it at runtime (the instance side never re-shuffles
-    on the gram key).  At 100 TB swap the join key for ``xxhash64(ngram)``
-    (documented knob — 8-byte shuffle rows; 2^-64 collision odds merge two
-    grams, shifting a count by one) — kept exact-string here so the DuckDB
-    oracle matches bit-for-bit.
+    on the gram key).  The join key is ``xxhash64(ngram)`` (round-11: the
+    long-documented 100 TB knob is now the default — 8-byte shuffle rows
+    instead of full n-gram strings; 2^-64 collision odds merge two grams,
+    shifting a count by one; oracle parity verified empirically at
+    sf0.01/sf0.1, where the deterministic corpora are collision-free).
+    Null grams from ``explode_outer`` stay NULL through the hash so the
+    short-doc contract (n_ngrams=0 rows survive) is untouched —
+    ``xxhash64(NULL)`` would otherwise fold nulls into the seed value.
     """
     from ..operators.dedup import shingles
 
@@ -440,7 +447,10 @@ def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
     # The null group then fails `n_docs >= min_docs` (count = 0), and a
     # null probe gram can only null-safe-match that excluded row — matches
     # are identical to the old shape.
-    ng = (sdf.select(F.col(id_col).alias("id"), F.explode_outer(grams).alias("gram"))
+    ng = (sdf.select(F.col(id_col).alias("id"), F.explode_outer(grams).alias("__gs__"))
+          .select(F.col("id"),
+                  F.when(F.col("__gs__").isNotNull(),
+                         F.xxhash64(F.col("__gs__"))).alias("gram"))
           .repartition("gram"))
     duplicated = (ng.distinct()
                   .groupBy("gram")
@@ -532,10 +542,16 @@ def boilerplate_signals(sdf: DataFrame, text_col: str = "text",
     # exchange to reuse, so the explode + distinct-shingle subtree executed
     # twice); eqNullSafe keeps the branches canonically equal (a plain
     # equi-join infers isnotnull(gram) on the df branch and the filter
-    # pushes below the shared exchange — gram is a shingle string, never
-    # null, so the matches are identical)
+    # pushes below the shared exchange — gram is an xxhash64 of a non-null
+    # shingle, never null, so the matches are identical).  The shingle
+    # reduces to an 8-byte xxhash64 BEFORE the exchange (round-11, guide
+    # §2.3 — the raw k-word strings shuffled ~30+ bytes/row and grouped on
+    # string keys; the docstring's documented 100 TB knob, now the
+    # default: 2^-64 odds merge two shingles, shifting a count by one —
+    # oracle parity verified empirically at sf0.01/sf0.1)
     g = (sdf.select(F.col(id_col), F.explode(F.array_distinct(
-        shingles(F.col(text_col), k))).alias("gram"))
+        shingles(F.col(text_col), k))).alias("__gs__"))
+         .select(F.col(id_col), F.xxhash64(F.col("__gs__")).alias("gram"))
          .repartition("gram"))
     frequent = (g.groupBy("gram").agg(F.countDistinct(id_col).alias("df"))
                 .filter(F.col("df") > df_threshold)
