@@ -164,7 +164,7 @@ def minhash_dedup_pairs(sdf: DataFrame, text_col: str = "text", id_col: str = "d
 def ngram_jaccard(sdf_pairs: DataFrame, left_text: str, right_text: str,
                   n: int = 3) -> DataFrame:
     """Token n-gram Jaccard similarity for a pairs frame —
-    size(intersect)/size(union) on distinct shingle sets, all JVM-side.
+    |A∩B| / (|A|+|B|−|A∩B|) on distinct shingle-hash sets, all JVM-side.
 
     Three projection layers, deliberately (round-11; guide §1.2 per-task
     work): each layer references the previous one's expensive aliases more
@@ -172,20 +172,34 @@ def ngram_jaccard(sdf_pairs: DataFrame, left_text: str, right_text: str,
     shingle HOFs (no CSE with codegen siblings) evaluate ONCE per row per
     side — the former single-expression form re-evaluated each side's
     split+shingles+distinct ~3× (union appears twice in the when(), plus
-    the intersect), measured 14.2 s → ~6 s at sf1.0."""
+    the intersect), measured 14.2 s → ~6 s at sf1.0.
+
+    Two further round-11 moves (interleaved A/B at sf1.0, min-of-8):
+    the union ARRAY is never built — it was consumed only through its
+    size, and on distinct sets |A∪B| = |A|+|B|−|A∩B| (6.00 → 4.56 s);
+    and each shingle reduces to an 8-byte xxhash64 before the set ops,
+    so distinct/intersect hash and compare longs instead of ~30-byte
+    strings (→ 4.45 s min / 6.87 → 4.97 s median; a 2^-64 collision per
+    shingle pair shifts one count — the class the whole n-gram family
+    accepts, verified collision-free on the oracle tiers)."""
+    def hset(c):
+        return F.array_distinct(F.transform(shingles(F.col(c), n),
+                                            lambda s: F.xxhash64(s)))
+
     sets = sdf_pairs.withColumns({
-        "__sa__": F.array_distinct(shingles(F.col(left_text), n)),
-        "__sb__": F.array_distinct(shingles(F.col(right_text), n))})
+        "__sa__": hset(left_text),
+        "__sb__": hset(right_text)})
     sized = sets.withColumns({
         "__in__": F.size(F.array_intersect(F.col("__sa__"), F.col("__sb__"))),
-        "__un__": F.size(F.array_union(F.col("__sa__"), F.col("__sb__")))})
+        "__na__": F.size(F.col("__sa__")),
+        "__nb__": F.size(F.col("__sb__"))})
+    un = F.col("__na__") + F.col("__nb__") - F.col("__in__")
     return (sized.withColumn(
         "jaccard",
-        F.when(F.col("__un__") > 0,
-               F.round(F.col("__in__").cast("double")
-                       / F.col("__un__").cast("double"), 4))
+        F.when(un > 0,
+               F.round(F.col("__in__").cast("double") / un.cast("double"), 4))
         .otherwise(F.lit(0.0)))
-        .drop("__sa__", "__sb__", "__in__", "__un__"))
+        .drop("__sa__", "__sb__", "__in__", "__na__", "__nb__"))
 
 
 def simhash(sdf: DataFrame, text_col: str = "text", id_col: str = "doc_id",
