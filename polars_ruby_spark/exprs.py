@@ -2587,7 +2587,7 @@ class Expr:
                 return F.element_at(
                     arr_elem_fn(mapped), _ELEMENT_IDX_STACK[-1] + 1)
             c = inner._fn(df, part)
-            return window_fn(c, list(part) if part is not None else [])
+            return window_fn(c, list(part) if part is not None else [], df)
 
         e = Expr(fn, name=self._name, needs_order=needs_order)
         e._scrambles_order = True  # value-partitioned WindowExec output
@@ -2605,28 +2605,44 @@ class Expr:
                 sdf2, c = _src(sdf, key_cols)
                 tmp = _next_gord_name()
                 return sdf2.withColumn(
-                    tmp, window_fn(c, list(key_cols))), tmp
+                    tmp, window_fn(c, list(key_cols), sdf2)), tmp
 
             e._staged_win_fn = staged
         return e
 
+    @staticmethod
+    def _value_count_win(c, part, df):
+        """count(*) over the (part..., value) partition — the flag family's
+        shared building block.  When the frame already carries the hidden
+        row index, the window ALSO orders by it with an explicit
+        unbounded-both frame (same count, round-12, guide §2.4): its
+        required child ordering becomes (part, c, idx) — IDENTICAL to the
+        row_number flag windows' — so every flag window in a query stacks
+        over ONE in-partition sort instead of each orderless count spec
+        forcing its own (part, c) re-sort between them (q147: 6 Sort nodes
+        → 4).  Without the index the orderless spec is kept — the flag
+        must not force a row-index materialization where none exists."""
+        w = Window.partitionBy(*part, c)
+        if df is not None and ROW_IDX in df.columns:
+            w = w.orderBy(ROW_IDX).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        return F.count(F.lit(1)).over(w)
+
     def is_unique(self):
         return self._distinct_flag(
-            lambda c, part: F.count(F.lit(1)).over(
-                Window.partitionBy(*part, c)) == 1,
+            lambda c, part, df: Expr._value_count_win(c, part, df) == 1,
             lambda arr: F.transform(arr, lambda x: F.size(
                 F.filter(arr, lambda y: y.eqNullSafe(x))) == 1))
 
     def is_duplicated(self):
         return self._distinct_flag(
-            lambda c, part: F.count(F.lit(1)).over(
-                Window.partitionBy(*part, c)) > 1,
+            lambda c, part, df: Expr._value_count_win(c, part, df) > 1,
             lambda arr: F.transform(arr, lambda x: F.size(
                 F.filter(arr, lambda y: y.eqNullSafe(x))) > 1))
 
     def is_first_distinct(self):
         return self._distinct_flag(
-            lambda c, part: F.row_number().over(
+            lambda c, part, df: F.row_number().over(
                 Window.partitionBy(*part, c).orderBy(ROW_IDX)) == 1,
             lambda arr: F.transform(arr, lambda x, i: F.size(
                 F.filter(F.slice(arr, 1, i),
@@ -2634,10 +2650,16 @@ class Expr:
             needs_order=True)
 
     def is_last_distinct(self):
+        # last-by-index == row_number under the ASCENDING index order
+        # equals the value-partition's row count (round-12, guide §2.4):
+        # both windows' sort requirements collapse onto the ONE
+        # (part, c, idx) in-partition sort that is_first_distinct already
+        # needs; the former orderBy(idx DESC) spec demanded its own
+        # full-width re-sort between window groups.
         return self._distinct_flag(
-            lambda c, part: F.row_number().over(
-                Window.partitionBy(*part, c).orderBy(
-                    F.col(ROW_IDX).desc())) == 1,
+            lambda c, part, df: F.row_number().over(
+                Window.partitionBy(*part, c).orderBy(ROW_IDX))
+            == Expr._value_count_win(c, part, df),
             lambda arr: F.transform(arr, lambda x, i: F.size(
                 F.filter(F.slice(arr, i + 2, F.size(arr)),
                          lambda y: y.eqNullSafe(x))) == 0),

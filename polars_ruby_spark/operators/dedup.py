@@ -2,10 +2,15 @@
 (beyond-reference; BASELINE.json north star).
 
 All hot paths are JVM-side Catalyst expressions (split/transform/aggregate/
-md5) — no Python UDFs — so they scale with executor count.  MD5 is used as
-the hash family because it is bit-identical across engines (oracle-able in
-DuckDB) and deterministic across runs; swap for xxhash64 when oracle parity
-is not needed (4-5× faster).
+hash) — no Python UDFs — so they scale with executor count.  Two hash
+families, split by contract (round-11): **md5** where bit-level oracle
+parity is required (exact_dedup fingerprints, minhash/simhash signatures,
+hash-based sampling — DuckDB reproduces the digest bit-for-bit), and
+**xxhash64** for internal shuffle/join keys (ngram_jaccard,
+decontaminate_flags, ngram_dup_coverage, source_overlap,
+dup_ngram_fraction, boilerplate_signals) where the oracle matches on final
+aggregates and the accepted risk class is a 2^-64 per-pair collision
+(verified collision-free on the oracle tiers).
 
 Scale design (100 TB): minhash/simhash signatures are one narrow shuffle on
 the band hash (classic LSH); exact dedup is a hash aggregate on a fingerprint
@@ -264,24 +269,34 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     aggregate, with ``localCheckpoint`` truncating lineage so the plan does
     not grow with the iteration count.
     """
-    edges = edges.localCheckpoint(eager=True)
-    n_edges = edges.count()
-    use_driver = n_edges <= driver_threshold
-    if use_driver and n_edges > 0:
-        # byte guard (round-5): edge COUNT alone under-estimates driver
-        # memory for wide ids (URL/string keys) — sample the id widths and
-        # cap the collected payload at ``driver_max_bytes``
-        avg_w = edges.select(
-            (F.coalesce(F.octet_length(F.col(src).cast("string")), F.lit(8))
-             + F.coalesce(F.octet_length(F.col(dst).cast("string")),
-                          F.lit(8))).alias("__w__")) \
-            .limit(10_000).agg(F.avg("__w__")).first()[0] or 16.0
-        use_driver = n_edges * float(avg_w) <= driver_max_bytes
+    # Persist-once lazy entry (round-12, guide §5; VERDICT r11 ask #5):
+    # the former eager ``localCheckpoint`` + count + width-sample +
+    # union-find collect ran FOUR driver-blocking jobs at plan-construct
+    # (three of them pure re-reads of the materialized blocks).  A lazy
+    # ``persist`` plus ONE merged stats aggregate computes the expensive
+    # pair-gen pipeline exactly once — the same single materialization the
+    # checkpoint paid — while the count AND the byte guard's width average
+    # ride that same job; the union-find collect then reads the cache.
+    # The width average now spans ALL edges instead of a 10k prefix
+    # sample: per-row octet_length is codegen-cheap inside a pass the job
+    # pays anyway, and a whole-graph mean can only make the byte guard
+    # more honest (same 16-byte fallback when the graph is empty).
+    edges = edges.persist()
+    n_edges, avg_w = edges.agg(
+        F.count(F.lit(1)),
+        F.avg(F.coalesce(F.octet_length(F.col(src).cast("string")), F.lit(8))
+              + F.coalesce(F.octet_length(F.col(dst).cast("string")),
+                           F.lit(8)))).first()
+    use_driver = (n_edges <= driver_threshold
+                  and n_edges * float(avg_w or 16.0) <= driver_max_bytes)
     if use_driver:
-        return _cc_driver_union_find(edges, src, dst)
+        out = _cc_driver_union_find(edges, src, dst)
+        edges.unpersist()
+        return out
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
     sym = sym.repartition("v").localCheckpoint(eager=True)
+    edges.unpersist()
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
@@ -393,6 +408,53 @@ def decontaminate_flags(train: DataFrame, bench: DataFrame,
                     F.coalesce("__hit__", F.lit(False)).alias("contaminated")))
 
 
+def _hot_gram_salt(grams: DataFrame, gh_col: str,
+                   probe_rows: int = 65536, share: float = 0.05,
+                   n_salt: int = 16) -> int:
+    """Decide whether the shared gram exchange needs a salted split
+    (round-12, guide §2.5; VERDICT r11 ask #3).  Returns 0 (uniform — keep
+    the plain ``repartition(gh)``) or a salt modulus.
+
+    The probe is one bounded job at plan-construct: the first
+    ``probe_rows`` gram instances (LocalLimit short-circuits the scan, so
+    only the leading partitions' gram build executes), grouped by gram
+    hash — if any single gram owns ≥ ``share`` of the sampled instances,
+    the corpus is hot-key shaped and the exchange splits each gram across
+    ``n_salt`` reducers.  A prefix sample can miss an adversary that sorts
+    its duplicates to the tail; ``SPARK_GRAFT_GRAM_SALT`` forces the
+    decision both ways (0/1 = off, >1 = salt modulus, unset = probe).
+    """
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_GRAM_SALT", "").strip()
+    if env:
+        v = int(env)
+        return 0 if v <= 1 else v
+    top, tot = (grams.select(F.col(gh_col).alias("__g__"))
+                .where(F.col("__g__").isNotNull())  # short-doc null grams
+                .limit(probe_rows)                  # are not a hot KEY
+                .groupBy("__g__").agg(F.count(F.lit(1)).alias("__c__"))
+                .agg(F.max("__c__"), F.sum("__c__")).first())
+    if not tot or (top or 0) < share * tot:
+        return 0
+    return n_salt
+
+
+def _salted_doc_counts(grams: DataFrame, gh_col: str, count_col,
+                       out_name: str, n_salt: int, salt_col: str,
+                       distinct_first: bool = False) -> DataFrame:
+    """Two-level aggregate over a (gh, salt)-partitioned gram table: the
+    partial level groups on (gh, salt) — satisfied by the shared exchange,
+    so a hot gram's rows reduce on ``n_salt`` tasks — and a second TINY
+    exchange (one row per (gram, salt) bucket) sums per gram.  Exact
+    because the salt derives from the doc id: each distinct doc lands in
+    exactly one bucket, so bucket-local distinct counts add."""
+    g = grams.distinct() if distinct_first else grams
+    part = g.groupBy(F.col(gh_col), F.col(salt_col)).agg(
+        count_col.alias("__d1__"))
+    return part.groupBy(gh_col).agg(F.sum("__d1__").alias(out_name))
+
+
 def ngram_dup_coverage(sdf: DataFrame, n: int = 13, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Exact-substring duplication coverage: for each document with ≥ n
@@ -433,18 +495,32 @@ def ngram_dup_coverage(sdf: DataFrame, n: int = 13, text_col: str = "text",
     base = (sdf.select(F.col(id_col), toks.alias("__toks"))
             .withColumn("__n", F.size("__toks"))
             .filter(F.col("__n") >= n))
-    grams = (base
-             .select(id_col,
-                     F.explode(F.sequence(F.lit(1), F.col("__n") - (n - 1))).alias("__pos"),
-                     "__toks")
-             .select(id_col,
-                     F.xxhash64(F.array_join(
-                         F.slice(F.col("__toks"), F.col("__pos"), F.lit(n)), " "))
-                      .alias("__gh"))
-             .repartition("__gh"))
-    shared = (grams.groupBy("__gh").agg(
-                  F.count_distinct(F.col(id_col)).alias("__docs"))
-              .where(F.col("__docs") > 1)
+    flat = (base
+            .select(id_col,
+                    F.explode(F.sequence(F.lit(1), F.col("__n") - (n - 1))).alias("__pos"),
+                    "__toks")
+            .select(id_col,
+                    F.xxhash64(F.array_join(
+                        F.slice(F.col("__toks"), F.col("__pos"), F.lit(n)), " "))
+                     .alias("__gh")))
+    # skew-hardened split (round-12, guide §2.5): when the probe detects a
+    # hot gram, the shared exchange keys on (gram, salt-of-doc-id) so the
+    # hot gram's instances spread across n_salt reducers, and the doc
+    # count becomes a two-level aggregate (exact — the salt derives from
+    # the doc id).  Uniform corpora keep the round-11 single-key shape.
+    n_salt = _hot_gram_salt(flat, "__gh")
+    if n_salt:
+        grams = (flat.withColumn(
+                     "__gsalt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)))
+                 .repartition("__gh", "__gsalt"))
+        docs = _salted_doc_counts(
+            grams, "__gh", F.count_distinct(F.col(id_col)), "__docs",
+            n_salt, "__gsalt")
+    else:
+        grams = flat.repartition("__gh")
+        docs = grams.groupBy("__gh").agg(
+            F.count_distinct(F.col(id_col)).alias("__docs"))
+    shared = (docs.where(F.col("__docs") > 1)
               .select(F.col("__gh").alias("__gh2"), F.lit(1).alias("__dup")))
     # eqNullSafe, deliberately: a plain equi-join INFERS isnotnull(__gh) on
     # the count branch, and that filter pushes below the shared exchange —

@@ -447,18 +447,35 @@ def dup_ngram_fraction(sdf: DataFrame, n: int = 3, text_col: str = "text",
     # The null group then fails `n_docs >= min_docs` (count = 0), and a
     # null probe gram can only null-safe-match that excluded row — matches
     # are identical to the old shape.
-    ng = (sdf.select(F.col(id_col).alias("id"), F.explode_outer(grams).alias("__gs__"))
-          .select(F.col("id"),
-                  F.when(F.col("__gs__").isNotNull(),
-                         F.xxhash64(F.col("__gs__"))).alias("gram"))
-          .repartition("gram"))
-    duplicated = (ng.distinct()
+    from ..operators.dedup import _hot_gram_salt, _salted_doc_counts
+
+    flat = (sdf.select(F.col(id_col).alias("id"), F.explode_outer(grams).alias("__gs__"))
+            .select(F.col("id"),
+                    F.when(F.col("__gs__").isNotNull(),
+                           F.xxhash64(F.col("__gs__"))).alias("gram")))
+    # skew-hardened split (round-12, guide §2.5): see ngram_dup_coverage —
+    # a probed hot gram keys the shared exchange on (gram, salt-of-doc-id)
+    # and the doc count becomes a two-level aggregate (exact: the salt
+    # derives from the doc id, and the distinct runs over (id, gram, salt)
+    # — the salt adds no new (id, gram) pairs)
+    n_salt = _hot_gram_salt(flat, "gram")
+    if n_salt:
+        ng = (flat.withColumn(
+                  "__gsalt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)))
+              .repartition("gram", "__gsalt"))
+        counts = _salted_doc_counts(
+            ng, "gram", F.count(F.when(F.col("gram").isNotNull(), 1)),
+            "n_docs", n_salt, "__gsalt", distinct_first=True)
+    else:
+        ng = flat.repartition("gram")
+        counts = (ng.distinct()
                   .groupBy("gram")
                   .agg(F.count(F.when(F.col("gram").isNotNull(), 1))
-                       .alias("n_docs"))
-                  # n_docs > 0 keeps the null group out even for a
-                  # min_docs <= 0 caller; an aggregate-output predicate,
-                  # so it cannot push below the shared exchange
+                       .alias("n_docs")))
+    # n_docs > 0 keeps the null group out even for a
+    # min_docs <= 0 caller; an aggregate-output predicate,
+    # so it cannot push below the shared exchange
+    duplicated = (counts
                   .where((F.col("n_docs") >= min_docs) & (F.col("n_docs") > 0))
                   .select(F.col("gram").alias("__g2__"), F.lit(1).alias("_dup")))
     return (ng.join(duplicated, F.col("gram").eqNullSafe(F.col("__g2__")), "left")
@@ -549,12 +566,24 @@ def boilerplate_signals(sdf: DataFrame, text_col: str = "text",
     # string keys; the docstring's documented 100 TB knob, now the
     # default: 2^-64 odds merge two shingles, shifting a count by one —
     # oracle parity verified empirically at sf0.01/sf0.1)
-    g = (sdf.select(F.col(id_col), F.explode(F.array_distinct(
+    from ..operators.dedup import _hot_gram_salt, _salted_doc_counts
+
+    flat = (sdf.select(F.col(id_col), F.explode(F.array_distinct(
         shingles(F.col(text_col), k))).alias("__gs__"))
-         .select(F.col(id_col), F.xxhash64(F.col("__gs__")).alias("gram"))
-         .repartition("gram"))
-    frequent = (g.groupBy("gram").agg(F.countDistinct(id_col).alias("df"))
-                .filter(F.col("df") > df_threshold)
+            .select(F.col(id_col), F.xxhash64(F.col("__gs__")).alias("gram")))
+    # skew-hardened split (round-12, guide §2.5): see ngram_dup_coverage
+    n_salt = _hot_gram_salt(flat, "gram")
+    if n_salt:
+        g = (flat.withColumn(
+                 "__gsalt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)))
+             .repartition("gram", "__gsalt"))
+        dfreq = _salted_doc_counts(
+            g, "gram", F.count_distinct(F.col(id_col)), "df",
+            n_salt, "__gsalt")
+    else:
+        g = flat.repartition("gram")
+        dfreq = g.groupBy("gram").agg(F.countDistinct(id_col).alias("df"))
+    frequent = (dfreq.filter(F.col("df") > df_threshold)
                 .select(F.col("gram").alias("__g2__"), F.lit(1).alias("_frequent")))
     flag = F.coalesce(F.col("_frequent"), F.lit(0))
     return (g.join(frequent, F.col("gram").eqNullSafe(F.col("__g2__")), "left")

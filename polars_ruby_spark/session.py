@@ -145,6 +145,18 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # top-k vs the 10k default; 64k rows × ~64-dim float is still ≪
         # executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Pin BLAS/OpenMP pools inside Python workers to ONE thread
+        # (round-12, guide §5): the numpy matmul stages (ANN scoring,
+        # neardup/semantic-dedup blocks, Arrow rolling kernels) run one
+        # worker per core — N workers × M BLAS threads oversubscribes the
+        # box by M (this numpy's OpenBLAS is built MAX_THREADS=2 → 2×).
+        # The matmuls are already partition-parallel; intra-op threading
+        # adds contention, not throughput.  spark.executorEnv.* reaches
+        # every Python worker's environment (core/context.py:294) in
+        # local AND cluster mode.
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
 
 
